@@ -1,0 +1,50 @@
+"""Engine configuration.
+
+Reference analog: env-driven ``Settings`` with fixed index parameters
+(``/root/reference/src/refimage/config.py:50-55`` fixes index type and
+model name the same way we fix BM25 constants and shuffle geometry).
+All values are deterministic constants — no wall-clock, no randomness —
+so that rebuilds and resumed builds produce byte-identical artifacts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 scoring constants (fixed like the reference's index params) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- tokenizer ---
+    # Normalization: lowercase, then extract [a-z0-9]+ runs.  Must be
+    # identical at index and query time (reference analog: tag
+    # normalization `tag.strip().lower()`, dsl.py:117, applied on both
+    # the stored and the queried side).
+    token_pattern: str = "[a-z0-9]+"
+    split_pattern: str = "[^a-z0-9]+"  # inverse, for pc.split_pattern_regex
+
+    # --- shuffle geometry (explicit partitioning, north_rule) ---
+    num_shards: int = 32          # P: term shards; size ~4x cores for real runs
+    salt_buckets: int = 8         # S: doc-range sub-buckets for hot terms
+    hot_df_fraction: float = 0.05  # term is "hot" when df > fraction * N
+
+    # --- posting-list layout ---
+    block_size: int = 128         # postings per block for block-max metadata
+
+    # --- doc id assignment ---
+    docid_partitions: int = 64    # D: url-hash partitions for dense-id assignment
+    docid_stride: int = 1 << 32   # doc_id = part * stride + local_rank
+
+    # --- query defaults (reference analog: limit=50 default k and
+    # threshold in schemas.py:174,193) ---
+    default_k: int = 10
+    default_threshold: float = 0.0
+
+    def with_(self, **kw) -> "EngineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,72 @@
+"""Deterministic hashing helpers.
+
+Reference analogs: SHA-256 content hashing for exact dedup
+(``/root/reference/src/refimage/storage.py:130-138``) and the UNIQUE
+``file_hash`` constraint (``storage.py:89``).  We use md5 for the
+content hash of text (DuckDB has ``md5()`` built in, which keeps the
+dedup operators SQL-oracle-checkable) and blake2b-64 for term/url
+hashes (stable across processes, unlike Python's builtin ``hash``).
+No randomness anywhere — determinism is required for resumable builds
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def blake2b64(s: str | bytes) -> int:
+    """Stable 64-bit hash of a string (term_hash / url partitioning)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
+
+
+def hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized-ish stable 64-bit hash of an Arrow string column.
+
+    Hashes each *unique* value once (dictionary-encode first), then
+    scatters through the index array — O(unique) Python work per batch
+    instead of O(rows).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dct = pc.dictionary_encode(arr)
+    if isinstance(dct, pa.ChunkedArray):
+        dct = dct.combine_chunks()
+    uniq = dct.dictionary.to_pylist()
+    codes = dct.indices.to_numpy(zero_copy_only=False)
+    table = np.fromiter(
+        (blake2b64(u if u is not None else "") for u in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    if table.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return table[codes]
+
+
+def md5_hex(s: str | bytes) -> str:
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return hashlib.md5(s).hexdigest()
+
+
+def md5_string_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """md5 hex of each string in an Arrow column (content_hash for dedup).
+
+    Matches DuckDB's ``md5(text)`` so exact-dedup has a SQL oracle.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # md5 must run per-row; amortize via dictionary encoding (dup texts
+    # hash once — exactly the rows exact-dedup collapses).
+    dct = pc.dictionary_encode(arr)
+    if isinstance(dct, pa.ChunkedArray):
+        dct = dct.combine_chunks()
+    uniq = [md5_hex(u) if u is not None else None for u in dct.dictionary.to_pylist()]
+    return pc.take(pa.array(uniq, type=pa.string()), dct.indices)

@@ -1,0 +1,410 @@
+"""Distributed inverted-index build — the wide step.
+
+Pipeline (all Ray Data, streaming)::
+
+    docs(doc_id,text,...) ──map_batches──▶ +doc_len,n_chars ──write──▶ docs/
+    docs/ ──aggregate──▶ N, Σdl → avgdl, max_doc          (tiny result)
+    docs/ ──sampled tokenize──▶ df estimate ──▶ hot-term set (broadcast)
+    docs/ ──map_batches(tokenize)──▶ (term,term_hash,doc_id,tf,dl)
+          ──map_batches(+gkey: shard=term_hash%P, salt=doc-range bucket for hot terms)
+          ──groupby(gkey).map_groups(BuildPartition)──▶ part-{shard}-{salt}.parquet
+          ──▶ manifest rows (checkpoints + lineage + metrics)
+
+Design notes (north_rule requirements):
+
+- **Explicit partitioning**: the shuffle key is ``gkey = shard *
+  salt_buckets + salt`` with ``shard = blake2b64(term) % P``.  Query
+  actors recompute ``shard`` from the query term, so placement is a
+  pure function of the term.
+- **Skew (stopwords)**: a term whose estimated df exceeds
+  ``hot_df_fraction * N`` is *salted*: its postings are split into
+  ``S`` doc_id-range buckets, each built by a different reducer and
+  written to a different file.  Because buckets are doc-ranges, the
+  per-bucket lists are disjoint and sorted, so query-time merge is
+  pure concatenation in salt order.  Hot-set detection is a
+  deterministic sample, and only affects load balance — never
+  correctness.
+- **Resumability**: each (shard, salt) partition is written atomically
+  and recorded in ``manifest.json`` with input lineage; a rerun skips
+  completed partitions *before* the shuffle (filter on ``gkey``).
+- **Weights, not doc lengths**: reducers precompute the BM25
+  term-frequency impact ``tf / (tf + k1*(1-b+b*dl/avgdl))`` (float64)
+  per posting, so query scoring needs no doc-length lookup
+  (precomputed-impact indexing); ``idf`` is applied at query time from
+  the per-term df.
+
+Reference analogs: batch index add
+(``/root/reference/src/refimage/search/__init__.py:147-200``), index
+persistence (``search/__init__.py:322-360``), and the ingest/build
+phase split (live index add commented out at
+``/root/reference/src/refimage/api.py:851-852``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
+from refimage_ray.index.manifest import (
+    atomic_write_bytes,
+    completed_partitions,
+    load_manifest,
+    part_filename,
+    save_manifest,
+    save_metrics,
+)
+from refimage_ray.stages.tokenize import doc_stats_batch, tokenize_batch
+
+INDEX_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("term_hash", pa.uint64()),
+        ("shard", pa.int32()),
+        ("salt", pa.int32()),
+        ("df", pa.int64()),
+        ("doc_ids", pa.binary()),      # delta+varbyte
+        ("tfs", pa.binary()),          # varbyte
+        ("weights", pa.binary()),      # float64 LE
+        ("max_weight", pa.float64()),
+        ("block_max_weight", pa.list_(pa.float64())),
+        ("block_last_doc", pa.list_(pa.int64())),
+    ]
+)
+
+MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        ("gkey", pa.int64()),
+        ("shard", pa.int64()),
+        ("salt", pa.int64()),
+        ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("file_bytes", pa.int64()),
+        ("path", pa.string()),
+    ]
+)
+
+_KNUTH = np.uint64(2654435761)
+
+
+def _sample_mask(doc_ids: np.ndarray, rate: float) -> np.ndarray:
+    """Deterministic pseudo-random doc sample (multiplicative hashing).
+
+    Stable across reruns/resumes and independent of block layout —
+    required so the hot-term set (and therefore the artifact bytes)
+    reproduce exactly.
+    """
+    if rate >= 1.0:
+        return np.ones(doc_ids.shape, dtype=bool)
+    h = (doc_ids.astype(np.uint64) * _KNUTH) & np.uint64(0xFFFFFFFF)
+    return h < np.uint64(int(rate * 4294967296.0))
+
+
+class BuildPartition:
+    """Reducer: one (shard, salt) group of postings → one parquet file.
+
+    Sorts by (term, doc_id), splits term runs vectorized, encodes
+    delta+varbyte posting lists with per-block max-weight metadata
+    (block-max WAND), writes atomically, returns a manifest row.
+    """
+
+    def __init__(self, index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.avgdl = float(avgdl)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from refimage_ray.functions.codec import (
+            encode_f64,
+            varbyte_encode,
+            delta_encode,
+        )
+
+        cfg = self.cfg
+        gkey = int(group["gkey"][0].as_py())
+        shard, salt = divmod(gkey, cfg.salt_buckets)
+        raw_bytes = int(group.nbytes)
+
+        t = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        terms = t["term"].combine_chunks()
+        hashes = t["term_hash"].to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        # BM25 term-frequency impact, float64 (see module docstring)
+        weights = tfs / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / self.avgdl))
+
+        # term run boundaries on the sorted table (vectorized)
+        dct = pc.dictionary_encode(terms)
+        if isinstance(dct, pa.ChunkedArray):
+            dct = dct.combine_chunks()
+        codes = dct.indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        changes = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate(([0], changes))
+        ends = np.concatenate((changes, [n]))
+
+        bsz = cfg.block_size
+        out = {k: [] for k in (
+            "term", "term_hash", "df", "doc_ids", "tfs", "weights",
+            "max_weight", "block_max_weight", "block_last_doc",
+        )}
+        term_list = terms.to_pylist()
+        for s, e in zip(starts, ends):
+            ids = doc_ids[s:e]
+            w = weights[s:e]
+            tf_run = tfs[s:e]
+            nb = np.arange(s, e, bsz)
+            blk_last = ids[np.minimum(nb + bsz - 1, e - 1) - s]
+            blk_max = np.maximum.reduceat(w, nb - s)
+            out["term"].append(term_list[s])
+            out["term_hash"].append(int(hashes[s]))
+            out["df"].append(int(e - s))
+            out["doc_ids"].append(varbyte_encode(delta_encode(ids.astype(np.uint64))))
+            out["tfs"].append(varbyte_encode(tf_run.astype(np.uint64)))
+            out["weights"].append(encode_f64(w))
+            out["max_weight"].append(float(w.max()))
+            out["block_max_weight"].append(blk_max.tolist())
+            out["block_last_doc"].append(blk_last.tolist())
+
+        table = pa.table(
+            {
+                "term": pa.array(out["term"], pa.string()),
+                "term_hash": pa.array(out["term_hash"], pa.uint64()),
+                "shard": pa.array([shard] * len(starts), pa.int32()),
+                "salt": pa.array([salt] * len(starts), pa.int32()),
+                "df": pa.array(out["df"], pa.int64()),
+                "doc_ids": pa.array(out["doc_ids"], pa.binary()),
+                "tfs": pa.array(out["tfs"], pa.binary()),
+                "weights": pa.array(out["weights"], pa.binary()),
+                "max_weight": pa.array(out["max_weight"], pa.float64()),
+                "block_max_weight": pa.array(out["block_max_weight"], pa.list_(pa.float64())),
+                "block_last_doc": pa.array(out["block_last_doc"], pa.list_(pa.int64())),
+            }
+        )
+        fname = part_filename(shard, salt)
+        path = os.path.join(self.index_dir, fname)
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        atomic_write_bytes(path, buf.getvalue())
+
+        return pa.table(
+            {
+                "gkey": pa.array([gkey], pa.int64()),
+                "shard": pa.array([int(shard)], pa.int64()),
+                "salt": pa.array([int(salt)], pa.int64()),
+                "n_terms": pa.array([table.num_rows], pa.int64()),
+                "n_postings": pa.array([int(n)], pa.int64()),
+                "raw_bytes": pa.array([raw_bytes], pa.int64()),
+                "file_bytes": pa.array([len(buf.getvalue())], pa.int64()),
+                "path": pa.array([fname], pa.string()),
+            }
+        )
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    manifest: dict
+    metrics: dict
+
+
+def _estimate_hot_terms(
+    corpus: "ray.data.Dataset", n_docs: int, cfg: EngineConfig, sample_target: int = 20000
+) -> tuple[list[str], int]:
+    """Estimated-df-based hot-term set from a deterministic doc sample."""
+    rate = min(1.0, sample_target / max(1, n_docs))
+
+    def sample_tokenize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = _sample_mask(ids, rate)
+        sub = batch.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_part": pa.array([], pa.int64())})
+        toks = tokenize_batch(sub, cfg)
+        # (term, doc) pairs are unique → per-batch row count per term is
+        # a partial df (combiner before the tiny groupby)
+        g = toks.select(["term"]).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "df_part": pc.cast(g["count_all"], pa.int64())})
+
+    df_est = (
+        corpus.map_batches(sample_tokenize, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df_s"))
+        .to_pandas()
+    )
+    if len(df_est) == 0:
+        return [], 0
+    sample_n = max(1, int(round(n_docs * rate)))
+    scale = n_docs / sample_n
+    hot = df_est[df_est["df_s"] * scale >= cfg.hot_df_fraction * n_docs]
+    return sorted(hot["term"].tolist()), sample_n
+
+
+def build_index(
+    docs_ds: "ray.data.Dataset | None",
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    lineage: list[dict] | None = None,
+    resume: bool = True,
+) -> BuildResult:
+    """Build (or resume building) the inverted index.
+
+    ``docs_ds`` must yield columns ``doc_id:int64, text:string``
+    (+ optional url/lang).  Pass ``docs_ds=None`` to resume purely from
+    a previously-written ``docs/`` directory.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    docs_dir = os.path.join(index_dir, "docs")
+    success = os.path.join(docs_dir, "_SUCCESS")
+    metrics: dict = {}
+    t0 = time.perf_counter()
+
+    # ---- stage 1: docs artifact (metadata + corpus store) ----
+    if not (resume and os.path.exists(success)):
+        assert docs_ds is not None, "no docs dataset and no docs/ checkpoint"
+
+        def attach_stats(batch: pa.Table) -> pa.Table:
+            stats = doc_stats_batch(batch, cfg)
+            b = batch
+            for col in ("doc_len", "n_chars"):
+                if col in b.column_names:
+                    b = b.drop_columns([col])
+                b = b.append_column(col, stats[col])
+            return b
+
+        docs_ds.map_batches(attach_stats, batch_format="pyarrow").write_parquet(docs_dir)
+        with open(success, "w") as f:
+            f.write("")
+    metrics["docs_write_sec"] = time.perf_counter() - t0
+
+    # ---- stage 2: global stats (tiny aggregate) ----
+    t1 = time.perf_counter()
+    stats_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", "doc_len"])
+    agg = stats_ds.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("doc_len", alias_name="sum_dl"),
+        Max("doc_id", alias_name="max_doc"),
+    )
+    n_docs = int(agg["n_docs"])
+    sum_dl = int(agg["sum_dl"] or 0)
+    max_doc = int(agg["max_doc"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+    metrics["stats_sec"] = time.perf_counter() - t1
+
+    # ---- stage 3: hot-term estimation (sampled, deterministic) ----
+    t2 = time.perf_counter()
+    corpus = ray.data.read_parquet(docs_dir, columns=["doc_id", "text"])
+    hot_terms, sample_n = _estimate_hot_terms(corpus, n_docs, cfg)
+    metrics["hot_sample_docs"] = sample_n
+    metrics["hot_terms"] = len(hot_terms)
+    metrics["hot_sec"] = time.perf_counter() - t2
+
+    # ---- stage 4: tokenize → gkey → shuffle → reducers ----
+    t3 = time.perf_counter()
+    done = completed_partitions(index_dir) if resume else set()
+    done_gkeys = {s * cfg.salt_buckets + sl for (s, sl) in done}
+    hot_ref = ray.put(pa.array(hot_terms, pa.string()))
+    P, S = cfg.num_shards, cfg.salt_buckets
+    doc_span = max_doc + 1
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        th = batch["term_hash"].to_numpy(zero_copy_only=False)
+        shard = (th % np.uint64(P)).astype(np.int64)
+        salt = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(hot_arr):
+            is_hot = pc.is_in(batch["term"], value_set=hot_arr).to_numpy(
+                zero_copy_only=False
+            )
+            if is_hot.any():
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                salt[is_hot] = ids[is_hot] * S // doc_span
+        gkey = shard * S + salt
+        out = batch.append_column("gkey", pa.array(gkey, pa.int64()))
+        if done_gkeys:
+            keep = ~np.isin(gkey, np.fromiter(done_gkeys, dtype=np.int64))
+            out = out.filter(pa.array(keep))
+        return out
+
+    postings = corpus.map_batches(tokenize_batch, batch_format="pyarrow").map_batches(
+        add_gkey, batch_format="pyarrow"
+    )
+    builder = BuildPartition(index_dir, cfg, avgdl)
+
+    def build_partition(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    new_rows = (
+        postings.groupby("gkey")
+        .map_groups(build_partition, batch_format="pyarrow")
+        .take_all()
+    )
+    metrics["shuffle_build_sec"] = time.perf_counter() - t3
+
+    # ---- stage 5: manifest ----
+    prior = load_manifest(index_dir) if resume else None
+    parts: dict[tuple[int, int], dict] = {}
+    if prior:
+        for p in prior.get("partitions", []):
+            if (int(p["shard"]), int(p["salt"])) in done:
+                parts[(int(p["shard"]), int(p["salt"]))] = p
+    for r in new_rows:
+        p = {k: (v if isinstance(v, str) else int(v)) for k, v in r.items()}
+        parts[(p["shard"], p["salt"])] = p
+
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "max_doc": max_doc,
+        "avgdl": avgdl,
+        "hot_terms": hot_terms,
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    manifest = save_manifest(
+        index_dir,
+        config={
+            "num_shards": P,
+            "salt_buckets": S,
+            "block_size": cfg.block_size,
+            "token_pattern": cfg.token_pattern,
+            "hot_df_fraction": cfg.hot_df_fraction,
+        },
+        stats=stats,
+        lineage=lineage or [],
+        partitions=list(parts.values()),
+    )
+
+    total = time.perf_counter() - t0
+    n_postings = sum(p["n_postings"] for p in parts.values())
+    metrics.update(
+        {
+            "total_sec": total,
+            "n_docs": n_docs,
+            "n_postings": n_postings,
+            "docs_per_sec": n_docs / total if total else 0.0,
+            "postings_per_sec": n_postings / total if total else 0.0,
+            "shuffle_bytes": sum(p["raw_bytes"] for p in parts.values()),
+            "index_bytes": sum(p["file_bytes"] for p in parts.values()),
+            "n_partitions": len(parts),
+        }
+    )
+    save_metrics(index_dir, metrics)
+    return BuildResult(index_dir=index_dir, manifest=manifest, metrics=metrics)

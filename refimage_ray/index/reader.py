@@ -1,0 +1,93 @@
+"""Index artifact reader — load posting-list partitions into memory.
+
+Reference analog: ``load_index`` — FAISS index + id map loaded once
+into process memory and kept resident for all queries
+(``/root/reference/src/refimage/search/__init__.py:362-396``,
+``:57-60``).  Here each query actor loads the part files of its
+assigned shards once in ``__init__``.
+
+Salt-bucket merge: a hot term's postings live in several
+``part-{shard}-{salt}`` files, each covering a disjoint, increasing
+doc_id range — so merging is pure concatenation in salt order and the
+result is globally doc_id-sorted (the property the build guarantees).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from refimage_ray.functions.codec import decode_f64, decode_postings, varbyte_decode
+from refimage_ray.index.manifest import load_manifest
+
+
+@dataclass
+class TermPostings:
+    df: int
+    doc_ids: np.ndarray        # int64, sorted ascending
+    weights: np.ndarray        # float64, aligned
+    tfs: np.ndarray            # int64, aligned
+    max_weight: float
+    block_last_doc: np.ndarray  # int64
+    block_max_weight: np.ndarray  # float64
+
+
+class IndexReader:
+    def __init__(self, index_dir: str) -> None:
+        self.index_dir = index_dir
+        man = load_manifest(index_dir)
+        if man is None:
+            raise FileNotFoundError(f"no manifest.json under {index_dir}")
+        self.manifest = man
+        self.stats = man["stats"]
+        self.num_shards = int(man["config"]["num_shards"])
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self._parts_by_shard: dict[int, list[dict]] = {}
+        for p in man["partitions"]:
+            self._parts_by_shard.setdefault(int(p["shard"]), []).append(p)
+        for plist in self._parts_by_shard.values():
+            plist.sort(key=lambda p: int(p["salt"]))
+
+    def shards(self) -> list[int]:
+        return sorted(self._parts_by_shard)
+
+    def load_shards(self, shards: list[int] | None = None) -> dict[str, TermPostings]:
+        """Decode posting lists for the given shards (all if None)."""
+        if shards is None:
+            shards = self.shards()
+        acc: dict[str, list[tuple]] = {}
+        for shard in shards:
+            for p in self._parts_by_shard.get(shard, []):
+                t = pq.read_table(os.path.join(self.index_dir, p["path"]))
+                for row in t.to_pylist():
+                    acc.setdefault(row["term"], []).append(row)
+        out: dict[str, TermPostings] = {}
+        for term, rows in acc.items():
+            # rows arrive in salt order per shard (manifest sorted);
+            # doc ranges are disjoint increasing → concatenation is sorted
+            rows.sort(key=lambda r: r["salt"])
+            ids = np.concatenate([decode_postings(r["doc_ids"]) for r in rows])
+            w = np.concatenate([decode_f64(r["weights"]) for r in rows])
+            tfs = np.concatenate(
+                [varbyte_decode(r["tfs"]).astype(np.int64) for r in rows]
+            )
+            bl = np.concatenate(
+                [np.asarray(r["block_last_doc"], dtype=np.int64) for r in rows]
+            )
+            bm = np.concatenate(
+                [np.asarray(r["block_max_weight"], dtype=np.float64) for r in rows]
+            )
+            out[term] = TermPostings(
+                df=int(sum(r["df"] for r in rows)),
+                doc_ids=ids,
+                weights=w,
+                tfs=tfs,
+                max_weight=float(max(r["max_weight"] for r in rows)),
+                block_last_doc=bl,
+                block_max_weight=bm,
+            )
+        return out

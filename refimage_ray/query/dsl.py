@@ -1,0 +1,219 @@
+"""Query DSL — parser + set-algebra executor over BM25 result sets.
+
+A from-scratch re-expression of the reference's query surface
+(``/root/reference/src/refimage/dsl.py``): free-text terms, ``#tag``
+filters, ``^0.8`` weights, infix ``AND`` / ``OR`` / ``NOT`` with
+precedence OR < AND < NOT (the reference parser splits in exactly that
+order, ``dsl.py:368-399``), and implicit AND between text and tags in
+a simple query (``dsl.py:350-366``).
+
+Semantics:
+
+- leaves produce *scored* doc lists — ``TextQuery`` = top-k BM25
+  search with ``k = context limit`` (reference: ``dsl.py:80-84``),
+  ``TagFilter`` = metadata predicate on ``lang`` (the reference scans
+  metadata then filters tags, ``dsl.py:128-153``; our tag namespace is
+  the ``lang`` column per SURVEY.md §2.9).
+- internal nodes: AND = intersection, OR = union, NOT = difference —
+  *membership identical to the reference*
+  (``dsl.py:191-196,227-234,280-282``).  Documented deviation: the
+  reference drops scores inside AND/OR (returns bare id sets); we keep
+  scores (AND = sum, OR = max, NOT = base score) so ranking survives
+  the algebra.
+- ``^w`` multiplies a leaf's scores then re-sorts (reference weighted
+  re-sort, ``dsl.py:87-96``).
+- final: threshold filter + (score desc, doc_id asc) sort + limit
+  (``dsl.py:479-480``).
+
+The parser runs on the driver; set ops run on numpy doc_id arrays.
+The executor's public method is ``execute_query`` — mirroring the
+reference's *tested* contract (``dsl.py:432-438``; the endpoint-side
+``execute`` call is a latent defect we do not reproduce, SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+TAG_RE = re.compile(r"#(\w+)")
+WEIGHT_RE = re.compile(r"\^(\d*\.?\d+)")
+OP_RE = re.compile(r"\b(AND|OR|NOT)\b")
+
+
+class QueryNode:
+    """Abstract AST node (reference: ``dsl.py:24-47``).  ``execute``
+    returns ``{doc_id: score}``."""
+
+    def execute(self, ctx: "DSLContext") -> dict[int, float]:
+        raise NotImplementedError
+
+
+@dataclass
+class TextQuery(QueryNode):
+    text: str
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        hits = ctx.searcher.search(
+            self.text, k=ctx.limit, threshold=ctx.min_score, mode="or"
+        )
+        return {d: s * self.weight for d, s in hits}
+
+
+@dataclass
+class TagFilter(QueryNode):
+    tags: list[str]
+    mode: str = "any"  # any | all (reference: dsl.py:102-156)
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        langs = ctx.doc_langs()
+        tags = [t.strip().lower() for t in self.tags]  # reference: dsl.py:117
+        if self.mode == "all" and len(tags) > 1:
+            return {}  # one lang column → can't satisfy two distinct tags
+        mask = np.isin(langs["lang"], np.asarray(tags))
+        return {int(d): 1.0 * self.weight for d in langs["doc_id"][mask]}
+
+
+@dataclass
+class AndQuery(QueryNode):
+    operands: list[QueryNode] = field(default_factory=list)
+
+    def execute(self, ctx):
+        results = [op.execute(ctx) for op in self.operands]
+        if not results:
+            return {}
+        common = set(results[0])
+        for r in results[1:]:
+            common &= set(r)
+        return {d: sum(r[d] for r in results) for d in common}
+
+
+@dataclass
+class OrQuery(QueryNode):
+    operands: list[QueryNode] = field(default_factory=list)
+
+    def execute(self, ctx):
+        out: dict[int, float] = {}
+        for op in self.operands:
+            for d, s in op.execute(ctx).items():
+                if d not in out or s > out[d]:
+                    out[d] = s
+        return out
+
+
+@dataclass
+class NotQuery(QueryNode):
+    base: QueryNode
+    exclude: QueryNode
+
+    def execute(self, ctx):
+        base = self.base.execute(ctx)
+        excl = self.exclude.execute(ctx)
+        return {d: s for d, s in base.items() if d not in excl}
+
+
+class DSLParseError(ValueError):
+    pass
+
+
+class DSLParser:
+    """Infix grammar → AST (reference: ``dsl.py:288-399``)."""
+
+    def parse(self, query: str) -> QueryNode:
+        query = query.strip()
+        if not query:
+            raise DSLParseError("empty query")
+        if OP_RE.search(query):
+            return self._parse_or(query)
+        return self._parse_simple(query)
+
+    # --- operator levels: OR (loosest) → AND → NOT (tightest) ---
+
+    def _parse_or(self, q: str) -> QueryNode:
+        parts = re.split(r"\bOR\b", q)
+        if len(parts) > 1:
+            return OrQuery([self._parse_and(p) for p in parts])
+        return self._parse_and(q)
+
+    def _parse_and(self, q: str) -> QueryNode:
+        parts = re.split(r"\bAND\b", q)
+        if len(parts) > 1:
+            return AndQuery([self._parse_not(p) for p in parts])
+        return self._parse_not(q)
+
+    def _parse_not(self, q: str) -> QueryNode:
+        parts = re.split(r"\bNOT\b", q)
+        node = self._parse_simple(parts[0])
+        for ex in parts[1:]:
+            node = NotQuery(base=node, exclude=self._parse_simple(ex))
+        return node
+
+    # --- leaves ---
+
+    def _parse_simple(self, q: str) -> QueryNode:
+        q = q.strip()
+        if not q:
+            raise DSLParseError("empty operand")
+        weight = 1.0
+        wm = WEIGHT_RE.search(q)
+        if wm:
+            weight = float(wm.group(1))
+            q = WEIGHT_RE.sub("", q)
+        tags = TAG_RE.findall(q)
+        text = TAG_RE.sub("", q).strip()
+        leaves: list[QueryNode] = []
+        if text:
+            leaves.append(TextQuery(text, weight))
+        if tags:
+            leaves.append(TagFilter(tags, "any", weight))
+        if not leaves:
+            raise DSLParseError(f"no terms or tags in operand: {q!r}")
+        if len(leaves) == 1:
+            return leaves[0]
+        return AndQuery(leaves)  # implicit AND (reference: dsl.py:350-366)
+
+
+class DSLContext:
+    def __init__(self, searcher, limit: int, threshold: float, min_score: float):
+        self.searcher = searcher
+        self.limit = limit
+        self.threshold = threshold
+        self.min_score = min_score
+        self._langs = None
+
+    def doc_langs(self):
+        if self._langs is None:
+            import os
+
+            ds = pads.dataset(os.path.join(self.searcher.index_dir, "docs"))
+            t = ds.to_table(columns=["doc_id", "lang"])
+            self._langs = {
+                "doc_id": t["doc_id"].to_numpy(),
+                "lang": np.asarray(t["lang"].to_pylist()),
+            }
+        return self._langs
+
+
+class DSLExecutor:
+    """Parse → execute tree → threshold/sort/truncate
+    (reference: ``dsl.py:402-483``)."""
+
+    def __init__(self, searcher) -> None:
+        self.searcher = searcher
+        self.parser = DSLParser()
+
+    def execute_query(
+        self, query_string: str, limit: int = 50, threshold: float = 0.0
+    ) -> list[tuple[int, float]]:
+        node = self.parser.parse(query_string)
+        ctx = DSLContext(self.searcher, limit=limit, threshold=threshold, min_score=0.0)
+        scored = node.execute(ctx)
+        items = [(d, s) for d, s in scored.items() if s >= threshold]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items[:limit]

@@ -1,0 +1,219 @@
+"""Top-k BM25 query serving — local searcher + shard actor pool.
+
+Reference analog: the query server holding the FAISS index resident in
+memory and answering top-k with a score threshold
+(``/root/reference/src/refimage/search/__init__.py:202-266``), plus
+the metadata join that drops ids without metadata
+(``/root/reference/src/refimage/api.py:575-588``).
+
+Two serving modes:
+
+- :class:`LocalSearcher` — whole index in-process (tests, small
+  corpora, the oracle comparison path).
+- :class:`DistributedSearcher` — an actor pool; each actor loads the
+  posting lists of its assigned term-shards **once in __init__** (the
+  load-once pattern of the reference's CLIP model,
+  ``clip_model.py:36-83``) and serves per-term postings; the driver
+  merges and scores in the canonical term order so results are
+  bit-identical to the oracle regardless of actor count.
+
+Scoring paths:
+
+- disjunctive (OR over query terms): vectorized TAAT — concatenate
+  per-term contributions in ascending-term order, ``np.add.at``
+  accumulation (unbuffered → deterministic order), bounded top-k
+  selection via argpartition (the bounded-heap analog).
+- conjunctive (AND): candidate list from the rarest term, then
+  vectorized galloping (binary-search) intersection against the other
+  lists using the per-block ``block_last_doc`` fences to locate blocks
+  — the block-max/skip-list machinery of the index format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray
+
+from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
+from refimage_ray.functions.hashing import blake2b64
+from refimage_ray.functions.text import tokenize
+from refimage_ray.index.reader import IndexReader, TermPostings
+from refimage_ray.query.scorer import idf as _idf
+from refimage_ray.query.scorer import query_terms, topk_select
+
+
+def _score_disjunctive(
+    term_map: dict[str, TermPostings], terms: list[str], n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical-order TAAT accumulation → (doc_ids, scores)."""
+    parts_ids, parts_scores = [], []
+    for term in terms:  # `terms` is already sorted unique
+        p = term_map.get(term)
+        if p is None or p.df == 0:
+            continue
+        parts_ids.append(p.doc_ids)
+        parts_scores.append(_idf(p.df, n_docs) * p.weights)
+    if not parts_ids:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    all_ids = np.concatenate(parts_ids)
+    all_scores = np.concatenate(parts_scores)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.zeros(len(uniq), np.float64)
+    np.add.at(scores, inv, all_scores)
+    return uniq, scores
+
+
+def _gallop_member(p: TermPostings, candidates: np.ndarray) -> np.ndarray:
+    """Membership mask of candidates in p.doc_ids, using block fences
+    to narrow then binary search within (vectorized skip + search)."""
+    if len(p.block_last_doc) > 1:
+        blk = np.searchsorted(p.block_last_doc, candidates)
+        in_range = blk < len(p.block_last_doc)
+    else:
+        in_range = np.ones(len(candidates), dtype=bool)
+    idx = np.searchsorted(p.doc_ids, candidates)
+    ok = (idx < len(p.doc_ids)) & in_range
+    ok[ok] = p.doc_ids[idx[ok]] == candidates[ok]
+    return ok
+
+
+def _score_conjunctive(
+    term_map: dict[str, TermPostings], terms: list[str], n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    plists = []
+    for term in terms:
+        p = term_map.get(term)
+        if p is None or p.df == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        plists.append((term, p))
+    # drive from the rarest list (classic conjunctive optimization)
+    driver = min(plists, key=lambda tp: tp[1].df)[1]
+    candidates = driver.doc_ids
+    for term, p in plists:
+        if p is driver:
+            continue
+        candidates = candidates[_gallop_member(p, candidates)]
+        if len(candidates) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    scores = np.zeros(len(candidates), np.float64)
+    for term, p in plists:  # ascending term order → canonical float sums
+        idx = np.searchsorted(p.doc_ids, candidates)
+        scores += _idf(p.df, n_docs) * p.weights[idx]
+    return candidates, scores
+
+
+class _SearcherBase:
+    n_docs: int
+
+    def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
+        raise NotImplementedError
+
+    def search(
+        self,
+        query: str,
+        k: int | None = None,
+        threshold: float | None = None,
+        mode: str = "or",
+        cfg: EngineConfig = DEFAULT_CONFIG,
+    ) -> list[tuple[int, float]]:
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        terms = query_terms(tokenize(query))
+        term_map = self._term_map(terms)
+        if mode == "and":
+            ids, scores = _score_conjunctive(term_map, terms, self.n_docs)
+        else:
+            ids, scores = _score_disjunctive(term_map, terms, self.n_docs)
+        ids, scores = topk_select(ids, scores, k, threshold)
+        return list(zip(ids.tolist(), scores.tolist()))
+
+
+class LocalSearcher(_SearcherBase):
+    """Whole index resident in one process (reference: FAISS + id list,
+    ``search/__init__.py:57-60``)."""
+
+    def __init__(self, index_dir: str) -> None:
+        reader = IndexReader(index_dir)
+        self.terms = reader.load_shards(None)
+        self.n_docs = reader.n_docs
+        self.avgdl = reader.avgdl
+        self.index_dir = index_dir
+
+    def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
+        return self.terms
+
+
+class ShardSearcher:
+    """Actor body: loads assigned shards once, serves raw per-term postings."""
+
+    def __init__(self, index_dir: str, shards: list[int]) -> None:
+        self.terms = IndexReader(index_dir).load_shards(shards)
+
+    def term_postings(self, terms: list[str]) -> dict[str, tuple]:
+        out = {}
+        for t in terms:
+            p = self.terms.get(t)
+            if p is not None:
+                out[t] = (p.df, p.doc_ids, p.weights, p.max_weight,
+                          p.block_last_doc, p.block_max_weight)
+        return out
+
+
+class DistributedSearcher(_SearcherBase):
+    """Shard-actor pool + driver-side canonical merge.
+
+    Shard routing is a pure function of the term
+    (``blake2b64(term) % P``), so the driver contacts only the actors
+    owning the query's terms — no broadcast, no shuffle at query time.
+    """
+
+    def __init__(self, index_dir: str, num_actors: int = 4) -> None:
+        reader = IndexReader(index_dir)
+        self.index_dir = index_dir
+        self.n_docs = reader.n_docs
+        self.num_shards = reader.num_shards
+        shards = reader.shards()
+        num_actors = max(1, min(num_actors, max(1, len(shards))))
+        assignment: list[list[int]] = [[] for _ in range(num_actors)]
+        for s in shards:
+            assignment[s % num_actors].append(s)
+        actor_cls = ray.remote(ShardSearcher)
+        self.actors = [
+            actor_cls.remote(index_dir, shs) for shs in assignment
+        ]
+        self.num_actors = num_actors
+
+    def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
+        by_actor: dict[int, list[str]] = {}
+        for t in terms:
+            shard = blake2b64(t) % self.num_shards
+            by_actor.setdefault(shard % self.num_actors, []).append(t)
+        futures = [
+            self.actors[a].term_postings.remote(ts) for a, ts in by_actor.items()
+        ]
+        merged: dict[str, TermPostings] = {}
+        for res in ray.get(futures):
+            for t, (df, ids, w, mw, bl, bm) in res.items():
+                merged[t] = TermPostings(
+                    df=df, doc_ids=ids, weights=w, tfs=np.zeros(0, np.int64),
+                    max_weight=mw, block_last_doc=bl, block_max_weight=bm,
+                )
+        return merged
+
+
+def lookup_docs(index_dir: str, doc_ids: list[int], columns: list[str] | None = None):
+    """Broadcast/map-side metadata join for a (tiny) top-k result set.
+
+    Inner-join semantics — ids without metadata are dropped, mirroring
+    the reference skipping missing records
+    (``/root/reference/src/refimage/api.py:461-474``).  Uses a pyarrow
+    dataset filter so parquet row groups that can't match are pruned.
+    """
+    import os
+
+    ds = pads.dataset(os.path.join(index_dir, "docs"))
+    cols = columns or [c for c in ds.schema.names if c != "text"]
+    return ds.to_table(columns=cols, filter=pc.field("doc_id").isin(doc_ids))

@@ -1,0 +1,52 @@
+"""Text extraction stage — stateful actor-pool ``map_batches``.
+
+Reference analog: the CLIP encoder, a parser/model loaded ONCE per
+process and reused for every request
+(``/root/reference/src/refimage/models/clip_model.py:36-83``; the spec
+requires "loaded once and reused",
+``/root/reference/docs/requirements-spec.md:31``).  Here the
+load-once state is the compiled tag/entity machinery; the per-row
+invariant (``input_hint``) is byte-identical extracted text per url.
+
+Usage::
+
+    pages.map_batches(ExtractText, batch_format="pyarrow",
+                      concurrency=8, batch_size=512)
+
+The output drops the wide ``html`` column immediately (projection
+early — SURVEY.md §4.2: binary html dominates block size).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pyarrow as pa
+
+
+class ExtractText:
+    """html → text extractor.  Per-row parse is inherently scalar work
+    (like any HTML parser); state (compiled regexes) is built once per
+    actor, batches stream through ``__call__``."""
+
+    def __init__(self) -> None:
+        self._body = re.compile(rb"<body[^>]*>(.*)</body>", re.S | re.I)
+        self._para = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
+        self._tag = re.compile(r"<[^>]+>")
+
+    def extract_one(self, raw: bytes) -> str:
+        m = self._body.search(raw)
+        body = (m.group(1) if m else raw).decode("utf-8", errors="replace")
+        paras = self._para.findall(body)
+        if paras:
+            parts = [self._tag.sub("", p) for p in paras]
+        else:
+            parts = [self._tag.sub(" ", body).strip()]
+        return _html.unescape("\n\n".join(parts))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [self.extract_one(h) for h in batch["html"].to_pylist()]
+        keep = [n for n in batch.column_names if n not in ("html", "text")]
+        out = batch.select(keep)
+        return out.append_column("text", pa.array(texts, pa.string()))

@@ -1,0 +1,64 @@
+"""Byte-identical text extraction per url (BASELINE.json input_hint;
+verified row-for-row, the analog of the reference's exact self-match
+tests ``/root/reference/tests/test_driver_real.py:139-144``)."""
+
+import pyarrow as pa
+
+from refimage_ray.sources.pages import (
+    PAGES_SCHEMA,
+    make_html,
+    pages_from_documents,
+    synthesize_pages,
+)
+from refimage_ray.stages.extract import ExtractText
+
+
+def test_pages_schema_matches_input_hint(tiny_pages):
+    assert tiny_pages.schema.equals(PAGES_SCHEMA)
+
+
+def test_synthesis_deterministic():
+    a = synthesize_pages(60, seed=42)
+    b = synthesize_pages(60, seed=42)
+    assert a.equals(b)
+    c = synthesize_pages(60, seed=43)
+    assert not a.equals(c)
+
+
+def test_extract_byte_identical_synthetic(tiny_pages):
+    ex = ExtractText()
+    out = ex(tiny_pages.drop_columns(["text"]))
+    got = out["text"].to_pylist()
+    exp = tiny_pages["text"].to_pylist()
+    for url, g, e in zip(tiny_pages["url"].to_pylist(), got, exp):
+        assert g == e, f"extraction not byte-identical for {url}"
+
+
+def test_extract_byte_identical_documents_corpus():
+    pages = pages_from_documents("/root/testdata/sf0.001/documents.parquet")
+    ex = ExtractText()
+    out = ex(pages.drop_columns(["text"]))
+    assert out["text"].to_pylist() == pages["text"].to_pylist()
+
+
+def test_extract_handles_entities_and_multi_paragraph():
+    ex = ExtractText()
+    text = "x < y & z\n\nsecond ¶ para"
+    html = make_html(text, "t")
+    batch = pa.table({"url": pa.array(["u"]), "html": pa.array([html], pa.binary())})
+    assert ex(batch)["text"].to_pylist() == [text]
+
+
+def test_extract_drops_html_column(tiny_pages):
+    ex = ExtractText()
+    out = ex(tiny_pages.drop_columns(["text"]))
+    assert "html" not in out.column_names  # projection early (SURVEY §4.2)
+
+
+def test_extract_fallback_no_paragraphs():
+    ex = ExtractText()
+    batch = pa.table(
+        {"html": pa.array([b"<html><body><div>plain stuff</div></body></html>"],
+                          pa.binary())}
+    )
+    assert "plain stuff" in ex(batch)["text"].to_pylist()[0]

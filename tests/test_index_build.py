@@ -1,0 +1,129 @@
+"""Index build: rank-identity vs oracle, salting, resume, manifest.
+
+The FIXTURES.md invariants 3/5/6 and the north_rule checkpoint
+requirements.
+"""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.config import EngineConfig
+from refimage_ray.functions.text import tokenize
+from refimage_ray.index.build import build_index
+from refimage_ray.index.manifest import load_manifest, part_filename
+from refimage_ray.index.reader import IndexReader
+from refimage_ray.query.engine import LocalSearcher
+from refimage_ray.query.oracle import BM25Oracle
+from tests.conftest import FIXTURE_QUERIES
+
+
+def test_rank_identity_vs_oracle(built_index, oracle):
+    """Engine top-k docIDs AND scores == brute-force oracle, bit-for-bit
+    (north_rule; analog of the reference's exact top-k assertions)."""
+    index_dir, cfg, _ = built_index
+    s = LocalSearcher(index_dir)
+    for q in FIXTURE_QUERIES:
+        for mode in ("or", "and"):
+            for th in (0.0, 0.3):
+                got = s.search(q, k=10, threshold=th, mode=mode)
+                exp = oracle.search(q, k=10, threshold=th, mode=mode)
+                assert got == exp, (q, mode, th)
+
+
+def test_self_search_rank1(built_index, tiny_docs, oracle):
+    """A query of a document's rarest terms ranks that doc #1 (analog of
+    FAISS self-match, /root/reference/tests/test_driver_real.py:139-144)."""
+    index_dir, cfg, _ = built_index
+    s = LocalSearcher(index_dir)
+    texts = tiny_docs["text"].to_pylist()
+    doc_id = 17
+    toks = tokenize(texts[doc_id])
+    rare = sorted(set(toks), key=lambda t: (oracle.df(t), t))[:6]
+    hits = s.search(" ".join(rare), k=5, mode="and")
+    assert hits, "no hits for self-query"
+    assert hits[0][0] == doc_id
+
+
+def test_stats_match_oracle(built_index, oracle):
+    index_dir, _, res = built_index
+    stats = res.manifest["stats"]
+    assert stats["n_docs"] == oracle.n_docs
+    assert stats["avgdl"] == pytest.approx(oracle.avgdl, abs=0)
+    r = IndexReader(index_dir)
+    terms = r.load_shards(None)
+    # df parity for every term
+    for t, p in terms.items():
+        assert p.df == oracle.df(t), t
+    assert set(terms) == set(oracle.postings)
+
+
+def test_salted_terms_split_and_merge_sorted(built_index):
+    """Hot terms must appear in >1 salt bucket; merged lists must be
+    strictly increasing (FIXTURES invariant: sub-list merge order)."""
+    index_dir, cfg, res = built_index
+    hot = res.manifest["stats"]["hot_terms"]
+    assert hot, "synthetic Zipf corpus must have hot terms"
+    man = load_manifest(index_dir)
+    salts_used = {p["salt"] for p in man["partitions"]}
+    assert len(salts_used) > 1, "salting never triggered"
+    terms = IndexReader(index_dir).load_shards(None)
+    for t in hot[:20]:
+        p = terms[t]
+        assert np.all(np.diff(p.doc_ids) > 0), f"merged postings unsorted for {t}"
+
+
+def test_block_metadata_consistent(built_index):
+    index_dir, cfg, _ = built_index
+    terms = IndexReader(index_dir).load_shards(None)
+    for t, p in list(terms.items())[:50]:
+        assert len(p.doc_ids) == len(p.weights) == p.df
+        assert p.max_weight == pytest.approx(p.weights.max())
+        assert p.block_last_doc[-1] == p.doc_ids[-1]
+        assert p.block_max_weight.max() == pytest.approx(p.weights.max())
+
+
+def test_resume_skips_done_and_reproduces_bytes(ray_session, tiny_docs, tmp_path):
+    """Kill-and-resume: delete some partition files, rebuild with
+    resume=True → byte-identical artifact (FIXTURES invariant 5)."""
+    cfg = EngineConfig(num_shards=4, salt_buckets=2, hot_df_fraction=0.05)
+    d1 = str(tmp_path / "full")
+    d2 = str(tmp_path / "resumed")
+    ds = rd.from_arrow(tiny_docs)
+    build_index(ds, d1, cfg)
+    build_index(rd.from_arrow(tiny_docs), d2, cfg)
+
+    ref_bytes = {
+        os.path.basename(p): open(p, "rb").read()
+        for p in glob.glob(os.path.join(d1, "part-*.parquet"))
+    }
+    # simulate a partial failure: remove some part files from d2
+    victims = sorted(glob.glob(os.path.join(d2, "part-*.parquet")))[::2]
+    for v in victims:
+        os.remove(v)
+    res = build_index(None, d2, cfg, resume=True)
+    for name, data in ref_bytes.items():
+        with open(os.path.join(d2, name), "rb") as f:
+            assert f.read() == data, f"{name} not byte-identical after resume"
+    # manifest covers all partitions again
+    assert {(p["shard"], p["salt"]) for p in res.manifest["partitions"]} == {
+        (p["shard"], p["salt"]) for p in load_manifest(d1)["partitions"]
+    }
+
+
+def test_manifest_and_metrics(built_index):
+    index_dir, cfg, res = built_index
+    man = load_manifest(index_dir)
+    assert man["config"]["num_shards"] == cfg.num_shards
+    for p in man["partitions"]:
+        assert os.path.exists(os.path.join(index_dir, p["path"]))
+        assert p["path"] == part_filename(p["shard"], p["salt"])
+    m = res.metrics
+    for key in ("docs_per_sec", "postings_per_sec", "shuffle_bytes", "total_sec"):
+        assert key in m and m[key] > 0
