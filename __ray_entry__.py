@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship build+query at sf0.001.
+``queries()`` — one entry per implemented operator/pipeline
+  (SURVEY.md §2 inventory + training-data extensions).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query (same column names, same rounding); non-SQL ops (stateful
+  heuristics, LSH, uint64 hashing) are rows-only by omission.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +16,251 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments (tokenizer MUST mirror refimage_ray.functions.text:
+# lowercase + [a-z0-9]+ extraction)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+    "FROM documents"
+)
+_TF = (
+    f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKS}) GROUP BY doc_id, term"
+)
+
+_STOPLIST_SQL = (
+    "'the','a','an','and','or','of','to','in','for','on','with','at','by',"
+    "'from','is','are','was','were','be','been','it','its','this','that',"
+    "'these','those','as','not','no'"
+)
+
+
+def _bm25_sql(terms: list[str], k: int, conjunctive: bool = False) -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES {terms_sql}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, round(sc, 4) AS score
+FROM scores ORDER BY sc DESC, doc_id LIMIT {k}
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages→extract→dedup→ids→index→BM25 top-k (sf0.001)."""
+    from refimage_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from refimage_ray.pipelines import corpus, relational, search, vectors
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- full-text index / BM25 (the engine core) ---
+        "corpus_stats": corpus.corpus_stats,
+        "doc_stats": corpus.doc_stats,
+        "term_df": corpus.term_df,
+        "term_stats": corpus.term_stats,
+        "top_terms": corpus.top_terms,
+        "index_term_stats": search.index_term_stats,
+        "bm25_topk": search.bm25_topk,
+        "bm25_topk_and": search.bm25_topk_and,
+        "search_and_membership": search.search_and_membership,
+        "search_or_membership": search.search_or_membership,
+        "search_not_membership": search.search_not_membership,
+        "search_tag_membership": search.search_tag_membership,
+        # --- dedup family ---
+        "dedup_exact_docs": corpus.dedup_exact_docs,
+        "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
+        "simhash_values": corpus.simhash_values,            # rows-only
+        # --- text analysis ---
+        "lang_counts": corpus.lang_counts,
+        "quality_stats": corpus.quality_stats,
+        "doc_fingerprints": corpus.doc_fingerprints,        # rows-only
+        "langid_pred": corpus.langid_pred,                  # rows-only
+        # --- similarity search / embeddings ---
+        "knn_cosine": vectors.knn_cosine,
+        "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
+        "embedding_norm_by_label": vectors.embedding_norm_by_label,
+        "embedding_near_dups": vectors.embedding_near_dups,
+        # --- relational / dataflow breadth ---
+        "tpch_q1": relational.tpch_q1,
+        "top_customers": relational.top_customers,
+        "orders_by_status": relational.orders_by_status,
+        "orders_priority_filter": relational.orders_priority_filter,
+        "part_brand_stats": relational.part_brand_stats,
+        "nation_region_join": relational.nation_region_join,
+        "events_hourly": relational.events_hourly,
+        "events_user_stats": relational.events_user_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "corpus_stats": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       round(sum(dl) * 1.0 / count(*), 6) AS avgdl
+FROM (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl FROM documents)
+""",
+        "doc_stats": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS doc_len,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+        "term_df": f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, term FROM ({_TOKS})) GROUP BY term
+""",
+        "term_stats": f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM ({_TF}) GROUP BY term
+""",
+        "index_term_stats": f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM ({_TF}) GROUP BY term
+""",
+        "top_terms": f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, term FROM ({_TOKS}))
+GROUP BY term ORDER BY df DESC, term LIMIT 20
+""",
+        "bm25_topk": _bm25_sql(["spark", "join"], 10),
+        "bm25_topk_and": _bm25_sql(["data", "table", "scan"], 10, conjunctive=True),
+        "search_and_membership": f"""
+SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
+INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'
+""",
+        "search_or_membership": f"""
+SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
+UNION SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'
+""",
+        "search_not_membership": f"""
+SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
+EXCEPT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'
+""",
+        "search_tag_membership": f"""
+SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
+INTERSECT SELECT doc_id FROM documents WHERE lang = 'en'
+""",
+        "dedup_exact_docs": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""",
+        "lang_counts": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+""",
+        "quality_stats": f"""
+WITH agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM ({_TOKS}) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_stop, 0) AS BIGINT) AS n_stopwords,
+       round(coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 6)
+           AS stopword_ratio,
+       round(coalesce(a.sum_len, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 6)
+           AS mean_token_len
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1))
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS score
+FROM embeddings e CROSS JOIN q
+QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+) <= 10
+""",
+        "embedding_norm_by_label": """
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))) / count(*), 4)
+           AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+       round(sum(l_discount) / count(*), 4) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS ts, count(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(n AS BIGINT) AS n_orders, round(ts, 2) AS total_spent
+FROM spend JOIN customer ON c_custkey = o_custkey
+ORDER BY ts DESC, c_custkey LIMIT 10
+""",
+        "orders_by_status": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+        "orders_priority_filter": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+""",
+        "part_brand_stats": """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       max(p_size) AS max_size, min(p_size) AS min_size,
+       round(sum(p_retailprice) / count(*), 4) AS avg_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+""",
+        "nation_region_join": """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+""",
+        "events_user_stats": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+""",
+    }

@@ -1,0 +1,221 @@
+"""Corpus-analysis pipelines over ``{sf_dir}/documents.parquet``.
+
+Every function: ``sf_dir -> Dataset | pyarrow.Table`` (the
+``queries()`` contract).  All heavy lifting is distributed Ray Data;
+only final (small) results are collected.  Aggregations follow the
+partial-then-final pattern: vectorized per-batch combiners inside
+``map_batches`` shrink the shuffle input to ~vocab-size rows before
+the ``groupby`` (SURVEY.md §2.5 A5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from refimage_ray.config import DEFAULT_CONFIG
+from refimage_ray.stages.analysis import LangId, fingerprint_batch, quality_batch
+from refimage_ray.stages.dedup import add_content_hash
+from refimage_ray.stages.dedup_near import minhash_near_dup_pairs, simhash_batch
+from refimage_ray.stages.tokenize import doc_lengths, tokenize_batch
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> "rd.Dataset":
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def corpus_stats(sf_dir: str) -> pa.Table:
+    """Global N / total tokens / avgdl (reference analog: storage stats
+    rollup, /root/reference/src/refimage/storage.py:714-745)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dl = doc_lengths(batch["text"])
+        return pa.table({"doc_len": pa.array(dl.astype(np.int64), pa.int64())})
+
+    agg = _docs(sf_dir).map_batches(stats, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_tokens")
+    )
+    n, tot = int(agg["n_docs"]), int(agg["total_tokens"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([tot], pa.int64()),
+            "avgdl": pa.array([round(tot / n, 6)], pa.float64()),
+        }
+    )
+
+
+def doc_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-doc token/char counts (stays distributed; driver collects)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dl = doc_lengths(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "doc_len": pa.array(dl.astype(np.int64), pa.int64()),
+                "text_len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def _term_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (term, df_part, tf_part) — shrinks the
+    shuffle to vocab-size rows per batch."""
+    toks = tokenize_batch(batch)
+    g = (
+        toks.select(["term", "tf"])
+        .group_by("term")
+        .aggregate([("tf", "sum"), ([], "count_all")])
+    )
+    return pa.table(
+        {
+            "term": g["term"],
+            "df_part": pc.cast(g["count_all"], pa.int64()),
+            "tf_part": pc.cast(g["tf_sum"], pa.int64()),
+        }
+    )
+
+
+def term_stats(sf_dir: str) -> "rd.Dataset":
+    """df + total tf per term (partial agg → tiny groupby)."""
+    out = (
+        _docs(sf_dir)
+        .map_batches(_term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"), Sum("tf_part", alias_name="total_tf"))
+    )
+    return out
+
+
+def term_df(sf_dir: str) -> "rd.Dataset":
+    return term_stats(sf_dir).select_columns(["term", "df"])
+
+
+def top_terms(sf_dir: str, n: int = 20) -> pa.Table:
+    """Top-n terms by df (ties broken by term asc — both sides)."""
+    df = term_stats(sf_dir).select_columns(["term", "df"]).to_pandas()
+    df = df.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+    return pa.Table.from_pandas(df.head(n), preserve_index=False)
+
+
+def dedup_exact_docs(sf_dir: str) -> "rd.Dataset":
+    """Exact-dup groups: keep-first doc_id + group size per distinct
+    text (reference: file_hash UNIQUE / 409, storage.py:89)."""
+    hashed = _docs(sf_dir).map_batches(add_content_hash, batch_format="pyarrow")
+
+    def first_and_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].min())], "n_dups": [len(g)]}
+        )
+
+    return (
+        hashed.select_columns(["doc_id", "content_hash"])
+        .groupby("content_hash")
+        .map_groups(first_and_count, batch_format="pandas")
+    )
+
+
+def lang_counts(sf_dir: str) -> "rd.Dataset":
+    return (
+        _docs(sf_dir, columns=("doc_id", "lang"))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def quality_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-doc quality signals, rounded at the API boundary for the
+    SQL oracle."""
+
+    def q(batch: pa.Table) -> pa.Table:
+        t = quality_batch(batch)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "n_stopwords": t["n_stopwords"],
+                "stopword_ratio": pc.round(t["stopword_ratio"], ndigits=6),
+                "mean_token_len": pc.round(t["mean_token_len"], ndigits=6),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(q, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
+    """Rolling-hash document fingerprints (rows-only check: no SQL
+    equivalent of the uint64 polynomial)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        t = fingerprint_batch(batch)
+        # driver compare dislikes uint64 → present as hex string
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pc.cast(t["fingerprint"], pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def langid_pred(sf_dir: str) -> "rd.Dataset":
+    """Language-ID heuristic — stateful actor-pool stage (rows-only)."""
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pred_lang": b["pred_lang"],
+                "lang_confidence": pc.round(b["lang_confidence"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_near_dups(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verify (rows-only)."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def texts_lookup(ids):
+        t = pads.dataset(path).to_table(
+            columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids)
+        )
+        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    pairs = minhash_near_dup_pairs(_docs(sf_dir), texts_lookup, threshold=threshold)
+    return pa.table(
+        {
+            "doc_a": pairs["doc_a"],
+            "doc_b": pairs["doc_b"],
+            "jaccard": pc.round(pairs["jaccard"], ndigits=6),
+        }
+    )
+
+
+def simhash_values(sf_dir: str) -> "rd.Dataset":
+    """Per-doc 64-bit SimHash (rows-only; hex-string presented)."""
+
+    def sh(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch)
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": pc.cast(t["simhash"], pa.string())}
+        )
+
+    return _docs(sf_dir).map_batches(sh, batch_format="pyarrow")

@@ -1,0 +1,107 @@
+"""Flagship pipeline: full build + query over a pages corpus.
+
+The end-to-end capability graph of SURVEY.md §3.1/§3.2 in one call:
+pages parquet → stateful extract (byte-identical) → exact dedup →
+deterministic doc ids → sharded/salted index build → BM25 top-k →
+metadata join.  Used by ``__ray_entry__.entry()`` (sf0.001) and by
+``bench.py`` at larger scales.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from refimage_ray.config import EngineConfig
+from refimage_ray.index.build import BuildResult, build_index
+from refimage_ray.index.manifest import load_manifest
+from refimage_ray.query.engine import LocalSearcher, lookup_docs
+from refimage_ray.sources.pages import pages_from_documents, write_pages
+from refimage_ray.stages.dedup import exact_dedup
+from refimage_ray.stages.docids import assign_doc_ids
+from refimage_ray.stages.extract import ExtractText
+
+FLAGSHIP_QUERIES = [
+    "spark join query",
+    "merge sort table",
+    "window stream batch",
+    "fast data scan",
+    "the slow group",
+]
+
+
+def build_from_pages(
+    pages_dir: str,
+    index_dir: str,
+    cfg: EngineConfig,
+    *,
+    extract_concurrency: int | tuple = 4,
+    resume: bool = True,
+) -> BuildResult:
+    """pages parquet dir → full index artifact."""
+    pages = rd.read_parquet(
+        pages_dir, columns=["url", "warc_ts", "html", "lang"]
+    )
+    extracted = pages.map_batches(
+        ExtractText,
+        batch_format="pyarrow",
+        concurrency=extract_concurrency,
+        batch_size=256,
+    )
+    docs = assign_doc_ids(exact_dedup(extracted, order_col="url"), cfg=cfg)
+    lineage = [
+        {"path": os.path.join(pages_dir, f)}
+        for f in sorted(os.listdir(pages_dir))
+        if f.endswith(".parquet")
+    ]
+    return build_index(docs, index_dir, cfg, lineage=lineage, resume=resume)
+
+
+def prepare_pages_from_documents(sf_dir: str, out_dir: str) -> str:
+    """Materialize a pages corpus wrapping the driver's documents table
+    (deterministic; cached)."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        table = pages_from_documents(os.path.join(sf_dir, "documents.parquet"))
+        write_pages(table, out_dir, rows_per_file=8192)
+        with open(marker, "w") as f:
+            f.write("")
+    return out_dir
+
+
+def flagship(sf_dir: str = "/root/testdata/sf0.001", k: int = 10) -> pd.DataFrame:
+    """Build (cached) + run the fixture queries; returns the joined
+    top-k result frame (query, rank, doc_id, score, url, lang)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"/tmp/refimage_ray_cache/flagship-{tag}"
+    pages_dir = prepare_pages_from_documents(sf_dir, os.path.join(root, "pages"))
+    index_dir = os.path.join(root, "index")
+    cfg = EngineConfig(num_shards=16, salt_buckets=4)
+    if load_manifest(index_dir) is None:
+        build_from_pages(pages_dir, index_dir, cfg)
+    searcher = LocalSearcher(index_dir)
+    frames = []
+    for q in FLAGSHIP_QUERIES:
+        hits = searcher.search(q, k=k, mode="or")
+        if not hits:
+            continue
+        meta = lookup_docs(index_dir, [d for d, _ in hits],
+                           columns=["doc_id", "url", "lang"]).to_pandas()
+        df = pd.DataFrame(
+            {
+                "query": q,
+                "rank": range(1, len(hits) + 1),
+                "doc_id": [d for d, _ in hits],
+                "score": [s for _, s in hits],
+            }
+        ).merge(meta, on="doc_id", how="left")
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)

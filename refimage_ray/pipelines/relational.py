@@ -1,0 +1,218 @@
+"""Relational pipelines over the TPC-H-ish driver tables.
+
+These exercise the engine's general dataflow operators (groupby
+aggregates with partial/final split, sorts, top-k, broadcast joins,
+window-style time bucketing) against DuckDB SQL oracles.  Reference
+analogs: the SQL aggregate/pagination surface of the metadata store
+(``/root/reference/src/refimage/storage.py:353-437,714-745``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def tpch_q1(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 pricing summary (filter → computed cols → grouped sums;
+    avgs derived from sums for float determinism)."""
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), b["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "base": b["l_extendedprice"],
+                "disc_price": disc_price,
+                "charge": charge,
+                "disc": b["l_discount"],
+            }
+        )
+
+    agg = (
+        _t(sf_dir, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Sum("disc", alias_name="sum_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    agg["avg_qty"] = (agg["sum_qty"] / agg["count_order"]).round(4)
+    agg["avg_price"] = (agg["sum_base_price"] / agg["count_order"]).round(4)
+    agg["avg_disc"] = (agg["sum_disc"] / agg["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        agg[c] = agg[c].round(2)
+    agg = agg.drop(columns=["sum_disc"]).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def top_customers(sf_dir: str, n: int = 10) -> pa.Table:
+    """Revenue top-n: wide groupby on orders, then a broadcast join of
+    the tiny winner set against the customer dimension (no shuffle
+    join — SURVEY.md §2.4 J1 pattern)."""
+    spend = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spent"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+        .sort_values(["total_spent", "o_custkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(n)
+    )
+    cust = (
+        _t(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.is_in(b["c_custkey"],
+                         value_set=pa.array(spend["o_custkey"].tolist()))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = spend.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["total_spent"] = out["total_spent"].round(2)
+    out = out[["c_custkey", "c_name", "n_orders", "total_spent"]].sort_values(
+        ["total_spent", "c_custkey"], ascending=[False, True], kind="mergesort"
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_by_status(sf_dir: str) -> "rd.Dataset":
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event type (streaming-shaped op on
+    a batch engine: event-time bucketing inside map_batches, then a
+    grouped aggregate — ray_guide 'streaming-shaped workloads')."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table(
+            {"event_type": b["event_type"], "hour": hour, "value": b["value"]}
+        )
+
+    out = (
+        _t(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out = out.sort_values(["event_type", "hour"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_user_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-user event stats incl. distinct-type count (map_groups for
+    the non-algebraic distinct aggregate)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_types": [g["event_type"].nunique()],
+                "sum_value": [round(float(g["value"].sum()), 4)],
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_type", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def part_brand_stats(sf_dir: str) -> pa.Table:
+    out = (
+        _t(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("p_retailprice", alias_name="sum_price"),
+            Max("p_size", alias_name="max_size"),
+            Min("p_size", alias_name="min_size"),
+        )
+        .to_pandas()
+    )
+    out["avg_price"] = (out["sum_price"] / out["n_parts"]).round(4)
+    out = out.drop(columns=["sum_price"]).sort_values("p_brand")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def nation_region_join(sf_dir: str) -> pa.Table:
+    """Dimension-dimension broadcast join (both tiny): nations per region."""
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in _t(sf_dir, "region").take_all()
+    }
+    region_ref = ray.put(region)
+
+    def attach(b: pa.Table) -> pa.Table:
+        reg = ray.get(region_ref)
+        names = [reg.get(k) for k in b["n_regionkey"].to_pylist()]
+        return b.append_column("r_name", pa.array(names, pa.string()))
+
+    out = (
+        _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_nations"))
+        .to_pandas()
+        .sort_values("r_name")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_priority_filter(sf_dir: str) -> "rd.Dataset":
+    """Predicate filter (vectorized inside map_batches) + grouped count."""
+
+    def flt(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderstatus"], "F")
+        return b.filter(keep)
+
+    return (
+        _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .map_batches(flt, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )

@@ -1,0 +1,126 @@
+"""Search-engine pipelines over the driver's ``documents`` tables.
+
+Each function takes ``sf_dir`` and returns an Arrow table; these back
+the ``queries()`` entries in ``__ray_entry__.py``.  The inverted index
+for a given corpus is built once per process+sf_dir (lazy cache under
+/tmp) — mirroring the reference's build/serve phase split
+(``/root/reference/src/refimage/api.py:851-852``: ingest and index
+build are separate phases).
+
+Determinism note: BM25 scores are rounded to 4 decimals ONLY at this
+API boundary so DuckDB float64 oracles (different summation order)
+hash-match; the engine itself keeps full float64 (rank-identity vs the
+Python oracle is asserted unrounded in tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from refimage_ray.config import EngineConfig
+from refimage_ray.index.build import build_index
+from refimage_ray.index.manifest import load_manifest
+from refimage_ray.query.dsl import DSLExecutor
+from refimage_ray.query.engine import LocalSearcher
+
+SEARCH_CFG = EngineConfig(num_shards=16, salt_buckets=4, hot_df_fraction=0.05)
+
+_searchers: dict[str, LocalSearcher] = {}
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/refimage_ray_cache/{tag}/index"
+
+
+def ensure_index(sf_dir: str, cfg: EngineConfig = SEARCH_CFG) -> str:
+    """Build (or reuse) the inverted index over ``{sf_dir}/documents.parquet``.
+
+    The documents table keeps its own doc_ids (no dedup — dedup is a
+    separate operator) so SQL oracles see the same corpus.
+    """
+    index_dir = _index_dir_for(sf_dir)
+    if load_manifest(index_dir) is None:
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        build_index(
+            docs,
+            index_dir,
+            cfg,
+            lineage=[{"path": os.path.join(sf_dir, "documents.parquet")}],
+        )
+    return index_dir
+
+
+def searcher_for(sf_dir: str) -> LocalSearcher:
+    index_dir = ensure_index(sf_dir)
+    if index_dir not in _searchers:
+        _searchers[index_dir] = LocalSearcher(index_dir)
+    return _searchers[index_dir]
+
+
+def _hits_table(hits: list[tuple[int, float]], round_to: int = 4) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "score": pa.array([round(s, round_to) for _, s in hits], pa.float64()),
+        }
+    )
+
+
+def bm25_topk(sf_dir: str, query: str = "spark join", k: int = 10) -> pa.Table:
+    """Disjunctive BM25 top-k (the flagship query path)."""
+    return _hits_table(searcher_for(sf_dir).search(query, k=k, mode="or"))
+
+
+def bm25_topk_and(sf_dir: str, query: str = "data table scan", k: int = 10) -> pa.Table:
+    """Conjunctive BM25 top-k (posting-list intersection path)."""
+    return _hits_table(searcher_for(sf_dir).search(query, k=k, mode="and"))
+
+
+def _membership(sf_dir: str, dsl_query: str) -> pa.Table:
+    ex = DSLExecutor(searcher_for(sf_dir))
+    hits = ex.execute_query(dsl_query, limit=10**9)
+    ids = sorted(d for d, _ in hits)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def search_and_membership(sf_dir: str) -> pa.Table:
+    return _membership(sf_dir, "spark AND vector")
+
+
+def search_or_membership(sf_dir: str) -> pa.Table:
+    return _membership(sf_dir, "spark OR vector")
+
+
+def search_not_membership(sf_dir: str) -> pa.Table:
+    return _membership(sf_dir, "spark NOT vector")
+
+
+def search_tag_membership(sf_dir: str) -> pa.Table:
+    return _membership(sf_dir, "spark #en")
+
+
+def index_term_stats(sf_dir: str) -> pa.Table:
+    """df / total-tf per term read back FROM THE INDEX ARTIFACT —
+    checks posting-list construction end-to-end against SQL."""
+    from refimage_ray.index.reader import IndexReader
+
+    reader = IndexReader(ensure_index(sf_dir))
+    terms = reader.load_shards(None)
+    names = sorted(terms)
+    return pa.table(
+        {
+            "term": pa.array(names, pa.string()),
+            "df": pa.array([terms[t].df for t in names], pa.int64()),
+            "total_tf": pa.array([int(terms[t].tfs.sum()) for t in names], pa.int64()),
+        }
+    )

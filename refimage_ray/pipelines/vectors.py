@@ -1,0 +1,109 @@
+"""Embedding pipelines over ``{sf_dir}/embeddings.parquet`` —
+the direct analog of the reference's vector-search surface
+(``/root/reference/src/refimage/search/__init__.py``)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from refimage_ray.stages.ann import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+
+def _emb(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vectors(sf_dir: str, vec_ids: list[int]) -> np.ndarray:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    want = {v: i for i, v in enumerate(vec_ids)}
+    rows = t.filter(pc.is_in(t["vec_id"], value_set=pa.array(vec_ids)))
+    out = np.zeros((len(vec_ids), len(rows["embedding"][0])), dtype=np.float64)
+    for vid, emb in zip(rows["vec_id"].to_pylist(), rows["embedding"].to_pylist()):
+        out[want[vid]] = emb
+    return out
+
+
+def knn_cosine(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
+    """Exact cosine top-k for stored query vectors (reference: FAISS
+    IndexFlatIP exact search; self-match at rank 1 expected)."""
+    q = _query_vectors(sf_dir, list(query_vec_ids))
+    t = brute_force_topk(_emb(sf_dir), q, k=k)
+    qid = pa.array(
+        [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
+    )
+    return pa.table(
+        {
+            "query_id": qid,
+            "vec_id": t["vec_id"],
+            "score": pc.round(t["score"], ndigits=4),
+        }
+    )
+
+
+def knn_cosine_lsh(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
+    """Approximate (LSH-bucketed) variant — rows-only check (recall is
+    probabilistic by design)."""
+    q = _query_vectors(sf_dir, list(query_vec_ids))
+    t = lsh_bucketed_topk(_emb(sf_dir), q, k=k, n_planes=8, multiprobe=1)
+    qid = pa.array(
+        [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
+    )
+    return pa.table(
+        {
+            "query_id": qid,
+            "vec_id": t["vec_id"],
+            "score": pc.round(t["score"], ndigits=4),
+        }
+    )
+
+
+def embedding_norm_by_label(sf_dir: str) -> pa.Table:
+    """Mean L2 norm per label (vectorized per-batch norms → grouped sums)."""
+
+    def norms(b: pa.Table) -> pa.Table:
+        from refimage_ray.stages.ann import _to_matrix
+
+        m = _to_matrix(b["embedding"])
+        return pa.table(
+            {
+                "label": b["label"],
+                "norm": pa.array(np.linalg.norm(m, axis=1), pa.float64()),
+            }
+        )
+
+    out = (
+        _emb(sf_dir)
+        .map_batches(norms, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"), Sum("norm", alias_name="sum_norm"))
+        .to_pandas()
+    )
+    out["avg_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+    out = out.drop(columns=["sum_norm"]).sort_values("label")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> pa.Table:
+    pairs = embedding_near_dup_pairs(_emb(sf_dir), tau=tau)
+    return pa.table(
+        {
+            "vec_a": pairs["vec_a"],
+            "vec_b": pairs["vec_b"],
+            "cosine": pc.round(pairs["cosine"], ndigits=4),
+        }
+    )

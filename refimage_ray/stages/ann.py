@@ -1,0 +1,217 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+The direct analog of the reference's vector path: FAISS ``IndexFlatIP``
+exact cosine top-k with L2 normalization
+(``/root/reference/src/refimage/search/__init__.py:130-133,243-261``).
+Two paths:
+
+- :func:`brute_force_topk` — exact cosine top-k of every query against
+  the whole embeddings dataset.  The query matrix is broadcast ONCE
+  via ``ray.put`` (never re-shipped per batch); each batch computes a
+  numpy matmul and emits only its per-batch top-k partials; a final
+  per-query reduction merges partials.  This is the scale baseline.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH: probe only
+  vectors whose sign-bucket matches the query's (plus multi-probe
+  neighbors).  Approximate; the scale path when brute force is too
+  wide.  Planes are seeded → deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # guard ÷0 (reference: search/__init__.py:130-133)
+    return m / norms
+
+
+def brute_force_topk(
+    emb_ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k for each query row → (query_id, vec_id, score).
+
+    Scores are cosine similarity in [−1, 1]; ties broken by vec_id asc
+    (the determinism contract of `query/scorer.py`).
+    """
+    qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(qm)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_to_matrix(batch[emb_col]))
+        scores = m @ q.T  # (n_batch, n_q)
+        nq = scores.shape[1]
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(nq):  # loop over queries (few), vectorized over vectors
+            s = scores[:, qi]
+            sel = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(s[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return signs.astype(np.int64) @ weights
+
+
+def lsh_bucketed_topk(
+    emb_ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Approximate cosine top-k: only vectors in the query's sign
+    bucket (± ``multiprobe`` bit flips) are scored.  Recall improves
+    with multiprobe; exactness is NOT guaranteed (documented)."""
+    qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    planes = _hyperplanes(qm.shape[1], n_planes, seed)
+    qb = _bucket_of(qm, planes)
+    probe: set[int] = set()
+    for b in qb.tolist():
+        probe.add(b)
+        if multiprobe >= 1:
+            for bit in range(n_planes):
+                probe.add(b ^ (1 << bit))
+    probe_arr = np.fromiter(sorted(probe), dtype=np.int64)
+    q_ref = ray.put((qm, planes, probe_arr))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, pl, pr = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_to_matrix(batch[emb_col]))
+        buckets = _bucket_of(m, pl)
+        keep = np.isin(buckets, pr)
+        ids, m = ids[keep], m[keep]
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        scores = m @ q.T
+        out = []
+        for qi in range(scores.shape[1]):
+            s = scores[:, qi]
+            kk = min(k, len(s))
+            sel = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(sel), qi), pa.int64()),
+                        "vec_id": pa.array(ids[sel], pa.int64()),
+                        "score": pa.array(s[sel], pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb_ds: "ray.data.Dataset",
+    *,
+    tau: float = 0.98,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    group_col: str | None = None,
+) -> pa.Table:
+    """Embedding-cosine near-dup pairs (cos ≥ tau).
+
+    With ``group_col`` the comparison is restricted within groups
+    (e.g. an LSH bucket or a label) — the blocked/partitioned pattern;
+    without it, an all-pairs comparison per the (small) collected set.
+    """
+    df = emb_ds.to_pandas()
+    ids = df[id_col].to_numpy().astype(np.int64)
+    m = _normalize(np.stack(df[emb_col].to_numpy()))
+    groups = (
+        df[group_col].to_numpy() if group_col else np.zeros(len(ids), dtype=np.int64)
+    )
+    rows = []
+    for g in np.unique(groups):
+        sel = np.flatnonzero(groups == g)
+        sims = m[sel] @ m[sel].T
+        ia, ib = np.triu_indices(len(sel), k=1)
+        hit = sims[ia, ib] >= tau
+        for x, y, s in zip(sel[ia[hit]], sel[ib[hit]], sims[ia, ib][hit]):
+            a, b = int(ids[x]), int(ids[y])
+            if a > b:
+                a, b = b, a
+            rows.append((a, b, float(s)))
+    rows.sort()
+    return pa.table(
+        {
+            "vec_a": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_b": pa.array([r[1] for r in rows], pa.int64()),
+            "cosine": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )

@@ -1,0 +1,78 @@
+"""Text-analysis stages: quality signals, lang-id, fingerprints."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from refimage_ray.functions.text import tokenize
+from refimage_ray.stages.analysis import (
+    STOPWORDS,
+    LangId,
+    fingerprint_batch,
+    quality_batch,
+)
+
+
+def _batch(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_quality_matches_naive():
+    texts = ["The cat sat on the mat", "a a b!", "", "xyz"]
+    out = quality_batch(_batch(texts)).to_pylist()
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        row = out[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_stopwords"] == sum(tok in STOPWORDS for tok in toks)
+        if toks:
+            assert row["stopword_ratio"] == pytest.approx(
+                sum(tok in STOPWORDS for tok in toks) / len(toks)
+            )
+            assert row["mean_token_len"] == pytest.approx(
+                sum(len(tok) for tok in toks) / len(toks)
+            )
+
+
+def test_langid_markers():
+    li = LangId()
+    out = li(_batch([
+        "the cat is on the mat and it was good",
+        "el perro de la casa y los gatos en el patio",
+        "der hund und die katze von dem haus",
+        "le chat et les chiens dans la maison pour il",
+        "zzz qqq www",
+    ])).to_pylist()
+    assert [r["pred_lang"] for r in out] == ["en", "es", "de", "fr", "und"]
+    assert all(0.0 <= r["lang_confidence"] <= 1.0 for r in out)
+
+
+def test_fingerprint_order_sensitive_and_deterministic():
+    a = fingerprint_batch(_batch(["alpha beta gamma", "beta alpha gamma",
+                                  "alpha beta gamma", ""]))
+    fps = a["fingerprint"].to_pylist()
+    assert fps[0] == fps[2]          # identical docs → identical fp
+    assert fps[0] != fps[1]          # order matters (rolling hash)
+    assert fps[3] == 0               # empty doc
+    b = fingerprint_batch(_batch(["alpha beta gamma"]))
+    assert b["fingerprint"].to_pylist()[0] == fps[0]  # cross-batch stable
+
+
+def test_fingerprint_matches_scalar_reference():
+    """Vectorized path == naive per-doc polynomial evaluation."""
+    from refimage_ray.functions.hashing import blake2b64
+    from refimage_ray.stages.analysis import _POLY_B
+
+    text = "one two three two one"
+    got = fingerprint_batch(_batch([text]))["fingerprint"].to_pylist()[0]
+    toks = tokenize(text)
+    # naive: Σ h_i * B^(L-1-i) mod 2^64
+    acc = np.uint64(0)
+    L = len(toks)
+    for i, tok in enumerate(toks):
+        p = np.uint64(1)
+        for _ in range(L - 1 - i):
+            p = p * _POLY_B
+        acc = acc + np.uint64(blake2b64(tok)) * p
+    assert got == int(acc)

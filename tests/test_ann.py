@@ -1,0 +1,91 @@
+"""Similarity search: brute-force exact top-k (vs naive numpy oracle),
+LSH recall, embedding near-dup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.stages.ann import (
+    _normalize,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((400, 16))
+    m[37] = m[11] * 1.001 + 0.0001  # planted near-dup pair
+    return pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m],
+                                  pa.list_(pa.float32())),
+        }
+    ), m.astype(np.float32).astype(np.float64)
+
+
+def _naive_topk(m, q, k):
+    mn = _normalize(m)
+    qn = _normalize(np.atleast_2d(q))
+    out = []
+    for qi in range(qn.shape[0]):
+        s = mn @ qn[qi]
+        order = np.lexsort((np.arange(len(s)), -s))[:k]
+        out.append([(int(i), float(s[i])) for i in order])
+    return out
+
+
+def test_brute_force_matches_naive(ray_session, emb_table):
+    table, m = emb_table
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((3, 16))
+    got = brute_force_topk(rd.from_arrow(table), q, k=10).to_pandas()
+    exp = _naive_topk(m, q, 10)
+    for qi in range(3):
+        sub = got[got.query_id == qi]
+        assert [(int(v), pytest.approx(s)) for v, s in zip(sub.vec_id, sub.score)] == [
+            (v, pytest.approx(s)) for v, s in exp[qi]
+        ]
+
+
+def test_brute_force_self_query_rank1(ray_session, emb_table):
+    """Query with a stored vector → itself at rank 1, score ≈ 1
+    (analog of /root/reference/tests/test_driver_real.py:139-144)."""
+    table, m = emb_table
+    got = brute_force_topk(rd.from_arrow(table), m[42], k=3).to_pandas()
+    assert int(got.iloc[0].vec_id) == 42
+    assert got.iloc[0].score == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_recall_reasonable(ray_session, emb_table):
+    table, m = emb_table
+    q = m[100]
+    exact = {v for v, _ in _naive_topk(m, q, 10)[0]}
+    approx = lsh_bucketed_topk(rd.from_arrow(table), q, k=10, n_planes=6,
+                               multiprobe=1).to_pandas()
+    got = set(approx.vec_id.astype(int))
+    assert 100 in got                      # self always in its own bucket
+    assert len(exact & got) >= 3           # reasonable recall with multiprobe
+
+
+def test_embedding_near_dup(ray_session, emb_table):
+    table, _ = emb_table
+    pairs = embedding_near_dup_pairs(rd.from_arrow(table), tau=0.999).to_pandas()
+    assert (11, 37) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_near_dup_respects_groups(ray_session, emb_table):
+    table, _ = emb_table
+    with_label = table.append_column(
+        "label", pa.array([i % 2 for i in range(table.num_rows)], pa.int32())
+    )
+    pairs = embedding_near_dup_pairs(
+        rd.from_arrow(with_label), tau=0.999, group_col="label"
+    ).to_pandas()
+    # 11 and 37 share label (both odd)
+    assert (11, 37) in set(zip(pairs.vec_a, pairs.vec_b))

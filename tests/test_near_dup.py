@@ -1,0 +1,102 @@
+"""Near-dup family: MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.stages.dedup_near import (
+    exact_jaccard,
+    hamming_distance,
+    lsh_candidate_pairs,
+    minhash_band_rows,
+    minhash_near_dup_pairs,
+    simhash_batch,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus():
+    base = ("spark streaming joins batch tables with windowed aggregates "
+            "over partitioned columnar storage and fast shuffles")
+    texts = [
+        base,                                    # 0
+        base + " extra tail",                    # 1: near-dup of 0
+        base.replace("fast", "slow"),            # 2: near-dup of 0
+        "completely different words about llamas in the andes mountains",  # 3
+        "another unrelated document concerning medieval castle architecture",  # 4
+        base,                                    # 5: exact dup of 0
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())}), texts
+
+
+def test_exact_jaccard():
+    assert exact_jaccard("a b c d", "a b c d") == 1.0
+    assert exact_jaccard("a b c d", "x y z w") == 0.0
+    assert 0.0 < exact_jaccard("a b c d e", "a b c d x") < 1.0
+    assert exact_jaccard("", "") == 1.0
+    assert exact_jaccard("a", "") == 0.0
+
+
+def test_minhash_identical_docs_same_signature(near_dup_corpus):
+    table, _ = near_dup_corpus
+    rows = minhash_band_rows(table).to_pandas()
+    sig0 = rows[rows.doc_id == 0].sort_values("band")["band_hash"].tolist()
+    sig5 = rows[rows.doc_id == 5].sort_values("band")["band_hash"].tolist()
+    assert sig0 == sig5
+    sig3 = rows[rows.doc_id == 3].sort_values("band")["band_hash"].tolist()
+    assert sig0 != sig3
+
+
+def test_minhash_pipeline_finds_near_dups(ray_session, near_dup_corpus):
+    table, texts = near_dup_corpus
+    ds = rd.from_arrow(table)
+    pairs = minhash_near_dup_pairs(
+        ds, lambda ids: {i: texts[i] for i in ids}, threshold=0.5
+    ).to_pandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 5) in found          # exact dup
+    assert (0, 1) in found or (0, 2) in found   # near dups
+    for a, b in found:              # no false positives across topics
+        assert {a, b} <= {0, 1, 2, 5}
+    # verified jaccard values are exact
+    for row in pairs.itertuples():
+        assert row.jaccard == pytest.approx(
+            exact_jaccard(texts[row.doc_a], texts[row.doc_b])
+        )
+
+
+def test_lsh_candidates_deduped(ray_session, near_dup_corpus):
+    table, _ = near_dup_corpus
+    band_ds = rd.from_arrow(minhash_band_rows(table))
+    cand = lsh_candidate_pairs(band_ds).to_pandas()
+    assert cand.duplicated(["doc_a", "doc_b"]).sum() == 0
+    assert (cand.doc_a < cand.doc_b).all()
+
+
+def test_simhash_properties(near_dup_corpus):
+    table, texts = near_dup_corpus
+    out = simhash_batch(table).to_pandas()
+    sh = out["simhash"].to_numpy().astype(np.uint64)
+    assert sh[0] == sh[5]
+    d_near = hamming_distance(sh[0:1], sh[2:3])[0]
+    d_far = hamming_distance(sh[0:1], sh[3:4])[0]
+    assert d_near < d_far
+
+
+def test_simhash_near_dup_pairs(ray_session, near_dup_corpus):
+    table, _ = near_dup_corpus
+    pairs = simhash_near_dup_pairs(rd.from_arrow(table), max_hamming=8).to_pandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 5) in found
+    assert all({a, b} <= {0, 1, 2, 5} for a, b in found)
+
+
+def test_hamming_distance():
+    a = np.array([0b1011], np.uint64)
+    b = np.array([0b0010], np.uint64)
+    assert hamming_distance(a, b)[0] == 2
+    assert hamming_distance(a, a)[0] == 0
