@@ -1,0 +1,200 @@
+"""Benchmark driver — headline pipelines over $GRAFT_SF_DIR.
+
+Plain run: one JSON line
+    {"metric": "index_build_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "query_p95_ms": ...}
+
+--scaling: runs the SAME job in two fresh processes (num_cpus=8 and
+32 — the sandbox proxy for N vs 4N nodes, per driver instructions) and
+prints throughputs + scaling efficiency.
+
+The bench corpus is the sf documents table replicated REP× with a
+deterministic per-replica suffix token (distinct urls + distinct
+content), so the full extract→dedup→ids→index pipeline runs at a
+meaningful document count (sf0.1 has 5 000 base docs; REP=20 → 100 000
+pages).  Input prep and a warm-up scan are untimed (page-cache warm,
+per ray_guide).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("RAY_GRAFT_REP", "50"))
+
+BENCH_QUERIES = [
+    "spark join query", "merge sort table", "window stream batch",
+    "fast data scan", "the slow group", "hash index lookup",
+    "column row filter", "batch stream window agg", "key value store",
+    "table scan merge", "big small fast slow", "data query join sort",
+]
+
+
+def _prepare_pages(sf_dir: str, rep: int) -> str:
+    """Deterministic replicated pages corpus (untimed input prep)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refimage_ray.sources.pages import make_html, EPOCH_US, write_pages
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{rep}".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/refimage_ray_bench/pages-{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    import numpy as np
+
+    all_tables = []
+    for r in range(rep):
+        suffix = f" r{r:02d}"
+        t = [x + suffix for x in texts]
+        urls = [f"https://docs.example/{l}/doc-{d}-r{r:02d}"
+                for d, l in zip(ids, langs)]
+        ts = (EPOCH_US + (np.asarray(ids, dtype=np.int64) * rep + r) * 137_000_000
+              ).astype("datetime64[us]")
+        htmls = [make_html(x, f"doc-{d}-r{r:02d}") for d, x in zip(ids, t)]
+        all_tables.append(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(t, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }))
+    write_pages(pa.concat_tables(all_tables), out_dir, rows_per_file=4096)
+    with open(marker, "w") as f:
+        f.write("")
+    return out_dir
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.pipelines import relational, vectors
+    from refimage_ray.pipelines.corpus import term_stats
+    from refimage_ray.pipelines.flagship import build_from_pages
+    from refimage_ray.query.engine import LocalSearcher
+
+    pages_dir = _prepare_pages(SF_DIR, REP)
+    # warm page cache (untimed)
+    for f in os.listdir(pages_dir):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(pages_dir, f))
+    # warm the worker pool (untimed): spawn Ray workers before the clock
+    # starts so both parallelism levels pay startup outside the measure
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        lambda b: b
+    ).materialize()
+
+    # IMPORTANT: identical job config at every parallelism level (the
+    # scaling criterion compares the same job at N and 4N)
+    cfg = EngineConfig(num_shards=64, salt_buckets=8)
+    index_dir = f"/tmp/refimage_ray_bench/index-{NUM_CPUS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    res = build_from_pages(pages_dir, index_dir, cfg,
+                           extract_concurrency=max(2, NUM_CPUS // 2))
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 3)
+    n_docs = res.metrics["n_docs"]
+
+    # query latency (warm actor-free local path; p95 over repeated set)
+    searcher = LocalSearcher(index_dir)
+    lat = []
+    for _ in range(4):
+        for q in BENCH_QUERIES:
+            tq = time.perf_counter()
+            searcher.search(q, k=10, mode="or")
+            lat.append(time.perf_counter() - tq)
+    p95 = float(np.percentile(np.array(lat), 95))
+    timings["query_p95"] = round(p95, 5)
+
+    for name, fn in [
+        ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),
+        ("tpch_q1", lambda: relational.tpch_q1(SF_DIR)),
+        ("events_hourly", lambda: relational.events_hourly(SF_DIR)),
+        ("knn_cosine", lambda: vectors.knn_cosine(SF_DIR)),
+    ]:
+        tq = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - tq, 3)
+
+    out = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": int(n_docs),
+        "n_postings": int(res.metrics["n_postings"]),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "postings_per_sec": round(res.metrics["n_postings"] / build_sec, 1),
+        "query_p95_ms": round(p95 * 1000, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "query_p95_ms_8": lo["query_p95_ms"],
+        "query_p95_ms_32": hi["query_p95_ms"],
+        "sf": SF_DIR,
+        "n_docs": hi["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

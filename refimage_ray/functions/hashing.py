@@ -50,6 +50,30 @@ def hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return table[codes]
 
 
+_HEX_LUT = np.zeros(256, dtype=np.uint64)
+for i, c in enumerate("0123456789abcdef"):
+    _HEX_LUT[ord(c)] = i
+_HEX_POWERS = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
+
+
+def hex_prefix_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 16 hex chars of each string → uint64, fully vectorized.
+
+    For md5-hex columns this extracts a uniform 64-bit content key with
+    zero per-row Python (reads the Arrow data buffer directly) — used
+    by the numeric dedup path.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n]
+    idx = offs.astype(np.int64)[:, None] + np.arange(16, dtype=np.int64)
+    return (_HEX_LUT[buf[idx]] * _HEX_POWERS).sum(axis=1, dtype=np.uint64)
+
+
 def md5_hex(s: str | bytes) -> str:
     if isinstance(s, str):
         s = s.encode("utf-8")

@@ -136,7 +136,10 @@ class BuildPartition:
         shard, salt = divmod(gkey, cfg.salt_buckets)
         raw_bytes = int(group.nbytes)
 
-        t = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        # numeric sort key (term_hash, doc_id) — much cheaper than the
+        # string sort; runs are detected on the hash (64-bit collisions
+        # across distinct terms are negligible at any realistic vocab)
+        t = group.sort_by([("term_hash", "ascending"), ("doc_id", "ascending")])
         terms = t["term"].combine_chunks()
         hashes = t["term_hash"].to_numpy(zero_copy_only=False)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -147,12 +150,8 @@ class BuildPartition:
         weights = tfs / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / self.avgdl))
 
         # term run boundaries on the sorted table (vectorized)
-        dct = pc.dictionary_encode(terms)
-        if isinstance(dct, pa.ChunkedArray):
-            dct = dct.combine_chunks()
-        codes = dct.indices.to_numpy(zero_copy_only=False)
-        n = len(codes)
-        changes = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        n = len(hashes)
+        changes = np.flatnonzero(hashes[1:] != hashes[:-1]) + 1
         starts = np.concatenate(([0], changes))
         ends = np.concatenate((changes, [n]))
 
@@ -161,15 +160,18 @@ class BuildPartition:
             "term", "term_hash", "df", "doc_ids", "tfs", "weights",
             "max_weight", "block_max_weight", "block_last_doc",
         )}
-        term_list = terms.to_pylist()
-        for s, e in zip(starts, ends):
+        # materialize ONLY run-start terms (one per distinct term), never
+        # the full per-row string column — that to_pylist() was the
+        # dominant reducer cost at millions of postings per partition
+        term_list = pc.take(terms, pa.array(starts, pa.int64())).to_pylist()
+        for ri, (s, e) in enumerate(zip(starts, ends)):
             ids = doc_ids[s:e]
             w = weights[s:e]
             tf_run = tfs[s:e]
             nb = np.arange(s, e, bsz)
             blk_last = ids[np.minimum(nb + bsz - 1, e - 1) - s]
             blk_max = np.maximum.reduceat(w, nb - s)
-            out["term"].append(term_list[s])
+            out["term"].append(term_list[ri])
             out["term_hash"].append(int(hashes[s]))
             out["df"].append(int(e - s))
             out["doc_ids"].append(varbyte_encode(delta_encode(ids.astype(np.uint64))))
@@ -223,6 +225,23 @@ class BuildResult:
     metrics: dict
 
 
+# Below this many staged rows the narrow side passes (stats, dedup-loser
+# scan, hot-term sampling) run driver-local over the columnar parquet
+# (pyarrow threaded reads) instead of as Ray stages: per-stage execution
+# latency (~0.5-1 s each) dwarfs the actual work on small corpora, and
+# the results are bit-identical by construction.  Size-based physical
+# planning, same idea as broadcast-vs-shuffle join selection.
+DRIVER_LOCAL_ROWS = int(os.environ.get("REFIMAGE_DRIVER_LOCAL_ROWS", "2000000"))
+
+
+def _staged_row_count(docs_dir: str) -> int:
+    total = 0
+    for f in os.listdir(docs_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(docs_dir, f)).metadata.num_rows
+    return total
+
+
 def _estimate_hot_terms(
     corpus: "ray.data.Dataset", n_docs: int, cfg: EngineConfig, sample_target: int = 20000
 ) -> tuple[list[str], int]:
@@ -256,6 +275,36 @@ def _estimate_hot_terms(
     return sorted(hot["term"].tolist()), sample_n
 
 
+def _estimate_hot_terms_local(
+    docs_dir: str,
+    losers: np.ndarray,
+    n_docs: int,
+    cfg: EngineConfig,
+    sample_target: int = 20000,
+) -> tuple[list[str], int]:
+    """Driver-local variant of :func:`_estimate_hot_terms` — identical
+    sample mask and counting, no Ray stages."""
+    rate = min(1.0, sample_target / max(1, n_docs))
+    t = pq.read_table(docs_dir, columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mask = _sample_mask(ids, rate)
+    if len(losers):
+        pos = np.searchsorted(losers, ids)
+        hit = (pos < len(losers)) & (losers[np.minimum(pos, len(losers) - 1)] == ids)
+        mask &= ~hit
+    sub = t.filter(pa.array(mask))
+    if sub.num_rows == 0:
+        return [], 0
+    toks = tokenize_batch(sub, cfg)
+    g = toks.select(["term"]).group_by("term").aggregate([([], "count_all")])
+    df_s = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(g["term"].to_pylist(), dtype=object)
+    sample_n = max(1, int(round(n_docs * rate)))
+    scale = n_docs / sample_n
+    hot = terms[df_s * scale >= cfg.hot_df_fraction * n_docs]
+    return sorted(hot.tolist()), sample_n
+
+
 def build_index(
     docs_ds: "ray.data.Dataset | None",
     index_dir: str,
@@ -263,12 +312,20 @@ def build_index(
     *,
     lineage: list[dict] | None = None,
     resume: bool = True,
+    dedup_exact: bool = False,
 ) -> BuildResult:
     """Build (or resume building) the inverted index.
 
     ``docs_ds`` must yield columns ``doc_id:int64, text:string``
     (+ optional url/lang).  Pass ``docs_ds=None`` to resume purely from
     a previously-written ``docs/`` directory.
+
+    With ``dedup_exact=True`` the staged docs may contain duplicate
+    texts; a small-column shuffle (``stages/dedup.find_dup_losers``)
+    identifies loser doc_ids, persisted to ``losers.parquet``, and all
+    downstream passes (stats, hot sampling, tokenize) exclude them via
+    a broadcast filter — the corpus itself is never re-shuffled for
+    dedup.
     """
     os.makedirs(index_dir, exist_ok=True)
     docs_dir = os.path.join(index_dir, "docs")
@@ -289,29 +346,104 @@ def build_index(
                 b = b.append_column(col, stats[col])
             return b
 
-        docs_ds.map_batches(attach_stats, batch_format="pyarrow").write_parquet(docs_dir)
+        # batch_size here COALESCES upstream blocks (extraction runs with
+        # small batches because html rows are wide) into ~16k-row blocks
+        # → one sane parquet file/row-group per block instead of
+        # thousands of 256-row fragments choking every downstream read
+        docs_ds.map_batches(
+            attach_stats, batch_format="pyarrow", batch_size=16384
+        ).write_parquet(docs_dir)
         with open(success, "w") as f:
             f.write("")
     metrics["docs_write_sec"] = time.perf_counter() - t0
 
+    staged_rows = _staged_row_count(docs_dir)
+    driver_local = staged_rows <= DRIVER_LOCAL_ROWS
+
+    # ---- stage 1b: exact dedup via loser side-channel (optional) ----
+    t1b = time.perf_counter()
+    losers = np.zeros(0, dtype=np.int64)
+    losers_path = os.path.join(index_dir, "losers.parquet")
+    if dedup_exact:
+        if resume and os.path.exists(losers_path):
+            losers = pq.read_table(losers_path)["doc_id"].to_numpy().astype(np.int64)
+        elif driver_local:
+            from refimage_ray.functions.hashing import hex_prefix_u64
+
+            t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = hex_prefix_u64(t["content_hash"])
+            order = np.lexsort((ids, keys))
+            dup = np.zeros(len(ids), dtype=bool)
+            dup[1:] = keys[order][1:] == keys[order][:-1]
+            losers = np.sort(ids[order][dup])
+        else:
+            from refimage_ray.stages.dedup import find_dup_losers
+
+            losers = find_dup_losers(docs_dir)
+            import io as _io
+
+            buf = _io.BytesIO()
+            pq.write_table(pa.table({"doc_id": pa.array(losers, pa.int64())}), buf)
+            atomic_write_bytes(losers_path, buf.getvalue())
+    losers_ref = ray.put(losers)
+    metrics["dedup_sec"] = time.perf_counter() - t1b
+    metrics["n_dup_losers"] = int(len(losers))
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        excl = ray.get(losers_ref)
+        if len(excl) == 0:
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # losers is sorted -> membership by binary search
+        pos = np.searchsorted(excl, ids)
+        hit = (pos < len(excl)) & (excl[np.minimum(pos, len(excl) - 1)] == ids)
+        return batch.filter(pa.array(~hit))
+
+    def corpus_read(columns: list[str]) -> "ray.data.Dataset":
+        ds = ray.data.read_parquet(docs_dir, columns=columns)
+        if len(losers):
+            ds = ds.map_batches(drop_losers, batch_format="pyarrow")
+        return ds
+
     # ---- stage 2: global stats (tiny aggregate) ----
     t1 = time.perf_counter()
-    stats_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", "doc_len"])
-    agg = stats_ds.aggregate(
-        Count(alias_name="n_docs"),
-        Sum("doc_len", alias_name="sum_dl"),
-        Max("doc_id", alias_name="max_doc"),
-    )
-    n_docs = int(agg["n_docs"])
-    sum_dl = int(agg["sum_dl"] or 0)
-    max_doc = int(agg["max_doc"] or 0)
+    if driver_local:
+        t = pq.read_table(docs_dir, columns=["doc_id", "doc_len"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(losers):
+            pos = np.searchsorted(losers, ids)
+            hit = (pos < len(losers)) & (
+                losers[np.minimum(pos, len(losers) - 1)] == ids
+            )
+            ids, dls = ids[~hit], dls[~hit]
+        n_docs = int(len(ids))
+        sum_dl = int(dls.sum())
+        max_doc = int(ids.max()) if n_docs else 0
+    else:
+        stats_ds = corpus_read(["doc_id", "doc_len"])
+        agg = stats_ds.aggregate(
+            Count(alias_name="n_docs"),
+            Sum("doc_len", alias_name="sum_dl"),
+            Max("doc_id", alias_name="max_doc"),
+        )
+        n_docs = int(agg["n_docs"])
+        sum_dl = int(agg["sum_dl"] or 0)
+        max_doc = int(agg["max_doc"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 1.0
     metrics["stats_sec"] = time.perf_counter() - t1
 
     # ---- stage 3: hot-term estimation (sampled, deterministic) ----
     t2 = time.perf_counter()
-    corpus = ray.data.read_parquet(docs_dir, columns=["doc_id", "text"])
-    hot_terms, sample_n = _estimate_hot_terms(corpus, n_docs, cfg)
+    if driver_local:
+        hot_terms, sample_n = _estimate_hot_terms_local(
+            docs_dir, losers, n_docs, cfg
+        )
+    else:
+        hot_terms, sample_n = _estimate_hot_terms(
+            corpus_read(["doc_id", "text"]), n_docs, cfg
+        )
     metrics["hot_sample_docs"] = sample_n
     metrics["hot_terms"] = len(hot_terms)
     metrics["hot_sec"] = time.perf_counter() - t2
@@ -343,6 +475,7 @@ def build_index(
             out = out.filter(pa.array(keep))
         return out
 
+    corpus = corpus_read(["doc_id", "text"])  # lazy; used by the wide step
     postings = corpus.map_batches(tokenize_batch, batch_format="pyarrow").map_batches(
         add_gkey, batch_format="pyarrow"
     )

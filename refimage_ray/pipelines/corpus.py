@@ -110,20 +110,30 @@ def top_terms(sf_dir: str, n: int = 20) -> pa.Table:
     return pa.Table.from_pandas(df.head(n), preserve_index=False)
 
 
-def dedup_exact_docs(sf_dir: str) -> "rd.Dataset":
+def dedup_exact_docs(sf_dir: str, buckets: int = 64) -> "rd.Dataset":
     """Exact-dup groups: keep-first doc_id + group size per distinct
-    text (reference: file_hash UNIQUE / 409, storage.py:89)."""
-    hashed = _docs(sf_dir).map_batches(add_content_hash, batch_format="pyarrow")
+    text (reference: file_hash UNIQUE / 409, storage.py:89).  Bucketed
+    shuffle + one vectorized pandas groupby per bucket (not one Python
+    call per text group)."""
+    from refimage_ray.stages.dedup import _add_bucket
 
-    def first_and_count(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g["doc_id"].min())], "n_dups": [len(g)]}
+    hashed = _docs(sf_dir).map_batches(
+        lambda b: _add_bucket(b, "text", buckets), batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("content_hash", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index(drop=True)
         )
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
 
     return (
-        hashed.select_columns(["doc_id", "content_hash"])
-        .groupby("content_hash")
-        .map_groups(first_and_count, batch_format="pandas")
+        hashed.select_columns(["doc_id", "content_hash", "dedup_bucket"])
+        .groupby("dedup_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 

@@ -22,8 +22,8 @@ from refimage_ray.index.build import BuildResult, build_index
 from refimage_ray.index.manifest import load_manifest
 from refimage_ray.query.engine import LocalSearcher, lookup_docs
 from refimage_ray.sources.pages import pages_from_documents, write_pages
-from refimage_ray.stages.dedup import exact_dedup
-from refimage_ray.stages.docids import assign_doc_ids
+from refimage_ray.stages.dedup import add_content_hash
+from refimage_ray.stages.docids import add_url_hash_ids
 from refimage_ray.stages.extract import ExtractText
 
 FLAGSHIP_QUERIES = [
@@ -53,13 +53,19 @@ def build_from_pages(
         concurrency=extract_concurrency,
         batch_size=256,
     )
-    docs = assign_doc_ids(exact_dedup(extracted, order_col="url"), cfg=cfg)
+    # pure-function doc ids + content hash in-flight; exact dedup runs
+    # as a small-column side pass inside build_index (no corpus shuffle)
+    docs = extracted.map_batches(
+        lambda b: add_url_hash_ids(add_content_hash(b)), batch_format="pyarrow"
+    )
     lineage = [
         {"path": os.path.join(pages_dir, f)}
         for f in sorted(os.listdir(pages_dir))
         if f.endswith(".parquet")
     ]
-    return build_index(docs, index_dir, cfg, lineage=lineage, resume=resume)
+    return build_index(
+        docs, index_dir, cfg, lineage=lineage, resume=resume, dedup_exact=True
+    )
 
 
 def prepare_pages_from_documents(sf_dir: str, out_dir: str) -> str:

@@ -80,6 +80,68 @@ def _gallop_member(p: TermPostings, candidates: np.ndarray) -> np.ndarray:
     return ok
 
 
+def _topk_disjunctive_pruned(
+    term_map: dict[str, TermPostings],
+    terms: list[str],
+    n_docs: int,
+    k: int,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore-style top-k with EXACT results.
+
+    Terms are ranked by upper bound ``ub = idf · max_weight`` (the
+    term-level block-max metadata).  A lower bound θ on the final kth
+    score comes from the kth-largest single-term contribution of the
+    strongest term; every term in the maximal suffix with Σub < θ is
+    *non-essential* — a doc appearing only there can never reach the
+    top-k.  Candidates = union of essential postings; candidates are
+    then EXACTLY rescored against all query terms in ascending-term
+    order (the determinism contract), so results are bit-identical to
+    the unpruned path — asserted in tests.  The win: stopword-sized
+    lists are never unioned, only probed by binary search.
+    """
+    infos = []
+    for t in terms:
+        p = term_map.get(t)
+        if p is None or p.df == 0:
+            continue
+        t_idf = _idf(p.df, n_docs)
+        infos.append((t, p, t_idf, t_idf * p.max_weight))
+    if not infos:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    infos.sort(key=lambda x: (-x[3], x[0]))
+
+    contrib1 = infos[0][2] * infos[0][1].weights
+    if len(contrib1) >= k > 0:
+        theta = float(-np.partition(-contrib1, k - 1)[k - 1])
+    else:
+        theta = float("-inf")
+    theta = max(theta, threshold)
+
+    ubs = np.array([x[3] for x in infos])
+    suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+    # minimal essential prefix: suffix sum strictly below θ is prunable
+    j = len(infos)
+    for i in range(1, len(infos) + 1):
+        if suffix[i] < theta:
+            j = i
+            break
+    cand = np.unique(np.concatenate([infos[i][1].doc_ids for i in range(j)]))
+    if len(cand) < k:  # not enough candidates → no pruning possible
+        return _score_disjunctive(term_map, terms, n_docs)
+
+    scores = np.zeros(len(cand), np.float64)
+    for t in terms:  # ascending term order → canonical float sums
+        p = term_map.get(t)
+        if p is None or p.df == 0:
+            continue
+        idx = np.searchsorted(p.doc_ids, cand)
+        ok = idx < len(p.doc_ids)
+        ok[ok] = p.doc_ids[idx[ok]] == cand[ok]
+        scores[ok] += _idf(p.df, n_docs) * p.weights[idx[ok]]
+    return cand, scores
+
+
 def _score_conjunctive(
     term_map: dict[str, TermPostings], terms: list[str], n_docs: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -118,6 +180,7 @@ class _SearcherBase:
         threshold: float | None = None,
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
+        prune: bool = True,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -125,6 +188,10 @@ class _SearcherBase:
         term_map = self._term_map(terms)
         if mode == "and":
             ids, scores = _score_conjunctive(term_map, terms, self.n_docs)
+        elif prune:
+            ids, scores = _topk_disjunctive_pruned(
+                term_map, terms, self.n_docs, k, threshold
+            )
         else:
             ids, scores = _score_disjunctive(term_map, terms, self.n_docs)
         ids, scores = topk_select(ids, scores, k, threshold)

@@ -1,12 +1,14 @@
-"""Exact deduplication — hash-partition + per-group first.
+"""Exact deduplication — hash-bucket partition + vectorized keep-first.
 
 Reference analog: the ``file_hash TEXT UNIQUE`` constraint; a duplicate
 upload raises IntegrityError → HTTP 409 "Duplicate image detected"
 (``/root/reference/src/refimage/storage.py:89,278-281``,
 ``api.py:866-877``).  Distributed re-expression: no shared mutable
-uniqueness index — a ``groupby(content_hash)`` hash shuffle co-locates
-duplicates, and each group keeps its first row by a deterministic
-order.  SURVEY.md §2.7 D1.
+uniqueness index — a shuffle on ``bucket = blake2b64(content_hash) % B``
+co-locates duplicates (equal hashes share a bucket), and each bucket
+drops duplicates **vectorized** (one pandas ``drop_duplicates`` per
+bucket, NOT one Python call per group — with n_docs groups that
+per-group overhead dominated the whole build).  SURVEY.md §2.7 D1.
 
 SQL oracle shape (DuckDB)::
 
@@ -16,12 +18,13 @@ SQL oracle shape (DuckDB)::
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
-from refimage_ray.functions.hashing import md5_string_array
+from refimage_ray.functions.hashing import hash_string_array, md5_string_array
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -31,23 +34,125 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", md5_string_array(batch[text_col]))
 
 
+def _add_bucket(batch: pa.Table, text_col: str, buckets: int) -> pa.Table:
+    b = add_content_hash(batch, text_col)
+    bucket = (hash_string_array(b["content_hash"]) % np.uint64(buckets)).astype(
+        np.int64
+    )
+    return b.append_column("dedup_bucket", pa.array(bucket, pa.int64()))
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     order_col: str = "url",
     keep_hash: bool = True,
+    buckets: int = 64,
 ) -> "ray.data.Dataset":
-    """Collapse rows with identical ``text_col`` to the first by ``order_col``.
-
-    One all-to-all shuffle on the content hash; group sizes are tiny
-    (dup cardinality), so no skew handling is needed here.
-    """
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    """Collapse rows with identical ``text_col`` to the first by
+    ``order_col``.  One shuffle on the hash bucket; ``B`` vectorized
+    reducers (size B ≈ 4× cores at scale)."""
+    bucketed = ds.map_batches(
+        lambda b: _add_bucket(b, text_col, buckets), batch_format="pyarrow"
     )
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(order_col, kind="mergesort").head(1)
-        return out if keep_hash else out.drop(columns=["content_hash"])
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", order_col], kind="mergesort")
+        g = g.drop_duplicates("content_hash", keep="first")
+        drop = ["dedup_bucket"] + ([] if keep_hash else ["content_hash"])
+        return g.drop(columns=drop)
 
-    return hashed.groupby("content_hash").map_groups(first_row, batch_format="pandas")
+    return bucketed.groupby("dedup_bucket").map_groups(
+        dedup_bucket, batch_format="pandas"
+    )
+
+
+def find_dup_losers(
+    docs_dir: str,
+    buckets: int = 64,
+    order_col: str = "url",
+) -> np.ndarray:
+    """Exact-dedup via SMALL-COLUMN shuffle: return the doc_ids to DROP.
+
+    Reads only ``(doc_id, content_hash)`` from the staged docs parquet
+    (columnar prune — the text never moves), buckets by a vectorized
+    64-bit content key, and per bucket keeps the min-``doc_id`` row of
+    each key group; every other row is a "loser".  Downstream passes
+    exclude losers with a broadcast ``np.isin`` filter — so exact
+    dedup costs one narrow shuffle + a broadcast set instead of an
+    all-to-all exchange of the full corpus.
+
+    Scale note: the loser set is ~(dup_rate · N) ids.  For high-dup
+    web corpora where that outgrows a broadcast array, swap the exact
+    set for a Bloom filter (false positives drop extra docs —
+    acceptable for dedup) or fall back to
+    :func:`dedup_and_assign_ids` (full shuffle, exact).
+    """
+    import ray.data as rd
+
+    from refimage_ray.functions.hashing import hex_prefix_u64
+
+    def to_keys(b: pa.Table) -> pa.Table:
+        # md5-hex prefix = uniform 64-bit content key (vectorized);
+        # winner = min doc_id per key (numeric, deterministic)
+        key = hex_prefix_u64(b["content_hash"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "ckey": pa.array(key, pa.uint64()),
+                "dedup_bucket": pa.array(
+                    (key % np.uint64(buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs = rd.read_parquet(docs_dir, columns=["doc_id", "content_hash"]).map_batches(
+        to_keys, batch_format="pyarrow"
+    )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        keys = g["ckey"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        dup = np.zeros(len(ids), dtype=bool)
+        dup[1:] = keys[order][1:] == keys[order][:-1]
+        return pd.DataFrame({"doc_id": ids[order][dup]})
+
+    out = pairs.groupby("dedup_bucket").map_groups(losers, batch_format="pandas")
+    ids = out.to_pandas()["doc_id"].to_numpy()
+    return np.sort(ids.astype(np.int64))
+
+
+def dedup_and_assign_ids(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    order_col: str = "url",
+    *,
+    buckets: int = 64,
+    stride: int = 1 << 32,
+) -> "ray.data.Dataset":
+    """Fused exact-dedup + deterministic doc_id assignment — ONE shuffle.
+
+    Partition on ``blake2b64(content_hash) % B`` (duplicates co-locate),
+    then per bucket: vectorized keep-first-by-``order_col``, sort by
+    ``order_col``, assign ``doc_id = bucket * stride + local_rank``.
+    Deterministic because the partition function, the dedup winner and
+    the within-bucket order are all pure functions of row content.
+    Strided-dense ids (dense within bucket) keep posting-list deltas
+    small; documented assumption: ≤ ``stride`` docs per bucket.
+    """
+    bucketed = ds.map_batches(
+        lambda b: _add_bucket(b, text_col, buckets), batch_format="pyarrow"
+    )
+
+    def dedup_enumerate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", order_col], kind="mergesort")
+        g = g.drop_duplicates("content_hash", keep="first")
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        base = int(g["dedup_bucket"].iloc[0]) * stride
+        g.insert(0, "doc_id", base + np.arange(len(g), dtype=np.int64))
+        return g.drop(columns=["dedup_bucket"])
+
+    return bucketed.groupby("dedup_bucket").map_groups(
+        dedup_enumerate, batch_format="pandas"
+    )

@@ -31,6 +31,25 @@ from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
 from refimage_ray.functions.hashing import hash_string_array
 
 
+def add_url_hash_ids(batch: pa.Table, key_col: str = "url") -> pa.Table:
+    """Pure-function doc ids: ``doc_id = blake2b64(url) >> 1`` (63-bit).
+
+    Zero-shuffle assignment — the id is computable anywhere from the
+    row itself, which is what lets exact dedup run as a small-column
+    side pass (see ``stages/dedup.find_dup_losers``) instead of a
+    full-corpus exchange.  Trade-off vs strided-dense ids
+    (:func:`assign_doc_ids`): posting-list deltas average
+    ``2^63 / N`` (≈4 varbyte bytes at 10^12 docs) instead of ~1-2, and
+    collisions are theoretically possible (expected ~50 at 10^12 docs;
+    negligible below 10^9 — verify with a count-distinct when it
+    matters).
+    """
+    ids = (hash_string_array(batch[key_col]) >> np.uint64(1)).astype(np.int64)
+    if "doc_id" in batch.column_names:
+        batch = batch.drop_columns(["doc_id"])
+    return batch.append_column("doc_id", pa.array(ids, pa.int64()))
+
+
 def _add_part(batch: pa.Table, key_col: str, d: int) -> pa.Table:
     part = (hash_string_array(batch[key_col]) % np.uint64(d)).astype(np.int64)
     return batch.append_column("docid_part", pa.array(part, pa.int64()))

@@ -43,7 +43,10 @@ class ExtractText:
             parts = [self._tag.sub("", p) for p in paras]
         else:
             parts = [self._tag.sub(" ", body).strip()]
-        return _html.unescape("\n\n".join(parts))
+        joined = "\n\n".join(parts)
+        # unescape is identity without '&' — skipping it is byte-safe
+        # and avoids the dominant per-row cost on entity-free pages
+        return _html.unescape(joined) if "&" in joined else joined
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [self.extract_one(h) for h in batch["html"].to_pylist()]

@@ -47,3 +47,13 @@ def test_metadata_join_drops_missing(built_index, local):
     t = lookup_docs(index_dir, ids + [999999999])  # unknown id dropped (J1)
     assert set(t["doc_id"].to_pylist()) == set(ids)
     assert "url" in t.column_names and "text" not in t.column_names
+
+
+def test_pruned_equals_full(local, oracle):
+    """MaxScore-pruned top-k must be bit-identical to full scoring."""
+    for q in FIXTURE_QUERIES + ["the", "the a w050", "spark the merge a"]:
+        for k in (1, 3, 10, 50):
+            for th in (0.0, 0.3, 1.0):
+                full = local.search(q, k=k, threshold=th, prune=False)
+                pruned = local.search(q, k=k, threshold=th, prune=True)
+                assert pruned == full, (q, k, th)
