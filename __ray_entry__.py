@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": corpus.term_df,
         "term_stats": corpus.term_stats,
         "top_terms": corpus.top_terms,
+        "tokenize_postings": corpus.tokenize_postings,
+        "list_docs_page": corpus.list_docs_page,
         "index_term_stats": search.index_term_stats,
         "bm25_topk": search.bm25_topk,
         "bm25_topk_and": search.bm25_topk_and,
@@ -142,6 +144,13 @@ FROM ({_TF}) GROUP BY term
 SELECT term, CAST(count(*) AS BIGINT) AS df
 FROM (SELECT DISTINCT doc_id, term FROM ({_TOKS}))
 GROUP BY term ORDER BY df DESC, term LIMIT 20
+""",
+        "tokenize_postings": f"""
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf FROM ({_TF}) WHERE doc_id < 100
+""",
+        "list_docs_page": """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 50 OFFSET 100
 """,
         "bm25_topk": _bm25_sql(["spark", "join"], 10),
         "bm25_topk_and": _bm25_sql(["data", "table", "scan"], 10, conjunctive=True),

@@ -111,13 +111,98 @@ def _sample_mask(doc_ids: np.ndarray, rate: float) -> np.ndarray:
     return h < np.uint64(int(rate * 4294967296.0))
 
 
-class BuildPartition:
-    """Reducer: one (shard, salt) group of postings → one parquet file.
+def _encode_and_write(
+    index_dir: str,
+    cfg: EngineConfig,
+    avgdl: float,
+    gkey: int,
+    term_list: list[str],
+    hashes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    raw_bytes: int,
+) -> pa.Table:
+    """Shared reducer core: (hash, doc)-sorted posting arrays + term
+    run boundaries → encoded partition file + manifest row.  Used by
+    both the row-wise and the packed shuffle paths, so the artifact is
+    byte-identical regardless of path."""
+    from refimage_ray.functions.codec import (
+        delta_encode,
+        encode_f64,
+        varbyte_encode,
+    )
 
-    Sorts by (term, doc_id), splits term runs vectorized, encodes
-    delta+varbyte posting lists with per-block max-weight metadata
-    (block-max WAND), writes atomically, returns a manifest row.
-    """
+    shard, salt = divmod(gkey, cfg.salt_buckets)
+    n = len(hashes)
+    # BM25 term-frequency impact, float64 (see module docstring)
+    weights = tfs / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / avgdl))
+
+    bsz = cfg.block_size
+    out = {k: [] for k in (
+        "term", "term_hash", "df", "doc_ids", "tfs", "weights",
+        "max_weight", "block_max_weight", "block_last_doc",
+    )}
+    for ri, (s, e) in enumerate(zip(starts, ends)):
+        ids = doc_ids[s:e]
+        w = weights[s:e]
+        tf_run = tfs[s:e]
+        nb = np.arange(s, e, bsz)
+        blk_last = ids[np.minimum(nb + bsz - 1, e - 1) - s]
+        blk_max = np.maximum.reduceat(w, nb - s)
+        out["term"].append(term_list[ri])
+        out["term_hash"].append(int(hashes[s]))
+        out["df"].append(int(e - s))
+        out["doc_ids"].append(varbyte_encode(delta_encode(ids.astype(np.uint64))))
+        out["tfs"].append(varbyte_encode(tf_run.astype(np.uint64)))
+        out["weights"].append(encode_f64(w))
+        out["max_weight"].append(float(w.max()))
+        out["block_max_weight"].append(blk_max.tolist())
+        out["block_last_doc"].append(blk_last.tolist())
+
+    table = pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "term_hash": pa.array(out["term_hash"], pa.uint64()),
+            "shard": pa.array([shard] * len(starts), pa.int32()),
+            "salt": pa.array([salt] * len(starts), pa.int32()),
+            "df": pa.array(out["df"], pa.int64()),
+            "doc_ids": pa.array(out["doc_ids"], pa.binary()),
+            "tfs": pa.array(out["tfs"], pa.binary()),
+            "weights": pa.array(out["weights"], pa.binary()),
+            "max_weight": pa.array(out["max_weight"], pa.float64()),
+            "block_max_weight": pa.array(out["block_max_weight"], pa.list_(pa.float64())),
+            "block_last_doc": pa.array(out["block_last_doc"], pa.list_(pa.int64())),
+        }
+    )
+    fname = part_filename(shard, salt)
+    path = os.path.join(index_dir, fname)
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    atomic_write_bytes(path, buf.getvalue())
+
+    return pa.table(
+        {
+            "gkey": pa.array([gkey], pa.int64()),
+            "shard": pa.array([int(shard)], pa.int64()),
+            "salt": pa.array([int(salt)], pa.int64()),
+            "n_terms": pa.array([table.num_rows], pa.int64()),
+            "n_postings": pa.array([int(n)], pa.int64()),
+            "raw_bytes": pa.array([raw_bytes], pa.int64()),
+            "file_bytes": pa.array([len(buf.getvalue())], pa.int64()),
+            "path": pa.array([fname], pa.string()),
+        }
+    )
+
+
+class BuildPartition:
+    """Row-wise reducer: one (shard, salt) group of posting rows →
+    one parquet file.  Numeric (term_hash, doc_id) sort; term strings
+    materialized only at run starts."""
 
     def __init__(self, index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
         self.index_dir = index_dir
@@ -125,96 +210,50 @@ class BuildPartition:
         self.avgdl = float(avgdl)
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        from refimage_ray.functions.codec import (
-            encode_f64,
-            varbyte_encode,
-            delta_encode,
-        )
-
-        cfg = self.cfg
         gkey = int(group["gkey"][0].as_py())
-        shard, salt = divmod(gkey, cfg.salt_buckets)
         raw_bytes = int(group.nbytes)
-
-        # numeric sort key (term_hash, doc_id) — much cheaper than the
-        # string sort; runs are detected on the hash (64-bit collisions
-        # across distinct terms are negligible at any realistic vocab)
         t = group.sort_by([("term_hash", "ascending"), ("doc_id", "ascending")])
         terms = t["term"].combine_chunks()
         hashes = t["term_hash"].to_numpy(zero_copy_only=False)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         tfs = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
-
-        # BM25 term-frequency impact, float64 (see module docstring)
-        weights = tfs / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / self.avgdl))
-
-        # term run boundaries on the sorted table (vectorized)
         n = len(hashes)
         changes = np.flatnonzero(hashes[1:] != hashes[:-1]) + 1
         starts = np.concatenate(([0], changes))
         ends = np.concatenate((changes, [n]))
-
-        bsz = cfg.block_size
-        out = {k: [] for k in (
-            "term", "term_hash", "df", "doc_ids", "tfs", "weights",
-            "max_weight", "block_max_weight", "block_last_doc",
-        )}
-        # materialize ONLY run-start terms (one per distinct term), never
-        # the full per-row string column — that to_pylist() was the
-        # dominant reducer cost at millions of postings per partition
         term_list = pc.take(terms, pa.array(starts, pa.int64())).to_pylist()
-        for ri, (s, e) in enumerate(zip(starts, ends)):
-            ids = doc_ids[s:e]
-            w = weights[s:e]
-            tf_run = tfs[s:e]
-            nb = np.arange(s, e, bsz)
-            blk_last = ids[np.minimum(nb + bsz - 1, e - 1) - s]
-            blk_max = np.maximum.reduceat(w, nb - s)
-            out["term"].append(term_list[ri])
-            out["term_hash"].append(int(hashes[s]))
-            out["df"].append(int(e - s))
-            out["doc_ids"].append(varbyte_encode(delta_encode(ids.astype(np.uint64))))
-            out["tfs"].append(varbyte_encode(tf_run.astype(np.uint64)))
-            out["weights"].append(encode_f64(w))
-            out["max_weight"].append(float(w.max()))
-            out["block_max_weight"].append(blk_max.tolist())
-            out["block_last_doc"].append(blk_last.tolist())
-
-        table = pa.table(
-            {
-                "term": pa.array(out["term"], pa.string()),
-                "term_hash": pa.array(out["term_hash"], pa.uint64()),
-                "shard": pa.array([shard] * len(starts), pa.int32()),
-                "salt": pa.array([salt] * len(starts), pa.int32()),
-                "df": pa.array(out["df"], pa.int64()),
-                "doc_ids": pa.array(out["doc_ids"], pa.binary()),
-                "tfs": pa.array(out["tfs"], pa.binary()),
-                "weights": pa.array(out["weights"], pa.binary()),
-                "max_weight": pa.array(out["max_weight"], pa.float64()),
-                "block_max_weight": pa.array(out["block_max_weight"], pa.list_(pa.float64())),
-                "block_last_doc": pa.array(out["block_last_doc"], pa.list_(pa.int64())),
-            }
+        return _encode_and_write(
+            self.index_dir, self.cfg, self.avgdl, gkey, term_list,
+            hashes, doc_ids, tfs, dls, starts, ends, raw_bytes,
         )
-        fname = part_filename(shard, salt)
-        path = os.path.join(self.index_dir, fname)
-        import io
 
-        buf = io.BytesIO()
-        pq.write_table(table, buf)
-        atomic_write_bytes(path, buf.getvalue())
 
-        return pa.table(
-            {
-                "gkey": pa.array([gkey], pa.int64()),
-                "shard": pa.array([int(shard)], pa.int64()),
-                "salt": pa.array([int(salt)], pa.int64()),
-                "n_terms": pa.array([table.num_rows], pa.int64()),
-                "n_postings": pa.array([int(n)], pa.int64()),
-                "raw_bytes": pa.array([raw_bytes], pa.int64()),
-                "file_bytes": pa.array([len(buf.getvalue())], pa.int64()),
-                "path": pa.array([fname], pa.string()),
-            }
+class PackedBuildPartition:
+    """Packed-shuffle reducer: a group of map-side packed blobs for one
+    gkey → the same partition file as :class:`BuildPartition` (shared
+    encode core → byte-identical artifact)."""
+
+    def __init__(self, index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.avgdl = float(avgdl)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from refimage_ray.index.pack import unpack_group
+
+        gkey = int(group["gkey"][0].as_py())
+        raw_bytes = int(group.nbytes)
+        th, doc, tf, dl, lookup = unpack_group(group)
+        n = len(th)
+        changes = np.flatnonzero(th[1:] != th[:-1]) + 1
+        starts = np.concatenate(([0], changes))
+        ends = np.concatenate((changes, [n]))
+        term_list = [lookup[int(th[s])] for s in starts]
+        return _encode_and_write(
+            self.index_dir, self.cfg, self.avgdl, gkey, term_list,
+            th, doc.astype(np.int64), tf.astype(np.int64),
+            dl.astype(np.float64), starts, ends, raw_bytes,
         )
 
 
@@ -313,6 +352,7 @@ def build_index(
     lineage: list[dict] | None = None,
     resume: bool = True,
     dedup_exact: bool = False,
+    packed: bool = True,
 ) -> BuildResult:
     """Build (or resume building) the inverted index.
 
@@ -476,16 +516,33 @@ def build_index(
         return out
 
     corpus = corpus_read(["doc_id", "text"])  # lazy; used by the wide step
-    postings = corpus.map_batches(tokenize_batch, batch_format="pyarrow").map_batches(
-        add_gkey, batch_format="pyarrow"
-    )
-    builder = BuildPartition(index_dir, cfg, avgdl)
+    if packed:
+        # map-side combiner: one blob row per (batch, gkey) through the
+        # shuffle instead of one row per posting (see index/pack.py)
+        from refimage_ray.index.pack import pack_batch
+
+        done_arr = np.sort(np.fromiter(done_gkeys, dtype=np.int64)) if done_gkeys \
+            else np.zeros(0, dtype=np.int64)
+
+        def pack(batch: pa.Table) -> pa.Table:
+            hot_arr = ray.get(hot_ref)
+            return pack_batch(batch, cfg, hot_arr, doc_span, done_arr)
+
+        shuffled_in = corpus.map_batches(
+            pack, batch_format="pyarrow", batch_size=16384
+        )
+        builder = PackedBuildPartition(index_dir, cfg, avgdl)
+    else:
+        shuffled_in = corpus.map_batches(
+            tokenize_batch, batch_format="pyarrow"
+        ).map_batches(add_gkey, batch_format="pyarrow")
+        builder = BuildPartition(index_dir, cfg, avgdl)
 
     def build_partition(group: pa.Table) -> pa.Table:
         return builder(group)
 
     new_rows = (
-        postings.groupby("gkey")
+        shuffled_in.groupby("gkey")
         .map_groups(build_partition, batch_format="pyarrow")
         .take_all()
     )

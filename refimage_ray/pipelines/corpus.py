@@ -137,6 +137,60 @@ def dedup_exact_docs(sf_dir: str, buckets: int = 64) -> "rd.Dataset":
     )
 
 
+def tokenize_postings(sf_dir: str, max_doc: int = 100) -> "rd.Dataset":
+    """Raw tokenizer output (doc_id, term, tf) for a doc_id range —
+    the direct tokenizer-conformance check (debug surface analog of
+    the reference's conversion endpoints, api.py:160-229)."""
+
+    def tok(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["doc_id"], max_doc)
+        sub = batch.filter(keep)
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        t = tokenize_batch(sub)
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "tf": pc.cast(t["tf"], pa.int64())})
+
+    return _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
+
+
+_PAGE_SORT_COLS = {"doc_id", "n_chars", "lang"}
+
+
+def list_docs_page(
+    sf_dir: str,
+    limit: int = 50,
+    offset: int = 100,
+    sort_by: str = "n_chars",
+    sort_order: str = "desc",
+) -> pa.Table:
+    """ORDER BY + LIMIT/OFFSET pagination with input validation
+    (reference: ``list_images(limit, offset, sort_by, sort_order)``
+    with whitelist validation, storage.py:353-437).
+
+    OFFSET is applied after a distributed sort + bounded take — fine
+    for page-sized offsets; deep pagination at scale should use
+    key-range continuation tokens instead (SURVEY.md §7.3 K4 note).
+    """
+    if sort_by not in _PAGE_SORT_COLS:
+        raise ValueError(f"invalid sort_by {sort_by!r}; allowed {_PAGE_SORT_COLS}")
+    if sort_order not in ("asc", "desc"):
+        raise ValueError(f"invalid sort_order {sort_order!r}")
+    if limit < 0 or offset < 0:
+        raise ValueError("limit/offset must be non-negative")
+    desc = sort_order == "desc"
+    keys = [sort_by] if sort_by == "doc_id" else [sort_by, "doc_id"]
+    head = (
+        _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+        .sort(keys, descending=[desc] + [False] * (len(keys) - 1))
+        .limit(offset + limit)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(head.iloc[offset:], preserve_index=False)
+
+
 def lang_counts(sf_dir: str) -> "rd.Dataset":
     return (
         _docs(sf_dir, columns=("doc_id", "lang"))

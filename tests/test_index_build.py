@@ -127,3 +127,24 @@ def test_manifest_and_metrics(built_index):
     m = res.metrics
     for key in ("docs_per_sec", "postings_per_sec", "shuffle_bytes", "total_sec"):
         assert key in m and m[key] > 0
+
+
+def test_packed_and_rowwise_artifacts_identical(ray_session, tiny_docs, tmp_path):
+    """The packed (map-side combined) shuffle must produce byte-identical
+    partition files to the row-wise path."""
+    cfg = EngineConfig(num_shards=4, salt_buckets=2, hot_df_fraction=0.05)
+    d_packed = str(tmp_path / "packed")
+    d_rows = str(tmp_path / "rows")
+    build_index(rd.from_arrow(tiny_docs), d_packed, cfg, packed=True)
+    build_index(rd.from_arrow(tiny_docs), d_rows, cfg, packed=False)
+    names = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(d_packed, "part-*.parquet"))
+    )
+    assert names == sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(d_rows, "part-*.parquet"))
+    )
+    assert names
+    for name in names:
+        with open(os.path.join(d_packed, name), "rb") as fa, \
+             open(os.path.join(d_rows, name), "rb") as fb:
+            assert fa.read() == fb.read(), name
