@@ -410,9 +410,16 @@ def build_index(
         elif driver_local:
             from refimage_ray.functions.hashing import hex_prefix_u64
 
-            t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+            schema_names = pq.ParquetDataset(docs_dir).schema.names
+            if "content_key" in schema_names:
+                t = pq.read_table(docs_dir, columns=["doc_id", "content_key"])
+                keys = t["content_key"].to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                )
+            else:
+                t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+                keys = hex_prefix_u64(t["content_hash"])
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            keys = hex_prefix_u64(t["content_hash"])
             order = np.lexsort((ids, keys))
             dup = np.zeros(len(ids), dtype=bool)
             dup[1:] = keys[order][1:] == keys[order][:-1]

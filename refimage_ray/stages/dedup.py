@@ -28,10 +28,22 @@ from refimage_ray.functions.hashing import hash_string_array, md5_string_array
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized md5 content hash (matches DuckDB ``md5()``)."""
-    if "content_hash" in batch.column_names:
-        return batch
-    return batch.append_column("content_hash", md5_string_array(batch[text_col]))
+    """Vectorized md5 content hash (matches DuckDB ``md5()``) plus its
+    64-bit numeric prefix ``content_key`` — staged so the dedup loser
+    scan later reads a 16-byte-per-row numeric pair instead of parsing
+    hex strings."""
+    from refimage_ray.functions.hashing import hex_prefix_u64
+
+    if "content_hash" not in batch.column_names:
+        batch = batch.append_column(
+            "content_hash", md5_string_array(batch[text_col])
+        )
+    if "content_key" not in batch.column_names:
+        batch = batch.append_column(
+            "content_key",
+            pa.array(hex_prefix_u64(batch["content_hash"]), pa.uint64()),
+        )
+    return batch
 
 
 def _add_bucket(batch: pa.Table, text_col: str, buckets: int) -> pa.Table:
@@ -88,14 +100,23 @@ def find_dup_losers(
     acceptable for dedup) or fall back to
     :func:`dedup_and_assign_ids` (full shuffle, exact).
     """
+    import pyarrow.parquet as _pq
+
     import ray.data as rd
 
     from refimage_ray.functions.hashing import hex_prefix_u64
 
+    schema_names = _pq.ParquetDataset(docs_dir).schema.names
+    has_key = "content_key" in schema_names
+    cols = ["doc_id", "content_key" if has_key else "content_hash"]
+
     def to_keys(b: pa.Table) -> pa.Table:
-        # md5-hex prefix = uniform 64-bit content key (vectorized);
-        # winner = min doc_id per key (numeric, deterministic)
-        key = hex_prefix_u64(b["content_hash"])
+        # winner = min doc_id per 64-bit content key (numeric,
+        # deterministic); key precomputed at staging when available
+        if has_key:
+            key = b["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            key = hex_prefix_u64(b["content_hash"])
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -106,7 +127,7 @@ def find_dup_losers(
             }
         )
 
-    pairs = rd.read_parquet(docs_dir, columns=["doc_id", "content_hash"]).map_batches(
+    pairs = rd.read_parquet(docs_dir, columns=cols).map_batches(
         to_keys, batch_format="pyarrow"
     )
 
