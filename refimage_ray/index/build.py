@@ -75,6 +75,7 @@ INDEX_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("doc_ids", pa.binary()),      # delta+varbyte
         ("tfs", pa.binary()),          # varbyte
+        ("dls", pa.binary()),          # varbyte (per-posting doc_len)
         ("weights", pa.binary()),      # float64 LE
         ("max_weight", pa.float64()),
         ("block_max_weight", pa.list_(pa.float64())),
@@ -137,12 +138,13 @@ def _encode_and_write(
 
     shard, salt = divmod(gkey, cfg.salt_buckets)
     n = len(hashes)
+    dls_int = dls.astype(np.int64)
     # BM25 term-frequency impact, float64 (see module docstring)
-    weights = tfs / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / avgdl))
+    weights = tfs / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls_int.astype(np.float64) / avgdl))
 
     bsz = cfg.block_size
     out = {k: [] for k in (
-        "term", "term_hash", "df", "doc_ids", "tfs", "weights",
+        "term", "term_hash", "df", "doc_ids", "tfs", "dls", "weights",
         "max_weight", "block_max_weight", "block_last_doc",
     )}
     for ri, (s, e) in enumerate(zip(starts, ends)):
@@ -157,6 +159,7 @@ def _encode_and_write(
         out["df"].append(int(e - s))
         out["doc_ids"].append(varbyte_encode(delta_encode(ids.astype(np.uint64))))
         out["tfs"].append(varbyte_encode(tf_run.astype(np.uint64)))
+        out["dls"].append(varbyte_encode(dls_int[s:e].astype(np.uint64)))
         out["weights"].append(encode_f64(w))
         out["max_weight"].append(float(w.max()))
         out["block_max_weight"].append(blk_max.tolist())
@@ -171,6 +174,7 @@ def _encode_and_write(
             "df": pa.array(out["df"], pa.int64()),
             "doc_ids": pa.array(out["doc_ids"], pa.binary()),
             "tfs": pa.array(out["tfs"], pa.binary()),
+            "dls": pa.array(out["dls"], pa.binary()),
             "weights": pa.array(out["weights"], pa.binary()),
             "max_weight": pa.array(out["max_weight"], pa.float64()),
             "block_max_weight": pa.array(out["block_max_weight"], pa.list_(pa.float64())),

@@ -1,0 +1,282 @@
+"""Index lifecycle: logical deletes, delta merge, compaction, add.
+
+Reference analogs: ``add_embedding`` / ``remove_embedding`` with
+deletion implemented as a FULL index rebuild
+(``/root/reference/src/refimage/search/__init__.py:100-145,268-320``)
+and the build/serve phase split (``api.py:851-852``).  We upgrade the
+semantics to a segment model:
+
+- :func:`delete_docs` — O(deletes) logical tombstones; readers filter
+  postings at load; scores/stats keep pre-delete values until compact
+  (Lucene-style deleted docs).
+- :func:`merge_indexes` — shard-parallel merge of same-config indexes:
+  per term, posting lists are merge-sorted, tombstones dropped,
+  duplicate doc_ids deduped (first input wins), and **weights are
+  recomputed from the stored per-posting (tf, dl) against the merged
+  corpus' avgdl** — which is why the artifact stores ``dls``.
+  Hot terms are re-salted against the merged doc span.
+- :func:`compact_index` — merge of one index with itself → tombstones
+  physically removed, stats exact again.
+- :func:`add_documents` — incremental add: build a delta index from
+  new docs, then merge (the scalable version of the reference's
+  per-vector ``index.add``).
+
+Partitioning assumption (documented): all inputs share ``num_shards``
+and the tokenizer config; doc sets should be disjoint (same-url
+re-adds collide on doc_id and are deduped first-input-wins).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
+from refimage_ray.index.build import _encode_and_write, build_index
+from refimage_ray.index.manifest import (
+    atomic_write_bytes,
+    load_manifest,
+    save_manifest,
+    save_metrics,
+)
+from refimage_ray.index.reader import IndexReader
+
+
+def delete_docs(index_dir: str, doc_ids: list[int] | np.ndarray) -> int:
+    """Add doc_ids to the tombstone set (idempotent).  Returns the new
+    tombstone count."""
+    tomb_path = os.path.join(index_dir, "tombstones.parquet")
+    new = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    if os.path.exists(tomb_path):
+        old = pq.read_table(tomb_path)["doc_id"].to_numpy().astype(np.int64)
+        new = np.union1d(old, new)
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"doc_id": pa.array(new, pa.int64())}), buf)
+    atomic_write_bytes(tomb_path, buf.getvalue())
+    return int(len(new))
+
+
+def _live_doc_stats(index_dir: str) -> tuple[int, int, int]:
+    """(n_live, sum_dl_live, max_doc_live) from docs/ minus tombstones."""
+    reader = IndexReader(index_dir)
+    t = pq.read_table(
+        os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"]
+    )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tomb = reader.tombstones
+    if len(tomb):
+        pos = np.searchsorted(tomb, ids)
+        dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == ids)
+        ids, dls = ids[~dead], dls[~dead]
+    if len(ids) == 0:
+        return 0, 0, 0
+    return int(len(ids)), int(dls.sum()), int(ids.max())
+
+
+class _MergeShard:
+    """One task: merge all inputs' posting lists for one shard."""
+
+    def __init__(
+        self,
+        input_dirs: list[str],
+        out_dir: str,
+        cfg: EngineConfig,
+        avgdl: float,
+        n_docs: int,
+        doc_span: int,
+    ) -> None:
+        self.input_dirs = input_dirs
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.avgdl = float(avgdl)
+        self.n_docs = n_docs
+        self.doc_span = max(1, doc_span)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        rows_out = []
+        for shard in batch["shard"].to_pylist():
+            # gather tombstone-filtered postings per term across inputs
+            per_term: dict[str, list] = {}
+            for d in self.input_dirs:
+                for term, p in IndexReader(d).load_shards([shard]).items():
+                    assert p.dls is not None, (
+                        "merge requires dls-bearing artifacts (rebuild base)"
+                    )
+                    per_term.setdefault(term, []).append(p)
+            if not per_term:
+                continue
+            from refimage_ray.functions.hashing import blake2b64
+
+            # assemble (term_hash, doc)-ordered arrays per salt bucket
+            hot_cut = cfg.hot_df_fraction * self.n_docs
+            per_salt: dict[int, dict[str, list]] = {}
+            for term in sorted(per_term, key=lambda t: (blake2b64(t), t)):
+                plist = per_term[term]
+                ids = np.concatenate([p.doc_ids for p in plist])
+                tfs = np.concatenate([p.tfs for p in plist])
+                dls = np.concatenate([p.dls for p in plist])
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                # dedupe doc_ids (first input wins via stable order)
+                if len(ids) > 1:
+                    uniq = np.ones(len(ids), dtype=bool)
+                    uniq[1:] = ids[1:] != ids[:-1]
+                    ids, tfs, dls = ids[uniq], tfs[uniq], dls[uniq]
+                th = blake2b64(term)
+                if len(ids) >= hot_cut and cfg.salt_buckets > 1:
+                    salts = ids * cfg.salt_buckets // self.doc_span
+                else:
+                    salts = np.zeros(len(ids), dtype=np.int64)
+                for salt in np.unique(salts):
+                    seg = salts == salt
+                    bucket = per_salt.setdefault(int(salt), {
+                        "term": [], "th": [], "ids": [], "tfs": [], "dls": []})
+                    bucket["term"].append(term)
+                    bucket["th"].append(th)
+                    bucket["ids"].append(ids[seg])
+                    bucket["tfs"].append(tfs[seg])
+                    bucket["dls"].append(dls[seg])
+            for salt, b in sorted(per_salt.items()):
+                lens = [len(x) for x in b["ids"]]
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                ends = np.cumsum(lens)
+                hashes = np.concatenate(
+                    [np.full(l, h, dtype=np.uint64) for h, l in zip(b["th"], lens)]
+                )
+                row = _encode_and_write(
+                    self.out_dir,
+                    cfg,
+                    self.avgdl,
+                    shard * cfg.salt_buckets + salt,
+                    b["term"],
+                    hashes,
+                    np.concatenate(b["ids"]).astype(np.int64),
+                    np.concatenate(b["tfs"]).astype(np.int64),
+                    np.concatenate(b["dls"]).astype(np.float64),
+                    starts.astype(np.int64),
+                    ends.astype(np.int64),
+                    raw_bytes=int(sum(int(e) - int(s) for s, e in zip(starts, ends)) * 28),
+                )
+                rows_out.append(row)
+        if not rows_out:
+            from refimage_ray.index.build import MANIFEST_ROW_SCHEMA
+
+            return MANIFEST_ROW_SCHEMA.empty_table()
+        return pa.concat_tables(rows_out)
+
+
+def merge_indexes(
+    input_dirs: list[str],
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Merge same-config indexes into ``out_dir`` (tombstones applied,
+    weights recomputed against the merged avgdl)."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifests = [load_manifest(d) for d in input_dirs]
+    shards_all = sorted(
+        {int(p["shard"]) for m in manifests for p in m["partitions"]}
+    )
+    for m in manifests:
+        assert int(m["config"]["num_shards"]) == cfg.num_shards, (
+            "merge requires identical num_shards"
+        )
+
+    stats = [_live_doc_stats(d) for d in input_dirs]
+    n_docs = sum(s[0] for s in stats)
+    sum_dl = sum(s[1] for s in stats)
+    max_doc = max((s[2] for s in stats), default=0)
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+
+    merger = _MergeShard(
+        input_dirs, out_dir, cfg, avgdl, n_docs, doc_span=max_doc + 1
+    )
+
+    def merge_shards(batch: pa.Table) -> pa.Table:
+        return merger(batch)
+
+    rows = (
+        rd.from_items([{"shard": s} for s in shards_all])
+        .map_batches(merge_shards, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+
+    # merged docs/ artifact (tombstones dropped)
+    docs_out = os.path.join(out_dir, "docs")
+    os.makedirs(docs_out, exist_ok=True)
+    fi = 0
+    for d in input_dirs:
+        tomb = IndexReader(d).tombstones
+        src = os.path.join(d, "docs")
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(src, f))
+            if len(tomb):
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(tomb, ids)
+                dead = (pos < len(tomb)) & (
+                    tomb[np.minimum(pos, len(tomb) - 1)] == ids
+                )
+                t = t.filter(pa.array(~dead))
+            pq.write_table(t, os.path.join(docs_out, f"merged-{fi:05d}.parquet"))
+            fi += 1
+    with open(os.path.join(docs_out, "_SUCCESS"), "w") as f:
+        f.write("")
+
+    parts = [
+        {k: (v if isinstance(v, str) else int(v)) for k, v in r.items()}
+        for r in rows
+        if r.get("path")
+    ]
+    manifest = save_manifest(
+        out_dir,
+        config={
+            "num_shards": cfg.num_shards,
+            "salt_buckets": cfg.salt_buckets,
+            "block_size": cfg.block_size,
+            "token_pattern": cfg.token_pattern,
+            "hot_df_fraction": cfg.hot_df_fraction,
+        },
+        stats={
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "max_doc": max_doc,
+            "avgdl": avgdl,
+            "hot_terms": [],
+            "k1": cfg.k1,
+            "b": cfg.b,
+        },
+        lineage=[{"merged_from": d} for d in input_dirs],
+        partitions=parts,
+    )
+    save_metrics(out_dir, {"merged_inputs": len(input_dirs), "n_docs": n_docs})
+    return manifest
+
+
+def compact_index(index_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """Physically drop tombstoned docs and refresh stats/weights."""
+    return merge_indexes([index_dir], out_dir, cfg)
+
+
+def add_documents(
+    index_dir: str,
+    new_docs_ds,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Incremental add: delta build + merge (the scalable analog of the
+    reference's per-vector ``index.add``)."""
+    delta_dir = os.path.join(out_dir + ".delta")
+    build_index(new_docs_ds, delta_dir, cfg)
+    return merge_indexes([index_dir, delta_dir], out_dir, cfg)

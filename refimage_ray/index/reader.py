@@ -33,6 +33,7 @@ class TermPostings:
     max_weight: float
     block_last_doc: np.ndarray  # int64
     block_max_weight: np.ndarray  # float64
+    dls: np.ndarray | None = None  # int64, aligned (doc lengths)
 
 
 class IndexReader:
@@ -42,6 +43,16 @@ class IndexReader:
         if man is None:
             raise FileNotFoundError(f"no manifest.json under {index_dir}")
         self.manifest = man
+        # tombstones: deleted doc_ids filtered out at load (reference
+        # analog: remove_embedding requires a full rebuild,
+        # search/__init__.py:268-320 — we do logical deletes + compact)
+        tomb = os.path.join(index_dir, "tombstones.parquet")
+        if os.path.exists(tomb):
+            self.tombstones = np.sort(
+                pq.read_table(tomb)["doc_id"].to_numpy().astype(np.int64)
+            )
+        else:
+            self.tombstones = np.zeros(0, dtype=np.int64)
         self.stats = man["stats"]
         self.num_shards = int(man["config"]["num_shards"])
         self.n_docs = int(self.stats["n_docs"])
@@ -75,12 +86,36 @@ class IndexReader:
             tfs = np.concatenate(
                 [varbyte_decode(r["tfs"]).astype(np.int64) for r in rows]
             )
+            if "dls" in rows[0]:
+                dls = np.concatenate(
+                    [varbyte_decode(r["dls"]).astype(np.int64) for r in rows]
+                )
+            else:  # pre-dls artifacts remain readable
+                dls = None
             bl = np.concatenate(
                 [np.asarray(r["block_last_doc"], dtype=np.int64) for r in rows]
             )
             bm = np.concatenate(
                 [np.asarray(r["block_max_weight"], dtype=np.float64) for r in rows]
             )
+            # Tombstone semantics (documented): logical deletes remove
+            # docs from RESULTS only; df / N / avgdl / weights keep
+            # their pre-delete values until a compaction/merge rebuilds
+            # them (Lucene-style deleted-docs behavior; the reference
+            # simply required a full rebuild, search/__init__.py:268-320).
+            # Stored block fences stay valid as upper bounds.
+            if len(self.tombstones):
+                pos = np.searchsorted(self.tombstones, ids)
+                dead = (pos < len(self.tombstones)) & (
+                    self.tombstones[np.minimum(pos, len(self.tombstones) - 1)] == ids
+                )
+                if dead.any():
+                    keep = ~dead
+                    ids, w, tfs = ids[keep], w[keep], tfs[keep]
+                    if dls is not None:
+                        dls = dls[keep]
+                    if len(ids) == 0:
+                        continue
             out[term] = TermPostings(
                 df=int(sum(r["df"] for r in rows)),
                 doc_ids=ids,
@@ -89,5 +124,6 @@ class IndexReader:
                 max_weight=float(max(r["max_weight"] for r in rows)),
                 block_last_doc=bl,
                 block_max_weight=bm,
+                dls=dls,
             )
         return out

@@ -1,0 +1,101 @@
+"""Index lifecycle: delta merge ≡ monolithic build; tombstone deletes;
+compaction ≡ rebuild on the live corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.config import EngineConfig
+from refimage_ray.index.build import build_index
+from refimage_ray.index.lifecycle import (
+    add_documents,
+    compact_index,
+    delete_docs,
+    merge_indexes,
+)
+from refimage_ray.query.engine import LocalSearcher
+from refimage_ray.query.oracle import BM25Oracle
+from tests.conftest import FIXTURE_QUERIES
+
+CFG = EngineConfig(num_shards=4, salt_buckets=2, hot_df_fraction=0.05)
+
+
+@pytest.fixture(scope="module")
+def split_corpus(tiny_docs):
+    n = tiny_docs.num_rows
+    return tiny_docs.slice(0, n // 2), tiny_docs.slice(n // 2)
+
+
+def test_merge_equals_monolithic(ray_session, tiny_docs, split_corpus, tmp_path):
+    a, b = split_corpus
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    dm, dfull = str(tmp_path / "merged"), str(tmp_path / "full")
+    build_index(rd.from_arrow(a), da, CFG)
+    build_index(rd.from_arrow(b), db, CFG)
+    build_index(rd.from_arrow(tiny_docs), dfull, CFG)
+    merge_indexes([da, db], dm, CFG)
+
+    sm, sf = LocalSearcher(dm), LocalSearcher(dfull)
+    assert sm.n_docs == sf.n_docs
+    for q in FIXTURE_QUERIES:
+        for mode in ("or", "and"):
+            assert sm.search(q, k=10, mode=mode) == sf.search(q, k=10, mode=mode), (
+                q, mode,
+            )
+
+
+def test_tombstones_remove_from_results_only(ray_session, tiny_docs, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(tiny_docs), d, CFG)
+    base = LocalSearcher(d).search("the data join", k=200)
+    victims = [doc for doc, _ in base[:3]]
+    delete_docs(d, victims)
+    after = LocalSearcher(d).search("the data join", k=200)
+    # deleted docs gone; every surviving (doc, score) pair unchanged
+    assert all(doc not in victims for doc, _ in after)
+    kept = [(doc, s) for doc, s in base if doc not in victims]
+    # surviving prefix identical; new entrants may fill the tail
+    assert after[: len(kept)] == kept
+
+
+def test_delete_idempotent(ray_session, tiny_docs, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(tiny_docs), d, CFG)
+    assert delete_docs(d, [1, 2, 3]) == 3
+    assert delete_docs(d, [3, 4]) == 4  # union, not append
+
+
+def test_compact_equals_rebuild_on_live(ray_session, tiny_docs, tmp_path):
+    d = str(tmp_path / "idx")
+    dc = str(tmp_path / "compacted")
+    build_index(rd.from_arrow(tiny_docs), d, CFG)
+    victims = list(range(0, 40))
+    delete_docs(d, victims)
+    compact_index(d, dc, CFG)
+
+    live = [
+        (i, t)
+        for i, t in enumerate(tiny_docs["text"].to_pylist())
+        if i not in set(victims)
+    ]
+    oracle = BM25Oracle(live, CFG)
+    s = LocalSearcher(dc)
+    assert s.n_docs == len(live)
+    for q in FIXTURE_QUERIES:
+        assert s.search(q, k=10) == oracle.search(q, k=10), q
+
+
+def test_add_documents_incremental(ray_session, tiny_docs, tmp_path):
+    n = tiny_docs.num_rows
+    base, extra = tiny_docs.slice(0, n - 50), tiny_docs.slice(n - 50)
+    d0, d1 = str(tmp_path / "base"), str(tmp_path / "grown")
+    build_index(rd.from_arrow(base), d0, CFG)
+    add_documents(d0, rd.from_arrow(extra), d1, CFG)
+    dfull = str(tmp_path / "full")
+    build_index(rd.from_arrow(tiny_docs), dfull, CFG)
+    s1, sf = LocalSearcher(d1), LocalSearcher(dfull)
+    assert s1.n_docs == sf.n_docs
+    for q in FIXTURE_QUERIES[:5]:
+        assert s1.search(q, k=10) == sf.search(q, k=10), q
