@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
+        "minhash_dup_clusters": corpus.minhash_dup_clusters,  # rows-only
         "simhash_values": corpus.simhash_values,            # rows-only
         # --- text analysis ---
         "lang_counts": corpus.lang_counts,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "nation_region_join": relational.nation_region_join,
         "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
         "events_user_stats": relational.events_user_stats,
     }
 
@@ -265,6 +267,26 @@ GROUP BY r_name ORDER BY r_name
 SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+""",
+        "events_sessionize": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
 """,
         "events_user_stats": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -1,0 +1,173 @@
+"""CLI — build / search / explain / merge / delete / compact.
+
+The user-facing surface analog of the reference's API endpoints
+(``/root/reference/src/refimage/api.py``: ingest, search modes, CRUD,
+conversions) as batch commands.  This module OWNS the Ray session
+(guarded init — library code never calls ray.init).
+
+Usage (from the repo root so Ray workers can import the package)::
+
+    python -m refimage_ray build  --pages PAGES_DIR --index INDEX_DIR
+    python -m refimage_ray build  --documents DOCS.parquet --index INDEX_DIR
+    python -m refimage_ray search --index INDEX_DIR "spark join" -k 10
+    python -m refimage_ray dsl    --index INDEX_DIR "spark AND join NOT slow #en"
+    python -m refimage_ray explain "spark AND join"
+    python -m refimage_ray delete --index INDEX_DIR --doc-ids 1,2,3
+    python -m refimage_ray compact --index INDEX_DIR --out OUT_DIR
+    python -m refimage_ray merge  --out OUT_DIR IDX1 IDX2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="refimage_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index")
+    src = b.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages parquet dir (url/warc_ts/html/lang)")
+    src.add_argument("--documents", help="documents parquet (doc_id/text)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--num-shards", type=int, default=32)
+    b.add_argument("--salt-buckets", type=int, default=8)
+
+    s = sub.add_parser("search", help="BM25 top-k")
+    s.add_argument("--index", required=True)
+    s.add_argument("query")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--threshold", type=float, default=0.0)
+    s.add_argument("--mode", choices=["or", "and"], default="or")
+    s.add_argument("--join", action="store_true", help="join doc metadata")
+
+    d = sub.add_parser("dsl", help="DSL query (AND/OR/NOT/#tag/^w)")
+    d.add_argument("--index", required=True)
+    d.add_argument("query")
+    d.add_argument("--limit", type=int, default=10)
+    d.add_argument("--threshold", type=float, default=0.0)
+
+    e = sub.add_parser("explain", help="query → execution plan (no exec)")
+    e.add_argument("query")
+    e.add_argument("--num-shards", type=int, default=32)
+
+    rm = sub.add_parser("delete", help="tombstone doc ids")
+    rm.add_argument("--index", required=True)
+    rm.add_argument("--doc-ids", required=True, help="comma-separated")
+
+    c = sub.add_parser("compact", help="drop tombstones, refresh stats")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+
+    m = sub.add_parser("merge", help="merge same-config indexes")
+    m.add_argument("--out", required=True)
+    m.add_argument("inputs", nargs="+")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "explain":  # driver-only, no Ray needed
+        from refimage_ray.extension import explain
+
+        print(json.dumps(explain(args.query, num_shards=args.num_shards), indent=1))
+        return 0
+
+    _ray_up(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "build":
+            from refimage_ray.config import EngineConfig
+
+            cfg = EngineConfig(
+                num_shards=args.num_shards, salt_buckets=args.salt_buckets
+            )
+            if args.pages:
+                from refimage_ray.pipelines.flagship import build_from_pages
+
+                res = build_from_pages(args.pages, args.index, cfg)
+            else:
+                import ray.data as rd
+
+                from refimage_ray.index.build import build_index
+
+                docs = rd.read_parquet(args.documents)
+                res = build_index(docs, args.index, cfg,
+                                  lineage=[{"path": args.documents}])
+            print(json.dumps(res.metrics, indent=1))
+        elif args.cmd == "search":
+            from refimage_ray.query.engine import LocalSearcher, lookup_docs
+
+            searcher = LocalSearcher(args.index)
+            hits = searcher.search(args.query, k=args.k,
+                                   threshold=args.threshold, mode=args.mode)
+            out = [{"doc_id": d, "score": s} for d, s in hits]
+            if args.join and hits:
+                meta = lookup_docs(args.index, [d for d, _ in hits]).to_pylist()
+                by_id = {r["doc_id"]: r for r in meta}
+                for row in out:
+                    row.update(by_id.get(row["doc_id"], {}))
+            print(json.dumps(out, indent=1, default=str))
+        elif args.cmd == "dsl":
+            from refimage_ray.query.dsl import DSLExecutor
+            from refimage_ray.query.engine import LocalSearcher
+
+            ex = DSLExecutor(LocalSearcher(args.index))
+            hits = ex.execute_query(args.query, limit=args.limit,
+                                    threshold=args.threshold)
+            print(json.dumps([{"doc_id": d, "score": s} for d, s in hits], indent=1))
+        elif args.cmd == "delete":
+            from refimage_ray.index.lifecycle import delete_docs
+
+            ids = [int(x) for x in args.doc_ids.split(",") if x]
+            print(json.dumps({"tombstones": delete_docs(args.index, ids)}))
+        elif args.cmd == "compact":
+            from refimage_ray.config import EngineConfig
+            from refimage_ray.index.lifecycle import compact_index
+            from refimage_ray.index.manifest import load_manifest
+
+            man = load_manifest(args.index)
+            cfg = EngineConfig(
+                num_shards=int(man["config"]["num_shards"]),
+                salt_buckets=int(man["config"]["salt_buckets"]),
+            )
+            out = compact_index(args.index, args.out, cfg)
+            print(json.dumps(out["stats"]))
+        elif args.cmd == "merge":
+            from refimage_ray.config import EngineConfig
+            from refimage_ray.index.lifecycle import merge_indexes
+            from refimage_ray.index.manifest import load_manifest
+
+            man = load_manifest(args.inputs[0])
+            cfg = EngineConfig(
+                num_shards=int(man["config"]["num_shards"]),
+                salt_buckets=int(man["config"]["salt_buckets"]),
+            )
+            out = merge_indexes(args.inputs, args.out, cfg)
+            print(json.dumps(out["stats"]))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -273,6 +273,15 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     )
 
 
+def minhash_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Near-dup clusters (connected components over verified MinHash
+    pairs): (doc_id, cluster_id) — rows-only check."""
+    from refimage_ray.stages.dedup_near import dup_clusters
+
+    pairs = minhash_near_dups(sf_dir, threshold=threshold)
+    return dup_clusters(pairs)
+
+
 def simhash_values(sf_dir: str) -> "rd.Dataset":
     """Per-doc 64-bit SimHash (rows-only; hex-string presented)."""
 

@@ -162,6 +162,44 @@ def events_user_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    """Session windows per user (gap-based): the classic stream-shaped
+    op on a batch engine — partition by key, sort by event time within
+    the group, split sessions at gaps > ``gap_minutes``
+    (ray_guide 'streaming-shaped workloads'; ordering assumption: all
+    of a user's events fit one group, sorted in-group by ts)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        new_sess = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap
+        session_id = np.cumsum(new_sess)
+        g["session_id"] = session_id
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=("ts", "size"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
 def part_brand_stats(sf_dir: str) -> pa.Table:
     out = (
         _t(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])

@@ -226,6 +226,46 @@ def minhash_near_dup_pairs(
     )
 
 
+def dup_clusters(pairs: pa.Table) -> pa.Table:
+    """Near-dup pairs → connected components: (doc_id, cluster_id)
+    with ``cluster_id = min doc_id of the component``.
+
+    Driver-side union-find over the candidate-pair set — valid because
+    LSH pair sets are tiny relative to the corpus (only near-dups).
+    Scale path (documented): iterate min-label propagation as
+    ``groupby(doc).aggregate(Min(label))`` rounds until fixpoint when
+    the pair set itself outgrows one machine.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        parent.setdefault(int(a), int(a))
+        parent.setdefault(int(b), int(b))
+        union(int(a), int(b))
+    members = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
+        }
+    )
+
+
 def simhash_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
     """64-bit SimHash per doc (Charikar): sign of per-bit ±1 sums over
     token-occurrence hashes.  Vectorized via bit unpacking + add.at."""
