@@ -139,6 +139,22 @@ def run_bench() -> dict:
     p95 = float(np.percentile(np.array(lat), 95))
     timings["query_p95"] = round(p95, 5)
 
+    # actor-pool serving path (shard actors load postings once in
+    # __init__; driver merges in canonical order)
+    from refimage_ray.query.engine import DistributedSearcher
+
+    dsr = DistributedSearcher(index_dir, num_actors=min(8, max(2, NUM_CPUS // 4)))
+    dsr.search("warmup query", k=10)
+    dlat = []
+    for _ in range(2):
+        for q in BENCH_QUERIES:
+            tq = time.perf_counter()
+            dsr.search(q, k=10, mode="or")
+            dlat.append(time.perf_counter() - tq)
+    timings["query_p95_actor_pool"] = round(
+        float(np.percentile(np.array(dlat), 95)), 5
+    )
+
     for name, fn in [
         ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),
         ("tpch_q1", lambda: relational.tpch_q1(SF_DIR)),

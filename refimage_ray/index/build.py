@@ -397,12 +397,35 @@ def build_index(
         docs_ds.map_batches(
             attach_stats, batch_format="pyarrow", batch_size=16384
         ).write_parquet(docs_dir)
+        os.makedirs(docs_dir, exist_ok=True)  # empty corpus writes no files
         with open(success, "w") as f:
             f.write("")
     metrics["docs_write_sec"] = time.perf_counter() - t0
 
     staged_rows = _staged_row_count(docs_dir)
     driver_local = staged_rows <= DRIVER_LOCAL_ROWS
+    if staged_rows == 0:
+        # degenerate empty corpus: valid, empty artifact
+        manifest = save_manifest(
+            index_dir,
+            config={
+                "num_shards": cfg.num_shards,
+                "salt_buckets": cfg.salt_buckets,
+                "block_size": cfg.block_size,
+                "token_pattern": cfg.token_pattern,
+                "hot_df_fraction": cfg.hot_df_fraction,
+            },
+            stats={"n_docs": 0, "sum_dl": 0, "max_doc": 0, "avgdl": 1.0,
+                   "hot_terms": [], "k1": cfg.k1, "b": cfg.b},
+            lineage=lineage or [],
+            partitions=[],
+        )
+        metrics.update({"total_sec": time.perf_counter() - t0, "n_docs": 0,
+                        "n_postings": 0, "docs_per_sec": 0.0,
+                        "postings_per_sec": 0.0, "shuffle_bytes": 0,
+                        "index_bytes": 0, "n_partitions": 0})
+        save_metrics(index_dir, metrics)
+        return BuildResult(index_dir=index_dir, manifest=manifest, metrics=metrics)
 
     # ---- stage 1b: exact dedup via loser side-channel (optional) ----
     t1b = time.perf_counter()

@@ -122,16 +122,104 @@ class DSLParseError(ValueError):
     pass
 
 
+FUNC_RE = re.compile(r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG)\s*\(", re.S)
+
+
 class DSLParser:
-    """Infix grammar → AST (reference: ``dsl.py:288-399``)."""
+    """Infix grammar → AST (reference: ``dsl.py:288-399``), plus the
+    function-style grammar the reference *defines* for LLM output but
+    never implements a parser for (``llm.py:399-425``):
+    ``TEXT("x")``, ``AND(e, ...)``, ``OR(e, ...)``,
+    ``EXCLUDE(base, excluded)``, ``WEIGHT(e, w)``, ``TAG("en")``.
+    """
 
     def parse(self, query: str) -> QueryNode:
         query = query.strip()
         if not query:
             raise DSLParseError("empty query")
+        if FUNC_RE.match(query):
+            node, rest = self._parse_func(query)
+            if rest.strip():
+                raise DSLParseError(f"trailing input after expression: {rest!r}")
+            return node
         if OP_RE.search(query):
             return self._parse_or(query)
         return self._parse_simple(query)
+
+    # --- function-style grammar (recursive descent) ---
+
+    def _parse_func(self, s: str) -> tuple[QueryNode, str]:
+        m = FUNC_RE.match(s)
+        if not m:
+            raise DSLParseError(f"expected FUNC( at: {s[:40]!r}")
+        name = m.group(1)
+        rest = s[m.end():]
+        args: list = []
+        while True:
+            rest = rest.lstrip()
+            if not rest:
+                raise DSLParseError("unterminated call")
+            if rest[0] == ")":
+                rest = rest[1:]
+                break
+            if rest[0] == ",":
+                rest = rest[1:]
+                continue
+            if rest[0] in "\"'":
+                quote = rest[0]
+                end = rest.find(quote, 1)
+                if end < 0:
+                    raise DSLParseError("unterminated string literal")
+                args.append(rest[1:end])
+                rest = rest[end + 1:]
+            elif FUNC_RE.match(rest):
+                node, rest = self._parse_func(rest)
+                args.append(node)
+            else:
+                lit = re.match(r"[\d.]+", rest)
+                if not lit:
+                    raise DSLParseError(f"unexpected token at: {rest[:20]!r}")
+                args.append(float(lit.group(0)))
+                rest = rest[lit.end():]
+        return self._build_func(name, args), rest
+
+    def _build_func(self, name: str, args: list) -> QueryNode:
+        def as_node(a):
+            if isinstance(a, QueryNode):
+                return a
+            if isinstance(a, str):
+                return TextQuery(a)
+            raise DSLParseError(f"expected expression, got {a!r}")
+
+        if name == "TEXT":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise DSLParseError("TEXT() takes one string")
+            return TextQuery(args[0])
+        if name == "TAG":
+            if not args or not all(isinstance(a, str) for a in args):
+                raise DSLParseError("TAG() takes strings")
+            return TagFilter(list(args), "any")
+        if name == "AND":
+            if len(args) < 2:
+                raise DSLParseError("AND() needs ≥2 operands")
+            return AndQuery([as_node(a) for a in args])
+        if name == "OR":
+            if len(args) < 2:
+                raise DSLParseError("OR() needs ≥2 operands")
+            return OrQuery([as_node(a) for a in args])
+        if name in ("NOT", "EXCLUDE"):
+            if len(args) != 2:
+                raise DSLParseError(f"{name}() takes (base, excluded)")
+            return NotQuery(as_node(args[0]), as_node(args[1]))
+        if name == "WEIGHT":
+            if len(args) != 2 or not isinstance(args[1], float):
+                raise DSLParseError("WEIGHT() takes (expr, number)")
+            node = as_node(args[0])
+            if isinstance(node, (TextQuery, TagFilter)):
+                node.weight = args[1]
+                return node
+            raise DSLParseError("WEIGHT() applies to TEXT/TAG leaves")
+        raise DSLParseError(f"unknown function {name}")
 
     # --- operator levels: OR (loosest) → AND → NOT (tightest) ---
 

@@ -147,3 +147,43 @@ def test_weight_scales_scores(executor):
 
 def test_limit_truncates(executor):
     assert len(executor.execute_query("the", limit=5)) == 5
+
+
+# ---- function-style grammar (reference defines it for LLM output at
+# llm.py:399-425 but never implements a parser — we complete it) ----
+
+def test_func_text(parser):
+    node = parser.parse('TEXT("sunset beach")')
+    assert isinstance(node, TextQuery) and node.text == "sunset beach"
+
+
+def test_func_nested(parser):
+    node = parser.parse('AND(TEXT("a"), OR(TEXT("b"), TEXT("c")))')
+    assert isinstance(node, AndQuery) and len(node.operands) == 2
+    assert isinstance(node.operands[1], OrQuery)
+
+
+def test_func_exclude_weight_tag(parser):
+    node = parser.parse('EXCLUDE(WEIGHT(TEXT("x"), 0.8), TAG("en"))')
+    assert isinstance(node, NotQuery)
+    assert node.base.weight == pytest.approx(0.8)
+    assert isinstance(node.exclude, TagFilter) and node.exclude.tags == ["en"]
+
+
+def test_func_bare_strings_coerce(parser):
+    node = parser.parse('AND("a", "b")')
+    assert isinstance(node, AndQuery)
+    assert all(isinstance(o, TextQuery) for o in node.operands)
+
+
+def test_func_errors(parser):
+    for bad in ['TEXT()', 'AND(TEXT("a"))', 'WEIGHT(TEXT("a"))',
+                'TEXT("a"', 'TEXT("a") trailing', 'OR(TEXT("a"), 3)']:
+        with pytest.raises(DSLParseError):
+            parser.parse(bad)
+
+
+def test_func_equivalent_to_infix(executor):
+    infix = executor.execute_query("merge AND sort", limit=BIG)
+    func = executor.execute_query('AND(TEXT("merge"), TEXT("sort"))', limit=BIG)
+    assert _ids(infix) == _ids(func)
