@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_join": relational.nation_region_join,
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.events_sessionize,
+        "events_rolling_avg": relational.events_rolling_avg,
+        "order_revenue_by_priority": relational.order_revenue_by_priority,
+        "doc_sample": relational.doc_sample,
         "events_user_stats": relational.events_user_stats,
     }
 
@@ -267,6 +270,24 @@ GROUP BY r_name ORDER BY r_name
 SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+""",
+        "order_revenue_by_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "doc_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+      < CAST(0.2 * 4294967296 AS BIGINT)
+""",
+        "events_rolling_avg": """
+SELECT user_id, event_id, ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS rolling_avg
+FROM events
 """,
         "events_sessionize": """
 WITH o AS (

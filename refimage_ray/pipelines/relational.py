@@ -162,6 +162,74 @@ def events_user_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def order_revenue_by_priority(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """Large-large join (lineitem ⋈ orders on orderkey) via the explicit
+    bucketed hash join (stages/joins.py), then a grouped revenue sum."""
+    from refimage_ray.stages.joins import hash_join
+
+    joined = hash_join(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderkey", "o_orderpriority"],
+        buckets=buckets,
+    )
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"o_orderpriority": b["o_orderpriority"], "rev": rev})
+
+    out = (
+        joined.map_batches(revenue, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="rev_sum"))
+        .to_pandas()
+    )
+    out["total_revenue"] = out["rev_sum"].round(2)
+    out = out.drop(columns=["rev_sum"]).sort_values("o_orderpriority")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_sample(sf_dir: str, rate: float = 0.2) -> "rd.Dataset":
+    """Deterministic hash-based sample (no RNG → stable across runs and
+    cluster sizes; the same multiplicative-hash mask the index build
+    uses for hot-term estimation, and SQL-expressible for the oracle)."""
+    threshold = np.int64(int(rate * 4294967296.0))
+
+    def mask(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return b.filter(pa.array(h < np.uint64(threshold)))
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "lang"])
+        .map_batches(mask, batch_format="pyarrow")
+    )
+
+
+def events_rolling_avg(sf_dir: str, window: int = 3) -> "rd.Dataset":
+    """Rolling mean per user over event time (windowed aggregate as
+    groupby + in-group sort + pandas rolling; SQL window-fn oracle)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        g["rolling_avg"] = (
+            g["value"].rolling(window, min_periods=1).mean().round(4)
+        )
+        return g[["user_id", "event_id", "ts", "rolling_avg"]]
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     """Session windows per user (gap-based): the classic stream-shaped
     op on a batch engine — partition by key, sort by event time within

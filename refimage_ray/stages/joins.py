@@ -1,0 +1,97 @@
+"""Distributed joins for two LARGE sides — explicit bucketed hash join.
+
+The reference only ever joins a tiny top-k result against metadata
+(broadcast/map-side, ``query/engine.lookup_docs``).  For two large
+relations the portable Ray Data pattern (ray_guide "Joins and
+lookups") is an explicit partitioned hash join:
+
+    tag each side (side=0/1) → union → add ``bucket = key_hash % B``
+    → groupby(bucket) → per bucket: pandas merge of the two sides
+
+One all-to-all on the bucket key; B sized ≈ 4× cores; skewed hot keys
+should be salted like hot terms (same machinery as the index build).
+Ray 2.49 also ships a native ``Dataset.join`` — we keep the explicit
+version as the documented, tunable path (and it works on any Ray
+version with groupby).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _with_bucket_and_side(
+    ds: "ray.data.Dataset",
+    key: str,
+    side: int,
+    buckets: int,
+    keep: list[str],
+    unified: pa.Schema,
+) -> "ray.data.Dataset":
+    def tag(b: pa.Table) -> pa.Table:
+        cols = {}
+        n = b.num_rows
+        for field in unified:
+            if field.name in keep and field.name in b.column_names:
+                cols[field.name] = b[field.name]
+            else:
+                cols[field.name] = pa.nulls(n, field.type)
+        out = pa.table(cols)
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.abs((k * np.int64(2654435761)) % np.int64(buckets))
+        return out.append_column(
+            "join_bucket", pa.array(bucket, pa.int64())
+        ).append_column("join_side", pa.array(np.full(n, side, np.int8)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    buckets: int = 64,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Bucketed hash join of two large Datasets → joined Dataset.
+
+    Column sets must be disjoint apart from the keys (pandas suffixes
+    are deliberately not supported — name columns explicitly).
+    """
+    def _fields(ds) -> list[pa.Field]:
+        sch = ds.schema()  # ray Schema wrapper: .names / .types
+        out = []
+        for name, typ in zip(sch.names, sch.types):
+            if not isinstance(typ, pa.DataType):
+                typ = pa.from_numpy_dtype(np.dtype(typ))  # pandas-block schema
+            out.append(pa.field(name, typ))
+        return out
+
+    fields = []
+    seen = set()
+    for fs, cols in ((_fields(left), left_cols), (_fields(right), right_cols)):
+        for f in fs:
+            if f.name in cols and f.name not in seen:
+                fields.append(f)
+                seen.add(f.name)
+    unified = pa.schema(fields)
+    lt = _with_bucket_and_side(left, left_on, 0, buckets, left_cols, unified)
+    rt = _with_bucket_and_side(right, right_on, 1, buckets, right_cols, unified)
+    both = lt.union(rt)
+    l_cols, r_cols = list(left_cols), list(right_cols)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["join_side"] == 0][l_cols]
+        rg = g[g["join_side"] == 1][r_cols]
+        out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+        return out
+
+    return both.groupby("join_bucket").map_groups(merge_bucket, batch_format="pandas")

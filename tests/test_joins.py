@@ -1,0 +1,69 @@
+"""Bucketed hash join (two large sides) vs pandas reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.stages.joins import hash_join
+
+
+@pytest.fixture(scope="module")
+def two_tables():
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, size=1000),
+            "lv": rng.standard_normal(1000).round(3),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(150),  # some keys match, some don't
+            "rv": [f"name-{i}" for i in range(150)],
+        }
+    )
+    return left, right
+
+
+def test_inner_join_matches_pandas(ray_session, two_tables):
+    left, right = two_tables
+    got = (
+        hash_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            left_on="k",
+            right_on="rk",
+            left_cols=["k", "lv"],
+            right_cols=["rk", "rv"],
+            buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, left_on="k", right_on="rk", how="inner")
+        .sort_values(["k", "lv", "rv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_left_join_keeps_unmatched(ray_session, two_tables):
+    left, right = two_tables
+    got = hash_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        left_on="k",
+        right_on="rk",
+        left_cols=["k", "lv"],
+        right_cols=["rk", "rv"],
+        buckets=8,
+        how="left",
+    ).to_pandas()
+    assert len(got) == len(left.merge(right, left_on="k", right_on="rk", how="left"))
+    unmatched = got[got["rv"].isna()]
+    assert (unmatched["k"] >= 150).all()
