@@ -71,7 +71,8 @@ def hash_join(
         out = []
         for name, typ in zip(sch.names, sch.types):
             if not isinstance(typ, pa.DataType):
-                typ = pa.from_numpy_dtype(np.dtype(typ))  # pandas-block schema
+                dt = np.dtype(typ)  # pandas-block schema
+                typ = pa.string() if dt == np.dtype(object) else pa.from_numpy_dtype(dt)
             out.append(pa.field(name, typ))
         return out
 
@@ -88,10 +89,13 @@ def hash_join(
     both = lt.union(rt)
     l_cols, r_cols = list(left_cols), list(right_cols)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["join_side"] == 0][l_cols]
-        rg = g[g["join_side"] == 1][r_cols]
-        out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
-        return out
+    def merge_bucket(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
 
-    return both.groupby("join_bucket").map_groups(merge_bucket, batch_format="pandas")
+        # split sides in Arrow so column types survive (the union's
+        # cross-side nulls would coerce ints to float in pandas)
+        lg = g.filter(pc.equal(g["join_side"], 0)).select(l_cols).to_pandas()
+        rg = g.filter(pc.equal(g["join_side"], 1)).select(r_cols).to_pandas()
+        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+
+    return both.groupby("join_bucket").map_groups(merge_bucket, batch_format="pyarrow")
