@@ -563,7 +563,7 @@ def build_index(
             return pack_batch(batch, cfg, hot_arr, doc_span, done_arr)
 
         shuffled_in = corpus.map_batches(
-            pack, batch_format="pyarrow", batch_size=16384
+            pack, batch_format="pyarrow", batch_size=8192
         )
         builder = PackedBuildPartition(index_dir, cfg, avgdl)
     else:
@@ -575,12 +575,14 @@ def build_index(
     def build_partition(group: pa.Table) -> pa.Table:
         return builder(group)
 
-    new_rows = (
-        shuffled_in.groupby("gkey")
-        .map_groups(build_partition, batch_format="pyarrow")
-        .take_all()
+    manifest_ds = shuffled_in.groupby("gkey").map_groups(
+        build_partition, batch_format="pyarrow"
     )
+    new_rows = manifest_ds.take_all()
     metrics["shuffle_build_sec"] = time.perf_counter() - t3
+    if os.environ.get("REFIMAGE_PRINT_STATS") == "1":
+        # per-operator wall/cpu/memory breakdown of the wide step
+        print(manifest_ds.stats())
 
     # ---- stage 5: manifest ----
     prior = load_manifest(index_dir) if resume else None
