@@ -53,3 +53,25 @@ def test_blank_docs_excluded_from_postings(ray_session, tmp_path):
     assert res.metrics["n_docs"] == 3  # docs exist...
     s = LocalSearcher(d)
     assert {doc for doc, _ in s.search("real words", k=5)} == {2}  # ...but no postings
+
+
+def test_rank_identity_uniform_vocab(ray_session, tmp_path):
+    """Second corpus distribution: uniform vocab (mostly rare terms —
+    exercises the non-hot/non-salted path), dup texts, empty docs."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i:04d}" for i in range(3000)]
+    texts = []
+    for i in range(300):
+        n = int(rng.integers(0, 60))
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    texts[250] = texts[10]  # exact dup
+    d = str(tmp_path / "uni")
+    build_index(rd.from_arrow(_docs(texts)), d, CFG)
+    s = LocalSearcher(d)
+    oracle = BM25Oracle(list(enumerate(texts)), CFG)
+    queries = [" ".join(np.random.default_rng(i).choice(vocab, size=3)) for i in range(12)]
+    for q in queries + [texts[5][:50], "t0001 t0002"]:
+        for mode in ("or", "and"):
+            assert s.search(q, k=10, mode=mode) == oracle.search(q, k=10, mode=mode), (q, mode)

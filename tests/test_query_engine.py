@@ -57,3 +57,13 @@ def test_pruned_equals_full(local, oracle):
                 full = local.search(q, k=k, threshold=th, prune=False)
                 pruned = local.search(q, k=k, threshold=th, prune=True)
                 assert pruned == full, (q, k, th)
+
+
+def test_dsl_over_distributed_searcher(ray_session, built_index):
+    """The DSL executor runs unchanged over the actor-pool searcher."""
+    from refimage_ray.query.dsl import DSLExecutor
+
+    local = DSLExecutor(LocalSearcher(built_index[0]))
+    dist = DSLExecutor(DistributedSearcher(built_index[0], num_actors=2))
+    for q in ("merge AND sort", "spark OR vector #en", "the NOT spark"):
+        assert dist.execute_query(q, limit=50) == local.execute_query(q, limit=50)
