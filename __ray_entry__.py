@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / embeddings ---
         "knn_cosine": vectors.knn_cosine,
         "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
+        "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
         "embedding_near_dups": vectors.embedding_near_dups,
         # --- relational / dataflow breadth ---

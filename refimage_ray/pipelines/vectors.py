@@ -17,6 +17,7 @@ from ray.data.aggregate import Count, Sum
 from refimage_ray.stages.ann import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -60,6 +61,22 @@ def knn_cosine_lsh(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) 
     probabilistic by design)."""
     q = _query_vectors(sf_dir, list(query_vec_ids))
     t = lsh_bucketed_topk(_emb(sf_dir), q, k=k, n_planes=8, multiprobe=1)
+    qid = pa.array(
+        [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
+    )
+    return pa.table(
+        {
+            "query_id": qid,
+            "vec_id": t["vec_id"],
+            "score": pc.round(t["score"], ndigits=4),
+        }
+    )
+
+
+def knn_cosine_ivf(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
+    """IVF-style approximate variant — rows-only check (approx by design)."""
+    q = _query_vectors(sf_dir, list(query_vec_ids))
+    t = ivf_topk(_emb(sf_dir), q, k=k, n_centroids=16, nprobe=4)
     qid = pa.array(
         [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
     )

@@ -46,7 +46,8 @@ from refimage_ray.query.scorer import query_terms, topk_select
 
 
 def _score_disjunctive(
-    term_map: dict[str, TermPostings], terms: list[str], n_docs: int
+    term_map: dict[str, TermPostings], terms: list[str], n_docs: int,
+    idf_fn=_idf,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Canonical-order TAAT accumulation → (doc_ids, scores)."""
     parts_ids, parts_scores = [], []
@@ -55,7 +56,7 @@ def _score_disjunctive(
         if p is None or p.df == 0:
             continue
         parts_ids.append(p.doc_ids)
-        parts_scores.append(_idf(p.df, n_docs) * p.weights)
+        parts_scores.append(idf_fn(p.df, n_docs) * p.weights)
     if not parts_ids:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     all_ids = np.concatenate(parts_ids)
@@ -86,6 +87,7 @@ def _topk_disjunctive_pruned(
     n_docs: int,
     k: int,
     threshold: float,
+    idf_fn=_idf,
 ) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore-style top-k with EXACT results.
 
@@ -105,7 +107,7 @@ def _topk_disjunctive_pruned(
         p = term_map.get(t)
         if p is None or p.df == 0:
             continue
-        t_idf = _idf(p.df, n_docs)
+        t_idf = idf_fn(p.df, n_docs)
         infos.append((t, p, t_idf, t_idf * p.max_weight))
     if not infos:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -128,7 +130,7 @@ def _topk_disjunctive_pruned(
             break
     cand = np.unique(np.concatenate([infos[i][1].doc_ids for i in range(j)]))
     if len(cand) < k:  # not enough candidates → no pruning possible
-        return _score_disjunctive(term_map, terms, n_docs)
+        return _score_disjunctive(term_map, terms, n_docs, idf_fn)
 
     scores = np.zeros(len(cand), np.float64)
     for t in terms:  # ascending term order → canonical float sums
@@ -138,12 +140,13 @@ def _topk_disjunctive_pruned(
         idx = np.searchsorted(p.doc_ids, cand)
         ok = idx < len(p.doc_ids)
         ok[ok] = p.doc_ids[idx[ok]] == cand[ok]
-        scores[ok] += _idf(p.df, n_docs) * p.weights[idx[ok]]
+        scores[ok] += idf_fn(p.df, n_docs) * p.weights[idx[ok]]
     return cand, scores
 
 
 def _score_conjunctive(
-    term_map: dict[str, TermPostings], terms: list[str], n_docs: int
+    term_map: dict[str, TermPostings], terms: list[str], n_docs: int,
+    idf_fn=_idf,
 ) -> tuple[np.ndarray, np.ndarray]:
     plists = []
     for term in terms:
@@ -163,15 +166,42 @@ def _score_conjunctive(
     scores = np.zeros(len(candidates), np.float64)
     for term, p in plists:  # ascending term order → canonical float sums
         idx = np.searchsorted(p.doc_ids, candidates)
-        scores += _idf(p.df, n_docs) * p.weights[idx]
+        scores += idf_fn(p.df, n_docs) * p.weights[idx]
     return candidates, scores
 
 
 class _SearcherBase:
     n_docs: int
+    avgdl: float = 1.0
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         raise NotImplementedError
+
+    def _rescore_map(
+        self, term_map: dict[str, TermPostings], scorer_name: str
+    ) -> dict[str, TermPostings]:
+        """Plugin-scorer path: recompute per-posting weights from the
+        stored (tf, dl) columns with an alternative Scorer — the
+        end-to-end payoff of persisting ``dls`` in the artifact.
+        idf is swapped per-call in the scoring functions via df, so
+        only weights need rebuilding here."""
+        from dataclasses import replace
+
+        from refimage_ray.extension import get_scorer
+
+        sc = get_scorer(scorer_name)
+        out = {}
+        for t, p in term_map.items():
+            if p.dls is None:
+                raise ValueError(
+                    "index lacks per-posting doc lengths; rebuild to use "
+                    f"scorer={scorer_name!r}"
+                )
+            w = sc.weight(
+                p.tfs.astype(np.float64), p.dls.astype(np.float64), self.avgdl
+            )
+            out[t] = replace(p, weights=w, max_weight=float(w.max()) if len(w) else 0.0)
+        return out
 
     def search(
         self,
@@ -181,19 +211,26 @@ class _SearcherBase:
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
         prune: bool = True,
+        scorer: str = "bm25",
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         terms = query_terms(tokenize(query))
         term_map = self._term_map(terms)
+        idf_fn = _idf
+        if scorer != "bm25":
+            term_map = self._rescore_map(term_map, scorer)
+            from refimage_ray.extension import get_scorer
+
+            idf_fn = get_scorer(scorer).idf
         if mode == "and":
-            ids, scores = _score_conjunctive(term_map, terms, self.n_docs)
+            ids, scores = _score_conjunctive(term_map, terms, self.n_docs, idf_fn)
         elif prune:
             ids, scores = _topk_disjunctive_pruned(
-                term_map, terms, self.n_docs, k, threshold
+                term_map, terms, self.n_docs, k, threshold, idf_fn
             )
         else:
-            ids, scores = _score_disjunctive(term_map, terms, self.n_docs)
+            ids, scores = _score_disjunctive(term_map, terms, self.n_docs, idf_fn)
         ids, scores = topk_select(ids, scores, k, threshold)
         return list(zip(ids.tolist(), scores.tolist()))
 
@@ -225,7 +262,7 @@ class ShardSearcher:
             p = self.terms.get(t)
             if p is not None:
                 out[t] = (p.df, p.doc_ids, p.weights, p.max_weight,
-                          p.block_last_doc, p.block_max_weight)
+                          p.block_last_doc, p.block_max_weight, p.tfs, p.dls)
         return out
 
 
@@ -241,6 +278,7 @@ class DistributedSearcher(_SearcherBase):
         reader = IndexReader(index_dir)
         self.index_dir = index_dir
         self.n_docs = reader.n_docs
+        self.avgdl = reader.avgdl
         self.num_shards = reader.num_shards
         shards = reader.shards()
         num_actors = max(1, min(num_actors, max(1, len(shards))))
@@ -263,10 +301,11 @@ class DistributedSearcher(_SearcherBase):
         ]
         merged: dict[str, TermPostings] = {}
         for res in ray.get(futures):
-            for t, (df, ids, w, mw, bl, bm) in res.items():
+            for t, (df, ids, w, mw, bl, bm, tfs, dls) in res.items():
                 merged[t] = TermPostings(
-                    df=df, doc_ids=ids, weights=w, tfs=np.zeros(0, np.int64),
+                    df=df, doc_ids=ids, weights=w, tfs=tfs,
                     max_weight=mw, block_last_doc=bl, block_max_weight=bm,
+                    dls=dls,
                 )
         return merged
 

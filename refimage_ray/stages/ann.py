@@ -176,6 +176,101 @@ def lsh_bucketed_topk(
     )
 
 
+def _kmeans_lite(
+    sample: np.ndarray, n_centroids: int, iters: int = 8
+) -> np.ndarray:
+    """Deterministic Lloyd iterations on a (normalized) sample —
+    no RNG: init = the first k sample rows (sample order is itself a
+    deterministic hash order).  Driver-side; the sample is small."""
+    k = min(n_centroids, len(sample))
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(
+    emb_ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """IVF-style approximate top-k: cluster on a deterministic sample,
+    then score ONLY vectors whose nearest centroid is among each
+    query's ``nprobe`` closest centroids.  The coarse-quantizer analog
+    of the reference's declared-but-unimplemented ``index_type='ivf'``
+    (``/root/reference/src/refimage/config.py:50-52``, commented-out
+    IVF at ``search/__init__.py:88-90``) — here actually implemented.
+    Approximate by design; recall grows with nprobe.
+    """
+    qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    # deterministic sample: first rows in stored order up to sample_rows
+    head = emb_ds.limit(sample_rows).to_pandas()
+    sm = _normalize(np.stack(head[emb_col].to_numpy()).astype(np.float64))
+    cents = _kmeans_lite(sm, n_centroids)
+    q_cent = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_union = np.unique(q_cent)
+    state = ray.put((qm, cents, q_cent, probe_union))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, C, qc, probe = ray.get(state)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_to_matrix(batch[emb_col]))
+        assign = (m @ C.T).argmax(axis=1)
+        keep = np.isin(assign, probe)
+        ids, m, assign = ids[keep], m[keep], assign[keep]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            sel = np.isin(assign, qc[qi])
+            if not sel.any():
+                continue
+            s = m[sel] @ q[qi]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            out_q.append(np.full(len(top), qi, dtype=np.int64))
+            out_id.append(ids[sel][top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )
+
+
 def embedding_near_dup_pairs(
     emb_ds: "ray.data.Dataset",
     *,

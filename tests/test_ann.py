@@ -89,3 +89,20 @@ def test_near_dup_respects_groups(ray_session, emb_table):
     ).to_pandas()
     # 11 and 37 share label (both odd)
     assert (11, 37) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_ivf_recall_and_self_match(ray_session, emb_table):
+    from refimage_ray.stages.ann import ivf_topk
+
+    table, m = emb_table
+    q = m[7]
+    exact = {v for v, _ in _naive_topk(m, q, 10)[0]}
+    approx = ivf_topk(rd.from_arrow(table), q, k=10, n_centroids=8,
+                      nprobe=4).to_pandas()
+    got = set(approx.vec_id.astype(int))
+    assert 7 in got                       # self lands in its own cell
+    assert len(exact & got) >= 4          # decent recall at nprobe=4
+    # deterministic across invocations
+    again = ivf_topk(rd.from_arrow(table), q, k=10, n_centroids=8,
+                     nprobe=4).to_pandas()
+    assert approx.equals(again)

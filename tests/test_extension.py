@@ -82,3 +82,22 @@ def test_list_docs_page_validation(ray_session):
     page = list_docs_page("/root/testdata/sf0.001", limit=5, offset=2,
                           sort_by="doc_id", sort_order="asc")
     assert page["doc_id"].to_pylist() == [2, 3, 4, 5, 6]
+
+
+def test_pluggable_scorer_end_to_end(ray_session, built_index):
+    """search(scorer='bm25l') recomputes weights from stored (tf, dl)
+    — ranks shift but doc coverage stays sane; default path unchanged."""
+    from refimage_ray.query.engine import DistributedSearcher, LocalSearcher
+
+    s = LocalSearcher(built_index[0])
+    base = s.search("the data join", k=20)
+    alt = s.search("the data join", k=20, scorer="bm25l")
+    assert base and alt
+    assert [d for d, _ in base] != [] and len(alt) == len(base)
+    assert {d for d, _ in alt} & {d for d, _ in base}  # overlapping doc sets
+    assert alt != base  # different scoring family → different scores
+    with pytest.raises(KeyError):
+        s.search("x", scorer="nope")
+    # distributed path supports plugin scorers too (ships tf/dl arrays)
+    d = DistributedSearcher(built_index[0], num_actors=2)
+    assert d.search("the data join", k=20, scorer="bm25l") == alt
