@@ -49,7 +49,45 @@ class ExtractText:
         return _html.unescape(joined) if "&" in joined else joined
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [self.extract_one(h) for h in batch["html"].to_pylist()]
+        import numpy as np
+        import pyarrow.compute as pc
+
+        html_col = batch["html"]
+        # --- vectorized fast path: exactly one <p>…</p>, no entities ---
+        # (the overwhelmingly common page shape; byte-identical to the
+        # general path because single-paragraph extraction is just the
+        # <p> body, and unescape is identity without '&')
+        as_str = pc.cast(html_col, pa.string())
+        n_p = pc.count_substring(as_str, pattern="<p").to_numpy(
+            zero_copy_only=False
+        )
+        has_amp = pc.greater(
+            pc.count_substring(as_str, pattern="&"), 0
+        ).to_numpy(zero_copy_only=False)
+        has_nl = pc.greater(
+            pc.count_substring(as_str, pattern="\n"), 0
+        ).to_numpy(zero_copy_only=False)
+        fast = (n_p == 1) & ~has_amp & ~has_nl
+        texts: list = [None] * batch.num_rows
+        slow_mask = ~fast
+        if fast.any():
+            sub = pc.extract_regex(
+                pc.filter(as_str, pa.array(fast)), pattern=r"<p[^>]*>(?P<body>.*?)</p>"
+            )
+            bodies = pc.struct_field(sub, "body").to_pylist()
+            fi = 0
+            for i in np.flatnonzero(fast):
+                body = bodies[fi]
+                fi += 1
+                if body is None or "<" in body:
+                    slow_mask[i] = True  # nested markup → general parser
+                else:
+                    texts[i] = body
+        slow_idx = np.flatnonzero(slow_mask)
+        if len(slow_idx):
+            raws = html_col.take(pa.array(slow_idx)).to_pylist()
+            for i, raw in zip(slow_idx, raws):
+                texts[i] = self.extract_one(raw)
         keep = [n for n in batch.column_names if n not in ("html", "text")]
         out = batch.select(keep)
         return out.append_column("text", pa.array(texts, pa.string()))
