@@ -67,3 +67,39 @@ def test_dsl_over_distributed_searcher(ray_session, built_index):
     dist = DSLExecutor(DistributedSearcher(built_index[0], num_actors=2))
     for q in ("merge AND sort", "spark OR vector #en", "the NOT spark"):
         assert dist.execute_query(q, limit=50) == local.execute_query(q, limit=50)
+
+
+def test_concurrent_searches_consistent(local):
+    """50 concurrent searches return identical results to serial ones
+    (reference analog: 50-concurrent-request load test,
+    /root/reference/tests/test_driver_real.py:341-380)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    queries = [FIXTURE_QUERIES[i % len(FIXTURE_QUERIES)] for i in range(50)]
+    serial = [local.search(q, k=10) for q in queries]
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        concurrent = list(pool.map(lambda q: local.search(q, k=10), queries))
+    assert concurrent == serial
+
+
+def test_reader_handles_pre_dls_artifacts(built_index, tmp_path):
+    """Artifacts written before the dls column existed stay readable;
+    only plugin scorers (which need tf/dl) refuse."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = built_index[0]
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(src, legacy)
+    for part in glob.glob(os.path.join(legacy, "part-*.parquet")):
+        t = pq.read_table(part)
+        pq.write_table(t.drop_columns(["dls"]), part)
+    s_old = LocalSearcher(legacy)
+    s_new = LocalSearcher(src)
+    for q in FIXTURE_QUERIES[:4]:
+        assert s_old.search(q, k=10) == s_new.search(q, k=10)
+    with pytest.raises(ValueError, match="lacks per-posting doc lengths"):
+        s_old.search("the", scorer="bm25l")
