@@ -620,6 +620,13 @@ def build_index(
 
     total = time.perf_counter() - t0
     n_postings = sum(p["n_postings"] for p in parts.values())
+    # skew evidence: how evenly the salted shuffle spread reducer work
+    sizes = sorted(p["n_postings"] for p in parts.values())
+    if sizes:
+        mean_sz = n_postings / len(sizes)
+        metrics["partition_postings_max"] = int(sizes[-1])
+        metrics["partition_postings_p50"] = int(sizes[len(sizes) // 2])
+        metrics["partition_skew_ratio"] = round(sizes[-1] / max(mean_sz, 1), 3)
     metrics.update(
         {
             "total_sec": total,
