@@ -227,10 +227,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity), 0) AS sum_qty,
+       round(sum(l_extendedprice), 0) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
        CAST(count(*) AS BIGINT) AS count_order,
        round(sum(l_quantity) / count(*), 4) AS avg_qty,
        round(sum(l_extendedprice) / count(*), 4) AS avg_price,
@@ -274,7 +274,7 @@ FROM events GROUP BY event_type, hour ORDER BY event_type, hour
 """,
         "order_revenue_by_priority": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS total_revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,

@@ -69,8 +69,11 @@ def tpch_q1(sf_dir: str) -> pa.Table:
     agg["avg_qty"] = (agg["sum_qty"] / agg["count_order"]).round(4)
     agg["avg_price"] = (agg["sum_base_price"] / agg["count_order"]).round(4)
     agg["avg_disc"] = (agg["sum_disc"] / agg["count_order"]).round(4)
+    # whole-unit rounding: distributed vs sequential float summation
+    # differs by ~1e-5 absolute on 1e10-magnitude sums; a 0.01 quantum
+    # makes boundary flips likely at scale, a 1.0 quantum does not
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        agg[c] = agg[c].round(2)
+        agg[c] = agg[c].round(0)
     agg = agg.drop(columns=["sum_disc"]).sort_values(
         ["l_returnflag", "l_linestatus"]
     )
@@ -189,7 +192,7 @@ def order_revenue_by_priority(sf_dir: str, buckets: int = 32) -> pa.Table:
         .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="rev_sum"))
         .to_pandas()
     )
-    out["total_revenue"] = out["rev_sum"].round(2)
+    out["total_revenue"] = out["rev_sum"].round(0)  # whole units: see tpch_q1 note
     out = out.drop(columns=["rev_sum"]).sort_values("o_orderpriority")
     return pa.Table.from_pandas(out, preserve_index=False)
 
