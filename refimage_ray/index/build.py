@@ -320,21 +320,21 @@ def _estimate_hot_terms(
 
 def _estimate_hot_terms_local(
     docs_dir: str,
-    losers: np.ndarray,
-    n_docs: int,
+    staged_rows: int,
     cfg: EngineConfig,
     sample_target: int = 20000,
 ) -> tuple[list[str], int]:
-    """Driver-local variant of :func:`_estimate_hot_terms` — identical
-    sample mask and counting, no Ray stages."""
-    rate = min(1.0, sample_target / max(1, n_docs))
+    """Driver-local hot-term estimation — identical sample mask and
+    counting to the distributed variant, no Ray stages.
+
+    Rates/thresholds use the raw staged row count (pre-dedup) so this
+    pass needs no dependency on the loser scan and can overlap it; a
+    few duplicate docs in the sample bias df estimates negligibly, and
+    the hot set is a pure load-balancing choice — never correctness."""
+    rate = min(1.0, sample_target / max(1, staged_rows))
     t = pq.read_table(docs_dir, columns=["doc_id", "text"])
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mask = _sample_mask(ids, rate)
-    if len(losers):
-        pos = np.searchsorted(losers, ids)
-        hit = (pos < len(losers)) & (losers[np.minimum(pos, len(losers) - 1)] == ids)
-        mask &= ~hit
     sub = t.filter(pa.array(mask))
     if sub.num_rows == 0:
         return [], 0
@@ -342,9 +342,9 @@ def _estimate_hot_terms_local(
     g = toks.select(["term"]).group_by("term").aggregate([([], "count_all")])
     df_s = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
     terms = np.asarray(g["term"].to_pylist(), dtype=object)
-    sample_n = max(1, int(round(n_docs * rate)))
-    scale = n_docs / sample_n
-    hot = terms[df_s * scale >= cfg.hot_df_fraction * n_docs]
+    sample_n = max(1, int(round(staged_rows * rate)))
+    scale = staged_rows / sample_n
+    hot = terms[df_s * scale >= cfg.hot_df_fraction * staged_rows]
     return sorted(hot.tolist()), sample_n
 
 
@@ -431,26 +431,48 @@ def build_index(
     t1b = time.perf_counter()
     losers = np.zeros(0, dtype=np.int64)
     losers_path = os.path.join(index_dir, "losers.parquet")
+
+    def _scan_losers_local() -> np.ndarray:
+        from refimage_ray.functions.hashing import hex_prefix_u64
+
+        schema_names = pq.ParquetDataset(docs_dir).schema.names
+        if "content_key" in schema_names:
+            t = pq.read_table(docs_dir, columns=["doc_id", "content_key"])
+            keys = t["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+            keys = hex_prefix_u64(t["content_hash"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, keys))
+        dup = np.zeros(len(ids), dtype=bool)
+        dup[1:] = keys[order][1:] == keys[order][:-1]
+        return np.sort(ids[order][dup])
+
+    def _read_stats_local() -> tuple:
+        t = pq.read_table(docs_dir, columns=["doc_id", "doc_len"])
+        return (
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    hot_future = stats_future = None
+    if driver_local:
+        # the three narrow side passes read disjoint columns → overlap
+        # them (pyarrow releases the GIL during decode); results are
+        # combined deterministically below
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        stats_future = pool.submit(_read_stats_local)
+        hot_future = pool.submit(
+            _estimate_hot_terms_local, docs_dir, staged_rows, cfg
+        )
+
     if dedup_exact:
         if resume and os.path.exists(losers_path):
             losers = pq.read_table(losers_path)["doc_id"].to_numpy().astype(np.int64)
         elif driver_local:
-            from refimage_ray.functions.hashing import hex_prefix_u64
-
-            schema_names = pq.ParquetDataset(docs_dir).schema.names
-            if "content_key" in schema_names:
-                t = pq.read_table(docs_dir, columns=["doc_id", "content_key"])
-                keys = t["content_key"].to_numpy(zero_copy_only=False).astype(
-                    np.uint64
-                )
-            else:
-                t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
-                keys = hex_prefix_u64(t["content_hash"])
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.lexsort((ids, keys))
-            dup = np.zeros(len(ids), dtype=bool)
-            dup[1:] = keys[order][1:] == keys[order][:-1]
-            losers = np.sort(ids[order][dup])
+            losers = _scan_losers_local()
         else:
             from refimage_ray.stages.dedup import find_dup_losers
 
@@ -483,9 +505,7 @@ def build_index(
     # ---- stage 2: global stats (tiny aggregate) ----
     t1 = time.perf_counter()
     if driver_local:
-        t = pq.read_table(docs_dir, columns=["doc_id", "doc_len"])
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dls = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, dls = stats_future.result()
         if len(losers):
             pos = np.searchsorted(losers, ids)
             hit = (pos < len(losers)) & (
@@ -511,9 +531,8 @@ def build_index(
     # ---- stage 3: hot-term estimation (sampled, deterministic) ----
     t2 = time.perf_counter()
     if driver_local:
-        hot_terms, sample_n = _estimate_hot_terms_local(
-            docs_dir, losers, n_docs, cfg
-        )
+        hot_terms, sample_n = hot_future.result()
+        pool.shutdown(wait=False)
     else:
         hot_terms, sample_n = _estimate_hot_terms(
             corpus_read(["doc_id", "text"]), n_docs, cfg
