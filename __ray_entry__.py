@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": corpus.top_terms,
         "tokenize_postings": corpus.tokenize_postings,
         "list_docs_page": corpus.list_docs_page,
+        "bigram_counts": corpus.bigram_counts,
         "index_term_stats": search.index_term_stats,
         "bm25_topk": search.bm25_topk,
         "bm25_topk_and": search.bm25_topk_and,
@@ -153,6 +154,19 @@ GROUP BY term ORDER BY df DESC, term LIMIT 20
 """,
         "tokenize_postings": f"""
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf FROM ({_TF}) WHERE doc_id < 100
+""",
+        "bigram_counts": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM docs WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY bigram HAVING count(*) >= 5
 """,
         "list_docs_page": """
 SELECT doc_id, lang, n_chars FROM documents

@@ -273,6 +273,43 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     )
 
 
+def bigram_counts(sf_dir: str, min_count: int = 5) -> "rd.Dataset":
+    """Word-bigram counts across the corpus (n-gram LM corpus prep).
+
+    Vectorized: flat tokens + parent indices → adjacent pairs within
+    the same doc → ``binary_join_element_wise`` → per-batch partial
+    counts → tiny groupby.  SQL oracle via lateral generate_series.
+    """
+    from refimage_ray.stages.tokenize import _flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(batch["text"], DEFAULT_CONFIG)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        same_doc = parent[:-1] == parent[1:]
+        left = flat.slice(0, n - 1).filter(pa.array(same_doc))
+        right = flat.slice(1, n - 1).filter(pa.array(same_doc))
+        joined = pc.binary_join_element_wise(left, right, " ")
+        g = pa.table({"bigram": joined}).group_by("bigram").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"bigram": g["bigram"],
+                         "n_part": pc.cast(g["count_all"], pa.int64())})
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return out.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+        batch_format="pyarrow",
+    )
+
+
 def minhash_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     """Near-dup clusters (connected components over verified MinHash
     pairs): (doc_id, cluster_id) — rows-only check."""

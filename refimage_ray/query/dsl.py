@@ -41,6 +41,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 TAG_RE = re.compile(r"#(\w+)")
+PHRASE_RE = re.compile(r'"([^"]*)"')
 WEIGHT_RE = re.compile(r"\^(\d*\.?\d+)")
 OP_RE = re.compile(r"\b(AND|OR|NOT)\b")
 
@@ -61,6 +62,22 @@ class TextQuery(QueryNode):
     def execute(self, ctx):
         hits = ctx.searcher.search(
             self.text, k=ctx.limit, threshold=ctx.min_score, mode="or"
+        )
+        return {d: s * self.weight for d, s in hits}
+
+
+@dataclass
+class PhraseQuery(QueryNode):
+    """Exact-phrase leaf (quoted in the infix grammar, ``PHRASE()`` in
+    the function grammar) — beyond the reference's surface; executed
+    via conjunctive candidates + adjacency verification."""
+
+    text: str
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        hits = ctx.searcher.search_phrase(
+            self.text, k=ctx.limit, threshold=ctx.min_score
         )
         return {d: s * self.weight for d, s in hits}
 
@@ -122,7 +139,7 @@ class DSLParseError(ValueError):
     pass
 
 
-FUNC_RE = re.compile(r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG)\s*\(", re.S)
+FUNC_RE = re.compile(r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG|PHRASE)\s*\(", re.S)
 
 
 class DSLParser:
@@ -195,6 +212,10 @@ class DSLParser:
             if len(args) != 1 or not isinstance(args[0], str):
                 raise DSLParseError("TEXT() takes one string")
             return TextQuery(args[0])
+        if name == "PHRASE":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise DSLParseError("PHRASE() takes one string")
+            return PhraseQuery(args[0])
         if name == "TAG":
             if not args or not all(isinstance(a, str) for a in args):
                 raise DSLParseError("TAG() takes strings")
@@ -253,11 +274,16 @@ class DSLParser:
         if wm:
             weight = float(wm.group(1))
             q = WEIGHT_RE.sub("", q)
+        phrases = PHRASE_RE.findall(q)
+        q = PHRASE_RE.sub("", q)
         tags = TAG_RE.findall(q)
         text = TAG_RE.sub("", q).strip()
         leaves: list[QueryNode] = []
         if text:
             leaves.append(TextQuery(text, weight))
+        for ph in phrases:
+            if ph.strip():
+                leaves.append(PhraseQuery(ph, weight))
         if tags:
             leaves.append(TagFilter(tags, "any", weight))
         if not leaves:

@@ -238,6 +238,56 @@ class _SearcherBase:
         ids, scores = topk_select(ids, scores, k, threshold)
         return list(zip(ids.tolist(), scores.tolist()))
 
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int | None = None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+    ) -> list[tuple[int, float]]:
+        """Exact-phrase top-k: conjunctive candidates from the index,
+        then adjacency verification against the stored text (tokenized
+        with THE tokenizer, so index/verify symmetry holds).  Scores
+        are the BM25 scores of the phrase's terms.
+
+        Scale note: verification fetches candidate texts — fine while
+        conjunctive candidate sets are modest; a positional index
+        (positions varbyte per posting) is the scale path (TODO.md).
+        """
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        phrase_tokens = tokenize(phrase)
+        if not phrase_tokens:
+            return []
+        terms = query_terms(phrase_tokens)
+        term_map = self._term_map(terms)
+        cand, scores = _score_conjunctive(term_map, terms, self.n_docs)
+        if len(cand) == 0:
+            return []
+        import os
+
+        ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+        t = ds.to_table(columns=["doc_id", "text"],
+                        filter=pc.field("doc_id").isin(cand.tolist()))
+        ok_ids = {
+            d for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+            if _contains_phrase(tokenize(txt), phrase_tokens)
+        }
+        keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
+        ids, sc = topk_select(cand[keep], scores[keep], k, threshold)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+
+def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
+    n, m = len(tokens), len(phrase)
+    if m == 0 or m > n:
+        return m == 0
+    first = phrase[0]
+    for i in range(n - m + 1):
+        if tokens[i] == first and tokens[i : i + m] == phrase:
+            return True
+    return False
+
 
 class LocalSearcher(_SearcherBase):
     """Whole index resident in one process (reference: FAISS + id list,

@@ -103,3 +103,50 @@ def test_reader_handles_pre_dls_artifacts(built_index, tmp_path):
         assert s_old.search(q, k=10) == s_new.search(q, k=10)
     with pytest.raises(ValueError, match="lacks per-posting doc lengths"):
         s_old.search("the", scorer="bm25l")
+
+
+def test_phrase_search_matches_naive(local, tiny_docs):
+    """Phrase hits == naive adjacency scan over the corpus; scores are
+    the conjunctive BM25 scores of the phrase terms."""
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.query.engine import _contains_phrase
+
+    texts = tiny_docs["text"].to_pylist()
+    # pick an actually-occurring bigram from doc 3
+    toks3 = tokenize(texts[3])
+    phrase = f"{toks3[5]} {toks3[6]}"
+    expected = {
+        i for i, t in enumerate(texts)
+        if _contains_phrase(tokenize(t), phrase.split())
+    }
+    assert 3 in expected
+    hits = local.search_phrase(phrase, k=10000)
+    assert {d for d, _ in hits} == expected
+    # every phrase hit is also a conjunctive hit with the same score
+    conj = dict(local.search(phrase, k=10000, mode="and"))
+    for d, s in hits:
+        assert conj[d] == s
+    # nonsense phrase of real words (reversed) may match fewer docs
+    rev = f"{toks3[6]} {toks3[5]}"
+    rev_hits = {d for d, _ in local.search_phrase(rev, k=10000)}
+    assert rev_hits == {
+        i for i, t in enumerate(texts)
+        if _contains_phrase(tokenize(t), rev.split())
+    }
+
+
+def test_phrase_in_dsl(built_index, local):
+    from refimage_ray.query.dsl import DSLExecutor, DSLParser, PhraseQuery
+
+    node = DSLParser().parse('"merge sort" #en')
+    from refimage_ray.query.dsl import AndQuery
+
+    assert isinstance(node, AndQuery)
+    assert any(isinstance(o, PhraseQuery) for o in node.operands)
+    fn_node = DSLParser().parse('PHRASE("merge sort")')
+    assert isinstance(fn_node, PhraseQuery)
+
+    ex = DSLExecutor(local)
+    phrase_hits = {d for d, _ in ex.execute_query('"merge sort"', limit=100000)}
+    loose_hits = {d for d, _ in ex.execute_query("merge sort", limit=100000)}
+    assert phrase_hits <= loose_hits
