@@ -33,6 +33,7 @@ class EngineConfig:
 
     # --- posting-list layout ---
     block_size: int = 128         # postings per block for block-max metadata
+    store_positions: bool = False  # per-posting token positions (phrase scale path)
 
     # --- doc id assignment ---
     docid_partitions: int = 64    # D: url-hash partitions for dense-id assignment

@@ -125,6 +125,7 @@ def _encode_and_write(
     starts: np.ndarray,
     ends: np.ndarray,
     raw_bytes: int,
+    positions: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Shared reducer core: (hash, doc)-sorted posting arrays + term
     run boundaries → encoded partition file + manifest row.  Used by
@@ -143,10 +144,14 @@ def _encode_and_write(
     weights = tfs / (tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * dls_int.astype(np.float64) / avgdl))
 
     bsz = cfg.block_size
-    out = {k: [] for k in (
+    keys = [
         "term", "term_hash", "df", "doc_ids", "tfs", "dls", "weights",
         "max_weight", "block_max_weight", "block_last_doc",
-    )}
+    ]
+    if positions is not None:
+        keys.append("positions")
+        pos_off = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    out = {k: [] for k in keys}
     for ri, (s, e) in enumerate(zip(starts, ends)):
         ids = doc_ids[s:e]
         w = weights[s:e]
@@ -164,6 +169,12 @@ def _encode_and_write(
         out["max_weight"].append(float(w.max()))
         out["block_max_weight"].append(blk_max.tolist())
         out["block_last_doc"].append(blk_last.tolist())
+        if positions is not None:
+            out["positions"].append(
+                varbyte_encode(
+                    positions[pos_off[s]:pos_off[e]].astype(np.uint64)
+                )
+            )
 
     table = pa.table(
         {
@@ -179,6 +190,11 @@ def _encode_and_write(
             "max_weight": pa.array(out["max_weight"], pa.float64()),
             "block_max_weight": pa.array(out["block_max_weight"], pa.list_(pa.float64())),
             "block_last_doc": pa.array(out["block_last_doc"], pa.list_(pa.int64())),
+            **(
+                {"positions": pa.array(out["positions"], pa.binary())}
+                if positions is not None
+                else {}
+            ),
         }
     )
     fname = part_filename(shard, salt)
@@ -248,7 +264,7 @@ class PackedBuildPartition:
 
         gkey = int(group["gkey"][0].as_py())
         raw_bytes = int(group.nbytes)
-        th, doc, tf, dl, lookup = unpack_group(group)
+        th, doc, tf, dl, lookup, positions = unpack_group(group)
         n = len(th)
         changes = np.flatnonzero(th[1:] != th[:-1]) + 1
         starts = np.concatenate(([0], changes))
@@ -258,6 +274,7 @@ class PackedBuildPartition:
             self.index_dir, self.cfg, self.avgdl, gkey, term_list,
             th, doc.astype(np.int64), tf.astype(np.int64),
             dl.astype(np.float64), starts, ends, raw_bytes,
+            positions=positions,
         )
 
 
@@ -569,6 +586,8 @@ def build_index(
         return out
 
     corpus = corpus_read(["doc_id", "text"])  # lazy; used by the wide step
+    if cfg.store_positions and not packed:
+        raise ValueError("store_positions requires the packed shuffle path")
     if packed:
         # map-side combiner: one blob row per (batch, gkey) through the
         # shuffle instead of one row per posting (see index/pack.py)

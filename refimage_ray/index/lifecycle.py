@@ -112,6 +112,11 @@ class _MergeShard:
                     assert p.dls is not None, (
                         "merge requires dls-bearing artifacts (rebuild base)"
                     )
+                    if p.positions is not None:
+                        raise NotImplementedError(
+                            "positional indexes cannot be merged yet; "
+                            "rebuild from the combined corpus"
+                        )
                     per_term.setdefault(term, []).append(p)
             if not per_term:
                 continue

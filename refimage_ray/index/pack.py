@@ -28,6 +28,22 @@ import pyarrow as pa
 from refimage_ray.config import EngineConfig
 from refimage_ray.stages.tokenize import tokenize_batch
 
+def ragged_take(flat: np.ndarray, lens: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Gather ragged segments: concatenate segments ``idx`` of a flat
+    array partitioned by ``lens`` — fully vectorized (repeat+arange)."""
+    if len(idx) == 0 or len(flat) == 0:
+        return flat[:0]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sel_lens = lens[idx]
+    total = int(sel_lens.sum())
+    if total == 0:
+        return flat[:0]
+    out_off = np.concatenate(([0], np.cumsum(sel_lens)[:-1]))
+    base = np.repeat(starts[idx], sel_lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_off, sel_lens)
+    return flat[base + within]
+
+
 PACK_SCHEMA = pa.schema(
     [
         ("gkey", pa.int64()),
@@ -70,7 +86,10 @@ def pack_batch(
     import pyarrow.compute as pc
 
     toks = tokenize_batch(batch, cfg)
+    with_pos = "pos" in toks.column_names
     if toks.num_rows == 0:
+        if with_pos:
+            return PACK_SCHEMA.append(pa.field("posb", pa.binary())).empty_table()
         return PACK_SCHEMA.empty_table()
     th = toks["term_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     doc = toks["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -86,6 +105,15 @@ def pack_batch(
 
     order = np.lexsort((doc, th, gkey))
     gs, ths, docs_, tfs, dls = gkey[order], th[order], doc[order], tf[order], dl[order]
+    pos_perm = None
+    pos_offsets = None
+    if with_pos:
+        pos_col = toks["pos"].combine_chunks()
+        pos_flat = pc.list_flatten(pos_col).to_numpy(zero_copy_only=False).astype(
+            np.int32
+        )
+        pos_perm = ragged_take(pos_flat, tf.astype(np.int64), order)
+        pos_offsets = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
 
     # per-pack term dictionary: first row index of each distinct hash
     # (within the batch) → its term string
@@ -95,9 +123,10 @@ def pack_batch(
     starts = np.concatenate(([0], changes))
     ends = np.concatenate((changes, [len(gs)]))
 
-    keep_rows: list[int] = []
-    cols: dict[str, list] = {k: [] for k in (
-        "gkey", "n", "th", "doc", "tf", "dl", "dict_hash", "dict_terms")}
+    col_names = ["gkey", "n", "th", "doc", "tf", "dl", "dict_hash", "dict_terms"]
+    if with_pos:
+        col_names.append("posb")
+    cols: dict[str, list] = {k: [] for k in col_names}
     done = done_gkeys
     for s, e in zip(starts, ends):
         g = int(gs[s])
@@ -119,23 +148,30 @@ def pack_batch(
         cols["dl"].append(dls[s:e].tobytes())
         cols["dict_hash"].append(dict_hash.tobytes())
         cols["dict_terms"].append("\n".join(dict_terms))
-    return pa.table(
-        {
-            "gkey": pa.array(cols["gkey"], pa.int64()),
-            "n": pa.array(cols["n"], pa.int32()),
-            "th": pa.array(cols["th"], pa.binary()),
-            "doc": pa.array(cols["doc"], pa.binary()),
-            "tf": pa.array(cols["tf"], pa.binary()),
-            "dl": pa.array(cols["dl"], pa.binary()),
-            "dict_hash": pa.array(cols["dict_hash"], pa.binary()),
-            "dict_terms": pa.array(cols["dict_terms"], pa.string()),
-        }
-    )
+        if with_pos:
+            cols["posb"].append(
+                pos_perm[pos_offsets[s]:pos_offsets[e]].tobytes()
+            )
+    out = {
+        "gkey": pa.array(cols["gkey"], pa.int64()),
+        "n": pa.array(cols["n"], pa.int32()),
+        "th": pa.array(cols["th"], pa.binary()),
+        "doc": pa.array(cols["doc"], pa.binary()),
+        "tf": pa.array(cols["tf"], pa.binary()),
+        "dl": pa.array(cols["dl"], pa.binary()),
+        "dict_hash": pa.array(cols["dict_hash"], pa.binary()),
+        "dict_terms": pa.array(cols["dict_terms"], pa.string()),
+    }
+    if with_pos:
+        out["posb"] = pa.array(cols["posb"], pa.binary())
+    return pa.table(out)
 
 
-def unpack_group(group: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict]:
+def unpack_group(
+    group: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict, "np.ndarray | None"]:
     """Packed rows of one gkey → concatenated, (hash, doc)-sorted
-    posting arrays + hash→term lookup."""
+    posting arrays + hash→term lookup (+ flat positions when stored)."""
     th = np.concatenate(
         [np.frombuffer(b, dtype=np.uint64) for b in group["th"].to_pylist()]
     )
@@ -155,4 +191,10 @@ def unpack_group(group: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, n
         for h, name in zip(hashes, names):
             lookup.setdefault(int(h), name)
     order = np.lexsort((doc, th))
-    return th[order], doc[order], tf[order], dl[order], lookup
+    pos_sorted = None
+    if "posb" in group.column_names:
+        pos_flat = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in group["posb"].to_pylist()]
+        )
+        pos_sorted = ragged_take(pos_flat, tf.astype(np.int64), order)
+    return th[order], doc[order], tf[order], dl[order], lookup, pos_sorted

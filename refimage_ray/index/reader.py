@@ -34,6 +34,7 @@ class TermPostings:
     block_last_doc: np.ndarray  # int64
     block_max_weight: np.ndarray  # float64
     dls: np.ndarray | None = None  # int64, aligned (doc lengths)
+    positions: np.ndarray | None = None  # int32 flat, segmented by tfs
 
 
 class IndexReader:
@@ -92,6 +93,12 @@ class IndexReader:
                 )
             else:  # pre-dls artifacts remain readable
                 dls = None
+            if "positions" in rows[0]:
+                positions = np.concatenate(
+                    [varbyte_decode(r["positions"]).astype(np.int32) for r in rows]
+                )
+            else:
+                positions = None
             bl = np.concatenate(
                 [np.asarray(r["block_last_doc"], dtype=np.int64) for r in rows]
             )
@@ -111,6 +118,12 @@ class IndexReader:
                 )
                 if dead.any():
                     keep = ~dead
+                    if positions is not None:
+                        from refimage_ray.index.pack import ragged_take
+
+                        positions = ragged_take(
+                            positions, tfs.astype(np.int64), np.flatnonzero(keep)
+                        )
                     ids, w, tfs = ids[keep], w[keep], tfs[keep]
                     if dls is not None:
                         dls = dls[keep]
@@ -125,5 +138,6 @@ class IndexReader:
                 block_last_doc=bl,
                 block_max_weight=bm,
                 dls=dls,
+                positions=positions,
             )
         return out

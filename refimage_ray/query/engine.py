@@ -264,18 +264,52 @@ class _SearcherBase:
         cand, scores = _score_conjunctive(term_map, terms, self.n_docs)
         if len(cand) == 0:
             return []
-        import os
+        positional = all(
+            t in term_map and term_map[t].positions is not None for t in terms
+        )
+        if positional:
+            keep = _verify_phrase_positions(term_map, phrase_tokens, cand)
+        else:
+            # fallback: fetch candidate texts and re-tokenize (exact, but
+            # requires the docs artifact; positional indexes skip this IO)
+            import os
 
-        ds = pads.dataset(os.path.join(self.index_dir, "docs"))
-        t = ds.to_table(columns=["doc_id", "text"],
-                        filter=pc.field("doc_id").isin(cand.tolist()))
-        ok_ids = {
-            d for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
-            if _contains_phrase(tokenize(txt), phrase_tokens)
-        }
-        keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
+            ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+            t = ds.to_table(columns=["doc_id", "text"],
+                            filter=pc.field("doc_id").isin(cand.tolist()))
+            ok_ids = {
+                d for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+                if _contains_phrase(tokenize(txt), phrase_tokens)
+            }
+            keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
         ids, sc = topk_select(cand[keep], scores[keep], k, threshold)
         return list(zip(ids.tolist(), sc.tolist()))
+
+
+def _verify_phrase_positions(
+    term_map: dict[str, TermPostings], phrase_tokens: list[str], cand: np.ndarray
+) -> np.ndarray:
+    """Adjacency verification from the positional index: candidate doc
+    matches iff positions(t0) ∩ (positions(t1)−1) ∩ … is non-empty."""
+    seg: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for t in set(phrase_tokens):
+        p = term_map[t]
+        off = np.concatenate(([0], np.cumsum(p.tfs)))
+        seg[t] = (p.doc_ids, off, p.positions)
+    keep = np.zeros(len(cand), dtype=bool)
+    for ci, d in enumerate(cand.tolist()):
+        doc_ids0, off0, pos0 = seg[phrase_tokens[0]]
+        j = int(np.searchsorted(doc_ids0, d))
+        alive = pos0[off0[j]:off0[j + 1]].astype(np.int64)
+        for i, t in enumerate(phrase_tokens[1:], start=1):
+            doc_ids_i, off_i, pos_i = seg[t]
+            j = int(np.searchsorted(doc_ids_i, d))
+            nxt = pos_i[off_i[j]:off_i[j + 1]].astype(np.int64)
+            alive = alive[np.isin(alive + i, nxt)]
+            if len(alive) == 0:
+                break
+        keep[ci] = len(alive) > 0
+    return keep
 
 
 def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
@@ -316,7 +350,8 @@ class ShardSearcher:
             p = self.terms.get(t)
             if p is not None:
                 out[t] = (p.df, p.doc_ids, p.weights, p.max_weight,
-                          p.block_last_doc, p.block_max_weight, p.tfs, p.dls)
+                          p.block_last_doc, p.block_max_weight, p.tfs, p.dls,
+                          p.positions)
         return out
 
 
@@ -355,11 +390,11 @@ class DistributedSearcher(_SearcherBase):
         ]
         merged: dict[str, TermPostings] = {}
         for res in ray.get(futures):
-            for t, (df, ids, w, mw, bl, bm, tfs, dls) in res.items():
+            for t, (df, ids, w, mw, bl, bm, tfs, dls, poss) in res.items():
                 merged[t] = TermPostings(
                     df=df, doc_ids=ids, weights=w, tfs=tfs,
                     max_weight=mw, block_last_doc=bl, block_max_weight=bm,
-                    dls=dls,
+                    dls=dls, positions=poss,
                 )
         return merged
 

@@ -76,23 +76,36 @@ def tokenize_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Ta
         return POSTINGS_SCHEMA.empty_table()
 
     # per-(doc, term) tf via Acero hash aggregation (the partial agg)
-    pairs = pa.table({"row": pa.array(parent, pa.int64()), "term": flat})
-    grouped = pairs.group_by(["row", "term"]).aggregate([([], "count_all")])
+    pairs_cols = {"row": pa.array(parent, pa.int64()), "term": flat}
+    aggs = [([], "count_all")]
+    if cfg.store_positions:
+        # token position within its doc (phrase scale path); Acero's
+        # "list" aggregation preserves scan order → ascending positions
+        starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(np.bincount(parent, minlength=n_rows)[:-1], out=starts[1:])
+        pos = (np.arange(len(parent), dtype=np.int64) - starts[parent]).astype(
+            np.int32
+        )
+        pairs_cols["pos"] = pa.array(pos, pa.int32())
+        aggs.append(("pos", "list"))
+    pairs = pa.table(pairs_cols)
+    grouped = pairs.group_by(["row", "term"]).aggregate(aggs)
     rows = grouped["row"].to_numpy(zero_copy_only=False).astype(np.int64)
     terms = grouped["term"]
     tfs = grouped["count_all"].to_numpy(zero_copy_only=False).astype(np.int32)
 
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
-    return pa.table(
-        {
-            "term": terms,
-            "term_hash": pa.array(hash_string_array(terms), pa.uint64()),
-            "doc_id": pa.array(doc_ids[rows], pa.int64()),
-            "tf": pa.array(tfs, pa.int32()),
-            "dl": pa.array(dl[rows], pa.int32()),
-        }
-    )
+    out = {
+        "term": terms,
+        "term_hash": pa.array(hash_string_array(terms), pa.uint64()),
+        "doc_id": pa.array(doc_ids[rows], pa.int64()),
+        "tf": pa.array(tfs, pa.int32()),
+        "dl": pa.array(dl[rows], pa.int32()),
+    }
+    if cfg.store_positions:
+        out["pos"] = grouped["pos_list"]
+    return pa.table(out)
 
 
 def doc_stats_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:

@@ -1,0 +1,81 @@
+"""Positional index (cfg.store_positions): phrase scale path."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.config import EngineConfig
+from refimage_ray.index.build import build_index
+from refimage_ray.index.pack import ragged_take
+from refimage_ray.query.engine import LocalSearcher
+from tests.conftest import FIXTURE_QUERIES
+
+POS_CFG = EngineConfig(num_shards=4, salt_buckets=2, store_positions=True)
+PLAIN_CFG = EngineConfig(num_shards=4, salt_buckets=2)
+
+
+def test_ragged_take():
+    flat = np.array([10, 11, 20, 30, 31, 32], np.int32)
+    lens = np.array([2, 1, 3], np.int64)
+    assert ragged_take(flat, lens, np.array([2, 0])).tolist() == [30, 31, 32, 10, 11]
+    assert ragged_take(flat, lens, np.array([], np.int64)).tolist() == []
+
+
+@pytest.fixture(scope="module")
+def pos_indexes(ray_session, tiny_docs, tmp_path_factory):
+    root = tmp_path_factory.mktemp("posidx")
+    dp, dn = str(root / "pos"), str(root / "plain")
+    build_index(rd.from_arrow(tiny_docs), dp, POS_CFG)
+    build_index(rd.from_arrow(tiny_docs), dn, PLAIN_CFG)
+    return dp, dn
+
+
+def test_positions_stored_and_scores_unchanged(pos_indexes):
+    dp, dn = pos_indexes
+    sp, sn = LocalSearcher(dp), LocalSearcher(dn)
+    assert all(p.positions is not None for p in sp.terms.values())
+    assert all(p.positions is not None and len(p.positions) == int(p.tfs.sum())
+               for p in sp.terms.values())
+    for q in FIXTURE_QUERIES:
+        assert sp.search(q, k=10) == sn.search(q, k=10), q
+
+
+def test_positions_are_ascending_token_offsets(pos_indexes, tiny_docs):
+    from refimage_ray.functions.text import tokenize
+
+    dp, _ = pos_indexes
+    sp = LocalSearcher(dp)
+    texts = tiny_docs["text"].to_pylist()
+    term, p = next(iter(sorted(sp.terms.items())))
+    off = np.concatenate(([0], np.cumsum(p.tfs)))
+    for j, d in enumerate(p.doc_ids.tolist()[:10]):
+        got = p.positions[off[j]:off[j + 1]].tolist()
+        exp = [i for i, tok in enumerate(tokenize(texts[d])) if tok == term]
+        assert got == exp, (term, d)
+
+
+def test_phrase_via_positions_equals_text_verify(pos_indexes, tiny_docs):
+    from refimage_ray.functions.text import tokenize
+
+    dp, dn = pos_indexes
+    sp, sn = LocalSearcher(dp), LocalSearcher(dn)
+    texts = tiny_docs["text"].to_pylist()
+    toks = tokenize(texts[7])
+    phrases = [
+        f"{toks[0]} {toks[1]}",
+        f"{toks[2]} {toks[3]} {toks[4]}",
+        "nonexistent sequence entirely",
+        toks[0],  # single-token phrase == conjunctive membership
+    ]
+    for ph in phrases:
+        assert sp.search_phrase(ph, k=10000) == sn.search_phrase(ph, k=10000), ph
+
+
+def test_positional_merge_refused(pos_indexes, tmp_path):
+    from refimage_ray.index.lifecycle import compact_index
+
+    dp, _ = pos_indexes
+    with pytest.raises(Exception, match="positional|not.*merge"):
+        compact_index(dp, str(tmp_path / "out"), POS_CFG)
