@@ -112,11 +112,6 @@ class _MergeShard:
                     assert p.dls is not None, (
                         "merge requires dls-bearing artifacts (rebuild base)"
                     )
-                    if p.positions is not None:
-                        raise NotImplementedError(
-                            "positional indexes cannot be merged yet; "
-                            "rebuild from the combined corpus"
-                        )
                     per_term.setdefault(term, []).append(p)
             if not per_term:
                 continue
@@ -130,13 +125,28 @@ class _MergeShard:
                 ids = np.concatenate([p.doc_ids for p in plist])
                 tfs = np.concatenate([p.tfs for p in plist])
                 dls = np.concatenate([p.dls for p in plist])
+                pos_parts = [p.positions for p in plist]
+                have_pos = all(x is not None for x in pos_parts)
+                if any(x is not None for x in pos_parts) and not have_pos:
+                    raise ValueError(
+                        "cannot merge positional with non-positional inputs"
+                    )
+                pos_cat = np.concatenate(pos_parts) if have_pos else None
+                tf_cat = tfs.copy()
                 order = np.argsort(ids, kind="stable")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
                 # dedupe doc_ids (first input wins via stable order)
+                sel = order
                 if len(ids) > 1:
-                    uniq = np.ones(len(ids), dtype=bool)
-                    uniq[1:] = ids[1:] != ids[:-1]
-                    ids, tfs, dls = ids[uniq], tfs[uniq], dls[uniq]
+                    srt = ids[order]
+                    uniq = np.ones(len(srt), dtype=bool)
+                    uniq[1:] = srt[1:] != srt[:-1]
+                    sel = order[uniq]
+                ids, tfs, dls = ids[sel], tfs[sel], dls[sel]
+                pos_final = None
+                if have_pos:
+                    from refimage_ray.index.pack import ragged_take
+
+                    pos_final = ragged_take(pos_cat, tf_cat.astype(np.int64), sel)
                 th = blake2b64(term)
                 if len(ids) >= hot_cut and cfg.salt_buckets > 1:
                     salts = ids * cfg.salt_buckets // self.doc_span
@@ -145,18 +155,31 @@ class _MergeShard:
                 for salt in np.unique(salts):
                     seg = salts == salt
                     bucket = per_salt.setdefault(int(salt), {
-                        "term": [], "th": [], "ids": [], "tfs": [], "dls": []})
+                        "term": [], "th": [], "ids": [], "tfs": [], "dls": [],
+                        "pos": []})
                     bucket["term"].append(term)
                     bucket["th"].append(th)
                     bucket["ids"].append(ids[seg])
                     bucket["tfs"].append(tfs[seg])
                     bucket["dls"].append(dls[seg])
+                    if have_pos:
+                        from refimage_ray.index.pack import ragged_take
+
+                        bucket["pos"].append(
+                            ragged_take(
+                                pos_final, tfs.astype(np.int64),
+                                np.flatnonzero(seg),
+                            )
+                        )
             for salt, b in sorted(per_salt.items()):
                 lens = [len(x) for x in b["ids"]]
                 starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
                 ends = np.cumsum(lens)
                 hashes = np.concatenate(
                     [np.full(l, h, dtype=np.uint64) for h, l in zip(b["th"], lens)]
+                )
+                positions = (
+                    np.concatenate(b["pos"]) if b["pos"] else None
                 )
                 row = _encode_and_write(
                     self.out_dir,
@@ -171,6 +194,7 @@ class _MergeShard:
                     starts.astype(np.int64),
                     ends.astype(np.int64),
                     raw_bytes=int(sum(int(e) - int(s) for s, e in zip(starts, ends)) * 28),
+                    positions=positions,
                 )
                 rows_out.append(row)
         if not rows_out:

@@ -73,9 +73,37 @@ def test_phrase_via_positions_equals_text_verify(pos_indexes, tiny_docs):
         assert sp.search_phrase(ph, k=10000) == sn.search_phrase(ph, k=10000), ph
 
 
-def test_positional_merge_refused(pos_indexes, tmp_path):
-    from refimage_ray.index.lifecycle import compact_index
+def test_positional_merge_preserves_phrases(ray_session, tiny_docs, tmp_path):
+    """Merging positional delta indexes keeps positions intact: phrase
+    results on merged == monolithic positional build."""
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.index.lifecycle import merge_indexes
 
-    dp, _ = pos_indexes
-    with pytest.raises(Exception, match="positional|not.*merge"):
-        compact_index(dp, str(tmp_path / "out"), POS_CFG)
+    n = tiny_docs.num_rows
+    a, b = tiny_docs.slice(0, n // 2), tiny_docs.slice(n // 2)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    dm, dfull = str(tmp_path / "m"), str(tmp_path / "full")
+    build_index(rd.from_arrow(a), da, POS_CFG)
+    build_index(rd.from_arrow(b), db, POS_CFG)
+    build_index(rd.from_arrow(tiny_docs), dfull, POS_CFG)
+    merge_indexes([da, db], dm, POS_CFG)
+    sm, sf = LocalSearcher(dm), LocalSearcher(dfull)
+    assert all(p.positions is not None for p in sm.terms.values())
+    texts = tiny_docs["text"].to_pylist()
+    toks = tokenize(texts[n // 2 + 3])  # doc from the second half
+    for ph in (f"{toks[0]} {toks[1]}", f"{toks[3]} {toks[4]} {toks[5]}"):
+        assert sm.search_phrase(ph, k=10000) == sf.search_phrase(ph, k=10000), ph
+    for q in FIXTURE_QUERIES[:4]:
+        assert sm.search(q, k=10) == sf.search(q, k=10), q
+
+
+def test_mixed_positional_merge_refused(ray_session, tiny_docs, tmp_path):
+    from refimage_ray.index.lifecycle import merge_indexes
+
+    n = tiny_docs.num_rows
+    a, b = tiny_docs.slice(0, n // 2), tiny_docs.slice(n // 2)
+    da, db = str(tmp_path / "pa"), str(tmp_path / "pb")
+    build_index(rd.from_arrow(a), da, POS_CFG)
+    build_index(rd.from_arrow(b), db, PLAIN_CFG)
+    with pytest.raises(Exception, match="positional"):
+        merge_indexes([da, db], str(tmp_path / "out"), POS_CFG)
