@@ -123,7 +123,7 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     res = build_from_pages(pages_dir, index_dir, cfg,
-                           extract_concurrency=max(2, NUM_CPUS // 2))
+                           extract_concurrency=(1, max(2, NUM_CPUS // 2)))
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)
     n_docs = res.metrics["n_docs"]

@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("query")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--threshold", type=float, default=0.0)
-    s.add_argument("--mode", choices=["or", "and"], default="or")
+    s.add_argument("--mode", choices=["or", "and", "phrase"], default="or")
     s.add_argument("--join", action="store_true", help="join doc metadata")
 
     d = sub.add_parser("dsl", help="DSL query (AND/OR/NOT/#tag/^w)")
@@ -104,7 +104,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.pages:
                 from refimage_ray.pipelines.flagship import build_from_pages
 
-                res = build_from_pages(args.pages, args.index, cfg)
+                res = build_from_pages(
+                    args.pages, args.index, cfg,
+                    extract_concurrency=(1, max(1, args.num_cpus - 1)),
+                )
             else:
                 import ray.data as rd
 
@@ -118,8 +121,12 @@ def main(argv: list[str] | None = None) -> int:
             from refimage_ray.query.engine import LocalSearcher, lookup_docs
 
             searcher = LocalSearcher(args.index)
-            hits = searcher.search(args.query, k=args.k,
-                                   threshold=args.threshold, mode=args.mode)
+            if args.mode == "phrase":
+                hits = searcher.search_phrase(args.query, k=args.k,
+                                              threshold=args.threshold)
+            else:
+                hits = searcher.search(args.query, k=args.k,
+                                       threshold=args.threshold, mode=args.mode)
             out = [{"doc_id": d, "score": s} for d, s in hits]
             if args.join and hits:
                 meta = lookup_docs(args.index, [d for d, _ in hits]).to_pylist()

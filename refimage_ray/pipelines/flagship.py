@@ -40,10 +40,16 @@ def build_from_pages(
     index_dir: str,
     cfg: EngineConfig,
     *,
-    extract_concurrency: int | tuple = 4,
+    extract_concurrency: int | tuple = (1, 4),
     resume: bool = True,
 ) -> BuildResult:
-    """pages parquet dir → full index artifact."""
+    """pages parquet dir → full index artifact.
+
+    ``extract_concurrency`` defaults to an AUTOSCALING (min, max) pool:
+    a fixed-size pool equal to the cluster's CPU count deadlocks the
+    streaming executor (the actors reserve every CPU and the
+    read/write stages starve — the classic pitfall).
+    """
     pages = rd.read_parquet(
         pages_dir, columns=["url", "warc_ts", "html", "lang"]
     )
