@@ -56,13 +56,7 @@ for i, c in enumerate("0123456789abcdef"):
 _HEX_POWERS = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
 
 
-def hex_prefix_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """First 16 hex chars of each string → uint64, fully vectorized.
-
-    For md5-hex columns this extracts a uniform 64-bit content key with
-    zero per-row Python (reads the Arrow data buffer directly) — used
-    by the numeric dedup path.
-    """
+def _hex_u64_at(arr: pa.Array | pa.ChunkedArray, start: int) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -70,8 +64,26 @@ def hex_prefix_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n]
-    idx = offs.astype(np.int64)[:, None] + np.arange(16, dtype=np.int64)
+    idx = offs.astype(np.int64)[:, None] + (start + np.arange(16, dtype=np.int64))
     return (_HEX_LUT[buf[idx]] * _HEX_POWERS).sum(axis=1, dtype=np.uint64)
+
+
+def hex_prefix_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 16 hex chars of each string → uint64, fully vectorized.
+
+    For md5-hex columns this extracts a uniform 64-bit content key with
+    zero per-row Python (reads the Arrow data buffer directly) — used
+    by the numeric dedup path.
+    """
+    return _hex_u64_at(arr, 0)
+
+
+def hex_suffix_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Hex chars 16..32 → uint64 — the second half of an md5 hex
+    digest.  ``(prefix, suffix)`` together cover the full 128-bit hash,
+    so comparing both u64 halves is exactly full-hash equality (the
+    loser scan uses this instead of trusting the 64-bit prefix alone)."""
+    return _hex_u64_at(arr, 16)
 
 
 def md5_hex(s: str | bytes) -> str:

@@ -336,21 +336,27 @@ def _estimate_hot_terms(
 
 
 def _estimate_hot_terms_local(
-    docs_dir: str,
-    staged_rows: int,
+    t: pa.Table,
+    n_docs: int,
+    losers: np.ndarray,
     cfg: EngineConfig,
     sample_target: int = 20000,
 ) -> tuple[list[str], int]:
-    """Driver-local hot-term estimation — identical sample mask and
-    counting to the distributed variant, no Ray stages.
-
-    Rates/thresholds use the raw staged row count (pre-dedup) so this
-    pass needs no dependency on the loser scan and can overlap it; a
-    few duplicate docs in the sample bias df estimates negligibly, and
-    the hot set is a pure load-balancing choice — never correctness."""
-    rate = min(1.0, sample_target / max(1, staged_rows))
-    t = pq.read_table(docs_dir, columns=["doc_id", "text"])
+    """Driver-local hot-term estimation — identical sample mask,
+    counting AND corpus basis to the distributed variant, no Ray
+    stages.  ``t`` is the staged ``(doc_id, text)`` table (the read is
+    overlapped with the loser scan); rate/threshold use the POST-dedup
+    ``n_docs`` and losers are excluded from the sample, so the hot set
+    — and hence the partition/salt layout of the artifact — is the
+    same whichever side of the DRIVER_LOCAL_ROWS threshold a corpus
+    lands on."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(losers):
+        pos = np.searchsorted(losers, ids)
+        hit = (pos < len(losers)) & (losers[np.minimum(pos, len(losers) - 1)] == ids)
+        t = t.filter(pa.array(~hit))
+        ids = ids[~hit]
+    rate = min(1.0, sample_target / max(1, n_docs))
     mask = _sample_mask(ids, rate)
     sub = t.filter(pa.array(mask))
     if sub.num_rows == 0:
@@ -359,9 +365,9 @@ def _estimate_hot_terms_local(
     g = toks.select(["term"]).group_by("term").aggregate([([], "count_all")])
     df_s = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
     terms = np.asarray(g["term"].to_pylist(), dtype=object)
-    sample_n = max(1, int(round(staged_rows * rate)))
-    scale = staged_rows / sample_n
-    hot = terms[df_s * scale >= cfg.hot_df_fraction * staged_rows]
+    sample_n = max(1, int(round(n_docs * rate)))
+    scale = n_docs / sample_n
+    hot = terms[df_s * scale >= cfg.hot_df_fraction * n_docs]
     return sorted(hot.tolist()), sample_n
 
 
@@ -397,6 +403,13 @@ def build_index(
     # ---- stage 1: docs artifact (metadata + corpus store) ----
     if not (resume and os.path.exists(success)):
         assert docs_ds is not None, "no docs dataset and no docs/ checkpoint"
+        # A crashed earlier attempt (no _SUCCESS) may have left partial
+        # parquet files; Ray's uniquely-named outputs would ADD to them
+        # on re-run, duplicating docs and inflating N/df.  Clear first.
+        if os.path.isdir(docs_dir):
+            import shutil
+
+            shutil.rmtree(docs_dir)
 
         def attach_stats(batch: pa.Table) -> pa.Table:
             stats = doc_stats_batch(batch, cfg)
@@ -450,19 +463,20 @@ def build_index(
     losers_path = os.path.join(index_dir, "losers.parquet")
 
     def _scan_losers_local() -> np.ndarray:
-        from refimage_ray.functions.hashing import hex_prefix_u64
+        from refimage_ray.functions.hashing import hex_prefix_u64, hex_suffix_u64
 
-        schema_names = pq.ParquetDataset(docs_dir).schema.names
-        if "content_key" in schema_names:
-            t = pq.read_table(docs_dir, columns=["doc_id", "content_key"])
-            keys = t["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
-            keys = hex_prefix_u64(t["content_hash"])
+        # full 128-bit hash as two u64 halves — same comparison basis
+        # as the distributed find_dup_losers (prefix-only dedup would
+        # drop distinct texts colliding in the first 16 hex chars)
+        t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+        keys = hex_prefix_u64(t["content_hash"])
+        keys2 = hex_suffix_u64(t["content_hash"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, keys))
+        order = np.lexsort((ids, keys2, keys))
         dup = np.zeros(len(ids), dtype=bool)
-        dup[1:] = keys[order][1:] == keys[order][:-1]
+        dup[1:] = (keys[order][1:] == keys[order][:-1]) & (
+            keys2[order][1:] == keys2[order][:-1]
+        )
         return np.sort(ids[order][dup])
 
     def _read_stats_local() -> tuple:
@@ -481,9 +495,9 @@ def build_index(
 
         pool = ThreadPoolExecutor(max_workers=3)
         stats_future = pool.submit(_read_stats_local)
-        hot_future = pool.submit(
-            _estimate_hot_terms_local, docs_dir, staged_rows, cfg
-        )
+        # only the I/O is overlapped here; the mask/threshold pass runs
+        # after the loser scan so it can use the post-dedup basis
+        hot_future = pool.submit(pq.read_table, docs_dir, columns=["doc_id", "text"])
 
     if dedup_exact:
         if resume and os.path.exists(losers_path):
@@ -548,7 +562,9 @@ def build_index(
     # ---- stage 3: hot-term estimation (sampled, deterministic) ----
     t2 = time.perf_counter()
     if driver_local:
-        hot_terms, sample_n = hot_future.result()
+        hot_terms, sample_n = _estimate_hot_terms_local(
+            hot_future.result(), n_docs, losers, cfg
+        )
         pool.shutdown(wait=False)
     else:
         hot_terms, sample_n = _estimate_hot_terms(

@@ -52,18 +52,14 @@ def topk_select(
         keep = scores >= threshold
         doc_ids, scores = doc_ids[keep], scores[keep]
     n = len(doc_ids)
-    if n > k * 4 and n > 1024:
-        part = np.argpartition(-scores, k)[: k + _count_ties(scores, k)]
-        doc_ids, scores = doc_ids[part], scores[part]
+    if k > 0 and n > k * 4 and n > 1024:
+        # k-th largest score (descending index k-1 is exact under
+        # np.partition); keep EVERY doc scoring >= it so boundary ties
+        # all survive into the deterministic lexsort.  argpartition's
+        # slice beyond index k is unordered, so slicing [:k+extra]
+        # would drop tied docs nondeterministically.
+        kth_val = -np.partition(-scores, k - 1)[k - 1]
+        keep = scores >= kth_val
+        doc_ids, scores = doc_ids[keep], scores[keep]
     order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]
-
-
-def _count_ties(scores: np.ndarray, k: int) -> int:
-    """Extra slots so boundary ties survive partitioning (doc_id
-    tie-break needs every doc whose score equals the kth score)."""
-    if len(scores) <= k:
-        return 0
-    kth = -np.partition(-scores, k)[k]
-    extra = int((scores == kth).sum())
-    return min(extra, len(scores) - k)

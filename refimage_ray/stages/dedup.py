@@ -100,43 +100,41 @@ def find_dup_losers(
     acceptable for dedup) or fall back to
     :func:`dedup_and_assign_ids` (full shuffle, exact).
     """
-    import pyarrow.parquet as _pq
-
     import ray.data as rd
 
-    from refimage_ray.functions.hashing import hex_prefix_u64
-
-    schema_names = _pq.ParquetDataset(docs_dir).schema.names
-    has_key = "content_key" in schema_names
-    cols = ["doc_id", "content_key" if has_key else "content_hash"]
+    from refimage_ray.functions.hashing import hex_prefix_u64, hex_suffix_u64
 
     def to_keys(b: pa.Table) -> pa.Table:
-        # winner = min doc_id per 64-bit content key (numeric,
-        # deterministic); key precomputed at staging when available
-        if has_key:
-            key = b["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            key = hex_prefix_u64(b["content_hash"])
+        # winner = min doc_id per FULL 128-bit content key, carried as
+        # two u64 halves (numeric, deterministic) — comparing the
+        # prefix alone would silently merge distinct texts that collide
+        # in the first 16 hex chars
+        key = hex_prefix_u64(b["content_hash"])
+        key2 = hex_suffix_u64(b["content_hash"])
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "ckey": pa.array(key, pa.uint64()),
+                "ckey2": pa.array(key2, pa.uint64()),
                 "dedup_bucket": pa.array(
                     (key % np.uint64(buckets)).astype(np.int64), pa.int64()
                 ),
             }
         )
 
-    pairs = rd.read_parquet(docs_dir, columns=cols).map_batches(
+    pairs = rd.read_parquet(docs_dir, columns=["doc_id", "content_hash"]).map_batches(
         to_keys, batch_format="pyarrow"
     )
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy().astype(np.int64)
         keys = g["ckey"].to_numpy().astype(np.uint64)
-        order = np.lexsort((ids, keys))
+        keys2 = g["ckey2"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, keys2, keys))
         dup = np.zeros(len(ids), dtype=bool)
-        dup[1:] = keys[order][1:] == keys[order][:-1]
+        dup[1:] = (keys[order][1:] == keys[order][:-1]) & (
+            keys2[order][1:] == keys2[order][:-1]
+        )
         return pd.DataFrame({"doc_id": ids[order][dup]})
 
     out = pairs.groupby("dedup_bucket").map_groups(losers, batch_format="pandas")

@@ -57,7 +57,17 @@ class ExtractText:
         # (the overwhelmingly common page shape; byte-identical to the
         # general path because single-paragraph extraction is just the
         # <p> body, and unescape is identity without '&')
-        as_str = pc.cast(html_col, pa.string())
+        try:
+            as_str = pc.cast(html_col, pa.string())
+        except pa.ArrowInvalid:
+            # invalid UTF-8 somewhere in the batch: the vectorized cast
+            # refuses, but the scalar path tolerates bad bytes via
+            # errors='replace' — route the whole batch through it
+            texts = [self.extract_one(raw) for raw in html_col.to_pylist()]
+            keep = [n for n in batch.column_names if n not in ("html", "text")]
+            return batch.select(keep).append_column(
+                "text", pa.array(texts, pa.string())
+            )
         n_p = pc.count_substring(as_str, pattern="<p").to_numpy(
             zero_copy_only=False
         )

@@ -66,3 +66,48 @@ def test_assign_doc_ids_dense_within_partition(ray_session):
     for p, grp in out.assign(part=part).groupby("part"):
         local = sorted(grp["doc_id"] % cfg.docid_stride)
         assert local == list(range(len(grp)))  # dense 0..n-1 per partition
+
+
+def test_prefix_collision_not_deduped(ray_session, tmp_path):
+    """Regression (ADVICE r1): distinct texts whose md5 hex digests
+    share the first 16 chars must NOT be merged — the loser scan now
+    compares the full 128-bit hash as two u64 halves."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refimage_ray.stages.dedup import find_dup_losers
+
+    # synthetic digests: rows 0/1 collide in the prefix only; rows 2/3
+    # are a genuine full-hash duplicate
+    hashes = [
+        "aaaaaaaaaaaaaaaa" + "0" * 16,
+        "aaaaaaaaaaaaaaaa" + "f" * 16,
+        "bbbbbbbbbbbbbbbb" + "1" * 16,
+        "bbbbbbbbbbbbbbbb" + "1" * 16,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "content_hash": pa.array(hashes, pa.string()),
+        }
+    )
+    d = str(tmp_path / "docs")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    losers = find_dup_losers(d)
+    assert list(losers) == [3], losers
+
+
+def test_hex_suffix_u64():
+    import numpy as np
+    import pyarrow as pa
+
+    from refimage_ray.functions.hashing import hex_prefix_u64, hex_suffix_u64
+
+    h = "0123456789abcdef" + "fedcba9876543210"
+    arr = pa.array([h], pa.string())
+    assert hex_prefix_u64(arr)[0] == np.uint64(int(h[:16], 16))
+    assert hex_suffix_u64(arr)[0] == np.uint64(int(h[16:], 16))

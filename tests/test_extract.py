@@ -62,3 +62,25 @@ def test_extract_fallback_no_paragraphs():
                           pa.binary())}
     )
     assert "plain stuff" in ex(batch)["text"].to_pylist()[0]
+
+
+def test_extract_invalid_utf8_batch_falls_back():
+    """Regression (ADVICE r1): invalid UTF-8 html bytes failed the
+    vectorized cast for the whole batch; it must fall back to the
+    tolerant scalar path (errors='replace') row-for-row."""
+    import pyarrow as pa
+
+    from refimage_ray.stages.extract import ExtractText
+
+    good = b"<html><body><p>hello world</p></body></html>"
+    bad = b"<html><body><p>bad \xff\xfe bytes</p></body></html>"
+    batch = pa.table(
+        {
+            "url": pa.array(["u0", "u1"], pa.string()),
+            "html": pa.array([good, bad], pa.binary()),
+        }
+    )
+    ex = ExtractText()
+    out = ex(batch)
+    assert out["text"].to_pylist() == [ex.extract_one(good), ex.extract_one(bad)]
+    assert "�" in out["text"][1].as_py()

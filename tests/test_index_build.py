@@ -148,3 +148,67 @@ def test_packed_and_rowwise_artifacts_identical(ray_session, tiny_docs, tmp_path
         with open(os.path.join(d_packed, name), "rb") as fa, \
              open(os.path.join(d_rows, name), "rb") as fb:
             assert fa.read() == fb.read(), name
+
+def test_resume_clears_partial_docs_stage(ray_session, tiny_docs, tmp_path):
+    """Regression (ADVICE r1): a crash mid docs/ write (no _SUCCESS)
+    must not leave stale parquet behind — re-running the build would
+    otherwise duplicate docs and inflate N/df."""
+    import pyarrow.parquet as pq
+
+    cfg = EngineConfig(num_shards=4, salt_buckets=2, hot_df_fraction=0.05)
+    d1 = str(tmp_path / "clean")
+    d2 = str(tmp_path / "crashed")
+    res1 = build_index(rd.from_arrow(tiny_docs), d1, cfg)
+
+    # simulate a crashed docs stage: partial parquet, no _SUCCESS
+    docs_dir = os.path.join(d2, "docs")
+    os.makedirs(docs_dir)
+    pq.write_table(tiny_docs.slice(0, 3), os.path.join(docs_dir, "stale-0.parquet"))
+    res2 = build_index(rd.from_arrow(tiny_docs), d2, cfg, resume=True)
+
+    assert res2.manifest["stats"]["n_docs"] == res1.manifest["stats"]["n_docs"]
+    assert res2.manifest["stats"]["sum_dl"] == res1.manifest["stats"]["sum_dl"]
+    assert not glob.glob(os.path.join(docs_dir, "stale-*.parquet"))
+
+def test_artifact_identical_across_local_and_distributed_planning(
+    ray_session, tiny_docs, tmp_path, monkeypatch
+):
+    """Regression (ADVICE r1): with dedup_exact=True the hot-term set
+    (hence salt layout) used pre-dedup rows in the driver-local path
+    but post-dedup n_docs in the distributed path.  Both execution
+    modes must now produce a byte-identical artifact."""
+    import pyarrow.parquet as pq
+    from refimage_ray.index import build as build_mod
+
+    # inject duplicates so dedup actually changes the corpus basis
+    dup = tiny_docs.slice(0, 40).set_column(
+        0, "doc_id",
+        pa.array(range(10000, 10040), pa.int64()),
+    )
+    from refimage_ray.stages.dedup import add_content_hash
+
+    docs = add_content_hash(pa.concat_tables([tiny_docs, dup]))
+    cfg = EngineConfig(num_shards=4, salt_buckets=2, hot_df_fraction=0.05)
+
+    d_local = str(tmp_path / "local")
+    build_index(rd.from_arrow(docs), d_local, cfg, dedup_exact=True)
+
+    monkeypatch.setattr(build_mod, "DRIVER_LOCAL_ROWS", 0)
+    d_dist = str(tmp_path / "dist")
+    build_index(rd.from_arrow(docs), d_dist, cfg, dedup_exact=True)
+
+    names = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(d_local, "part-*.parquet"))
+    )
+    assert names == sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(d_dist, "part-*.parquet"))
+    )
+    for name in names:
+        a = open(os.path.join(d_local, name), "rb").read()
+        b = open(os.path.join(d_dist, name), "rb").read()
+        assert a == b, f"{name} differs between planning modes"
+    ml = load_manifest(d_local)["stats"]
+    md = load_manifest(d_dist)["stats"]
+    assert ml["hot_terms"] == md["hot_terms"]
+    n_distinct = len(set(tiny_docs["text"].to_pylist()))
+    assert ml["n_docs"] == md["n_docs"] == n_distinct

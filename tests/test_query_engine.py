@@ -150,3 +150,46 @@ def test_phrase_in_dsl(built_index, local):
     phrase_hits = {d for d, _ in ex.execute_query('"merge sort"', limit=100000)}
     loose_hits = {d for d, _ in ex.execute_query("merge sort", limit=100000)}
     assert phrase_hits <= loose_hits
+
+
+def test_topk_select_boundary_ties_large_n():
+    """Regression (ADVICE r1): argpartition's unordered tail dropped
+    boundary-tied docs nondeterministically when n > max(4k, 1024).
+    With many docs tied exactly at the k-th score, the winners must be
+    the tied docs with the SMALLEST doc_ids, for every permutation."""
+    import numpy as np
+
+    from refimage_ray.query.scorer import topk_select
+
+    rng = np.random.default_rng(7)
+    n, k = 5000, 10
+    scores = np.full(n, 1.0)
+    scores[:200] = 2.0  # 200 docs tied above, rest tied at 1.0
+    doc_ids = np.arange(n, dtype=np.int64)
+    # expected: top-k are the k smallest doc_ids among the 2.0 group
+    expected_ids = np.arange(k, dtype=np.int64)
+    for _ in range(20):
+        perm = rng.permutation(n)
+        ids, sc = topk_select(doc_ids[perm], scores[perm], k, 0.0)
+        assert np.array_equal(ids, expected_ids), ids
+        assert np.all(sc == 2.0)
+    # boundary tie AT the k-th slot: 5 docs at 2.0, k=10 → 5 winners
+    # from the 1.0 pool must be the smallest remaining doc_ids
+    scores2 = np.full(n, 1.0)
+    scores2[:5] = 2.0
+    for _ in range(20):
+        perm = rng.permutation(n)
+        ids, sc = topk_select(doc_ids[perm], scores2[perm], 10, 0.0)
+        assert np.array_equal(ids[:5], np.arange(5)), ids
+        assert np.array_equal(ids[5:], np.arange(5, 10)), ids
+
+
+def test_topk_select_k_zero_and_small_n():
+    import numpy as np
+
+    from refimage_ray.query.scorer import topk_select
+
+    ids, sc = topk_select(np.array([3, 1, 2]), np.array([1.0, 2.0, 2.0]), 0, 0.0)
+    assert len(ids) == 0
+    ids, sc = topk_select(np.array([3, 1, 2]), np.array([1.0, 2.0, 2.0]), 2, 0.0)
+    assert list(ids) == [1, 2]
