@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
         "minhash_dup_clusters": corpus.minhash_dup_clusters,  # rows-only
         "simhash_values": corpus.simhash_values,            # rows-only
+        "simhash_near_dups": corpus.simhash_near_dups,      # rows-only
         # --- text analysis ---
         "lang_counts": corpus.lang_counts,
         "quality_stats": corpus.quality_stats,
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
         "embedding_near_dups": vectors.embedding_near_dups,
+        "embedding_near_dups_lsh": vectors.embedding_near_dups_lsh,  # rows-only (approx)
         # --- relational / dataflow breadth ---
         "tpch_q1": relational.tpch_q1,
         "top_customers": relational.top_customers,
@@ -237,7 +239,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                                     CAST(b.embedding AS DOUBLE[])), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

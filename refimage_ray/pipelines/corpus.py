@@ -252,18 +252,10 @@ def langid_pred(sf_dir: str) -> "rd.Dataset":
 
 
 def minhash_near_dups(sf_dir: str, threshold: float = 0.6) -> pa.Table:
-    """MinHash+LSH near-dup pairs with exact-Jaccard verify (rows-only)."""
-    import pyarrow.dataset as pads
-
-    path = os.path.join(sf_dir, "documents.parquet")
-
-    def texts_lookup(ids):
-        t = pads.dataset(path).to_table(
-            columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids)
-        )
-        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-
-    pairs = minhash_near_dup_pairs(_docs(sf_dir), texts_lookup, threshold=threshold)
+    """MinHash+LSH near-dup pairs with distributed exact-Jaccard
+    verify (candidates joined back to texts via the bucketed hash
+    join; rows-only)."""
+    pairs = minhash_near_dup_pairs(_docs(sf_dir), threshold=threshold)
     return pa.table(
         {
             "doc_a": pairs["doc_a"],
@@ -271,6 +263,14 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6) -> pa.Table:
             "jaccard": pc.round(pairs["jaccard"], ndigits=6),
         }
     )
+
+
+def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> pa.Table:
+    """SimHash near-dup pairs — distributed 16-bit-chunk banding +
+    per-bucket vectorized hamming verify (rows-only)."""
+    from refimage_ray.stages.dedup_near import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(sf_dir), max_hamming=max_hamming)
 
 
 def bigram_counts(sf_dir: str, min_count: int = 5) -> "rd.Dataset":

@@ -115,8 +115,24 @@ def embedding_norm_by_label(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> pa.Table:
-    pairs = embedding_near_dup_pairs(_emb(sf_dir), tau=tau)
+def embedding_near_dups(sf_dir: str, tau: float = 0.45) -> pa.Table:
+    """Exact distributed block-pair cosine near-dup (tau low enough
+    that the synthetic embeddings yield real pairs — the oracle has
+    teeth at every sf)."""
+    pairs = embedding_near_dup_pairs(_emb(sf_dir), tau=tau, method="block")
+    return pa.table(
+        {
+            "vec_a": pairs["vec_a"],
+            "vec_b": pairs["vec_b"],
+            "cosine": pc.round(pairs["cosine"], ndigits=4),
+        }
+    )
+
+
+def embedding_near_dups_lsh(sf_dir: str, tau: float = 0.45) -> pa.Table:
+    """Approximate LSH-bucketed variant (rows-only: recall < 1 by
+    design — the scale path when n² is off the table)."""
+    pairs = embedding_near_dup_pairs(_emb(sf_dir), tau=tau, method="lsh")
     return pa.table(
         {
             "vec_a": pairs["vec_a"],

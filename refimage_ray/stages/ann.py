@@ -271,6 +271,43 @@ def ivf_topk(
     )
 
 
+_NEAR_DUP_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+)
+
+
+def _pairs_within(
+    ids: np.ndarray, m: np.ndarray, tau: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (a<b, cos≥tau) pairs within one co-located set (vectorized
+    triu + matmul); ids must be sorted ascending."""
+    if len(ids) < 2:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    sims = m @ m.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    hit = sims[ia, ib] >= tau
+    return ids[ia[hit]], ids[ib[hit]], sims[ia, ib][hit]
+
+
+def _pairs_across(
+    ids_l: np.ndarray, m_l: np.ndarray, ids_r: np.ndarray, m_r: np.ndarray, tau: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cross pairs between two disjoint co-located sets, a<b ordered."""
+    if not len(ids_l) or not len(ids_r):
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    sims = m_l @ m_r.T
+    li, ri = np.nonzero(sims >= tau)
+    a = ids_l[li]
+    b = ids_r[ri]
+    s = sims[li, ri]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return a2, b2, s
+
+
 def embedding_near_dup_pairs(
     emb_ds: "ray.data.Dataset",
     *,
@@ -278,35 +315,147 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     group_col: str | None = None,
+    method: str = "block",
+    blocks: int = 8,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> pa.Table:
-    """Embedding-cosine near-dup pairs (cos ≥ tau).
+    """Embedding-cosine near-dup pairs (cos ≥ tau) — distributed.
 
-    With ``group_col`` the comparison is restricted within groups
-    (e.g. an LSH bucket or a label) — the blocked/partitioned pattern;
-    without it, an all-pairs comparison per the (small) collected set.
+    Three blocking strategies, none of which materializes the dataset
+    on the driver:
+
+    - ``group_col`` given: compare only WITHIN groups (a precomputed
+      blocking key — label, LSH bucket, cluster).  One shuffle.
+    - ``method="block"`` (default): EXACT all-pairs, distributed —
+      each vector is replicated to its ``blocks`` block-pair groups
+      (classic block-nested-loop join); every unordered pair is
+      compared in exactly one group via a matmul.  O(n²/B²) work and
+      memory per reducer, replication factor B per vector.
+    - ``method="lsh"``: approximate — sign-bucket the vectors
+      (:func:`_bucket_of`, ±1-bit multiprobe emission) and compare
+      within buckets; pairs whose codes differ in >2 bits are missed
+      (documented recall trade-off; the scale default when n² is off
+      the table).
     """
-    df = emb_ds.to_pandas()
-    ids = df[id_col].to_numpy().astype(np.int64)
-    m = _normalize(np.stack(df[emb_col].to_numpy()))
-    groups = (
-        df[group_col].to_numpy() if group_col else np.zeros(len(ids), dtype=np.int64)
+    from refimage_ray.stages.dedup_near import collect_small
+
+    def finalize(pairs_ds: "ray.data.Dataset") -> pa.Table:
+        out = collect_small(pairs_ds, _NEAR_DUP_SCHEMA)
+        return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+    def pairs_df(a, b, s) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_a": a.astype(np.int64), "vec_b": b.astype(np.int64),
+             "cosine": s.astype(np.float64)}
+        )
+
+    if group_col is not None:
+
+        def within_group(g: pd.DataFrame) -> pd.DataFrame:
+            order = np.argsort(g[id_col].to_numpy().astype(np.int64), kind="stable")
+            ids = g[id_col].to_numpy().astype(np.int64)[order]
+            m = _normalize(np.stack(g[emb_col].to_numpy()[order]).astype(np.float64))
+            return pairs_df(*_pairs_within(ids, m, tau))
+
+        return finalize(
+            emb_ds.groupby(group_col).map_groups(within_group, batch_format="pandas")
+        )
+
+    if method == "lsh":
+        planes_ref = ray.put(_hyperplanes_lazy(emb_ds, emb_col, n_planes, seed))
+
+        def to_bucket_rows(batch: pa.Table) -> pa.Table:
+            pl = ray.get(planes_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_to_matrix(batch[emb_col]))
+            base = _bucket_of(m, pl)
+            outs = []
+            # multiprobe emission: own bucket + every 1-bit flip, so two
+            # vectors collide iff their codes differ in <= 2 bits
+            for flip in [0] + [1 << b for b in range(pl.shape[0])]:
+                outs.append(
+                    pa.table(
+                        {
+                            "bucket": pa.array(base ^ flip, pa.int64()),
+                            id_col: pa.array(ids, pa.int64()),
+                            emb_col: batch[emb_col],
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g[id_col].to_numpy().astype(np.int64)
+            # a vector can reach one bucket via several probes: distinct
+            ids_u, first = np.unique(ids, return_index=True)
+            m = _normalize(np.stack(g[emb_col].to_numpy()[first]).astype(np.float64))
+            return pairs_df(*_pairs_within(ids_u, m, tau))
+
+        cand = (
+            emb_ds.map_batches(to_bucket_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(within_bucket, batch_format="pandas")
+        )
+        # dedup pairs found in several buckets (cosine identical)
+        from ray.data.aggregate import Min
+
+        return finalize(
+            cand.groupby(["vec_a", "vec_b"]).aggregate(
+                Min("cosine", alias_name="cosine")
+            )
+        )
+
+    # method == "block": exact distributed block-pair comparison
+    B = int(blocks)
+
+    def to_block_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = np.abs(ids * np.int64(2654435761)) % np.int64(B)
+        outs = []
+        for other in range(B):
+            i = np.minimum(blk, other)
+            j = np.maximum(blk, other)
+            outs.append(
+                pa.table(
+                    {
+                        "bpair": pa.array(i * B + j, pa.int64()),
+                        "blk": pa.array(blk, pa.int64()),
+                        id_col: pa.array(ids, pa.int64()),
+                        emb_col: batch[emb_col],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def block_pair(g: pd.DataFrame) -> pd.DataFrame:
+        bpair = int(g["bpair"].iloc[0])
+        i, j = bpair // B, bpair % B
+        ids = g[id_col].to_numpy().astype(np.int64)
+        blk = g["blk"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, blk = ids[order], blk[order]
+        m = _normalize(np.stack(g[emb_col].to_numpy()[order]).astype(np.float64))
+        if i == j:
+            return pairs_df(*_pairs_within(ids, m, tau))
+        left = blk == i
+        return pairs_df(
+            *_pairs_across(ids[left], m[left], ids[~left], m[~left], tau)
+        )
+
+    return finalize(
+        emb_ds.map_batches(to_block_rows, batch_format="pyarrow")
+        .groupby("bpair")
+        .map_groups(block_pair, batch_format="pandas")
     )
-    rows = []
-    for g in np.unique(groups):
-        sel = np.flatnonzero(groups == g)
-        sims = m[sel] @ m[sel].T
-        ia, ib = np.triu_indices(len(sel), k=1)
-        hit = sims[ia, ib] >= tau
-        for x, y, s in zip(sel[ia[hit]], sel[ib[hit]], sims[ia, ib][hit]):
-            a, b = int(ids[x]), int(ids[y])
-            if a > b:
-                a, b = b, a
-            rows.append((a, b, float(s)))
-    rows.sort()
-    return pa.table(
-        {
-            "vec_a": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_b": pa.array([r[1] for r in rows], pa.int64()),
-            "cosine": pa.array([r[2] for r in rows], pa.float64()),
-        }
-    )
+
+
+def _hyperplanes_lazy(
+    emb_ds: "ray.data.Dataset", emb_col: str, n_planes: int, seed: int
+) -> np.ndarray:
+    """Hyperplanes need the dim; read it from the schema (list<float>
+    is variable-length, so peek one row — a bounded read, not a
+    materialization)."""
+    first = emb_ds.limit(1).take_all()
+    dim = len(first[0][emb_col])
+    return _hyperplanes(dim, n_planes, seed)

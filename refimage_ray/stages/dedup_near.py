@@ -34,6 +34,31 @@ from refimage_ray.stages.tokenize import _flat_tokens
 _B = np.uint64(1099511628211)
 
 
+def collect_small(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL result Dataset into one Arrow table.
+
+    Deliberately avoids ``Dataset.to_pandas`` so pipelines can assert
+    (by poisoning ``to_pandas`` in tests) that no stage materializes a
+    LARGE dataset on the driver — only final, already-reduced results
+    pass through here."""
+    import ray as _ray
+
+    blocks = _ray.get(ds.to_arrow_refs())
+    tables = []
+    for t in blocks:
+        # to_arrow_refs hands back raw blocks: pandas-backed ones
+        # arrive as DataFrames
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(
+        [t.select(schema.names).cast(schema) for t in tables]
+    ).combine_chunks()
+
+
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)  # odd
@@ -137,30 +162,68 @@ def minhash_band_rows(
     )
 
 
-def lsh_candidate_pairs(band_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def lsh_candidate_pairs(
+    band_ds: "ray.data.Dataset", *, coarse_buckets: int = 256
+) -> "ray.data.Dataset":
     """(doc_id, band, band_hash) → distinct candidate (doc_a, doc_b) pairs.
 
-    groupby (band, band_hash) is the LSH "join"; each bucket emits its
-    pairs; a second groupby dedups pairs found by multiple bands.
-    Bucket sizes are bounded in practice (docs sharing a band hash are
-    near-dups); pathological buckets should be salted like hot terms.
+    The LSH "join" groups equal (band, band_hash) rows — but grouping
+    on the raw key would invoke the reducer once per (mostly singleton)
+    group, so the shuffle key is a COARSE hash bucket and each reducer
+    resolves its sub-buckets vectorized (lexsort + run boundaries +
+    triu per run — only runs of ≥2 rows, i.e. real collisions, cost
+    anything).  A native grouped aggregate dedups pairs found by
+    multiple bands.  Pathological buckets (many docs sharing a band
+    hash) emit O(m²) pairs by the op's semantics; salt upstream if a
+    key class explodes.
     """
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = b["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mixed = (bh ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        coarse = (mixed % np.uint64(coarse_buckets)).astype(np.int64)
+        return b.append_column("lsh_bucket", pa.array(coarse, pa.int64()))
 
-    pairs = band_ds.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        band = g["band"].to_numpy().astype(np.int64)
+        bh = g["band_hash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, bh, band))
+        ids, band, bh = ids[order], band[order], bh[order]
+        new_run = np.zeros(len(ids), dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        bounds = np.flatnonzero(new_run)
+        out_a, out_b = [], []
+        for lo, hi in zip(np.concatenate(([0], bounds)),
+                          np.concatenate((bounds, [len(ids)]))):
+            m = hi - lo
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[lo:hi][ia])
+            out_b.append(ids[lo:hi][ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": np.zeros(0, np.int64), "doc_b": np.zeros(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    pairs = (
+        band_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("lsh_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from ray.data.aggregate import Count
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .map_batches(lambda b: b.drop_columns(["_nbands"]), batch_format="pyarrow")
+    )
 
 
 def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -183,59 +246,135 @@ def _shingle_set(tokens: list[str], k: int) -> set[tuple[str, ...]]:
     return {tuple(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
 
 
+def _shingle_bounds(
+    col: pa.ChunkedArray | pa.Array, n_rows: int, cfg: EngineConfig, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """text column → (shingle_hashes, row_starts, row_ends): per-row
+    slices of the flat (parent-sorted) shingle-hash array."""
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n_rows), pa.int64()), "text": col}
+    )
+    sh, parent, _ = _batch_shingles(tbl, cfg, k)
+    starts = np.searchsorted(parent, np.arange(n_rows))
+    ends = np.searchsorted(parent, np.arange(n_rows) + 1)
+    return sh, starts, ends
+
+
+def jaccard_batch(
+    text_a: pa.ChunkedArray | pa.Array,
+    text_b: pa.ChunkedArray | pa.Array,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = 3,
+) -> np.ndarray:
+    """Row-wise k-shingle Jaccard of two text columns.
+
+    Shingling is vectorized across the whole batch (one `_batch_shingles`
+    pass per column); the per-row set ops run on precomputed uint64
+    arrays.  Hash-based: equal to the exact tuple-set Jaccard absent
+    64-bit shingle-hash collisions.  Matches `exact_jaccard` edge
+    cases: both-empty → 1.0, one-empty → 0.0."""
+    n = len(text_a)
+    sa, astart, aend = _shingle_bounds(text_a, n, cfg, k)
+    sb, bstart, bend = _shingle_bounds(text_b, n, cfg, k)
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        a = np.unique(sa[astart[i] : aend[i]])
+        b = np.unique(sb[bstart[i] : bend[i]])
+        if not len(a) and not len(b):
+            out[i] = 1.0
+        elif not len(a) or not len(b):
+            out[i] = 0.0
+        else:
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            out[i] = inter / (len(a) + len(b) - inter)
+    return out
+
+
+PAIR_SCHEMA_J = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
 def minhash_near_dup_pairs(
     docs_ds: "ray.data.Dataset",
-    texts_lookup,
     *,
     threshold: float = 0.8,
     cfg: EngineConfig = DEFAULT_CONFIG,
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    join_buckets: int = 32,
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline → verified pairs table.
 
-    ``texts_lookup(doc_ids) -> dict[int, str]`` supplies candidate
-    texts for exact-Jaccard verification (candidates are few; at scale
-    this becomes a broadcast join against the docs artifact).
-    """
+    Fully distributed: banding + LSH groupby produce the candidate
+    pairs; the verify step joins the pairs back to the docs' texts with
+    the bucketed `hash_join` (twice — once per pair side) and computes
+    the exact shingle-Jaccard per batch, vectorized.  Nothing larger
+    than the final verified pair set reaches the driver."""
+    from refimage_ray.stages.joins import hash_join
+
     band_ds = docs_ds.map_batches(
         lambda b: minhash_band_rows(b, cfg, num_perm=num_perm, bands=bands,
                                     shingle_k=shingle_k),
         batch_format="pyarrow",
     )
-    cand = lsh_candidate_pairs(band_ds).to_pandas()
-    if len(cand) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    ids = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    texts = texts_lookup(ids)
-    rows = []
-    for da, db in zip(cand["doc_a"], cand["doc_b"]):
-        j = exact_jaccard(texts[int(da)], texts[int(db)], shingle_k)
-        if j >= threshold:
-            rows.append((int(da), int(db), j))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-        }
+    cand = lsh_candidate_pairs(band_ds)
+    texts = docs_ds.select_columns(["doc_id", "text"])
+
+    with_a = hash_join(
+        cand, texts, left_on="doc_a", right_on="doc_id",
+        left_cols=["doc_a", "doc_b"], right_cols=["doc_id", "text"],
+        buckets=join_buckets,
+    ).map_batches(
+        lambda b: b.drop_columns(["doc_id"]).rename_columns(
+            ["doc_a", "doc_b", "text_a"]
+        ),
+        batch_format="pyarrow",
+    )
+    with_b = hash_join(
+        with_a, texts, left_on="doc_b", right_on="doc_id",
+        left_cols=["doc_a", "doc_b", "text_a"], right_cols=["doc_id", "text"],
+        buckets=join_buckets,
+    ).map_batches(
+        lambda b: b.drop_columns(["doc_id"]).rename_columns(
+            ["doc_a", "doc_b", "text_a", "text_b"]
+        ),
+        batch_format="pyarrow",
     )
 
+    def verify(batch: pa.Table) -> pa.Table:
+        j = jaccard_batch(batch["text_a"], batch["text_b"], cfg, shingle_k)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
 
-def dup_clusters(pairs: pa.Table) -> pa.Table:
+    out = collect_small(
+        with_b.map_batches(verify, batch_format="pyarrow"), PAIR_SCHEMA_J
+    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def dup_clusters(pairs: pa.Table, *, distributed_over: int = 1_000_000) -> pa.Table:
     """Near-dup pairs → connected components: (doc_id, cluster_id)
     with ``cluster_id = min doc_id of the component``.
 
-    Driver-side union-find over the candidate-pair set — valid because
-    LSH pair sets are tiny relative to the corpus (only near-dups).
-    Scale path (documented): iterate min-label propagation as
-    ``groupby(doc).aggregate(Min(label))`` rounds until fixpoint when
-    the pair set itself outgrows one machine.
+    Size-based physical planning: driver-side union-find while the
+    pair set fits one machine (LSH pair sets are tiny relative to the
+    corpus — only near-dups), switching to the distributed
+    min-label-propagation rounds of :func:`dup_clusters_distributed`
+    above ``distributed_over`` rows.  Both produce identical output
+    (cluster_id = component min) by construction.
     """
+    if pairs.num_rows > distributed_over:
+        import ray.data as rd
+
+        return dup_clusters_distributed(rd.from_arrow(pairs))
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -266,6 +405,148 @@ def dup_clusters(pairs: pa.Table) -> pa.Table:
     )
 
 
+def dup_clusters_distributed(
+    pairs_ds: "ray.data.Dataset",
+    *,
+    max_rounds: int = 64,
+    buckets: int = 64,
+) -> pa.Table:
+    """Distributed connected components over a near-dup pair set:
+    min-label propagation with pointer shortcutting, expressed as a
+    message-passing groupby (2 shuffles per round, no joins).
+
+    Round structure — one "mailbox" groupby per round:
+
+    1. union three row kinds keyed by the node whose label is needed:
+       label rows ``(key=v, val=label)``, edge rows ``(key=src,
+       val=dst)`` ("send me your label"), and shortcut queries
+       ``(key=label(v), val=v)`` ("what is label(label(v))?").
+       Groupby a coarse hash bucket of the key; inside each reducer
+       the per-key resolution is a vectorized searchsorted (no
+       per-group pandas calls — keys are many and tiny).
+    2. every resolved message ``(node, offered_label)`` plus the
+       current labels go through a native ``groupby(node).Min`` —
+       the new labels.
+
+    Shortcutting gives O(log diameter) rounds on chains.  Labels are
+    per-node monotone non-increasing, so an unchanged ``Σ label`` is a
+    sound fixpoint witness.  Per-round state is one small
+    ``(node, label)`` dataset — never the corpus.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "tag": pa.array(np.ones(2 * len(a), np.int8), pa.int8()),
+                "val": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    edge_rows = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edge_rows.count() == 0:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+        ).empty_table()
+
+    # init: label(v) = min(v, min neighbor) — one native aggregate
+    labels = (
+        edge_rows.groupby("key")
+        .aggregate(Min("val", alias_name="label"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["key"],
+                    "label": pa.array(
+                        np.minimum(
+                            b["key"].to_numpy(zero_copy_only=False),
+                            b["label"].to_numpy(zero_copy_only=False),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def label_and_query_rows(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = lab != node  # only non-root nodes need a shortcut answer
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([node, lab[q]]), pa.int64()),
+                "tag": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(node), np.int8), np.full(q.sum(), 2, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "val": pa.array(np.concatenate([lab, node[q]]), pa.int64()),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        bk = np.abs(k * np.int64(2654435761)) % np.int64(buckets)
+        return b.append_column("mbox", pa.array(bk, pa.int64()))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy().astype(np.int64)
+        tag = g["tag"].to_numpy().astype(np.int8)
+        val = g["val"].to_numpy().astype(np.int64)
+        is_lab = tag == 0
+        lkey = key[is_lab]
+        lval = val[is_lab]
+        order = np.argsort(lkey, kind="stable")
+        lkey, lval = lkey[order], lval[order]
+        ask = ~is_lab
+        pos = np.searchsorted(lkey, key[ask])
+        # every queried key has a label row by construction
+        offered = lval[pos]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([val[ask], lkey]),
+                "label": np.concatenate([offered, lval]),
+            }
+        )
+
+    for _ in range(max_rounds):
+        mailbox = labels.map_batches(
+            label_and_query_rows, batch_format="pyarrow"
+        ).union(edge_rows)
+        msgs = (
+            mailbox.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("mbox")
+            .map_groups(resolve, batch_format="pandas")
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = collect_small(
+        labels.map_batches(
+            lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+    )
+    return out.sort_by([("doc_id", "ascending")])
+
+
 def simhash_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
     """64-bit SimHash per doc (Charikar): sign of per-bit ±1 sums over
     token-occurrence hashes.  Vectorized via bit unpacking + add.at."""
@@ -294,52 +575,105 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+def simhash_chunk_rows(
+    batch: pa.Table,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    coarse_buckets: int = 256,
+) -> pa.Table:
+    """docs batch → 4 banding rows per doc: ``(coarse, ckey, doc_id,
+    simhash)`` where ``ckey = chunk·2¹⁶ + the chunk's 16-bit value``
+    (pigeonhole band key) and ``coarse = hash(ckey) % B`` bounds the
+    number of shuffle groups (many tiny ckey groups per reducer call
+    would pay per-group overhead — memory: bucket first)."""
+    t = simhash_batch(batch, cfg)
+    sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys, docs, hashes = [], [], []
+    for chunk in range(4):
+        val = ((sh >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)).astype(np.int64)
+        keys.append(val + (chunk << 16))
+        docs.append(ids)
+        hashes.append(sh)
+    ckey = np.concatenate(keys)
+    coarse = (ckey * np.int64(2654435761)) % np.int64(coarse_buckets)
+    return pa.table(
+        {
+            "coarse": pa.array(np.abs(coarse), pa.int64()),
+            "ckey": pa.array(ckey, pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+            "simhash": pa.array(np.concatenate(hashes), pa.uint64()),
+        }
+    )
+
+
+PAIR_SCHEMA_H = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+)
+
+
 def simhash_near_dup_pairs(
     docs_ds: "ray.data.Dataset",
     *,
     max_hamming: int = 3,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    coarse_buckets: int = 256,
 ) -> pa.Table:
     """SimHash near-dup: band on 4×16-bit chunks (any doc pair within
     hamming ≤ 3 of a 64-bit hash shares at least one exact 16-bit
-    chunk — pigeonhole), then exact hamming verify per bucket."""
-    sims = docs_ds.map_batches(
-        lambda b: simhash_batch(b, cfg), batch_format="pyarrow"
-    ).to_pandas()
-    sh = sims["simhash"].to_numpy().astype(np.uint64)
-    ids = sims["doc_id"].to_numpy().astype(np.int64)
-    seen: set[tuple[int, int]] = set()
-    rows = []
-    for chunk in range(4):
-        key = (sh >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        bounds = np.flatnonzero(np.diff(ks)) + 1
-        for lo, hi in zip(np.concatenate(([0], bounds)),
-                          np.concatenate((bounds, [len(ks)]))):
-            if hi - lo < 2:
-                continue
-            bucket = order[lo:hi]
-            for i in range(len(bucket)):
-                for j in range(i + 1, len(bucket)):
-                    a, b = int(ids[bucket[i]]), int(ids[bucket[j]])
-                    if a > b:
-                        a, b = b, a
-                    if (a, b) in seen:
-                        continue
-                    seen.add((a, b))
-                    d = int(
-                        hamming_distance(
-                            sh[bucket[i] : bucket[i] + 1], sh[bucket[j] : bucket[j] + 1]
-                        )[0]
-                    )
-                    if d <= max_hamming:
-                        rows.append((a, b, d))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], pa.int64()),
-        }
+    chunk — pigeonhole), then exact hamming verify per bucket.
+
+    Fully distributed: one shuffle co-locates same-chunk-value rows
+    (coarse-bucketed so reducer calls are bounded), each reducer emits
+    its verified pairs with a vectorized triu+popcount, and a native
+    grouped aggregate dedups pairs found via multiple chunks.  Only
+    the final pair set reaches the driver.
+
+    Skew note: a run of m identical simhashes (e.g. empty docs) emits
+    m·(m−1)/2 pairs by the op's own semantics — cap such classes
+    upstream (drop empty docs) when m² is a problem.
+    """
+    rows = docs_ds.map_batches(
+        lambda b: simhash_chunk_rows(b, cfg, coarse_buckets=coarse_buckets),
+        batch_format="pyarrow",
     )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ck = g["ckey"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, ck))
+        ids, sh, ck = ids[order], sh[order], ck[order]
+        bounds = np.flatnonzero(np.diff(ck)) + 1
+        out_a, out_b, out_d = [], [], []
+        for lo, hi in zip(np.concatenate(([0], bounds)),
+                          np.concatenate((bounds, [len(ck)]))):
+            m = hi - lo
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            d = hamming_distance(sh[lo:hi][ia], sh[lo:hi][ib])
+            keep = d <= max_hamming
+            out_a.append(ids[lo:hi][ia[keep]])
+            out_b.append(ids[lo:hi][ib[keep]])
+            out_d.append(d[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": np.zeros(0, np.int64), "doc_b": np.zeros(0, np.int64),
+                 "hamming": np.zeros(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_d)}
+        )
+
+    pairs = rows.groupby("coarse").map_groups(bucket_pairs, batch_format="pandas")
+    # hamming is a pure function of (doc_a, doc_b): Min == the value,
+    # and the native aggregate both dedups and carries it in one pass
+    from ray.data.aggregate import Min
+
+    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+    out = collect_small(distinct, PAIR_SCHEMA_H)
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

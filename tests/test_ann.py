@@ -106,3 +106,64 @@ def test_ivf_recall_and_self_match(ray_session, emb_table):
     again = ivf_topk(rd.from_arrow(table), q, k=10, n_centroids=8,
                      nprobe=4).to_pandas()
     assert approx.equals(again)
+
+
+def _naive_near_dups(ids, m, tau):
+    from refimage_ray.stages.ann import _normalize
+
+    mn = _normalize(m.astype(np.float64))
+    sims = mn @ mn.T
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= tau:
+                rows.append((int(ids[i]), int(ids[j]), sims[i, j]))
+    rows.sort()
+    return rows
+
+
+def test_block_near_dup_exact_vs_naive(ray_session, emb_table):
+    """The distributed block-pair method must be EXACT: identical pair
+    set and cosines to the naive all-pairs loop, at a tau that yields
+    real pairs — and without any driver-side Dataset.to_pandas."""
+    import ray.data
+
+    table, m = emb_table
+    ids = table["vec_id"].to_numpy()
+    want = _naive_near_dups(ids, m, 0.6)
+    assert len(want) >= 1  # fixture must have teeth
+
+    orig = ray.data.Dataset.to_pandas
+    try:
+        def boom(self, *a, **k):
+            raise AssertionError("driver-side to_pandas in block near-dup")
+        ray.data.Dataset.to_pandas = boom
+        got_t = embedding_near_dup_pairs(
+            rd.from_arrow(table), tau=0.6, method="block", blocks=4
+        )
+    finally:
+        ray.data.Dataset.to_pandas = orig
+    got = list(
+        zip(
+            got_t["vec_a"].to_pylist(),
+            got_t["vec_b"].to_pylist(),
+            got_t["cosine"].to_pylist(),
+        )
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-12)
+
+
+def test_lsh_near_dup_finds_close_pairs(ray_session, emb_table):
+    table, _ = emb_table
+    pairs = embedding_near_dup_pairs(
+        rd.from_arrow(table), tau=0.999, method="lsh", n_planes=6
+    ).to_pandas()
+    # 11/37 are near-identical -> same bucket w.h.p. under multiprobe
+    assert (11, 37) in set(zip(pairs.vec_a, pairs.vec_b))
+    exact = embedding_near_dup_pairs(
+        rd.from_arrow(table), tau=0.999, method="block"
+    ).to_pandas()
+    # LSH pairs are a subset of the exact pairs
+    assert set(zip(pairs.vec_a, pairs.vec_b)) <= set(zip(exact.vec_a, exact.vec_b))

@@ -54,9 +54,7 @@ def test_minhash_identical_docs_same_signature(near_dup_corpus):
 def test_minhash_pipeline_finds_near_dups(ray_session, near_dup_corpus):
     table, texts = near_dup_corpus
     ds = rd.from_arrow(table)
-    pairs = minhash_near_dup_pairs(
-        ds, lambda ids: {i: texts[i] for i in ids}, threshold=0.5
-    ).to_pandas()
+    pairs = minhash_near_dup_pairs(ds, threshold=0.5).to_pandas()
     found = set(zip(pairs.doc_a, pairs.doc_b))
     assert (0, 5) in found          # exact dup
     assert (0, 1) in found or (0, 2) in found   # near dups
@@ -100,3 +98,94 @@ def test_hamming_distance():
     b = np.array([0b0010], np.uint64)
     assert hamming_distance(a, b)[0] == 2
     assert hamming_distance(a, a)[0] == 0
+
+
+@pytest.fixture()
+def poisoned_to_pandas(monkeypatch):
+    """Assert no stage materializes a Dataset on the driver via
+    Dataset.to_pandas (the round-1 scale anti-pattern)."""
+    import ray.data
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side Dataset.to_pandas in a distributed path")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+
+
+def test_simhash_pairs_distributed_no_driver_materialize(
+    ray_session, near_dup_corpus, poisoned_to_pandas
+):
+    table, _ = near_dup_corpus
+    pairs = simhash_near_dup_pairs(rd.from_arrow(table), max_hamming=8).to_pandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 5) in found
+    assert all({a, b} <= {0, 1, 2, 5} for a, b in found)
+    # pairs sorted, unique, a<b, hamming exact
+    assert (pairs.doc_a < pairs.doc_b).all()
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+    sh = simhash_batch(table).to_pandas()["simhash"].to_numpy().astype(np.uint64)
+    for r in pairs.itertuples():
+        assert r.hamming == hamming_distance(sh[r.doc_a : r.doc_a + 1],
+                                             sh[r.doc_b : r.doc_b + 1])[0]
+
+
+def test_minhash_pairs_distributed_no_driver_materialize(
+    ray_session, near_dup_corpus, poisoned_to_pandas
+):
+    table, texts = near_dup_corpus
+    pairs = minhash_near_dup_pairs(rd.from_arrow(table), threshold=0.5)
+    found = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    assert (0, 5) in found
+    for (a, b), j in zip(found, pairs["jaccard"].to_pylist()):
+        pass
+    for r in range(pairs.num_rows):
+        a = pairs["doc_a"][r].as_py()
+        b = pairs["doc_b"][r].as_py()
+        assert pairs["jaccard"][r].as_py() == pytest.approx(
+            exact_jaccard(texts[a], texts[b])
+        )
+
+
+def test_jaccard_batch_matches_scalar(near_dup_corpus):
+    import pyarrow as pa
+
+    from refimage_ray.stages.dedup_near import jaccard_batch
+
+    _, texts = near_dup_corpus
+    ta, tb = [], []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            ta.append(texts[i])
+            tb.append(texts[j])
+    ta += ["", "a b", ""]
+    tb += ["", "", "x y z"]
+    got = jaccard_batch(pa.array(ta, pa.string()), pa.array(tb, pa.string()))
+    for g, a, b in zip(got, ta, tb):
+        assert g == pytest.approx(exact_jaccard(a, b)), (a, b)
+
+
+def test_dup_clusters_distributed_chain(ray_session, poisoned_to_pandas):
+    """Chain topology worst case: 0-1-2-...-n must converge to one
+    cluster labelled 0 in O(log n) shortcutted rounds."""
+    from refimage_ray.stages.dedup_near import dup_clusters, dup_clusters_distributed
+
+    n = 48
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+            "doc_b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    out = dup_clusters_distributed(rd.from_arrow(pairs), max_rounds=16).to_pandas()
+    assert (out["cluster_id"] == 0).all()
+    assert sorted(out["doc_id"]) == list(range(n))
+    # matches the driver union-find on a mixed graph
+    mixed = pa.table(
+        {
+            "doc_a": pa.array([0, 1, 5, 9, 9, 20], pa.int64()),
+            "doc_b": pa.array([1, 2, 6, 10, 11, 21], pa.int64()),
+        }
+    )
+    want = dup_clusters(mixed).to_pandas()
+    got = dup_clusters_distributed(rd.from_arrow(mixed)).to_pandas()
+    assert want.equals(got)
