@@ -309,3 +309,69 @@ def add_documents(
     delta_dir = os.path.join(out_dir + ".delta")
     build_index(new_docs_ds, delta_dir, cfg)
     return merge_indexes([index_dir, delta_dir], out_dir, cfg)
+
+
+# Columns a metadata PUT may touch.  text / doc_len / content_hash are
+# index inputs — changing them without a rebuild would desync postings.
+MUTABLE_DOC_COLUMNS = frozenset({"url", "lang"})
+
+
+def update_doc_metadata(
+    index_dir: str, updates: dict[int, dict[str, str]]
+) -> int:
+    """Metadata upsert — the PUT /metadata/{id} analog
+    (``/root/reference/src/refimage/api.py:731-766``: update
+    description/tags of a stored record; here the mutable columns are
+    the docs artifact's ``url``/``lang``).
+
+    Partition-rewrite: each docs/ parquet file is first probed by its
+    ``doc_id`` column alone (columnar prune — the text never moves for
+    untouched files); only files actually containing updated ids are
+    re-written, atomically (temp + rename via ``atomic_write_bytes``),
+    so a crash mid-update leaves every partition either old or new,
+    never truncated.  Raises ``KeyError`` listing ids not present
+    (the 404 analog) and ``ValueError`` for immutable columns.
+    Returns the number of docs updated.
+    """
+    bad_cols = {c for u in updates.values() for c in u} - MUTABLE_DOC_COLUMNS
+    if bad_cols:
+        raise ValueError(
+            f"immutable columns {sorted(bad_cols)}; "
+            f"mutable: {sorted(MUTABLE_DOC_COLUMNS)} (text changes need add+delete)"
+        )
+    docs_dir = os.path.join(index_dir, "docs")
+    want = np.asarray(sorted(updates), dtype=np.int64)
+    found = np.zeros(0, dtype=np.int64)
+    files = sorted(
+        f for f in os.listdir(docs_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    for fname in files:
+        path = os.path.join(docs_dir, fname)
+        ids = pq.read_table(path, columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        if not hit.any():
+            continue
+        t = pq.read_table(path)
+        cols = {name: t[name] for name in t.column_names}
+        hit_rows = np.flatnonzero(hit)
+        for col in MUTABLE_DOC_COLUMNS & {c for u in updates.values() for c in u}:
+            vals = cols[col].to_pylist()
+            for r in hit_rows:
+                new = updates[int(ids[r])].get(col)
+                if new is not None:
+                    vals[r] = new
+            cols[col] = pa.array(vals, t.schema.field(col).type)
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(pa.table(cols), buf)
+        atomic_write_bytes(path, buf.getvalue())
+        found = np.union1d(found, ids[hit])
+    missing = np.setdiff1d(want, found)
+    if len(missing):
+        raise KeyError(f"doc_ids not found: {missing.tolist()[:20]}")
+    return int(len(found))

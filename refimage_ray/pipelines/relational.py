@@ -84,11 +84,30 @@ def top_customers(sf_dir: str, n: int = 10) -> pa.Table:
     """Revenue top-n: wide groupby on orders, then a broadcast join of
     the tiny winner set against the customer dimension (no shuffle
     join — SURVEY.md §2.4 J1 pattern)."""
-    spend = (
+    from refimage_ray.stages.dedup_near import collect_small
+
+    def partial_top(b: pd.DataFrame) -> pd.DataFrame:
+        # per-block top-n: only n rows per block ever leave a worker,
+        # so the driver-side final merge sees <= n * n_blocks rows no
+        # matter how many customers exist
+        return b.sort_values(
+            ["total_spent", "o_custkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(n)
+
+    spend_partials = (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="total_spent"),
                    Count(alias_name="n_orders"))
+        .map_batches(partial_top, batch_format="pandas")
+    )
+    spend = (
+        collect_small(
+            spend_partials,
+            pa.schema([("o_custkey", pa.int64()), ("total_spent", pa.float64()),
+                       ("n_orders", pa.int64())]),
+        )
         .to_pandas()
         .sort_values(["total_spent", "o_custkey"], ascending=[False, True],
                      kind="mergesort")

@@ -1,0 +1,248 @@
+"""Natural-language → DSL conversion through a pluggable provider layer.
+
+Mirrors the reference's LLM module end to end
+(``/root/reference/src/refimage/llm.py``): a provider ABC
+(``BaseLLMProvider.generate``, ``llm.py:47-66``), a manager with a
+provider registry and runtime switching (``LLMManager``,
+``llm.py:310-395``), and the text→DSL prompt contract
+(``TEXT_TO_DSL_SYSTEM_PROMPT`` + examples, ``llm.py:396-460``) whose
+output grammar — ``TEXT()/AND()/OR()/EXCLUDE()/WEIGHT()`` — is parsed
+by :class:`refimage_ray.query.dsl.DSLParser`'s function-style grammar.
+
+No network exists in this environment, so the bundled providers are:
+
+- :class:`RuleBasedProvider` — a DETERMINISTIC pattern-matching
+  converter covering the reference's documented example shapes
+  (importance markers → WEIGHT, "without/except" → EXCLUDE,
+  "or" → OR, "and" → AND, else TEXT).  It is an honest stand-in,
+  not an LLM; a real provider implements the same two methods.
+- :class:`EchoProvider` — passes already-valid DSL through unchanged
+  (useful as a fallback and in tests).
+
+Every conversion is validated by round-tripping through
+:class:`DSLParser` before it is returned — an unparseable provider
+output raises, mirroring the reference's convert-then-validate
+endpoint flow (``api.py:273-348``).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+
+from refimage_ray.query.dsl import DSLParseError, DSLParser
+
+
+@dataclass
+class Message:
+    role: str  # "system" | "user" | "assistant"
+    content: str
+
+
+@dataclass
+class ProviderResponse:
+    content: str
+    provider: str
+    model: str
+    processing_time_ms: int = 0
+    tokens_used: int | None = None
+
+
+class ProviderError(RuntimeError):
+    pass
+
+
+class BaseProvider(ABC):
+    """Provider ABC — the ``BaseLLMProvider`` analog (``llm.py:47-66``).
+
+    ``generate`` is synchronous here (the engine is a batch library,
+    not an async HTTP service); the contract is otherwise identical:
+    messages in, a :class:`ProviderResponse` out."""
+
+    name: str = "base"
+
+    def __init__(self, config: dict | None = None) -> None:
+        self.config = config or {}
+
+    @abstractmethod
+    def generate(self, messages: list[Message], **kwargs) -> ProviderResponse: ...
+
+    @abstractmethod
+    def get_model_name(self) -> str: ...
+
+
+PROVIDERS: dict[str, type[BaseProvider]] = {}
+
+
+def register_provider(cls: type[BaseProvider]) -> type[BaseProvider]:
+    PROVIDERS[cls.name] = cls
+    return cls
+
+
+# ---------------------------------------------------------------------------
+# prompt contract (the analog of TEXT_TO_DSL_SYSTEM_PROMPT, llm.py:396-425)
+# ---------------------------------------------------------------------------
+
+TEXT_TO_DSL_SYSTEM_PROMPT = """You convert natural-language search queries \
+into a DSL with these operations:
+- TEXT("query"): basic text search
+- AND(q1, q2): both must match
+- OR(q1, q2): either matches
+- EXCLUDE(base, excluded): base results minus excluded
+- WEIGHT(q, w): importance weight (0.0-2.0)
+Return ONLY the DSL expression."""
+
+
+def _last_user_content(messages: list[Message]) -> str:
+    for m in reversed(messages):
+        if m.role == "user":
+            return m.content
+    raise ProviderError("no user message to convert")
+
+
+def _quote(s: str) -> str:
+    return '"' + s.replace('"', " ").strip() + '"'
+
+
+_WEIGHT_WORDS = [
+    # (marker regex, weight) — first match wins; deterministic table
+    (re.compile(r"\bvery important\b", re.I), 1.8),
+    (re.compile(r"\bimportant\b", re.I), 1.5),
+    (re.compile(r"\b(somewhat|less) important\b", re.I), 0.8),
+]
+
+_EXCLUDE_RE = re.compile(r"\b(without|except|but not)\b", re.I)
+_OR_RE = re.compile(r"\bor\b", re.I)
+_AND_RE = re.compile(r"\band\b", re.I)
+_IMPORTANCE_SEG_RE = re.compile(
+    r"(?P<marker>(?:very |somewhat |less )?important)\s*:\s*(?P<body>[^,;]+)", re.I
+)
+
+
+@register_provider
+class RuleBasedProvider(BaseProvider):
+    """Deterministic NL→DSL pattern rules (stand-in for an LLM).
+
+    Precedence mirrors the reference prompt's rules (llm.py:416-425):
+    importance markers, then EXCLUDE ("without"/"except"/"but not"),
+    then OR, then AND, else plain TEXT."""
+
+    name = "rules"
+
+    def generate(self, messages: list[Message], **kwargs) -> ProviderResponse:
+        t0 = time.perf_counter()
+        nl = _last_user_content(messages).strip()
+        dsl = self._convert(nl)
+        return ProviderResponse(
+            content=dsl,
+            provider=self.name,
+            model=self.get_model_name(),
+            processing_time_ms=int((time.perf_counter() - t0) * 1000),
+        )
+
+    def get_model_name(self) -> str:
+        return "pattern-rules-v1"
+
+    def _convert(self, nl: str) -> str:
+        segs = list(_IMPORTANCE_SEG_RE.finditer(nl))
+        if segs:
+            parts = []
+            for m in segs:
+                marker = m.group("marker").lower()
+                if marker.startswith(("somewhat", "less")):
+                    w = 0.8
+                elif marker.startswith("very"):
+                    w = 1.8
+                else:
+                    w = 1.5
+                parts.append(
+                    f"WEIGHT(TEXT({_quote(m.group('body'))}), {w})"
+                )
+            if len(parts) == 1:
+                return parts[0]
+            return f"AND({', '.join(parts)})"
+        m = _EXCLUDE_RE.search(nl)
+        if m:
+            base, excl = nl[: m.start()], nl[m.end():]
+            return (
+                f"EXCLUDE(TEXT({_quote(base)}), TEXT({_quote(excl)}))"
+            )
+        if _OR_RE.search(nl):
+            parts = [p for p in _OR_RE.split(nl) if p.strip()]
+            if len(parts) >= 2:
+                inner = ", ".join(f"TEXT({_quote(p)})" for p in parts)
+                return f"OR({inner})"
+        if _AND_RE.search(nl):
+            parts = [p for p in _AND_RE.split(nl) if p.strip()]
+            if len(parts) >= 2:
+                inner = ", ".join(f"TEXT({_quote(p)})" for p in parts)
+                return f"AND({inner})"
+        return f"TEXT({_quote(nl)})"
+
+
+@register_provider
+class EchoProvider(BaseProvider):
+    """Returns the user content verbatim — for inputs that are already
+    DSL, and as the deterministic test double."""
+
+    name = "echo"
+
+    def generate(self, messages: list[Message], **kwargs) -> ProviderResponse:
+        return ProviderResponse(
+            content=_last_user_content(messages),
+            provider=self.name,
+            model=self.get_model_name(),
+        )
+
+    def get_model_name(self) -> str:
+        return "echo"
+
+
+class ProviderManager:
+    """``LLMManager`` analog (``llm.py:310-395``): instantiates the
+    registered providers, tracks a current one, switches at runtime."""
+
+    def __init__(self, default: str = "rules", config: dict | None = None) -> None:
+        self.providers: dict[str, BaseProvider] = {}
+        for name, cls in PROVIDERS.items():
+            self.providers[name] = cls(config)
+        if default not in self.providers:
+            raise ProviderError(f"provider {default!r} not available")
+        self.current_provider = default
+
+    def generate(
+        self, messages: list[Message], provider: str | None = None, **kwargs
+    ) -> ProviderResponse:
+        name = provider or self.current_provider
+        if name not in self.providers:
+            raise ProviderError(f"provider {name!r} not available")
+        return self.providers[name].generate(messages, **kwargs)
+
+    def switch_provider(self, provider: str) -> None:
+        if provider not in self.providers:
+            raise ProviderError(f"provider {provider!r} not available")
+        self.current_provider = provider
+
+    def get_available_providers(self) -> list[str]:
+        return sorted(self.providers)
+
+    def get_current_provider(self) -> str:
+        return self.current_provider
+
+
+def text_to_dsl(
+    nl: str, manager: ProviderManager | None = None, provider: str | None = None
+) -> str:
+    """NL query → validated DSL string (the ``api.py:273-348`` flow):
+    build the prompt, call the provider, then round-trip the output
+    through :class:`DSLParser` — an unparseable conversion raises
+    :class:`DSLParseError` instead of reaching the engine."""
+    mgr = manager or ProviderManager()
+    resp = mgr.generate(
+        [Message("system", TEXT_TO_DSL_SYSTEM_PROMPT), Message("user", nl)],
+        provider=provider,
+    )
+    DSLParser().parse(resp.content)  # validate; raises DSLParseError
+    return resp.content

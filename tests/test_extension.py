@@ -101,3 +101,98 @@ def test_pluggable_scorer_end_to_end(ray_session, built_index):
     # distributed path supports plugin scorers too (ships tf/dl arrays)
     d = DistributedSearcher(built_index[0], num_actors=2)
     assert d.search("the data join", k=20, scorer="bm25l") == alt
+
+
+# --- NL -> DSL provider layer (reference llm.py analog) ---
+
+
+def test_nl_provider_registry_and_switching():
+    from refimage_ray.query.nl import ProviderError, ProviderManager
+
+    mgr = ProviderManager()
+    assert "rules" in mgr.get_available_providers()
+    assert "echo" in mgr.get_available_providers()
+    assert mgr.get_current_provider() == "rules"
+    mgr.switch_provider("echo")
+    assert mgr.get_current_provider() == "echo"
+    with pytest.raises(ProviderError):
+        mgr.switch_provider("nope")
+
+
+def test_nl_custom_provider_pluggable():
+    from refimage_ray.query.nl import (
+        BaseProvider,
+        Message,
+        ProviderManager,
+        ProviderResponse,
+        register_provider,
+        text_to_dsl,
+    )
+
+    @register_provider
+    class Fixed(BaseProvider):
+        name = "fixed"
+
+        def generate(self, messages, **kw):
+            return ProviderResponse('TEXT("spark")', self.name, "m")
+
+        def get_model_name(self):
+            return "m"
+
+    try:
+        assert text_to_dsl("anything", ProviderManager(), provider="fixed") == 'TEXT("spark")'
+    finally:
+        from refimage_ray.query.nl import PROVIDERS
+
+        PROVIDERS.pop("fixed", None)
+
+
+def test_nl_rules_match_reference_example_shapes():
+    from refimage_ray.query.nl import text_to_dsl
+
+    assert text_to_dsl("cats") == 'TEXT("cats")'
+    assert text_to_dsl("red cars or blue cars") == 'OR(TEXT("red cars"), TEXT("blue cars"))'
+    assert (
+        text_to_dsl("beaches at sunset without people")
+        == 'EXCLUDE(TEXT("beaches at sunset"), TEXT("people"))'
+    )
+    assert (
+        text_to_dsl("dogs and cats playing together")
+        == 'AND(TEXT("dogs"), TEXT("cats playing together"))'
+    )
+    out = text_to_dsl("very important: mountains, somewhat important: snow")
+    assert out == 'AND(WEIGHT(TEXT("mountains"), 1.8), WEIGHT(TEXT("snow"), 0.8))'
+
+
+def test_nl_output_validated_by_parser():
+    from refimage_ray.query.dsl import DSLParseError
+    from refimage_ray.query.nl import ProviderManager, text_to_dsl
+
+    mgr = ProviderManager()
+    # echo passes an already-DSL string through unchanged
+    assert text_to_dsl('TEXT("x")', mgr, provider="echo") == 'TEXT("x")'
+    # invalid provider output must raise, not reach the engine
+    with pytest.raises(DSLParseError):
+        text_to_dsl("TEXT(", mgr, provider="echo")
+
+
+def test_nl_roundtrip_membership_matches_handwritten_dsl(ray_session, built_index):
+    """NL -> DSL string -> AST -> execution must equal the hand-written
+    DSL for the same intent (the round-trip done-criterion)."""
+    from refimage_ray.query.dsl import DSLExecutor
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.query.nl import text_to_dsl
+
+    index_dir, _, _ = built_index
+    ex = DSLExecutor(LocalSearcher(index_dir))
+
+    cases = [
+        ("spark or join", "spark OR join"),
+        ("merge without sort", "merge NOT sort"),
+        ("table and scan", "table AND scan"),
+    ]
+    for nl, handwritten in cases:
+        dsl = text_to_dsl(nl)
+        got = ex.execute_query(dsl, limit=100000)
+        want = ex.execute_query(handwritten, limit=100000)
+        assert got == want, (nl, dsl)

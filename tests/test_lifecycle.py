@@ -1,6 +1,8 @@
 """Index lifecycle: delta merge ≡ monolithic build; tombstone deletes;
 compaction ≡ rebuild on the live corpus."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -99,3 +101,51 @@ def test_add_documents_incremental(ray_session, tiny_docs, tmp_path):
     assert s1.n_docs == sf.n_docs
     for q in FIXTURE_QUERIES[:5]:
         assert s1.search(q, k=10) == sf.search(q, k=10), q
+
+
+def test_update_doc_metadata_put(ray_session, built_index):
+    """PUT analog: update url/lang of stored docs; lookup reflects it;
+    untouched partitions keep their bytes; missing ids -> KeyError;
+    immutable columns -> ValueError."""
+    import glob
+
+    from refimage_ray.index.lifecycle import update_doc_metadata
+    from refimage_ray.query.engine import LocalSearcher, lookup_docs
+
+    index_dir, cfg, _ = built_index
+    before = {
+        p: open(p, "rb").read()
+        for p in glob.glob(os.path.join(index_dir, "docs", "*.parquet"))
+    }
+
+    n = update_doc_metadata(index_dir, {3: {"url": "https://new.example/3"},
+                                        7: {"lang": "xx"}})
+    assert n == 2
+    got = lookup_docs(index_dir, [3, 7], columns=["doc_id", "url", "lang"]).to_pydict()
+    by_id = {d: (u, l) for d, u, l in zip(got["doc_id"], got["url"], got["lang"])}
+    assert by_id[3][0] == "https://new.example/3"
+    assert by_id[7][1] == "xx"
+
+    # untouched files byte-identical; touched files changed
+    changed = 0
+    for p, data in before.items():
+        now = open(p, "rb").read()
+        ids = set(
+            __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
+                p, columns=["doc_id"]
+            )["doc_id"].to_pylist()
+        )
+        if ids & {3, 7}:
+            changed += 1
+        else:
+            assert now == data, f"untouched partition rewritten: {p}"
+    assert changed >= 1
+
+    # search results unaffected (metadata-only mutation)
+    s = LocalSearcher(index_dir)
+    assert s.search("spark join", k=5) == LocalSearcher(index_dir).search("spark join", k=5)
+
+    with pytest.raises(KeyError):
+        update_doc_metadata(index_dir, {10**12: {"url": "x"}})
+    with pytest.raises(ValueError):
+        update_doc_metadata(index_dir, {3: {"text": "nope"}})
