@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_stats": search.index_term_stats,
         "bm25_topk": search.bm25_topk,
         "bm25_topk_and": search.bm25_topk_and,
+        "bm25_topk_docpart": search.bm25_topk_docpart,
         "search_and_membership": search.search_and_membership,
         "search_or_membership": search.search_or_membership,
         "search_not_membership": search.search_not_membership,
@@ -176,6 +177,8 @@ ORDER BY n_chars DESC, doc_id LIMIT 50 OFFSET 100
 """,
         "bm25_topk": _bm25_sql(["spark", "join"], 10),
         "bm25_topk_and": _bm25_sql(["data", "table", "scan"], 10, conjunctive=True),
+        # doc-partitioned layout is exact → same oracle as bm25_topk
+        "bm25_topk_docpart": _bm25_sql(["spark", "join"], 10),
         "search_and_membership": f"""
 SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
 INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'

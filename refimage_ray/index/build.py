@@ -467,10 +467,19 @@ def build_index(
 
         # full 128-bit hash as two u64 halves — same comparison basis
         # as the distributed find_dup_losers (prefix-only dedup would
-        # drop distinct texts colliding in the first 16 hex chars)
-        t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
-        keys = hex_prefix_u64(t["content_hash"])
-        keys2 = hex_suffix_u64(t["content_hash"])
+        # drop distinct texts colliding in the first 16 hex chars).
+        # Staged numeric halves (24 B/row) are preferred over parsing
+        # hex strings.
+        schema_names = pq.ParquetDataset(docs_dir).schema.names
+        if "content_key" in schema_names and "content_key2" in schema_names:
+            t = pq.read_table(docs_dir, columns=["doc_id", "content_key",
+                                                 "content_key2"])
+            keys = t["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            keys2 = t["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+            keys = hex_prefix_u64(t["content_hash"])
+            keys2 = hex_suffix_u64(t["content_hash"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids, keys2, keys))
         dup = np.zeros(len(ids), dtype=bool)
@@ -616,8 +625,12 @@ def build_index(
             hot_arr = ray.get(hot_ref)
             return pack_batch(batch, cfg, hot_arr, doc_span, done_arr)
 
+        # Larger pack batches emit fewer, bigger combined rows through
+        # the exchange (pack-row count ~ n_batches x live_gkeys); the
+        # default was chosen by the bench sweep in BENCH/BASELINE.md.
+        pack_rows = int(os.environ.get("REFIMAGE_PACK_BATCH", "16384"))
         shuffled_in = corpus.map_batches(
-            pack, batch_format="pyarrow", batch_size=8192
+            pack, batch_format="pyarrow", batch_size=pack_rows
         )
         builder = PackedBuildPartition(index_dir, cfg, avgdl)
     else:

@@ -1,0 +1,324 @@
+"""Doc-partitioned index layout — the A/B alternative to the default
+term-partitioned artifact (``index/build.py``).
+
+Layout comparison (both store the same logical postings):
+
+- **term-partitioned** (default): partition key = ``term_hash %
+  num_shards`` (+ doc-range salt for hot terms).  A query term's whole
+  posting list lives in one shard → term-at-a-time scoring needs only
+  the shards its terms hash to; hot terms need salting.
+- **doc-partitioned** (this module): partition key = a hash of
+  ``doc_id``.  Every shard holds a complete mini-index over its own
+  disjoint doc subset → document-at-a-time evaluation per shard, no
+  term-skew salting (a shard's work is bounded by its doc count, not
+  any term's df), and per-shard top-k merge is exact because each doc
+  is scored entirely inside one shard.  This is the layout distributed
+  search engines use for serving (one index per node, scatter-gather).
+
+Scoring is EXACT and bit-identical to the term-partitioned engine:
+global ``df``/``N``/``avgdl`` are computed at build (the per-term df
+aggregate is a narrow vocab-sized shuffle) and stored in
+``terms/``; per-shard accumulation reuses the engine's scoring
+functions unchanged (same ascending-term accumulation order), so each
+doc's float score is the same bit pattern — asserted in tests.
+
+Reference analog: the declared-but-unimplemented alternative index
+strategies (``/root/reference/src/refimage/config.py:50-52``); the
+serving shape mirrors ``load_index``-once-then-query
+(``search/__init__.py:362-396``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
+from refimage_ray.functions.codec import (
+    decode_f64,
+    decode_postings,
+    encode_f64,
+    encode_postings,
+    varbyte_decode,
+    varbyte_encode,
+)
+from refimage_ray.index.manifest import atomic_write_bytes
+from refimage_ray.index.pack import PACK_SCHEMA, unpack_group
+from refimage_ray.query.scorer import bm25_weight
+from refimage_ray.stages.tokenize import doc_stats_batch, tokenize_batch
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_shard_of(doc_ids: np.ndarray, num_doc_shards: int) -> np.ndarray:
+    """Deterministic balanced doc→shard map (multiplicative hash, so
+    strided doc_id spaces spread evenly)."""
+    return (
+        (doc_ids.astype(np.uint64) * _GOLDEN) % np.uint64(num_doc_shards)
+    ).astype(np.int64)
+
+
+def _pack_docshard(batch: pa.Table, cfg: EngineConfig, num_doc_shards: int) -> pa.Table:
+    """docs batch → packed posting rows keyed by DOC shard (map-side
+    combiner; same blob format as ``index/pack.py`` so the reducer can
+    reuse ``unpack_group``)."""
+    toks = tokenize_batch(batch, cfg)
+    if toks.num_rows == 0:
+        return PACK_SCHEMA.empty_table()
+    th = toks["term_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    doc = toks["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = toks["tf"].to_numpy(zero_copy_only=False).astype(np.int32)
+    dl = toks["dl"].to_numpy(zero_copy_only=False).astype(np.int32)
+    gkey = _doc_shard_of(doc, num_doc_shards)
+    order = np.lexsort((doc, th, gkey))
+    gs, ths, docs_, tfs, dls = gkey[order], th[order], doc[order], tf[order], dl[order]
+    terms = toks["term"].combine_chunks()
+    changes = np.flatnonzero(gs[1:] != gs[:-1]) + 1
+    starts = np.concatenate(([0], changes))
+    ends = np.concatenate((changes, [len(gs)]))
+    run_start_mask = np.zeros(len(gs), dtype=bool)
+    run_start_mask[0] = True
+    run_start_mask[1:] = (ths[1:] != ths[:-1]) | (gs[1:] != gs[:-1])
+    doc_delta = docs_.copy()
+    doc_delta[1:] -= docs_[:-1]
+    doc_delta[run_start_mask] = docs_[run_start_mask]
+    cols: dict[str, list] = {k: [] for k in PACK_SCHEMA.names}
+    for s, e in zip(starts, ends):
+        run_th = ths[s:e]
+        hchan = np.flatnonzero(run_th[1:] != run_th[:-1]) + 1
+        hstarts = np.concatenate(([0], hchan))
+        hends = np.concatenate((hchan, [len(run_th)]))
+        dict_idx = order[s:e][hstarts]
+        dict_terms = pc.take(terms, pa.array(dict_idx, pa.int64())).to_pylist()
+        cols["gkey"].append(int(gs[s]))
+        cols["n"].append(int(e - s))
+        cols["rlen"].append(varbyte_encode((hends - hstarts).astype(np.uint64)))
+        cols["docd"].append(varbyte_encode(doc_delta[s:e].astype(np.uint64)))
+        cols["tf"].append(varbyte_encode(tfs[s:e].astype(np.uint64)))
+        cols["dl"].append(varbyte_encode(dls[s:e].astype(np.uint64)))
+        cols["dict_hash"].append(run_th[hstarts].tobytes())
+        cols["dict_terms"].append("\n".join(dict_terms))
+    return pa.table(
+        {
+            "gkey": pa.array(cols["gkey"], pa.int64()),
+            "n": pa.array(cols["n"], pa.int32()),
+            "rlen": pa.array(cols["rlen"], pa.binary()),
+            "docd": pa.array(cols["docd"], pa.binary()),
+            "tf": pa.array(cols["tf"], pa.binary()),
+            "dl": pa.array(cols["dl"], pa.binary()),
+            "dict_hash": pa.array(cols["dict_hash"], pa.binary()),
+            "dict_terms": pa.array(cols["dict_terms"], pa.string()),
+        }
+    )
+
+
+class _BuildDocShard:
+    """Reducer: all packed rows of one doc shard → one shard file with
+    the shard's complete mini-index, plus per-term local-df stat rows
+    (the input to the global df aggregate)."""
+
+    def __init__(self, index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.avgdl = float(avgdl)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        shard = int(group["gkey"][0].as_py())
+        th, doc, tf, dl, lookup, _ = unpack_group(group)
+        n = len(th)
+        changes = np.flatnonzero(th[1:] != th[:-1]) + 1
+        starts = np.concatenate(([0], changes))
+        ends = np.concatenate((changes, [n]))
+        w = bm25_weight(
+            tf.astype(np.float64), dl.astype(np.float64), self.avgdl,
+            self.cfg.k1, self.cfg.b,
+        )
+        out = {k: [] for k in ("term", "term_hash", "df_local", "doc_ids",
+                               "tfs", "dls", "weights", "max_weight")}
+        for s, e in zip(starts, ends):
+            out["term"].append(lookup[int(th[s])])
+            out["term_hash"].append(int(th[s]))
+            out["df_local"].append(int(e - s))
+            out["doc_ids"].append(encode_postings(doc[s:e]))
+            out["tfs"].append(varbyte_encode(tf[s:e].astype(np.uint64)))
+            out["dls"].append(varbyte_encode(dl[s:e].astype(np.uint64)))
+            out["weights"].append(encode_f64(w[s:e]))
+            out["max_weight"].append(float(w[s:e].max()))
+        table = pa.table(
+            {
+                "term": pa.array(out["term"], pa.string()),
+                "term_hash": pa.array(out["term_hash"], pa.uint64()),
+                "df_local": pa.array(out["df_local"], pa.int64()),
+                "doc_ids": pa.array(out["doc_ids"], pa.binary()),
+                "tfs": pa.array(out["tfs"], pa.binary()),
+                "dls": pa.array(out["dls"], pa.binary()),
+                "weights": pa.array(out["weights"], pa.binary()),
+                "max_weight": pa.array(out["max_weight"], pa.float64()),
+            }
+        ).sort_by([("term", "ascending")])
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        atomic_write_bytes(
+            os.path.join(self.index_dir, f"docshard-{shard:05d}.parquet"),
+            buf.getvalue(),
+        )
+        return pa.table(
+            {"term": table["term"], "df_part": table["df_local"]}
+        )
+
+
+def build_doc_partitioned(
+    docs_ds: "rd.Dataset",
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    num_doc_shards: int = 16,
+) -> dict:
+    """docs (doc_id, text) → doc-partitioned artifact.
+
+    One narrow stats pass (regex token counts), then ONE posting
+    shuffle keyed by doc shard; the per-term global-df aggregate rides
+    on the reducers' stat output (vocab-sized rows, not postings).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    t0 = time.perf_counter()
+
+    stats_agg = docs_ds.map_batches(
+        lambda b: pa.table({"dl": doc_stats_batch(b, cfg)["doc_len"]}),
+        batch_format="pyarrow",
+    ).aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl"))
+    n_docs = int(stats_agg["n_docs"])
+    sum_dl = int(stats_agg["sum_dl"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+
+    builder = _BuildDocShard(index_dir, cfg, avgdl)
+    stat_rows = (
+        docs_ds.map_batches(
+            lambda b: _pack_docshard(b, cfg, num_doc_shards),
+            batch_format="pyarrow",
+            batch_size=16384,
+        )
+        .groupby("gkey")
+        .map_groups(lambda g: builder(g), batch_format="pyarrow")
+    )
+    terms_dir = os.path.join(index_dir, "terms")
+    (
+        stat_rows.groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .write_parquet(terms_dir)
+    )
+
+    manifest = {
+        "layout": "doc-partitioned",
+        "num_doc_shards": num_doc_shards,
+        "stats": {"n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
+                  "k1": cfg.k1, "b": cfg.b},
+        "config": {"token_pattern": cfg.token_pattern},
+        "build_sec": round(time.perf_counter() - t0, 3),
+    }
+    atomic_write_bytes(
+        os.path.join(index_dir, "manifest.json"),
+        json.dumps(manifest, indent=1).encode(),
+    )
+    return manifest
+
+
+class DocPartSearcher:
+    """Scatter-gather searcher over the doc-partitioned artifact.
+
+    Loads every shard's postings once (the load-once contract), builds
+    one in-process sub-searcher per shard — each reuses the engine's
+    scoring path via ``_SearcherBase`` with GLOBAL df/N/avgdl — and
+    merges per-shard top-k lists.  The merge is exact: doc shards are
+    disjoint, so each doc's full score comes from exactly one shard,
+    and the global top-k is contained in the union of per-shard
+    top-ks.  Scores are bit-identical to ``LocalSearcher`` on the
+    term-partitioned artifact (same accumulation code and order).
+    """
+
+    def __init__(self, index_dir: str) -> None:
+        from refimage_ray.index.reader import TermPostings
+        from refimage_ray.query.engine import _SearcherBase
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            man = json.load(f)
+        if man.get("layout") != "doc-partitioned":
+            raise ValueError(f"{index_dir} is not a doc-partitioned index")
+        self.manifest = man
+        self.n_docs = int(man["stats"]["n_docs"])
+        self.avgdl = float(man["stats"]["avgdl"])
+
+        df_t = pq.read_table(os.path.join(index_dir, "terms"))
+        self._global_df = dict(
+            zip(df_t["term"].to_pylist(),
+                df_t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+        )
+
+        n_docs, avgdl, global_df = self.n_docs, self.avgdl, self._global_df
+
+        class _ShardView(_SearcherBase):
+            def __init__(self, term_map: dict) -> None:
+                self._tm = term_map
+                self.n_docs = n_docs
+                self.avgdl = avgdl
+
+            def _term_map(self, terms: list[str]) -> dict:
+                return {t: self._tm[t] for t in terms if t in self._tm}
+
+        self.shards: list[_ShardView] = []
+        for fname in sorted(os.listdir(index_dir)):
+            if not fname.startswith("docshard-"):
+                continue
+            t = pq.read_table(os.path.join(index_dir, fname))
+            tm: dict[str, TermPostings] = {}
+            for row in t.to_pylist():
+                ids = decode_postings(row["doc_ids"])
+                w = decode_f64(row["weights"])
+                tm[row["term"]] = TermPostings(
+                    df=int(global_df[row["term"]]),  # GLOBAL df → exact idf
+                    doc_ids=ids,
+                    weights=w,
+                    tfs=varbyte_decode(row["tfs"]).astype(np.int64),
+                    max_weight=float(row["max_weight"]),
+                    block_last_doc=ids[-1:].copy(),
+                    block_max_weight=np.array([row["max_weight"]], np.float64),
+                    dls=varbyte_decode(row["dls"]).astype(np.int64),
+                )
+            self.shards.append(_ShardView(tm))
+
+    def search(
+        self,
+        query: str,
+        k: int | None = None,
+        threshold: float | None = None,
+        mode: str = "or",
+        cfg: EngineConfig = DEFAULT_CONFIG,
+    ) -> list[tuple[int, float]]:
+        from refimage_ray.query.scorer import topk_select
+
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        ids_parts, score_parts = [], []
+        for sh in self.shards:
+            hits = sh.search(query, k=k, threshold=threshold, mode=mode, cfg=cfg)
+            if hits:
+                ids_parts.append(np.array([d for d, _ in hits], np.int64))
+                score_parts.append(np.array([s for _, s in hits], np.float64))
+        if not ids_parts:
+            return []
+        ids, scores = topk_select(
+            np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
+        )
+        return list(zip(ids.tolist(), scores.tolist()))

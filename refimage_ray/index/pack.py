@@ -3,21 +3,26 @@
 The naive wide step ships one row per (term, doc) posting through the
 all-to-all exchange; at N docs that is ~100·N tiny rows and the sort
 machinery dominates.  This module packs each map batch's postings into
-ONE row per gkey:
+ONE row per gkey, COMPRESSED:
 
-    (gkey, n, th: binary, doc: binary, tf: binary, dl: binary,
-     dict_hash: binary, dict_terms: string)
+    (gkey, n, rlen: varbyte run lengths, docd: varbyte doc deltas,
+     tf: varbyte, dl: varbyte, dict_hash: binary u64, dict_terms: str)
 
-— numpy buffers for the numeric columns plus a per-pack term
-dictionary (hash → string, needed to recover term text after the
-numeric shuffle).  Rows through the shuffle drop from O(postings) to
-O(batches · live-gkeys-per-batch); bytes stay the same but the sort
-cost collapses.  The reducer concatenates buffers, lexsorts
-(term_hash, doc_id) once, and encodes exactly the same artifact as the
-row-wise reducer (asserted byte-identical in tests).
+The pack is (term_hash, doc_id)-sorted, so term hashes form runs:
+``dict_hash`` holds one u64 per run (it doubles as the hash→term
+dictionary key array) and ``rlen`` the run lengths — ~0.1 B/posting
+instead of 8.  Doc ids are ascending within each run → delta+varbyte
+(absolute at run starts); tf/dl varbyte.  ~24 B/posting raw drops to
+~5-7 B through the exchange; the added encode/decode is vectorized
+numpy CPU work, which scales with cores — unlike the object-store
+memcpy bandwidth it displaces (the single-box scaling ceiling measured
+in BENCH/BASELINE.md).
 
-This is the Ray Data expression of a sort-shuffle map-side combine
-(what Spark/MapReduce call a combiner + spill file).
+The reducer decodes, concatenates, lexsorts (term_hash, doc_id) once,
+and encodes exactly the same artifact as the row-wise reducer
+(asserted byte-identical in tests).  This is the Ray Data expression
+of a sort-shuffle map-side combine with spill compression (Spark's
+combiner + shuffle codec).
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from refimage_ray.config import EngineConfig
+from refimage_ray.functions.codec import varbyte_decode, varbyte_encode
 from refimage_ray.stages.tokenize import tokenize_batch
 
 def ragged_take(flat: np.ndarray, lens: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -48,8 +54,8 @@ PACK_SCHEMA = pa.schema(
     [
         ("gkey", pa.int64()),
         ("n", pa.int32()),
-        ("th", pa.binary()),
-        ("doc", pa.binary()),
+        ("rlen", pa.binary()),
+        ("docd", pa.binary()),
         ("tf", pa.binary()),
         ("dl", pa.binary()),
         ("dict_hash", pa.binary()),
@@ -123,7 +129,16 @@ def pack_batch(
     starts = np.concatenate(([0], changes))
     ends = np.concatenate((changes, [len(gs)]))
 
-    col_names = ["gkey", "n", "th", "doc", "tf", "dl", "dict_hash", "dict_terms"]
+    # doc deltas over the WHOLE sorted batch (reset to absolute at each
+    # (gkey, th)-run start) — computed once, sliced per gkey below
+    run_start_mask = np.zeros(len(gs), dtype=bool)
+    run_start_mask[0] = True
+    run_start_mask[1:] = (ths[1:] != ths[:-1]) | (gs[1:] != gs[:-1])
+    doc_delta = docs_.copy()
+    doc_delta[1:] -= docs_[:-1]
+    doc_delta[run_start_mask] = docs_[run_start_mask]
+
+    col_names = ["gkey", "n", "rlen", "docd", "tf", "dl", "dict_hash", "dict_terms"]
     if with_pos:
         col_names.append("posb")
     cols: dict[str, list] = {k: [] for k in col_names}
@@ -137,15 +152,16 @@ def pack_batch(
         run_th = ths[s:e]
         hchan = np.flatnonzero(run_th[1:] != run_th[:-1]) + 1
         hstarts = np.concatenate(([0], hchan))
+        hends = np.concatenate((hchan, [len(run_th)]))
         dict_hash = run_th[hstarts]
         dict_idx = order[s:e][hstarts]
         dict_terms = pc.take(terms, pa.array(dict_idx, pa.int64())).to_pylist()
         cols["gkey"].append(g)
         cols["n"].append(int(e - s))
-        cols["th"].append(run_th.tobytes())
-        cols["doc"].append(docs_[s:e].tobytes())
-        cols["tf"].append(tfs[s:e].tobytes())
-        cols["dl"].append(dls[s:e].tobytes())
+        cols["rlen"].append(varbyte_encode((hends - hstarts).astype(np.uint64)))
+        cols["docd"].append(varbyte_encode(doc_delta[s:e].astype(np.uint64)))
+        cols["tf"].append(varbyte_encode(tfs[s:e].astype(np.uint64)))
+        cols["dl"].append(varbyte_encode(dls[s:e].astype(np.uint64)))
         cols["dict_hash"].append(dict_hash.tobytes())
         cols["dict_terms"].append("\n".join(dict_terms))
         if with_pos:
@@ -155,8 +171,8 @@ def pack_batch(
     out = {
         "gkey": pa.array(cols["gkey"], pa.int64()),
         "n": pa.array(cols["n"], pa.int32()),
-        "th": pa.array(cols["th"], pa.binary()),
-        "doc": pa.array(cols["doc"], pa.binary()),
+        "rlen": pa.array(cols["rlen"], pa.binary()),
+        "docd": pa.array(cols["docd"], pa.binary()),
         "tf": pa.array(cols["tf"], pa.binary()),
         "dl": pa.array(cols["dl"], pa.binary()),
         "dict_hash": pa.array(cols["dict_hash"], pa.binary()),
@@ -167,23 +183,44 @@ def pack_batch(
     return pa.table(out)
 
 
+def _decode_pack_row(
+    rlen_b: bytes, docd_b: bytes, hash_b: bytes
+) -> tuple[np.ndarray, np.ndarray]:
+    """One pack row's (rlen, docd, dict_hash) → (th, doc) arrays."""
+    rlen = varbyte_decode(rlen_b).astype(np.int64)
+    hashes = np.frombuffer(hash_b, dtype=np.uint64)
+    th = np.repeat(hashes, rlen)
+    deltas = varbyte_decode(docd_b).astype(np.int64)
+    # prefix-sum with reset at run starts: doc[i] = Σ deltas[start..i]
+    cs = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(rlen)[:-1]))
+    base = cs[starts] - deltas[starts]
+    doc = cs - np.repeat(base, rlen)
+    return th, doc
+
+
 def unpack_group(
     group: pa.Table,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict, "np.ndarray | None"]:
     """Packed rows of one gkey → concatenated, (hash, doc)-sorted
     posting arrays + hash→term lookup (+ flat positions when stored)."""
-    th = np.concatenate(
-        [np.frombuffer(b, dtype=np.uint64) for b in group["th"].to_pylist()]
-    )
-    doc = np.concatenate(
-        [np.frombuffer(b, dtype=np.int64) for b in group["doc"].to_pylist()]
-    )
+    ths, docs = [], []
+    for rlen_b, docd_b, hash_b in zip(
+        group["rlen"].to_pylist(),
+        group["docd"].to_pylist(),
+        group["dict_hash"].to_pylist(),
+    ):
+        t, d = _decode_pack_row(rlen_b, docd_b, hash_b)
+        ths.append(t)
+        docs.append(d)
+    th = np.concatenate(ths) if ths else np.zeros(0, np.uint64)
+    doc = np.concatenate(docs) if docs else np.zeros(0, np.int64)
     tf = np.concatenate(
-        [np.frombuffer(b, dtype=np.int32) for b in group["tf"].to_pylist()]
-    )
+        [varbyte_decode(b).astype(np.int32) for b in group["tf"].to_pylist()]
+    ) if group.num_rows else np.zeros(0, np.int32)
     dl = np.concatenate(
-        [np.frombuffer(b, dtype=np.int32) for b in group["dl"].to_pylist()]
-    )
+        [varbyte_decode(b).astype(np.int32) for b in group["dl"].to_pylist()]
+    ) if group.num_rows else np.zeros(0, np.int32)
     lookup: dict[int, str] = {}
     for hb, ts in zip(group["dict_hash"].to_pylist(), group["dict_terms"].to_pylist()):
         hashes = np.frombuffer(hb, dtype=np.uint64)

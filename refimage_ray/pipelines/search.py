@@ -86,6 +86,23 @@ def bm25_topk_and(sf_dir: str, query: str = "data table scan", k: int = 10) -> p
     return _hits_table(searcher_for(sf_dir).search(query, k=k, mode="and"))
 
 
+def bm25_topk_docpart(sf_dir: str, query: str = "spark join", k: int = 10) -> pa.Table:
+    """Same top-k over the DOC-partitioned index layout
+    (``index/docpart.py``) — scatter-gather across doc shards, exact
+    by construction, so it shares ``bm25_topk``'s SQL oracle."""
+    from refimage_ray.index.docpart import DocPartSearcher, build_doc_partitioned
+
+    doc_dir = _index_dir_for(sf_dir) + "-docpart"
+    if not os.path.exists(os.path.join(doc_dir, "manifest.json")):
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        build_doc_partitioned(docs, doc_dir, SEARCH_CFG, num_doc_shards=8)
+    if doc_dir not in _searchers:
+        _searchers[doc_dir] = DocPartSearcher(doc_dir)
+    return _hits_table(_searchers[doc_dir].search(query, k=k, mode="or"))
+
+
 def _membership(sf_dir: str, dsl_query: str) -> pa.Table:
     ex = DSLExecutor(searcher_for(sf_dir))
     hits = ex.execute_query(dsl_query, limit=10**9)

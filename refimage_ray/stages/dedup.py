@@ -28,11 +28,13 @@ from refimage_ray.functions.hashing import hash_string_array, md5_string_array
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized md5 content hash (matches DuckDB ``md5()``) plus its
-    64-bit numeric prefix ``content_key`` — staged so the dedup loser
-    scan later reads a 16-byte-per-row numeric pair instead of parsing
-    hex strings."""
-    from refimage_ray.functions.hashing import hex_prefix_u64
+    """Vectorized md5 content hash (matches DuckDB ``md5()``) plus BOTH
+    64-bit numeric halves ``content_key``/``content_key2`` — staged so
+    the dedup loser scan later reads 24 bytes of numerics per row
+    instead of parsing hex strings, while still comparing the FULL
+    128-bit digest (prefix-only comparison would merge distinct texts
+    colliding in the first 16 hex chars)."""
+    from refimage_ray.functions.hashing import hex_prefix_u64, hex_suffix_u64
 
     if "content_hash" not in batch.column_names:
         batch = batch.append_column(
@@ -42,6 +44,11 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
         batch = batch.append_column(
             "content_key",
             pa.array(hex_prefix_u64(batch["content_hash"]), pa.uint64()),
+        )
+    if "content_key2" not in batch.column_names:
+        batch = batch.append_column(
+            "content_key2",
+            pa.array(hex_suffix_u64(batch["content_hash"]), pa.uint64()),
         )
     return batch
 
@@ -100,17 +107,32 @@ def find_dup_losers(
     acceptable for dedup) or fall back to
     :func:`dedup_and_assign_ids` (full shuffle, exact).
     """
+    import pyarrow.parquet as _pq
+
     import ray.data as rd
 
     from refimage_ray.functions.hashing import hex_prefix_u64, hex_suffix_u64
+
+    schema_names = _pq.ParquetDataset(docs_dir).schema.names
+    has_keys = "content_key" in schema_names and "content_key2" in schema_names
+    cols = (
+        ["doc_id", "content_key", "content_key2"]
+        if has_keys
+        else ["doc_id", "content_hash"]
+    )
 
     def to_keys(b: pa.Table) -> pa.Table:
         # winner = min doc_id per FULL 128-bit content key, carried as
         # two u64 halves (numeric, deterministic) — comparing the
         # prefix alone would silently merge distinct texts that collide
-        # in the first 16 hex chars
-        key = hex_prefix_u64(b["content_hash"])
-        key2 = hex_suffix_u64(b["content_hash"])
+        # in the first 16 hex chars.  Reads the staged numeric halves
+        # when present (24 B/row) instead of hex strings.
+        if has_keys:
+            key = b["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            key2 = b["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            key = hex_prefix_u64(b["content_hash"])
+            key2 = hex_suffix_u64(b["content_hash"])
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -122,7 +144,7 @@ def find_dup_losers(
             }
         )
 
-    pairs = rd.read_parquet(docs_dir, columns=["doc_id", "content_hash"]).map_batches(
+    pairs = rd.read_parquet(docs_dir, columns=cols).map_batches(
         to_keys, batch_format="pyarrow"
     )
 

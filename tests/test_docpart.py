@@ -1,0 +1,72 @@
+"""Doc-partitioned index A/B: exact score identity with the
+term-partitioned engine, disjoint shard coverage, determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.config import EngineConfig
+from refimage_ray.index.docpart import (
+    DocPartSearcher,
+    _doc_shard_of,
+    build_doc_partitioned,
+)
+from refimage_ray.query.engine import LocalSearcher
+from tests.conftest import FIXTURE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def both_indexes(ray_session, tiny_docs, tmp_path_factory):
+    from refimage_ray.index.build import build_index
+
+    cfg = EngineConfig(num_shards=8, salt_buckets=4, hot_df_fraction=0.05)
+    base = tmp_path_factory.mktemp("docpart")
+    term_dir = str(base / "term")
+    doc_dir = str(base / "doc")
+    build_index(rd.from_arrow(tiny_docs), term_dir, cfg)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), doc_dir, cfg, num_doc_shards=4)
+    return term_dir, doc_dir, cfg
+
+
+def test_docpart_scores_bit_identical_to_term_partitioned(both_indexes):
+    term_dir, doc_dir, cfg = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    for q in FIXTURE_QUERIES:
+        for mode in ("or", "and"):
+            assert a.search(q, k=10, mode=mode) == b.search(q, k=10, mode=mode), (
+                q, mode,
+            )
+
+
+def test_docpart_threshold_and_k(both_indexes):
+    term_dir, doc_dir, _ = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    assert a.search("the data join", k=3) == b.search("the data join", k=3)
+    ra = a.search("the data join", k=1000, threshold=0.3)
+    rb = b.search("the data join", k=1000, threshold=0.3)
+    assert ra == rb
+
+
+def test_doc_shard_disjoint_and_balanced():
+    ids = np.arange(0, 100000, 7, dtype=np.int64)  # strided id space
+    shards = _doc_shard_of(ids, 16)
+    assert shards.min() >= 0 and shards.max() < 16
+    counts = np.bincount(shards, minlength=16)
+    assert counts.min() > 0.5 * counts.mean()  # multiplicative hash balances
+
+
+def test_docpart_deterministic_rebuild(ray_session, tiny_docs, tmp_path):
+    import glob
+    import os
+
+    cfg = EngineConfig(num_shards=8, salt_buckets=4)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), d1, cfg, num_doc_shards=4)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), d2, cfg, num_doc_shards=4)
+    for p1 in sorted(glob.glob(os.path.join(d1, "docshard-*.parquet"))):
+        p2 = os.path.join(d2, os.path.basename(p1))
+        assert open(p1, "rb").read() == open(p2, "rb").read()
