@@ -47,6 +47,49 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_with_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode once, return ``(bytes_u8, value_byte_ends)``.
+
+    Varbyte is per-value independent, so the encoding of any value
+    RANGE equals a byte slice of the full encoding — callers that need
+    many per-segment blobs (the pack combiner emits one per gkey)
+    encode the whole batch once and slice, instead of paying the numpy
+    call overhead per segment.  ``value_byte_ends[i]`` is the byte
+    offset one past value ``i``; segment ``[s, e)`` of the value array
+    is ``bytes_u8[ends[s-1] : ends[e-1]]`` (0 for s == 0).
+    """
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    ngroups = np.ones(a.shape, dtype=np.int64)
+    tmp = a >> _U7
+    while tmp.any():
+        ngroups += tmp > 0
+        tmp >>= _U7
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    vals = a.copy()
+    for k in range(int(ngroups.max())):
+        mask = ngroups > k
+        out[starts[mask] + k] = (vals[mask] & _MASK).astype(np.uint8)
+        vals[mask] >>= _U7
+    cont = np.ones(out.shape, dtype=bool)
+    cont[ends - 1] = False
+    out[cont] |= 0x80
+    return out, ends
+
+
+def slice_varbyte(
+    buf: np.ndarray, ends: np.ndarray, s: int, e: int
+) -> bytes:
+    """Byte slice of values [s, e) from a varbyte_encode_with_offsets
+    result (equals varbyte_encode(values[s:e]))."""
+    b0 = 0 if s == 0 else int(ends[s - 1])
+    b1 = 0 if e == 0 else int(ends[e - 1])
+    return buf[b0:b1].tobytes()
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Decode varbyte bytes back to a uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

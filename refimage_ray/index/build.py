@@ -522,18 +522,35 @@ def build_index(
             buf = _io.BytesIO()
             pq.write_table(pa.table({"doc_id": pa.array(losers, pa.int64())}), buf)
             atomic_write_bytes(losers_path, buf.getvalue())
-    losers_ref = ray.put(losers)
+    # Above this many losers the exact sorted array outgrows a broadcast
+    # → swap in a Bloom filter (false positives drop extra docs — fine
+    # for dedup; no false negatives).  Only reachable in the distributed
+    # path: driver_local implies ≤ DRIVER_LOCAL_ROWS ≪ this.
+    bloom_over = int(os.environ.get("REFIMAGE_BLOOM_LOSERS", "20000000"))
+    if len(losers) > bloom_over and not driver_local:
+        from refimage_ray.stages.dedup import BloomFilter
+
+        losers_ref = ray.put(BloomFilter.from_array(losers))
+        metrics["loser_set"] = "bloom"
+    else:
+        losers_ref = ray.put(losers)
+        metrics["loser_set"] = "exact"
     metrics["dedup_sec"] = time.perf_counter() - t1b
     metrics["n_dup_losers"] = int(len(losers))
 
     def drop_losers(batch: pa.Table) -> pa.Table:
+        from refimage_ray.stages.dedup import BloomFilter
+
         excl = ray.get(losers_ref)
-        if len(excl) == 0:
-            return batch
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # losers is sorted -> membership by binary search
-        pos = np.searchsorted(excl, ids)
-        hit = (pos < len(excl)) & (excl[np.minimum(pos, len(excl) - 1)] == ids)
+        if isinstance(excl, BloomFilter):
+            hit = excl.contains_many(ids)
+        else:
+            if len(excl) == 0:
+                return batch
+            # losers is sorted -> membership by binary search
+            pos = np.searchsorted(excl, ids)
+            hit = (pos < len(excl)) & (excl[np.minimum(pos, len(excl) - 1)] == ids)
         return batch.filter(pa.array(~hit))
 
     def corpus_read(columns: list[str]) -> "ray.data.Dataset":

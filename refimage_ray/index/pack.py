@@ -31,7 +31,12 @@ import numpy as np
 import pyarrow as pa
 
 from refimage_ray.config import EngineConfig
-from refimage_ray.functions.codec import varbyte_decode, varbyte_encode
+from refimage_ray.functions.codec import (
+    slice_varbyte,
+    varbyte_decode,
+    varbyte_encode,
+    varbyte_encode_with_offsets,
+)
 from refimage_ray.stages.tokenize import tokenize_batch
 
 def ragged_take(flat: np.ndarray, lens: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -130,13 +135,22 @@ def pack_batch(
     ends = np.concatenate((changes, [len(gs)]))
 
     # doc deltas over the WHOLE sorted batch (reset to absolute at each
-    # (gkey, th)-run start) — computed once, sliced per gkey below
+    # (gkey, th)-run start) — every varbyte column is encoded ONCE per
+    # batch and byte-SLICED per gkey (varbyte is per-value independent,
+    # so a slice of the full encoding equals encoding the slice)
     run_start_mask = np.zeros(len(gs), dtype=bool)
     run_start_mask[0] = True
     run_start_mask[1:] = (ths[1:] != ths[:-1]) | (gs[1:] != gs[:-1])
     doc_delta = docs_.copy()
     doc_delta[1:] -= docs_[:-1]
     doc_delta[run_start_mask] = docs_[run_start_mask]
+
+    run_starts_idx = np.flatnonzero(run_start_mask)
+    run_lens_all = np.diff(np.concatenate((run_starts_idx, [len(gs)])))
+    docd_buf, docd_ends = varbyte_encode_with_offsets(doc_delta.astype(np.uint64))
+    tf_buf, tf_ends = varbyte_encode_with_offsets(tfs.astype(np.uint64))
+    dl_buf, dl_ends = varbyte_encode_with_offsets(dls.astype(np.uint64))
+    rl_buf, rl_ends = varbyte_encode_with_offsets(run_lens_all.astype(np.uint64))
 
     col_names = ["gkey", "n", "rlen", "docd", "tf", "dl", "dict_hash", "dict_terms"]
     if with_pos:
@@ -149,19 +163,17 @@ def pack_batch(
             pos = np.searchsorted(done, g)
             if pos < len(done) and done[pos] == g:
                 continue  # resume: partition already checkpointed
-        run_th = ths[s:e]
-        hchan = np.flatnonzero(run_th[1:] != run_th[:-1]) + 1
-        hstarts = np.concatenate(([0], hchan))
-        hends = np.concatenate((hchan, [len(run_th)]))
-        dict_hash = run_th[hstarts]
-        dict_idx = order[s:e][hstarts]
+        r0 = int(np.searchsorted(run_starts_idx, s))
+        r1 = int(np.searchsorted(run_starts_idx, e))
+        dict_hash = ths[run_starts_idx[r0:r1]]
+        dict_idx = order[run_starts_idx[r0:r1]]
         dict_terms = pc.take(terms, pa.array(dict_idx, pa.int64())).to_pylist()
         cols["gkey"].append(g)
         cols["n"].append(int(e - s))
-        cols["rlen"].append(varbyte_encode((hends - hstarts).astype(np.uint64)))
-        cols["docd"].append(varbyte_encode(doc_delta[s:e].astype(np.uint64)))
-        cols["tf"].append(varbyte_encode(tfs[s:e].astype(np.uint64)))
-        cols["dl"].append(varbyte_encode(dls[s:e].astype(np.uint64)))
+        cols["rlen"].append(slice_varbyte(rl_buf, rl_ends, r0, r1))
+        cols["docd"].append(slice_varbyte(docd_buf, docd_ends, s, e))
+        cols["tf"].append(slice_varbyte(tf_buf, tf_ends, s, e))
+        cols["dl"].append(slice_varbyte(dl_buf, dl_ends, s, e))
         cols["dict_hash"].append(dict_hash.tobytes())
         cols["dict_terms"].append("\n".join(dict_terms))
         if with_pos:

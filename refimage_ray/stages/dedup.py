@@ -164,6 +164,58 @@ def find_dup_losers(
     return np.sort(ids.astype(np.int64))
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over int64 ids — the broadcast loser set
+    for HIGH-dup corpora where the exact sorted array outgrows a
+    broadcast (``find_dup_losers`` scale note).
+
+    Deterministic (fixed double-hashing constants), no false negatives
+    (every true loser is dropped); false positives drop extra docs at
+    rate ``fp_rate`` — acceptable for dedup, never for joins.  Probe
+    and build are fully vectorized (k ≤ ~10 numpy passes).
+    """
+
+    _A = np.uint64(0x9E3779B97F4A7C15)
+    _B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def __init__(self, n_items: int, fp_rate: float = 1e-4) -> None:
+        import math
+
+        n = max(1, int(n_items))
+        m = int(math.ceil(-n * math.log(fp_rate) / (math.log(2.0) ** 2)))
+        self.m = max(64, (m + 63) // 64 * 64)  # round to u64 words
+        self.k = max(1, int(round(self.m / n * math.log(2.0))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _idx(self, ids: np.ndarray, i: int) -> np.ndarray:
+        x = ids.astype(np.uint64)
+        h1 = x * self._A
+        h2 = (x * self._B) | np.uint64(1)
+        return (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+
+    def add_many(self, ids: np.ndarray) -> None:
+        for i in range(self.k):
+            pos = self._idx(ids, i)
+            np.bitwise_or.at(
+                self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+
+    def contains_many(self, ids: np.ndarray) -> np.ndarray:
+        out = np.ones(len(ids), dtype=bool)
+        for i in range(self.k):
+            pos = self._idx(ids, i)
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+    @classmethod
+    def from_array(cls, ids: np.ndarray, fp_rate: float = 1e-4) -> "BloomFilter":
+        bf = cls(len(ids), fp_rate)
+        bf.add_many(np.asarray(ids, dtype=np.int64))
+        return bf
+
+
 def dedup_and_assign_ids(
     ds: "ray.data.Dataset",
     text_col: str = "text",

@@ -111,3 +111,65 @@ def test_hex_suffix_u64():
     arr = pa.array([h], pa.string())
     assert hex_prefix_u64(arr)[0] == np.uint64(int(h[:16], 16))
     assert hex_suffix_u64(arr)[0] == np.uint64(int(h[16:], 16))
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from refimage_ray.stages.dedup import BloomFilter
+
+    rng = np.random.default_rng(3)
+    members = rng.choice(10**9, size=50000, replace=False).astype(np.int64)
+    bf = BloomFilter.from_array(members, fp_rate=1e-4)
+    assert bf.contains_many(members).all()  # no false negatives, ever
+    probe = rng.choice(10**9, size=100000, replace=False).astype(np.int64)
+    outside = probe[~np.isin(probe, members)]
+    fp = bf.contains_many(outside).mean()
+    assert fp < 1e-3, fp
+    # deterministic across constructions
+    bf2 = BloomFilter.from_array(members, fp_rate=1e-4)
+    assert (bf.bits == bf2.bits).all()
+
+
+def test_build_with_bloom_loser_set(ray_session, tmp_path, monkeypatch):
+    """Force the bloom path (threshold 0 + distributed planning): all
+    true duplicate losers must be dropped; stats stay consistent."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index import build as build_mod
+    from refimage_ray.index.build import build_index
+    from refimage_ray.sources.pages import synthesize_pages
+    from refimage_ray.stages.dedup import add_content_hash
+
+    tp = synthesize_pages(120, seed=7)
+    base = pa.table(
+        {
+            "doc_id": pa.array(range(tp.num_rows), pa.int64()),
+            "text": tp["text"],
+            "url": tp["url"],
+        }
+    )
+    dup = base.slice(0, 30).set_column(
+        0, "doc_id", pa.array(range(1000, 1030), pa.int64())
+    )
+    docs = add_content_hash(pa.concat_tables([base, dup]))
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+
+    monkeypatch.setattr(build_mod, "DRIVER_LOCAL_ROWS", 0)
+    monkeypatch.setenv("REFIMAGE_BLOOM_LOSERS", "0")
+    d_bloom = str(tmp_path / "bloom")
+    res_b = build_index(rd.from_arrow(docs), d_bloom, cfg, dedup_exact=True)
+    assert res_b.metrics["loser_set"] == "bloom"
+
+    monkeypatch.setenv("REFIMAGE_BLOOM_LOSERS", "99999999")
+    d_exact = str(tmp_path / "exact")
+    res_e = build_index(rd.from_arrow(docs), d_exact, cfg, dedup_exact=True)
+    assert res_e.metrics["loser_set"] == "exact"
+
+    # no false negatives: bloom n_docs <= exact n_docs; tiny corpus at
+    # fp=1e-4 -> equality expected (and deterministic)
+    assert res_b.metrics["n_docs"] == res_e.metrics["n_docs"]
+    assert res_b.metrics["n_dup_losers"] == 30 + res_e.metrics["n_dup_losers"] - 30
