@@ -235,6 +235,49 @@ def build_doc_partitioned(
     return manifest
 
 
+def _load_global_df(index_dir: str) -> dict:
+    df_t = pq.read_table(os.path.join(index_dir, "terms"))
+    return dict(
+        zip(df_t["term"].to_pylist(),
+            df_t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+    )
+
+
+def _load_shard_view(
+    index_dir: str, fname: str, n_docs: int, avgdl: float, global_df: dict
+):
+    """One shard file → an in-process sub-searcher reusing the engine's
+    scoring path (`_SearcherBase`) with GLOBAL df/N/avgdl."""
+    from refimage_ray.index.reader import TermPostings
+    from refimage_ray.query.engine import _SearcherBase
+
+    class _ShardView(_SearcherBase):
+        def __init__(self, term_map: dict) -> None:
+            self._tm = term_map
+            self.n_docs = n_docs
+            self.avgdl = avgdl
+
+        def _term_map(self, terms: list[str]) -> dict:
+            return {t: self._tm[t] for t in terms if t in self._tm}
+
+    t = pq.read_table(os.path.join(index_dir, fname))
+    tm: dict[str, TermPostings] = {}
+    for row in t.to_pylist():
+        ids = decode_postings(row["doc_ids"])
+        w = decode_f64(row["weights"])
+        tm[row["term"]] = TermPostings(
+            df=int(global_df[row["term"]]),  # GLOBAL df → exact idf
+            doc_ids=ids,
+            weights=w,
+            tfs=varbyte_decode(row["tfs"]).astype(np.int64),
+            max_weight=float(row["max_weight"]),
+            block_last_doc=ids[-1:].copy(),
+            block_max_weight=np.array([row["max_weight"]], np.float64),
+            dls=varbyte_decode(row["dls"]).astype(np.int64),
+        )
+    return _ShardView(tm)
+
+
 class DocPartSearcher:
     """Scatter-gather searcher over the doc-partitioned artifact.
 
@@ -260,43 +303,14 @@ class DocPartSearcher:
         self.n_docs = int(man["stats"]["n_docs"])
         self.avgdl = float(man["stats"]["avgdl"])
 
-        df_t = pq.read_table(os.path.join(index_dir, "terms"))
-        self._global_df = dict(
-            zip(df_t["term"].to_pylist(),
-                df_t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+        self._global_df = _load_global_df(index_dir)
+        files = sorted(
+            f for f in os.listdir(index_dir) if f.startswith("docshard-")
         )
-
-        n_docs, avgdl, global_df = self.n_docs, self.avgdl, self._global_df
-
-        class _ShardView(_SearcherBase):
-            def __init__(self, term_map: dict) -> None:
-                self._tm = term_map
-                self.n_docs = n_docs
-                self.avgdl = avgdl
-
-            def _term_map(self, terms: list[str]) -> dict:
-                return {t: self._tm[t] for t in terms if t in self._tm}
-
-        self.shards: list[_ShardView] = []
-        for fname in sorted(os.listdir(index_dir)):
-            if not fname.startswith("docshard-"):
-                continue
-            t = pq.read_table(os.path.join(index_dir, fname))
-            tm: dict[str, TermPostings] = {}
-            for row in t.to_pylist():
-                ids = decode_postings(row["doc_ids"])
-                w = decode_f64(row["weights"])
-                tm[row["term"]] = TermPostings(
-                    df=int(global_df[row["term"]]),  # GLOBAL df → exact idf
-                    doc_ids=ids,
-                    weights=w,
-                    tfs=varbyte_decode(row["tfs"]).astype(np.int64),
-                    max_weight=float(row["max_weight"]),
-                    block_last_doc=ids[-1:].copy(),
-                    block_max_weight=np.array([row["max_weight"]], np.float64),
-                    dls=varbyte_decode(row["dls"]).astype(np.int64),
-                )
-            self.shards.append(_ShardView(tm))
+        self.shards = [
+            _load_shard_view(index_dir, f, self.n_docs, self.avgdl, self._global_df)
+            for f in files
+        ]
 
     def search(
         self,
@@ -313,6 +327,83 @@ class DocPartSearcher:
         ids_parts, score_parts = [], []
         for sh in self.shards:
             hits = sh.search(query, k=k, threshold=threshold, mode=mode, cfg=cfg)
+            if hits:
+                ids_parts.append(np.array([d for d, _ in hits], np.int64))
+                score_parts.append(np.array([s for _, s in hits], np.float64))
+        if not ids_parts:
+            return []
+        ids, scores = topk_select(
+            np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
+        )
+        return list(zip(ids.tolist(), scores.tolist()))
+
+
+@ray.remote
+class _DocShardActor:
+    """Serving actor owning a subset of doc shards — postings loaded
+    ONCE in ``__init__`` (the load-once contract), queries answered
+    from memory.  The cluster shape of a doc-partitioned engine: one
+    such actor per node, scatter-gather from the driver."""
+
+    def __init__(self, index_dir: str, fnames: list[str], n_docs: int,
+                 avgdl: float) -> None:
+        global_df = _load_global_df(index_dir)
+        self._views = [
+            _load_shard_view(index_dir, f, n_docs, avgdl, global_df)
+            for f in fnames
+        ]
+
+    def search(
+        self, query: str, k: int, threshold: float, mode: str
+    ) -> list[tuple[int, float]]:
+        out: list[tuple[int, float]] = []
+        for v in self._views:
+            out.extend(v.search(query, k=k, threshold=threshold, mode=mode))
+        return out
+
+
+class DistributedDocPartSearcher:
+    """Scatter-gather over ``_DocShardActor``s — identical results to
+    :class:`DocPartSearcher` (same per-shard scoring, same merge), but
+    shard evaluation fans out across the cluster.  Use for serving
+    when one process can't hold every shard's postings."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4) -> None:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            man = json.load(f)
+        if man.get("layout") != "doc-partitioned":
+            raise ValueError(f"{index_dir} is not a doc-partitioned index")
+        self.n_docs = int(man["stats"]["n_docs"])
+        self.avgdl = float(man["stats"]["avgdl"])
+        files = sorted(
+            f for f in os.listdir(index_dir) if f.startswith("docshard-")
+        )
+        num_actors = max(1, min(num_actors, len(files) or 1))
+        assign: list[list[str]] = [[] for _ in range(num_actors)]
+        for i, f in enumerate(files):
+            assign[i % num_actors].append(f)
+        self.actors = [
+            _DocShardActor.remote(index_dir, fnames, self.n_docs, self.avgdl)
+            for fnames in assign if fnames
+        ]
+
+    def search(
+        self,
+        query: str,
+        k: int | None = None,
+        threshold: float | None = None,
+        mode: str = "or",
+        cfg: EngineConfig = DEFAULT_CONFIG,
+    ) -> list[tuple[int, float]]:
+        from refimage_ray.query.scorer import topk_select
+
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        parts = ray.get(
+            [a.search.remote(query, k, threshold, mode) for a in self.actors]
+        )
+        ids_parts, score_parts = [], []
+        for hits in parts:
             if hits:
                 ids_parts.append(np.array([d for d, _ in hits], np.int64))
                 score_parts.append(np.array([s for _, s in hits], np.float64))

@@ -412,3 +412,26 @@ def lookup_docs(index_dir: str, doc_ids: list[int], columns: list[str] | None = 
     ds = pads.dataset(os.path.join(index_dir, "docs"))
     cols = columns or [c for c in ds.schema.names if c != "text"]
     return ds.to_table(columns=cols, filter=pc.field("doc_id").isin(doc_ids))
+
+
+def stream_doc_bytes(index_dir: str, doc_id: int, chunk_size: int = 65536):
+    """Chunked streaming read of one stored document's content — the
+    blob-serving analog of the reference's ranged file response
+    (``/root/reference/src/refimage/api.py:944-954``: FileResponse
+    streams the stored image bytes).
+
+    Predicate-pushdown point lookup (only row groups that can contain
+    ``doc_id`` are read), then the UTF-8 payload is yielded in
+    ``chunk_size``-byte chunks so a serving layer can stream a large
+    document without holding it whole.  Raises ``KeyError`` for an
+    unknown doc_id (the 404 analog).
+    """
+    import os
+
+    ds = pads.dataset(os.path.join(index_dir, "docs"))
+    t = ds.to_table(columns=["text"], filter=pc.field("doc_id") == doc_id)
+    if t.num_rows == 0:
+        raise KeyError(f"doc_id {doc_id} not found")
+    payload = t["text"][0].as_py().encode("utf-8")
+    for off in range(0, len(payload), chunk_size):
+        yield payload[off : off + chunk_size]

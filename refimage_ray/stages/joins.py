@@ -99,3 +99,30 @@ def hash_join(
         return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
 
     return both.groupby("join_bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def native_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_on: str,
+    right_on: str,
+    num_partitions: int = 32,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Ray 2.49's built-in hash-join operator — the A/B counterpart to
+    :func:`hash_join`.
+
+    The native operator runs dedicated aggregator actors (its own
+    partitioning machinery) where `hash_join` expresses the join as a
+    plain groupby — measured on this box the explicit version wins at
+    small scale (actor pool startup dominates) while the native one
+    avoids the union's schema-widening; keep both, pick per workload.
+    """
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(left_on,),
+        right_on=(right_on,),
+    )

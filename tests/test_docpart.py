@@ -70,3 +70,13 @@ def test_docpart_deterministic_rebuild(ray_session, tiny_docs, tmp_path):
     for p1 in sorted(glob.glob(os.path.join(d1, "docshard-*.parquet"))):
         p2 = os.path.join(d2, os.path.basename(p1))
         assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_distributed_docpart_matches_local(both_indexes):
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    term_dir, doc_dir, _ = both_indexes
+    local = DocPartSearcher(doc_dir)
+    dist = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    for q in FIXTURE_QUERIES[:5]:
+        assert dist.search(q, k=10) == local.search(q, k=10), q

@@ -67,3 +67,43 @@ def test_left_join_keeps_unmatched(ray_session, two_tables):
     assert len(got) == len(left.merge(right, left_on="k", right_on="rk", how="left"))
     unmatched = got[got["rv"].isna()]
     assert (unmatched["k"] >= 150).all()
+
+
+def test_native_join_matches_hash_join(ray_session):
+    import pandas as pd
+
+    from refimage_ray.stages.joins import hash_join, native_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5, 5], pa.int64()),
+            "a": pa.array(list("abcdef"), pa.string()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([2, 3, 5, 7], pa.int64()),
+            "b": pa.array(list("wxyz"), pa.string()),
+        }
+    )
+    want = (
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_on="k", right_on="rk",
+            left_cols=["k", "a"], right_cols=["rk", "b"], buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        native_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_on="k", right_on="rk", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    assert sorted(want["k"]) == sorted(got["k"])
+    assert set(zip(want.k, want.a, want.b)) == set(zip(got.k, got.a, got.b))

@@ -193,3 +193,16 @@ def test_topk_select_k_zero_and_small_n():
     assert len(ids) == 0
     ids, sc = topk_select(np.array([3, 1, 2]), np.array([1.0, 2.0, 2.0]), 2, 0.0)
     assert list(ids) == [1, 2]
+
+
+def test_stream_doc_bytes_chunked(built_index, tiny_docs):
+    from refimage_ray.query.engine import stream_doc_bytes
+
+    index_dir, _, _ = built_index
+    want = tiny_docs["text"][5].as_py().encode("utf-8")
+    chunks = list(stream_doc_bytes(index_dir, 5, chunk_size=64))
+    assert all(len(c) <= 64 for c in chunks)
+    assert len(chunks) >= 2            # actually chunked
+    assert b"".join(chunks) == want    # byte-identical reassembly
+    with pytest.raises(KeyError):
+        next(stream_doc_bytes(index_dir, 10**12))
