@@ -35,6 +35,44 @@ class TermPostings:
     block_max_weight: np.ndarray  # float64
     dls: np.ndarray | None = None  # int64, aligned (doc lengths)
     positions: np.ndarray | None = None  # int32 flat, segmented by tfs
+    # load-time rank of each doc_id in the sorted corpus universe
+    # (see attach_ranks) — enables dense-array TAAT scoring
+    ranks: np.ndarray | None = None
+
+
+def load_doc_universe(index_dir: str) -> np.ndarray:
+    """Sorted unique doc_id universe of a resident index, from the docs
+    artifact (one narrow column read).  Memory: 8 B/doc — the same
+    class as the resident posting lists themselves, so any index that
+    fits a serving box can afford its universe.  (Trillion-doc serving
+    goes through the doc-partitioned layout instead — index/docpart.py.)
+    """
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(index_dir, "docs")).to_table(columns=["doc_id"])
+    return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+def attach_ranks(
+    term_map: dict[str, TermPostings], all_ids: np.ndarray
+) -> dict[str, TermPostings]:
+    """One-time per-load rank remap: ``ranks[i] = index of doc_ids[i]
+    in all_ids``.  Query-time disjunctive scoring then accumulates into
+    a dense float64 array by fancy indexing (no per-query sort /
+    factorize / searchsorted) — the classic score-array TAAT.  Ranks
+    are int32 below 2^31 docs (+4 B/posting resident).  Self-checking:
+    a doc_id absent from the universe (corrupt artifact) raises."""
+    dtype = np.int32 if len(all_ids) < 2**31 else np.int64
+    for term, p in term_map.items():
+        r = np.searchsorted(all_ids, p.doc_ids)
+        if len(p.doc_ids) and (
+            r.max() >= len(all_ids) or not np.array_equal(all_ids[r], p.doc_ids)
+        ):
+            raise ValueError(
+                f"posting doc_ids for {term!r} not all present in docs/ universe"
+            )
+        p.ranks = r.astype(dtype)
+    return term_map
 
 
 class IndexReader:

@@ -40,7 +40,12 @@ import ray
 from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
 from refimage_ray.functions.hashing import blake2b64
 from refimage_ray.functions.text import tokenize
-from refimage_ray.index.reader import IndexReader, TermPostings
+from refimage_ray.index.reader import (
+    IndexReader,
+    TermPostings,
+    attach_ranks,
+    load_doc_universe,
+)
 from refimage_ray.query.scorer import idf as _idf
 from refimage_ray.query.scorer import query_terms, topk_select
 
@@ -69,6 +74,45 @@ def _score_disjunctive(
     codes, uniq = pd.factorize(all_ids, sort=False)
     scores = np.bincount(codes, weights=all_scores)
     return uniq.astype(np.int64), scores
+
+
+def _score_disjunctive_dense(
+    term_map: dict[str, TermPostings],
+    terms: list[str],
+    n_docs: int,
+    n_universe: int,
+    idf_fn=_idf,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense score-array TAAT over load-time ranks → (RANKS, scores).
+
+    Each term's contribution lands by fancy indexing (``ranks`` are
+    unique within a posting list, so ``+=`` is exact); terms are
+    visited in ascending order, so every doc's float64 additions happen
+    in exactly the order of the determinism contract — bit-identical to
+    the factorize and MaxScore paths (asserted in tests).  Cost is
+    O(Σ df) writes + one O(universe) scan: no per-query sort, unique,
+    or binary search, which is what dominates stopword-sized unions.
+    """
+    scores = np.zeros(n_universe, np.float64)
+    # BM25 contributions are strictly positive (Lucene idf > 0,
+    # weights > 0), so score > 0 IS the membership test and the second
+    # (bool) scatter can be skipped; plugin scorers may emit zero or
+    # negative contributions → keep an explicit touched mask for them.
+    positive = idf_fn is _idf
+    touched = None if positive else np.zeros(n_universe, bool)
+    hit = False
+    for term in terms:  # ascending unique terms → canonical float sums
+        p = term_map.get(term)
+        if p is None or p.df == 0 or p.ranks is None:
+            continue
+        scores[p.ranks] += idf_fn(p.df, n_docs) * p.weights
+        if touched is not None:
+            touched[p.ranks] = True
+        hit = True
+    if not hit:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    idx = np.flatnonzero(scores if touched is None else touched)
+    return idx, scores[idx]
 
 
 def _gallop_member(p: TermPostings, candidates: np.ndarray) -> np.ndarray:
@@ -177,6 +221,8 @@ def _score_conjunctive(
 class _SearcherBase:
     n_docs: int
     avgdl: float = 1.0
+    # sorted doc_id universe for dense-rank TAAT (None → sparse paths)
+    all_ids: "np.ndarray | None" = None
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         raise NotImplementedError
@@ -216,6 +262,7 @@ class _SearcherBase:
         cfg: EngineConfig = DEFAULT_CONFIG,
         prune: bool = True,
         scorer: str = "bm25",
+        dense: bool | None = None,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -227,8 +274,21 @@ class _SearcherBase:
             from refimage_ray.extension import get_scorer
 
             idf_fn = get_scorer(scorer).idf
+        use_dense = (
+            (prune if dense is None else dense)
+            and self.all_ids is not None
+            and all(p.ranks is not None for p in term_map.values())
+        )
         if mode == "and":
             ids, scores = _score_conjunctive(term_map, terms, self.n_docs, idf_fn)
+        elif use_dense:
+            # dense-rank TAAT (resident-index fast path); ranks sort
+            # like doc_ids, so topk_select's tie-break is unchanged
+            ranks, scores = _score_disjunctive_dense(
+                term_map, terms, self.n_docs, len(self.all_ids), idf_fn
+            )
+            ranks, scores = topk_select(ranks, scores, k, threshold)
+            return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
         elif prune:
             ids, scores = _topk_disjunctive_pruned(
                 term_map, terms, self.n_docs, k, threshold, idf_fn
@@ -327,12 +387,15 @@ class LocalSearcher(_SearcherBase):
     """Whole index resident in one process (reference: FAISS + id list,
     ``search/__init__.py:57-60``)."""
 
-    def __init__(self, index_dir: str) -> None:
+    def __init__(self, index_dir: str, dense_ranks: bool = True) -> None:
         reader = IndexReader(index_dir)
         self.terms = reader.load_shards(None)
         self.n_docs = reader.n_docs
         self.avgdl = reader.avgdl
         self.index_dir = index_dir
+        if dense_ranks:
+            self.all_ids = load_doc_universe(index_dir)
+            attach_ranks(self.terms, self.all_ids)
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         return self.terms
@@ -341,8 +404,14 @@ class LocalSearcher(_SearcherBase):
 class ShardSearcher:
     """Actor body: loads assigned shards once, serves raw per-term postings."""
 
-    def __init__(self, index_dir: str, shards: list[int]) -> None:
+    def __init__(self, index_dir: str, shards: list[int],
+                 dense_ranks: bool = True) -> None:
         self.terms = IndexReader(index_dir).load_shards(shards)
+        if dense_ranks:
+            # every shard actor ranks against the SAME sorted universe
+            # (one narrow docs/ column read), so the driver can merge
+            # rank-space scores from any actor subset
+            attach_ranks(self.terms, load_doc_universe(index_dir))
 
     def term_postings(self, terms: list[str]) -> dict[str, tuple]:
         out = {}
@@ -351,7 +420,7 @@ class ShardSearcher:
             if p is not None:
                 out[t] = (p.df, p.doc_ids, p.weights, p.max_weight,
                           p.block_last_doc, p.block_max_weight, p.tfs, p.dls,
-                          p.positions)
+                          p.positions, p.ranks)
         return out
 
 
@@ -363,7 +432,8 @@ class DistributedSearcher(_SearcherBase):
     owning the query's terms — no broadcast, no shuffle at query time.
     """
 
-    def __init__(self, index_dir: str, num_actors: int = 4) -> None:
+    def __init__(self, index_dir: str, num_actors: int = 4,
+                 dense_ranks: bool = True) -> None:
         reader = IndexReader(index_dir)
         self.index_dir = index_dir
         self.n_docs = reader.n_docs
@@ -376,9 +446,11 @@ class DistributedSearcher(_SearcherBase):
             assignment[s % num_actors].append(s)
         actor_cls = ray.remote(ShardSearcher)
         self.actors = [
-            actor_cls.remote(index_dir, shs) for shs in assignment
+            actor_cls.remote(index_dir, shs, dense_ranks) for shs in assignment
         ]
         self.num_actors = num_actors
+        if dense_ranks:
+            self.all_ids = load_doc_universe(index_dir)
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         by_actor: dict[int, list[str]] = {}
@@ -390,11 +462,11 @@ class DistributedSearcher(_SearcherBase):
         ]
         merged: dict[str, TermPostings] = {}
         for res in ray.get(futures):
-            for t, (df, ids, w, mw, bl, bm, tfs, dls, poss) in res.items():
+            for t, (df, ids, w, mw, bl, bm, tfs, dls, poss, rks) in res.items():
                 merged[t] = TermPostings(
                     df=df, doc_ids=ids, weights=w, tfs=tfs,
                     max_weight=mw, block_last_doc=bl, block_max_weight=bm,
-                    dls=dls, positions=poss,
+                    dls=dls, positions=poss, ranks=rks,
                 )
         return merged
 

@@ -50,13 +50,24 @@ def test_metadata_join_drops_missing(built_index, local):
 
 
 def test_pruned_equals_full(local, oracle):
-    """MaxScore-pruned top-k must be bit-identical to full scoring."""
+    """All three disjunctive scoring paths — dense-rank TAAT (default),
+    MaxScore-pruned, and full factorize — must be bit-identical."""
     for q in FIXTURE_QUERIES + ["the", "the a w050", "spark the merge a"]:
         for k in (1, 3, 10, 50):
             for th in (0.0, 0.3, 1.0):
-                full = local.search(q, k=k, threshold=th, prune=False)
-                pruned = local.search(q, k=k, threshold=th, prune=True)
-                assert pruned == full, (q, k, th)
+                full = local.search(q, k=k, threshold=th, prune=False, dense=False)
+                pruned = local.search(q, k=k, threshold=th, prune=True, dense=False)
+                densed = local.search(q, k=k, threshold=th, dense=True)
+                assert pruned == full == densed, (q, k, th)
+
+
+def test_dense_path_with_plugin_scorer(local):
+    """The dense path's touched-mask branch (plugin scorers may emit
+    non-positive contributions) matches the sparse path exactly."""
+    for q in FIXTURE_QUERIES[:4]:
+        a = local.search(q, k=20, scorer="bm25l", dense=True)
+        b = local.search(q, k=20, scorer="bm25l", dense=False, prune=False)
+        assert a == b, q
 
 
 def test_dsl_over_distributed_searcher(ray_session, built_index):
