@@ -293,6 +293,15 @@ class BuildResult:
 # planning, same idea as broadcast-vs-shuffle join selection.
 DRIVER_LOCAL_ROWS = int(os.environ.get("REFIMAGE_DRIVER_LOCAL_ROWS", "2000000"))
 
+# The NARROW side passes (stats: 16 B/row, loser scan: 24 B/row) stay
+# driver-local far beyond DRIVER_LOCAL_ROWS — 50 M rows is ~1 GB of
+# columns and a ~1 s lexsort, vs a full Ray shuffle stage.  Beyond it
+# the distributed variants (bit-identical, tested) take over.
+NARROW_LOCAL_ROWS = int(os.environ.get("REFIMAGE_NARROW_LOCAL_ROWS", "50000000"))
+
+# hot-term sampling: docs wanted in the estimation sample
+HOT_SAMPLE_TARGET = 20000
+
 
 def _staged_row_count(docs_dir: str) -> int:
     total = 0
@@ -303,7 +312,8 @@ def _staged_row_count(docs_dir: str) -> int:
 
 
 def _estimate_hot_terms(
-    corpus: "ray.data.Dataset", n_docs: int, cfg: EngineConfig, sample_target: int = 20000
+    corpus: "ray.data.Dataset", n_docs: int, cfg: EngineConfig,
+    sample_target: int = HOT_SAMPLE_TARGET,
 ) -> tuple[list[str], int]:
     """Estimated-df-based hot-term set from a deterministic doc sample."""
     rate = min(1.0, sample_target / max(1, n_docs))
@@ -340,7 +350,7 @@ def _estimate_hot_terms_local(
     n_docs: int,
     losers: np.ndarray,
     cfg: EngineConfig,
-    sample_target: int = 20000,
+    sample_target: int = HOT_SAMPLE_TARGET,
 ) -> tuple[list[str], int]:
     """Driver-local hot-term estimation — identical sample mask,
     counting AND corpus basis to the distributed variant, no Ray
@@ -397,6 +407,8 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     docs_dir = os.path.join(index_dir, "docs")
     success = os.path.join(docs_dir, "_SUCCESS")
+    side_dir = os.path.join(index_dir, "hot_sample")
+    side_rate_path = os.path.join(side_dir, "_RATE")
     metrics: dict = {}
     t0 = time.perf_counter()
 
@@ -410,6 +422,29 @@ def build_index(
             import shutil
 
             shutil.rmtree(docs_dir)
+        if os.path.isdir(side_dir):
+            import shutil
+
+            shutil.rmtree(side_dir)
+
+        # Hot-term side sample, folded into the docs-write pass so the
+        # distributed hot estimation never re-reads the corpus text.
+        # The doc_id-hash sample mask is monotone in rate: the final
+        # rate (HOT_SAMPLE_TARGET / n_docs) selects a SUBSET of any
+        # coarser rate — and n_docs > DRIVER_LOCAL_ROWS whenever the
+        # side sample is consulted — so writing at rate0 here makes
+        # stage 3 a tiny local read with a provably identical hot set.
+        rate0 = (
+            0.0
+            if os.environ.get("REFIMAGE_HOT_SIDE", "1") == "0"
+            else (
+                1.0
+                if DRIVER_LOCAL_ROWS <= 0
+                else min(1.0, HOT_SAMPLE_TARGET / DRIVER_LOCAL_ROWS)
+            )
+        )
+        if rate0 > 0.0:
+            os.makedirs(side_dir, exist_ok=True)
 
         def attach_stats(batch: pa.Table) -> pa.Table:
             stats = doc_stats_batch(batch, cfg)
@@ -418,6 +453,26 @@ def build_index(
                 if col in b.column_names:
                     b = b.drop_columns([col])
                 b = b.append_column(col, stats[col])
+            if rate0 > 0.0:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                mask = _sample_mask(ids, rate0)
+                if mask.any():
+                    import hashlib
+                    import io
+
+                    sub = batch.select(["doc_id", "text"]).filter(pa.array(mask))
+                    # deterministic name (doc_ids are globally unique →
+                    # batches sample disjoint sets); task retries
+                    # atomically rewrite the same bytes
+                    tag = hashlib.blake2b(
+                        ids[mask].tobytes(), digest_size=8
+                    ).hexdigest()
+                    buf = io.BytesIO()
+                    pq.write_table(sub, buf)
+                    atomic_write_bytes(
+                        os.path.join(side_dir, f"sample-{tag}.parquet"),
+                        buf.getvalue(),
+                    )
             return b
 
         # batch_size here COALESCES upstream blocks (extraction runs with
@@ -428,12 +483,17 @@ def build_index(
             attach_stats, batch_format="pyarrow", batch_size=16384
         ).write_parquet(docs_dir)
         os.makedirs(docs_dir, exist_ok=True)  # empty corpus writes no files
+        if rate0 > 0.0:
+            # persisted so a resume under different planning env vars
+            # can check subset-rate validity before trusting the sample
+            atomic_write_bytes(side_rate_path, repr(rate0).encode())
         with open(success, "w") as f:
             f.write("")
     metrics["docs_write_sec"] = time.perf_counter() - t0
 
     staged_rows = _staged_row_count(docs_dir)
     driver_local = staged_rows <= DRIVER_LOCAL_ROWS
+    narrow_local = driver_local or staged_rows <= NARROW_LOCAL_ROWS
     if staged_rows == 0:
         # degenerate empty corpus: valid, empty artifact
         manifest = save_manifest(
@@ -495,23 +555,26 @@ def build_index(
             t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
-    hot_future = stats_future = None
-    if driver_local:
-        # the three narrow side passes read disjoint columns → overlap
-        # them (pyarrow releases the GIL during decode); results are
+    hot_future = stats_future = pool = None
+    if narrow_local:
+        # the narrow side passes read disjoint columns → overlap them
+        # (pyarrow releases the GIL during decode); results are
         # combined deterministically below
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=3)
         stats_future = pool.submit(_read_stats_local)
-        # only the I/O is overlapped here; the mask/threshold pass runs
-        # after the loser scan so it can use the post-dedup basis
-        hot_future = pool.submit(pq.read_table, docs_dir, columns=["doc_id", "text"])
+        if driver_local:
+            # only the I/O is overlapped here; the mask/threshold pass
+            # runs after the loser scan, on the post-dedup basis
+            hot_future = pool.submit(
+                pq.read_table, docs_dir, columns=["doc_id", "text"]
+            )
 
     if dedup_exact:
         if resume and os.path.exists(losers_path):
             losers = pq.read_table(losers_path)["doc_id"].to_numpy().astype(np.int64)
-        elif driver_local:
+        elif narrow_local:
             losers = _scan_losers_local()
         else:
             from refimage_ray.stages.dedup import find_dup_losers
@@ -561,7 +624,7 @@ def build_index(
 
     # ---- stage 2: global stats (tiny aggregate) ----
     t1 = time.perf_counter()
-    if driver_local:
+    if narrow_local:
         ids, dls = stats_future.result()
         if len(losers):
             pos = np.searchsorted(losers, ids)
@@ -591,11 +654,40 @@ def build_index(
         hot_terms, sample_n = _estimate_hot_terms_local(
             hot_future.result(), n_docs, losers, cfg
         )
-        pool.shutdown(wait=False)
+        metrics["hot_source"] = "driver_local"
     else:
-        hot_terms, sample_n = _estimate_hot_terms(
-            corpus_read(["doc_id", "text"]), n_docs, cfg
-        )
+        # prefer the side sample written during docs-write: the final
+        # mask (rate = target / n_docs) is a subset of the persisted
+        # rate0 mask whenever rate ≤ rate0, so the hot set is identical
+        # to a full-corpus pass without re-reading any text
+        rate_final = min(1.0, HOT_SAMPLE_TARGET / max(1, n_docs))
+        rate0_p = -1.0
+        if os.path.exists(side_rate_path):
+            rate0_p = float(open(side_rate_path).read())
+        if rate_final <= rate0_p:
+            files = sorted(
+                f for f in os.listdir(side_dir) if f.endswith(".parquet")
+            )
+            if files:
+                t_side = pa.concat_tables(
+                    [pq.read_table(os.path.join(side_dir, f)) for f in files]
+                )
+            else:
+                t_side = pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string())}
+                )
+            hot_terms, sample_n = _estimate_hot_terms_local(
+                t_side, n_docs, losers, cfg
+            )
+            metrics["hot_source"] = "side_sample"
+        else:
+            hot_terms, sample_n = _estimate_hot_terms(
+                corpus_read(["doc_id", "text"]), n_docs, cfg
+            )
+            metrics["hot_source"] = "distributed"
+    if pool is not None:
+        pool.shutdown(wait=False)
     metrics["hot_sample_docs"] = sample_n
     metrics["hot_terms"] = len(hot_terms)
     metrics["hot_sec"] = time.perf_counter() - t2
@@ -609,18 +701,18 @@ def build_index(
     doc_span = max_doc + 1
 
     def add_gkey(batch: pa.Table) -> pa.Table:
+        from refimage_ray.index.pack import assign_gkeys
+
         hot_arr = ray.get(hot_ref)
-        th = batch["term_hash"].to_numpy(zero_copy_only=False)
-        shard = (th % np.uint64(P)).astype(np.int64)
-        salt = np.zeros(batch.num_rows, dtype=np.int64)
+        th = batch["term_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         if len(hot_arr):
             is_hot = pc.is_in(batch["term"], value_set=hot_arr).to_numpy(
                 zero_copy_only=False
             )
-            if is_hot.any():
-                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                salt[is_hot] = ids[is_hot] * S // doc_span
-        gkey = shard * S + salt
+        else:
+            is_hot = np.zeros(batch.num_rows, dtype=bool)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gkey = assign_gkeys(th, ids, is_hot, P, S, doc_span)
         out = batch.append_column("gkey", pa.array(gkey, pa.int64()))
         if done_gkeys:
             keep = ~np.isin(gkey, np.fromiter(done_gkeys, dtype=np.int64))

@@ -149,9 +149,20 @@ class _MergeShard:
                     pos_final = ragged_take(pos_cat, tf_cat.astype(np.int64), sel)
                 th = blake2b64(term)
                 if len(ids) >= hot_cut and cfg.salt_buckets > 1:
-                    salts = ids * cfg.salt_buckets // self.doc_span
+                    from refimage_ray.index.pack import doc_range_salts
+
+                    salts = doc_range_salts(ids, cfg.salt_buckets, self.doc_span)
                 else:
-                    salts = np.zeros(len(ids), dtype=np.int64)
+                    from refimage_ray.index.pack import cold_salts
+
+                    salts = np.full(
+                        len(ids),
+                        cold_salts(
+                            np.array([th], np.uint64),
+                            cfg.num_shards, cfg.salt_buckets,
+                        )[0],
+                        dtype=np.int64,
+                    )
                 for salt in np.unique(salts):
                     seg = salts == salt
                     bucket = per_salt.setdefault(int(salt), {

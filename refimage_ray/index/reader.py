@@ -49,7 +49,10 @@ def load_doc_universe(index_dir: str) -> np.ndarray:
     """
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(index_dir, "docs")).to_table(columns=["doc_id"])
+    ds = pads.dataset(os.path.join(index_dir, "docs"))
+    if "doc_id" not in ds.schema.names:  # empty corpus → schema-less dir
+        return np.zeros(0, dtype=np.int64)
+    t = ds.to_table(columns=["doc_id"])
     return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 

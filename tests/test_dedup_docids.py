@@ -159,6 +159,7 @@ def test_build_with_bloom_loser_set(ray_session, tmp_path, monkeypatch):
     cfg = EngineConfig(num_shards=4, salt_buckets=2)
 
     monkeypatch.setattr(build_mod, "DRIVER_LOCAL_ROWS", 0)
+    monkeypatch.setattr(build_mod, "NARROW_LOCAL_ROWS", 0)
     monkeypatch.setenv("REFIMAGE_BLOOM_LOSERS", "0")
     d_bloom = str(tmp_path / "bloom")
     res_b = build_index(rd.from_arrow(docs), d_bloom, cfg, dedup_exact=True)

@@ -191,11 +191,38 @@ def test_artifact_identical_across_local_and_distributed_planning(
     cfg = EngineConfig(num_shards=4, salt_buckets=2, hot_df_fraction=0.05)
 
     d_local = str(tmp_path / "local")
-    build_index(rd.from_arrow(docs), d_local, cfg, dedup_exact=True)
+    res_local = build_index(rd.from_arrow(docs), d_local, cfg, dedup_exact=True)
+    assert res_local.metrics["hot_source"] == "driver_local"
 
+    # mode 2: side-sample hot estimation + narrow-local loser/stats
+    # (the layout a >DRIVER_LOCAL_ROWS corpus takes by default)
     monkeypatch.setattr(build_mod, "DRIVER_LOCAL_ROWS", 0)
+    d_side = str(tmp_path / "side")
+    res_side = build_index(rd.from_arrow(docs), d_side, cfg, dedup_exact=True)
+    assert res_side.metrics["hot_source"] == "side_sample"
+
+    # mode 3: fully distributed (hot side sample disabled, narrow
+    # passes forced onto their Ray variants)
+    monkeypatch.setattr(build_mod, "NARROW_LOCAL_ROWS", 0)
+    monkeypatch.setenv("REFIMAGE_HOT_SIDE", "0")
     d_dist = str(tmp_path / "dist")
-    build_index(rd.from_arrow(docs), d_dist, cfg, dedup_exact=True)
+    res_dist = build_index(rd.from_arrow(docs), d_dist, cfg, dedup_exact=True)
+    assert res_dist.metrics["hot_source"] == "distributed"
+
+    for name_a, dir_b in (("side", d_side), ("dist", d_dist)):
+        files_b = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(dir_b, "part-*.parquet"))
+        )
+        files_a = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(d_local, "part-*.parquet"))
+        )
+        assert files_a == files_b, name_a
+        for name in files_a:
+            a = open(os.path.join(d_local, name), "rb").read()
+            b = open(os.path.join(dir_b, name), "rb").read()
+            assert a == b, f"{name} differs: driver_local vs {name_a}"
 
     names = sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(d_local, "part-*.parquet"))
@@ -212,3 +239,50 @@ def test_artifact_identical_across_local_and_distributed_planning(
     assert ml["hot_terms"] == md["hot_terms"]
     n_distinct = len(set(tiny_docs["text"].to_pylist()))
     assert ml["n_docs"] == md["n_docs"] == n_distinct
+
+
+def test_hash_id_salting_no_overflow(ray_session, tiny_pages, tmp_path):
+    """Regression: doc-range salting of hot terms computed
+    ``doc_id * S // doc_span``, which overflows int64 for 63-bit
+    url-hash doc ids — salts of -1/0 leaked a hot term's postings into
+    the NEIGHBORING shard's partition file, where shard routing
+    (blake2b64(term) % P) never looks.  Every partition holding a term
+    must live in that term's routed shard, and the distributed searcher
+    must match the local one on a hash-id corpus with hot terms."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from refimage_ray.functions.hashing import blake2b64
+    from refimage_ray.index.pack import doc_range_salts
+    from refimage_ray.query.engine import DistributedSearcher, LocalSearcher
+    from refimage_ray.stages.docids import add_url_hash_ids
+
+    # pure-function check at the extremes
+    ids = np.array([0, 1, 2**62, 2**62 + 5, 2**63 - 2], dtype=np.int64)
+    salts = doc_range_salts(ids, 8, 2**63 - 1)
+    assert salts.min() >= 0 and salts.max() < 8
+    assert (np.diff(salts) >= 0).all()  # monotone doc ranges
+
+    docs = add_url_hash_ids(tiny_docs_table := tiny_pages.select(["url", "text", "lang"]))
+    # aggressive hot threshold so several terms are salted
+    cfg = EngineConfig(num_shards=4, salt_buckets=4, hot_df_fraction=0.02)
+    idx = str(tmp_path / "hashids")
+    build_index(rd.from_arrow(docs), idx, cfg)
+
+    man = load_manifest(idx)
+    assert man["stats"]["hot_terms"], "fixture must actually salt terms"
+    for part in glob.glob(os.path.join(idx, "part-*.parquet")):
+        t = pq.read_table(part, columns=["term", "shard"])
+        for term, shard in zip(t["term"].to_pylist(), t["shard"].to_pylist()):
+            assert blake2b64(term) % cfg.num_shards == shard, (
+                f"{term!r} stored in shard {shard}, routed to "
+                f"{blake2b64(term) % cfg.num_shards}"
+            )
+
+    local = LocalSearcher(idx)
+    dist = DistributedSearcher(idx, num_actors=3)
+    for q in FIXTURE_QUERIES:
+        assert dist.search(q, k=10) == local.search(q, k=10), q
