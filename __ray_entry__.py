@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
+        "ngram_jaccard_near_dups": corpus.ngram_jaccard_near_dups,  # rows-only
         "minhash_dup_clusters": corpus.minhash_dup_clusters,  # rows-only
         "simhash_values": corpus.simhash_values,            # rows-only
         "simhash_near_dups": corpus.simhash_near_dups,      # rows-only

@@ -204,18 +204,26 @@ def run_scaling() -> dict:
                 best = r
         return best
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # The N-vs-4N proxy pair is configurable: 8/32 is the headline;
+    # 2/8 exercises the regime where per-core memory bandwidth is not
+    # saturated (closer to a real N->4N NODE step, where bandwidth
+    # grows with the cluster).
+    lo_n = int(os.environ.get("RAY_GRAFT_SCALE_LO", "8"))
+    hi_n = int(os.environ.get("RAY_GRAFT_SCALE_HI", "32"))
+    lo, hi = run(lo_n), run(hi_n)
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "query_p95_ms_8": lo["query_p95_ms"],
-        "query_p95_ms_32": hi["query_p95_ms"],
+        "cpus_lo": lo_n,
+        "cpus_hi": hi_n,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "query_p95_ms_lo": lo["query_p95_ms"],
+        "query_p95_ms_hi": hi["query_p95_ms"],
         "sf": SF_DIR,
         "n_docs": hi["n_docs"],
     }

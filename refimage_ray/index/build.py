@@ -252,19 +252,26 @@ class BuildPartition:
 class PackedBuildPartition:
     """Packed-shuffle reducer: a group of map-side packed blobs for one
     gkey → the same partition file as :class:`BuildPartition` (shared
-    encode core → byte-identical artifact)."""
+    encode core → byte-identical artifact).  ``universe_ref`` (when the
+    rank-packed exchange is active) is the broadcast (sorted doc ids,
+    aligned doc lens) the map side encoded ranks against."""
 
-    def __init__(self, index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
+    def __init__(
+        self, index_dir: str, cfg: EngineConfig, avgdl: float,
+        universe_ref=None,
+    ) -> None:
         self.index_dir = index_dir
         self.cfg = cfg
         self.avgdl = float(avgdl)
+        self.universe_ref = universe_ref
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from refimage_ray.index.pack import unpack_group
 
         gkey = int(group["gkey"][0].as_py())
         raw_bytes = int(group.nbytes)
-        th, doc, tf, dl, lookup, positions = unpack_group(group)
+        universe = ray.get(self.universe_ref) if self.universe_ref is not None else None
+        th, doc, tf, dl, lookup, positions = unpack_group(group, universe)
         n = len(th)
         changes = np.flatnonzero(th[1:] != th[:-1]) + 1
         starts = np.concatenate(([0], changes))
@@ -730,9 +737,27 @@ def build_index(
         done_arr = np.sort(np.fromiter(done_gkeys, dtype=np.int64)) if done_gkeys \
             else np.zeros(0, dtype=np.int64)
 
+        # rank-packed exchange: when the stats pass already holds the
+        # post-dedup (doc_id, doc_len) columns (the narrow-local
+        # planning class), broadcast them sorted and ship universe
+        # RANKS + no dl column through the shuffle — ~2 B/posting doc
+        # deltas instead of 6-8 B for 63-bit hash ids (see pack.py)
+        universe_ref = None
+        if narrow_local and os.environ.get("REFIMAGE_RANK_EXCHANGE", "1") != "0":
+            u_order = np.argsort(ids, kind="stable")
+            universe_ref = ray.put(
+                (ids[u_order], dls[u_order].astype(np.int32))
+            )
+            metrics["exchange"] = "rank"
+        else:
+            metrics["exchange"] = "absolute"
+
         def pack(batch: pa.Table) -> pa.Table:
             hot_arr = ray.get(hot_ref)
-            return pack_batch(batch, cfg, hot_arr, doc_span, done_arr)
+            rank_ids = (
+                ray.get(universe_ref)[0] if universe_ref is not None else None
+            )
+            return pack_batch(batch, cfg, hot_arr, doc_span, done_arr, rank_ids)
 
         # Larger pack batches emit fewer, bigger combined rows through
         # the exchange (pack-row count ~ n_batches x live_gkeys); the
@@ -741,7 +766,7 @@ def build_index(
         shuffled_in = corpus.map_batches(
             pack, batch_format="pyarrow", batch_size=pack_rows
         )
-        builder = PackedBuildPartition(index_dir, cfg, avgdl)
+        builder = PackedBuildPartition(index_dir, cfg, avgdl, universe_ref)
     else:
         shuffled_in = corpus.map_batches(
             tokenize_batch, batch_format="pyarrow"

@@ -121,8 +121,19 @@ def pack_batch(
     hot_arr: pa.Array,
     doc_span: int,
     done_gkeys: np.ndarray,
+    rank_ids: "np.ndarray | None" = None,
 ) -> pa.Table:
-    """docs batch → packed posting rows (one per live gkey)."""
+    """docs batch → packed posting rows (one per live gkey).
+
+    With ``rank_ids`` (the sorted corpus doc-id universe, broadcast via
+    ``ray.put``), doc ids travel as universe RANKS: rank deltas within
+    a term run are ~n_docs / batch_size (≈2 varbyte bytes) instead of
+    ~2^63 / n_docs for hash ids (6-8 bytes), and the ``dl`` column is
+    dropped entirely — the reducer recovers both by indexing the same
+    broadcast.  Gated on the universe fitting a broadcast (the
+    NARROW_LOCAL_ROWS planning class); beyond it the absolute-id pack
+    below is the fallback, and strided-dense doc ids are the
+    scale-path equivalent (small deltas by construction)."""
     import pyarrow.compute as pc
 
     toks = tokenize_batch(batch, cfg)
@@ -145,6 +156,16 @@ def pack_batch(
 
     order = np.lexsort((doc, th, gkey))
     gs, ths, docs_, tfs, dls = gkey[order], th[order], doc[order], tf[order], dl[order]
+    if rank_ids is not None:
+        # rank order == doc order, so the (gkey, th, doc) sort above is
+        # also the (gkey, th, rank) sort; encode ranks as the "doc" ints
+        ranks = np.searchsorted(rank_ids, docs_)
+        if len(ranks) and (
+            ranks.max() >= len(rank_ids)
+            or not np.array_equal(rank_ids[ranks], docs_)
+        ):
+            raise ValueError("doc_id absent from broadcast universe")
+        docs_ = ranks.astype(np.int64)
     pos_perm = None
     pos_offsets = None
     if with_pos:
@@ -178,7 +199,8 @@ def pack_batch(
     run_lens_all = np.diff(np.concatenate((run_starts_idx, [len(gs)])))
     docd_buf, docd_ends = varbyte_encode_with_offsets(doc_delta.astype(np.uint64))
     tf_buf, tf_ends = varbyte_encode_with_offsets(tfs.astype(np.uint64))
-    dl_buf, dl_ends = varbyte_encode_with_offsets(dls.astype(np.uint64))
+    if rank_ids is None:
+        dl_buf, dl_ends = varbyte_encode_with_offsets(dls.astype(np.uint64))
     rl_buf, rl_ends = varbyte_encode_with_offsets(run_lens_all.astype(np.uint64))
 
     col_names = ["gkey", "n", "rlen", "docd", "tf", "dl", "dict_hash", "dict_terms"]
@@ -202,7 +224,9 @@ def pack_batch(
         cols["rlen"].append(slice_varbyte(rl_buf, rl_ends, r0, r1))
         cols["docd"].append(slice_varbyte(docd_buf, docd_ends, s, e))
         cols["tf"].append(slice_varbyte(tf_buf, tf_ends, s, e))
-        cols["dl"].append(slice_varbyte(dl_buf, dl_ends, s, e))
+        cols["dl"].append(
+            b"" if rank_ids is not None else slice_varbyte(dl_buf, dl_ends, s, e)
+        )
         cols["dict_hash"].append(dict_hash.tobytes())
         cols["dict_terms"].append("\n".join(dict_terms))
         if with_pos:
@@ -242,6 +266,7 @@ def _decode_pack_row(
 
 def unpack_group(
     group: pa.Table,
+    universe: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict, "np.ndarray | None"]:
     """Packed rows of one gkey → concatenated, (hash, doc)-sorted
     posting arrays + hash→term lookup (+ flat positions when stored)."""
@@ -259,9 +284,16 @@ def unpack_group(
     tf = np.concatenate(
         [varbyte_decode(b).astype(np.int32) for b in group["tf"].to_pylist()]
     ) if group.num_rows else np.zeros(0, np.int32)
-    dl = np.concatenate(
-        [varbyte_decode(b).astype(np.int32) for b in group["dl"].to_pylist()]
-    ) if group.num_rows else np.zeros(0, np.int32)
+    if universe is not None:
+        # rank-packed exchange: "doc" ints are universe ranks; recover
+        # real doc ids and per-posting doc lengths from the broadcast
+        u_ids, u_dls = universe
+        dl = u_dls[doc].astype(np.int32)
+        doc = u_ids[doc].astype(np.int64)
+    else:
+        dl = np.concatenate(
+            [varbyte_decode(b).astype(np.int32) for b in group["dl"].to_pylist()]
+        ) if group.num_rows else np.zeros(0, np.int32)
     lookup: dict[int, str] = {}
     for hb, ts in zip(group["dict_hash"].to_pylist(), group["dict_terms"].to_pylist()):
         hashes = np.frombuffer(hb, dtype=np.uint64)

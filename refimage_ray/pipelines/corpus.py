@@ -265,6 +265,21 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     )
 
 
+def ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Exact n-gram-Jaccard near-dup pairs via shingle-anchor blocking
+    (the non-probabilistic sibling of minhash_near_dups; rows-only)."""
+    from refimage_ray.stages.dedup_near import ngram_jaccard_near_dup_pairs
+
+    pairs = ngram_jaccard_near_dup_pairs(_docs(sf_dir), threshold=threshold)
+    return pa.table(
+        {
+            "doc_a": pairs["doc_a"],
+            "doc_b": pairs["doc_b"],
+            "jaccard": pc.round(pairs["jaccard"], ndigits=6),
+        }
+    )
+
+
 def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> pa.Table:
     """SimHash near-dup pairs — distributed 16-bit-chunk banding +
     per-bucket vectorized hamming verify (rows-only)."""

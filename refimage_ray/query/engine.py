@@ -350,25 +350,31 @@ def _verify_phrase_positions(
     term_map: dict[str, TermPostings], phrase_tokens: list[str], cand: np.ndarray
 ) -> np.ndarray:
     """Adjacency verification from the positional index: candidate doc
-    matches iff positions(t0) ∩ (positions(t1)−1) ∩ … is non-empty."""
-    seg: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    matches iff positions(t0) ∩ (positions(t1)−1) ∩ … is non-empty.
+
+    Vectorized over ALL candidates at once: each term's candidate
+    positions are gathered ragged-flat, tagged with the candidate index
+    in the high int64 bits (positions are int32 < 2^31 « the 2^32
+    shift), so one sorted-set intersection per phrase step replaces the
+    per-candidate Python loop."""
+    from refimage_ray.index.pack import ragged_take
+
+    nc = len(cand)
+    shift = np.int64(1) << np.int64(32)
+    seg: dict[str, np.ndarray] = {}
     for t in set(phrase_tokens):
         p = term_map[t]
-        off = np.concatenate(([0], np.cumsum(p.tfs)))
-        seg[t] = (p.doc_ids, off, p.positions)
-    keep = np.zeros(len(cand), dtype=bool)
-    for ci, d in enumerate(cand.tolist()):
-        doc_ids0, off0, pos0 = seg[phrase_tokens[0]]
-        j = int(np.searchsorted(doc_ids0, d))
-        alive = pos0[off0[j]:off0[j + 1]].astype(np.int64)
-        for i, t in enumerate(phrase_tokens[1:], start=1):
-            doc_ids_i, off_i, pos_i = seg[t]
-            j = int(np.searchsorted(doc_ids_i, d))
-            nxt = pos_i[off_i[j]:off_i[j + 1]].astype(np.int64)
-            alive = alive[np.isin(alive + i, nxt)]
-            if len(alive) == 0:
-                break
-        keep[ci] = len(alive) > 0
+        lens = p.tfs.astype(np.int64)
+        idx = np.searchsorted(p.doc_ids, cand)  # cand ⊆ doc_ids (conjunctive)
+        labels = np.repeat(np.arange(nc, dtype=np.int64), lens[idx])
+        seg[t] = labels * shift + ragged_take(p.positions, lens, idx).astype(np.int64)
+    alive = seg[phrase_tokens[0]]
+    for i, t in enumerate(phrase_tokens[1:], start=1):
+        alive = alive[np.isin(alive + i, seg[t])]
+        if len(alive) == 0:
+            break
+    keep = np.zeros(nc, dtype=bool)
+    keep[alive // shift] = True
     return keep
 
 

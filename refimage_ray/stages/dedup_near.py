@@ -162,8 +162,49 @@ def minhash_band_rows(
     )
 
 
+def shingle_anchor_rows(
+    batch: pa.Table,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    shingle_k: int = 3,
+    anchor_rate: float = 1.0,
+) -> pa.Table:
+    """docs batch → (doc_id, band=0, band_hash=shingle_hash) anchor rows
+    for n-gram-Jaccard blocking: two docs sharing ANY k-shingle become
+    a candidate pair (recall 1.0 for any Jaccard > 0 at rate 1.0),
+    exact Jaccard verification decides.  ``anchor_rate`` deterministically
+    subsamples the shingle space (multiplicative hash) for scale — at
+    rate r, a pair sharing m shingles is missed with prob (1−r)^m.
+    Reuses the LSH pair machinery (same row shape)."""
+    sh, parent, doc_ids = _batch_shingles(batch, cfg, shingle_k)
+    if len(sh):
+        order = np.lexsort((sh, parent))
+        p, s = parent[order], sh[order]
+        keep = np.ones(len(s), dtype=bool)  # unique shingles per doc
+        keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+        p, s = p[keep], s[keep]
+        if anchor_rate < 1.0:
+            m = (s * np.uint64(0x9E3779B97F4A7C15)) < np.uint64(
+                int(anchor_rate * 2**64)
+            )
+            p, s = p[m], s[m]
+    else:
+        p = np.zeros(0, np.int64)
+        s = np.zeros(0, np.uint64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[p], pa.int64()),
+            "band": pa.array(np.zeros(len(p), np.int32), pa.int32()),
+            "band_hash": pa.array(s, pa.uint64()),
+        }
+    )
+
+
 def lsh_candidate_pairs(
-    band_ds: "ray.data.Dataset", *, coarse_buckets: int = 256
+    band_ds: "ray.data.Dataset",
+    *,
+    coarse_buckets: int = 256,
+    max_run: int | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, band, band_hash) → distinct candidate (doc_a, doc_b) pairs.
 
@@ -199,6 +240,12 @@ def lsh_candidate_pairs(
                           np.concatenate((bounds, [len(ids)]))):
             m = hi - lo
             if m < 2:
+                continue
+            if max_run is not None and m > max_run:
+                # stop-shingle / mega-bucket guard: a key shared by m
+                # docs emits O(m²) pairs — skip it (near-dup pairs
+                # almost always also share a rarer key; recall note in
+                # the caller docstrings)
                 continue
             ia, ib = np.triu_indices(m, k=1)
             out_a.append(ids[lo:hi][ia])
@@ -312,14 +359,62 @@ def minhash_near_dup_pairs(
     the bucketed `hash_join` (twice — once per pair side) and computes
     the exact shingle-Jaccard per batch, vectorized.  Nothing larger
     than the final verified pair set reaches the driver."""
-    from refimage_ray.stages.joins import hash_join
-
     band_ds = docs_ds.map_batches(
         lambda b: minhash_band_rows(b, cfg, num_perm=num_perm, bands=bands,
                                     shingle_k=shingle_k),
         batch_format="pyarrow",
     )
     cand = lsh_candidate_pairs(band_ds)
+    return _verify_pairs_jaccard(
+        cand, docs_ds, threshold, cfg, shingle_k, join_buckets
+    )
+
+
+def ngram_jaccard_near_dup_pairs(
+    docs_ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.8,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    shingle_k: int = 3,
+    anchor_rate: float = 1.0,
+    max_anchor_df: int | None = 64,
+    join_buckets: int = 32,
+) -> pa.Table:
+    """Exact n-gram-Jaccard near-dup pairs via shingle-anchor blocking.
+
+    The non-probabilistic sibling of :func:`minhash_near_dup_pairs`:
+    candidates are pairs sharing ≥1 k-shingle (an inverted index on
+    shingle hashes, grouped distributed), then exact shingle-Jaccard ≥
+    ``threshold`` decides.  At ``anchor_rate=1.0`` with
+    ``max_anchor_df=None`` recall is exactly 1.0 (any pair with
+    J > 0 shares a shingle — asserted vs brute force in tests); the
+    two knobs trade recall for scale (subsampled shingle space,
+    stop-shingle guard)."""
+    anchor_ds = docs_ds.map_batches(
+        lambda b: shingle_anchor_rows(
+            b, cfg, shingle_k=shingle_k, anchor_rate=anchor_rate
+        ),
+        batch_format="pyarrow",
+    )
+    cand = lsh_candidate_pairs(anchor_ds, max_run=max_anchor_df)
+    return _verify_pairs_jaccard(
+        cand, docs_ds, threshold, cfg, shingle_k, join_buckets
+    )
+
+
+def _verify_pairs_jaccard(
+    cand: "ray.data.Dataset",
+    docs_ds: "ray.data.Dataset",
+    threshold: float,
+    cfg: EngineConfig,
+    shingle_k: int,
+    join_buckets: int,
+) -> pa.Table:
+    """Candidate (doc_a, doc_b) pairs → exact-Jaccard-verified pairs:
+    two distributed hash joins attach the texts, the Jaccard is
+    computed per batch, and only the verified pair set is collected."""
+    from refimage_ray.stages.joins import hash_join
+
     texts = docs_ds.select_columns(["doc_id", "text"])
 
     with_a = hash_join(

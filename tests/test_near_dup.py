@@ -189,3 +189,36 @@ def test_dup_clusters_distributed_chain(ray_session, poisoned_to_pandas):
     want = dup_clusters(mixed).to_pandas()
     got = dup_clusters_distributed(rd.from_arrow(mixed)).to_pandas()
     assert want.equals(got)
+
+
+def test_ngram_jaccard_pairs_match_brute_force(ray_session, near_dup_corpus):
+    """Shingle-anchor blocking at rate 1.0 with no df cap finds EXACTLY
+    the brute-force pair set {(a,b): J(a,b) >= t} — recall 1.0 by the
+    shared-shingle argument, precision 1.0 by exact verification."""
+    import itertools
+
+    import ray.data as rd
+
+    from refimage_ray.stages.dedup_near import (
+        exact_jaccard,
+        ngram_jaccard_near_dup_pairs,
+    )
+
+    t = 0.5
+    docs, _ = near_dup_corpus
+    got = ngram_jaccard_near_dup_pairs(
+        rd.from_arrow(docs), threshold=t, anchor_rate=1.0, max_anchor_df=None
+    )
+    got_pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(zip(ids, texts), 2):
+        if exact_jaccard(a, b) >= t:
+            want.add((min(i, j), max(i, j)))
+    assert got_pairs == want
+    # verified jaccard values agree with the scalar reference
+    by_id = dict(zip(ids, texts))
+    for da, db, jv in zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist(),
+                          got["jaccard"].to_pylist()):
+        assert jv == __import__("pytest").approx(exact_jaccard(by_id[da], by_id[db]))
