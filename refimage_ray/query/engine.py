@@ -17,12 +17,15 @@ Two serving modes:
   merges and scores in the canonical term order so results are
   bit-identical to the oracle regardless of actor count.
 
-Scoring paths:
+Scoring paths (all bit-identical; asserted three ways in tests):
 
-- disjunctive (OR over query terms): vectorized TAAT — concatenate
-  per-term contributions in ascending-term order, ``np.add.at``
-  accumulation (unbuffered → deterministic order), bounded top-k
-  selection via argpartition (the bounded-heap analog).
+- disjunctive DEFAULT: dense-rank TAAT — a load-time rank remap of
+  posting doc_ids against the sorted corpus universe lets each term's
+  contributions land in a dense float64 score array by fancy indexing;
+  no per-query sort/unique/searchsorted (``_score_disjunctive_dense``).
+- disjunctive sparse fallbacks (driver-merge serving, oracle paths):
+  factorize+bincount TAAT, and a MaxScore-pruned variant that skips
+  non-essential posting unions then rescores candidates exactly.
 - conjunctive (AND): candidate list from the rarest term, then
   vectorized galloping (binary-search) intersection against the other
   lists using the per-block ``block_last_doc`` fences to locate blocks
