@@ -122,8 +122,13 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    res = build_from_pages(pages_dir, index_dir, cfg,
-                           extract_concurrency=(1, max(2, NUM_CPUS // 2)))
+    # pool min = cpus/4 pre-warms extraction actors: the stage lasts
+    # only seconds at high cpu counts, so autoscaling ramp from 1 actor
+    # was a measurable fraction of docs_write (A/B in BENCH/BASELINE.md)
+    res = build_from_pages(
+        pages_dir, index_dir, cfg,
+        extract_concurrency=(max(1, NUM_CPUS // 4), max(2, NUM_CPUS // 2)),
+    )
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)
     n_docs = res.metrics["n_docs"]

@@ -369,8 +369,9 @@ def _estimate_hot_terms_local(
     lands on."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(losers):
-        pos = np.searchsorted(losers, ids)
-        hit = (pos < len(losers)) & (losers[np.minimum(pos, len(losers) - 1)] == ids)
+        from refimage_ray.functions.arrays import sorted_membership
+
+        hit = sorted_membership(losers, ids)
         t = t.filter(pa.array(~hit))
         ids = ids[~hit]
     rate = min(1.0, sample_target / max(1, n_docs))
@@ -441,13 +442,17 @@ def build_index(
         # coarser rate — and n_docs > DRIVER_LOCAL_ROWS whenever the
         # side sample is consulted — so writing at rate0 here makes
         # stage 3 a tiny local read with a provably identical hot set.
+        # NOTE: rate0 keys off DRIVER_LOCAL_ROWS because the side sample
+        # is only consulted when n_docs exceeds it (subset property).
+        # Setting the env override far BELOW its default on a large
+        # corpus inflates the side sample proportionally (it's a test /
+        # small-box knob — production tuning should only raise it); the
+        # read side below is additionally capped in absolute rows.
         rate0 = (
             0.0
             if os.environ.get("REFIMAGE_HOT_SIDE", "1") == "0"
-            else (
-                1.0
-                if DRIVER_LOCAL_ROWS <= 0
-                else min(1.0, HOT_SAMPLE_TARGET / DRIVER_LOCAL_ROWS)
+            else min(
+                1.0, HOT_SAMPLE_TARGET / max(DRIVER_LOCAL_ROWS, HOT_SAMPLE_TARGET)
             )
         )
         if rate0 > 0.0:
@@ -594,10 +599,15 @@ def build_index(
             atomic_write_bytes(losers_path, buf.getvalue())
     # Above this many losers the exact sorted array outgrows a broadcast
     # → swap in a Bloom filter (false positives drop extra docs — fine
-    # for dedup; no false negatives).  Only reachable in the distributed
-    # path: driver_local implies ≤ DRIVER_LOCAL_ROWS ≪ this.
+    # for dedup; no false negatives).  Gate on narrow_local, NOT
+    # driver_local: in the narrow class the stats / hot / rank-universe
+    # bases are computed driver-side with the EXACT loser set, so the
+    # corpus filter must drop the exact same docs or n_docs/avgdl/idf
+    # would drift from the postings actually built.  In the fully
+    # distributed class every pass flows through corpus_read and shares
+    # whatever filter is broadcast — Bloom is consistent there.
     bloom_over = int(os.environ.get("REFIMAGE_BLOOM_LOSERS", "20000000"))
-    if len(losers) > bloom_over and not driver_local:
+    if len(losers) > bloom_over and not narrow_local:
         from refimage_ray.stages.dedup import BloomFilter
 
         losers_ref = ray.put(BloomFilter.from_array(losers))
@@ -618,9 +628,9 @@ def build_index(
         else:
             if len(excl) == 0:
                 return batch
-            # losers is sorted -> membership by binary search
-            pos = np.searchsorted(excl, ids)
-            hit = (pos < len(excl)) & (excl[np.minimum(pos, len(excl) - 1)] == ids)
+            from refimage_ray.functions.arrays import sorted_membership
+
+            hit = sorted_membership(excl, ids)
         return batch.filter(pa.array(~hit))
 
     def corpus_read(columns: list[str]) -> "ray.data.Dataset":
@@ -634,10 +644,9 @@ def build_index(
     if narrow_local:
         ids, dls = stats_future.result()
         if len(losers):
-            pos = np.searchsorted(losers, ids)
-            hit = (pos < len(losers)) & (
-                losers[np.minimum(pos, len(losers) - 1)] == ids
-            )
+            from refimage_ray.functions.arrays import sorted_membership
+
+            hit = sorted_membership(losers, ids)
             ids, dls = ids[~hit], dls[~hit]
         n_docs = int(len(ids))
         sum_dl = int(dls.sum())
@@ -675,19 +684,32 @@ def build_index(
             files = sorted(
                 f for f in os.listdir(side_dir) if f.endswith(".parquet")
             )
-            if files:
-                t_side = pa.concat_tables(
-                    [pq.read_table(os.path.join(side_dir, f)) for f in files]
-                )
-            else:
-                t_side = pa.table(
-                    {"doc_id": pa.array([], pa.int64()),
-                     "text": pa.array([], pa.string())}
-                )
-            hot_terms, sample_n = _estimate_hot_terms_local(
-                t_side, n_docs, losers, cfg
+            # absolute driver-memory bound: if knob games inflated the
+            # side sample, fall back to the distributed pass instead of
+            # concat-loading it (footer row counts are cheap)
+            side_rows = sum(
+                pq.ParquetFile(os.path.join(side_dir, f)).metadata.num_rows
+                for f in files
             )
-            metrics["hot_source"] = "side_sample"
+            if side_rows > 50 * HOT_SAMPLE_TARGET:
+                hot_terms, sample_n = _estimate_hot_terms(
+                    corpus_read(["doc_id", "text"]), n_docs, cfg
+                )
+                metrics["hot_source"] = "distributed"
+            else:
+                if files:
+                    t_side = pa.concat_tables(
+                        [pq.read_table(os.path.join(side_dir, f)) for f in files]
+                    )
+                else:
+                    t_side = pa.table(
+                        {"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())}
+                    )
+                hot_terms, sample_n = _estimate_hot_terms_local(
+                    t_side, n_docs, losers, cfg
+                )
+                metrics["hot_source"] = "side_sample"
         else:
             hot_terms, sample_n = _estimate_hot_terms(
                 corpus_read(["doc_id", "text"]), n_docs, cfg

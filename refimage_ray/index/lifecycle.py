@@ -74,8 +74,9 @@ def _live_doc_stats(index_dir: str) -> tuple[int, int, int]:
     dls = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
     tomb = reader.tombstones
     if len(tomb):
-        pos = np.searchsorted(tomb, ids)
-        dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == ids)
+        from refimage_ray.functions.arrays import sorted_membership
+
+        dead = sorted_membership(tomb, ids)
         ids, dls = ids[~dead], dls[~dead]
     if len(ids) == 0:
         return 0, 0, 0
@@ -153,16 +154,9 @@ class _MergeShard:
 
                     salts = doc_range_salts(ids, cfg.salt_buckets, self.doc_span)
                 else:
-                    from refimage_ray.index.pack import cold_salts
-
-                    salts = np.full(
-                        len(ids),
-                        cold_salts(
-                            np.array([th], np.uint64),
-                            cfg.num_shards, cfg.salt_buckets,
-                        )[0],
-                        dtype=np.int64,
-                    )
+                    # same formula as pack.cold_salts, scalar form
+                    cs = int((th // cfg.num_shards) % cfg.salt_buckets)
+                    salts = np.full(len(ids), cs, dtype=np.int64)
                 for salt in np.unique(salts):
                     seg = salts == salt
                     bucket = per_salt.setdefault(int(salt), {
@@ -263,12 +257,10 @@ def merge_indexes(
                 continue
             t = pq.read_table(os.path.join(src, f))
             if len(tomb):
+                from refimage_ray.functions.arrays import sorted_membership
+
                 ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                pos = np.searchsorted(tomb, ids)
-                dead = (pos < len(tomb)) & (
-                    tomb[np.minimum(pos, len(tomb) - 1)] == ids
-                )
-                t = t.filter(pa.array(~dead))
+                t = t.filter(pa.array(~sorted_membership(tomb, ids)))
             pq.write_table(t, os.path.join(docs_out, f"merged-{fi:05d}.parquet"))
             fi += 1
     with open(os.path.join(docs_out, "_SUCCESS"), "w") as f:
@@ -362,8 +354,9 @@ def update_doc_metadata(
         ids = pq.read_table(path, columns=["doc_id"])["doc_id"].to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        pos = np.searchsorted(want, ids)
-        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        from refimage_ray.functions.arrays import sorted_membership
+
+        hit = sorted_membership(want, ids)
         if not hit.any():
             continue
         t = pq.read_table(path)

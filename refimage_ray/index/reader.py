@@ -153,10 +153,9 @@ class IndexReader:
             # simply required a full rebuild, search/__init__.py:268-320).
             # Stored block fences stay valid as upper bounds.
             if len(self.tombstones):
-                pos = np.searchsorted(self.tombstones, ids)
-                dead = (pos < len(self.tombstones)) & (
-                    self.tombstones[np.minimum(pos, len(self.tombstones) - 1)] == ids
-                )
+                from refimage_ray.functions.arrays import sorted_membership
+
+                dead = sorted_membership(self.tombstones, ids)
                 if dead.any():
                     keep = ~dead
                     if positions is not None:

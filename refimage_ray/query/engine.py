@@ -280,7 +280,12 @@ class _SearcherBase:
         use_dense = (
             (prune if dense is None else dense)
             and self.all_ids is not None
-            and all(p.ranks is not None for p in term_map.values())
+            # check only the QUERY's terms — LocalSearcher's term_map is
+            # the whole vocabulary and an all-values scan would cost
+            # O(|vocab|) per query
+            and all(
+                term_map[t].ranks is not None for t in terms if t in term_map
+            )
         )
         if mode == "and":
             ids, scores = _score_conjunctive(term_map, terms, self.n_docs, idf_fn)

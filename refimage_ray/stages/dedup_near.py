@@ -377,7 +377,7 @@ def ngram_jaccard_near_dup_pairs(
     cfg: EngineConfig = DEFAULT_CONFIG,
     shingle_k: int = 3,
     anchor_rate: float = 1.0,
-    max_anchor_df: int | None = 64,
+    max_anchor_df: int | None = None,
     join_buckets: int = 32,
 ) -> pa.Table:
     """Exact n-gram-Jaccard near-dup pairs via shingle-anchor blocking.
@@ -385,11 +385,16 @@ def ngram_jaccard_near_dup_pairs(
     The non-probabilistic sibling of :func:`minhash_near_dup_pairs`:
     candidates are pairs sharing ≥1 k-shingle (an inverted index on
     shingle hashes, grouped distributed), then exact shingle-Jaccard ≥
-    ``threshold`` decides.  At ``anchor_rate=1.0`` with
-    ``max_anchor_df=None`` recall is exactly 1.0 (any pair with
-    J > 0 shares a shingle — asserted vs brute force in tests); the
-    two knobs trade recall for scale (subsampled shingle space,
-    stop-shingle guard)."""
+    ``threshold`` decides.  Defaults are EXACT — recall 1.0 (any pair
+    with J > 0 shares a shingle; asserted vs brute force in tests).
+    The two scale knobs trade recall for cost: ``anchor_rate``
+    subsamples the shingle space, and ``max_anchor_df`` skips anchors
+    shared by more than that many docs.  CAUTION with ``max_anchor_df``:
+    a duplicate FAMILY larger than the cap shares every anchor at
+    df ≥ family size, so the whole family is skipped — cap-based
+    pruning suits boilerplate-shingle suppression, not corpora whose
+    duplication itself exceeds the cap (use minhash banding there,
+    whose bucket sizes stay O(family) not O(shingles×family))."""
     anchor_ds = docs_ds.map_batches(
         lambda b: shingle_anchor_rows(
             b, cfg, shingle_k=shingle_k, anchor_rate=anchor_rate
