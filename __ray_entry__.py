@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
-        "ngram_jaccard_near_dups": corpus.ngram_jaccard_near_dups,  # rows-only
+        "ngram_jaccard_near_dups": corpus.ngram_jaccard_near_dups,
         "minhash_dup_clusters": corpus.minhash_dup_clusters,  # rows-only
         "simhash_values": corpus.simhash_values,            # rows-only
         "simhash_near_dups": corpus.simhash_near_dups,      # rows-only
@@ -175,6 +175,35 @@ FROM pairs GROUP BY bigram HAVING count(*) >= 5
         "list_docs_page": """
 SELECT doc_id, lang, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id LIMIT 50 OFFSET 100
+""",
+        # exact 3-shingle Jaccard (the Ray path is hash-shingle-based —
+        # equal to the tuple-set Jaccard absent 64-bit collisions; the
+        # blocking is exact at the default anchor rate, recall 1.0)
+        "ngram_jaccard_near_dups": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+    FROM docs WHERE len(toks) >= 3
+    UNION ALL
+    SELECT doc_id, unnest(toks) AS sh FROM docs WHERE len(toks) BETWEEN 1 AND 2
+  )
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.6
+ORDER BY doc_a, doc_b
 """,
         "bm25_topk": _bm25_sql(["spark", "join"], 10),
         "bm25_topk_and": _bm25_sql(["data", "table", "scan"], 10, conjunctive=True),

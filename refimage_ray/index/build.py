@@ -42,6 +42,7 @@ phase split (live index add commented out at
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass
@@ -309,6 +310,62 @@ NARROW_LOCAL_ROWS = int(os.environ.get("REFIMAGE_NARROW_LOCAL_ROWS", "50000000")
 # hot-term sampling: docs wanted in the estimation sample
 HOT_SAMPLE_TARGET = 20000
 
+# Smallest corpus the WIDER side-sample band (band "b") is sized for:
+# the banded side sample covers any post-dedup corpus of at least this
+# many docs, so even driver-local builds avoid re-reading the full text
+# column for hot-term estimation.  Below it a full driver read is tiny.
+SIDE_LOCAL_MIN = int(os.environ.get("REFIMAGE_HOT_SIDE_MIN", "500000"))
+
+# absolute driver-memory bound on a side-sample read: if knob games
+# inflated the needed bands, fall back to the distributed pass instead
+# of concat-loading them (footer row counts are cheap to check)
+SIDE_ROW_CAP_X = 50
+
+
+def _side_bands_meta(side_dir: str) -> list[tuple[str, float, float]] | None:
+    """Parse the persisted ``_RATE`` file → ``[(tag, lo, hi), ...]``
+    contiguous from 0, or None if absent.  Handles the legacy single-
+    float format (one untagged band from rate 0)."""
+    path = os.path.join(side_dir, "_RATE")
+    if not os.path.exists(path):
+        return None
+    raw = open(path).read()
+    try:
+        meta = json.loads(raw)
+        return [(b["tag"], float(b["lo"]), float(b["hi"]))
+                for b in meta["bands"]]
+    except (ValueError, KeyError, TypeError):
+        return [("", 0.0, float(raw))]
+
+
+def _side_sample_table(side_dir: str, rate: float) -> "pa.Table | None":
+    """Load the side-sample bands covering a final sample ``rate``
+    (mask thresholds are integer-identical to :func:`_sample_mask`, so
+    the union of bands below ``rate`` is a superset of the final mask).
+    Returns None when the bands don't cover ``rate`` or the needed rows
+    exceed the driver cap — callers fall back to a full pass."""
+    bands = _side_bands_meta(side_dir)
+    if not bands or rate > bands[-1][2]:
+        return None
+    need = [b for b in bands if b[1] < rate]
+    files = []
+    for tag, _, _ in need:
+        prefix = f"sample-{tag}-" if tag else "sample-"
+        files.extend(
+            os.path.join(side_dir, f)
+            for f in sorted(os.listdir(side_dir))
+            if f.startswith(prefix) and f.endswith(".parquet")
+            # legacy untagged names have exactly one '-' segment
+            and (tag or f.count("-") == 1)
+        )
+    if not files:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())})
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if rows > SIDE_ROW_CAP_X * HOT_SAMPLE_TARGET:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
 
 def _staged_row_count(docs_dir: str) -> int:
     total = 0
@@ -435,27 +492,33 @@ def build_index(
 
             shutil.rmtree(side_dir)
 
-        # Hot-term side sample, folded into the docs-write pass so the
-        # distributed hot estimation never re-reads the corpus text.
-        # The doc_id-hash sample mask is monotone in rate: the final
-        # rate (HOT_SAMPLE_TARGET / n_docs) selects a SUBSET of any
-        # coarser rate — and n_docs > DRIVER_LOCAL_ROWS whenever the
-        # side sample is consulted — so writing at rate0 here makes
-        # stage 3 a tiny local read with a provably identical hot set.
-        # NOTE: rate0 keys off DRIVER_LOCAL_ROWS because the side sample
-        # is only consulted when n_docs exceeds it (subset property).
-        # Setting the env override far BELOW its default on a large
-        # corpus inflates the side sample proportionally (it's a test /
-        # small-box knob — production tuning should only raise it); the
-        # read side below is additionally capped in absolute rows.
-        rate0 = (
-            0.0
-            if os.environ.get("REFIMAGE_HOT_SIDE", "1") == "0"
-            else min(
+        # Hot-term side sample, folded into the docs-write pass so hot
+        # estimation never re-reads the corpus text.  The doc_id-hash
+        # sample mask is monotone in rate: the final rate
+        # (HOT_SAMPLE_TARGET / n_docs) selects a SUBSET of any coarser
+        # rate.  The sample is written in contiguous RATE BANDS so the
+        # reader loads only the bands its corpus size needs:
+        #   band a: h01 < T/DRIVER_LOCAL_ROWS  — covers n ≥ 2 M docs
+        #   band b: up to T/SIDE_LOCAL_MIN     — covers n ≥ 500 k docs
+        # so even driver-local builds skip the full text re-read; only
+        # sub-SIDE_LOCAL_MIN corpora (where that read is trivially
+        # small) fall back.  Setting the env overrides far BELOW their
+        # defaults on a large corpus inflates the side sample
+        # proportionally (test / small-box knobs — production tuning
+        # should only raise them); the read side is additionally capped
+        # in absolute rows (SIDE_ROW_CAP_X).
+        side_bands: list[tuple[str, float, float]] = []
+        if os.environ.get("REFIMAGE_HOT_SIDE", "1") != "0":
+            rate_a = min(
                 1.0, HOT_SAMPLE_TARGET / max(DRIVER_LOCAL_ROWS, HOT_SAMPLE_TARGET)
             )
-        )
-        if rate0 > 0.0:
+            rate_b = min(
+                1.0, HOT_SAMPLE_TARGET / max(SIDE_LOCAL_MIN, HOT_SAMPLE_TARGET)
+            )
+            side_bands = [("a", 0.0, rate_a)]
+            if rate_b > rate_a:
+                side_bands.append(("b", rate_a, rate_b))
+        if side_bands:
             os.makedirs(side_dir, exist_ok=True)
 
         def attach_stats(batch: pa.Table) -> pa.Table:
@@ -465,13 +528,20 @@ def build_index(
                 if col in b.column_names:
                     b = b.drop_columns([col])
                 b = b.append_column(col, stats[col])
-            if rate0 > 0.0:
-                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                mask = _sample_mask(ids, rate0)
-                if mask.any():
-                    import hashlib
-                    import io
+            if side_bands:
+                import hashlib
+                import io
 
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                # integer thresholds identical to _sample_mask, so the
+                # union of bands below any rate r equals _sample_mask(r)
+                h = (ids.astype(np.uint64) * _KNUTH) & np.uint64(0xFFFFFFFF)
+                for band, lo, hi in side_bands:
+                    mask = (h >= np.uint64(int(lo * 4294967296.0))) & (
+                        h < np.uint64(int(hi * 4294967296.0))
+                    )
+                    if not mask.any():
+                        continue
                     sub = batch.select(["doc_id", "text"]).filter(pa.array(mask))
                     # deterministic name (doc_ids are globally unique →
                     # batches sample disjoint sets); task retries
@@ -482,7 +552,7 @@ def build_index(
                     buf = io.BytesIO()
                     pq.write_table(sub, buf)
                     atomic_write_bytes(
-                        os.path.join(side_dir, f"sample-{tag}.parquet"),
+                        os.path.join(side_dir, f"sample-{band}-{tag}.parquet"),
                         buf.getvalue(),
                     )
             return b
@@ -495,10 +565,16 @@ def build_index(
             attach_stats, batch_format="pyarrow", batch_size=16384
         ).write_parquet(docs_dir)
         os.makedirs(docs_dir, exist_ok=True)  # empty corpus writes no files
-        if rate0 > 0.0:
+        if side_bands:
             # persisted so a resume under different planning env vars
             # can check subset-rate validity before trusting the sample
-            atomic_write_bytes(side_rate_path, repr(rate0).encode())
+            atomic_write_bytes(
+                side_rate_path,
+                json.dumps(
+                    {"bands": [{"tag": t, "lo": lo, "hi": hi}
+                               for t, lo, hi in side_bands]}
+                ).encode(),
+            )
         with open(success, "w") as f:
             f.write("")
     metrics["docs_write_sec"] = time.perf_counter() - t0
@@ -553,12 +629,28 @@ def build_index(
             keys = hex_prefix_u64(t["content_hash"])
             keys2 = hex_suffix_u64(t["content_hash"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, keys2, keys))
-        dup = np.zeros(len(ids), dtype=bool)
-        dup[1:] = (keys[order][1:] == keys[order][:-1]) & (
-            keys2[order][1:] == keys2[order][:-1]
-        )
-        return np.sort(ids[order][dup])
+        # single-key sort + tiny refinement instead of a 3-key lexsort:
+        # the first pass groups equal 64-bit prefixes (O(n) radix), and
+        # only rows inside equal-prefix runs — a set the size of the
+        # dup groups plus rare prefix collisions — pay the full
+        # (keys, keys2, ids) ordering.  Same keeper (min doc_id per
+        # full-128-bit group) as the distributed find_dup_losers.
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        eq = ks[1:] == ks[:-1]
+        if not eq.any():
+            return np.zeros(0, dtype=np.int64)
+        in_run = np.zeros(len(ks), dtype=bool)
+        in_run[1:] = eq
+        in_run[:-1] |= eq
+        cand = order[in_run]
+        cand = cand[np.lexsort((ids[cand], keys2[cand], keys[cand]))]
+        ck, ck2, ci = keys[cand], keys2[cand], ids[cand]
+        # ids-differ guard: a doc_id duplicated in the staged files
+        # (write-retry anomaly) must not become its own loser — the
+        # downstream filter drops by doc_id and would lose the keeper
+        dup = (ck[1:] == ck[:-1]) & (ck2[1:] == ck2[:-1]) & (ci[1:] != ci[:-1])
+        return np.sort(ci[1:][dup])
 
     def _read_stats_local() -> tuple:
         t = pq.read_table(docs_dir, columns=["doc_id", "doc_len"])
@@ -567,7 +659,16 @@ def build_index(
             t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
-    hot_future = stats_future = pool = None
+    hot_future = stats_future = side_future = pool = None
+    # the final sample rate is T/n_docs with post-dedup n_docs unknown
+    # yet; prefetch bands covering n_docs ≥ 0.9×staged_rows (dedup
+    # rarely removes more — when it does, the right bands are read
+    # synchronously below, or the full fallback runs)
+    side_rate_guess = min(
+        1.0, HOT_SAMPLE_TARGET / max(1, int(staged_rows * 0.9))
+    )
+    side_meta = _side_bands_meta(side_dir)
+    side_covers_guess = bool(side_meta) and side_rate_guess <= side_meta[-1][2]
     if narrow_local:
         # the narrow side passes read disjoint columns → overlap them
         # (pyarrow releases the GIL during decode); results are
@@ -576,9 +677,16 @@ def build_index(
 
         pool = ThreadPoolExecutor(max_workers=3)
         stats_future = pool.submit(_read_stats_local)
-        if driver_local:
-            # only the I/O is overlapped here; the mask/threshold pass
-            # runs after the loser scan, on the post-dedup basis
+        if side_covers_guess:
+            # banded side sample written during docs-write: read only
+            # the bands the corpus size needs, overlapped with the
+            # loser scan; mask/threshold runs after, post-dedup basis
+            side_future = pool.submit(
+                _side_sample_table, side_dir, side_rate_guess
+            )
+        elif driver_local:
+            # no usable side sample → full (doc_id, text) read; only
+            # the I/O is overlapped here
             hot_future = pool.submit(
                 pq.read_table, docs_dir, columns=["doc_id", "text"]
             )
@@ -666,55 +774,38 @@ def build_index(
 
     # ---- stage 3: hot-term estimation (sampled, deterministic) ----
     t2 = time.perf_counter()
-    if driver_local:
+    # prefer the banded side sample written during docs-write: the
+    # final mask (rate = target / n_docs) is a subset of the union of
+    # the persisted bands whenever rate ≤ their upper rate, so the hot
+    # set is identical to a full-corpus pass without re-reading any
+    # text (the mask/threshold run on the post-dedup basis below)
+    rate_final = min(1.0, HOT_SAMPLE_TARGET / max(1, n_docs))
+    if side_future is not None and rate_final <= side_rate_guess:
+        t_side = side_future.result()
+    else:
+        # dedup removed >10% (guess too narrow), no pool, or no
+        # prefetch: read the needed bands synchronously — still tiny
+        t_side = _side_sample_table(side_dir, rate_final)
+    if t_side is not None:
         hot_terms, sample_n = _estimate_hot_terms_local(
-            hot_future.result(), n_docs, losers, cfg
+            t_side, n_docs, losers, cfg
+        )
+        metrics["hot_source"] = "side_sample"
+    elif driver_local:
+        tbl = (
+            hot_future.result()
+            if hot_future is not None
+            else pq.read_table(docs_dir, columns=["doc_id", "text"])
+        )
+        hot_terms, sample_n = _estimate_hot_terms_local(
+            tbl, n_docs, losers, cfg
         )
         metrics["hot_source"] = "driver_local"
     else:
-        # prefer the side sample written during docs-write: the final
-        # mask (rate = target / n_docs) is a subset of the persisted
-        # rate0 mask whenever rate ≤ rate0, so the hot set is identical
-        # to a full-corpus pass without re-reading any text
-        rate_final = min(1.0, HOT_SAMPLE_TARGET / max(1, n_docs))
-        rate0_p = -1.0
-        if os.path.exists(side_rate_path):
-            rate0_p = float(open(side_rate_path).read())
-        if rate_final <= rate0_p:
-            files = sorted(
-                f for f in os.listdir(side_dir) if f.endswith(".parquet")
-            )
-            # absolute driver-memory bound: if knob games inflated the
-            # side sample, fall back to the distributed pass instead of
-            # concat-loading it (footer row counts are cheap)
-            side_rows = sum(
-                pq.ParquetFile(os.path.join(side_dir, f)).metadata.num_rows
-                for f in files
-            )
-            if side_rows > 50 * HOT_SAMPLE_TARGET:
-                hot_terms, sample_n = _estimate_hot_terms(
-                    corpus_read(["doc_id", "text"]), n_docs, cfg
-                )
-                metrics["hot_source"] = "distributed"
-            else:
-                if files:
-                    t_side = pa.concat_tables(
-                        [pq.read_table(os.path.join(side_dir, f)) for f in files]
-                    )
-                else:
-                    t_side = pa.table(
-                        {"doc_id": pa.array([], pa.int64()),
-                         "text": pa.array([], pa.string())}
-                    )
-                hot_terms, sample_n = _estimate_hot_terms_local(
-                    t_side, n_docs, losers, cfg
-                )
-                metrics["hot_source"] = "side_sample"
-        else:
-            hot_terms, sample_n = _estimate_hot_terms(
-                corpus_read(["doc_id", "text"]), n_docs, cfg
-            )
-            metrics["hot_source"] = "distributed"
+        hot_terms, sample_n = _estimate_hot_terms(
+            corpus_read(["doc_id", "text"]), n_docs, cfg
+        )
+        metrics["hot_source"] = "distributed"
     if pool is not None:
         pool.shutdown(wait=False)
     metrics["hot_sample_docs"] = sample_n
