@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": corpus.term_df,
         "term_stats": corpus.term_stats,
         "top_terms": corpus.top_terms,
+        "top_terms_per_lang": corpus.top_terms_per_lang,
         "tokenize_postings": corpus.tokenize_postings,
         "list_docs_page": corpus.list_docs_page,
         "bigram_counts": corpus.bigram_counts,
@@ -155,6 +156,25 @@ FROM ({_TF}) GROUP BY term
 SELECT term, CAST(count(*) AS BIGINT) AS df
 FROM (SELECT DISTINCT doc_id, term FROM ({_TOKS}))
 GROUP BY term ORDER BY df DESC, term LIMIT 20
+""",
+        # grouped top-k: per-batch (lang, term) df partials → multi-key
+        # groupby → per-lang map_groups top-k; oracle via window rank
+        "top_terms_per_lang": """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+df AS (
+  SELECT lang, term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, lang, term FROM toks) GROUP BY lang, term
+),
+r AS (
+  SELECT lang, term, df,
+         row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rn
+  FROM df
+)
+SELECT lang, term, CAST(df AS BIGINT) AS df FROM r WHERE rn <= 5
+ORDER BY lang, df DESC, term
 """,
         "tokenize_postings": f"""
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf FROM ({_TF}) WHERE doc_id < 100

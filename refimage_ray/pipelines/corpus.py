@@ -103,6 +103,57 @@ def term_df(sf_dir: str) -> "rd.Dataset":
     return term_stats(sf_dir).select_columns(["term", "df"])
 
 
+def top_terms_per_lang(sf_dir: str, n: int = 5) -> pa.Table:
+    """Grouped top-k: the ``n`` highest-df terms within each language.
+
+    Dataflow shape: per-batch (lang, term) df partials (combiner) →
+    multi-key groupby sum (the only wide step, vocab×langs rows) →
+    per-lang ``map_groups`` top-k.  Ties break (df desc, term asc) on
+    both the Ray and SQL sides."""
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch)
+        pos = pc.index_in(toks["doc_id"], value_set=batch["doc_id"])
+        lang = batch["lang"].take(pos)
+        g = (
+            pa.table({"lang": lang, "term": toks["term"]})
+            .group_by(["lang", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "term": g["term"],
+                "df_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def topn(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            group, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        return group.take(idx[:n])
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("df_part", alias_name="df"))
+        .groupby("lang")
+        .map_groups(topn, batch_format="pyarrow")
+    )
+    t = out.take_all()
+    tbl = pa.Table.from_pylist(
+        t, schema=pa.schema([("lang", pa.string()), ("term", pa.string()),
+                             ("df", pa.int64())])
+    )
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("lang", "ascending"), ("df", "descending"),
+                        ("term", "ascending")]
+    )
+    return tbl.take(idx)
+
+
 def top_terms(sf_dir: str, n: int = 20) -> pa.Table:
     """Top-n terms by df (ties broken by term asc — both sides)."""
     df = term_stats(sf_dir).select_columns(["term", "df"]).to_pandas()

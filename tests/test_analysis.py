@@ -76,3 +76,38 @@ def test_fingerprint_matches_scalar_reference():
             p = p * _POLY_B
         acc = acc + np.uint64(blake2b64(tok)) * p
     assert got == int(acc)
+
+
+def test_top_terms_per_lang_matches_naive(ray_session):
+    """Grouped top-k pipeline == naive pandas recomputation (sf0.001)."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.corpus import top_terms_per_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = top_terms_per_lang(sf, n=3).to_pandas()
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+    df_counts: Counter = Counter()
+    for _, row in docs.iterrows():
+        for term in set(tokenize(row["text"])):
+            df_counts[(row["lang"], term)] += 1
+    naive = pd.DataFrame(
+        [(l, t, c) for (l, t), c in df_counts.items()],
+        columns=["lang", "term", "df"],
+    )
+    naive = (
+        naive.sort_values(["lang", "df", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        .groupby("lang", sort=True)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), naive, check_dtype=False
+    )
