@@ -24,8 +24,10 @@ Scoring paths (all bit-identical; asserted three ways in tests):
   contributions land in a dense float64 score array by fancy indexing;
   no per-query sort/unique/searchsorted (``_score_disjunctive_dense``).
 - disjunctive sparse fallbacks (driver-merge serving, oracle paths):
-  factorize+bincount TAAT, and a MaxScore-pruned variant that skips
-  non-essential posting unions then rescores candidates exactly.
+  factorize+bincount TAAT, a MaxScore-pruned variant that skips
+  non-essential posting unions then rescores candidates exactly, and a
+  Block-Max MaxScore variant (``prune="blockmax"``) that additionally
+  drops candidates by per-block upper bounds before the exact rescore.
 - conjunctive (AND): candidate list from the rarest term, then
   vectorized galloping (binary-search) intersection against the other
   lists using the per-block ``block_last_doc`` fences to locate blocks
@@ -195,6 +197,97 @@ def _topk_disjunctive_pruned(
     return cand, scores
 
 
+def _topk_disjunctive_blockmax(
+    term_map: dict[str, TermPostings],
+    terms: list[str],
+    n_docs: int,
+    k: int,
+    threshold: float,
+    idf_fn=_idf,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-Max MaxScore top-k with EXACT results — the block-level
+    refinement the index's per-block metadata exists for (reference
+    north-star: per-block max-score metadata for block-max WAND).
+
+    Phase 1 (term-level MaxScore, as `_topk_disjunctive_pruned`):
+    partition terms into essential/non-essential by upper bound
+    ``ub = idf · max_weight`` against θ (kth-largest single-term
+    contribution of the strongest term); candidates = union of the
+    essential lists.
+
+    Phase 2 (block-level): per candidate, an upper bound on its FINAL
+    score — for every query term, ``idf · block_max_weight[block
+    containing the candidate]`` (a per-block bound, found by one
+    searchsorted against the ``block_last_doc`` fences — O(log
+    n_blocks) per probe instead of O(log df) for the exact weight).
+    Candidates whose bound falls strictly below θ are dropped before
+    the exact rescore.
+
+    Exactness: θ is a valid lower bound on the kth final score (a
+    doc's float64 final sum of non-negative contributions is ≥ each
+    individual contribution, by monotonicity of round-to-nearest).
+    The bound accumulates per term in ascending-term order — the same
+    order as the exact rescore — and each per-term bound term ≥ the
+    exact contribution, so by monotone rounding the accumulated bound
+    is ≥ the final score, bitwise.  A dropped candidate therefore has
+    final score < θ ≤ kth score and cannot enter the top-k even via
+    the (score desc, doc_id asc) tie-break.  Survivors are rescored
+    exactly → bit-identical to the unpruned path (asserted in tests).
+    """
+    infos = []
+    for t in terms:
+        p = term_map.get(t)
+        if p is None or p.df == 0:
+            continue
+        t_idf = idf_fn(p.df, n_docs)
+        infos.append((t, p, t_idf, t_idf * p.max_weight))
+    if not infos:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    by_ub = sorted(infos, key=lambda x: (-x[3], x[0]))
+
+    contrib1 = by_ub[0][2] * by_ub[0][1].weights
+    if len(contrib1) >= k > 0:
+        theta = float(-np.partition(-contrib1, k - 1)[k - 1])
+    else:
+        theta = float("-inf")
+    theta = max(theta, threshold)
+
+    ubs = np.array([x[3] for x in by_ub])
+    suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+    j = len(by_ub)
+    for i in range(1, len(by_ub) + 1):
+        if suffix[i] < theta:
+            j = i
+            break
+    cand = np.unique(np.concatenate([x[1].doc_ids for x in by_ub[:j]]))
+    if len(cand) < k:  # not enough candidates → no pruning possible
+        return _score_disjunctive(term_map, terms, n_docs, idf_fn)
+
+    # per-candidate upper bound, ascending-term order (= rescore order).
+    # Every term is bounded at BLOCK granularity — one searchsorted
+    # against the (df/block_size)-long fence array per term, O(log
+    # n_blocks) per probe, much cheaper than the O(log df) exact probe
+    # the rescore pays — so the bound pass costs a small fraction of
+    # the rescore it saves.
+    bound = np.zeros(len(cand), np.float64)
+    for t, p, t_idf, _ in infos:  # infos is already in ascending-term order
+        blk = np.searchsorted(p.block_last_doc, cand)
+        ok = blk < len(p.block_last_doc)
+        ub_t = np.zeros(len(cand), np.float64)
+        ub_t[ok] = t_idf * p.block_max_weight[blk[ok]]
+        bound += ub_t
+    keep = bound >= theta
+    cand = cand[keep]
+
+    scores = np.zeros(len(cand), np.float64)
+    for t, p, t_idf, _ in infos:  # ascending term order → canonical sums
+        idx = np.searchsorted(p.doc_ids, cand)
+        ok = idx < len(p.doc_ids)
+        ok[ok] = p.doc_ids[idx[ok]] == cand[ok]
+        scores[ok] += t_idf * p.weights[idx[ok]]
+    return cand, scores
+
+
 def _score_conjunctive(
     term_map: dict[str, TermPostings], terms: list[str], n_docs: int,
     idf_fn=_idf,
@@ -263,7 +356,7 @@ class _SearcherBase:
         threshold: float | None = None,
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
-        prune: bool = True,
+        prune: "bool | str" = True,  # False | True (MaxScore) | "blockmax"
         scorer: str = "bm25",
         dense: bool | None = None,
     ) -> list[tuple[int, float]]:
@@ -297,6 +390,10 @@ class _SearcherBase:
             )
             ranks, scores = topk_select(ranks, scores, k, threshold)
             return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
+        elif prune == "blockmax":
+            ids, scores = _topk_disjunctive_blockmax(
+                term_map, terms, self.n_docs, k, threshold, idf_fn
+            )
         elif prune:
             ids, scores = _topk_disjunctive_pruned(
                 term_map, terms, self.n_docs, k, threshold, idf_fn

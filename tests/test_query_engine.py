@@ -50,15 +50,18 @@ def test_metadata_join_drops_missing(built_index, local):
 
 
 def test_pruned_equals_full(local, oracle):
-    """All three disjunctive scoring paths — dense-rank TAAT (default),
-    MaxScore-pruned, and full factorize — must be bit-identical."""
+    """All four disjunctive scoring paths — dense-rank TAAT (default),
+    MaxScore-pruned, Block-Max MaxScore, and full factorize — must be
+    bit-identical."""
     for q in FIXTURE_QUERIES + ["the", "the a w050", "spark the merge a"]:
         for k in (1, 3, 10, 50):
             for th in (0.0, 0.3, 1.0):
                 full = local.search(q, k=k, threshold=th, prune=False, dense=False)
                 pruned = local.search(q, k=k, threshold=th, prune=True, dense=False)
+                bmw = local.search(q, k=k, threshold=th, prune="blockmax",
+                                   dense=False)
                 densed = local.search(q, k=k, threshold=th, dense=True)
-                assert pruned == full == densed, (q, k, th)
+                assert pruned == full == bmw == densed, (q, k, th)
 
 
 def test_dense_path_with_plugin_scorer(local):
@@ -217,3 +220,59 @@ def test_stream_doc_bytes_chunked(built_index, tiny_docs):
     assert b"".join(chunks) == want    # byte-identical reassembly
     with pytest.raises(KeyError):
         next(stream_doc_bytes(index_dir, 10**12))
+
+
+def test_blockmax_prunes_and_stays_exact_on_zipf_postings():
+    """Property test of the Block-Max MaxScore path on randomized
+    Zipf-like postings (rare high-weight terms + common low-weight
+    ones, skewed weights within lists so block maxes differ): results
+    must be bit-identical to the unpruned path, and on this shape the
+    block-level bound must actually drop candidates (the synthetic
+    bench corpus is pruning's worst case — every term a stopword —
+    so this guards the code path with postings where pruning bites)."""
+    import numpy as np
+
+    from refimage_ray.index.reader import TermPostings
+    from refimage_ray.query import engine as qe
+    from refimage_ray.query.scorer import topk_select
+
+    def make_postings(rng, n_docs, df, block_size=8):
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        # skewed weights: a few blocks carry large maxima
+        w = rng.pareto(2.0, size=df) + 0.05
+        nblk = (df + block_size - 1) // block_size
+        blast = np.array(
+            [ids[min((i + 1) * block_size, df) - 1] for i in range(nblk)],
+            np.int64,
+        )
+        bmax = np.array(
+            [w[i * block_size : (i + 1) * block_size].max() for i in range(nblk)],
+            np.float64,
+        )
+        return TermPostings(
+            df=df, doc_ids=ids, weights=w, tfs=np.ones(df, np.int64),
+            max_weight=float(w.max()), block_last_doc=blast,
+            block_max_weight=bmax,
+        )
+
+    rng = np.random.default_rng(7)
+    n_docs = 4000
+    pruned_any = False
+    for trial in range(20):
+        terms = sorted(f"t{i}" for i in range(rng.integers(2, 6)))
+        tm = {
+            t: make_postings(rng, n_docs, int(rng.integers(20, 2000)))
+            for t in terms
+        }
+        for k in (1, 5, 20):
+            ids_f, sc_f = qe._score_disjunctive(tm, terms, n_docs)
+            full = topk_select(ids_f, sc_f, k, 0.0)
+            ids_b, sc_b = qe._topk_disjunctive_blockmax(tm, terms, n_docs, k, 0.0)
+            bmw = topk_select(ids_b, sc_b, k, 0.0)
+            assert np.array_equal(full[0], bmw[0]) and np.array_equal(
+                full[1], bmw[1]
+            ), (trial, k)
+            if len(ids_b) < len(np.unique(np.concatenate(
+                    [tm[t].doc_ids for t in terms]))):
+                pruned_any = True
+    assert pruned_any  # block bound must bite somewhere on this shape
