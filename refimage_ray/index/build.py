@@ -367,6 +367,193 @@ def _side_sample_table(side_dir: str, rate: float) -> "pa.Table | None":
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
+class _StagePrefetcher:
+    """Overlap the driver-local narrow side passes with stage 1.
+
+    While the docs-write Dataset streams, a daemon thread incrementally
+    (a) reads each completed staged parquet file's NARROW columns
+    (``doc_id``, content-key halves, ``doc_len``) — the exact bytes the
+    loser scan and the stats pass would otherwise re-read after the
+    stage — and (b) tokenizes landed hot-sample band files into
+    (term, doc_id) pair tables under a monotone over-mask (the sample
+    rate implied by the rows seen so far, always ≥ the final rate; the
+    exact final mask is applied by :func:`_hot_from_pairs`).  A parquet
+    file only parses once its writer closed it (the footer lives at
+    EOF), so partially-written files raise and are retried on the next
+    sweep; a final sweep after the write completes reads anything
+    missed, and any file that still fails there disables the affected
+    prefetch (callers fall back to the synchronous passes).  All
+    consumers (loser scan, stats, hot estimation) are row-order
+    independent, so the results are identical to the synchronous reads
+    — asserted by the cross-mode artifact byte-identity tests.
+    """
+
+    _NARROW = ["doc_id", "content_key", "content_key2", "doc_len"]
+
+    def __init__(self, docs_dir: str, side_dir: str, cfg: EngineConfig,
+                 narrow_cap: int | None = None,
+                 max_pair_rate: float = 0.0) -> None:
+        import threading
+
+        self.docs_dir = docs_dir
+        self.side_dir = side_dir
+        self.cfg = cfg
+        self.narrow_cap = NARROW_LOCAL_ROWS if narrow_cap is None else narrow_cap
+        self._narrow: dict[str, pa.Table] = {}
+        self._pairs: dict[str, pa.Table] = {}
+        self._cols: list[str] | None = None
+        self.has_keys = False
+        self._rows = 0
+        self._side_rows = 0
+        self._narrow_ok = True
+        # the sample files only contain rows with doc-id hash below the
+        # bands' top rate, so the pairs are only valid for final rates
+        # ≤ that coverage — cap the usable rate at it (0.0 = no bands
+        # → pairs prefetch disabled entirely)
+        self._pairs_ok = max_pair_rate > 0.0
+        self.pair_min_rate = max_pair_rate
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, name="refimage-prefetch", daemon=True
+        )
+
+    def start(self) -> "_StagePrefetcher":
+        self._thread.start()
+        return self
+
+    def _try_docs_file(self, fname: str, final: bool) -> None:
+        path = os.path.join(self.docs_dir, fname)
+        try:
+            schema = pq.ParquetFile(path).schema_arrow
+        except Exception:
+            if final:
+                self._narrow_ok = False  # unreadable after stage end
+            return  # no footer yet → still being written; retry
+        if self._cols is None:
+            names = set(schema.names)
+            if not {"doc_id", "doc_len"} <= names:
+                self._narrow_ok = False
+                return
+            self.has_keys = {"content_key", "content_key2"} <= names
+            self._cols = [c for c in self._NARROW if c in names]
+        try:
+            t = pq.read_table(path, columns=self._cols)
+        except Exception:
+            if final:
+                self._narrow_ok = False
+            return
+        self._narrow[fname] = t
+        self._rows += t.num_rows
+        if self._rows > self.narrow_cap:
+            # corpus too large for the driver-local pass class — the
+            # distributed variants take over downstream; free the memory
+            self._narrow_ok = self._pairs_ok = False
+            self._narrow.clear()
+            self._pairs.clear()
+
+    def _try_side_file(self, fname: str, final: bool) -> None:
+        path = os.path.join(self.side_dir, fname)
+        try:
+            t = pq.read_table(path)
+        except Exception:
+            if final:
+                self._pairs_ok = False
+            return
+        # over-mask: rows seen so far only grow, so this rate is ≥ the
+        # final guess rate and the final mask selects a subset of the
+        # pairs kept here
+        rate = min(1.0, HOT_SAMPLE_TARGET / max(1.0, 0.9 * self._rows))
+        if rate < 1.0:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(_sample_mask(ids, rate)))
+        self.pair_min_rate = min(self.pair_min_rate, rate)
+        self._side_rows += t.num_rows
+        if self._side_rows > SIDE_ROW_CAP_X * HOT_SAMPLE_TARGET:
+            self._pairs_ok = False
+            self._pairs.clear()
+            return
+        if t.num_rows:
+            from refimage_ray.stages.tokenize import tokenize_batch
+
+            self._pairs[fname] = tokenize_batch(t, self.cfg).select(
+                ["term", "doc_id"]
+            )
+        else:
+            self._pairs[fname] = pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+
+    def _sweep(self, final: bool = False) -> None:
+        if self._narrow_ok and os.path.isdir(self.docs_dir):
+            for f in sorted(os.listdir(self.docs_dir)):
+                if not self._narrow_ok:
+                    break
+                if f.endswith(".parquet") and f not in self._narrow:
+                    self._try_docs_file(f, final)
+        if self._pairs_ok and os.path.isdir(self.side_dir):
+            for f in sorted(os.listdir(self.side_dir)):
+                if not self._pairs_ok:
+                    break
+                if (f.endswith(".parquet") and f.startswith("sample-")
+                        and f not in self._pairs):
+                    self._try_side_file(f, final)
+
+    def _loop(self) -> None:
+        while not self._stop.wait(0.1):
+            self._sweep()
+
+    def finish(self) -> tuple["pa.Table | None", "pa.Table | None"]:
+        """Stop the watcher and return ``(narrow, pairs)`` — either may
+        be ``None``, meaning the caller must run the synchronous pass."""
+        self._stop.set()
+        self._thread.join()
+        self._sweep(final=True)
+        narrow = pairs = None
+        if self._narrow_ok and self._narrow:
+            narrow = pa.concat_tables(
+                [self._narrow[f] for f in sorted(self._narrow)]
+            )
+        if self._pairs_ok and self._pairs:
+            pairs = pa.concat_tables(
+                [self._pairs[f] for f in sorted(self._pairs)]
+            )
+        self._narrow.clear()
+        self._pairs.clear()
+        return narrow, pairs
+
+
+def _hot_from_pairs(
+    pairs: pa.Table,
+    n_docs: int,
+    losers: np.ndarray,
+    cfg: EngineConfig,
+    sample_target: int = HOT_SAMPLE_TARGET,
+) -> tuple[list[str], int]:
+    """Hot-term set from prefetched sample (term, doc_id) pairs —
+    identical to :func:`_estimate_hot_terms_local` on the same sample:
+    the pairs are the tokenization of an over-masked superset, and
+    tokenization is per-row, so filtering the pairs by the exact final
+    mask + loser set equals tokenizing exactly the filtered docs."""
+    ids = pairs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rate = min(1.0, sample_target / max(1, n_docs))
+    mask = _sample_mask(ids, rate)
+    if len(losers):
+        from refimage_ray.functions.arrays import sorted_membership
+
+        mask &= ~sorted_membership(losers, ids)
+    sub = pairs.filter(pa.array(mask))
+    if sub.num_rows == 0:
+        return [], 0
+    g = sub.select(["term"]).group_by("term").aggregate([([], "count_all")])
+    df_s = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(g["term"].to_pylist(), dtype=object)
+    sample_n = max(1, int(round(n_docs * rate)))
+    scale = n_docs / sample_n
+    hot = terms[df_s * scale >= cfg.hot_df_fraction * n_docs]
+    return sorted(hot.tolist()), sample_n
+
+
 def _staged_row_count(docs_dir: str) -> int:
     total = 0
     for f in os.listdir(docs_dir):
@@ -477,6 +664,14 @@ def build_index(
     metrics: dict = {}
     t0 = time.perf_counter()
 
+    # prefetched side-pass inputs (populated by _StagePrefetcher when
+    # the docs artifact is (re)written this run; resume-from-checkpoint
+    # keeps them None and the synchronous passes run as before)
+    pre_narrow: "pa.Table | None" = None
+    pre_pairs: "pa.Table | None" = None
+    pre_has_keys = False
+    pre_pair_rate = 1.0
+
     # ---- stage 1: docs artifact (metadata + corpus store) ----
     if not (resume and os.path.exists(success)):
         assert docs_ds is not None, "no docs dataset and no docs/ checkpoint"
@@ -561,9 +756,30 @@ def build_index(
         # small batches because html rows are wide) into ~16k-row blocks
         # → one sane parquet file/row-group per block instead of
         # thousands of 256-row fragments choking every downstream read
-        docs_ds.map_batches(
+        prefetcher = None
+        if os.environ.get("REFIMAGE_PREFETCH", "1") != "0":
+            # overlap the narrow side passes with the write stage: the
+            # watcher reads completed staged files / tokenizes landed
+            # sample bands while the Dataset is still streaming
+            prefetcher = _StagePrefetcher(
+                docs_dir, side_dir, cfg,
+                max_pair_rate=side_bands[-1][2] if side_bands else 0.0,
+            ).start()
+        staged = docs_ds.map_batches(
             attach_stats, batch_format="pyarrow", batch_size=16384
-        ).write_parquet(docs_dir)
+        )
+        try:
+            staged.write_parquet(docs_dir)
+        except BaseException:
+            if prefetcher is not None:
+                prefetcher._stop.set()
+            raise
+        if os.environ.get("REFIMAGE_PRINT_STATS") == "1":
+            print(staged.stats())
+        if prefetcher is not None:
+            pre_narrow, pre_pairs = prefetcher.finish()
+            pre_has_keys = prefetcher.has_keys
+            pre_pair_rate = prefetcher.pair_min_rate
         os.makedirs(docs_dir, exist_ok=True)  # empty corpus writes no files
         if side_bands:
             # persisted so a resume under different planning env vars
@@ -579,7 +795,10 @@ def build_index(
             f.write("")
     metrics["docs_write_sec"] = time.perf_counter() - t0
 
-    staged_rows = _staged_row_count(docs_dir)
+    staged_rows = (
+        pre_narrow.num_rows if pre_narrow is not None
+        else _staged_row_count(docs_dir)
+    )
     driver_local = staged_rows <= DRIVER_LOCAL_ROWS
     narrow_local = driver_local or staged_rows <= NARROW_LOCAL_ROWS
     if staged_rows == 0:
@@ -618,16 +837,21 @@ def build_index(
         # drop distinct texts colliding in the first 16 hex chars).
         # Staged numeric halves (24 B/row) are preferred over parsing
         # hex strings.
-        schema_names = pq.ParquetDataset(docs_dir).schema.names
-        if "content_key" in schema_names and "content_key2" in schema_names:
-            t = pq.read_table(docs_dir, columns=["doc_id", "content_key",
-                                                 "content_key2"])
+        if pre_narrow is not None and pre_has_keys:
+            t = pre_narrow  # prefetched during the write stage
             keys = t["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
             keys2 = t["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
-            t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
-            keys = hex_prefix_u64(t["content_hash"])
-            keys2 = hex_suffix_u64(t["content_hash"])
+            schema_names = pq.ParquetDataset(docs_dir).schema.names
+            if "content_key" in schema_names and "content_key2" in schema_names:
+                t = pq.read_table(docs_dir, columns=["doc_id", "content_key",
+                                                     "content_key2"])
+                keys = t["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                keys2 = t["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:
+                t = pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+                keys = hex_prefix_u64(t["content_hash"])
+                keys2 = hex_suffix_u64(t["content_hash"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # single-key sort + tiny refinement instead of a 3-key lexsort:
         # the first pass groups equal 64-bit prefixes (O(n) radix), and
@@ -669,7 +893,12 @@ def build_index(
     )
     side_meta = _side_bands_meta(side_dir)
     side_covers_guess = bool(side_meta) and side_rate_guess <= side_meta[-1][2]
-    if narrow_local:
+    # prefetched pairs are usable iff the final sample rate (unknown
+    # until post-dedup n_docs) lands at or below every over-mask rate
+    # the watcher applied; the guess-level check gates the fallback
+    # reads, the exact check happens at the hot-estimation site
+    pairs_cover_guess = pre_pairs is not None and side_rate_guess <= pre_pair_rate
+    if narrow_local and pre_narrow is None:
         # the narrow side passes read disjoint columns → overlap them
         # (pyarrow releases the GIL during decode); results are
         # combined deterministically below
@@ -687,6 +916,20 @@ def build_index(
         elif driver_local:
             # no usable side sample → full (doc_id, text) read; only
             # the I/O is overlapped here
+            hot_future = pool.submit(
+                pq.read_table, docs_dir, columns=["doc_id", "text"]
+            )
+    elif narrow_local and not pairs_cover_guess:
+        # narrow columns prefetched but the hot-sample pairs are not
+        # usable → overlap just the hot-input read with the loser scan
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        if side_covers_guess:
+            side_future = pool.submit(
+                _side_sample_table, side_dir, side_rate_guess
+            )
+        elif driver_local:
             hot_future = pool.submit(
                 pq.read_table, docs_dir, columns=["doc_id", "text"]
             )
@@ -750,7 +993,11 @@ def build_index(
     # ---- stage 2: global stats (tiny aggregate) ----
     t1 = time.perf_counter()
     if narrow_local:
-        ids, dls = stats_future.result()
+        if pre_narrow is not None:
+            ids = pre_narrow["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = pre_narrow["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            ids, dls = stats_future.result()
         if len(losers):
             from refimage_ray.functions.arrays import sorted_membership
 
@@ -780,13 +1027,22 @@ def build_index(
     # set is identical to a full-corpus pass without re-reading any
     # text (the mask/threshold run on the post-dedup basis below)
     rate_final = min(1.0, HOT_SAMPLE_TARGET / max(1, n_docs))
-    if side_future is not None and rate_final <= side_rate_guess:
+    use_pre_pairs = pre_pairs is not None and rate_final <= pre_pair_rate
+    if use_pre_pairs:
+        t_side = None
+    elif side_future is not None and rate_final <= side_rate_guess:
         t_side = side_future.result()
     else:
         # dedup removed >10% (guess too narrow), no pool, or no
         # prefetch: read the needed bands synchronously — still tiny
         t_side = _side_sample_table(side_dir, rate_final)
-    if t_side is not None:
+    if use_pre_pairs:
+        # the watcher already tokenized an over-masked superset of the
+        # final sample during the write stage; apply the exact final
+        # mask + loser filter → identical hot set, zero extra reads
+        hot_terms, sample_n = _hot_from_pairs(pre_pairs, n_docs, losers, cfg)
+        metrics["hot_source"] = "prefetch_pairs"
+    elif t_side is not None:
         hot_terms, sample_n = _estimate_hot_terms_local(
             t_side, n_docs, losers, cfg
         )

@@ -195,11 +195,21 @@ def test_artifact_identical_across_local_and_distributed_planning(
     assert res_local.metrics["hot_source"] == "driver_local"
 
     # mode 2: side-sample hot estimation + narrow-local loser/stats
-    # (the layout a >DRIVER_LOCAL_ROWS corpus takes by default)
+    # (the layout a >DRIVER_LOCAL_ROWS corpus takes by default);
+    # prefetch off so the synchronous side-sample path is exercised
     monkeypatch.setattr(build_mod, "DRIVER_LOCAL_ROWS", 0)
+    monkeypatch.setenv("REFIMAGE_PREFETCH", "0")
     d_side = str(tmp_path / "side")
     res_side = build_index(rd.from_arrow(docs), d_side, cfg, dedup_exact=True)
     assert res_side.metrics["hot_source"] == "side_sample"
+
+    # mode 2b: same planning class with the write-stage prefetcher on —
+    # loser scan / stats from the watcher's narrow tables, hot set from
+    # its pre-tokenized sample pairs
+    monkeypatch.setenv("REFIMAGE_PREFETCH", "1")
+    d_pre = str(tmp_path / "pre")
+    res_pre = build_index(rd.from_arrow(docs), d_pre, cfg, dedup_exact=True)
+    assert res_pre.metrics["hot_source"] == "prefetch_pairs"
 
     # mode 3: fully distributed (hot side sample disabled, narrow
     # passes forced onto their Ray variants)
@@ -209,7 +219,7 @@ def test_artifact_identical_across_local_and_distributed_planning(
     res_dist = build_index(rd.from_arrow(docs), d_dist, cfg, dedup_exact=True)
     assert res_dist.metrics["hot_source"] == "distributed"
 
-    for name_a, dir_b in (("side", d_side), ("dist", d_dist)):
+    for name_a, dir_b in (("side", d_side), ("pre", d_pre), ("dist", d_dist)):
         files_b = sorted(
             os.path.basename(p)
             for p in glob.glob(os.path.join(dir_b, "part-*.parquet"))
