@@ -414,11 +414,90 @@ def _verify_pairs_jaccard(
     cfg: EngineConfig,
     shingle_k: int,
     join_buckets: int,
+    broadcast_pairs_cap: int | None = None,
 ) -> pa.Table:
-    """Candidate (doc_a, doc_b) pairs → exact-Jaccard-verified pairs:
-    two distributed hash joins attach the texts, the Jaccard is
-    computed per batch, and only the verified pair set is collected."""
+    """Candidate (doc_a, doc_b) pairs → exact-Jaccard-verified pairs.
+
+    Size-based physical planning.  Candidate pair sets are tiny
+    relative to the corpus (only docs sharing a band/anchor), so the
+    default path broadcasts the texts of JUST the candidate doc ids —
+    one semi-join filter pass over the corpus, one ``ray.put``, then a
+    distributed vectorized verify over the pair batches.  Above
+    ``broadcast_pairs_cap`` pairs (env ``REFIMAGE_VERIFY_BROADCAST``)
+    it falls back to two corpus-scale bucketed hash joins, which never
+    hold more than a bucket on any worker."""
+    import os as _os
+
+    import ray as _ray
+
     from refimage_ray.stages.joins import hash_join
+
+    if broadcast_pairs_cap is None:
+        broadcast_pairs_cap = int(
+            _os.environ.get("REFIMAGE_VERIFY_BROADCAST", "250000")
+        )
+    # the candidate DAG ends in an all-to-all; materialize so the two
+    # consumers below (count + join/verify) don't re-run it, and so the
+    # verify job starts from in-store pair blocks
+    cand = cand.materialize()
+    n_pairs = cand.count()
+
+    if n_pairs <= broadcast_pairs_cap:
+        pair_tbl = collect_small(
+            cand,
+            pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        )
+        ids = np.unique(
+            np.concatenate(
+                [
+                    pair_tbl["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pair_tbl["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+        ids_ref = _ray.put(ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            from refimage_ray.functions.arrays import sorted_membership
+
+            want = _ray.get(ids_ref)
+            bids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(sorted_membership(want, bids)))
+
+        texts_tbl = collect_small(
+            docs_ds.select_columns(["doc_id", "text"]).map_batches(
+                pick, batch_format="pyarrow"
+            ),
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        ).sort_by("doc_id")
+        texts_ref = _ray.put(texts_tbl)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            t = _ray.get(texts_ref)
+            tid = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ia = np.searchsorted(tid, a)
+            ib = np.searchsorted(tid, b)
+            # candidate ids all come from docs_ds itself
+            assert (tid[ia] == a).all() and (tid[ib] == b).all()
+            text_a = t["text"].take(pa.array(ia, pa.int64()))
+            text_b = t["text"].take(pa.array(ib, pa.int64()))
+            j = jaccard_batch(text_a, text_b, cfg, shingle_k)
+            keep = j >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(j[keep], pa.float64()),
+                }
+            )
+
+        out = collect_small(
+            cand.map_batches(verify_bcast, batch_format="pyarrow"),
+            PAIR_SCHEMA_J,
+        )
+        return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
     texts = docs_ds.select_columns(["doc_id", "text"])
 
