@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": corpus.simhash_near_dups,      # rows-only
         # --- text analysis ---
         "lang_counts": corpus.lang_counts,
+        "domain_stats": corpus.domain_stats,
         "quality_stats": corpus.quality_stats,
         "doc_fingerprints": corpus.doc_fingerprints,        # rows-only
         "langid_pred": corpus.langid_pred,                  # rows-only
@@ -251,6 +252,13 @@ FROM documents GROUP BY text
 """,
         "lang_counts": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+""",
+        "domain_stats": """
+SELECT source || '.' || lang || '.example.org' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY host
 """,
         "quality_stats": f"""
 WITH agg AS (

@@ -269,6 +269,50 @@ def quality_stats(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir).map_batches(q, batch_format="pyarrow")
 
 
+def domain_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-domain rollup over page URLs — the first aggregation every
+    web-corpus pipeline runs (per-host counts / quality gates / crawl
+    budgets).  The documents table carries no url column, so a pages
+    view is derived per row (deterministic ``https://{source}.{lang}
+    .example.org/doc-{id}`` — same convention as
+    ``sources.pages.pages_from_documents``); the host is then parsed
+    back OUT of the url string with a vectorized regex, exactly as a
+    real pipeline would on crawl urls.  All string work is
+    ``pyarrow.compute`` kernels; the groupby ships ≤ |hosts| rows per
+    block (Ray's AggregateMap combines per block).
+
+    Reference analog: per-prefix listing/stats of the metadata store
+    (``/root/reference/src/refimage/storage.py:353-437``).
+    """
+
+    def hostify(b: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://",
+            b["source"],
+            ".",
+            b["lang"],
+            ".example.org/doc-",
+            pc.cast(b["doc_id"], pa.string()),
+            "",
+        )
+        host = pc.struct_field(
+            pc.extract_regex(url, pattern=r"^https?://(?P<host>[^/]+)/"),
+            "host",
+        )
+        return pa.table({"host": host, "n_chars": b["n_chars"]})
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
+        .map_batches(hostify, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+
 def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
     """Rolling-hash document fingerprints (rows-only check: no SQL
     equivalent of the uint64 polynomial)."""

@@ -111,3 +111,34 @@ def test_top_terms_per_lang_matches_naive(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), naive, check_dtype=False
     )
+
+
+def test_domain_stats_matches_naive():
+    """Per-domain rollup == naive pandas recomputation from the raw
+    columns (sf0.001); exercises the vectorized url-build + host-parse
+    round trip."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.corpus import domain_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        domain_stats(sf).to_pandas()
+        .sort_values("host").reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        f"{sf}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).to_pandas()
+    docs["host"] = docs["source"] + "." + docs["lang"] + ".example.org"
+    naive = (
+        docs.groupby("host", sort=True)
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"),
+             max_chars=("n_chars", "max"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got[["host", "n_docs", "sum_chars", "max_chars"]], naive,
+        check_dtype=False,
+    )
