@@ -82,6 +82,53 @@ def _prepare_pages(sf_dir: str, rep: int) -> str:
     return out_dir
 
 
+def _host_canary() -> float:
+    """Fixed single-thread CPU workload (seconds) — a host-speed canary.
+
+    The sandbox host's effective CPU speed varies several-fold between
+    rounds (co-tenant contention); this number lets any two bench runs
+    be compared speed-normalized.  Pure numpy, no Ray, deterministic.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random(2_000_000)
+    acc = 0.0
+    for _ in range(2):  # untimed warmup (page-in, frequency ramp)
+        acc += float(np.sort(a)[0]) + float((a * a).sum())
+    t0 = time.perf_counter()
+    for _ in range(20):
+        acc += float(np.sort(a)[0]) + float((a * a).sum())
+    assert acc == acc
+    return round(time.perf_counter() - t0, 3)
+
+
+def _host_canary_mt(threads: int = 16) -> float:
+    """Same workload × ``threads`` concurrent threads (numpy releases
+    the GIL in sort) — measures EFFECTIVE multi-core availability.
+    mt/st ≈ 1 means `threads` truly free cores; ≫1 means co-tenant
+    contention or vCPU oversubscription is eating the parallelism."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random(2_000_000)
+
+    def work() -> float:
+        acc = 0.0
+        for _ in range(20):
+            acc += float(np.sort(a)[0]) + float((a * a).sum())
+        return acc
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        list(pool.map(lambda _: work(), range(threads)))  # warmup+page-in
+        t0 = time.perf_counter()
+        res = list(pool.map(lambda _: work(), range(threads)))
+    assert all(x == x for x in res)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -182,6 +229,19 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / build_sec, 1),
         "postings_per_sec": round(res.metrics["n_postings"] / build_sec, 1),
         "query_p95_ms": round(p95 * 1000, 2),
+        # where the build wall went (from the build's own metrics.json)
+        "build_stages": {
+            k: round(res.metrics[k], 3)
+            for k in ("docs_write_sec", "dedup_sec", "stats_sec", "hot_sec",
+                      "shuffle_build_sec")
+            if k in res.metrics
+        },
+        "shuffle_bytes": int(res.metrics.get("shuffle_bytes", 0)),
+        # single-thread host-speed canary (see _host_canary): divide
+        # wall times by (canary / historical canary) before comparing
+        # rounds — the sandbox host speed varies several-fold
+        "host_canary_sec": _host_canary(),
+        "host_canary_mt16_sec": _host_canary_mt(16),
     }
     ray.shutdown()
     return out
@@ -229,6 +289,10 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": hi["docs_per_sec"],
         "query_p95_ms_lo": lo["query_p95_ms"],
         "query_p95_ms_hi": hi["query_p95_ms"],
+        "host_canary_sec_lo": lo.get("host_canary_sec"),
+        "host_canary_sec_hi": hi.get("host_canary_sec"),
+        "host_canary_mt16_sec_lo": lo.get("host_canary_mt16_sec"),
+        "host_canary_mt16_sec_hi": hi.get("host_canary_mt16_sec"),
         "sf": SF_DIR,
         "n_docs": hi["n_docs"],
     }
