@@ -207,6 +207,37 @@ def run_bench() -> dict:
         float(np.percentile(np.array(dlat), 95)), 5
     )
 
+    # serving THROUGHPUT (doc-partitioned scatter-gather, pipelined):
+    # build the docpart layout from the already-staged docs, then push
+    # a query batch through search_many and report QPS
+    # (REFIMAGE_BENCH_QPS=0 skips — e.g. inside --scaling, where only
+    # the headline build is compared across parallelism levels)
+    if os.environ.get("REFIMAGE_BENCH_QPS", "1") != "0":
+        import ray.data as _rd
+
+        from refimage_ray.index.docpart import (
+            DistributedDocPartSearcher, build_doc_partitioned,
+        )
+
+        docpart_dir = f"/tmp/refimage_ray_bench/docpart-{NUM_CPUS}"
+        shutil.rmtree(docpart_dir, ignore_errors=True)
+        tq = time.perf_counter()
+        build_doc_partitioned(
+            _rd.read_parquet(os.path.join(index_dir, "docs"),
+                             columns=["doc_id", "text"]),
+            docpart_dir, cfg, num_doc_shards=max(8, NUM_CPUS // 2),
+        )
+        timings["docpart_build"] = round(time.perf_counter() - tq, 3)
+        dps = DistributedDocPartSearcher(
+            docpart_dir, num_actors=min(8, max(2, NUM_CPUS // 4))
+        )
+        dps.search_many(BENCH_QUERIES, k=10)  # warmup (actors load postings)
+        qbatch = BENCH_QUERIES * 8  # 96 queries in flight
+        tq = time.perf_counter()
+        dps.search_many(qbatch, k=10, mode="or")
+        qps_sec = time.perf_counter() - tq
+        timings["qps_docpart"] = round(len(qbatch) / qps_sec, 1)
+
     for name, fn in [
         ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),
         ("tpch_q1", lambda: relational.tpch_q1(SF_DIR)),
@@ -249,7 +280,10 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling compares the headline build across parallelism levels;
+        # skip the docpart/QPS section so each level stays one job
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   REFIMAGE_BENCH_QPS="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -395,13 +395,19 @@ class DistributedDocPartSearcher:
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
     ) -> list[tuple[int, float]]:
-        from refimage_ray.query.scorer import topk_select
-
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         parts = ray.get(
             [a.search.remote(query, k, threshold, mode) for a in self.actors]
         )
+        return self._merge(parts, k, threshold)
+
+    @staticmethod
+    def _merge(
+        parts: list[list[tuple[int, float]]], k: int, threshold: float
+    ) -> list[tuple[int, float]]:
+        from refimage_ray.query.scorer import topk_select
+
         ids_parts, score_parts = [], []
         for hits in parts:
             if hits:
@@ -413,3 +419,24 @@ class DistributedDocPartSearcher:
             np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
         )
         return list(zip(ids.tolist(), scores.tolist()))
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int | None = None,
+        threshold: float | None = None,
+        mode: str = "or",
+        cfg: EngineConfig = DEFAULT_CONFIG,
+    ) -> list[list[tuple[int, float]]]:
+        """Pipelined scatter-gather: every (query, actor) call is
+        submitted up front so the shard actors stream through the whole
+        query batch back-to-back — the serving-THROUGHPUT path (each
+        result list is identical to ``search`` of the same query).  The
+        driver does only the tiny per-query top-k merge."""
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        futures = [
+            [a.search.remote(q, k, threshold, mode) for a in self.actors]
+            for q in queries
+        ]
+        return [self._merge(ray.get(row), k, threshold) for row in futures]

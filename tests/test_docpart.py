@@ -80,3 +80,6 @@ def test_distributed_docpart_matches_local(both_indexes):
     dist = DistributedDocPartSearcher(doc_dir, num_actors=2)
     for q in FIXTURE_QUERIES[:5]:
         assert dist.search(q, k=10) == local.search(q, k=10), q
+    # pipelined batch path returns the same per-query results
+    batch = dist.search_many(FIXTURE_QUERIES[:5], k=10)
+    assert batch == [local.search(q, k=10) for q in FIXTURE_QUERIES[:5]]
