@@ -596,6 +596,29 @@ def _estimate_hot_terms(
     return sorted(hot["term"].tolist()), sample_n
 
 
+def _tokenize_threaded(
+    t: pa.Table, cfg: EngineConfig, chunk_rows: int = 4096
+) -> pa.Table:
+    """Driver-side tokenize of a sample table, chunked across threads.
+
+    ``tokenize_batch`` is Arrow compute kernels (GIL released), so a
+    thread pool gets real parallelism without spinning up a Ray stage
+    for a ≤``HOT_SAMPLE_TARGET``-row input.  Per-chunk token tables are
+    concatenated — identical rows (order within the concat differs, but
+    every consumer aggregates), so df counts and the hot set are
+    byte-for-byte what the single-call tokenize produces."""
+    if t.num_rows <= chunk_rows:
+        return tokenize_batch(t, cfg)
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [
+        t.slice(off, chunk_rows) for off in range(0, t.num_rows, chunk_rows)
+    ]
+    with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as pool:
+        parts = list(pool.map(lambda c: tokenize_batch(c, cfg), chunks))
+    return pa.concat_tables(parts)
+
+
 def _estimate_hot_terms_local(
     t: pa.Table,
     n_docs: int,
@@ -623,7 +646,7 @@ def _estimate_hot_terms_local(
     sub = t.filter(pa.array(mask))
     if sub.num_rows == 0:
         return [], 0
-    toks = tokenize_batch(sub, cfg)
+    toks = _tokenize_threaded(sub, cfg)
     g = toks.select(["term"]).group_by("term").aggregate([([], "count_all")])
     df_s = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
     terms = np.asarray(g["term"].to_pylist(), dtype=object)
