@@ -168,14 +168,17 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
+    # extract flavor: "task" (default) = task-pool map_batches with
+    # per-worker cached regex state — no actor ramp, scheduler-sized
+    # parallelism; "actor" = the pre-warmed autoscaling pool (kept for
+    # A/B; the pattern for genuinely expensive per-worker state).
+    if os.environ.get("REFIMAGE_EXTRACT_MODE", "task") == "task":
+        extract_conc = None
+    else:
+        extract_conc = (max(1, NUM_CPUS // 4), max(2, NUM_CPUS // 2))
     t0 = time.perf_counter()
-    # pool min = cpus/4 pre-warms extraction actors: the stage lasts
-    # only seconds at high cpu counts, so autoscaling ramp from 1 actor
-    # was a measurable fraction of docs_write (A/B in BENCH/BASELINE.md)
-    res = build_from_pages(
-        pages_dir, index_dir, cfg,
-        extract_concurrency=(max(1, NUM_CPUS // 4), max(2, NUM_CPUS // 2)),
-    )
+    res = build_from_pages(pages_dir, index_dir, cfg,
+                           extract_concurrency=extract_conc)
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)
     n_docs = res.metrics["n_docs"]

@@ -960,12 +960,17 @@ def build_index(
     if dedup_exact:
         if resume and os.path.exists(losers_path):
             losers = pq.read_table(losers_path)["doc_id"].to_numpy().astype(np.int64)
-        elif narrow_local:
-            losers = _scan_losers_local()
         else:
-            from refimage_ray.stages.dedup import find_dup_losers
+            if narrow_local:
+                losers = _scan_losers_local()
+            else:
+                from refimage_ray.stages.dedup import find_dup_losers
 
-            losers = find_dup_losers(docs_dir)
+                losers = find_dup_losers(docs_dir)
+            # persist in BOTH planning modes: losers.parquet is part of
+            # the artifact contract (docs/ keeps staged rows; external
+            # consumers — oracles, doc listings, a resumed build — must
+            # be able to exclude losers without re-deriving them)
             import io as _io
 
             buf = _io.BytesIO()

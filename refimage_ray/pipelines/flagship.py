@@ -24,7 +24,7 @@ from refimage_ray.query.engine import LocalSearcher, lookup_docs
 from refimage_ray.sources.pages import pages_from_documents, write_pages
 from refimage_ray.stages.dedup import add_content_hash
 from refimage_ray.stages.docids import add_url_hash_ids
-from refimage_ray.stages.extract import ExtractText
+from refimage_ray.stages.extract import ExtractText, extract_text_batch
 
 FLAGSHIP_QUERIES = [
     "spark join query",
@@ -40,25 +40,36 @@ def build_from_pages(
     index_dir: str,
     cfg: EngineConfig,
     *,
-    extract_concurrency: int | tuple = (1, 4),
+    extract_concurrency: int | tuple | None = None,
     resume: bool = True,
 ) -> BuildResult:
     """pages parquet dir → full index artifact.
 
-    ``extract_concurrency`` defaults to an AUTOSCALING (min, max) pool:
-    a fixed-size pool equal to the cluster's CPU count deadlocks the
-    streaming executor (the actors reserve every CPU and the
-    read/write stages starve — the classic pitfall).
+    ``extract_concurrency=None`` (default) runs extraction as a
+    TASK-pool ``map_batches`` with per-worker-process cached state
+    (``extract_text_batch``): the extractor's state is three compiled
+    regexes, so actor-pool startup ramp is pure overhead on a short
+    stage, and the task scheduler sizes parallelism to free CPUs.
+    Pass an int or (min, max) tuple to get the actor-pool flavor
+    instead — the pattern to use when per-worker state is genuinely
+    expensive.  (A FIXED pool equal to the cluster's CPU count
+    deadlocks the streaming executor — the actors reserve every CPU
+    and the read/write stages starve — hence (min, max) there.)
     """
     pages = rd.read_parquet(
         pages_dir, columns=["url", "warc_ts", "html", "lang"]
     )
-    extracted = pages.map_batches(
-        ExtractText,
-        batch_format="pyarrow",
-        concurrency=extract_concurrency,
-        batch_size=256,
-    )
+    if extract_concurrency is None:
+        extracted = pages.map_batches(
+            extract_text_batch, batch_format="pyarrow", batch_size=256
+        )
+    else:
+        extracted = pages.map_batches(
+            ExtractText,
+            batch_format="pyarrow",
+            concurrency=extract_concurrency,
+            batch_size=256,
+        )
     # pure-function doc ids + content hash in-flight; exact dedup runs
     # as a small-column side pass inside build_index (no corpus shuffle)
     docs = extracted.map_batches(

@@ -84,3 +84,14 @@ def test_extract_invalid_utf8_batch_falls_back():
     out = ex(batch)
     assert out["text"].to_pylist() == [ex.extract_one(good), ex.extract_one(bad)]
     assert "�" in out["text"][1].as_py()
+
+def test_extract_text_batch_parity(tiny_pages):
+    """The task-pool flavor (module-global cached state) must produce
+    the exact bytes of the actor-pool class — it is the flagship
+    default, so parity is load-bearing."""
+    from refimage_ray.stages.extract import extract_text_batch
+
+    inp = tiny_pages.drop_columns(["text"])
+    assert extract_text_batch(inp).equals(ExtractText()(inp))
+    # second call exercises the cached path
+    assert extract_text_batch(inp).equals(ExtractText()(inp))
