@@ -296,3 +296,39 @@ def test_hash_id_salting_no_overflow(ray_session, tiny_pages, tmp_path):
     dist = DistributedSearcher(idx, num_actors=3)
     for q in FIXTURE_QUERIES:
         assert dist.search(q, k=10) == local.search(q, k=10), q
+
+
+def test_flagship_artifact_identical_task_vs_actor_extract(
+    ray_session, tiny_pages, tmp_path
+):
+    """The task-pool extract flavor (flagship default; per-worker cached
+    state) and the actor-pool flavor must build byte-identical postings
+    artifacts — extraction flavor is an execution detail, not semantics."""
+    import glob
+
+    from refimage_ray.pipelines.flagship import build_from_pages
+    from refimage_ray.sources.pages import write_pages
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages(tiny_pages, pages_dir, rows_per_file=64)
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+
+    d_task = str(tmp_path / "task")
+    res_task = build_from_pages(pages_dir, d_task, cfg,
+                                extract_concurrency=None)
+    d_actor = str(tmp_path / "actor")
+    res_actor = build_from_pages(pages_dir, d_actor, cfg,
+                                 extract_concurrency=(1, 2))
+
+    assert res_task.metrics["n_docs"] == res_actor.metrics["n_docs"]
+    assert res_task.metrics["n_postings"] == res_actor.metrics["n_postings"]
+    names = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(d_task, "part-*.parquet")))
+    assert names == sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(d_actor, "part-*.parquet")))
+    assert names
+    for name in names:
+        a = open(os.path.join(d_task, name), "rb").read()
+        b = open(os.path.join(d_actor, name), "rb").read()
+        assert a == b, f"{name} differs: task vs actor extract"
