@@ -199,6 +199,7 @@ def run_bench() -> dict:
     from refimage_ray.query.engine import DistributedSearcher
 
     dsr = DistributedSearcher(index_dir, num_actors=min(8, max(2, NUM_CPUS // 4)))
+    dsr.wait_ready()  # all actors postings-resident before the clock
     dsr.search("warmup query", k=10)
     dlat = []
     for _ in range(2):
@@ -216,18 +217,17 @@ def run_bench() -> dict:
     # (REFIMAGE_BENCH_QPS=0 skips — e.g. inside --scaling, where only
     # the headline build is compared across parallelism levels)
     if os.environ.get("REFIMAGE_BENCH_QPS", "1") != "0":
-        import ray.data as _rd
-
         from refimage_ray.index.docpart import (
             DistributedDocPartSearcher, build_doc_partitioned,
         )
+
+        from refimage_ray.index.reader import staged_docs
 
         docpart_dir = f"/tmp/refimage_ray_bench/docpart-{NUM_CPUS}"
         shutil.rmtree(docpart_dir, ignore_errors=True)
         tq = time.perf_counter()
         build_doc_partitioned(
-            _rd.read_parquet(os.path.join(index_dir, "docs"),
-                             columns=["doc_id", "text"]),
+            staged_docs(index_dir, columns=["doc_id", "text"]),
             docpart_dir, cfg, num_doc_shards=max(8, NUM_CPUS // 2),
         )
         timings["docpart_build"] = round(time.perf_counter() - tq, 3)

@@ -387,6 +387,12 @@ class DistributedDocPartSearcher:
             for fnames in assign if fnames
         ]
 
+    def wait_ready(self) -> None:
+        """Block until every doc-shard actor has loaded its postings
+        (actor construction is async; see
+        ``DistributedSearcher.wait_ready``)."""
+        ray.get([a.search.remote("", 1, 0.0, "or") for a in self.actors])
+
     def search(
         self,
         query: str,

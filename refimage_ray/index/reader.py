@@ -56,6 +56,44 @@ def load_doc_universe(index_dir: str) -> np.ndarray:
     return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 
+def staged_docs(index_dir: str, columns: list[str] | None = None):
+    """Canonical reader of an index's staged corpus: ``docs/`` minus
+    the exact-dup losers recorded in ``losers.parquet``.
+
+    ``docs/`` keeps ALL staged rows (the write stage never re-shuffles
+    the corpus); dedup is a side-channel of loser doc_ids that every
+    downstream consumer must apply.  External consumers (oracle
+    corpora, re-indexing into another layout, exports) should read
+    through this instead of ``read_parquet(index_dir + "/docs")`` —
+    the raw read silently includes dup losers and shifts N/avgdl/df.
+    Returns a ``ray.data.Dataset``; the loser filter is a broadcast
+    sorted-membership mask inside ``map_batches`` (no shuffle).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from refimage_ray.functions.arrays import sorted_membership
+
+    ds = rd.read_parquet(os.path.join(index_dir, "docs"), columns=columns)
+    losers_path = os.path.join(index_dir, "losers.parquet")
+    if not os.path.exists(losers_path):
+        return ds
+    losers = np.sort(
+        pq.read_table(losers_path)["doc_id"].to_numpy().astype(np.int64)
+    )
+    if len(losers) == 0:
+        return ds
+    losers_ref = ray.put(losers)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        excl = ray.get(losers_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~sorted_membership(excl, ids)))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
 def attach_ranks(
     term_map: dict[str, TermPostings], all_ids: np.ndarray
 ) -> dict[str, TermPostings]:

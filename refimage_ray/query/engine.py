@@ -563,6 +563,17 @@ class DistributedSearcher(_SearcherBase):
         if dense_ranks:
             self.all_ids = load_doc_universe(index_dir)
 
+    def wait_ready(self) -> None:
+        """Block until every shard actor has finished loading.
+
+        Actor construction is async: ``__init__`` returns after the
+        ``.remote()`` calls, while each actor is still reading its
+        shards.  A query that happens to touch a still-loading actor
+        blocks on that load — measured as sub-second "query latency"
+        in early benches.  Serving layers should call this once before
+        accepting traffic (the postings-resident-in-actors contract)."""
+        ray.get([a.term_postings.remote([]) for a in self.actors])
+
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         by_actor: dict[int, list[str]] = {}
         for t in terms:

@@ -78,6 +78,7 @@ def test_distributed_docpart_matches_local(both_indexes):
     term_dir, doc_dir, _ = both_indexes
     local = DocPartSearcher(doc_dir)
     dist = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    dist.wait_ready()  # barrier: all doc-shard actors loaded
     for q in FIXTURE_QUERIES[:5]:
         assert dist.search(q, k=10) == local.search(q, k=10), q
     # pipelined batch path returns the same per-query results

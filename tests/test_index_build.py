@@ -332,3 +332,33 @@ def test_flagship_artifact_identical_task_vs_actor_extract(
         a = open(os.path.join(d_task, name), "rb").read()
         b = open(os.path.join(d_actor, name), "rb").read()
         assert a == b, f"{name} differs: task vs actor extract"
+
+
+def test_staged_docs_excludes_losers(ray_session, tiny_pages, tmp_path):
+    """staged_docs() is the canonical external reader of an index's
+    corpus: docs/ keeps dup losers (side-channel dedup), so a raw
+    read_parquet over docs/ inflates N/avgdl — staged_docs must return
+    exactly the post-dedup corpus, and a doc-partitioned index built
+    from it must score identically to the term-partitioned engine."""
+    from refimage_ray.index.docpart import DocPartSearcher, build_doc_partitioned
+    from refimage_ray.index.reader import staged_docs
+    from refimage_ray.pipelines.flagship import build_from_pages
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.sources.pages import write_pages
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages(tiny_pages, pages_dir, rows_per_file=64)
+    idx = str(tmp_path / "idx")
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+    res = build_from_pages(pages_dir, idx, cfg)
+    assert res.metrics["n_dup_losers"] > 0, "fixture must contain dups"
+
+    docs = staged_docs(idx, columns=["doc_id", "text"])
+    assert docs.count() == res.metrics["n_docs"]
+
+    doc_dir = str(tmp_path / "docpart")
+    build_doc_partitioned(docs, doc_dir, cfg, num_doc_shards=4)
+    local = LocalSearcher(idx)
+    dp = DocPartSearcher(doc_dir)
+    for q in FIXTURE_QUERIES[:5]:
+        assert dp.search(q, k=10) == local.search(q, k=10), q

@@ -17,6 +17,7 @@ def local(built_index):
 
 def test_distributed_matches_local(ray_session, built_index, local):
     d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready()  # barrier: all shard actors postings-resident
     for q in FIXTURE_QUERIES:
         for mode in ("or", "and"):
             assert d.search(q, k=10, mode=mode) == local.search(q, k=10, mode=mode), q
