@@ -29,6 +29,31 @@ _TF = (
     f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKS}) GROUP BY doc_id, term"
 )
 
+# 64-bit SimHash per doc, bit-for-bit the engine's simhash_batch: token
+# hash = first 16 md5 hex chars as UBIGINT (functions/hashing.
+# md5_u64_string_array), ±1 per bit over token OCCURRENCES, bit set iff
+# sum > 0, tokenless docs → 0.
+_SIMHASH = f"""
+WITH th AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+  FROM ({_TOKS})
+),
+bits AS (
+  SELECT doc_id, b AS bit,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+),
+shx AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(shx.simhash, 0::UBIGINT) AS simhash
+FROM documents d LEFT JOIN shx USING (doc_id)
+"""
+
 _STOPLIST_SQL = (
     "'the','a','an','and','or','of','to','in','for','on','with','at','by',"
     "'from','is','are','was','were','be','been','it','its','this','that',"
@@ -96,8 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
         "ngram_jaccard_near_dups": corpus.ngram_jaccard_near_dups,
         "minhash_dup_clusters": corpus.minhash_dup_clusters,  # rows-only
-        "simhash_values": corpus.simhash_values,            # rows-only
-        "simhash_near_dups": corpus.simhash_near_dups,      # rows-only
+        "simhash_values": corpus.simhash_values,
+        "simhash_near_dups": corpus.simhash_near_dups,
         # --- text analysis ---
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
@@ -225,6 +250,30 @@ SELECT doc_a, doc_b,
 FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
 WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.6
 ORDER BY doc_a, doc_b
+""",
+        # engine simhash is md5-u64-token-hash Charikar — exactly
+        # reproducible in SQL (see _SIMHASH); decimal-string presented
+        # on both sides (uint64 overflows a signed BIGINT dataframe)
+        "simhash_values": f"""
+SELECT doc_id, CAST(simhash AS VARCHAR) AS simhash FROM ({_SIMHASH})
+""",
+        # banding is part of the operator's semantics (4×16-bit chunks;
+        # complete for hamming ≤ 3 by pigeonhole, intentionally
+        # approximate above) — the oracle replicates band + verify
+        "simhash_near_dups": f"""
+WITH sh AS ({_SIMHASH}),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (16 * c)) & 65535 AS chunk_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 8
 """,
         "bm25_topk": _bm25_sql(["spark", "join"], 10),
         "bm25_topk_and": _bm25_sql(["data", "table", "scan"], 10, conjunctive=True),

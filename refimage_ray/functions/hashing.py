@@ -106,3 +106,37 @@ def md5_string_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         dct = dct.combine_chunks()
     uniq = [md5_hex(u) if u is not None else None for u in dct.dictionary.to_pylist()]
     return pc.take(pa.array(uniq, type=pa.string()), dct.indices)
+
+def md5_u64_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First-64-bits-of-md5 hash of an Arrow string column → uint64.
+
+    Same dictionary-encode amortization as :func:`hash_string_array`,
+    but the hash is ``int(md5(s).hexdigest()[:16], 16)`` — i.e. the
+    big-endian first 8 digest bytes, matching DuckDB's
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``.  Operators that want
+    a SQL-oracle-checkable per-token hash (SimHash) use this; the
+    blake2b variant stays for purely internal partitioning hashes.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dct = pc.dictionary_encode(arr)
+    if isinstance(dct, pa.ChunkedArray):
+        dct = dct.combine_chunks()
+    uniq = dct.dictionary.to_pylist()
+    codes = dct.indices.to_numpy(zero_copy_only=False)
+    table = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(
+                    (u if u is not None else "").encode("utf-8")
+                ).digest()[:8],
+                "big",
+            )
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    if table.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return table[codes]

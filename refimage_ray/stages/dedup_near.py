@@ -728,12 +728,20 @@ def dup_clusters_distributed(
 
 def simhash_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
     """64-bit SimHash per doc (Charikar): sign of per-bit ±1 sums over
-    token-occurrence hashes.  Vectorized via bit unpacking + add.at."""
+    token-occurrence hashes.  Vectorized via bit unpacking + add.at.
+
+    The token hash is the md5-prefix u64 (``md5_u64_string_array``) —
+    any fixed 64-bit hash gives valid SimHash semantics, and this one
+    is reproducible in DuckDB SQL, so ``simhash_values`` and
+    ``simhash_near_dups`` carry full value oracles instead of
+    rows-only checks."""
+    from refimage_ray.functions.hashing import md5_u64_string_array
+
     n = batch.num_rows
     flat, parent = _flat_tokens(batch["text"], cfg)
     out = np.zeros(n, dtype=np.uint64)
     if len(flat):
-        th = hash_string_array(flat)
+        th = md5_u64_string_array(flat)
         bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         contrib = bits.astype(np.int32) * 2 - 1  # (n_tok, 64) of ±1
         acc = np.zeros((n, 64), dtype=np.int64)
