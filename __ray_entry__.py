@@ -4,8 +4,9 @@
 ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 inventory + training-data extensions).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  query (same column names, same rounding); non-SQL ops (stateful
-  heuristics, LSH, uint64 hashing) are rows-only by omission.
+  query (same column names, same rounding); approx-by-design ops (LSH /
+  IVF probing, MinHash banding) and wraparound-u64 arithmetic (rolling
+  fingerprints) are rows-only by omission.
 
 Ray is initialised by the driver BEFORE this module is imported; no
 ``ray.init``/``ray.shutdown`` here or in the library.
@@ -59,6 +60,47 @@ _STOPLIST_SQL = (
     "'from','is','are','was','were','be','been','it','its','this','that',"
     "'these','those','as','not','no'"
 )
+
+
+def _langid_sql() -> str:
+    """SQL mirror of ``stages.analysis.LangId`` — generated from the
+    class so the marker profiles have a single source of truth.
+
+    ``index_in`` credits a token duplicated across profiles (e.g.
+    'de', 'la', 'en' appear in several languages' marker lists) to the
+    FIRST profile in dict order — replicated by deduplicating the
+    VALUES list the same way.  Tie-break: numpy argmax picks the first
+    (alphabetically smallest) language → ``ORDER BY cnt DESC, lang``.
+    """
+    from refimage_ray.stages.analysis import LangId
+
+    l = LangId()
+    first: dict[str, str] = {}
+    for w, lang in zip(l.vocab, l.lang_of):
+        first.setdefault(w, lang)
+    vals = ", ".join(f"('{w}', '{lang}')" for w, lang in first.items())
+    return f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT d.doc_id, COALESCE(t.c, 0) AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id) t
+       USING (doc_id)),
+markers(word, lang) AS (VALUES {vals}),
+hits AS (
+  SELECT toks.doc_id, m.lang, count(*) AS cnt
+  FROM toks JOIN markers m ON toks.term = m.word
+  GROUP BY toks.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang,
+       round(COALESCE(b.cnt, 0) * 1.0 / GREATEST(dl.dl, 1), 6)
+         AS lang_confidence
+FROM documents d JOIN dl USING (doc_id)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
 
 
 def _bm25_sql(terms: list[str], k: int, conjunctive: bool = False) -> str:
@@ -128,7 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": corpus.domain_stats,
         "quality_stats": corpus.quality_stats,
         "doc_fingerprints": corpus.doc_fingerprints,        # rows-only
-        "langid_pred": corpus.langid_pred,                  # rows-only
+        "langid_pred": corpus.langid_pred,
         # --- similarity search / embeddings ---
         "knn_cosine": vectors.knn_cosine,
         "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
@@ -254,6 +296,7 @@ ORDER BY doc_a, doc_b
         # engine simhash is md5-u64-token-hash Charikar — exactly
         # reproducible in SQL (see _SIMHASH); decimal-string presented
         # on both sides (uint64 overflows a signed BIGINT dataframe)
+        "langid_pred": _langid_sql(),
         "simhash_values": f"""
 SELECT doc_id, CAST(simhash AS VARCHAR) AS simhash FROM ({_SIMHASH})
 """,
