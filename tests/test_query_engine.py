@@ -277,3 +277,38 @@ def test_blockmax_prunes_and_stays_exact_on_zipf_postings():
                     [tm[t].doc_ids for t in terms]))):
                 pruned_any = True
     assert pruned_any  # block bound must bite somewhere on this shape
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    scores=st.lists(
+        # few distinct score values → dense exact ties, the adversarial
+        # regime for the argpartition path
+        st.sampled_from([0.0, 0.25, 0.5, 0.5 + 1e-12, 1.0, 2.0]),
+        min_size=0, max_size=3000,
+    ),
+    k=st.integers(min_value=1, max_value=40),
+    threshold=st.sampled_from([0.0, 0.25, 0.6]),
+)
+def test_topk_select_matches_naive_oracle(scores, k, threshold):
+    """Property: topk_select == full (score desc, doc_id asc) sort +
+    threshold + head(k), for any tie structure and any n (both the
+    small-n direct path and the large-n argpartition path)."""
+    import numpy as np
+
+    from refimage_ray.query.scorer import topk_select
+
+    sc = np.asarray(scores, dtype=np.float64)
+    ids = np.arange(len(sc), dtype=np.int64) * 7 + 3  # non-contiguous ids
+    # contract: threshold is INCLUSIVE and 0.0 disables filtering
+    keep = sc >= threshold if threshold > 0.0 else np.ones(len(sc), bool)
+    order = np.lexsort((ids[keep], -sc[keep]))
+    exp_ids = ids[keep][order][:k]
+    exp_sc = sc[keep][order][:k]
+    got_ids, got_sc = topk_select(ids, sc, k, threshold)
+    assert np.array_equal(got_ids, exp_ids)
+    assert np.array_equal(got_sc, exp_sc)
