@@ -364,6 +364,24 @@ class _SearcherBase:
         threshold = cfg.default_threshold if threshold is None else threshold
         terms = query_terms(tokenize(query))
         term_map = self._term_map(terms)
+        return self._finish_search(
+            term_map, terms, k, threshold, mode, prune, scorer, dense
+        )
+
+    def _finish_search(
+        self,
+        term_map: "dict[str, TermPostings]",
+        terms: list[str],
+        k: int,
+        threshold: float,
+        mode: str,
+        prune: "bool | str",
+        scorer: str,
+        dense: bool | None,
+    ) -> list[tuple[int, float]]:
+        """Scoring half of :meth:`search` — separated so batch serving
+        (``search_many``) can overlap many queries' postings RPCs
+        before scoring each."""
         idf_fn = _idf
         if scorer != "bm25":
             term_map = self._rescore_map(term_map, scorer)
@@ -574,14 +592,19 @@ class DistributedSearcher(_SearcherBase):
         accepting traffic (the postings-resident-in-actors contract)."""
         ray.get([a.term_postings.remote([]) for a in self.actors])
 
-    def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
+    def _issue_term_map(self, terms: list[str]) -> list:
+        """Fire the per-actor postings RPCs WITHOUT blocking — returns
+        the future list for :meth:`_gather_term_map`."""
         by_actor: dict[int, list[str]] = {}
         for t in terms:
             shard = blake2b64(t) % self.num_shards
             by_actor.setdefault(shard % self.num_actors, []).append(t)
-        futures = [
+        return [
             self.actors[a].term_postings.remote(ts) for a, ts in by_actor.items()
         ]
+
+    @staticmethod
+    def _gather_term_map(futures: list) -> dict[str, TermPostings]:
         merged: dict[str, TermPostings] = {}
         for res in ray.get(futures):
             for t, (df, ids, w, mw, bl, bm, tfs, dls, poss, rks) in res.items():
@@ -591,6 +614,39 @@ class DistributedSearcher(_SearcherBase):
                     dls=dls, positions=poss, ranks=rks,
                 )
         return merged
+
+    def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
+        return self._gather_term_map(self._issue_term_map(terms))
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int | None = None,
+        threshold: float | None = None,
+        mode: str = "or",
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        prune: "bool | str" = True,
+        scorer: str = "bm25",
+        dense: bool | None = None,
+    ) -> list[list[tuple[int, float]]]:
+        """Pipelined batch serving: every query's postings RPCs are in
+        flight before the first result is scored (scatter all, then
+        gather+score in order) — per-query results identical to
+        :meth:`search`.  The term-partitioned analog of
+        ``DistributedDocPartSearcher.search_many``."""
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        per_query = []
+        for q in queries:
+            terms = query_terms(tokenize(q))
+            per_query.append((terms, self._issue_term_map(terms)))
+        return [
+            self._finish_search(
+                self._gather_term_map(futs), terms, k, threshold, mode,
+                prune, scorer, dense,
+            )
+            for terms, futs in per_query
+        ]
 
 
 def lookup_docs(index_dir: str, doc_ids: list[int], columns: list[str] | None = None):

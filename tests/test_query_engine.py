@@ -312,3 +312,15 @@ def test_topk_select_matches_naive_oracle(scores, k, threshold):
     got_ids, got_sc = topk_select(ids, sc, k, threshold)
     assert np.array_equal(got_ids, exp_ids)
     assert np.array_equal(got_sc, exp_sc)
+
+
+def test_distributed_search_many_matches_search(ray_session, built_index, local):
+    """Pipelined batch serving must return per-query results identical
+    to one-at-a-time search (and to LocalSearcher)."""
+    d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready()
+    batch = d.search_many(FIXTURE_QUERIES, k=10)
+    assert batch == [local.search(q, k=10) for q in FIXTURE_QUERIES]
+    # and mode/threshold plumb through
+    batch_and = d.search_many(FIXTURE_QUERIES[:3], k=5, mode="and")
+    assert batch_and == [d.search(q, k=5, mode="and") for q in FIXTURE_QUERIES[:3]]
