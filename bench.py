@@ -241,6 +241,15 @@ def run_bench() -> dict:
         qps_sec = time.perf_counter() - tq
         timings["qps_docpart"] = round(len(qbatch) / qps_sec, 1)
 
+        # term-partitioned batch serving (search_many pipelines the
+        # per-actor postings RPCs; driver scores) — layout comparison
+        dsr.search_many(BENCH_QUERIES, k=10)  # warm
+        tq = time.perf_counter()
+        dsr.search_many(qbatch, k=10, mode="or")
+        timings["qps_termpart"] = round(
+            len(qbatch) / (time.perf_counter() - tq), 1
+        )
+
     for name, fn in [
         ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),
         ("tpch_q1", lambda: relational.tpch_q1(SF_DIR)),
