@@ -62,23 +62,25 @@ _STOPLIST_SQL = (
 )
 
 
-def _langid_sql() -> str:
-    """SQL mirror of ``stages.analysis.LangId`` — generated from the
-    class so the marker profiles have a single source of truth.
-
-    ``index_in`` credits a token duplicated across profiles (e.g.
-    'de', 'la', 'en' appear in several languages' marker lists) to the
-    FIRST profile in dict order — replicated by deduplicating the
-    VALUES list the same way.  Tie-break: numpy argmax picks the first
-    (alphabetically smallest) language → ``ORDER BY cnt DESC, lang``.
-    """
+def _langid_markers() -> str:
+    """Marker VALUES list generated from ``stages.analysis.LangId`` —
+    single source of truth.  ``index_in`` credits a token duplicated
+    across profiles (e.g. 'de', 'la', 'en') to the FIRST profile in
+    dict order — replicated by deduplicating the same way."""
     from refimage_ray.stages.analysis import LangId
 
     l = LangId()
     first: dict[str, str] = {}
     for w, lang in zip(l.vocab, l.lang_of):
         first.setdefault(w, lang)
-    vals = ", ".join(f"('{w}', '{lang}')" for w, lang in first.items())
+    return ", ".join(f"('{w}', '{lang}')" for w, lang in first.items())
+
+
+def _langid_sql() -> str:
+    """SQL mirror of ``stages.analysis.LangId``.  Tie-break: numpy
+    argmax picks the first (alphabetically smallest) language →
+    ``ORDER BY cnt DESC, lang``."""
+    vals = _langid_markers()
     return f"""
 WITH toks AS ({_TOKS}),
 dl AS (SELECT d.doc_id, COALESCE(t.c, 0) AS dl FROM documents d
@@ -100,6 +102,43 @@ SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang,
          AS lang_confidence
 FROM documents d JOIN dl USING (doc_id)
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+def _curated_sql() -> str:
+    """SQL mirror of ``pipelines.curate.curated_doc_ids`` defaults:
+    n_tokens >= 30, stopword_ratio >= 0.04 (same float division both
+    sides), pred_lang = 'en' ('und' docs have no marker hits and drop
+    at the join), exact dedup keeper = min doc_id per md5(text)."""
+    vals = _langid_markers()
+    return f"""
+WITH toks AS ({_TOKS}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+markers(word, lang) AS (VALUES {vals}),
+hits AS (
+  SELECT toks.doc_id, m.lang, count(*) AS cnt
+  FROM toks JOIN markers m ON toks.term = m.word
+  GROUP BY toks.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rn
+  FROM hits
+),
+keep AS (
+  SELECT d.doc_id, md5(d.text) AS h
+  FROM documents d
+  JOIN agg USING (doc_id)
+  JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+  WHERE agg.n_tokens >= 30
+    AND agg.n_stop * 1.0 / agg.n_tokens >= 0.04
+    AND b.lang = 'en'
+)
+SELECT min(doc_id) AS doc_id FROM keep GROUP BY h
 """
 
 
@@ -137,7 +176,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from refimage_ray.pipelines import corpus, relational, search, vectors
+    from refimage_ray.pipelines import (
+        corpus, curate, relational, search, vectors,
+    )
 
     return {
         # --- full-text index / BM25 (the engine core) ---
@@ -165,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_clusters": corpus.minhash_dup_clusters,  # rows-only
         "simhash_values": corpus.simhash_values,
         "simhash_near_dups": corpus.simhash_near_dups,
+        "curated_docs": curate.curated_docs,
         # --- text analysis ---
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
@@ -297,6 +339,7 @@ ORDER BY doc_a, doc_b
         # reproducible in SQL (see _SIMHASH); decimal-string presented
         # on both sides (uint64 overflows a signed BIGINT dataframe)
         "langid_pred": _langid_sql(),
+        "curated_docs": _curated_sql(),
         "simhash_values": f"""
 SELECT doc_id, CAST(simhash AS VARCHAR) AS simhash FROM ({_SIMHASH})
 """,

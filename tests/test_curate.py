@@ -1,0 +1,46 @@
+"""Composed curation pipeline: quality gate + lang gate + exact dedup
+in one streaming chain (pipelines/curate.py) — the canonical
+training-data prep flow."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from refimage_ray.pipelines.curate import CurationStage, curated_doc_ids
+
+
+def _mk_docs():
+    en = ("the data table is joined with the index and the result of "
+          "the scan is sorted by the key for the merge of the batch "
+          "stream in the window of the query plan")  # 33 tokens, stopword-rich
+    short = "the tiny doc"
+    no_stop = " ".join(f"tok{i}" for i in range(40))  # 40 tokens, 0 stopwords
+    fr = ("le la de et les des en un une du que pour dans ce il "
+          "le la de et les des en un une du que pour dans ce il "
+          "le la de et les des en un une du que pour dans ce il")
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([en, en, short, no_stop, fr, en + " extra"], pa.string()),
+    })
+
+
+def test_curated_doc_ids_gates_and_dedup(ray_session):
+    out = curated_doc_ids(rd.from_arrow(_mk_docs()))
+    ids = out["doc_id"].to_pylist()
+    # doc 1/2 identical en text → keeper is min doc_id 1; doc 6 is a
+    # distinct en doc; 3 fails min_tokens, 4 fails stopword_ratio,
+    # 5 fails the lang gate (predicted fr)
+    assert ids == [1, 6]
+
+
+def test_curation_stage_columns(ray_session):
+    st = CurationStage()
+    t = st(_mk_docs())
+    assert t.column_names == ["doc_id", "n_tokens", "stopword_ratio",
+                              "pred_lang", "content_key", "content_key2"]
+    # identical texts → identical content keys, distinct doc ids
+    rows = {d: (a, b) for d, a, b in zip(t["doc_id"].to_pylist(),
+                                         t["content_key"].to_pylist(),
+                                         t["content_key2"].to_pylist())}
+    assert rows[1] == rows[2] and rows[1] != rows[6]
+    assert t["pred_lang"].to_pylist()[4] == "fr"
