@@ -42,6 +42,7 @@ def build_from_pages(
     *,
     extract_concurrency: int | tuple | None = None,
     resume: bool = True,
+    curate: dict | None = None,
 ) -> BuildResult:
     """pages parquet dir → full index artifact.
 
@@ -69,6 +70,44 @@ def build_from_pages(
             batch_format="pyarrow",
             concurrency=extract_concurrency,
             batch_size=256,
+        )
+    if curate is not None:
+        # curation gates IN-FLIGHT between extract and staging: quality
+        # signals + lang-ID computed per batch, failures dropped before
+        # any text is staged or shuffled — at 100 TB curation must not
+        # add a corpus pass.  (Exact dedup still runs as the in-build
+        # side pass below, exactly as in pipelines/curate.py.)
+        from refimage_ray.stages.analysis import LangId, quality_batch
+
+        min_tokens = int(curate.get("min_tokens", 30))
+        min_stop = float(curate.get("min_stopword_ratio", 0.04))
+        lang = str(curate.get("lang", "en"))
+
+        class _Gate:
+            def __init__(self) -> None:
+                self.langid = LangId()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                # gates run BEFORE doc-id assignment; the analysis
+                # stages key their outputs by doc_id, so attach a
+                # transient row index (dropped with the signal columns)
+                tmp = batch.append_column(
+                    "doc_id", pa.array(range(batch.num_rows), pa.int64())
+                )
+                q = quality_batch(tmp)
+                keep = pc.and_(
+                    pc.and_(
+                        pc.greater_equal(q["n_tokens"], min_tokens),
+                        pc.greater_equal(q["stopword_ratio"], min_stop),
+                    ),
+                    pc.equal(self.langid(tmp)["pred_lang"], lang),
+                )
+                return batch.filter(keep)
+
+        extracted = extracted.map_batches(
+            _Gate, batch_format="pyarrow", concurrency=(1, 4)
         )
     # pure-function doc ids + content hash in-flight; exact dedup runs
     # as a small-column side pass inside build_index (no corpus shuffle)

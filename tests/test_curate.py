@@ -44,3 +44,43 @@ def test_curation_stage_columns(ray_session):
                                          t["content_key2"].to_pylist())}
     assert rows[1] == rows[2] and rows[1] != rows[6]
     assert t["pred_lang"].to_pylist()[4] == "fr"
+
+
+def test_flagship_build_with_inflight_curation(ray_session, tiny_pages, tmp_path):
+    """build_from_pages(curate=...) drops gate failures before staging:
+    the staged corpus is exactly the gate-passing extracted docs, and
+    the index is valid (searchable, stats consistent)."""
+    import pyarrow.compute as pc
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.reader import staged_docs
+    from refimage_ray.pipelines.flagship import build_from_pages
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.sources.pages import write_pages
+    from refimage_ray.stages.analysis import LangId, quality_batch
+    from refimage_ray.stages.extract import ExtractText
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages(tiny_pages, pages_dir, rows_per_file=64)
+    idx = str(tmp_path / "idx")
+    gates = {"min_tokens": 20, "min_stopword_ratio": 0.02, "lang": "en"}
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+    res = build_from_pages(pages_dir, idx, cfg, curate=gates)
+
+    # expected: extract locally, apply the same gates, dedup exact
+    ex = ExtractText()(tiny_pages.drop_columns(["text"]))
+    ex = ex.append_column("doc_id",
+                          pa.array(range(ex.num_rows), pa.int64()))
+    q = quality_batch(ex)
+    keep = pc.and_(
+        pc.and_(pc.greater_equal(q["n_tokens"], 20),
+                pc.greater_equal(q["stopword_ratio"], 0.02)),
+        pc.equal(LangId()(ex)["pred_lang"], "en"),
+    )
+    survivors = ex.filter(keep)
+    n_unique = len(set(survivors["text"].to_pylist()))
+    assert 0 < n_unique < tiny_pages.num_rows  # gates actually bite
+    assert res.metrics["n_docs"] == n_unique
+    assert staged_docs(idx).count() == n_unique
+    hits = LocalSearcher(idx).search("the data", k=5)
+    assert hits
