@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--num-shards", type=int, default=32)
     b.add_argument("--salt-buckets", type=int, default=8)
+    b.add_argument("--curate", action="store_true",
+                   help="apply quality/lang gates in-flight before staging")
+    b.add_argument("--curate-lang", default="en")
+    b.add_argument("--curate-min-tokens", type=int, default=30)
+    b.add_argument("--curate-min-stopword-ratio", type=float, default=0.04)
 
     s = sub.add_parser("search", help="BM25 top-k")
     s.add_argument("--index", required=True)
@@ -104,9 +109,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.pages:
                 from refimage_ray.pipelines.flagship import build_from_pages
 
+                curate = None
+                if args.curate:
+                    curate = {
+                        "lang": args.curate_lang,
+                        "min_tokens": args.curate_min_tokens,
+                        "min_stopword_ratio": args.curate_min_stopword_ratio,
+                    }
+                # task-pool extract default (build_from_pages docstring)
                 res = build_from_pages(
-                    args.pages, args.index, cfg,
-                    extract_concurrency=(1, max(1, args.num_cpus - 1)),
+                    args.pages, args.index, cfg, curate=curate,
                 )
             else:
                 import ray.data as rd
