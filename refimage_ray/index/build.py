@@ -665,6 +665,7 @@ def build_index(
     resume: bool = True,
     dedup_exact: bool = False,
     packed: bool = True,
+    failpoint_reducer_once: bool = False,
 ) -> BuildResult:
     """Build (or resume building) the inverted index.
 
@@ -1171,6 +1172,23 @@ def build_index(
         builder = BuildPartition(index_dir, cfg, avgdl)
 
     def build_partition(group: pa.Table) -> pa.Table:
+        if failpoint_reducer_once:
+            # fault-injection hook (tests): hard-kill ONE worker
+            # process mid-reducer (os._exit = the lost-node failure
+            # mode Ray retries; a raised exception would be an
+            # application error, which Ray Data deliberately does NOT
+            # retry).  Atomic O_EXCL marker → exactly one death per
+            # marker lifetime.  Captured by value in this closure so
+            # it ships to workers (a driver-side monkeypatch would
+            # not: cloudpickle pickles classes by reference).
+            try:
+                fd = os.open(
+                    "/tmp/refimage-failpoint-once", os.O_CREAT | os.O_EXCL
+                )
+                os.close(fd)
+                os._exit(1)
+            except FileExistsError:
+                pass
         return builder(group)
 
     manifest_ds = shuffled_in.groupby("gkey").map_groups(

@@ -362,3 +362,40 @@ def test_staged_docs_excludes_losers(ray_session, tiny_pages, tmp_path):
     dp = DocPartSearcher(doc_dir)
     for q in FIXTURE_QUERIES[:5]:
         assert dp.search(q, k=10) == local.search(q, k=10), q
+
+
+def test_wide_step_survives_task_retry(ray_session, tiny_docs, tmp_path):
+    """Fault tolerance of the exchange reducers: a reducer task that
+    hard-kills its worker process (os._exit — the lost-node failure
+    mode Ray retries; raised exceptions are application errors and
+    deliberately NOT retried) must leave an artifact byte-identical to
+    a clean run after Ray reschedules the lost blocks — the atomic
+    deterministic-name partition writes make retries idempotent.
+    Injection ships by value in the reducer closure; a driver-side
+    monkeypatch never reaches workers (classes pickle by reference)."""
+    import glob
+
+    ref_dir = str(tmp_path / "clean")
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+    build_index(rd.from_arrow(tiny_docs), ref_dir, cfg)
+
+    marker = "/tmp/refimage-failpoint-once"
+    if os.path.exists(marker):
+        os.remove(marker)
+    flaky_dir = str(tmp_path / "flaky")
+    res = build_index(rd.from_arrow(tiny_docs), flaky_dir, cfg,
+                      failpoint_reducer_once=True)
+    assert res.metrics["n_postings"] > 0
+    # the injection must actually have fired (one worker was killed)
+    assert os.path.exists(marker)
+    os.remove(marker)
+
+    names = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(ref_dir, "part-*.parquet")))
+    assert names == sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(flaky_dir, "part-*.parquet")))
+    for name in names:
+        a = open(os.path.join(ref_dir, name), "rb").read()
+        b = open(os.path.join(flaky_dir, name), "rb").read()
+        assert a == b, f"{name} differs after retried build"
