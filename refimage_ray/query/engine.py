@@ -559,10 +559,25 @@ class DistributedSearcher(_SearcherBase):
     Shard routing is a pure function of the term
     (``blake2b64(term) % P``), so the driver contacts only the actors
     owning the query's terms — no broadcast, no shuffle at query time.
+
+    A driver-side LRU (``cache_bytes``, default 256 MB) keeps recently
+    fetched postings (and negative entries for absent terms): real
+    query logs are heavily term-skewed, so the popular terms' postings
+    stop being re-shipped per query.  Results are identical with the
+    cache on or off (the artifact is immutable per index_dir; postings
+    are read-only after load) — set ``cache_bytes=0`` to disable.
     """
 
     def __init__(self, index_dir: str, num_actors: int = 4,
-                 dense_ranks: bool = True) -> None:
+                 dense_ranks: bool = True,
+                 cache_bytes: int = 256 * 1024 * 1024) -> None:
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, TermPostings | None]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_cap = int(cache_bytes)
+        self.cache_hits = 0
+        self.cache_misses = 0
         reader = IndexReader(index_dir)
         self.index_dir = index_dir
         self.n_docs = reader.n_docs
@@ -592,27 +607,65 @@ class DistributedSearcher(_SearcherBase):
         accepting traffic (the postings-resident-in-actors contract)."""
         ray.get([a.term_postings.remote([]) for a in self.actors])
 
-    def _issue_term_map(self, terms: list[str]) -> list:
-        """Fire the per-actor postings RPCs WITHOUT blocking — returns
-        the future list for :meth:`_gather_term_map`."""
-        by_actor: dict[int, list[str]] = {}
+    @staticmethod
+    def _postings_nbytes(p: "TermPostings | None") -> int:
+        if p is None:
+            return 64  # negative entry: bookkeeping only
+        n = 0
+        for arr in (p.doc_ids, p.weights, p.tfs, p.dls, p.positions,
+                    p.ranks, p.block_last_doc, p.block_max_weight):
+            if arr is not None:
+                n += arr.nbytes
+        return n + 64
+
+    def _issue_term_map(self, terms: list[str]) -> tuple:
+        """Fire the per-actor postings RPCs for cache-missing terms
+        WITHOUT blocking — returns the bundle for
+        :meth:`_gather_term_map`."""
+        cached: dict[str, TermPostings] = {}
+        missing: list[str] = []
         for t in terms:
+            if self._cache_cap and t in self._cache:
+                self._cache.move_to_end(t)
+                self.cache_hits += 1
+                v = self._cache[t]
+                if v is not None:  # None = cached absence
+                    cached[t] = v
+            else:
+                self.cache_misses += 1
+                missing.append(t)
+        by_actor: dict[int, list[str]] = {}
+        for t in missing:
             shard = blake2b64(t) % self.num_shards
             by_actor.setdefault(shard % self.num_actors, []).append(t)
-        return [
+        futures = [
             self.actors[a].term_postings.remote(ts) for a, ts in by_actor.items()
         ]
+        return futures, cached, missing
 
-    @staticmethod
-    def _gather_term_map(futures: list) -> dict[str, TermPostings]:
-        merged: dict[str, TermPostings] = {}
+    def _gather_term_map(self, bundle: tuple) -> dict[str, TermPostings]:
+        futures, cached, missing = bundle
+        merged: dict[str, TermPostings] = dict(cached)
+        fetched: dict[str, TermPostings] = {}
         for res in ray.get(futures):
             for t, (df, ids, w, mw, bl, bm, tfs, dls, poss, rks) in res.items():
-                merged[t] = TermPostings(
+                tp = TermPostings(
                     df=df, doc_ids=ids, weights=w, tfs=tfs,
                     max_weight=mw, block_last_doc=bl, block_max_weight=bm,
                     dls=dls, positions=poss, ranks=rks,
                 )
+                merged[t] = tp
+                fetched[t] = tp
+        if self._cache_cap:
+            for t in missing:
+                v = fetched.get(t)
+                if t in self._cache:  # duplicate in-flight (search_many)
+                    continue
+                self._cache[t] = v
+                self._cache_bytes += self._postings_nbytes(v)
+            while self._cache_bytes > self._cache_cap and self._cache:
+                _, old = self._cache.popitem(last=False)
+                self._cache_bytes -= self._postings_nbytes(old)
         return merged
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:

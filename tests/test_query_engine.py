@@ -324,3 +324,33 @@ def test_distributed_search_many_matches_search(ray_session, built_index, local)
     # and mode/threshold plumb through
     batch_and = d.search_many(FIXTURE_QUERIES[:3], k=5, mode="and")
     assert batch_and == [d.search(q, k=5, mode="and") for q in FIXTURE_QUERIES[:3]]
+
+
+def test_distributed_postings_cache_identical_results(ray_session, built_index,
+                                                      local):
+    """The driver-side LRU postings cache must not change any result:
+    repeated queries hit the cache (verified via counters) and return
+    exactly the uncached searcher's output; eviction and negative
+    entries (absent terms) behave."""
+    d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready()
+    cold = [d.search(q, k=10) for q in FIXTURE_QUERIES]
+    assert d.cache_misses > 0
+    misses_after_cold = d.cache_misses
+    warm = [d.search(q, k=10) for q in FIXTURE_QUERIES]
+    assert warm == cold == [local.search(q, k=10) for q in FIXTURE_QUERIES]
+    assert d.cache_misses == misses_after_cold  # fully served from cache
+    assert d.cache_hits > 0
+    # negative caching: unknown term fetched once, then cached absent
+    assert d.search("zzqqxx unknownterm", k=5) == \
+        d.search("zzqqxx unknownterm", k=5)
+    # tiny byte cap forces eviction; results still correct
+    small = DistributedSearcher(built_index[0], num_actors=2,
+                                cache_bytes=1024)
+    small.wait_ready()
+    for q in FIXTURE_QUERIES:
+        assert small.search(q, k=10) == local.search(q, k=10)
+    # cache off
+    off = DistributedSearcher(built_index[0], num_actors=2, cache_bytes=0)
+    off.wait_ready()
+    assert off.search(FIXTURE_QUERIES[0], k=10) == cold[0]
