@@ -84,3 +84,11 @@ def test_flagship_build_with_inflight_curation(ray_session, tiny_pages, tmp_path
     assert staged_docs(idx).count() == n_unique
     hits = LocalSearcher(idx).search("the data", k=5)
     assert hits
+
+
+def test_curated_doc_ids_empty_survivors(ray_session):
+    """Gates that nothing passes → empty (doc_id) table, not a crash
+    (empty groupby + collect path)."""
+    out = curated_doc_ids(rd.from_arrow(_mk_docs()), min_tokens=10_000)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id"]
