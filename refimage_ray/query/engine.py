@@ -596,7 +596,7 @@ class DistributedSearcher(_SearcherBase):
         if dense_ranks:
             self.all_ids = load_doc_universe(index_dir)
 
-    def wait_ready(self) -> None:
+    def wait_ready(self, warm_hot_terms: bool = True) -> None:
         """Block until every shard actor has finished loading.
 
         Actor construction is async: ``__init__`` returns after the
@@ -604,8 +604,19 @@ class DistributedSearcher(_SearcherBase):
         shards.  A query that happens to touch a still-loading actor
         blocks on that load — measured as sub-second "query latency"
         in early benches.  Serving layers should call this once before
-        accepting traffic (the postings-resident-in-actors contract)."""
+        accepting traffic (the postings-resident-in-actors contract).
+
+        ``warm_hot_terms`` additionally prefetches the manifest's
+        salted hot-term list into the driver LRU — the build already
+        identified the corpus's stopword-class terms, which are exactly
+        the postings every realistic query mix re-touches."""
         ray.get([a.term_postings.remote([]) for a in self.actors])
+        if warm_hot_terms and self._cache_cap:
+            from refimage_ray.index.manifest import load_manifest
+
+            hot = load_manifest(self.index_dir)["stats"].get("hot_terms") or []
+            if hot:
+                self._term_map(sorted(hot))
 
     @staticmethod
     def _postings_nbytes(p: "TermPostings | None") -> int:

@@ -354,3 +354,20 @@ def test_distributed_postings_cache_identical_results(ray_session, built_index,
     off = DistributedSearcher(built_index[0], num_actors=2, cache_bytes=0)
     off.wait_ready()
     assert off.search(FIXTURE_QUERIES[0], k=10) == cold[0]
+
+
+def test_wait_ready_warms_hot_terms(ray_session, built_index, local):
+    """wait_ready prefetches the manifest's hot-term postings into the
+    driver cache: a first query made of hot terms is served without new
+    RPC misses, and results stay identical."""
+    from refimage_ray.index.manifest import load_manifest
+
+    hot = load_manifest(built_index[0])["stats"].get("hot_terms") or []
+    assert hot, "fixture index must salt some hot terms"
+    d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready()
+    misses0 = d.cache_misses
+    q = " ".join(hot[:3])
+    res = d.search(q, k=10)
+    assert d.cache_misses == misses0  # all hot terms pre-cached
+    assert res == local.search(q, k=10)
