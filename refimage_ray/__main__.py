@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--limit", type=int, default=10)
     d.add_argument("--threshold", type=float, default=0.0)
 
+    pl = sub.add_parser("plan", help="capacity plan for a corpus x cluster")
+    pl.add_argument("--n-docs", type=int, required=True)
+    pl.add_argument("--avg-doc-tokens", type=float, default=300.0)
+    pl.add_argument("--nodes", type=int, default=1)
+    pl.add_argument("--cpus-per-node", type=int, default=32)
+
     e = sub.add_parser("explain", help="query → execution plan (no exec)")
     e.add_argument("query")
     e.add_argument("--num-shards", type=int, default=32)
@@ -90,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd == "plan":  # pure arithmetic, no Ray needed
+        from refimage_ray.planner import plan_build, plan_dict
+
+        print(json.dumps(plan_dict(plan_build(
+            args.n_docs, args.avg_doc_tokens,
+            nodes=args.nodes, cpus_per_node=args.cpus_per_node,
+        )), indent=1))
+        return
     if args.cmd == "explain":  # driver-only, no Ray needed
         from refimage_ray.extension import explain
 

@@ -74,11 +74,6 @@ def plan_build(
     total_cores = max(1, nodes * cpus_per_node)
     est_postings = int(n_docs * avg_doc_tokens * UNIQUE_RATIO)
 
-    # shards: ≥ 2× cores (straggler slack), power of two (stable term
-    # routing as the cluster grows), and enough that shard-level
-    # parallelism is never the reduce-side bottleneck
-    num_shards = _pow2_at_least(2 * total_cores)
-
     # salt buckets: bound the largest hot-term slice per reducer to the
     # partition target; hottest df ≈ n_docs (a true stopword).  The cap
     # exists only to bound reducer count — at 10^12 docs a stopword
@@ -89,10 +84,15 @@ def plan_build(
     salt = max(1, round(max_hot_df / TARGET_PARTITION_POSTINGS))
     salt_buckets = min(8192, _pow2_at_least(salt))
 
-    # if the cold partitions would still be over target, grow shards
-    while est_postings / (num_shards * salt_buckets) > \
-            2 * TARGET_PARTITION_POSTINGS and num_shards < 1 << 20:
-        num_shards *= 2
+    # reduce tasks = shards × salt (gkey = shard·S + salt), so the
+    # parallelism floor (≥ 2× cores, straggler slack) and the
+    # task-sizing target (≈ est_postings / TARGET per reducer) both
+    # constrain the PRODUCT, not shards alone — serving can assign
+    # many part files per actor regardless of shard count.
+    want_reducers = max(
+        2 * total_cores, est_postings / TARGET_PARTITION_POSTINGS
+    )
+    num_shards = _pow2_at_least(max(1.0, want_reducers / salt_buckets))
 
     reducers = num_shards * salt_buckets
     # rank-packed exchange requires broadcasting the sorted (doc_id,

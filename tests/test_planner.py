@@ -28,11 +28,13 @@ def test_partitions_stay_in_band():
             assert p.est_partition_postings_p50 >= TARGET_PARTITION_POSTINGS // 4
 
 
-def test_shards_scale_with_cluster():
-    one = plan_build(10**9, 300, nodes=1)
-    many = plan_build(10**9, 300, nodes=256)
-    assert many.num_shards >= one.num_shards
-    assert many.num_shards >= 2 * 256 * 32  # >= 2x total cores
+def test_reducers_scale_with_cluster():
+    """The parallelism floor binds the shards x salt PRODUCT (reduce
+    tasks), not shards alone."""
+    one = plan_build(10**6, 50, nodes=1)
+    many = plan_build(10**6, 50, nodes=256)
+    assert many.est_reducers >= one.est_reducers
+    assert many.est_reducers >= 2 * 256 * 32
 
 
 def test_hot_skew_bound():
