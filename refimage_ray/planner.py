@@ -125,7 +125,12 @@ def plan_build(
              if exchange == "rank" else
              "absolute-id exchange: universe too large to broadcast; "
              "rank path returns for per-doc-range sub-builds"),
-        ),
+        ) + ((
+            f"reducer count {reducers:,} exceeds ~2M/job (driver task "
+            "metadata): run ceil(reducers/2M) doc-range sub-builds and "
+            "combine with index.lifecycle.merge_indexes (salt-order "
+            "concatenation keeps partitions sorted)",
+        ) if reducers > 2_000_000 else ()),
     )
     return plan
 
