@@ -313,10 +313,16 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         # best-of-2 with settle pauses: back-to-back Ray sessions on one
         # box contend on page-cache reclaim / object-store teardown and
-        # inflate wall time by up to 40% — take the cleaner measurement
+        # inflate wall time by up to 40% — take the cleaner measurement.
+        # RAY_GRAFT_BEST_OF=1 halves the pair's wall time so it fits
+        # inside this host's short co-tenant-calm windows (each leg's
+        # JSON carries its own host canaries, so a watcher can validate
+        # the window instead of relying on repetition).
+        best_of = int(os.environ.get("RAY_GRAFT_BEST_OF", "2"))
+        settle = int(os.environ.get("RAY_GRAFT_SETTLE", "15"))
         best = None
-        for _ in range(2):
-            time.sleep(15)  # let the previous session's teardown settle
+        for _ in range(best_of):
+            time.sleep(settle)  # let the previous session's teardown settle
             r = run_once(ncpu)
             if best is None or r["value"] < best["value"]:
                 best = r
