@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_postings": corpus.tokenize_postings,
         "list_docs_page": corpus.list_docs_page,
         "bigram_counts": corpus.bigram_counts,
+        # alternate corpus containers (ingest must round-trip
+        # byte-faithfully → same oracle as the Parquet-sourced stats)
+        "warc_doc_stats": corpus.warc_doc_stats,
+        "jsonl_doc_stats": corpus.jsonl_doc_stats,
         "index_term_stats": search.index_term_stats,
         "bm25_topk": search.bm25_topk,
         "bm25_topk_and": search.bm25_topk_and,
@@ -245,6 +249,20 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl FROM documents)
 """,
         "doc_stats": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS doc_len,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+        # WARC / JSONL ingest must reproduce the Parquet-sourced stats
+        # exactly — same oracle, different container on the Ray side
+        "warc_doc_stats": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS doc_len,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+        "jsonl_doc_stats": """
 SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS doc_len,
        CAST(length(text) AS BIGINT) AS text_len

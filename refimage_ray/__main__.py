@@ -48,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build an inverted index")
     src = b.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages parquet dir (url/warc_ts/html/lang)")
+    src.add_argument("--warc", help="WARC file dir (CC-style response records)")
     src.add_argument("--documents", help="documents parquet (doc_id/text)")
     b.add_argument("--index", required=True)
     b.add_argument("--num-shards", type=int, default=32)
@@ -120,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
             cfg = EngineConfig(
                 num_shards=args.num_shards, salt_buckets=args.salt_buckets
             )
-            if args.pages:
+            if args.pages or args.warc:
                 from refimage_ray.pipelines.flagship import build_from_pages
 
                 curate = None
@@ -132,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 # task-pool extract default (build_from_pages docstring)
                 res = build_from_pages(
-                    args.pages, args.index, cfg, curate=curate,
+                    args.pages or args.warc, args.index, cfg, curate=curate,
+                    source="warc" if args.warc else "parquet",
                 )
             else:
                 import ray.data as rd

@@ -56,18 +56,96 @@ def corpus_stats(sf_dir: str) -> pa.Table:
 
 def doc_stats(sf_dir: str) -> "rd.Dataset":
     """Per-doc token/char counts (stays distributed; driver collects)."""
+    return _docs(sf_dir).map_batches(_doc_stats_batch, batch_format="pyarrow")
+
+
+def _doc_stats_batch(batch: pa.Table) -> pa.Table:
+    dl = doc_lengths(batch["text"])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "doc_len": pa.array(dl.astype(np.int64), pa.int64()),
+            "text_len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        }
+    )
+
+
+def _doc_ids_from_urls(batch: pa.Table) -> pa.Array:
+    """Recover the documents.doc_id from the deterministic page url
+    (``…/doc-<id>``) — vectorized regex extract, no Python loop."""
+    ext = pc.extract_regex(batch["url"], pattern=r"doc-(?P<id>\d+)$")
+    return pc.cast(pc.struct_field(ext, "id"), pa.int64())
+
+
+def _cached_container(sf_dir: str, kind: str) -> str:
+    """Materialize the documents table into an alternate container
+    format once per (sf_dir, kind) — deterministic, _SUCCESS-marked."""
+    import hashlib
+    import shutil
+
+    from refimage_ray.sources.pages import pages_from_documents
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/refimage_ray_cache/{kind}-{tag}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        pages = pages_from_documents(os.path.join(sf_dir, "documents.parquet"))
+        if kind == "warc":
+            from refimage_ray.sources.warc import write_warc
+
+            write_warc(pages, out, records_per_file=2048)
+        else:
+            from refimage_ray.sources.jsonl import write_jsonl
+
+            write_jsonl(pages, out, rows_per_file=2048)
+        with open(marker, "w") as f:
+            f.write("")
+    return out
+
+
+def warc_doc_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-doc stats over a corpus ingested from WARC files.
+
+    The corpus is the documents table serialized into WARC/1.0
+    response records (``sources/warc.py``), read back distributed,
+    html-extracted, and keyed by the doc_id recovered from the url —
+    the oracle is the SAME SQL as ``doc_stats`` over the Parquet
+    table, so a hash match proves the WARC container round-trips
+    byte-faithfully through the whole ingest path.
+    """
+    from refimage_ray.sources.warc import read_warc
+    from refimage_ray.stages.extract import extract_text_batch
+
+    warc_dir = _cached_container(sf_dir, "warc")
 
     def stats(batch: pa.Table) -> pa.Table:
-        dl = doc_lengths(batch["text"])
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "doc_len": pa.array(dl.astype(np.int64), pa.int64()),
-                "text_len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
-            }
+        t = pa.table(
+            {"doc_id": _doc_ids_from_urls(batch), "text": batch["text"]}
         )
+        return _doc_stats_batch(t)
 
-    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+    return (
+        read_warc(warc_dir)
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .map_batches(stats, batch_format="pyarrow")
+    )
+
+
+def jsonl_doc_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-doc stats over the same corpus ingested from JSONL (WET-
+    style, text already extracted) — oracle: the ``doc_stats`` SQL."""
+    from refimage_ray.sources.jsonl import read_jsonl
+
+    jsonl_dir = _cached_container(sf_dir, "jsonl")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"doc_id": _doc_ids_from_urls(batch), "text": batch["text"]}
+        )
+        return _doc_stats_batch(t)
+
+    return read_jsonl(jsonl_dir).map_batches(stats, batch_format="pyarrow")
 
 
 def _term_partials(batch: pa.Table) -> pa.Table:

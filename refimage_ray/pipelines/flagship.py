@@ -43,6 +43,7 @@ def build_from_pages(
     extract_concurrency: int | tuple | None = None,
     resume: bool = True,
     curate: dict | None = None,
+    source: str = "parquet",
 ) -> BuildResult:
     """pages parquet dir → full index artifact.
 
@@ -57,9 +58,18 @@ def build_from_pages(
     deadlocks the streaming executor — the actors reserve every CPU
     and the read/write stages starve — hence (min, max) there.)
     """
-    pages = rd.read_parquet(
-        pages_dir, columns=["url", "warc_ts", "html", "lang"]
-    )
+    if source == "parquet":
+        pages = rd.read_parquet(
+            pages_dir, columns=["url", "warc_ts", "html", "lang"]
+        )
+    elif source == "warc":
+        # Common-Crawl container ingest: same downstream stages, the
+        # pages arrive as WARC/1.0 response records (sources/warc.py)
+        from refimage_ray.sources.warc import read_warc
+
+        pages = read_warc(pages_dir)
+    else:
+        raise ValueError(f"unknown pages source {source!r}")
     if extract_concurrency is None:
         extracted = pages.map_batches(
             extract_text_batch, batch_format="pyarrow", batch_size=256
@@ -114,10 +124,11 @@ def build_from_pages(
     docs = extracted.map_batches(
         lambda b: add_url_hash_ids(add_content_hash(b)), batch_format="pyarrow"
     )
+    exts = (".parquet",) if source == "parquet" else (".warc", ".warc.gz")
     lineage = [
         {"path": os.path.join(pages_dir, f)}
         for f in sorted(os.listdir(pages_dir))
-        if f.endswith(".parquet")
+        if f.endswith(exts)
     ]
     return build_index(
         docs, index_dir, cfg, lineage=lineage, resume=resume, dedup_exact=True
