@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": corpus.simhash_near_dups,
         "curated_docs": curate.curated_docs,
         # --- text analysis ---
+        "contamination_stats": corpus.contamination_stats,
+        "repetition_stats": corpus.repetition_stats,
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
         "quality_stats": corpus.quality_stats,
@@ -412,6 +414,44 @@ SELECT source || '.' || lang || '.example.org' AS host,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY host
+""",
+        # decontamination: token 8-grams vs the doc_id%97==0 benchmark
+        # slice; counts gram POSITIONS whose gram is in the bench set
+        "contamination_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM grams JOIN bench USING (g)
+GROUP BY doc_id
+""",
+        # Gopher repetition signals: top-1 word / bigram share per doc
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+wf AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_word_frac FROM wc GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bigrams GROUP BY doc_id, b),
+bf AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(wf.top_word_frac, 0.0) AS top_word_frac,
+       COALESCE(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM documents d
+LEFT JOIN wf ON d.doc_id = wf.doc_id
+LEFT JOIN bf ON d.doc_id = bf.doc_id
 """,
         "quality_stats": f"""
 WITH agg AS (

@@ -148,6 +148,103 @@ def jsonl_doc_stats(sf_dir: str) -> "rd.Dataset":
     return read_jsonl(jsonl_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def contamination_stats(
+    sf_dir: str, n: int = 8, modulus: int = 97
+) -> "rd.Dataset":
+    """Benchmark decontamination: (doc_id, n_hit_grams) for every doc
+    sharing ≥1 token ``n``-gram with the benchmark set.
+
+    The benchmark is a deterministic corpus slice (``doc_id % modulus
+    == 0`` — the stand-in for an eval set); it is tokenized ONCE,
+    hashed, and broadcast via ``ray.put`` (eval sets are tiny, so the
+    probe is a broadcast semi-join — no shuffle at any scale).  The
+    corpus side streams: vectorized rolling-hash n-grams per batch +
+    sorted binary-search probe (``stages/decontam.py``).
+    """
+    import ray
+
+    from refimage_ray.stages.decontam import (
+        benchmark_gram_set,
+        contamination_counts,
+    )
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % modulus == 0))
+
+    bench = pa.concat_tables(
+        _docs(sf_dir)
+        .map_batches(bench_filter, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    gram_ref = ray.put(benchmark_gram_set(bench["text"], n))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        grams = ray.get(gram_ref)
+        return contamination_counts(batch, grams, n)
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style per-doc repetition signals: the fraction of tokens
+    taken by the single most frequent word / bigram (Rae et al. 2021
+    repetition filters — high values mark low-quality repetitive
+    pages).  Fully vectorized: one Acero group_by per batch + numpy
+    per-doc max/total; rounded at the boundary for the SQL oracle."""
+    from refimage_ray.stages.tokenize import _flat_tokens
+
+    def rep(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        flat, parent = _flat_tokens(batch["text"], DEFAULT_CONFIG)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def top_frac(keys: pa.Array, rows: np.ndarray) -> np.ndarray:
+            """max per-row key count / total per-row keys (0.0 when a
+            row has no keys)."""
+            if len(rows) == 0:
+                return np.zeros(n_rows, np.float64)
+            g = (
+                pa.table({"row": pa.array(rows, pa.int64()), "k": keys})
+                .group_by(["row", "k"])
+                .aggregate([([], "count_all")])
+            )
+            gr = g["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gc = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tot = np.bincount(gr, weights=gc, minlength=n_rows)
+            mx = np.zeros(n_rows, np.int64)
+            np.maximum.at(mx, gr, gc)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                f = np.where(tot > 0, mx / np.maximum(tot, 1), 0.0)
+            return f
+
+        word_frac = top_frac(flat, parent)
+        # bigrams: adjacent token pairs within one doc (join kernel)
+        if len(flat) >= 2:
+            big = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1), flat.slice(1), " "
+            )
+            ok = parent[:-1] == parent[1:]
+            big = big.filter(pa.array(ok))
+            brows = parent[:-1][ok]
+        else:
+            big, brows = pa.array([], pa.string()), np.zeros(0, np.int64)
+        bigram_frac = top_frac(big, brows)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "top_word_frac": pc.round(
+                    pa.array(word_frac, pa.float64()), ndigits=6
+                ),
+                "top_bigram_frac": pc.round(
+                    pa.array(bigram_frac, pa.float64()), ndigits=6
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+
+
 def _term_partials(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: (term, df_part, tf_part) — shrinks the
     shuffle to vocab-size rows per batch."""
