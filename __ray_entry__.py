@@ -177,7 +177,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from refimage_ray.pipelines import (
-        corpus, curate, relational, search, vectors,
+        corpus, curate, relational, search, training, vectors,
     )
 
     return {
@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_by_priority": relational.order_revenue_by_priority,
         "doc_sample": relational.doc_sample,
         "events_user_stats": relational.events_user_stats,
+        # --- training-data preparation ---
+        "pack_sequences": training.pack_sequences,
+        "lang_mixture_sample": training.lang_mixture_sample,
+        "url_blocklist_stats": training.url_blocklist_stats,
+        "pii_scrub_stats": training.pii_scrub_stats,
     }
 
 
@@ -585,5 +590,63 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY user_id
+""",
+        # sequence packing: global scan over doc_id order, budget 256
+        # (engine: two-pass distributed prefix-sum, stages/packing.py)
+        "pack_sequences": """
+WITH dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM documents
+),
+o AS (
+  SELECT doc_id, dl,
+         COALESCE(SUM(dl) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM dl
+)
+SELECT doc_id,
+       CAST(st // 256 AS BIGINT) AS seq_id,
+       CAST(st % 256 AS BIGINT) AS begin_offset,
+       CAST(CASE WHEN dl > 0 THEN (st + dl - 1) // 256 - st // 256
+                 ELSE 0 END AS BIGINT) AS n_crossings
+FROM o
+""",
+        # per-language mixture gate: same multiplicative hash as
+        # doc_sample, threshold from DEFAULT_LANG_RATES
+        "lang_mixture_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+      < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
+              WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 0.1
+              ELSE 0.05 END) * 4294967296 AS BIGINT)
+""",
+        "url_blocklist_stats": """
+SELECT source || '.' || lang || '.example.org' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE source || '.' || lang || '.example.org' NOT IN
+      ('src3.de.example.org', 'src7.zh.example.org', 'src12.es.example.org')
+GROUP BY host
+""",
+        # PII scrub over the id-augmented corpus (augmentation mirrored
+        # verbatim in pipelines/training._augment_pii; RE2 both sides)
+        "pii_scrub_stats": r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(s, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(s,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+FROM synth
 """,
     }

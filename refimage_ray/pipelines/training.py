@@ -1,0 +1,239 @@
+"""Training-data preparation pipelines (LM-corpus extensions).
+
+Four operators a 100-TB training-data pipeline runs after curation,
+each a ``sf_dir -> Dataset`` entry in ``queries()`` with a DuckDB
+value oracle:
+
+- ``pack_sequences``      — context-window packing (distributed scan,
+                            ``stages/packing.py``).
+- ``lang_mixture_sample`` — per-language mixture re-weighting with a
+                            deterministic hash gate (no RNG — the same
+                            multiplicative-hash mask as
+                            ``relational.doc_sample``, so resumes and
+                            cluster-size changes never change the
+                            sample).
+- ``url_blocklist_stats`` — host blocklist gate (the UT1-style crawl
+                            filter) over urls derived + parsed exactly
+                            as in ``corpus.domain_stats``.
+- ``pii_scrub_stats``     — regex PII scrub (emails / IPv4 / phone)
+                            with per-doc match counts.  The synthetic
+                            corpus carries no PII, so a deterministic
+                            per-row augmentation (doc-id-derived
+                            email/ip/phone) is appended on BOTH the
+                            Ray and SQL sides — the oracle checks the
+                            scrub itself, not the augmentation.
+
+No reference analogs (the reference stores images); prompt-mandated
+training-data extensions.  All string work is RE2 kernels
+(``pyarrow.compute`` ↔ DuckDB both compile RE2, so the patterns below
+behave identically on both sides).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from refimage_ray.stages.packing import pack_offsets
+from refimage_ray.stages.tokenize import doc_lengths
+
+
+def _docs(sf_dir: str, columns) -> "rd.Dataset":
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(sf_dir: str, budget: int = 256, n_buckets: int = 16) -> "rd.Dataset":
+    """Every doc's (seq_id, begin_offset, n_crossings) under contiguous
+    doc_id-order concatenation into ``budget``-token sequences."""
+
+    def dl(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dl": pa.array(
+                    doc_lengths(batch["text"]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    narrow = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        dl, batch_format="pyarrow"
+    )
+    return pack_offsets(narrow, budget=budget, n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+#: default language mixture (typical LM rebalancing shape: keep all
+#: English, downsample the rest) — overridable per call.
+DEFAULT_LANG_RATES: dict[str, float] = {
+    "en": 1.0,
+    "es": 0.5,
+    "fr": 0.5,
+    "de": 0.25,
+    "zh": 0.1,
+}
+DEFAULT_RATE = 0.05
+
+_HASH_MUL = np.uint64(2654435761)
+_HASH_MOD = np.uint64(0xFFFFFFFF)
+
+
+def lang_mixture_sample(
+    sf_dir: str, rates: dict[str, float] | None = None, default: float = DEFAULT_RATE
+) -> "rd.Dataset":
+    """Deterministic per-language downsampling: doc survives iff
+    ``(doc_id * 2654435761) mod 2^32 < rate(lang) * 2^32``."""
+    rates = DEFAULT_LANG_RATES if rates is None else rates
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * _HASH_MUL) & _HASH_MOD
+        lang = b["lang"].to_pylist()
+        thr = np.fromiter(
+            (int(rates.get(l, default) * 4294967296.0) for l in lang),
+            dtype=np.uint64,
+            count=len(lang),
+        )
+        keep = pa.array(h < thr)
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang": b["lang"]}
+        ).filter(keep)
+
+    return _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# url blocklist
+# ---------------------------------------------------------------------------
+
+#: hosts every SF's source×lang grid contains — a stand-in for a UT1 /
+#: spam blocklist shard broadcast to the filter stage.
+DEFAULT_BLOCKLIST: tuple[str, ...] = (
+    "src3.de.example.org",
+    "src7.zh.example.org",
+    "src12.es.example.org",
+)
+
+
+def url_blocklist_stats(
+    sf_dir: str, blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST
+) -> "rd.Dataset":
+    """Surviving-doc count per host after the blocklist gate.
+
+    The url is derived per row then the host parsed back OUT with the
+    same regex as ``domain_stats`` (a real pipeline filters on parsed
+    crawl urls).  The blocklist rides in the task closure — broadcast
+    once, never per batch (a production list is a few MB: same
+    pattern, or ``ray.put`` above ~100 MB)."""
+    block = pa.array(sorted(set(blocklist)), pa.string())
+
+    def gate(b: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://", b["source"], ".", b["lang"], ".example.org/doc-",
+            pc.cast(b["doc_id"], pa.string()), "",
+        )
+        host = pc.struct_field(
+            pc.extract_regex(url, pattern=r"^https?://(?P<host>[^/]+)/"),
+            "host",
+        )
+        keep = pc.invert(pc.is_in(host, value_set=block))
+        return pa.table({"host": host}).filter(keep)
+
+    return (
+        _docs(sf_dir, ("doc_id", "lang", "source"))
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def _augment_pii(b: pa.Table) -> pa.Array:
+    """Deterministic id-derived PII suffix (mirrored in the oracle)."""
+    ids = b["doc_id"]
+    return pc.binary_join_element_wise(
+        b["text"],
+        " contact doc",
+        pc.cast(ids, pa.string()),
+        "@example.com from 192.168.",
+        pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 256), 256)), pa.string()),
+        ".",
+        pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 100), 100)), pa.string()),
+        " call 555-",
+        pc.utf8_lpad(
+            pc.cast(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 10000), 10000)),
+                pa.string(),
+            ),
+            width=4,
+            padding="0",
+        ),
+        "",
+    )
+
+
+def pii_scrub_batch(text: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """Count and redact emails / IPv4s / phone numbers — three RE2
+    passes, no Python loop.  Redaction order (email → ip → phone) is
+    part of the contract: an address inside an email must be counted
+    once, as an email."""
+    n_emails = pc.count_substring_regex(text, pattern=PII_EMAIL)
+    n_ips = pc.count_substring_regex(text, pattern=PII_IPV4)
+    n_phones = pc.count_substring_regex(text, pattern=PII_PHONE)
+    clean = pc.replace_substring_regex(text, pattern=PII_EMAIL, replacement="<EMAIL>")
+    clean = pc.replace_substring_regex(clean, pattern=PII_IPV4, replacement="<IP>")
+    clean = pc.replace_substring_regex(clean, pattern=PII_PHONE, replacement="<PHONE>")
+    return {
+        "n_emails": pc.cast(n_emails, pa.int64()),
+        "n_ips": pc.cast(n_ips, pa.int64()),
+        "n_phones": pc.cast(n_phones, pa.int64()),
+        "clean": clean,
+    }
+
+
+def pii_scrub_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-doc PII match counts + redacted length over the augmented
+    corpus (augmentation gives the oracle teeth — the raw synthetic
+    text contains no PII)."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        synth = _augment_pii(b)
+        out = pii_scrub_batch(synth)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_emails": out["n_emails"],
+                "n_ips": out["n_ips"],
+                "n_phones": out["n_phones"],
+                "clean_len": pc.cast(pc.utf8_length(out["clean"]), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        scrub, batch_format="pyarrow"
+    )

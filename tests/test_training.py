@@ -1,0 +1,141 @@
+"""Training-data preparation: sequence packing (distributed scan),
+mixture sampling, url blocklist gate, PII scrub."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.stages.packing import pack_offsets
+from refimage_ray.pipelines.training import (
+    DEFAULT_LANG_RATES,
+    pii_scrub_batch,
+    _augment_pii,
+)
+
+
+def _dl_ds(dls, ids=None):
+    ids = list(range(len(dls))) if ids is None else ids
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+            }
+        )
+    )
+
+
+def _naive_pack(ids, dls, budget):
+    order = np.argsort(ids, kind="stable")
+    start = 0
+    out = {}
+    for i in order:
+        st, dl = start, dls[i]
+        seq = st // budget
+        last = (st + dl - 1) // budget if dl > 0 else seq
+        out[ids[i]] = (seq, st % budget, last - seq)
+        start += dl
+    return out
+
+
+@pytest.mark.parametrize("budget,n_buckets", [(7, 1), (7, 4), (100, 3)])
+def test_pack_offsets_matches_naive(ray_session, budget, n_buckets):
+    rng = np.random.default_rng(11)
+    dls = rng.integers(0, 25, size=200).tolist()
+    ids = rng.permutation(200).tolist()  # arrival order != id order
+    got = {
+        r["doc_id"]: (r["seq_id"], r["begin_offset"], r["n_crossings"])
+        for r in pack_offsets(_dl_ds(dls, ids), budget, n_buckets).take_all()
+    }
+    assert got == _naive_pack(ids, dls, budget)
+
+
+def test_pack_offsets_empty_docs_and_exact_fit(ray_session):
+    # doc of exactly budget tokens ends at the boundary (0 crossings);
+    # empty docs inherit the running offset and cross nothing
+    dls = [4, 0, 4, 0, 3]
+    got = {
+        r["doc_id"]: (r["seq_id"], r["begin_offset"], r["n_crossings"])
+        for r in pack_offsets(_dl_ds(dls), budget=4, n_buckets=2).take_all()
+    }
+    assert got == {
+        0: (0, 0, 0),
+        1: (1, 0, 0),
+        2: (1, 0, 0),
+        3: (2, 0, 0),
+        4: (2, 0, 0),
+    }
+
+
+def test_pack_offsets_single_doc_spans_many(ray_session):
+    got = pack_offsets(_dl_ds([35]), budget=10, n_buckets=1).take_all()
+    assert got[0]["seq_id"] == 0
+    assert got[0]["n_crossings"] == 3  # tokens 0..34 touch seqs 0..3
+
+
+def test_pack_offsets_rejects_bad_budget(ray_session):
+    with pytest.raises(ValueError):
+        pack_offsets(_dl_ds([1]), budget=0)
+
+
+def test_mixture_gate_rates(ray_session, tmp_path):
+    # write a tiny documents.parquet and check per-lang acceptance is
+    # exactly the hash rule (not a statistical test)
+    import pyarrow.parquet as pq
+
+    n = 400
+    langs = ["en", "zh", "de", "xx"] * (n // 4)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["w"] * n),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    from refimage_ray.pipelines.training import lang_mixture_sample
+
+    kept = {r["doc_id"] for r in lang_mixture_sample(str(tmp_path)).take_all()}
+    for i in range(n):
+        rate = DEFAULT_LANG_RATES.get(langs[i], 0.05)
+        h = (i * 2654435761) % 2**32
+        assert (i in kept) == (h < int(rate * 2**32)), i
+    # en rate 1.0 keeps everything
+    assert all(i in kept for i in range(n) if langs[i] == "en")
+
+
+def test_pii_scrub_counts_and_redaction():
+    text = pa.array(
+        [
+            "mail me at bob.smith+x@mail.example.co or 10.0.0.1 tel 555-1234",
+            "no pii here",
+            "two ips 1.2.3.4 5.6.7.8 and a@b.io",
+        ]
+    )
+    out = pii_scrub_batch(text)
+    assert out["n_emails"].to_pylist() == [1, 0, 1]
+    assert out["n_ips"].to_pylist() == [1, 0, 2]
+    assert out["n_phones"].to_pylist() == [1, 0, 0]
+    clean = out["clean"].to_pylist()
+    assert clean[0] == "mail me at <EMAIL> or <IP> tel <PHONE>"
+    assert clean[1] == "no pii here"
+    assert clean[2] == "two ips <IP> <IP> and <EMAIL>"
+
+
+def test_pii_augmentation_is_deterministic():
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 300, 12345], pa.int64()),
+            "text": pa.array(["t", "t", "t"]),
+        }
+    )
+    synth = _augment_pii(b).to_pylist()
+    assert synth[0] == "t contact doc0@example.com from 192.168.0.0 call 555-0000"
+    assert synth[1] == "t contact doc300@example.com from 192.168.44.0 call 555-0300"
+    assert synth[2] == (
+        "t contact doc12345@example.com from 192.168.57.45 call 555-2345"
+    )
