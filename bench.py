@@ -352,6 +352,10 @@ def run_scaling() -> dict:
         "host_canary_sec_hi": hi.get("host_canary_sec"),
         "host_canary_mt16_sec_lo": lo.get("host_canary_mt16_sec"),
         "host_canary_mt16_sec_hi": hi.get("host_canary_mt16_sec"),
+        # per-leg stage split — shows which stage carries any
+        # non-scaling (Amdahl) component of the ratio
+        "build_stages_lo": lo.get("build_stages", {}),
+        "build_stages_hi": hi.get("build_stages", {}),
         "sf": SF_DIR,
         "n_docs": hi["n_docs"],
     }

@@ -314,6 +314,59 @@ def add_documents(
     return merge_indexes([index_dir, delta_dir], out_dir, cfg)
 
 
+def build_subranges(
+    docs_ds,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    n_subranges: int = 2,
+) -> dict:
+    """Executable form of the planner's >2M-reducer recommendation
+    (``planner.plan_build`` notes): split the corpus into disjoint
+    ``doc_id`` ranges, build each range as an independent smaller job
+    — every sub-job gets its own broadcastable (doc_id, dl) universe,
+    so the rank-packed exchange stays available far beyond the 50M-doc
+    single-job bound — then ``merge_indexes`` (salt-order partition
+    concatenation + weight recompute against the merged avgdl).
+
+    In-process the sub-builds run sequentially; at cluster scale each
+    is its own ``ray job submit`` against a doc-range parquet
+    predicate, and only the merge sees all artifacts.  Query results
+    are identical to a single-shot build (asserted in
+    ``tests/test_lifecycle.py``) because df/tf/dl survive the merge
+    and the merged stats equal the global ones.
+    """
+    if n_subranges < 1:
+        raise ValueError(f"n_subranges must be >= 1, got {n_subranges}")
+    from ray.data.aggregate import Max, Min
+
+    docs_ds = docs_ds.materialize()  # consumed once per subrange
+    bounds = docs_ds.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    span = hi - lo + 1
+    n = min(n_subranges, span)
+    width = -(-span // n)  # divide-first (63-bit-id safe)
+
+    sub_dirs: list[str] = []
+    for i in range(n):
+        a, b = lo + i * width, min(lo + (i + 1) * width, hi + 1)
+
+        def in_range(t: pa.Table, a=a, b=b) -> pa.Table:
+            ids = t["doc_id"]
+            import pyarrow.compute as pc
+
+            return t.filter(
+                pc.and_(pc.greater_equal(ids, a), pc.less(ids, b))
+            )
+
+        sub = docs_ds.map_batches(in_range, batch_format="pyarrow")
+        d = f"{out_dir}.sub{i}"
+        build_index(
+            sub, d, cfg, lineage=[{"subrange": [a, b], "of": out_dir}]
+        )
+        sub_dirs.append(d)
+    return merge_indexes(sub_dirs, out_dir, cfg)
+
+
 # Columns a metadata PUT may touch.  text / doc_len / content_hash are
 # index inputs — changing them without a rebuild would desync postings.
 MUTABLE_DOC_COLUMNS = frozenset({"url", "lang"})

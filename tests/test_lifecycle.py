@@ -149,3 +149,43 @@ def test_update_doc_metadata_put(ray_session, built_index):
         update_doc_metadata(index_dir, {10**12: {"url": "x"}})
     with pytest.raises(ValueError):
         update_doc_metadata(index_dir, {3: {"text": "nope"}})
+
+
+def test_build_subranges_equals_monolithic(ray_session, tiny_docs, tmp_path):
+    """The planner's >2M-reducer path: 3 doc-range sub-builds + merge
+    answer queries identically to a single-shot build."""
+    from refimage_ray.index.lifecycle import build_subranges
+
+    dfull = str(tmp_path / "full")
+    dsub = str(tmp_path / "sub")
+    build_index(rd.from_arrow(tiny_docs), dfull, CFG)
+    build_subranges(rd.from_arrow(tiny_docs), dsub, CFG, n_subranges=3)
+
+    ss, sf = LocalSearcher(dsub), LocalSearcher(dfull)
+    assert ss.n_docs == sf.n_docs
+    for q in FIXTURE_QUERIES:
+        for mode in ("or", "and"):
+            assert ss.search(q, k=10, mode=mode) == sf.search(q, k=10, mode=mode), (
+                q, mode,
+            )
+
+
+def test_build_subranges_more_ranges_than_docs(ray_session, tmp_path):
+    """n_subranges > doc span degrades to one build per doc (empty
+    subranges never occur: n is clamped to the span)."""
+    from refimage_ray.index.lifecycle import build_subranges
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 6], pa.int64()),
+            "text": pa.array(["alpha beta", "beta gamma"]),
+            "url": pa.array(["u5", "u6"]),
+            "lang": pa.array(["en", "en"]),
+        }
+    )
+    d = str(tmp_path / "tiny")
+    build_subranges(rd.from_arrow(docs), d, CFG, n_subranges=8)
+    s = LocalSearcher(d)
+    assert s.n_docs == 2
+    hits = s.search("beta", k=10)
+    assert sorted(doc for doc, _ in hits) == [5, 6]
