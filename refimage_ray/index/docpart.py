@@ -382,8 +382,12 @@ class DistributedDocPartSearcher:
         assign: list[list[str]] = [[] for _ in range(num_actors)]
         for i, f in enumerate(files):
             assign[i % num_actors].append(f)
+        # idempotent restart (immutable artifact, tiny ctor args) —
+        # same policy as DistributedSearcher: a dead actor reloads its
+        # shards and the in-flight search RPC is retried transparently
+        cls = _DocShardActor.options(max_restarts=2, max_task_retries=-1)
         self.actors = [
-            _DocShardActor.remote(index_dir, fnames, self.n_docs, self.avgdl)
+            cls.remote(index_dir, fnames, self.n_docs, self.avgdl)
             for fnames in assign if fnames
         ]
 

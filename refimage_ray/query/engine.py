@@ -570,7 +570,8 @@ class DistributedSearcher(_SearcherBase):
 
     def __init__(self, index_dir: str, num_actors: int = 4,
                  dense_ranks: bool = True,
-                 cache_bytes: int = 256 * 1024 * 1024) -> None:
+                 cache_bytes: int = 256 * 1024 * 1024,
+                 max_restarts: int = 2) -> None:
         from collections import OrderedDict
 
         self._cache: "OrderedDict[str, TermPostings | None]" = OrderedDict()
@@ -588,7 +589,15 @@ class DistributedSearcher(_SearcherBase):
         assignment: list[list[int]] = [[] for _ in range(num_actors)]
         for s in shards:
             assignment[s % num_actors].append(s)
-        actor_cls = ray.remote(ShardSearcher)
+        # ShardSearcher is stateless-after-load of an IMMUTABLE
+        # artifact, so actor restart + task retry are idempotent: a
+        # worker/node death mid-serving re-loads the same shards and
+        # re-answers the same postings RPC (constructor args are tiny
+        # — inlined in the task spec, never lost with the object store)
+        actor_cls = ray.remote(
+            max_restarts=max_restarts,
+            max_task_retries=max_restarts and -1,
+        )(ShardSearcher)
         self.actors = [
             actor_cls.remote(index_dir, shs, dense_ranks) for shs in assignment
         ]

@@ -84,3 +84,20 @@ def test_distributed_docpart_matches_local(both_indexes):
     # pipelined batch path returns the same per-query results
     batch = dist.search_many(FIXTURE_QUERIES[:5], k=10)
     assert batch == [local.search(q, k=10) for q in FIXTURE_QUERIES[:5]]
+
+
+def test_docpart_actor_death_is_transparent(both_indexes):
+    """Same restart contract as the term-partitioned pool: killed
+    doc-shard actors reload and the retried search RPC is identical."""
+    import ray
+
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    _, doc_dir, _ = both_indexes
+    dist = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    dist.wait_ready()
+    q = "table scan merge sort fast"
+    before = dist.search(q, k=10)
+    for a in dist.actors:
+        ray.kill(a, no_restart=False)
+    assert dist.search(q, k=10) == before

@@ -371,3 +371,20 @@ def test_wait_ready_warms_hot_terms(ray_session, built_index, local):
     res = d.search(q, k=10)
     assert d.cache_misses == misses0  # all hot terms pre-cached
     assert res == local.search(q, k=10)
+
+
+def test_serving_actor_death_is_transparent(ray_session, built_index, local):
+    """Kill a shard actor mid-serving: max_restarts reloads the
+    immutable shards and the retried postings RPC returns identical
+    results (no error surfaces to the caller)."""
+    import ray
+
+    d = DistributedSearcher(built_index[0], num_actors=2, cache_bytes=0)
+    d.wait_ready()
+    q = "table scan merge sort fast"
+    before = d.search(q, k=10)
+    assert before == local.search(q, k=10)
+    ray.kill(d.actors[0], no_restart=False)
+    ray.kill(d.actors[1], no_restart=False)
+    after = d.search(q, k=10)
+    assert after == before
