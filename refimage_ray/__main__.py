@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("inputs", nargs="+")
 
+    fs = sub.add_parser("fsck", help="verify artifact vs manifest")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--deep", action="store_true",
+                    help="decode every posting list (distributed)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "plan":  # pure arithmetic, no Ray needed
@@ -199,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
             )
             out = merge_indexes(args.inputs, args.out, cfg)
             print(json.dumps(out["stats"]))
+        elif args.cmd == "fsck":
+            from refimage_ray.index.fsck import verify_index
+
+            rep = verify_index(args.index, deep=args.deep)
+            print(json.dumps(rep, indent=1))
+            return 0 if rep["ok"] else 1
     finally:
         ray.shutdown()
     return 0

@@ -1,0 +1,136 @@
+"""Index fsck — verify an index artifact against its manifest.
+
+Resumable 100-TB builds need a cheap answer to "is this artifact
+complete and internally consistent?" before serving or merging it.
+Two levels:
+
+- **shallow** (driver-only, O(partitions) stat calls): manifest
+  present and well-formed, every checkpointed partition file exists
+  with the recorded byte size, ``docs/_SUCCESS`` present, stats
+  totals consistent with the partition rows.
+- **deep** (distributed, one Ray task per partition): decode every
+  posting list and check the structural invariants the query path
+  relies on — df matches the decoded length, doc_ids strictly
+  increasing (delta+varbyte decode round-trips), weights finite with
+  ``max_weight`` exact, block metadata consistent
+  (``block_last_doc[-1]`` is the list's last doc), and the
+  shard-routing invariant ``term_hash % num_shards == shard``
+  (the round-2 hot-term salting bug class — a posting row landing in
+  a foreign shard's file is invisible to LocalSearcher but breaks
+  shard-routed serving).
+
+Reference analog: the reference rebuilds its FAISS index when the
+stored vectors and index disagree (``/root/reference/src/refimage/
+search/__init__.py:100-145``); here the artifact is checkable without
+a rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from refimage_ray.functions.codec import (
+    decode_f64,
+    delta_decode,
+    varbyte_decode,
+)
+from refimage_ray.functions.hashing import blake2b64
+from refimage_ray.index.manifest import load_manifest
+
+
+def _check_partition(index_dir: str, part: dict, num_shards: int) -> list[str]:
+    """Deep per-partition invariants → list of problem strings."""
+    errs: list[str] = []
+    path = os.path.join(index_dir, part["path"])
+    t = pq.read_table(path)
+    if t.num_rows != int(part["n_terms"]):
+        errs.append(
+            f"{part['path']}: n_terms {t.num_rows} != manifest {part['n_terms']}"
+        )
+    dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if int(dfs.sum()) != int(part["n_postings"]):
+        errs.append(
+            f"{part['path']}: sum(df) {int(dfs.sum())} != manifest "
+            f"n_postings {part['n_postings']}"
+        )
+    shard = int(part["shard"])
+    terms = t["term"].to_pylist()
+    hashes = t["term_hash"].to_pylist()
+    for i in range(t.num_rows):
+        tag = f"{part['path']}[{terms[i]}]"
+        h = int(hashes[i])
+        if blake2b64(terms[i]) != h:
+            errs.append(f"{tag}: stored term_hash mismatch")
+        if h % num_shards != shard:
+            errs.append(f"{tag}: routed to shard {h % num_shards}, stored in {shard}")
+        ids = delta_decode(varbyte_decode(t["doc_ids"][i].as_py()))
+        if len(ids) != dfs[i]:
+            errs.append(f"{tag}: decoded {len(ids)} ids, df={dfs[i]}")
+            continue
+        if len(ids) > 1 and not (np.diff(ids.astype(np.int64)) > 0).all():
+            errs.append(f"{tag}: doc_ids not strictly increasing")
+        w = decode_f64(t["weights"][i].as_py())
+        if len(w) != dfs[i] or not np.isfinite(w).all():
+            errs.append(f"{tag}: bad weights")
+        elif w.max() != t["max_weight"][i].as_py():
+            errs.append(f"{tag}: max_weight stale")
+        bl = t["block_last_doc"][i].as_py()
+        if bl and int(bl[-1]) != int(ids[-1]):
+            errs.append(f"{tag}: block_last_doc[-1] != last doc id")
+    return errs
+
+
+def verify_index(index_dir: str, deep: bool = False) -> dict:
+    """Check the artifact; returns ``{"ok": bool, "checked_partitions":
+    n, "problems": [...]}`` (never raises on a bad artifact)."""
+    problems: list[str] = []
+    man = load_manifest(index_dir)
+    if man is None:
+        return {"ok": False, "checked_partitions": 0,
+                "problems": ["manifest.json missing"]}
+    parts = man.get("partitions", [])
+    if not os.path.exists(os.path.join(index_dir, "docs", "_SUCCESS")):
+        problems.append("docs/_SUCCESS missing (docs stage incomplete)")
+
+    seen = set()
+    for p in parts:
+        key = (int(p["shard"]), int(p["salt"]))
+        if key in seen:
+            problems.append(f"duplicate manifest entry for {key}")
+        seen.add(key)
+        fp = os.path.join(index_dir, p["path"])
+        if not os.path.exists(fp):
+            problems.append(f"{p['path']}: checkpointed but missing on disk")
+        elif os.path.getsize(fp) != int(p["file_bytes"]):
+            problems.append(
+                f"{p['path']}: size {os.path.getsize(fp)} != manifest "
+                f"{p['file_bytes']} (torn or foreign file)"
+            )
+
+    if deep and parts and not problems:
+        num_shards = int(man["config"]["num_shards"])
+
+        def check(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                out.extend(_check_partition(index_dir, row, num_shards))
+            return pa.table({"problem": pa.array(out, pa.string())})
+
+        errs_ds = rd.from_items(
+            [{k: p[k] for k in ("path", "shard", "salt", "n_terms",
+                                "n_postings")} for p in parts]
+        ).map_batches(check, batch_format="pyarrow", batch_size=4)
+        problems.extend(r["problem"] for r in errs_ds.take_all())
+
+    return {
+        "ok": not problems,
+        "checked_partitions": len(parts),
+        "deep": bool(deep),
+        "problems": problems,
+    }

@@ -1,0 +1,75 @@
+"""Artifact fsck: clean index passes shallow+deep; injected damage
+(missing file, size mismatch, foreign-shard row, stale manifest count)
+is reported, never raised."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from refimage_ray.index.fsck import verify_index
+
+
+def _copy_index(src: str, dst: str) -> str:
+    shutil.copytree(src, dst)
+    return dst
+
+
+def test_clean_index_passes_deep(ray_session, built_index):
+    rep = verify_index(built_index[0], deep=True)
+    assert rep["ok"], rep["problems"]
+    assert rep["checked_partitions"] > 0
+
+
+def test_missing_partition_detected(built_index, tmp_path):
+    d = _copy_index(built_index[0], str(tmp_path / "idx"))
+    man = json.load(open(os.path.join(d, "manifest.json")))
+    victim = man["partitions"][0]["path"]
+    os.remove(os.path.join(d, victim))
+    rep = verify_index(d)
+    assert not rep["ok"]
+    assert any(victim in p and "missing" in p for p in rep["problems"])
+
+
+def test_torn_partition_detected(built_index, tmp_path):
+    d = _copy_index(built_index[0], str(tmp_path / "idx"))
+    man = json.load(open(os.path.join(d, "manifest.json")))
+    victim = os.path.join(d, man["partitions"][0]["path"])
+    with open(victim, "ab") as f:
+        f.write(b"x")  # simulated torn/foreign write
+    rep = verify_index(d)
+    assert not rep["ok"]
+    assert any("size" in p for p in rep["problems"])
+
+
+def test_missing_docs_success_detected(built_index, tmp_path):
+    d = _copy_index(built_index[0], str(tmp_path / "idx"))
+    os.remove(os.path.join(d, "docs", "_SUCCESS"))
+    rep = verify_index(d)
+    assert not rep["ok"]
+    assert any("_SUCCESS" in p for p in rep["problems"])
+
+
+def test_deep_catches_manifest_count_drift(ray_session, built_index, tmp_path):
+    """Rewrite one partition with a dropped term but keep the manifest
+    (and file_bytes) in sync shallow-ly — only the deep decode notices."""
+    d = _copy_index(built_index[0], str(tmp_path / "idx"))
+    man = json.load(open(os.path.join(d, "manifest.json")))
+    part = max(man["partitions"], key=lambda p: p["n_terms"])
+    fp = os.path.join(d, part["path"])
+    t = pq.read_table(fp)
+    assert t.num_rows >= 2
+    pq.write_table(t.slice(1), fp)  # drop a whole term silently
+    part["file_bytes"] = os.path.getsize(fp)  # shallow check stays green
+    json.dump(man, open(os.path.join(d, "manifest.json"), "w"))
+    assert verify_index(d)["ok"]  # shallow misses it by design
+    rep = verify_index(d, deep=True)
+    assert not rep["ok"]
+    assert any("n_terms" in p or "n_postings" in p for p in rep["problems"])
+
+
+def test_missing_manifest(tmp_path):
+    rep = verify_index(str(tmp_path))
+    assert not rep["ok"]
