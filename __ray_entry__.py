@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": curate.curated_docs,
         # --- text analysis ---
         "contamination_stats": corpus.contamination_stats,
+        "dup_span_stats": corpus.dup_span_stats,
         "repetition_stats": corpus.repetition_stats,
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
@@ -433,6 +434,26 @@ grams AS (
 bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
 FROM grams JOIN bench USING (g)
+GROUP BY doc_id
+""",
+        # exact-substring duplication: positions whose token 3-gram
+        # appears in >= 2 distinct docs (engine: gram-df groupby +
+        # bucketed semi-join back to the (gram, doc) pairs)
+        "dup_span_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+),
+gd AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+  ) WHERE nd >= 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
+FROM grams JOIN gd USING (g)
 GROUP BY doc_id
 """,
         # Gopher repetition signals: top-1 word / bigram share per doc

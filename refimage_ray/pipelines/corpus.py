@@ -186,6 +186,80 @@ def contamination_stats(
     return _docs(sf_dir).map_batches(probe, batch_format="pyarrow")
 
 
+def dup_span_stats(sf_dir: str, n: int = 3) -> "rd.Dataset":
+    """Exact-substring duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each doc, how many of its token ``n``-gram positions carry a gram
+    that also appears in at least one OTHER doc.
+
+    Unlike decontamination (small broadcast side), BOTH sides are the
+    full corpus, so the dataflow is the large-large shape: per-batch
+    vectorized rolling-hash grams → (gram, doc) pairs with per-doc
+    position counts (combiner) → gram-df groupby (narrow: one row per
+    distinct gram) → df≥2 grams semi-joined back to the pairs with the
+    bucketed ``hash_join`` (no broadcast: at 100 TB the duplicated-gram
+    set is itself huge) → per-doc sum.  Default ``n=3`` keeps the
+    signal non-empty on the synthetic corpus; production spans use
+    n≈50 tokens.
+    """
+    from ray.data.aggregate import Count as _Count
+
+    from refimage_ray.stages.decontam import _ngram_hashes
+    from refimage_ray.stages.joins import hash_join
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        grams, parent = _ngram_hashes(batch["text"], n, DEFAULT_CONFIG)
+        if len(grams) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    # int64 view of the uint64 hash (Arrow groupby + join
+                    # keys stay one physical type everywhere)
+                    "gram": pa.array(grams.view(np.int64), pa.int64()),
+                    "doc_id": pa.array(ids[parent], pa.int64()),
+                }
+            )
+            .group_by(["gram", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "gram": g["gram"],
+                "doc_id": g["doc_id"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    pair_ds = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow").materialize()
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["nd"], 2)).select(["gram"])
+
+    dup_grams = (
+        pair_ds.groupby("gram")
+        .aggregate(_Count(alias_name="nd"))
+        .map_batches(dup_only, batch_format="pyarrow")
+    )
+    joined = hash_join(
+        pair_ds, dup_grams,
+        left_on="gram", right_on="gram",
+        left_cols=["gram", "doc_id", "cnt"], right_cols=["gram"],
+        buckets=16,
+    )
+    return (
+        joined.groupby("doc_id")
+        .aggregate(Sum("cnt", alias_name="n_dup_positions"))
+    )
+
+
 def repetition_stats(sf_dir: str) -> "rd.Dataset":
     """Gopher-style per-doc repetition signals: the fraction of tokens
     taken by the single most frequent word / bigram (Rae et al. 2021

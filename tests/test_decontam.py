@@ -99,3 +99,47 @@ def test_repetition_stats_match_naive(ray_session, tmp_path):
         [3 / 4, 3 / 5, 1 / 4, 0.0],
         atol=1e-6,
     )
+
+
+def test_dup_span_stats_matches_naive(ray_session, tmp_path):
+    """Planted duplicated spans: engine counts == naive python count."""
+    import pyarrow.parquet as pq
+
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.pipelines.corpus import dup_span_stats
+
+    texts = [
+        "alpha beta gamma delta epsilon",      # shares 'alpha beta gamma delta' w/ 1
+        "zzz alpha beta gamma delta yyy",
+        "one two three four five six",         # unique
+        "one two three foo bar baz",           # shares 'one two three' w/ 2
+        "solo words only here now",            # unique
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    n = 3
+    grams = [
+        [tuple(tokenize(t)[i:i + n]) for i in range(len(tokenize(t)) - n + 1)]
+        for t in texts
+    ]
+    from collections import Counter
+
+    docs_of = {}
+    for d, gs in enumerate(grams):
+        for g in set(gs):
+            docs_of.setdefault(g, set()).add(d)
+    want = {
+        d: sum(1 for g in gs if len(docs_of[g]) >= 2)
+        for d, gs in enumerate(grams)
+    }
+    want = {d: c for d, c in want.items() if c > 0}
+    got = {
+        r["doc_id"]: r["n_dup_positions"]
+        for r in dup_span_stats(str(tmp_path), n=n).take_all()
+    }
+    assert got == want
