@@ -100,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--deep", action="store_true",
                     help="decode every posting list (distributed)")
 
+    sv = sub.add_parser("serve", help="HTTP JSON API over an index")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--actors", type=int, default=0,
+                    help="0 = in-process searcher; N = shard actor pool")
+
     args = p.parse_args(argv)
 
     if args.cmd == "plan":  # pure arithmetic, no Ray needed
@@ -210,6 +216,18 @@ def main(argv: list[str] | None = None) -> int:
             rep = verify_index(args.index, deep=args.deep)
             print(json.dumps(rep, indent=1))
             return 0 if rep["ok"] else 1
+        elif args.cmd == "serve":
+            from refimage_ray.serve import make_server
+
+            searcher = None
+            if args.actors:
+                from refimage_ray.query.engine import DistributedSearcher
+
+                searcher = DistributedSearcher(args.index, num_actors=args.actors)
+                searcher.wait_ready()
+            srv = make_server(args.index, port=args.port, searcher=searcher)
+            print(json.dumps({"listening": srv.server_address[1]}))
+            srv.serve_forever()
     finally:
         ray.shutdown()
     return 0

@@ -1,0 +1,177 @@
+"""HTTP serving shim — the reference's API surface over the engine.
+
+The reference is a FastAPI service (14 endpoints,
+``/root/reference/src/refimage/api.py:160-1005``); this engine's value
+is the Ray-Data pipelines behind it, so the shim is deliberately thin:
+a stdlib ``ThreadingHTTPServer`` (no web framework in the sandbox)
+whose handlers call exactly the library entry points a user would.
+Route map (reference analog → here):
+
+- ``GET /health``                      (``api.py`` health)          → index stats probe
+- ``GET /stats``                       (storage stats rollup)       → manifest stats
+- ``GET /search?q=&k=&mode=``          (text search, 3 modes)       → ``searcher.search`` / ``search_phrase`` + metadata join
+- ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
+- ``POST /nl2dsl`` {"text": ...}       (LLM text→DSL, ``api.py:273-348``) → ``query.nl.text_to_dsl``
+- ``GET /docs/{id}``                   (metadata GET)                → ``lookup_docs`` (404 when missing)
+- ``GET /docs/{id}/file``              (chunked file serving, ``api.py:944-954``) → ``stream_doc_bytes`` chunked response
+- ``PUT /docs/{id}/metadata``          (metadata PUT, ``api.py:731-766``) → ``lifecycle.update_doc_metadata``
+- ``DELETE /docs/{id}``                (delete, rebuild-on-delete in the reference) → ``lifecycle.delete_docs`` tombstone
+
+The searcher is injected (``LocalSearcher`` by default,
+``DistributedSearcher`` for a multi-node pool) and shared across
+request threads — both are read-only after load, so no locking beyond
+the tombstone/metadata writes, which go through the library's atomic
+partition rewrites.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from refimage_ray.index.manifest import load_manifest
+
+_DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata)?$")
+
+
+def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPServer:
+    """Build (not start) the server; ``port=0`` picks a free port."""
+    from refimage_ray.query.dsl import DSLExecutor, DSLParseError
+    from refimage_ray.query.engine import (
+        LocalSearcher, lookup_docs, stream_doc_bytes,
+    )
+
+    s = searcher if searcher is not None else LocalSearcher(index_dir)
+    ex = DSLExecutor(s)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, obj, code: int = 200) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _hits_with_meta(self, hits):
+            meta = {
+                r["doc_id"]: r
+                for r in lookup_docs(
+                    index_dir, [d for d, _ in hits]
+                ).to_pylist()
+            }
+            # inner-join semantics: ids without metadata are dropped
+            # (reference skips missing records, api.py:461-474)
+            return [
+                {"doc_id": d, "score": sc, **{k: str(v) for k, v in
+                                              meta[d].items() if k != "doc_id"}}
+                for d, sc in hits if d in meta
+            ]
+
+        def do_GET(self) -> None:
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if u.path == "/health":
+                return self._json({"status": "ok", "n_docs": s.n_docs})
+            if u.path == "/stats":
+                man = load_manifest(index_dir) or {}
+                st = man.get("stats", {})
+                return self._json(
+                    {
+                        "n_docs": st.get("n_docs"),
+                        "avgdl": st.get("avgdl"),
+                        "partitions": len(man.get("partitions", [])),
+                        "num_shards": man.get("config", {}).get("num_shards"),
+                    }
+                )
+            if u.path == "/search":
+                if not q.get("q", "").strip():
+                    return self._json({"error": "empty query"}, 422)
+                k = int(q.get("k", 10))
+                mode = q.get("mode", "or")
+                if mode == "phrase":
+                    hits = s.search_phrase(q["q"], k=k)
+                elif mode in ("or", "and"):
+                    hits = s.search(q["q"], k=k, mode=mode)
+                else:
+                    return self._json({"error": f"bad mode {mode!r}"}, 422)
+                return self._json({"results": self._hits_with_meta(hits)})
+            if u.path == "/dsl":
+                try:
+                    hits = ex.execute_query(
+                        q.get("q", ""), limit=int(q.get("limit", 10)),
+                        threshold=float(q.get("threshold", 0.0)),
+                    )
+                except DSLParseError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json({"results": self._hits_with_meta(hits)})
+            m = _DOC_RE.match(u.path)
+            if m and m.group(2) is None:
+                rows = lookup_docs(index_dir, [int(m.group(1))]).to_pylist()
+                if not rows:
+                    return self._json({"error": "not found"}, 404)
+                return self._json({k: str(v) for k, v in rows[0].items()})
+            if m and m.group(2) == "/file":
+                try:
+                    chunks = list(stream_doc_bytes(index_dir, int(m.group(1))))
+                except KeyError:
+                    return self._json({"error": "not found"}, 404)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for c in chunks:
+                    self.wfile.write(f"{len(c):x}\r\n".encode() + c + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+                return
+            self._json({"error": "no such route"}, 404)
+
+        def do_POST(self) -> None:
+            if urlparse(self.path).path == "/nl2dsl":
+                from refimage_ray.query.nl import text_to_dsl
+
+                body = self._body()
+                text = body.get("text", "")
+                if not text.strip():
+                    return self._json({"error": "empty text"}, 422)
+                dsl = text_to_dsl(text, provider=body.get("provider"))
+                return self._json({"dsl": dsl})
+            self._json({"error": "no such route"}, 404)
+
+        def do_PUT(self) -> None:
+            m = _DOC_RE.match(urlparse(self.path).path)
+            if m and m.group(2) == "/metadata":
+                from refimage_ray.index.lifecycle import update_doc_metadata
+
+                try:
+                    n = update_doc_metadata(
+                        index_dir, {int(m.group(1)): self._body()}
+                    )
+                except KeyError:
+                    return self._json({"error": "not found"}, 404)
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json({"updated": n})
+            self._json({"error": "no such route"}, 404)
+
+        def do_DELETE(self) -> None:
+            m = _DOC_RE.match(urlparse(self.path).path)
+            if m and m.group(2) is None:
+                from refimage_ray.index.lifecycle import delete_docs
+
+                n = delete_docs(index_dir, [int(m.group(1))])
+                # searcher keeps serving its loaded snapshot; a serving
+                # layer reloads on tombstone change (documented contract)
+                return self._json({"tombstones": int(n)})
+            self._json({"error": "no such route"}, 404)
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)

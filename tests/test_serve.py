@@ -1,0 +1,109 @@
+"""HTTP serving shim: every route answers from the library entry
+points and matches direct library calls."""
+
+import json
+import shutil
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(ray_session, built_index, tmp_path_factory):
+    # private index copy: the PUT/DELETE routes mutate the artifact
+    src = built_index[0]
+    d = str(tmp_path_factory.mktemp("serve") / "idx")
+    shutil.copytree(src, d)
+    from refimage_ray.serve import make_server
+
+    srv = make_server(d, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", d
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _req(url, method, body=None):
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_stats(server):
+    base, d = server
+    st, body = _get(base + "/health")
+    assert st == 200 and body["status"] == "ok" and body["n_docs"] > 0
+    st, body = _get(base + "/stats")
+    assert st == 200 and body["n_docs"] == _get(base + "/health")[1]["n_docs"]
+
+
+def test_search_matches_library(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/search?q=spark+join&k=5")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search("spark join", k=5)
+    # metadata joined in
+    assert all("url" in r for r in body["results"])
+
+
+def test_dsl_and_errors(server):
+    base, d = server
+    st, body = _get(base + "/dsl?q=spark+OR+join&limit=3")
+    assert st == 200 and len(body["results"]) == 3
+    st, body = _req(base + "/dsl?q=", "GET")
+    assert st == 422
+    st, body = _req(base + "/search?q=x&mode=bogus", "GET")
+    assert st == 422
+
+
+def test_doc_routes(server):
+    base, d = server
+    doc_id = _get(base + "/search?q=the&k=1")[1]["results"][0]["doc_id"]
+    st, meta = _get(f"{base}/docs/{doc_id}")
+    assert st == 200 and meta["doc_id"] == str(doc_id)
+    # chunked file serving reassembles to the stored text
+    with urllib.request.urlopen(f"{base}/docs/{doc_id}/file", timeout=30) as r:
+        text = r.read().decode()
+    assert len(text) > 0
+
+
+def test_doc_404(server):
+    base, d = server
+    st, body = _req(f"{base}/docs/999999999999", "GET")
+    assert st == 404
+
+
+def test_metadata_put_and_delete(server):
+    base, d = server
+    doc_id = _get(base + "/search?q=data&k=1")[1]["results"][0]["doc_id"]
+    st, body = _req(f"{base}/docs/{doc_id}/metadata", "PUT", {"lang": "xx"})
+    assert st == 200 and body["updated"] == 1
+    assert _get(f"{base}/docs/{doc_id}")[1]["lang"] == "xx"
+    st, body = _req(f"{base}/docs/{doc_id}/metadata", "PUT", {"text": "nope"})
+    assert st == 422  # immutable column
+    st, body = _req(f"{base}/docs/{doc_id}", "DELETE")
+    assert st == 200 and body["tombstones"] >= 1
+
+
+def test_nl2dsl(server):
+    base, d = server
+    st, body = _req(base + "/nl2dsl", "POST", {"text": "spark but not join"})
+    assert st == 200 and "dsl" in body and body["dsl"]
+    st, body = _req(base + "/nl2dsl", "POST", {"text": "  "})
+    assert st == 422
