@@ -722,6 +722,65 @@ class DistributedSearcher(_SearcherBase):
         ]
 
 
+def more_like_this(
+    searcher,
+    doc_id: int,
+    k: int = 10,
+    top_terms: int = 10,
+    exclude_self: bool = False,
+) -> list[tuple[int, float]]:
+    """Relevance-feedback "similar documents" (the classic
+    more-like-this): the doc's highest tf·idf terms become a weighted
+    OR query over the SAME index, executed through the DSL's ``^w``
+    leaves — no new scoring machinery, so distributed == local holds
+    by construction.  Exact duplicates of the doc score identically to
+    the doc itself (same tf vector).
+
+    Reference analog: ``POST /search/image`` — find items similar to a
+    stored one (``/root/reference/src/refimage/api.py:433-474``, CLIP
+    vector of the stored image as the query); here the "vector" is the
+    doc's top tf-idf terms.  Raises ``KeyError`` for unknown ids.
+    """
+    import math
+    from collections import Counter
+
+    from refimage_ray.functions.text import tokenize
+
+    rows = lookup_docs(
+        searcher.index_dir, [doc_id], columns=["doc_id", "text"]
+    ).to_pylist()
+    if not rows:
+        raise KeyError(f"doc_id {doc_id} not found")
+    tf = Counter(tokenize(rows[0]["text"]))
+    if not tf:
+        return []
+    tm = searcher._term_map(sorted(tf))
+    n = searcher.n_docs
+    scored = []
+    for t, f in tf.items():
+        p = tm.get(t)
+        if p is None:
+            continue
+        idf = math.log(1.0 + (n - p.df + 0.5) / (p.df + 0.5))
+        scored.append((f * idf, t))
+    if not scored:
+        return []
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top = scored[:top_terms]
+    wmax = top[0][0] or 1.0
+    dsl = " OR ".join(
+        f"{t}^{max(w / wmax, 1e-4):.4f}" for w, t in top
+    )
+    from refimage_ray.query.dsl import DSLExecutor
+
+    hits = DSLExecutor(searcher).execute_query(
+        dsl, limit=k + (1 if exclude_self else 0)
+    )
+    if exclude_self:
+        hits = [(d, s) for d, s in hits if d != doc_id][:k]
+    return hits
+
+
 def lookup_docs(index_dir: str, doc_ids: list[int], columns: list[str] | None = None):
     """Broadcast/map-side metadata join for a (tiny) top-k result set.
 

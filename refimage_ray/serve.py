@@ -33,7 +33,7 @@ from urllib.parse import parse_qs, urlparse
 
 from refimage_ray.index.manifest import load_manifest
 
-_DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata)?$")
+_DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata|/similar)?$")
 
 
 def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPServer:
@@ -120,6 +120,17 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
                 if not rows:
                     return self._json({"error": "not found"}, 404)
                 return self._json({k: str(v) for k, v in rows[0].items()})
+            if m and m.group(2) == "/similar":
+                from refimage_ray.query.engine import more_like_this
+
+                try:
+                    hits = more_like_this(
+                        s, int(m.group(1)), k=int(q.get("k", 10)),
+                        exclude_self=q.get("self", "1") == "0",
+                    )
+                except KeyError:
+                    return self._json({"error": "not found"}, 404)
+                return self._json({"results": self._hits_with_meta(hits)})
             if m and m.group(2) == "/file":
                 try:
                     chunks = list(stream_doc_bytes(index_dir, int(m.group(1))))

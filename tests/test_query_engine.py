@@ -1,5 +1,6 @@
 """Query serving: distributed == local == oracle; threshold; join."""
 
+import pyarrow as pa
 import pytest
 
 from refimage_ray.query.engine import (
@@ -388,3 +389,46 @@ def test_serving_actor_death_is_transparent(ray_session, built_index, local):
     ray.kill(d.actors[1], no_restart=False)
     after = d.search(q, k=10)
     assert after == before
+
+
+def test_more_like_this_self_and_dup(ray_session, tmp_path):
+    """MLT: the doc itself ranks first; an exact duplicate ties it
+    (same tf vector -> identical weighted-OR score)."""
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+    from refimage_ray.query.engine import more_like_this
+
+    texts = [
+        "spark join query engine over arrow tables",
+        "spark join query engine over arrow tables",  # exact dup of 0
+        "completely different words about knitting wool sweaters",
+        "spark engine only partially related content here",
+        "arrow tables and columnar layout discussion text",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "url": pa.array([f"u{i}" for i in range(len(texts))]),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    d = str(tmp_path / "mlt")
+    build_index(rd.from_arrow(docs), d, EngineConfig(num_shards=4, salt_buckets=2))
+    s = LocalSearcher(d)
+    hits = more_like_this(s, 0, k=5)
+    ids = [doc for doc, _ in hits]
+    scores = dict(hits)
+    assert set(ids[:2]) == {0, 1}            # self + exact dup on top
+    assert scores[0] == scores[1]            # identical tf vector
+    # excluding self keeps the dup first and drops doc 0
+    ex = more_like_this(s, 0, k=3, exclude_self=True)
+    assert ex[0][0] == 1 and all(doc != 0 for doc, _ in ex)
+    # distributed == local (same DSL execution path)
+    dist = DistributedSearcher(d, num_actors=2)
+    dist.wait_ready()
+    assert more_like_this(dist, 0, k=5) == hits
+    with pytest.raises(KeyError):
+        more_like_this(s, 424242)

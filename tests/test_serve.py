@@ -107,3 +107,18 @@ def test_nl2dsl(server):
     assert st == 200 and "dsl" in body and body["dsl"]
     st, body = _req(base + "/nl2dsl", "POST", {"text": "  "})
     assert st == 422
+
+
+def test_similar_route(server):
+    base, d = server
+    doc_id = _get(base + "/search?q=the&k=1")[1]["results"][0]["doc_id"]
+    st, body = _get(f"{base}/docs/{doc_id}/similar?k=200")
+    assert st == 200 and body["results"]
+    # the source doc matches every query term, so it is in the result
+    # set (rank-1 is NOT an invariant: BM25 length normalization can
+    # put a shorter doc carrying the same top terms above the source)
+    assert any(r["doc_id"] == doc_id for r in body["results"])
+    st, body = _get(f"{base}/docs/{doc_id}/similar?k=200&self=0")
+    assert st == 200 and all(r["doc_id"] != doc_id for r in body["results"])
+    st, body = _req(f"{base}/docs/999999999999/similar", "GET")
+    assert st == 404
