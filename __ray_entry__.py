@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": relational.events_user_stats,
         # --- training-data preparation ---
         "pack_sequences": training.pack_sequences,
+        "packed_sequences": training.packed_sequences,
         "lang_mixture_sample": training.lang_mixture_sample,
         "url_blocklist_stats": training.url_blocklist_stats,
         "pii_scrub_stats": training.pii_scrub_stats,
@@ -631,6 +632,32 @@ SELECT doc_id,
        CAST(CASE WHEN dl > 0 THEN (st + dl - 1) // 256 - st // 256
                  ELSE 0 END AS BIGINT) AS n_crossings
 FROM o
+""",
+        # packed token-id sequences: per-seq count / id-sum /
+        # position-weighted id-sum (pins content AND order; vocab id =
+        # rank of the term in the sorted distinct-term list, exactly
+        # stages.packing.build_vocab)
+        "packed_sequences": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS vid
+  FROM (SELECT DISTINCT term FROM pos)
+),
+stream AS (
+  SELECT row_number() OVER (ORDER BY p.doc_id, p.i) - 1 AS gp, v.vid
+  FROM pos p JOIN vocab v USING (term)
+)
+SELECT CAST(gp // 256 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(vid) AS BIGINT) AS sum_ids,
+       CAST(sum((gp % 256 + 1) * vid) AS BIGINT) AS possum_ids
+FROM stream GROUP BY seq_id
 """,
         # per-language mixture gate: same multiplicative hash as
         # doc_sample, threshold from DEFAULT_LANG_RATES

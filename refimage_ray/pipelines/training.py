@@ -74,6 +74,36 @@ def pack_sequences(sf_dir: str, budget: int = 256, n_buckets: int = 16) -> "rd.D
     return pack_offsets(narrow, budget=budget, n_buckets=n_buckets)
 
 
+def packed_sequences(sf_dir: str, budget: int = 256, n_buckets: int = 16) -> "rd.Dataset":
+    """Order-pinned checksums of the packed token-id sequences
+    (`stages.packing.pack_token_sequences`): per sequence, token count,
+    id sum, and a position-weighted id sum — all three reproducible in
+    SQL with window functions, so the oracle pins content AND order of
+    every sequence without shipping list columns through the compare.
+    """
+    from refimage_ray.stages.packing import pack_token_sequences
+
+    seqs = pack_token_sequences(
+        _docs(sf_dir, ("doc_id", "text")), budget=budget, n_buckets=n_buckets
+    )
+
+    def checksum(b: pa.Table) -> pa.Table:
+        out = {"seq_id": [], "n_tokens": [], "sum_ids": [], "possum_ids": []}
+        for row in b.to_pylist():
+            ids = np.asarray(row["token_ids"], np.int64)
+            out["seq_id"].append(row["seq_id"])
+            out["n_tokens"].append(len(ids))
+            out["sum_ids"].append(int(ids.sum()))
+            out["possum_ids"].append(
+                int(((np.arange(len(ids)) + 1) * ids).sum())
+            )
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+    return seqs.map_batches(checksum, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # mixture sampling
 # ---------------------------------------------------------------------------

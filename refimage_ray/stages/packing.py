@@ -106,3 +106,174 @@ def pack_offsets(
     return with_bucket.groupby("bucket").map_groups(
         scan_group, batch_format="pyarrow"
     )
+
+
+def build_vocab(docs_ds: "rd.Dataset") -> list[str]:
+    """Distinct corpus terms, sorted — the id map for token-id
+    sequences (id = list index).  Per-batch distinct combiner →
+    one vocab-sized groupby; the result is broadcastable (real
+    tokenizer vocabs are ~10^5 entries)."""
+    import pyarrow.compute as pc
+
+    from refimage_ray.config import DEFAULT_CONFIG
+    from refimage_ray.stages.tokenize import _flat_tokens
+
+    def distinct(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(b["text"], DEFAULT_CONFIG)
+        return pa.table({"term": pc.unique(flat)})
+
+    from ray.data.aggregate import Count
+
+    rows = (
+        docs_ds.map_batches(distinct, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def pack_token_sequences(
+    docs_ds: "rd.Dataset",
+    budget: int,
+    n_buckets: int = 32,
+    vocab: list[str] | None = None,
+) -> "rd.Dataset":
+    """Corpus → fixed-length token-id training sequences.
+
+    The end product of the prep pipeline: documents are concatenated
+    in ``doc_id`` order and cut into ``budget``-token sequences, each
+    row ``(seq_id, token_ids: list<int32>, n_tokens)``.  Docs may span
+    sequence boundaries (standard LM packing).  Every sequence is full
+    except the last.
+
+    Distributed shape (two shuffles, no driver materialization):
+
+    1. narrow scan pass — per-bucket token sums → K-row driver prefix
+       (same machinery as :func:`pack_offsets`);
+    2. ``groupby(bucket).map_groups`` — tokenize the bucket's docs
+       (one vectorized ``_flat_tokens`` + ``index_in`` against the
+       broadcast vocab), compute each doc's global start offset, and
+       emit per-(doc × sequence) PIECES ``(seq_id, pos, ids)``;
+    3. ``groupby(seq_id).map_groups`` — order a sequence's pieces by
+       position and concatenate.
+
+    ``vocab`` defaults to :func:`build_vocab` over the same corpus;
+    pass a fixed list to share ids across corpora.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from refimage_ray.config import DEFAULT_CONFIG
+    from refimage_ray.stages.tokenize import _flat_tokens, doc_lengths
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    docs_ds = docs_ds.materialize()
+    if vocab is None:
+        vocab = build_vocab(docs_ds)
+    vocab_ref = ray.put(pa.array(vocab, pa.string()))
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "dl": pa.array(
+                    doc_lengths(b["text"]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    nrw = docs_ds.map_batches(narrow, batch_format="pyarrow")
+    bounds = nrw.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    span = hi - lo + 1
+    nb = max(1, min(int(n_buckets), span))
+    width = -(-span // nb)
+
+    sums_tbl = (
+        nrw.map_batches(
+            lambda b: pa.table(
+                {
+                    "bucket": pc.cast(
+                        pc.divide(pc.subtract(b["doc_id"], lo), width),
+                        pa.int64(),
+                    ),
+                    "dl": b["dl"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("dl", alias_name="bucket_tokens"))
+        .take_all()
+    )
+    per_bucket = np.zeros(nb, np.int64)
+    for row in sums_tbl:
+        per_bucket[int(row["bucket"])] = int(row["bucket_tokens"])
+    bucket_start = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "bucket", pa.array((ids - lo) // width, pa.int64())
+        )
+
+    def emit_pieces(g: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        g = g.take(pa.array(order))
+        flat, parent = _flat_tokens(g["text"], DEFAULT_CONFIG)
+        # unknown-vocab tokens (external vocab case) map to -1
+        tok = pc.fill_null(pc.index_in(flat, value_set=voc), -1)
+        tok = tok.to_numpy(zero_copy_only=False).astype(np.int32)
+        # per-doc slices of the flat array
+        dl = np.bincount(parent, minlength=g.num_rows).astype(np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(dl)[:-1]))
+        bkt = int(g["bucket"][0].as_py())
+        start = bucket_start[bkt] + np.concatenate(([0], np.cumsum(dl)[:-1]))
+        seq_ids, poss, pieces = [], [], []
+        for d in range(g.num_rows):
+            st, n = int(start[d]), int(dl[d])
+            j = 0
+            while j < n:
+                s = (st + j) // budget
+                take = min(n - j, (s + 1) * budget - (st + j))
+                seq_ids.append(s)
+                poss.append((st + j) % budget)
+                pieces.append(tok[doc_off[d] + j : doc_off[d] + j + take])
+                j += take
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "ids": pa.array(
+                    [p.tolist() for p in pieces], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        order = np.argsort(
+            g["pos"].to_numpy(zero_copy_only=False), kind="stable"
+        )
+        g = g.take(pa.array(order))
+        flat = pc.list_flatten(g["ids"])
+        return pa.table(
+            {
+                "seq_id": pa.array([int(g["seq_id"][0].as_py())], pa.int64()),
+                "token_ids": pa.array(
+                    [flat.to_pylist()], pa.list_(pa.int32())
+                ),
+                "n_tokens": pa.array([len(flat)], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_pieces, batch_format="pyarrow")
+        .groupby("seq_id")
+        .map_groups(assemble, batch_format="pyarrow")
+    )

@@ -139,3 +139,59 @@ def test_pii_augmentation_is_deterministic():
     assert synth[2] == (
         "t contact doc12345@example.com from 192.168.57.45 call 555-2345"
     )
+
+
+def _docs_ds(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_pack_token_sequences_reconstructs_corpus(ray_session):
+    """Concatenating the emitted sequences in seq order reproduces the
+    corpus token stream in doc_id order exactly; every sequence except
+    the last is exactly budget tokens."""
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.stages.packing import build_vocab, pack_token_sequences
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "omega"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 17)))
+        for _ in range(60)
+    ]
+    ids = rng.permutation(60).tolist()  # arrival order != id order
+    budget = 11
+    ds = _docs_ds(texts, ids)
+    vocab = build_vocab(_docs_ds(texts, ids))
+    out = sorted(
+        pack_token_sequences(_docs_ds(texts, ids), budget, n_buckets=4).take_all(),
+        key=lambda r: r["seq_id"],
+    )
+    # expected stream: docs in doc_id order → vocab ids
+    by_id = dict(zip(ids, texts))
+    vmap = {w: i for i, w in enumerate(vocab)}
+    stream = [vmap[t] for d in sorted(ids) for t in tokenize(by_id[d])]
+    got = [t for r in out for t in r["token_ids"]]
+    assert got == stream
+    assert [r["seq_id"] for r in out] == list(range(len(out)))
+    for r in out[:-1]:
+        assert r["n_tokens"] == budget
+    assert 0 < out[-1]["n_tokens"] <= budget
+
+
+def test_pack_token_sequences_external_vocab_unknowns(ray_session):
+    from refimage_ray.stages.packing import pack_token_sequences
+
+    out = pack_token_sequences(
+        _docs_ds(["aa bb cc", "bb dd"]), budget=3, vocab=["aa", "bb", "cc"]
+    ).take_all()
+    out = sorted(out, key=lambda r: r["seq_id"])
+    flat = [t for r in out for t in r["token_ids"]]
+    assert flat == [0, 1, 2, 1, -1]  # dd unknown -> -1
