@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mixture_sample": training.lang_mixture_sample,
         "url_blocklist_stats": training.url_blocklist_stats,
         "pii_scrub_stats": training.pii_scrub_stats,
+        "token_count_multi": training.token_count_multi,
     }
 
 
@@ -632,6 +633,15 @@ SELECT doc_id,
        CAST(CASE WHEN dl > 0 THEN (st + dl - 1) // 256 - st // 256
                  ELSE 0 END AS BIGINT) AS n_crossings
 FROM o
+""",
+        # three-tokenizer cost model (engine token, whitespace, BPE-ish
+        # pre-tokenizer classes) — same RE2 patterns both sides
+        "token_count_multi": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
 """,
         # packed token-id sequences: per-seq count / id-sum /
         # position-weighted id-sum (pins content AND order; vocab id =

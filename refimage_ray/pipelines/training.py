@@ -149,6 +149,45 @@ def lang_mixture_sample(
     )
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style split classes: letter
+#: runs, digit runs, single non-space symbols) — RE2-safe on both the
+#: Arrow and DuckDB sides.
+BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+WS_TOKEN = r"\S+"
+
+
+def token_count_multi(sf_dir: str) -> "rd.Dataset":
+    """Per-doc token counts under three tokenizers (engine
+    ``[a-z0-9]+``, whitespace, BPE-ish pre-tokenizer) — the cost model
+    every budget/packing decision starts from.  One
+    ``count_substring_regex`` pass per tokenizer, no splits
+    materialized."""
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(low, pattern="[a-z0-9]+"),
+                    pa.int64(),
+                ),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=WS_TOKEN),
+                    pa.int64(),
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=BPE_ISH),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        counts, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # url blocklist
 # ---------------------------------------------------------------------------
