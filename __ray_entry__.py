@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
         "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
+        "lang_embedding_stats": vectors.lang_embedding_stats,
         "embedding_near_dups": vectors.embedding_near_dups,
         "embedding_near_dups_lsh": vectors.embedding_near_dups_lsh,  # rows-only (approx)
         # --- relational / dataflow breadth ---
@@ -514,6 +515,16 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
                                        CAST(embedding AS DOUBLE[])))) / count(*), 4)
            AS avg_norm
 FROM embeddings GROUP BY label ORDER BY label
+""",
+        # cross-table metadata join: embeddings × documents on
+        # vec_id = doc_id (bucketed hash_join on the Ray side)
+        "lang_embedding_stats": """
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))) / count(*), 4)
+           AS avg_norm
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
 """,
         "embedding_near_dups": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

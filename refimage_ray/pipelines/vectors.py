@@ -115,6 +115,46 @@ def embedding_norm_by_label(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def lang_embedding_stats(sf_dir: str) -> pa.Table:
+    """Cross-table join: document metadata (lang) × embeddings (norm)
+    keyed on doc_id = vec_id — the multimodal metadata-join shape
+    (reference: vector search results joined back to stored metadata,
+    ``/root/reference/src/refimage/api.py:461-474``).  Both sides are
+    corpus-sized, so the join is the bucketed ``hash_join`` (no
+    broadcast); per-batch norms are computed before the join so only
+    (vec_id, norm) — 16 B/row — enters the exchange."""
+    from refimage_ray.stages.ann import _to_matrix
+    from refimage_ray.stages.joins import hash_join
+
+    def norms(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b["embedding"])
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "norm": pa.array(np.linalg.norm(m, axis=1), pa.float64()),
+            }
+        )
+
+    emb = _emb(sf_dir).map_batches(norms, batch_format="pyarrow")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    joined = hash_join(
+        emb, docs,
+        left_on="vec_id", right_on="doc_id",
+        left_cols=["vec_id", "norm"], right_cols=["doc_id", "lang"],
+        buckets=16,
+    )
+    out = (
+        joined.groupby("lang")
+        .aggregate(Count(alias_name="n_vecs"), Sum("norm", alias_name="sum_norm"))
+        .to_pandas()
+    )
+    out["avg_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+    out = out.drop(columns=["sum_norm"]).sort_values("lang")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def embedding_near_dups(sf_dir: str, tau: float = 0.45) -> pa.Table:
     """Exact distributed block-pair cosine near-dup (tau low enough
     that the synthetic embeddings yield real pairs — the oracle has
