@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "contamination_stats": corpus.contamination_stats,
         "dup_span_stats": corpus.dup_span_stats,
+        "doc_len_quantiles": corpus.doc_len_quantiles,
         "repetition_stats": corpus.repetition_stats,
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
@@ -438,6 +439,23 @@ bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
 FROM grams JOIN bench USING (g)
 GROUP BY doc_id
+""",
+        # exact corpus quantiles via bounded-int histogram (rule:
+        # sorted[ceil(p*n)-1] == DuckDB quantile_disc)
+        "doc_len_quantiles": """
+WITH dl AS (
+  SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+  FROM documents
+)
+SELECT 0.25 AS p, CAST(quantile_disc(doc_len, 0.25) AS BIGINT) AS doc_len FROM dl
+UNION ALL
+SELECT 0.5, CAST(quantile_disc(doc_len, 0.5) AS BIGINT) FROM dl
+UNION ALL
+SELECT 0.75, CAST(quantile_disc(doc_len, 0.75) AS BIGINT) FROM dl
+UNION ALL
+SELECT 0.9, CAST(quantile_disc(doc_len, 0.9) AS BIGINT) FROM dl
+UNION ALL
+SELECT 0.99, CAST(quantile_disc(doc_len, 0.99) AS BIGINT) FROM dl
 """,
         # exact-substring duplication: positions whose token 3-gram
         # appears in >= 2 distinct docs (engine: gram-df groupby +

@@ -186,6 +186,55 @@ def contamination_stats(
     return _docs(sf_dir).map_batches(probe, batch_format="pyarrow")
 
 
+def doc_len_quantiles(
+    sf_dir: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pa.Table:
+    """EXACT corpus quantiles of doc token length — the bounded-int
+    histogram shape: per-batch ``bincount`` partials → one
+    histogram-sized groupby (|distinct lengths| rows, NOT |docs|) →
+    driver cumsum picks the quantile values.  No sort, no sampling,
+    no t-digest approximation; works at any corpus size because the
+    exchange is bounded by the value domain.  Discrete-quantile rule
+    matches DuckDB ``quantile_disc``: ``sorted[ceil(p·n) - 1]``."""
+
+    def hist(batch: pa.Table) -> pa.Table:
+        dl = doc_lengths(batch["text"]).astype(np.int64)
+        counts = np.bincount(dl)
+        lens = np.flatnonzero(counts)
+        # include length 0 if present
+        if len(dl) and counts[0]:
+            lens = np.unique(np.concatenate(([0], lens)))
+        return pa.table(
+            {
+                "doc_len": pa.array(lens, pa.int64()),
+                "cnt": pa.array(counts[lens], pa.int64()),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("doc_len")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["doc_len"])
+    lens = np.array([r["doc_len"] for r in rows], np.int64)
+    cum = np.cumsum([r["cnt"] for r in rows])
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in ps:
+        k = max(1, int(np.ceil(p * n)))
+        out_p.append(float(p))
+        out_v.append(int(lens[np.searchsorted(cum, k)]))
+    return pa.table(
+        {
+            "p": pa.array(out_p, pa.float64()),
+            "doc_len": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 def dup_span_stats(sf_dir: str, n: int = 3) -> "rd.Dataset":
     """Exact-substring duplication signal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for
