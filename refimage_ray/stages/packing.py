@@ -169,7 +169,11 @@ def pack_token_sequences(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    docs_ds = docs_ds.materialize()
+    # the corpus is consumed up to three times (vocab, narrow scan,
+    # piece emission) but NOT materialized: the text column at corpus
+    # scale must stream from the (deterministic, re-executable) source
+    # each pass — re-reading parquet is cheaper than pinning 100 TB in
+    # the object store.  Only the K-row bucket sums hit the driver.
     if vocab is None:
         vocab = build_vocab(docs_ds)
     vocab_ref = ray.put(pa.array(vocab, pa.string()))

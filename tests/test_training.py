@@ -195,3 +195,26 @@ def test_pack_token_sequences_external_vocab_unknowns(ray_session):
     out = sorted(out, key=lambda r: r["seq_id"])
     flat = [t for r in out for t in r["token_ids"]]
     assert flat == [0, 1, 2, 1, -1]  # dd unknown -> -1
+
+
+def test_doc_len_quantiles_matches_numpy_rule(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(0, 40, size=300)
+    texts = [" ".join(["w"] * int(n)) for n in lens]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(300), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    from refimage_ray.pipelines.corpus import doc_len_quantiles
+
+    got = {r["p"]: r["doc_len"] for r in doc_len_quantiles(str(tmp_path)).to_pylist()}
+    srt = np.sort(lens)
+    for p, v in got.items():
+        assert v == int(srt[int(np.ceil(p * len(srt))) - 1]), p
