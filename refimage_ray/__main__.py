@@ -74,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--threshold", type=float, default=0.0)
 
     pl = sub.add_parser("plan", help="capacity plan for a corpus x cluster")
-    pl.add_argument("--n-docs", type=int, required=True)
+    pl.add_argument("--n-docs", type=lambda s: int(float(s)), required=True,
+                    help="accepts scientific notation, e.g. 1e12")
     pl.add_argument("--avg-doc-tokens", type=float, default=300.0)
     pl.add_argument("--nodes", type=int, default=1)
     pl.add_argument("--cpus-per-node", type=int, default=32)
