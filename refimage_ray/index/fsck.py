@@ -86,14 +86,94 @@ def _check_partition(index_dir: str, part: dict, num_shards: int) -> list[str]:
     return errs
 
 
+def verify_docpart_index(index_dir: str, deep: bool = False) -> dict:
+    """Doc-partitioned-layout fsck: shard files present and, with
+    ``deep``, the per-shard decoded df partials re-aggregate EXACTLY to
+    the stored global ``terms/`` df table (the invariant the layout's
+    exact-idf scoring rests on), plus per-term structural checks."""
+    problems: list[str] = []
+    man = load_manifest(index_dir)
+    shards = sorted(
+        f for f in os.listdir(index_dir) if f.startswith("docshard-")
+    )
+    n_expected = int(man.get("num_doc_shards", len(shards)))
+    if len(shards) != n_expected:
+        problems.append(
+            f"{len(shards)} docshard files, manifest says {n_expected}"
+        )
+    if not os.path.isdir(os.path.join(index_dir, "terms")):
+        problems.append("terms/ global-df table missing")
+
+    if deep and not problems:
+        def check(batch: pa.Table) -> pa.Table:
+            errs, terms, dfs = [], [], []
+            for row in batch.to_pylist():
+                t = pq.read_table(os.path.join(index_dir, row["f"]))
+                for i in range(t.num_rows):
+                    ids = delta_decode(varbyte_decode(t["doc_ids"][i].as_py()))
+                    if len(ids) != t["df_local"][i].as_py():
+                        errs.append(f"{row['f']}[{t['term'][i]}]: df_local mismatch")
+                    elif len(ids) > 1 and not (
+                        np.diff(ids.astype(np.int64)) > 0
+                    ).all():
+                        errs.append(f"{row['f']}[{t['term'][i]}]: ids not sorted")
+                terms.extend(t["term"].to_pylist())
+                dfs.extend(t["df_local"].to_pylist())
+            return pa.table(
+                {
+                    "kind": pa.array(
+                        ["err"] * len(errs) + ["df"] * len(terms), pa.string()
+                    ),
+                    "term": pa.array([""] * len(errs) + terms, pa.string()),
+                    "val": pa.array(errs + [str(d) for d in dfs], pa.string()),
+                }
+            )
+
+        rows = (
+            rd.from_items([{"f": f} for f in shards])
+            .map_batches(check, batch_format="pyarrow", batch_size=2)
+            .take_all()
+        )
+        agg: dict[str, int] = {}
+        for r in rows:
+            if r["kind"] == "err":
+                problems.append(r["val"])
+            else:
+                agg[r["term"]] = agg.get(r["term"], 0) + int(r["val"])
+        stored = pq.read_table(os.path.join(index_dir, "terms"))
+        stored_df = dict(
+            zip(stored["term"].to_pylist(),
+                (int(x) for x in stored["df"].to_pylist()))
+        )
+        if agg != stored_df:
+            diff = {t for t in set(agg) | set(stored_df)
+                    if agg.get(t) != stored_df.get(t)}
+            problems.append(
+                f"global df drift on {len(diff)} terms (e.g. "
+                f"{sorted(diff)[:3]})"
+            )
+
+    return {
+        "ok": not problems,
+        "layout": "doc-partitioned",
+        "checked_partitions": len(shards),
+        "deep": bool(deep),
+        "problems": problems,
+    }
+
+
 def verify_index(index_dir: str, deep: bool = False) -> dict:
     """Check the artifact; returns ``{"ok": bool, "checked_partitions":
-    n, "problems": [...]}`` (never raises on a bad artifact)."""
+    n, "problems": [...]}`` (never raises on a bad artifact).  Detects
+    the layout: term-partitioned (default build) or doc-partitioned
+    (routes to :func:`verify_docpart_index`)."""
     problems: list[str] = []
     man = load_manifest(index_dir)
     if man is None:
         return {"ok": False, "checked_partitions": 0,
                 "problems": ["manifest.json missing"]}
+    if man.get("layout") == "doc-partitioned":
+        return verify_docpart_index(index_dir, deep=deep)
     parts = man.get("partitions", [])
     if not os.path.exists(os.path.join(index_dir, "docs", "_SUCCESS")):
         problems.append("docs/_SUCCESS missing (docs stage incomplete)")

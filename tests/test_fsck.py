@@ -73,3 +73,52 @@ def test_deep_catches_manifest_count_drift(ray_session, built_index, tmp_path):
 def test_missing_manifest(tmp_path):
     rep = verify_index(str(tmp_path))
     assert not rep["ok"]
+
+
+def test_docpart_fsck_clean_and_df_drift(ray_session, built_index, tmp_path):
+    """Doc-partitioned layout: clean pass; then a silently-corrupted
+    global terms/ df table is caught by the deep re-aggregation."""
+    import pyarrow as pa
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import build_doc_partitioned
+    from refimage_ray.index.reader import staged_docs
+
+    d = str(tmp_path / "dp")
+    cfg = EngineConfig(num_shards=8, salt_buckets=4, hot_df_fraction=0.05)
+    build_doc_partitioned(
+        staged_docs(built_index[0], columns=["doc_id", "text"]),
+        d, cfg, num_doc_shards=4,
+    )
+    rep = verify_index(d, deep=True)
+    assert rep["ok"] and rep["layout"] == "doc-partitioned", rep["problems"]
+
+    # corrupt one df in terms/ (shallow-invisible)
+    tdir = os.path.join(d, "terms")
+    f = next(x for x in sorted(os.listdir(tdir)) if x.endswith(".parquet"))
+    t = pq.read_table(os.path.join(tdir, f))
+    if t.num_rows:
+        dfs = t["df"].to_pylist()
+        dfs[0] += 7
+        t = t.set_column(t.schema.get_field_index("df"), "df",
+                         pa.array(dfs, t["df"].type))
+        pq.write_table(t, os.path.join(tdir, f))
+        assert verify_index(d)["ok"]  # shallow can't see it
+        rep = verify_index(d, deep=True)
+        assert not rep["ok"] and any("df drift" in p for p in rep["problems"])
+
+
+def test_docpart_fsck_missing_shard(ray_session, built_index, tmp_path):
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import build_doc_partitioned
+    from refimage_ray.index.reader import staged_docs
+
+    d = str(tmp_path / "dp2")
+    cfg = EngineConfig(num_shards=8, salt_buckets=4, hot_df_fraction=0.05)
+    build_doc_partitioned(
+        staged_docs(built_index[0], columns=["doc_id", "text"]),
+        d, cfg, num_doc_shards=4,
+    )
+    os.remove(os.path.join(d, "docshard-00002.parquet"))
+    rep = verify_index(d)
+    assert not rep["ok"]
