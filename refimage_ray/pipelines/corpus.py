@@ -287,7 +287,11 @@ def dup_span_stats(sf_dir: str, n: int = 3) -> "rd.Dataset":
             }
         )
 
-    pair_ds = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow").materialize()
+    # consumed twice (gram-df groupby, then the join's left side) but
+    # NOT materialized: the pairs table is token-scale (~|corpus
+    # tokens| rows) — re-running the vectorized gram pass beats
+    # pinning it in the object store at 100 TB
+    pair_ds = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow")
 
     def dup_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["nd"], 2)).select(["gram"])
