@@ -142,6 +142,36 @@ SELECT min(doc_id) AS doc_id FROM keep GROUP BY h
 """
 
 
+def _curated_packed_sql() -> str:
+    """Curation keep-set (``_curated_sql``) → packed-stream checksums
+    over the survivors (same window shape as ``packed_sequences``,
+    vocab built over the survivors)."""
+    return f"""
+WITH keep AS ({_curated_sql()}),
+toks AS (
+  SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z0-9]+') AS t
+  FROM documents d JOIN keep USING (doc_id)
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS vid
+  FROM (SELECT DISTINCT term FROM pos)
+),
+stream AS (
+  SELECT row_number() OVER (ORDER BY p.doc_id, p.i) - 1 AS gp, v.vid
+  FROM pos p JOIN vocab v USING (term)
+)
+SELECT CAST(gp // 256 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(vid) AS BIGINT) AS sum_ids,
+       CAST(sum((gp % 256 + 1) * vid) AS BIGINT) AS possum_ids
+FROM stream GROUP BY seq_id
+"""
+
+
 def _bm25_sql(terms: list[str], k: int, conjunctive: bool = False) -> str:
     terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
@@ -245,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data preparation ---
         "pack_sequences": training.pack_sequences,
         "packed_sequences": training.packed_sequences,
+        "curated_packed_sequences": training.curated_packed_sequences,
         "lang_mixture_sample": training.lang_mixture_sample,
         "url_blocklist_stats": training.url_blocklist_stats,
         "pii_scrub_stats": training.pii_scrub_stats,
@@ -698,6 +729,9 @@ SELECT CAST(gp // 256 AS BIGINT) AS seq_id,
        CAST(sum((gp % 256 + 1) * vid) AS BIGINT) AS possum_ids
 FROM stream GROUP BY seq_id
 """,
+        # composed pipeline: curation keep-set -> packed survivor
+        # stream (vocab over survivors; same checksum shape)
+        "curated_packed_sequences": _curated_packed_sql(),
         # per-language mixture gate: same multiplicative hash as
         # doc_sample, threshold from DEFAULT_LANG_RATES
         "lang_mixture_sample": """

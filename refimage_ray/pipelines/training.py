@@ -149,6 +149,51 @@ def lang_mixture_sample(
     )
 
 
+def curated_packed_sequences(
+    sf_dir: str, budget: int = 256, n_buckets: int = 16
+) -> "rd.Dataset":
+    """The composed prep pipeline: curation gates (quality + lang-ID +
+    exact dedup, ``pipelines.curate``) → token-id sequence packing over
+    the SURVIVORS — checksummed per sequence like
+    :func:`packed_sequences`.  Survivor doc_ids keep their values
+    (gaps are fine: the packing buckets are ranges, the stream order
+    is ascending doc_id of survivors) and the vocab is built over the
+    survivors, so the oracle mirrors both the gate set and the stream.
+
+    Dataflow: the curated id set is the small side (ids only) —
+    broadcast into a vectorized ``is_in`` filter in front of the
+    packing scan; at 100 TB the same filter reads the persisted
+    curation output instead of recomputing it.
+    """
+    import ray
+
+    from refimage_ray.pipelines.curate import curated_doc_ids
+    from refimage_ray.stages.packing import pack_token_sequences
+
+    keep_tbl = curated_doc_ids(_docs(sf_dir, ("doc_id", "text")))
+    keep_ref = ray.put(keep_tbl["doc_id"].combine_chunks())
+
+    def keep_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(keep_ref)))
+
+    survivors = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        keep_only, batch_format="pyarrow"
+    )
+    seqs = pack_token_sequences(survivors, budget=budget, n_buckets=n_buckets)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        out = {"seq_id": [], "n_tokens": [], "sum_ids": [], "possum_ids": []}
+        for row in b.to_pylist():
+            ids = np.asarray(row["token_ids"], np.int64)
+            out["seq_id"].append(row["seq_id"])
+            out["n_tokens"].append(len(ids))
+            out["sum_ids"].append(int(ids.sum()))
+            out["possum_ids"].append(int(((np.arange(len(ids)) + 1) * ids).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return seqs.map_batches(checksum, batch_format="pyarrow")
+
+
 #: BPE-ish pre-tokenizer pattern (GPT-2-style split classes: letter
 #: runs, digit runs, single non-space symbols) — RE2-safe on both the
 #: Arrow and DuckDB sides.
