@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_join": relational.nation_region_join,
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.events_sessionize,
+        "events_asof_last": relational.events_asof_last,
         "events_rolling_avg": relational.events_rolling_avg,
         "order_revenue_by_priority": relational.order_revenue_by_priority,
         "doc_sample": relational.doc_sample,
@@ -640,6 +641,18 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 SELECT doc_id, lang FROM documents
 WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
       < CAST(0.2 * 4294967296 AS BIGINT)
+""",
+        # as-of join (strictly prior, per user): last 'click' before
+        # each event — IGNORE NULLS last_value over a 1-preceding frame
+        "events_asof_last": """
+SELECT user_id, event_id, ts,
+       last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+         OVER w AS prev_ts,
+       round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         OVER w, 4) AS prev_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """,
         "events_rolling_avg": """
 SELECT user_id, event_id, ts,

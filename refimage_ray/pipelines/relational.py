@@ -252,6 +252,53 @@ def events_rolling_avg(sf_dir: str, window: int = 3) -> "rd.Dataset":
     )
 
 
+def events_asof_last(sf_dir: str, match_type: str = "click") -> "rd.Dataset":
+    """AS-OF join (strictly-prior, per key): for every event, the ts
+    and value of the SAME user's most recent earlier ``match_type``
+    event — the point-in-time lookup primitive (prompt's custom-
+    operator list: "as-of join").  Self-join flavor keeps the times
+    genuinely interleaved on the synthetic data.
+
+    Shape: partition by key (one groupby), sort within group by
+    (ts, event_id), then a vectorized carry —
+    ``np.maximum.accumulate`` over match positions shifted by one, so
+    the match is STRICTLY prior (an event never joins itself).
+    Partitioning assumption: one user's events fit one group (same as
+    sessionize); the key-partitioned as-of generalizes to two tables
+    by tagging sides and carrying only the right side's last row.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        is_m = (g["event_type"] == match_type).to_numpy()
+        carry = np.where(is_m, np.arange(n), -1)
+        carry = np.maximum.accumulate(carry)
+        prior = np.concatenate(([-1], carry[:-1]))  # strictly prior
+        has = prior >= 0
+        prev_ts = np.full(n, np.datetime64("NaT", "us"))
+        prev_val = np.full(n, np.nan)
+        ts = g["ts"].to_numpy()
+        val = g["value"].to_numpy()
+        prev_ts[has] = ts[prior[has]]
+        prev_val[has] = val[prior[has]]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "ts": g["ts"],
+                "prev_ts": prev_ts,
+                "prev_value": np.round(prev_val, 4),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     """Session windows per user (gap-based): the classic stream-shaped
     op on a batch engine — partition by key, sort by event time within
