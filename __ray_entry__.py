@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status": relational.orders_by_status,
         "orders_priority_filter": relational.orders_priority_filter,
         "part_brand_stats": relational.part_brand_stats,
+        "part_size_class": relational.part_size_class,
         "nation_region_join": relational.nation_region_join,
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.events_sessionize,
@@ -620,6 +621,17 @@ SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
        max(p_size) AS max_size, min(p_size) AS min_size,
        round(sum(p_retailprice) / count(*), 4) AS avg_price
 FROM part GROUP BY p_brand ORDER BY p_brand
+""",
+        # range join against the broadcast interval table (lo incl,
+        # hi excl; inner semantics — out-of-range rows drop)
+        "part_size_class": """
+WITH classes(lo, hi, size_class) AS (
+  VALUES (0, 10, 'small'), (10, 25, 'mid'), (25, 51, 'large')
+)
+SELECT c.size_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(p_retailprice) / count(*), 4) AS avg_price
+FROM part p JOIN classes c ON p.p_size >= c.lo AND p.p_size < c.hi
+GROUP BY c.size_class
 """,
         "nation_region_join": """
 SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations

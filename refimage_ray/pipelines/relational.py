@@ -252,6 +252,67 @@ def events_rolling_avg(sf_dir: str, window: int = 3) -> "rd.Dataset":
     )
 
 
+#: size-class interval table (lo inclusive, hi exclusive) — the small
+#: side of the range join; a real pipeline ships this via the task
+#: closure exactly like a blocklist.
+SIZE_CLASSES: tuple[tuple[int, int, str], ...] = (
+    (0, 10, "small"),
+    (10, 25, "mid"),
+    (25, 51, "large"),
+)
+
+
+def part_size_class(sf_dir: str) -> "rd.Dataset":
+    """RANGE JOIN (prompt's custom-operator list): join each part to
+    the interval table containing its ``p_size``.  Small interval
+    side → broadcast the sorted breakpoints once and classify with one
+    ``np.searchsorted`` per batch (no shuffle); rows falling in no
+    interval are dropped (inner-join semantics).  Aggregated per class
+    so the oracle is compact."""
+    los = np.array([c[0] for c in SIZE_CLASSES], np.int64)
+    his = np.array([c[1] for c in SIZE_CLASSES], np.int64)
+    names = np.array([c[2] for c in SIZE_CLASSES])
+
+    def classify(b: pa.Table) -> pa.Table:
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(los, size, side="right") - 1
+        ok = (idx >= 0) & (size < his[np.clip(idx, 0, len(his) - 1)])
+        idx = idx[ok]
+        return pa.table(
+            {
+                "size_class": pa.array(names[idx]),
+                "p_retailprice": pa.array(
+                    b["p_retailprice"].to_numpy(zero_copy_only=False)[ok],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = (
+        _t(sf_dir, "part", ["p_size", "p_retailprice"])
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby("size_class")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("p_retailprice", alias_name="sum_price"),
+        )
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "size_class": b["size_class"],
+                "n_parts": pc.cast(b["n_parts"], pa.int64()),
+                "avg_price": pc.round(
+                    pc.divide(b["sum_price"], pc.cast(b["n_parts"], pa.float64())),
+                    ndigits=4,
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def events_asof_last(sf_dir: str, match_type: str = "click") -> "rd.Dataset":
     """AS-OF join (strictly-prior, per key): for every event, the ts
     and value of the SAME user's most recent earlier ``match_type``
