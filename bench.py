@@ -223,6 +223,21 @@ def run_bench() -> dict:
 
         from refimage_ray.index.reader import staged_docs
 
+        # term-partitioned batch serving first (dsr already exists),
+        # then RELEASE its pool: idle actors reserve 1 CPU each, and a
+        # pool of 8 would steal a quarter of the machine from every
+        # Dataset stage timed after it (measured 60 s → 11 s on the
+        # pack stage with 16 idle actors released).
+        qbatch = BENCH_QUERIES * 8  # 96 queries in flight
+        dsr.search_many(BENCH_QUERIES, k=10)  # warm
+        tq = time.perf_counter()
+        dsr.search_many(qbatch, k=10, mode="or")
+        timings["qps_termpart"] = round(
+            len(qbatch) / (time.perf_counter() - tq), 1
+        )
+        for a in dsr.actors:
+            ray.kill(a)
+
         docpart_dir = f"/tmp/refimage_ray_bench/docpart-{NUM_CPUS}"
         shutil.rmtree(docpart_dir, ignore_errors=True)
         tq = time.perf_counter()
@@ -235,20 +250,30 @@ def run_bench() -> dict:
             docpart_dir, num_actors=min(8, max(2, NUM_CPUS // 4))
         )
         dps.search_many(BENCH_QUERIES, k=10)  # warmup (actors load postings)
-        qbatch = BENCH_QUERIES * 8  # 96 queries in flight
         tq = time.perf_counter()
         dps.search_many(qbatch, k=10, mode="or")
         qps_sec = time.perf_counter() - tq
         timings["qps_docpart"] = round(len(qbatch) / qps_sec, 1)
+        for a in dps.actors:
+            ray.kill(a)
 
-        # term-partitioned batch serving (search_many pipelines the
-        # per-actor postings RPCs; driver scores) — layout comparison
-        dsr.search_many(BENCH_QUERIES, k=10)  # warm
-        tq = time.perf_counter()
-        dsr.search_many(qbatch, k=10, mode="or")
-        timings["qps_termpart"] = round(
-            len(qbatch) / (time.perf_counter() - tq), 1
+        # training-prep throughput: token-id sequence packing over the
+        # staged REP'd corpus (vocab build + scan + piece/assembly
+        # shuffles) — docs/s for the prep side of the engine
+        from refimage_ray.stages.packing import (
+            pack_token_sequences, vocab_from_index,
         )
+
+        tq = time.perf_counter()
+        n_seqs = pack_token_sequences(
+            staged_docs(index_dir, columns=["doc_id", "text"]),
+            budget=2048, n_buckets=max(8, NUM_CPUS),
+            vocab=vocab_from_index(index_dir),  # artifact reuse, no re-tokenize
+        ).count()
+        pack_sec = time.perf_counter() - tq
+        timings["pack_sequences"] = round(pack_sec, 3)
+        timings["pack_docs_per_sec"] = round(n_docs / pack_sec, 1)
+        timings["pack_n_seqs"] = int(n_seqs)
 
     for name, fn in [
         ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),

@@ -133,6 +133,28 @@ def build_vocab(docs_ds: "rd.Dataset") -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
+def vocab_from_index(index_dir: str) -> list[str]:
+    """Vocab straight from the index artifact — the postings already
+    enumerate every (post-dedup) corpus term, so a column-pruned read
+    of the partition files replaces a full corpus re-tokenize
+    (identical to :func:`build_vocab` over the staged live docs)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    files = [
+        os.path.join(index_dir, f)
+        for f in os.listdir(index_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+    if not files:
+        return []
+    import pyarrow.compute as pc
+
+    t = pads.dataset(files).to_table(columns=["term"])
+    return sorted(set(pc.unique(t["term"]).to_pylist()))
+
+
 def pack_token_sequences(
     docs_ds: "rd.Dataset",
     budget: int,
@@ -237,8 +259,30 @@ def pack_token_sequences(
         doc_off = np.concatenate(([0], np.cumsum(dl)[:-1]))
         bkt = int(g["bucket"][0].as_py())
         start = bucket_start[bkt] + np.concatenate(([0], np.cumsum(dl)[:-1]))
+        # vectorized fast path: docs that do NOT cross a sequence
+        # boundary (the overwhelming majority when budget >> avg dl)
+        # become one piece each — a zero-Python-loop ListArray built
+        # from a token keep-mask + cumsum offsets
+        first_seq = start // budget
+        last_seq = np.where(dl > 0, (start + dl - 1) // budget, first_seq)
+        simple = (first_seq == last_seq) & (dl > 0)
+        tok_keep = simple[parent] if len(parent) else np.zeros(0, bool)
+        simple_vals = pa.array(tok[tok_keep], pa.int32())
+        s_dl = dl[simple]
+        s_offsets = np.concatenate(([0], np.cumsum(s_dl))).astype(np.int32)
+        simple_tbl = pa.table(
+            {
+                "seq_id": pa.array(first_seq[simple], pa.int64()),
+                "pos": pa.array(start[simple] - first_seq[simple] * budget,
+                                pa.int64()),
+                "ids": pa.ListArray.from_arrays(
+                    pa.array(s_offsets), simple_vals
+                ),
+            }
+        )
+        # slow path: boundary-crossing docs (few) — per-piece loop
         seq_ids, poss, pieces = [], [], []
-        for d in range(g.num_rows):
+        for d in np.flatnonzero(~simple & (dl > 0)):
             st, n = int(start[d]), int(dl[d])
             j = 0
             while j < n:
@@ -248,7 +292,7 @@ def pack_token_sequences(
                 poss.append((st + j) % budget)
                 pieces.append(tok[doc_off[d] + j : doc_off[d] + j + take])
                 j += take
-        return pa.table(
+        cross_tbl = pa.table(
             {
                 "seq_id": pa.array(seq_ids, pa.int64()),
                 "pos": pa.array(poss, pa.int64()),
@@ -257,6 +301,7 @@ def pack_token_sequences(
                 ),
             }
         )
+        return pa.concat_tables([simple_tbl, cross_tbl]).combine_chunks()
 
     def assemble(g: pa.Table) -> pa.Table:
         order = np.argsort(

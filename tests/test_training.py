@@ -218,3 +218,13 @@ def test_doc_len_quantiles_matches_numpy_rule(ray_session, tmp_path):
     srt = np.sort(lens)
     for p, v in got.items():
         assert v == int(srt[int(np.ceil(p * len(srt))) - 1]), p
+
+
+def test_vocab_from_index_equals_build_vocab(ray_session, built_index):
+    from refimage_ray.index.reader import staged_docs
+    from refimage_ray.stages.packing import build_vocab, vocab_from_index
+
+    idx = built_index[0]
+    assert vocab_from_index(idx) == build_vocab(
+        staged_docs(idx, columns=["doc_id", "text"])
+    )
