@@ -228,3 +228,45 @@ def test_vocab_from_index_equals_build_vocab(ray_session, built_index):
     assert vocab_from_index(idx) == build_vocab(
         staged_docs(idx, columns=["doc_id", "text"])
     )
+
+
+@pytest.fixture()
+def poisoned_to_pandas(monkeypatch):
+    """No training op may materialize a Dataset on the driver via
+    Dataset.to_pandas (only K-row bucket sums may hit the driver)."""
+    import ray.data
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side Dataset.to_pandas in a distributed path")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+
+
+def test_packing_no_driver_materialize(ray_session, poisoned_to_pandas):
+    from refimage_ray.stages.packing import pack_offsets, pack_token_sequences
+
+    dls = list(range(40))
+    assert len(pack_offsets(_dl_ds(dls), budget=16, n_buckets=4).take_all()) == 40
+    texts = ["aa bb cc dd"] * 25
+    out = pack_token_sequences(_docs_ds(texts), budget=8, n_buckets=3).take_all()
+    assert sum(r["n_tokens"] for r in out) == 100
+
+
+def test_dup_span_no_driver_materialize(ray_session, poisoned_to_pandas, tmp_path):
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.corpus import dup_span_stats
+
+    texts = ["x y z w"] * 3 + ["p q r s"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = {r["doc_id"]: r["n_dup_positions"]
+           for r in dup_span_stats(str(tmp_path), n=3).take_all()}
+    assert out == {0: 2, 1: 2, 2: 2}
