@@ -133,6 +133,87 @@ def build_vocab(docs_ds: "rd.Dataset") -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
+def write_packed_sequences(
+    docs_ds: "rd.Dataset",
+    out_dir: str,
+    budget: int,
+    n_buckets: int = 32,
+    vocab: list[str] | None = None,
+    seqs_per_file: int = 4096,
+    resume: bool = True,
+) -> dict:
+    """Resumable partitioned sink for the training product: the packed
+    sequences land as ``seqs-{file:05d}.parquet`` (one file per
+    ``seqs_per_file`` range of seq_ids), each written atomically
+    (tmp + rename), with a ``manifest.json`` recording vocab size,
+    budget, and completed files.  A re-run SKIPS files already on disk
+    (``resume=False`` forces rewrite) — the artifact is deterministic,
+    so resumed output is byte-identical to a single run.
+
+    The file key is ``seq_id // seqs_per_file`` — a pure function of
+    the (deterministic) scan, so a crashed run's completed ranges are
+    valid without any coordination state beyond the filesystem.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from refimage_ray.index.manifest import atomic_write_bytes
+
+    os.makedirs(out_dir, exist_ok=True)
+    seqs = pack_token_sequences(
+        docs_ds, budget=budget, n_buckets=n_buckets, vocab=vocab
+    )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        sid = b["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "file_key", pa.array(sid // seqs_per_file, pa.int64())
+        )
+
+    def write_file(g: pa.Table) -> pa.Table:
+        import io
+
+        fk = int(g["file_key"][0].as_py())
+        fname = f"seqs-{fk:05d}.parquet"
+        path = os.path.join(out_dir, fname)
+        if resume and os.path.exists(path):
+            return pa.table(
+                {"file": pa.array([fname]), "n_seqs": pa.array([-1], pa.int64())}
+            )
+        order = np.argsort(
+            g["seq_id"].to_numpy(zero_copy_only=False), kind="stable"
+        )
+        t = g.take(pa.array(order)).drop_columns(["file_key"])
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        atomic_write_bytes(path, buf.getvalue())
+        return pa.table(
+            {"file": pa.array([fname]), "n_seqs": pa.array([t.num_rows], pa.int64())}
+        )
+
+    rows = (
+        seqs.map_batches(add_key, batch_format="pyarrow")
+        .groupby("file_key")
+        .map_groups(write_file, batch_format="pyarrow")
+        .take_all()
+    )
+    written = sorted(r["file"] for r in rows)
+    manifest = {
+        "kind": "packed-sequences",
+        "budget": budget,
+        "seqs_per_file": seqs_per_file,
+        "files": written,
+        "skipped_existing": sorted(r["file"] for r in rows if r["n_seqs"] < 0),
+    }
+    atomic_write_bytes(
+        os.path.join(out_dir, "manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True).encode(),
+    )
+    return manifest
+
+
 def vocab_from_index(index_dir: str) -> list[str]:
     """Vocab straight from the index artifact — the postings already
     enumerate every (post-dedup) corpus term, so a column-pruned read

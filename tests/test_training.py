@@ -270,3 +270,37 @@ def test_dup_span_no_driver_materialize(ray_session, poisoned_to_pandas, tmp_pat
     out = {r["doc_id"]: r["n_dup_positions"]
            for r in dup_span_stats(str(tmp_path), n=3).take_all()}
     assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_write_packed_sequences_resume_and_identity(ray_session, tmp_path):
+    """Partitioned sink: full write == resumed write byte-for-byte;
+    a resume only rewrites missing files."""
+    import hashlib
+    import os
+
+    from refimage_ray.stages.packing import write_packed_sequences
+
+    texts = [" ".join(["w"] * 9)] * 40  # 360 tokens
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = write_packed_sequences(_docs_ds(texts), d1, budget=16, seqs_per_file=8)
+    # 360/16 = 22.5 -> 23 seqs -> 3 files
+    assert m1["files"] == ["seqs-00000.parquet", "seqs-00001.parquet",
+                           "seqs-00002.parquet"]
+    assert m1["skipped_existing"] == []
+
+    def digest(d):
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in m1["files"]
+        }
+
+    h1 = digest(d1)
+    # fresh full write elsewhere is byte-identical (deterministic sink)
+    write_packed_sequences(_docs_ds(texts), d2, budget=16, seqs_per_file=8)
+    assert digest(d2) == h1
+    # delete one file; resume rewrites ONLY it and reproduces the bytes
+    os.remove(os.path.join(d1, "seqs-00001.parquet"))
+    m3 = write_packed_sequences(_docs_ds(texts), d1, budget=16, seqs_per_file=8)
+    assert set(m3["skipped_existing"]) == {"seqs-00000.parquet",
+                                           "seqs-00002.parquet"}
+    assert digest(d1) == h1
