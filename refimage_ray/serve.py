@@ -16,6 +16,7 @@ Route map (reference analog → here):
 - ``GET /docs/{id}/file``              (chunked file serving, ``api.py:944-954``) → ``stream_doc_bytes`` chunked response
 - ``PUT /docs/{id}/metadata``          (metadata PUT, ``api.py:731-766``) → ``lifecycle.update_doc_metadata``
 - ``DELETE /docs/{id}``                (delete, rebuild-on-delete in the reference) → ``lifecycle.delete_docs`` tombstone
+- ``POST /reload``                     (serve-after-mutation)        → fresh snapshot searcher (tombstones/compaction visible)
 
 The searcher is injected (``LocalSearcher`` by default,
 ``DistributedSearcher`` for a multi-node pool) and shared across
@@ -43,8 +44,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
         LocalSearcher, lookup_docs, stream_doc_bytes,
     )
 
-    s = searcher if searcher is not None else LocalSearcher(index_dir)
-    ex = DSLExecutor(s)
+    state = {
+        "s": searcher if searcher is not None else LocalSearcher(index_dir)
+    }
+    state["ex"] = DSLExecutor(state["s"])
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -81,7 +84,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             if u.path == "/health":
-                return self._json({"status": "ok", "n_docs": s.n_docs})
+                return self._json({"status": "ok", "n_docs": state["s"].n_docs})
             if u.path == "/stats":
                 man = load_manifest(index_dir) or {}
                 st = man.get("stats", {})
@@ -99,15 +102,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
                 k = int(q.get("k", 10))
                 mode = q.get("mode", "or")
                 if mode == "phrase":
-                    hits = s.search_phrase(q["q"], k=k)
+                    hits = state["s"].search_phrase(q["q"], k=k)
                 elif mode in ("or", "and"):
-                    hits = s.search(q["q"], k=k, mode=mode)
+                    hits = state["s"].search(q["q"], k=k, mode=mode)
                 else:
                     return self._json({"error": f"bad mode {mode!r}"}, 422)
                 return self._json({"results": self._hits_with_meta(hits)})
             if u.path == "/dsl":
                 try:
-                    hits = ex.execute_query(
+                    hits = state["ex"].execute_query(
                         q.get("q", ""), limit=int(q.get("limit", 10)),
                         threshold=float(q.get("threshold", 0.0)),
                     )
@@ -125,7 +128,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
 
                 try:
                     hits = more_like_this(
-                        s, int(m.group(1)), k=int(q.get("k", 10)),
+                        state["s"], int(m.group(1)), k=int(q.get("k", 10)),
                         exclude_self=q.get("self", "1") == "0",
                     )
                 except KeyError:
@@ -147,6 +150,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
             self._json({"error": "no such route"}, 404)
 
         def do_POST(self) -> None:
+            if urlparse(self.path).path == "/reload":
+                # pick up lifecycle mutations (tombstones, compaction,
+                # metadata rewrites): swap in a fresh snapshot searcher
+                # (readers are immutable-after-load, so in-flight
+                # requests on the old snapshot stay consistent)
+                state["s"] = LocalSearcher(index_dir)
+                state["ex"] = DSLExecutor(state["s"])
+                return self._json({"reloaded": True,
+                                   "n_docs": state["s"].n_docs})
             if urlparse(self.path).path == "/nl2dsl":
                 from refimage_ray.query.nl import text_to_dsl
 

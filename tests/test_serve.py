@@ -122,3 +122,15 @@ def test_similar_route(server):
     assert st == 200 and all(r["doc_id"] != doc_id for r in body["results"])
     st, body = _req(f"{base}/docs/999999999999/similar", "GET")
     assert st == 404
+
+
+def test_reload_picks_up_tombstones(server):
+    base, d = server
+    # find a doc, tombstone it, reload: it must vanish from search
+    doc_id = _get(base + "/search?q=merge&k=1")[1]["results"][0]["doc_id"]
+    _req(f"{base}/docs/{doc_id}", "DELETE")
+    # stale snapshot may still return it; after reload it is gone
+    st, body = _req(base + "/reload", "POST")
+    assert st == 200 and body["reloaded"]
+    st, body = _get(base + "/search?q=merge&k=200")
+    assert all(r["doc_id"] != doc_id for r in body["results"])
