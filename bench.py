@@ -183,16 +183,48 @@ def run_bench() -> dict:
     timings["index_build"] = round(build_sec, 3)
     n_docs = res.metrics["n_docs"]
 
+    # REFIMAGE_BENCH_LITE=1 (the --scaling legs): measure ONLY the
+    # headline build so a lo/hi pair fits inside this host's short
+    # co-tenant-calm windows — everything after the build is skipped
+    # and query_p95 reported as a cheap 1-pass estimate.
+    lite = os.environ.get("REFIMAGE_BENCH_LITE") == "1"
+
     # query latency (warm actor-free local path; p95 over repeated set)
     searcher = LocalSearcher(index_dir)
     lat = []
-    for _ in range(4):
+    for _ in range(1 if lite else 4):
         for q in BENCH_QUERIES:
             tq = time.perf_counter()
             searcher.search(q, k=10, mode="or")
             lat.append(time.perf_counter() - tq)
     p95 = float(np.percentile(np.array(lat), 95))
     timings["query_p95"] = round(p95, 5)
+
+    if lite:
+        out = {
+            "metric": "index_build_sec",
+            "value": round(build_sec, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_docs": int(n_docs),
+            "n_postings": int(res.metrics["n_postings"]),
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "postings_per_sec": round(res.metrics["n_postings"] / build_sec, 1),
+            "query_p95_ms": round(p95 * 1000, 2),
+            "build_stages": {
+                k: round(res.metrics[k], 3)
+                for k in ("docs_write_sec", "dedup_sec", "stats_sec",
+                          "hot_sec", "shuffle_build_sec")
+                if k in res.metrics
+            },
+            "shuffle_bytes": int(res.metrics.get("shuffle_bytes", 0)),
+            "host_canary_sec": _host_canary(),
+            "host_canary_mt16_sec": _host_canary_mt(16),
+        }
+        ray.shutdown()
+        return out
 
     # actor-pool serving path (shard actors load postings once in
     # __init__; driver merges in canonical order)
@@ -327,7 +359,8 @@ def run_scaling() -> dict:
         # scaling compares the headline build across parallelism levels;
         # skip the docpart/QPS section so each level stays one job
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_REP=rep, REFIMAGE_BENCH_QPS="0")
+                   RAY_GRAFT_REP=rep, REFIMAGE_BENCH_QPS="0",
+                   REFIMAGE_BENCH_LITE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
