@@ -101,6 +101,15 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--deep", action="store_true",
                     help="decode every posting list (distributed)")
 
+    pk = sub.add_parser("pack", help="write token-id training sequences")
+    pk.add_argument("--documents", required=True,
+                    help="parquet file/dir with (doc_id, text)")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--seqs-per-file", type=int, default=4096)
+    pk.add_argument("--index", default=None,
+                    help="optional index dir: reuse its term vocab")
+
     sv = sub.add_parser("serve", help="HTTP JSON API over an index")
     sv.add_argument("--index", required=True)
     sv.add_argument("--port", type=int, default=8080)
@@ -217,6 +226,22 @@ def main(argv: list[str] | None = None) -> int:
             rep = verify_index(args.index, deep=args.deep)
             print(json.dumps(rep, indent=1))
             return 0 if rep["ok"] else 1
+        elif args.cmd == "pack":
+            import ray.data as rd
+
+            from refimage_ray.stages.packing import (
+                vocab_from_index, write_packed_sequences,
+            )
+
+            docs = rd.read_parquet(args.documents, columns=["doc_id", "text"])
+            vocab = vocab_from_index(args.index) if args.index else None
+            man = write_packed_sequences(
+                docs, args.out, budget=args.budget,
+                seqs_per_file=args.seqs_per_file, vocab=vocab,
+            )
+            print(json.dumps({"files": len(man["files"]),
+                              "skipped": len(man["skipped_existing"]),
+                              "budget": man["budget"]}))
         elif args.cmd == "serve":
             from refimage_ray.serve import make_server
 
