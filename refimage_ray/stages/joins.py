@@ -126,3 +126,96 @@ def native_join(
         on=(left_on,),
         right_on=(right_on,),
     )
+
+
+def asof_join_prior(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    allow_exact: bool = False,
+) -> "ray.data.Dataset":
+    """Two-table AS-OF join: for every left row, the latest right row
+    of the same ``key`` with ``right.on < left.on`` (``<=`` when
+    ``allow_exact``) — the semantics of ``pandas.merge_asof(by=key,
+    direction='backward')``, which is the test oracle.
+
+    ``left_cols`` / ``right_cols`` are VALUE columns (key/on are
+    implicit and always carried); right values come back as
+    ``right_<col>``, null when no prior right row exists.
+
+    Shape: tag sides → union → ONE ``groupby(key)`` → per group a
+    vectorized positional carry (stable lexsort by (on, side-order),
+    ``np.maximum.accumulate`` over right positions) — no per-row
+    Python and no global sort of either table.  Partitioning
+    assumption: one key's rows fit one group (the sessionize
+    contract); salt pathological hot keys upstream.
+    """
+    import pyarrow.compute as pc
+
+    bad = {key, on} & (set(left_cols) | set(right_cols))
+    if bad:
+        raise ValueError(f"key/on are implicit, remove {sorted(bad)}")
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(
+            f"left/right value columns must be disjoint, both have {sorted(overlap)}"
+        )
+
+    def _types(ds, keep):
+        sch = ds.schema()
+        return {n_: t for n_, t in zip(sch.names, sch.types) if n_ in keep}
+
+    types = {**_types(left, left_cols), **_types(right, right_cols)}
+    all_vals = list(left_cols) + list(right_cols)
+
+    def tag(side: int, keep: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {key: b[key], on: b[on]}
+            for c in all_vals:
+                cols[c] = b[c] if c in keep else pa.nulls(n, types[c])
+            return pa.table(cols).append_column(
+                "asof_side", pa.array(np.full(n, side, np.int8))
+            )
+        return fn
+
+    both = left.map_batches(tag(0, left_cols), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    )
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g["asof_side"].to_numpy(zero_copy_only=False)
+        t = g[on].to_numpy(zero_copy_only=False)
+        # tie rule at equal `on`: allow_exact → right sorts BEFORE left
+        # (a simultaneous right row is visible); strict → after
+        side_order = (1 - side) if allow_exact else side
+        order = np.lexsort((side_order, t))
+        side_s = side[order]
+        n = len(side_s)
+        is_r = side_s == 1
+        carry = np.maximum.accumulate(np.where(is_r, np.arange(n), -1))
+        left_pos = np.flatnonzero(~is_r)
+        src = carry[left_pos]
+        has = src >= 0
+        gs = g.take(pa.array(order))
+        out = {
+            key: gs[key].take(pa.array(left_pos)),
+            on: gs[on].take(pa.array(left_pos)),
+        }
+        for c in left_cols:
+            out[c] = gs[c].take(pa.array(left_pos))
+        r_idx = np.where(has, src, 0)
+        for c in right_cols:
+            vals = gs[c].take(pa.array(r_idx))
+            if not has.all():
+                vals = pc.if_else(
+                    pa.array(~has), pa.nulls(len(left_pos), types[c]), vals
+                )
+            out[f"right_{c}"] = vals
+        return pa.table(out)
+
+    return both.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -107,3 +107,72 @@ def test_native_join_matches_hash_join(ray_session):
     )
     assert sorted(want["k"]) == sorted(got["k"])
     assert set(zip(want.k, want.a, want.b)) == set(zip(got.k, got.a, got.b))
+
+
+@pytest.mark.parametrize("allow_exact", [False, True])
+def test_asof_join_prior_matches_pandas_merge_asof(ray_session, allow_exact):
+    """Random interleaved two-table data vs pandas.merge_asof
+    (by=key, direction='backward') — exact frame equality."""
+    import ray.data as rd
+
+    from refimage_ray.stages.joins import asof_join_prior
+
+    rng = np.random.default_rng(17)
+    nl, nr = 300, 140
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, nl),
+            "t": rng.integers(0, 50, nl).astype(np.int64),
+            "lv": rng.normal(size=nl).round(4),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, nr),
+            "t": rng.integers(0, 50, nr).astype(np.int64),
+            "rv": rng.normal(size=nr).round(4),
+        }
+    )
+    # merge_asof forbids duplicate right (k, t) ambiguity? it takes the
+    # LAST right row at equal (k, t) — our stable lexsort does too, as
+    # long as right arrival order matches; dedup to keep oracle sharp
+    right = right.drop_duplicates(["k", "t"], keep="last").reset_index(drop=True)
+
+    got = (
+        asof_join_prior(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", on="t", left_cols=["lv"], right_cols=["rv"],
+            allow_exact=allow_exact,
+        )
+        .to_pandas()
+        .sort_values(["k", "t", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction="backward",
+            allow_exact_matches=allow_exact,
+        )
+        .rename(columns={"rv": "right_rv"})
+        .sort_values(["k", "t", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "t", "lv", "right_rv"]], want[["k", "t", "lv", "right_rv"]]
+    )
+
+
+def test_asof_join_prior_validates_columns(ray_session):
+    import ray.data as rd
+
+    from refimage_ray.stages.joins import asof_join_prior
+
+    ds = rd.from_items([{"k": 1, "t": 1, "v": 1.0}])
+    with pytest.raises(ValueError):
+        asof_join_prior(ds, ds, key="k", on="t",
+                        left_cols=["t"], right_cols=["v"])
+    with pytest.raises(ValueError):
+        asof_join_prior(ds, ds, key="k", on="t",
+                        left_cols=["v"], right_cols=["v"])
