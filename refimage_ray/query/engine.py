@@ -98,7 +98,7 @@ def _score_disjunctive_dense(
     O(Σ df) writes + one O(universe) scan: no per-query sort, unique,
     or binary search, which is what dominates stopword-sized unions.
     """
-    scores = np.zeros(n_universe, np.float64)
+    scores = _pooled_dense_buffer(n_universe)
     # BM25 contributions are strictly positive (Lucene idf > 0,
     # weights > 0), so score > 0 IS the membership test and the second
     # (bool) scatter can be skipped; plugin scorers may emit zero or
@@ -106,18 +106,50 @@ def _score_disjunctive_dense(
     positive = idf_fn is _idf
     touched = None if positive else np.zeros(n_universe, bool)
     hit = False
-    for term in terms:  # ascending unique terms → canonical float sums
-        p = term_map.get(term)
-        if p is None or p.df == 0 or p.ranks is None:
-            continue
-        scores[p.ranks] += idf_fn(p.df, n_docs) * p.weights
-        if touched is not None:
-            touched[p.ranks] = True
-        hit = True
-    if not hit:
-        return np.zeros(0, np.int64), np.zeros(0, np.float64)
-    idx = np.flatnonzero(scores if touched is None else touched)
-    return idx, scores[idx]
+    try:
+        for term in terms:  # ascending unique terms → canonical float sums
+            p = term_map.get(term)
+            if p is None or p.df == 0 or p.ranks is None:
+                continue
+            scores[p.ranks] += idf_fn(p.df, n_docs) * p.weights
+            if touched is not None:
+                touched[p.ranks] = True
+            hit = True
+        if not hit:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        idx = np.flatnonzero(scores if touched is None else touched)
+        out = scores[idx]  # fancy indexing copies — safe to reset below
+        return idx, out
+    finally:
+        # restore the pooled buffer's all-zero contract by resetting
+        # ONLY the touched positions (O(candidates), not O(universe));
+        # on an interrupted scatter the touch set is unknown → full wipe
+        if hit:
+            try:
+                scores[idx] = 0.0
+            except NameError:
+                scores[:] = 0.0
+
+
+import threading as _threading
+
+_DENSE_POOL = _threading.local()
+
+
+def _pooled_dense_buffer(n: int) -> np.ndarray:
+    """Per-thread reusable all-zero float64 buffer for dense TAAT.
+
+    A fresh ``np.zeros(universe)`` per query is an O(universe)
+    allocate+memset (32 MB at 4M docs) that dominates small-query
+    latency; the pool amortizes it to O(candidates) per query (the
+    caller resets exactly the positions it touched).  Thread-local so
+    concurrent serving threads (the HTTP shim) never share a buffer.
+    """
+    buf = getattr(_DENSE_POOL, "buf", None)
+    if buf is None or len(buf) < n:
+        buf = np.zeros(max(n, 1), np.float64)
+        _DENSE_POOL.buf = buf
+    return buf[:n]
 
 
 def _gallop_member(p: TermPostings, candidates: np.ndarray) -> np.ndarray:
@@ -398,6 +430,19 @@ class _SearcherBase:
                 term_map[t].ranks is not None for t in terms if t in term_map
             )
         )
+        if use_dense and prune and dense is None:
+            # cost-based switch: the dense pass pays an O(universe)
+            # candidate scan regardless of query size, so when the
+            # query's posting mass is a tiny fraction of the universe
+            # the MaxScore-pruned sparse path wins (measured crossover
+            # ≈ universe/32 total df at 4M docs; both paths are
+            # bit-identical, so this is latency-only).  An explicit
+            # dense=True/False still forces a path.
+            sum_df = sum(
+                term_map[t].df for t in terms if t in term_map
+            )
+            if sum_df * 32 < len(self.all_ids):
+                use_dense = False
         if mode == "and":
             ids, scores = _score_conjunctive(term_map, terms, self.n_docs, idf_fn)
         elif use_dense:

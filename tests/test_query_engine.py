@@ -432,3 +432,30 @@ def test_more_like_this_self_and_dup(ray_session, tmp_path):
     assert more_like_this(dist, 0, k=5) == hits
     with pytest.raises(KeyError):
         more_like_this(s, 424242)
+
+
+def test_dense_pooled_buffer_no_state_leak(ray_session, built_index, local, oracle):
+    """Pooled dense buffer: interleaved different queries repeated on
+    one searcher (same thread) stay identical to the oracle — no
+    residue between queries; threaded repeats agree too."""
+    import threading
+
+    qs = FIXTURE_QUERIES[:6]
+    want = {q: local.search(q, k=50) for q in qs}
+    for _ in range(3):
+        for q in reversed(qs):
+            assert local.search(q, k=50) == want[q], q
+    errs = []
+
+    def worker():
+        try:
+            for q in qs:
+                if local.search(q, k=50) != want[q]:
+                    errs.append(q)
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
