@@ -134,3 +134,27 @@ def test_reload_picks_up_tombstones(server):
     assert st == 200 and body["reloaded"]
     st, body = _get(base + "/search?q=merge&k=200")
     assert all(r["doc_id"] != doc_id for r in body["results"])
+
+
+def test_server_over_actor_pool_matches_local(ray_session, built_index):
+    """The shim with a DistributedSearcher behind it (the cluster
+    deployment) answers /search identically to the local shim."""
+    from refimage_ray.query.engine import DistributedSearcher, LocalSearcher
+    from refimage_ray.serve import make_server
+
+    d = built_index[0]
+    dist = DistributedSearcher(d, num_actors=2)
+    dist.wait_ready()
+    srv = make_server(d, port=0, searcher=dist)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        s = LocalSearcher(d)
+        for q in ("spark join", "the data", "stream"):
+            st, body = _get(f"{base}/search?q={q.replace(' ', '+')}&k=5")
+            assert st == 200
+            got = [(r["doc_id"], r["score"]) for r in body["results"]]
+            assert got == s.search(q, k=5), q
+    finally:
+        srv.shutdown()
