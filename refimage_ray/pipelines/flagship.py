@@ -58,6 +58,32 @@ def build_from_pages(
     deadlocks the streaming executor — the actors reserve every CPU
     and the read/write stages starve — hence (min, max) there.)
     """
+    docs = docs_from_pages(
+        pages_dir, extract_concurrency=extract_concurrency,
+        curate=curate, source=source,
+    )
+    exts = (".parquet",) if source == "parquet" else (".warc", ".warc.gz")
+    lineage = [
+        {"path": os.path.join(pages_dir, f)}
+        for f in sorted(os.listdir(pages_dir))
+        if f.endswith(exts)
+    ]
+    return build_index(
+        docs, index_dir, cfg, lineage=lineage, resume=resume, dedup_exact=True
+    )
+
+
+def docs_from_pages(
+    pages_dir: str,
+    *,
+    extract_concurrency: int | tuple | None = None,
+    curate: dict | None = None,
+    source: str = "parquet",
+) -> "rd.Dataset":
+    """pages container → docs Dataset (extract → optional in-flight
+    curation gates → content hash + pure-function doc ids) — the
+    pre-index half of :func:`build_from_pages`, reusable by the
+    sub-range job path (``scripts/build_job.py --subranges``)."""
     if source == "parquet":
         pages = rd.read_parquet(
             pages_dir, columns=["url", "warc_ts", "html", "lang"]
@@ -121,17 +147,8 @@ def build_from_pages(
         )
     # pure-function doc ids + content hash in-flight; exact dedup runs
     # as a small-column side pass inside build_index (no corpus shuffle)
-    docs = extracted.map_batches(
+    return extracted.map_batches(
         lambda b: add_url_hash_ids(add_content_hash(b)), batch_format="pyarrow"
-    )
-    exts = (".parquet",) if source == "parquet" else (".warc", ".warc.gz")
-    lineage = [
-        {"path": os.path.join(pages_dir, f)}
-        for f in sorted(os.listdir(pages_dir))
-        if f.endswith(exts)
-    ]
-    return build_index(
-        docs, index_dir, cfg, lineage=lineage, resume=resume, dedup_exact=True
     )
 
 

@@ -30,6 +30,10 @@ def main() -> int:
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--subranges", type=int, default=1,
+                   help=">1: doc-range sub-builds + merge (the capacity "
+                        "plan's >2M-reducer path; one would normally run "
+                        "each sub-build as its own ray job)")
     args = p.parse_args()
 
     import ray
@@ -48,8 +52,21 @@ def main() -> int:
 
     cfg = EngineConfig(num_shards=args.num_shards,
                        salt_buckets=args.salt_buckets)
-    res = build_from_pages(args.pages, args.index, cfg)
-    print(json.dumps(res.metrics))
+    if args.subranges > 1:
+        from refimage_ray.index.lifecycle import build_subranges
+        from refimage_ray.pipelines.flagship import docs_from_pages
+        from refimage_ray.stages.dedup import exact_dedup
+
+        # exact dedup must run GLOBALLY before the doc-range split —
+        # duplicates cross range boundaries, and per-range builds
+        # cannot see each other's content hashes
+        docs = exact_dedup(docs_from_pages(args.pages))
+        man = build_subranges(docs, args.index, cfg,
+                              n_subranges=args.subranges)
+        print(json.dumps(man["stats"]))
+    else:
+        res = build_from_pages(args.pages, args.index, cfg)
+        print(json.dumps(res.metrics))
     ray.shutdown()
     return 0
 
