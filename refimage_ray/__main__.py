@@ -163,6 +163,18 @@ def main(argv: list[str] | None = None) -> int:
                 from refimage_ray.index.build import build_index
 
                 docs = rd.read_parquet(args.documents)
+                if args.curate:
+                    # same in-flight gate as the pages path (documents
+                    # already carry doc ids, so the gate uses them)
+                    from refimage_ray.pipelines.flagship import (
+                        apply_curation_gate,
+                    )
+
+                    docs = apply_curation_gate(docs, {
+                        "lang": args.curate_lang,
+                        "min_tokens": args.curate_min_tokens,
+                        "min_stopword_ratio": args.curate_min_stopword_ratio,
+                    })
                 res = build_index(docs, args.index, cfg,
                                   lineage=[{"path": args.documents}])
             print(json.dumps(res.metrics, indent=1))

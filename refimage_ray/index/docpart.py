@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -193,6 +194,14 @@ def build_doc_partitioned(
     on the reducers' stat output (vocab-sized rows, not postings).
     """
     os.makedirs(index_dir, exist_ok=True)
+    # clear stale outputs from a prior/crashed run: leftover
+    # docshard-*.parquet files are globbed by prefix at load time, and
+    # terms/ is written with uniquely-named files (write_parquet ADDS
+    # to an existing dir) — either would silently mix two runs
+    for f in os.listdir(index_dir):
+        if f.startswith("docshard-") and f.endswith(".parquet"):
+            os.remove(os.path.join(index_dir, f))
+    shutil.rmtree(os.path.join(index_dir, "terms"), ignore_errors=True)
     t0 = time.perf_counter()
 
     stats_agg = docs_ds.map_batches(
@@ -220,9 +229,17 @@ def build_doc_partitioned(
         .write_parquet(terms_dir)
     )
 
+    # the hash may leave shard buckets empty (small/skewed corpora):
+    # record the files actually written so fsck can verify presence
+    # EXACTLY rather than assuming one file per bucket
+    shard_files = sorted(
+        f for f in os.listdir(index_dir)
+        if f.startswith("docshard-") and f.endswith(".parquet")
+    )
     manifest = {
         "layout": "doc-partitioned",
         "num_doc_shards": num_doc_shards,
+        "docshard_files": shard_files,
         "stats": {"n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
                   "k1": cfg.k1, "b": cfg.b},
         "config": {"token_pattern": cfg.token_pattern},

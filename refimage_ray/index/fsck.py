@@ -96,11 +96,37 @@ def verify_docpart_index(index_dir: str, deep: bool = False) -> dict:
     shards = sorted(
         f for f in os.listdir(index_dir) if f.startswith("docshard-")
     )
-    n_expected = int(man.get("num_doc_shards", len(shards)))
-    if len(shards) != n_expected:
-        problems.append(
-            f"{len(shards)} docshard files, manifest says {n_expected}"
-        )
+    # the build writes one file per NON-EMPTY doc-shard group (the
+    # hash may leave buckets empty on small/skewed corpora), so file
+    # presence is checked against the manifest's recorded file SET —
+    # catching both missing and stale/extra files exactly
+    expected_files = man.get("docshard_files")
+    if expected_files is not None:
+        missing = sorted(set(expected_files) - set(shards))
+        extra = sorted(set(shards) - set(expected_files))
+        for f in missing:
+            problems.append(f"{f}: recorded in manifest but missing")
+        for f in extra:
+            problems.append(
+                f"{f}: not in manifest (stale file from a prior run?)"
+            )
+    else:  # pre-docshard_files manifests: bound-check the ordinals
+        n_expected = int(man.get("num_doc_shards", len(shards)))
+        if len(shards) > n_expected:
+            problems.append(
+                f"{len(shards)} docshard files, manifest says {n_expected}"
+            )
+        for f in shards:
+            try:
+                ordinal = int(f[len("docshard-"):].split(".")[0])
+            except ValueError:
+                problems.append(f"unparseable docshard filename: {f}")
+                continue
+            if ordinal >= n_expected:
+                problems.append(
+                    f"{f}: shard ordinal {ordinal} >= num_doc_shards "
+                    f"{n_expected} (stale file from a prior layout?)"
+                )
     if not os.path.isdir(os.path.join(index_dir, "terms")):
         problems.append("terms/ global-df table missing")
 

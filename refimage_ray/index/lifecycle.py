@@ -386,8 +386,9 @@ def update_doc_metadata(
     re-written, atomically (temp + rename via ``atomic_write_bytes``),
     so a crash mid-update leaves every partition either old or new,
     never truncated.  Raises ``KeyError`` listing ids not present
-    (the 404 analog) and ``ValueError`` for immutable columns.
-    Returns the number of docs updated.
+    (the 404 analog) BEFORE any partition is rewritten — a 404 never
+    partially applies the batch — and ``ValueError`` for immutable
+    columns.  Returns the number of docs updated.
     """
     bad_cols = {c for u in updates.values() for c in u} - MUTABLE_DOC_COLUMNS
     if bad_cols:
@@ -402,16 +403,26 @@ def update_doc_metadata(
         f for f in os.listdir(docs_dir)
         if f.endswith(".parquet") and not f.startswith("_")
     )
+    from refimage_ray.functions.arrays import sorted_membership
+
+    # pass 1: probe every file's doc_id column BEFORE mutating anything
+    # — the 404 must not leave the artifact partially updated
+    hits: list[tuple[str, np.ndarray, np.ndarray]] = []
     for fname in files:
         path = os.path.join(docs_dir, fname)
         ids = pq.read_table(path, columns=["doc_id"])["doc_id"].to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        from refimage_ray.functions.arrays import sorted_membership
-
         hit = sorted_membership(want, ids)
-        if not hit.any():
-            continue
+        if hit.any():
+            hits.append((path, ids, hit))
+            found = np.union1d(found, ids[hit])
+    missing = np.setdiff1d(want, found)
+    if len(missing):
+        raise KeyError(f"doc_ids not found: {missing.tolist()[:20]}")
+
+    # pass 2: rewrite only the hit files, each atomically
+    for path, ids, hit in hits:
         t = pq.read_table(path)
         cols = {name: t[name] for name in t.column_names}
         hit_rows = np.flatnonzero(hit)
@@ -427,8 +438,4 @@ def update_doc_metadata(
         buf = io.BytesIO()
         pq.write_table(pa.table(cols), buf)
         atomic_write_bytes(path, buf.getvalue())
-        found = np.union1d(found, ids[hit])
-    missing = np.setdiff1d(want, found)
-    if len(missing):
-        raise KeyError(f"doc_ids not found: {missing.tolist()[:20]}")
     return int(len(found))

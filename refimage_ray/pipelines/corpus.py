@@ -200,10 +200,9 @@ def doc_len_quantiles(
     def hist(batch: pa.Table) -> pa.Table:
         dl = doc_lengths(batch["text"]).astype(np.int64)
         counts = np.bincount(dl)
+        # flatnonzero keys on the COUNT, so index 0 (zero-length docs)
+        # is already included whenever counts[0] > 0
         lens = np.flatnonzero(counts)
-        # include length 0 if present
-        if len(dl) and counts[0]:
-            lens = np.unique(np.concatenate(([0], lens)))
         return pa.table(
             {
                 "doc_len": pa.array(lens, pa.int64()),

@@ -34,6 +34,60 @@ FLAGSHIP_QUERIES = [
     "the slow group",
 ]
 
+# per-worker-process LangId cache for the task-pool curation gate —
+# its state is a few word lists, so the extract_text_batch pattern
+# (module global, zero actor ramp, scheduler-sized parallelism)
+# applies; an actor pool here was measured as a concurrency=4 cap
+# throttling the whole streaming build
+_GATE_LANGID = None
+
+
+def curation_gate_batch(
+    batch: pa.Table, min_tokens: int, min_stop: float, lang: str
+) -> pa.Table:
+    """Quality + lang-ID curation gate over one extracted batch:
+    failures are dropped IN-FLIGHT, before any text is staged or
+    shuffled — at 100 TB curation must not add a corpus pass.
+    (Exact dedup still runs as the in-build side pass, exactly as in
+    ``pipelines/curate.py``.)"""
+    import pyarrow.compute as pc
+
+    from refimage_ray.stages.analysis import LangId, quality_batch
+
+    global _GATE_LANGID
+    if _GATE_LANGID is None:
+        _GATE_LANGID = LangId()
+    # the analysis stages key their outputs by doc_id; attach a
+    # transient row index when the batch doesn't carry ids yet (the
+    # pages path gates BEFORE doc-id assignment)
+    tmp = batch
+    if "doc_id" not in batch.column_names:
+        tmp = batch.append_column(
+            "doc_id", pa.array(range(batch.num_rows), pa.int64())
+        )
+    q = quality_batch(tmp)
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(q["n_tokens"], min_tokens),
+            pc.greater_equal(q["stopword_ratio"], min_stop),
+        ),
+        pc.equal(_GATE_LANGID(tmp)["pred_lang"], lang),
+    )
+    return batch.filter(keep)
+
+
+def apply_curation_gate(ds: "rd.Dataset", curate: dict) -> "rd.Dataset":
+    """Attach the in-flight curation gate to a docs/extracted Dataset
+    (task-pool ``map_batches``; works on any table with a text column,
+    with or without doc ids)."""
+    min_tokens = int(curate.get("min_tokens", 30))
+    min_stop = float(curate.get("min_stopword_ratio", 0.04))
+    lang = str(curate.get("lang", "en"))
+    return ds.map_batches(
+        lambda b: curation_gate_batch(b, min_tokens, min_stop, lang),
+        batch_format="pyarrow",
+    )
+
 
 def build_from_pages(
     pages_dir: str,
@@ -108,43 +162,7 @@ def docs_from_pages(
             batch_size=256,
         )
     if curate is not None:
-        # curation gates IN-FLIGHT between extract and staging: quality
-        # signals + lang-ID computed per batch, failures dropped before
-        # any text is staged or shuffled — at 100 TB curation must not
-        # add a corpus pass.  (Exact dedup still runs as the in-build
-        # side pass below, exactly as in pipelines/curate.py.)
-        from refimage_ray.stages.analysis import LangId, quality_batch
-
-        min_tokens = int(curate.get("min_tokens", 30))
-        min_stop = float(curate.get("min_stopword_ratio", 0.04))
-        lang = str(curate.get("lang", "en"))
-
-        class _Gate:
-            def __init__(self) -> None:
-                self.langid = LangId()
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                # gates run BEFORE doc-id assignment; the analysis
-                # stages key their outputs by doc_id, so attach a
-                # transient row index (dropped with the signal columns)
-                tmp = batch.append_column(
-                    "doc_id", pa.array(range(batch.num_rows), pa.int64())
-                )
-                q = quality_batch(tmp)
-                keep = pc.and_(
-                    pc.and_(
-                        pc.greater_equal(q["n_tokens"], min_tokens),
-                        pc.greater_equal(q["stopword_ratio"], min_stop),
-                    ),
-                    pc.equal(self.langid(tmp)["pred_lang"], lang),
-                )
-                return batch.filter(keep)
-
-        extracted = extracted.map_batches(
-            _Gate, batch_format="pyarrow", concurrency=(1, 4)
-        )
+        extracted = apply_curation_gate(extracted, curate)
     # pure-function doc ids + content hash in-flight; exact dedup runs
     # as a small-column side pass inside build_index (no corpus shuffle)
     return extracted.map_batches(

@@ -86,22 +86,22 @@ def packed_sequences(sf_dir: str, budget: int = 256, n_buckets: int = 16) -> "rd
     seqs = pack_token_sequences(
         _docs(sf_dir, ("doc_id", "text")), budget=budget, n_buckets=n_buckets
     )
+    return seqs.map_batches(_seq_checksums, batch_format="pyarrow")
 
-    def checksum(b: pa.Table) -> pa.Table:
-        out = {"seq_id": [], "n_tokens": [], "sum_ids": [], "possum_ids": []}
-        for row in b.to_pylist():
-            ids = np.asarray(row["token_ids"], np.int64)
-            out["seq_id"].append(row["seq_id"])
-            out["n_tokens"].append(len(ids))
-            out["sum_ids"].append(int(ids.sum()))
-            out["possum_ids"].append(
-                int(((np.arange(len(ids)) + 1) * ids).sum())
-            )
-        return pa.table(
-            {k: pa.array(v, pa.int64()) for k, v in out.items()}
-        )
 
-    return seqs.map_batches(checksum, batch_format="pyarrow")
+def _seq_checksums(b: pa.Table) -> pa.Table:
+    """Per-sequence (n_tokens, sum_ids, possum_ids) checksum columns —
+    shared by :func:`packed_sequences` and
+    :func:`curated_packed_sequences` so both oracles pin the same
+    content-and-order semantics."""
+    out = {"seq_id": [], "n_tokens": [], "sum_ids": [], "possum_ids": []}
+    for row in b.to_pylist():
+        ids = np.asarray(row["token_ids"], np.int64)
+        out["seq_id"].append(row["seq_id"])
+        out["n_tokens"].append(len(ids))
+        out["sum_ids"].append(int(ids.sum()))
+        out["possum_ids"].append(int(((np.arange(len(ids)) + 1) * ids).sum()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
 # ---------------------------------------------------------------------------
@@ -180,18 +180,7 @@ def curated_packed_sequences(
         keep_only, batch_format="pyarrow"
     )
     seqs = pack_token_sequences(survivors, budget=budget, n_buckets=n_buckets)
-
-    def checksum(b: pa.Table) -> pa.Table:
-        out = {"seq_id": [], "n_tokens": [], "sum_ids": [], "possum_ids": []}
-        for row in b.to_pylist():
-            ids = np.asarray(row["token_ids"], np.int64)
-            out["seq_id"].append(row["seq_id"])
-            out["n_tokens"].append(len(ids))
-            out["sum_ids"].append(int(ids.sum()))
-            out["possum_ids"].append(int(((np.arange(len(ids)) + 1) * ids).sum()))
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
-
-    return seqs.map_batches(checksum, batch_format="pyarrow")
+    return seqs.map_batches(_seq_checksums, batch_format="pyarrow")
 
 
 #: BPE-ish pre-tokenizer pattern (GPT-2-style split classes: letter

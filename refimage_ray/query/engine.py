@@ -421,7 +421,10 @@ class _SearcherBase:
 
             idf_fn = get_scorer(scorer).idf
         use_dense = (
-            (prune if dense is None else dense)
+            # a string prune value (e.g. "blockmax") is an explicitly
+            # requested evaluation strategy — only the default
+            # prune=True may auto-route to the dense fast path
+            (prune is True if dense is None else dense)
             and self.all_ids is not None
             # check only the QUERY's terms — LocalSearcher's term_map is
             # the whole vocabulary and an all-values scan would cost
@@ -622,6 +625,10 @@ class DistributedSearcher(_SearcherBase):
         self._cache: "OrderedDict[str, TermPostings | None]" = OrderedDict()
         self._cache_bytes = 0
         self._cache_cap = int(cache_bytes)
+        # serve.py shares one searcher across ThreadingHTTPServer
+        # request threads; the LRU's move_to_end / insert / evict
+        # sequences are not atomic under the GIL
+        self._cache_lock = _threading.Lock()
         self.cache_hits = 0
         self.cache_misses = 0
         reader = IndexReader(index_dir)
@@ -689,16 +696,17 @@ class DistributedSearcher(_SearcherBase):
         :meth:`_gather_term_map`."""
         cached: dict[str, TermPostings] = {}
         missing: list[str] = []
-        for t in terms:
-            if self._cache_cap and t in self._cache:
-                self._cache.move_to_end(t)
-                self.cache_hits += 1
-                v = self._cache[t]
-                if v is not None:  # None = cached absence
-                    cached[t] = v
-            else:
-                self.cache_misses += 1
-                missing.append(t)
+        with self._cache_lock:
+            for t in terms:
+                if self._cache_cap and t in self._cache:
+                    self._cache.move_to_end(t)
+                    self.cache_hits += 1
+                    v = self._cache[t]
+                    if v is not None:  # None = cached absence
+                        cached[t] = v
+                else:
+                    self.cache_misses += 1
+                    missing.append(t)
         by_actor: dict[int, list[str]] = {}
         for t in missing:
             shard = blake2b64(t) % self.num_shards
@@ -722,15 +730,16 @@ class DistributedSearcher(_SearcherBase):
                 merged[t] = tp
                 fetched[t] = tp
         if self._cache_cap:
-            for t in missing:
-                v = fetched.get(t)
-                if t in self._cache:  # duplicate in-flight (search_many)
-                    continue
-                self._cache[t] = v
-                self._cache_bytes += self._postings_nbytes(v)
-            while self._cache_bytes > self._cache_cap and self._cache:
-                _, old = self._cache.popitem(last=False)
-                self._cache_bytes -= self._postings_nbytes(old)
+            with self._cache_lock:
+                for t in missing:
+                    v = fetched.get(t)
+                    if t in self._cache:  # duplicate in-flight request
+                        continue
+                    self._cache[t] = v
+                    self._cache_bytes += self._postings_nbytes(v)
+                while self._cache_bytes > self._cache_cap and self._cache:
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_bytes -= self._postings_nbytes(old)
         return merged
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
@@ -754,16 +763,18 @@ class DistributedSearcher(_SearcherBase):
         ``DistributedDocPartSearcher.search_many``."""
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
-        per_query = []
-        for q in queries:
-            terms = query_terms(tokenize(q))
-            per_query.append((terms, self._issue_term_map(terms)))
+        per_query = [query_terms(tokenize(q)) for q in queries]
+        # ONE postings fetch for the batch's unique terms: real query
+        # batches are term-skewed, and issuing per query would re-ship
+        # every repeated term's posting list (the cache only fills at
+        # gather time, so in-flight duplicates all miss)
+        union = sorted({t for terms in per_query for t in terms})
+        tmap = self._term_map(union)
         return [
             self._finish_search(
-                self._gather_term_map(futs), terms, k, threshold, mode,
-                prune, scorer, dense,
+                tmap, terms, k, threshold, mode, prune, scorer, dense,
             )
-            for terms, futs in per_query
+            for terms in per_query
         ]
 
 

@@ -86,6 +86,25 @@ def test_flagship_build_with_inflight_curation(ray_session, tiny_pages, tmp_path
     assert hits
 
 
+def test_curation_gate_on_documents_table(ray_session):
+    """The CLI's ``build --documents --curate`` path: the same gate
+    applies to a corpus that ALREADY carries doc ids (the pages path
+    attaches a transient index; here the real ids are used and
+    preserved)."""
+    from refimage_ray.pipelines.flagship import apply_curation_gate
+
+    docs = _mk_docs()
+    gated = apply_curation_gate(
+        rd.from_arrow(docs),
+        {"min_tokens": 5, "min_stopword_ratio": 0.0, "lang": "en"},
+    ).take_all()
+    assert 0 < len(gated) < docs.num_rows  # gates bite
+    kept_ids = {r["doc_id"] for r in gated}
+    assert kept_ids <= set(docs["doc_id"].to_pylist())  # ids preserved
+    # schema untouched: the gate filters rows, never rewrites columns
+    assert set(gated[0].keys()) == set(docs.column_names)
+
+
 def test_curated_doc_ids_empty_survivors(ray_session):
     """Gates that nothing passes → empty (doc_id) table, not a crash
     (empty groupby + collect path)."""

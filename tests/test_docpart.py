@@ -72,6 +72,35 @@ def test_docpart_deterministic_rebuild(ray_session, tiny_docs, tmp_path):
         assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
+def test_docpart_rebuild_clears_stale_outputs(ray_session, tiny_docs, tmp_path):
+    """Rebuilding into the same dir with FEWER shards must not leave
+    prior docshard files (globbed by prefix at load time) or stale
+    terms/ rows (write_parquet ADDS uniquely-named files) behind."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cfg = EngineConfig(num_shards=8, salt_buckets=4)
+    d = str(tmp_path / "idx")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), d, cfg, num_doc_shards=8)
+    n_terms_first = pq.read_table(os.path.join(d, "terms")).num_rows
+    build_doc_partitioned(rd.from_arrow(tiny_docs), d, cfg, num_doc_shards=2)
+    ordinals = [
+        int(os.path.basename(p)[len("docshard-"):].split(".")[0])
+        for p in glob.glob(os.path.join(d, "docshard-*.parquet"))
+    ]
+    assert ordinals and max(ordinals) < 2, f"stale shard files: {ordinals}"
+    # terms/ holds exactly one run's rows, not both runs' appended files
+    assert pq.read_table(os.path.join(d, "terms")).num_rows == n_terms_first
+    # and a fresh-dir build answers identically
+    d2 = str(tmp_path / "fresh")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), d2, cfg, num_doc_shards=2)
+    a, b = DocPartSearcher(d), DocPartSearcher(d2)
+    for q in FIXTURE_QUERIES[:3]:
+        assert a.search(q, k=10) == b.search(q, k=10), q
+
+
 def test_distributed_docpart_matches_local(both_indexes):
     from refimage_ray.index.docpart import DistributedDocPartSearcher
 

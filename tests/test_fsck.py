@@ -108,6 +108,46 @@ def test_docpart_fsck_clean_and_df_drift(ray_session, built_index, tmp_path):
         assert not rep["ok"] and any("df drift" in p for p in rep["problems"])
 
 
+def test_docpart_fsck_tolerates_empty_shards_flags_stale(
+    ray_session, built_index, tmp_path
+):
+    """A hash can leave doc-shard buckets empty on a small corpus —
+    fewer files than num_doc_shards is HEALTHY (presence is checked
+    against the manifest's recorded file set), while a stale file from
+    a prior run is flagged."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import build_doc_partitioned
+
+    d = str(tmp_path / "dp3")
+    cfg = EngineConfig(num_shards=8, salt_buckets=4, hot_df_fraction=0.05)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([f"the data doc {i} scan join" for i in range(6)]),
+    })
+    # 16 buckets over a 6-doc corpus: most buckets are empty
+    build_doc_partitioned(rd.from_arrow(docs), d, cfg, num_doc_shards=16)
+    n_files = len([f for f in os.listdir(d) if f.startswith("docshard-")])
+    assert n_files < 16  # the premise: some buckets WERE empty
+    rep = verify_index(d, deep=True)
+    assert rep["ok"], rep["problems"]
+
+    # a leftover file from a prior/foreign run is a problem
+    present = {f for f in os.listdir(d) if f.startswith("docshard-")}
+    src = sorted(present)[0]
+    free = next(
+        f"docshard-{i:05d}.parquet" for i in range(16)
+        if f"docshard-{i:05d}.parquet" not in present
+    )
+    shutil.copy(os.path.join(d, src), os.path.join(d, free))
+    rep = verify_index(d)
+    assert not rep["ok"] and any("stale" in p for p in rep["problems"])
+
+
 def test_docpart_fsck_missing_shard(ray_session, built_index, tmp_path):
     from refimage_ray.config import EngineConfig
     from refimage_ray.index.docpart import build_doc_partitioned

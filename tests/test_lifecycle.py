@@ -150,6 +150,17 @@ def test_update_doc_metadata_put(ray_session, built_index):
     with pytest.raises(ValueError):
         update_doc_metadata(index_dir, {3: {"text": "nope"}})
 
+    # a 404 batch must be ALL-or-nothing: the valid id in a batch with
+    # a missing id is NOT applied (missing-check runs before any
+    # partition rewrite)
+    with pytest.raises(KeyError):
+        update_doc_metadata(
+            index_dir, {3: {"url": "https://poison.example/3"},
+                        10**12: {"url": "x"}}
+        )
+    got = lookup_docs(index_dir, [3], columns=["doc_id", "url"]).to_pydict()
+    assert got["url"][0] == "https://new.example/3"  # unchanged by the 404
+
 
 def test_build_subranges_equals_monolithic(ray_session, tiny_docs, tmp_path):
     """The planner's >2M-reducer path: 3 doc-range sub-builds + merge

@@ -327,6 +327,70 @@ def test_distributed_search_many_matches_search(ray_session, built_index, local)
     assert batch_and == [d.search(q, k=5, mode="and") for q in FIXTURE_QUERIES[:3]]
 
 
+def test_search_many_fetches_each_term_once(ray_session, built_index, local):
+    """A batch with repeated queries must fetch each unique term's
+    postings ONCE (the cache only fills at gather time, so a per-query
+    issue loop would re-ship every repeated term's posting list)."""
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.query.scorer import query_terms
+
+    d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready(warm_hot_terms=False)
+    qbatch = FIXTURE_QUERIES[:4] * 8  # every term repeated 8x
+    uniq = {t for q in qbatch for t in query_terms(tokenize(q))}
+    res = d.search_many(qbatch, k=10)
+    assert d.cache_misses == len(uniq)
+    assert res == [local.search(q, k=10) for q in qbatch]
+
+
+def test_distributed_searcher_thread_safe(ray_session, built_index, local):
+    """serve.py shares one DistributedSearcher across HTTP request
+    threads: concurrent searches through the LRU (move_to_end /
+    insert / evict under a tiny byte cap) must stay consistent."""
+    import threading
+
+    d = DistributedSearcher(built_index[0], num_actors=2, cache_bytes=2048)
+    d.wait_ready(warm_hot_terms=False)
+    expected = {q: local.search(q, k=10) for q in FIXTURE_QUERIES}
+    errs: list = []
+
+    def worker() -> None:
+        try:
+            for _ in range(20):
+                for q in FIXTURE_QUERIES:
+                    if d.search(q, k=10) != expected[q]:
+                        errs.append(q)
+        except Exception as e:  # OrderedDict corruption raises here
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[:5]
+
+
+def test_explicit_blockmax_prune_is_honored(built_index, local, monkeypatch):
+    """prune="blockmax" must run the Block-Max evaluator even on a
+    dense-ranks searcher (the default) — not silently route to the
+    dense path — and return identical results."""
+    import refimage_ray.query.engine as eng
+
+    calls = {"n": 0}
+    real = eng._topk_disjunctive_blockmax
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(eng, "_topk_disjunctive_blockmax", counting)
+    for q in FIXTURE_QUERIES[:3]:
+        assert local.search(q, k=10, prune="blockmax") == \
+            local.search(q, k=10)
+    assert calls["n"] == 3
+
+
 def test_distributed_postings_cache_identical_results(ray_session, built_index,
                                                       local):
     """The driver-side LRU postings cache must not change any result:
