@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist_stats": training.url_blocklist_stats,
         "pii_scrub_stats": training.pii_scrub_stats,
         "token_count_multi": training.token_count_multi,
+        "global_shuffle_docs": training.global_shuffle_docs,
     }
 
 
@@ -726,6 +727,17 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        # deterministic global shuffle: the permutation is a VALUE
+        # (shuffle_pos = rank by multiplicative-hash key), so the
+        # order-insensitive compare still pins the whole ordering
+        "global_shuffle_docs": """
+SELECT doc_id,
+       CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS shuffle_key,
+       CAST(row_number() OVER (
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 """,
         # packed token-id sequences: per-seq count / id-sum /

@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--seqs-per-file", type=int, default=4096)
     pk.add_argument("--index", default=None,
                     help="optional index dir: reuse its term vocab")
+    pk.add_argument("--shuffle", action="store_true",
+                    help="write in deterministic global-shuffle order")
+    pk.add_argument("--seed", type=int, default=0,
+                    help="shuffle permutation seed")
 
     sv = sub.add_parser("serve", help="HTTP JSON API over an index")
     sv.add_argument("--index", required=True)
@@ -250,10 +254,13 @@ def main(argv: list[str] | None = None) -> int:
             man = write_packed_sequences(
                 docs, args.out, budget=args.budget,
                 seqs_per_file=args.seqs_per_file, vocab=vocab,
+                order="shuffled" if args.shuffle else "stream",
+                seed=args.seed,
             )
             print(json.dumps({"files": len(man["files"]),
                               "skipped": len(man["skipped_existing"]),
-                              "budget": man["budget"]}))
+                              "budget": man["budget"],
+                              "order": man["order"]}))
         elif args.cmd == "serve":
             from refimage_ray.serve import make_server
 

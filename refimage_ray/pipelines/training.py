@@ -123,6 +123,19 @@ _HASH_MUL = np.uint64(2654435761)
 _HASH_MOD = np.uint64(0xFFFFFFFF)
 
 
+def global_shuffle_docs(sf_dir: str, seed: int = 0) -> "rd.Dataset":
+    """Deterministic global shuffle of the corpus: every doc's position
+    in the training-order permutation (``stages.packing.shuffle_ranks``
+    — hash-rank scan, not ``random_shuffle``, so the order is seedable,
+    byte-stable across resumes/cluster sizes, and SQL-verifiable as
+    ``ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)``)."""
+    from refimage_ray.stages.packing import shuffle_ranks
+
+    return shuffle_ranks(
+        _docs(sf_dir, ("doc_id",)), id_col="doc_id", seed=seed
+    )
+
+
 def lang_mixture_sample(
     sf_dir: str, rates: dict[str, float] | None = None, default: float = DEFAULT_RATE
 ) -> "rd.Dataset":

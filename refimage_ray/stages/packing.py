@@ -141,6 +141,8 @@ def write_packed_sequences(
     vocab: list[str] | None = None,
     seqs_per_file: int = 4096,
     resume: bool = True,
+    order: str = "stream",
+    seed: int = 0,
 ) -> dict:
     """Resumable partitioned sink for the training product: the packed
     sequences land as ``seqs-{file:05d}.parquet`` (one file per
@@ -150,9 +152,19 @@ def write_packed_sequences(
     (``resume=False`` forces rewrite) — the artifact is deterministic,
     so resumed output is byte-identical to a single run.
 
-    The file key is ``seq_id // seqs_per_file`` — a pure function of
-    the (deterministic) scan, so a crashed run's completed ranges are
+    ``order="stream"`` (default): file key is
+    ``seq_id // seqs_per_file`` — a pure function of the
+    (deterministic) scan, so a crashed run's completed ranges are
     valid without any coordination state beyond the filesystem.
+
+    ``order="shuffled"``: the GLOBAL training shuffle, at the same
+    cost as the stream write.  Files are range buckets of the
+    ``shuffle_key_of(seq_id, seed)`` domain, rows within a file sorted
+    by (key, seq_id) — so reading the files in name order replays
+    EXACTLY the :func:`shuffle_ranks` permutation without computing a
+    single global rank (the key range IS the order).  Still
+    deterministic, seedable, resumable; file sizes are ≈seqs_per_file
+    (multiplicative-hash uniformity) rather than exact.
     """
     import json
     import os
@@ -161,16 +173,37 @@ def write_packed_sequences(
 
     from refimage_ray.index.manifest import atomic_write_bytes
 
+    if order not in ("stream", "shuffled"):
+        raise ValueError(f"order must be 'stream' or 'shuffled', got {order!r}")
     os.makedirs(out_dir, exist_ok=True)
     seqs = pack_token_sequences(
         docs_ds, budget=budget, n_buckets=n_buckets, vocab=vocab
     )
 
+    n_files = 0
+    if order == "shuffled":
+        # file count up front from a NARROW token-count pass (no list
+        # columns, no shuffle) — the bucket count must be a constant of
+        # the dataset for the key-range → file mapping to be stable
+        from refimage_ray.stages.tokenize import doc_lengths
+
+        total = docs_ds.map_batches(
+            lambda b: pa.table({"dl": doc_lengths(b["text"])}),
+            batch_format="pyarrow",
+        ).aggregate(Sum("dl", alias_name="s"))["s"] or 0
+        total_seqs = -(-int(total) // budget)
+        n_files = max(1, -(-total_seqs // seqs_per_file))
+
     def add_key(b: pa.Table) -> pa.Table:
         sid = b["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if order == "stream":
+            fk = sid // seqs_per_file
+            return b.append_column("file_key", pa.array(fk, pa.int64()))
+        key = shuffle_key_of(sid, seed)
+        fk = ((key * np.uint64(n_files)) >> np.uint64(32)).astype(np.int64)
         return b.append_column(
-            "file_key", pa.array(sid // seqs_per_file, pa.int64())
-        )
+            "file_key", pa.array(fk, pa.int64())
+        ).append_column("shuffle_key", pa.array(key.astype(np.int64)))
 
     def write_file(g: pa.Table) -> pa.Table:
         import io
@@ -182,10 +215,17 @@ def write_packed_sequences(
             return pa.table(
                 {"file": pa.array([fname]), "n_seqs": pa.array([-1], pa.int64())}
             )
-        order = np.argsort(
-            g["seq_id"].to_numpy(zero_copy_only=False), kind="stable"
-        )
-        t = g.take(pa.array(order)).drop_columns(["file_key"])
+        if order == "stream":
+            srt = np.argsort(
+                g["seq_id"].to_numpy(zero_copy_only=False), kind="stable"
+            )
+            t = g.take(pa.array(srt)).drop_columns(["file_key"])
+        else:
+            srt = np.lexsort((
+                g["seq_id"].to_numpy(zero_copy_only=False),
+                g["shuffle_key"].to_numpy(zero_copy_only=False),
+            ))
+            t = g.take(pa.array(srt)).drop_columns(["file_key", "shuffle_key"])
         buf = io.BytesIO()
         pq.write_table(t, buf)
         atomic_write_bytes(path, buf.getvalue())
@@ -204,6 +244,9 @@ def write_packed_sequences(
         "kind": "packed-sequences",
         "budget": budget,
         "seqs_per_file": seqs_per_file,
+        "order": order,
+        "seed": seed if order == "shuffled" else None,
+        "n_files": n_files if order == "shuffled" else len(written),
         "files": written,
         "skipped_existing": sorted(r["file"] for r in rows if r["n_seqs"] < 0),
     }
@@ -406,4 +449,98 @@ def pack_token_sequences(
         .map_groups(emit_pieces, batch_format="pyarrow")
         .groupby("seq_id")
         .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (hash-rank permutation)
+# ---------------------------------------------------------------------------
+
+#: Knuth multiplicative constant — the same family the mixture sampler
+#: uses; the permutation is a pure function of (id, seed), so a resumed
+#: or re-run job reproduces the identical order byte-for-byte.
+_SHUFFLE_MUL = np.uint64(2654435761)
+_SHUFFLE_DOMAIN = np.uint64(1) << np.uint64(32)
+
+
+def shuffle_key_of(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random sort key in [0, 2^32) per id."""
+    h = (ids.astype(np.uint64) + np.uint64(seed)) * _SHUFFLE_MUL
+    return h % _SHUFFLE_DOMAIN
+
+
+def shuffle_ranks(
+    ids_ds: "rd.Dataset",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> "rd.Dataset":
+    """(id) → (id, shuffle_key, shuffle_pos): a deterministic GLOBAL
+    shuffle expressed as a rank — ``shuffle_pos`` is the row's position
+    in the permutation ordered by ``(shuffle_key, id)``.
+
+    Every LM training-data pipeline globally shuffles its sequences
+    before writing; ``random_shuffle()`` does that too, but its order
+    is neither seedable-stable across resumes nor verifiable.  This is
+    the scan shape again (the same two passes as :func:`pack_offsets`,
+    counting rows instead of tokens): only the id column moves, the
+    bucket table is K rows on the driver, and the within-bucket sort
+    is bounded by the bucket's key range — no full-dataset sort, no
+    driver materialization, byte-stable across runs/resumes/cluster
+    sizes.
+
+    Partitioning assumption: buckets are ranges of the 32-bit key
+    domain and the multiplicative hash spreads ids uniformly, so each
+    of the K groups holds ≈ n/K rows — choose ``n_buckets`` ≈
+    corpus_rows / target_rows as with packing buckets.
+    """
+    nb = max(1, int(n_buckets))
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = shuffle_key_of(ids, seed)
+        # order-preserving range partition of the key domain
+        bucket = (key * np.uint64(nb)) >> np.uint64(32)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shuffle_key": pa.array(key.astype(np.int64), pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = ids_ds.map_batches(add_key, batch_format="pyarrow")
+
+    # pass 1: K-row reduction of per-bucket row counts
+    from ray.data.aggregate import Count
+
+    counts_tbl = (
+        keyed.select_columns(["bucket"])
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    per_bucket = np.zeros(nb, np.int64)
+    for row in counts_tbl:
+        per_bucket[int(row["bucket"])] = int(row["n"])
+    bucket_start = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+
+    # pass 2: within-bucket sort by (key, id) + local arange + offset
+    def rank_group(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g["shuffle_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, key))
+        bkt = int(g["bucket"][0].as_py())
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = bucket_start[bkt] + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shuffle_key": pa.array(key, pa.int64()),
+                "shuffle_pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(
+        rank_group, batch_format="pyarrow"
     )

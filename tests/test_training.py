@@ -304,3 +304,84 @@ def test_write_packed_sequences_resume_and_identity(ray_session, tmp_path):
     assert set(m3["skipped_existing"]) == {"seqs-00000.parquet",
                                            "seqs-00002.parquet"}
     assert digest(d1) == h1
+
+
+def test_shuffle_ranks_is_a_stable_permutation(ray_session):
+    """shuffle_ranks yields a bijection onto 0..n-1 that (a) matches
+    the naive single-process rank, (b) is IDENTICAL across bucket
+    counts (the cluster-size-stability claim), and (c) changes with
+    the seed."""
+    from refimage_ray.stages.packing import shuffle_key_of, shuffle_ranks
+
+    ids = np.array([1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 10**9, 7],
+                   np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+
+    def run(n_buckets, seed=0):
+        t = shuffle_ranks(ds, n_buckets=n_buckets, seed=seed).take_all()
+        return {r["doc_id"]: (r["shuffle_key"], r["shuffle_pos"]) for r in t}
+
+    got = run(4)
+    # (a) naive oracle: lexsort by (key, id)
+    key = shuffle_key_of(ids).astype(np.int64)
+    order = np.lexsort((ids, key))
+    pos = np.empty(len(ids), np.int64)
+    pos[order] = np.arange(len(ids))
+    for i, d in enumerate(ids):
+        assert got[int(d)] == (int(key[i]), int(pos[i]))
+    # bijection onto 0..n-1
+    assert sorted(p for _, p in got.values()) == list(range(len(ids)))
+    # (b) bucket count (≈ cluster size) does not change the permutation
+    assert run(1) == got == run(64)
+    # (c) a different seed is a different permutation
+    assert {d: p for d, (_, p) in run(4, seed=7).items()} != \
+        {d: p for d, (_, p) in got.items()}
+
+
+def test_write_packed_sequences_shuffled_order(ray_session, tmp_path):
+    """order="shuffled": reading the files in name order replays the
+    shuffle_ranks permutation of the sequence ids exactly — no global
+    rank was ever computed — and the sink stays resumable/deterministic."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from refimage_ray.stages.packing import (
+        shuffle_key_of,
+        write_packed_sequences,
+    )
+
+    texts = [f"alpha beta w{i} gamma delta w{i} epsilon" for i in range(40)]
+    d = str(tmp_path / "shuf")
+    m = write_packed_sequences(
+        _docs_ds(texts), d, budget=16, seqs_per_file=4, order="shuffled"
+    )
+    assert m["order"] == "shuffled" and m["n_files"] >= 2
+    got = []
+    for f in m["files"]:  # name order == bucket order == key order
+        got.extend(pq.read_table(os.path.join(d, f))["seq_id"].to_pylist())
+    # oracle: every seq id sorted by (shuffle_key, seq_id)
+    sids = np.array(sorted(set(got)), np.int64)
+    key = shuffle_key_of(sids).astype(np.int64)
+    want = sids[np.lexsort((sids, key))].tolist()
+    assert got == want
+    # same ids as the stream-order write, different order
+    d2 = str(tmp_path / "stream")
+    m2 = write_packed_sequences(_docs_ds(texts), d2, budget=16, seqs_per_file=4)
+    stream_ids = []
+    for f in m2["files"]:
+        stream_ids.extend(pq.read_table(os.path.join(d2, f))["seq_id"].to_pylist())
+    assert sorted(stream_ids) == sorted(got) and stream_ids != got
+    # resume: delete one file, rerun, bytes identical
+    h = {f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+         for f in m["files"]}
+    os.remove(os.path.join(d, m["files"][1]))
+    m3 = write_packed_sequences(
+        _docs_ds(texts), d, budget=16, seqs_per_file=4, order="shuffled"
+    )
+    assert m["files"][1] not in m3["skipped_existing"]
+    assert all(
+        hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest() == v
+        for f, v in h.items()
+    )
