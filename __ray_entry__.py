@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_or_membership": search.search_or_membership,
         "search_not_membership": search.search_not_membership,
         "search_tag_membership": search.search_tag_membership,
+        "search_facets": search.search_facets,
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
@@ -444,6 +445,20 @@ EXCEPT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'
         "search_tag_membership": f"""
 SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
 INTERSECT SELECT doc_id FROM documents WHERE lang = 'en'
+""",
+        # facets over the OR-query match set: per-lang hit count and
+        # token mass (engine side aggregates over the INDEX membership)
+        "search_facets": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
+  UNION SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))) AS BIGINT)
+         AS sum_tokens
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang
 """,
         "dedup_exact_docs": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups

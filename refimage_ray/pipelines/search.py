@@ -126,6 +126,55 @@ def search_tag_membership(sf_dir: str) -> pa.Table:
     return _membership(sf_dir, "spark #en")
 
 
+def search_facets(sf_dir: str, dsl_query: str = "spark OR vector") -> pa.Table:
+    """Faceted search: per-``lang`` result counts + token mass over the
+    INDEX's match set (the aggregation every search UI renders beside
+    the hit list).  The match-id set comes from the DSL executor (the
+    real search path, not a corpus scan); it is then a broadcast
+    ``is_in`` filter over a pruned documents read — the small side
+    ships once via ``ray.put``, the corpus never shuffles, and the
+    groupby output is |langs| rows."""
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from refimage_ray.stages.tokenize import doc_lengths
+
+    ids = _membership(sf_dir, dsl_query)["doc_id"].combine_chunks()
+    ids_ref = ray.put(ids)
+
+    def gate(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b["doc_id"], value_set=ray.get(ids_ref)))
+        return pa.table(
+            {
+                "lang": hit["lang"],
+                "dl": pa.array(doc_lengths(hit["text"]), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "text"],
+        )
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="sum_tokens"))
+        .take_all()
+    )
+    out.sort(key=lambda r: r["lang"])
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in out], pa.string()),
+            "n_docs": pa.array([int(r["n_docs"]) for r in out], pa.int64()),
+            "sum_tokens": pa.array(
+                [int(r["sum_tokens"]) for r in out], pa.int64()
+            ),
+        }
+    )
+
+
 def index_term_stats(sf_dir: str) -> pa.Table:
     """df / total-tf per term read back FROM THE INDEX ARTIFACT —
     checks posting-list construction end-to-end against SQL."""

@@ -10,6 +10,7 @@ Route map (reference analog → here):
 - ``GET /health``                      (``api.py`` health)          → index stats probe
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
 - ``GET /search?q=&k=&mode=``          (text search, 3 modes)       → ``searcher.search`` / ``search_phrase`` + metadata join
+  (``&snippets=1&width=N``: term-highlighted snippets instead of metadata)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
 - ``POST /nl2dsl`` {"text": ...}       (LLM text→DSL, ``api.py:273-348``) → ``query.nl.text_to_dsl``
 - ``GET /docs/{id}``                   (metadata GET)                → ``lookup_docs`` (404 when missing)
@@ -107,6 +108,13 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
                     hits = state["s"].search(q["q"], k=k, mode=mode)
                 else:
                     return self._json({"error": f"bad mode {mode!r}"}, 422)
+                if q.get("snippets") == "1":
+                    from refimage_ray.query.snippets import snippets_for_hits
+
+                    return self._json({"results": snippets_for_hits(
+                        index_dir, hits, q["q"],
+                        width=int(q.get("width", 160)),
+                    )})
                 return self._json({"results": self._hits_with_meta(hits)})
             if u.path == "/dsl":
                 try:

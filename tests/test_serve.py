@@ -62,6 +62,19 @@ def test_search_matches_library(server):
     assert all("url" in r for r in body["results"])
 
 
+def test_search_snippets(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    st, body = _get(base + "/search?q=spark+join&k=3&snippets=1&width=100")
+    assert st == 200
+    hits = LocalSearcher(d).search("spark join", k=3)
+    assert [(r["doc_id"], r["score"]) for r in body["results"]] == hits
+    assert all(r["n_matches"] >= 1 and "[" in r["snippet"]
+               for r in body["results"])
+    assert all(len(r["snippet"]) < 140 for r in body["results"])
+
+
 def test_dsl_and_errors(server):
     base, d = server
     st, body = _get(base + "/dsl?q=spark+OR+join&limit=3")
