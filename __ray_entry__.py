@@ -198,6 +198,117 @@ FROM scores ORDER BY sc DESC, doc_id LIMIT {k}
 """
 
 
+def _minhash_ctes(threshold: float = 0.6) -> str:
+    """Flat CTE chain reproducing ``stages.dedup_near`` MinHash+LSH
+    bit-for-bit: md5-u64 token hashes, 3-gram shingle polynomial with
+    base ``_B`` in uint64 wraparound (HUGEINT mod-2^64 arithmetic),
+    64 permutations from ``_minhash_params(64, 42)`` inlined as
+    VALUES, 16 bands × 4 rows banding, exact shingle-hash Jaccard
+    verify at ``threshold``.  Ends with a ``pairsq`` CTE."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, 2**63, size=64, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=64, dtype=np.uint64)
+    perms = ", ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(64)
+    )
+    B = 1099511628211  # stages.dedup_near._B
+    P = "18446744073709551616::HUGEINT"  # 2^64
+    return f"""
+docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+th AS (
+  SELECT doc_id, i, ('0x' || substr(md5(toks[i]), 1, 16))::UBIGINT AS h
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) _
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT t0.doc_id,
+           CAST(((CAST((CAST(t0.h AS HUGEINT) * {B} + t1.h) % {P} AS HUGEINT)
+                  * {B} + t2.h) % {P}) AS UBIGINT) AS sh
+    FROM th t0
+    JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+    JOIN th t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
+    UNION ALL
+    SELECT t.doc_id, t.h AS sh
+    FROM th t JOIN docs d ON d.doc_id = t.doc_id
+    WHERE len(d.toks) BETWEEN 1 AND 2
+  )
+),
+perms(pi, pa, pb) AS (VALUES {perms}),
+sig AS (
+  SELECT s.doc_id, p.pi,
+         min(CAST((CAST(p.pa AS HUGEINT) * CAST(s.sh AS HUGEINT) + p.pb)
+                  % {P} AS UBIGINT)) AS mh
+  FROM sh s CROSS JOIN perms p GROUP BY 1, 2
+),
+bandsig AS (
+  SELECT doc_id, pi // 4 AS band,
+         max(CASE WHEN pi % 4 = 0 THEN mh END) AS m0,
+         max(CASE WHEN pi % 4 = 1 THEN mh END) AS m1,
+         max(CASE WHEN pi % 4 = 2 THEN mh END) AS m2,
+         max(CASE WHEN pi % 4 = 3 THEN mh END) AS m3
+  FROM sig GROUP BY 1, 2
+),
+bh AS (
+  SELECT doc_id, band,
+         CAST((CAST((CAST((CAST(m0 AS HUGEINT) * {B} + m1) % {P} AS HUGEINT)
+               * {B} + m2) % {P} AS HUGEINT) * {B} + m3) % {P} AS UBIGINT)
+           AS band_hash
+  FROM bandsig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bh x JOIN bh y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+),
+pairsq AS (
+  SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
+         ROUND(COALESCE(i.i, 0) * 1.0 / (ca.c + cb.c - COALESCE(i.i, 0)), 6)
+           AS jaccard
+  FROM cand c
+  JOIN cnt ca ON ca.doc_id = c.doc_a
+  JOIN cnt cb ON cb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  WHERE COALESCE(i.i, 0) * 1.0 / (ca.c + cb.c - COALESCE(i.i, 0))
+        >= {threshold}
+)"""
+
+
+def _minhash_pairs_sql(threshold: float = 0.6) -> str:
+    return f"WITH {_minhash_ctes(threshold)}\nSELECT * FROM pairsq"
+
+
+def _minhash_clusters_sql(threshold: float = 0.6) -> str:
+    """Connected components over the verified pairs via a recursive
+    reachability CTE; cluster_id = component-min doc_id — mirrors
+    ``stages.dedup_near.dup_clusters`` (members = docs in ≥1 pair)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(threshold)},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairsq
+  UNION SELECT doc_b, doc_a FROM pairsq
+),
+reach(node, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def entry() -> Any:
     """Flagship: pages→extract→dedup→ids→index→BM25 top-k (sf0.001)."""
     from refimage_ray.pipelines.flagship import flagship
@@ -236,9 +347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": search.search_facets,
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
-        "minhash_near_dups": corpus.minhash_near_dups,      # rows-only
+        "minhash_near_dups": corpus.minhash_near_dups,
         "ngram_jaccard_near_dups": corpus.ngram_jaccard_near_dups,
-        "minhash_dup_clusters": corpus.minhash_dup_clusters,  # rows-only
+        "minhash_dup_clusters": corpus.minhash_dup_clusters,
         "simhash_values": corpus.simhash_values,
         "simhash_near_dups": corpus.simhash_near_dups,
         "curated_docs": curate.curated_docs,
@@ -371,6 +482,11 @@ FROM pairs GROUP BY bigram HAVING count(*) >= 5
 SELECT doc_id, lang, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id LIMIT 50 OFFSET 100
 """,
+        # engine MinHash is md5-u64-token-hash Broder LSH — exactly
+        # reproducible in SQL (banding + verify mirrored; perms from
+        # the same fixed seed, inlined as VALUES)
+        "minhash_near_dups": _minhash_pairs_sql(),
+        "minhash_dup_clusters": _minhash_clusters_sql(),
         # exact 3-shingle Jaccard (the Ray path is hash-shingle-based —
         # equal to the tuple-set Jaccard absent 64-bit collisions; the
         # blocking is exact at the default anchor rate, recall 1.0)

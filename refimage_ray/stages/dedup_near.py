@@ -14,8 +14,11 @@ Dataflow shapes (Ray-Data-first):
          ─ [verify] exact shingle-Jaccard on the (small) candidate set
 
 Everything is deterministic: permutation parameters come from a fixed
-seed; shingle hashes are blake2b-based token hashes combined with
-uint64 wraparound polynomials.
+seed; shingle hashes are md5-prefix-u64 token hashes (the same
+SQL-reproducible scheme SimHash uses — DuckDB's
+``('0x' || substr(md5(t), 1, 16))::UBIGINT``) combined with uint64
+wraparound polynomials, so the whole MinHash banding + verify path has
+an exact DuckDB value oracle (see ``__ray_entry__.oracle_sql``).
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import pyarrow as pa
 import ray.data
 
 from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
-from refimage_ray.functions.hashing import hash_string_array
+from refimage_ray.functions.hashing import md5_u64_string_array
 from refimage_ray.functions.text import tokenize
 from refimage_ray.stages.tokenize import _flat_tokens
 
@@ -91,7 +94,7 @@ def _batch_shingles(
     """
     flat, parent = _flat_tokens(batch["text"], cfg)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    th = hash_string_array(flat) if len(flat) else np.zeros(0, np.uint64)
+    th = md5_u64_string_array(flat) if len(flat) else np.zeros(0, np.uint64)
     n = len(th)
     if n == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64), doc_ids
