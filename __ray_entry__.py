@@ -361,7 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
         "quality_stats": corpus.quality_stats,
-        "doc_fingerprints": corpus.doc_fingerprints,        # rows-only
+        "doc_fingerprints": corpus.doc_fingerprints,
         "langid_pred": corpus.langid_pred,
         # --- similarity search / embeddings ---
         "knn_cosine": vectors.knn_cosine,
@@ -521,6 +521,28 @@ ORDER BY doc_a, doc_b
         # on both sides (uint64 overflows a signed BIGINT dataframe)
         "langid_pred": _langid_sql(),
         "curated_docs": _curated_sql(),
+        # rolling polynomial fingerprint — Horner form over md5-u64
+        # token hashes with HUGEINT mod-2^64 arithmetic (list_reduce);
+        # decimal-string presented on both sides (uint64 range)
+        "doc_fingerprints": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(toks,
+                        t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hl
+  FROM docs
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(hl) = 0 THEN 0::UBIGINT
+            ELSE list_reduce(hl, (a, b) -> CAST(
+                   (CAST(a AS HUGEINT) * 1099511628211 + b)
+                   % 18446744073709551616::HUGEINT AS UBIGINT))
+            END AS VARCHAR) AS fingerprint
+FROM hs
+""",
         "simhash_values": f"""
 SELECT doc_id, CAST(simhash AS VARCHAR) AS simhash FROM ({_SIMHASH})
 """,

@@ -615,8 +615,11 @@ def domain_stats(sf_dir: str) -> "rd.Dataset":
 
 
 def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
-    """Rolling-hash document fingerprints (rows-only check: no SQL
-    equivalent of the uint64 polynomial)."""
+    """Rolling-hash document fingerprints.
+
+    SQL-value-oracled: md5-u64 token hashes + the Horner form of the
+    polynomial (list_reduce with HUGEINT mod-2^64 arithmetic) reproduce
+    the uint64 wraparound exactly in DuckDB."""
 
     def fp(batch: pa.Table) -> pa.Table:
         t = fingerprint_batch(batch)

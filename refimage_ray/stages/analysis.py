@@ -117,9 +117,12 @@ class LangId:
 
 
 def _token_hashes(flat: pa.Array) -> np.ndarray:
-    from refimage_ray.functions.hashing import hash_string_array
+    # md5-prefix-u64 (not blake2b): DuckDB reproduces it as
+    # ('0x' || substr(md5(t), 1, 16))::UBIGINT, giving the rolling
+    # fingerprint an exact SQL value oracle (list_reduce Horner form).
+    from refimage_ray.functions.hashing import md5_u64_string_array
 
-    return hash_string_array(flat)
+    return md5_u64_string_array(flat)
 
 
 def fingerprint_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:

@@ -61,20 +61,20 @@ def test_fingerprint_order_sensitive_and_deterministic():
 
 def test_fingerprint_matches_scalar_reference():
     """Vectorized path == naive per-doc polynomial evaluation."""
-    from refimage_ray.functions.hashing import blake2b64
+    from refimage_ray.functions.hashing import md5_hex
     from refimage_ray.stages.analysis import _POLY_B
 
     text = "one two three two one"
     got = fingerprint_batch(_batch([text]))["fingerprint"].to_pylist()[0]
     toks = tokenize(text)
-    # naive: Σ h_i * B^(L-1-i) mod 2^64
+    # naive: Σ h_i * B^(L-1-i) mod 2^64 (h = md5-prefix u64)
     acc = np.uint64(0)
     L = len(toks)
     for i, tok in enumerate(toks):
         p = np.uint64(1)
         for _ in range(L - 1 - i):
             p = p * _POLY_B
-        acc = acc + np.uint64(blake2b64(tok)) * p
+        acc = acc + np.uint64(int(md5_hex(tok)[:16], 16)) * p
     assert got == int(acc)
 
 
