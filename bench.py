@@ -189,8 +189,16 @@ def run_bench() -> dict:
     # and query_p95 reported as a cheap 1-pass estimate.
     lite = os.environ.get("REFIMAGE_BENCH_LITE") == "1"
 
-    # query latency (warm actor-free local path; p95 over repeated set)
+    # query latency (warm actor-free local path; p95 over repeated set).
+    # One UNTIMED warmup pass first: right after a build, pass 1 is
+    # dominated by Ray worker teardown/GC contention + cold file reads,
+    # not the engine — measured 1204 ms cold-pass mean vs 192 ms warm at
+    # num_cpus=32 on a byte-identical index (vs 296/179 at 8), which made
+    # the hi leg of --scaling look 1.3-1.6x worse on query p95 purely
+    # from startup noise.
     searcher = LocalSearcher(index_dir)
+    for q in BENCH_QUERIES:
+        searcher.search(q, k=10, mode="or")
     lat = []
     for _ in range(1 if lite else 4):
         for q in BENCH_QUERIES:
