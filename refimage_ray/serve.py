@@ -13,6 +13,9 @@ Route map (reference analog → here):
   (``&snippets=1&width=N``: term-highlighted snippets instead of metadata)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
 - ``POST /nl2dsl`` {"text": ...}       (LLM text→DSL, ``api.py:273-348``) → ``query.nl.text_to_dsl``
+- ``GET /dsl-syntax``                  (DSL grammar reference, ``api.py:231-267``) → operators + examples
+- ``GET /nl/providers``                (``GET /llm/providers``, ``api.py:350-395``) → ``ProviderManager`` registry
+- ``POST /nl/switch`` {"provider": ...} (``POST /llm/switch``, ``api.py:398-435``) → runtime provider switch
 - ``GET /docs/{id}``                   (metadata GET)                → ``lookup_docs`` (404 when missing)
 - ``GET /docs/{id}/file``              (chunked file serving, ``api.py:944-954``) → ``stream_doc_bytes`` chunked response
 - ``PUT /docs/{id}/metadata``          (metadata PUT, ``api.py:731-766``) → ``lifecycle.update_doc_metadata``
@@ -45,10 +48,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
         LocalSearcher, lookup_docs, stream_doc_bytes,
     )
 
+    from refimage_ray.query.nl import ProviderManager
+
     state = {
         "s": searcher if searcher is not None else LocalSearcher(index_dir)
     }
     state["ex"] = DSLExecutor(state["s"])
+    # one manager per server so POST /nl/switch affects later /nl2dsl
+    # calls (the reference holds its LLMManager the same way)
+    state["nl"] = ProviderManager()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -95,6 +103,71 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
                         "avgdl": st.get("avgdl"),
                         "partitions": len(man.get("partitions", [])),
                         "num_shards": man.get("config", {}).get("num_shards"),
+                    }
+                )
+            if u.path == "/dsl-syntax":
+                # grammar reference (api.py:231-267 shape: operators +
+                # worked examples; ours documents both the infix and the
+                # function-style grammars the parser accepts)
+                return self._json(
+                    {
+                        "syntax_version": "1.0",
+                        "description": "refimage_ray DSL for search "
+                                       "queries (infix and function-style)",
+                        "operators": {
+                            "AND": "all operands must match",
+                            "OR": "any operand can match",
+                            "NOT": "exclude matching documents",
+                            "^": "weight operator — scale a term's score",
+                            "#": "tag filter — match documents with a tag",
+                            "TEXT()/AND()/OR()/EXCLUDE()/WEIGHT()":
+                                "function-style equivalents",
+                        },
+                        "examples": [
+                            {
+                                "query": "spark AND join",
+                                "description": "both terms required",
+                                "explanation": "intersection of the "
+                                               "terms' posting lists",
+                            },
+                            {
+                                "query": "spark OR join NOT stream",
+                                "description": "either term, excluding "
+                                               "'stream'",
+                                "explanation": "union minus the NOT set",
+                            },
+                            {
+                                "query": "spark^0.8 OR join^0.6 #en",
+                                "description": "weighted terms with a "
+                                               "tag filter",
+                                "explanation": "per-term score weights; "
+                                               "#en restricts to tagged "
+                                               "documents",
+                            },
+                            {
+                                "query": "EXCLUDE(TEXT(\"spark\"), "
+                                         "TEXT(\"stream\"))",
+                                "description": "function-style form",
+                                "explanation": "same AST as "
+                                               "'spark NOT stream'",
+                            },
+                        ],
+                    }
+                )
+            if u.path == "/nl/providers":
+                mgr = state["nl"]
+                return self._json(
+                    {
+                        "current_provider": mgr.get_current_provider(),
+                        "providers": [
+                            {
+                                "name": name,
+                                "available": True,
+                                "model": mgr.providers[name].get_model_name(),
+                                "description": f"{name} NL->DSL provider",
+                            }
+                            for name in mgr.get_available_providers()
+                        ],
                     }
                 )
             if u.path == "/search":
@@ -168,14 +241,27 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
             if urlparse(self.path).path == "/nl2dsl":
-                from refimage_ray.query.nl import text_to_dsl
+                from refimage_ray.query.nl import ProviderError, text_to_dsl
 
                 body = self._body()
                 text = body.get("text", "")
                 if not text.strip():
                     return self._json({"error": "empty text"}, 422)
-                dsl = text_to_dsl(text, provider=body.get("provider"))
+                try:
+                    dsl = text_to_dsl(text, manager=state["nl"],
+                                      provider=body.get("provider"))
+                except ProviderError as err:
+                    return self._json({"error": str(err)}, 422)
                 return self._json({"dsl": dsl})
+            if urlparse(self.path).path == "/nl/switch":
+                from refimage_ray.query.nl import ProviderError
+
+                name = self._body().get("provider", "")
+                try:
+                    state["nl"].switch_provider(name)
+                except ProviderError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json({"current_provider": name})
             self._json({"error": "no such route"}, 404)
 
         def do_PUT(self) -> None:

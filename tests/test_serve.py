@@ -122,6 +122,39 @@ def test_nl2dsl(server):
     assert st == 422
 
 
+def test_dsl_syntax_reference(server):
+    base, d = server
+    st, body = _get(base + "/dsl-syntax")
+    assert st == 200
+    assert set(body) >= {"syntax_version", "operators", "examples"}
+    assert {"AND", "OR", "NOT", "^", "#"} <= set(body["operators"])
+    # every published example must actually parse
+    from refimage_ray.query.dsl import DSLParser
+
+    for ex in body["examples"]:
+        DSLParser().parse(ex["query"])
+
+
+def test_nl_provider_routes(server):
+    base, d = server
+    st, body = _get(base + "/nl/providers")
+    assert st == 200 and body["current_provider"] == "rules"
+    names = {p["name"] for p in body["providers"]}
+    assert "rules" in names and "echo" in names
+    assert all(p["available"] and p["model"] for p in body["providers"])
+    # runtime switch is visible on the next listing and affects /nl2dsl
+    st, body = _req(base + "/nl/switch", "POST", {"provider": "echo"})
+    assert st == 200 and body["current_provider"] == "echo"
+    assert _get(base + "/nl/providers")[1]["current_provider"] == "echo"
+    # echo passes DSL through verbatim (valid DSL in → same out)
+    st, body = _req(base + "/nl2dsl", "POST", {"text": "spark AND join"})
+    assert st == 200 and body["dsl"] == "spark AND join"
+    st, body = _req(base + "/nl/switch", "POST", {"provider": "nope"})
+    assert st == 422
+    # restore for other tests
+    assert _req(base + "/nl/switch", "POST", {"provider": "rules"})[0] == 200
+
+
 def test_similar_route(server):
     base, d = server
     doc_id = _get(base + "/search?q=the&k=1")[1]["results"][0]["doc_id"]
