@@ -14,6 +14,7 @@ Route map (reference analog → here):
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
 - ``POST /nl2dsl`` {"text": ...}       (LLM text→DSL, ``api.py:273-348``) → ``query.nl.text_to_dsl``
 - ``GET /dsl-syntax``                  (DSL grammar reference, ``api.py:231-267``) → operators + examples
+- ``GET /explain?q=``                  (text→vector / dsl→vector, ``api.py:160-229``) → ``extension.explain`` plan
 - ``GET /nl/providers``                (``GET /llm/providers``, ``api.py:350-395``) → ``ProviderManager`` registry
 - ``POST /nl/switch`` {"provider": ...} (``POST /llm/switch``, ``api.py:398-435``) → runtime provider switch
 - ``GET /docs/{id}``                   (metadata GET)                → ``lookup_docs`` (404 when missing)
@@ -170,6 +171,24 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
                         ],
                     }
                 )
+            if u.path == "/explain":
+                # conversion-endpoint analog (text→vector / dsl→vector,
+                # api.py:160-229): query → parse tree + term routing,
+                # the engine's query representation, without executing
+                from refimage_ray.query.dsl import DSLParseError as _PE
+                from refimage_ray.extension import explain
+
+                man = load_manifest(index_dir) or {}
+                try:
+                    plan = explain(
+                        q.get("q", ""),
+                        num_shards=man.get("config", {}).get(
+                            "num_shards", 32),
+                        analyzer=q.get("analyzer", "default"),
+                    )
+                except _PE as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json(plan)
             if u.path == "/search":
                 if not q.get("q", "").strip():
                     return self._json({"error": "empty query"}, 422)

@@ -135,6 +135,25 @@ def test_dsl_syntax_reference(server):
         DSLParser().parse(ex["query"])
 
 
+def test_explain_route(server):
+    base, d = server
+    st, body = _get(base + "/explain?q=spark+AND+join%5E0.5")
+    assert st == 200 and body["plan"]["op"] == "and"
+    ops = body["plan"]["operands"]
+    assert ops[1]["weight"] == 0.5
+    # term routing uses the served index's shard count
+    from refimage_ray.index.manifest import load_manifest
+
+    p = load_manifest(d)["config"]["num_shards"]
+    assert all(0 <= t["shard"] < p
+               for op in ops for t in op["terms"])
+    try:
+        st, _ = _get(base + "/explain?q=AND(")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422
+
+
 def test_nl_provider_routes(server):
     base, d = server
     st, body = _get(base + "/nl/providers")
