@@ -950,14 +950,24 @@ WITH synth AS (
               || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
   FROM documents
 )
+-- counts mirror the engine's PROGRESSIVE redaction: n_ips counts on
+-- the email-redacted text, n_phones on the email+ip-redacted text
+, steps AS (
+  SELECT doc_id, s,
+         regexp_replace(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                        '<EMAIL>', 'g') AS s1
+  FROM synth
+), steps2 AS (
+  SELECT doc_id, s, s1,
+         regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS s2
+  FROM steps
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(s, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-       CAST(length(regexp_replace(regexp_replace(regexp_replace(s,
-            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-            '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS clean_len
-FROM synth
+       CAST(len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(s2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(s2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+FROM steps2
 """,
     }

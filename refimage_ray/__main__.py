@@ -264,13 +264,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "serve":
             from refimage_ray.serve import make_server
 
-            searcher = None
+            # a factory (not a bare instance) so POST /reload rebuilds
+            # the SAME deployment kind — distributed stays distributed
             if args.actors:
                 from refimage_ray.query.engine import DistributedSearcher
 
-                searcher = DistributedSearcher(args.index, num_actors=args.actors)
-                searcher.wait_ready()
-            srv = make_server(args.index, port=args.port, searcher=searcher)
+                def searcher_factory(_index=args.index, _n=args.actors):
+                    s = DistributedSearcher(_index, num_actors=_n)
+                    s.wait_ready()
+                    return s
+            else:
+                searcher_factory = None
+            srv = make_server(args.index, port=args.port,
+                              searcher_factory=searcher_factory)
             print(json.dumps({"listening": srv.server_address[1]}))
             srv.serve_forever()
     finally:

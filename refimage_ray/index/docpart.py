@@ -50,8 +50,10 @@ from refimage_ray.functions.codec import (
     decode_postings,
     encode_f64,
     encode_postings,
+    slice_varbyte,
     varbyte_decode,
     varbyte_encode,
+    varbyte_encode_with_offsets,
 )
 from refimage_ray.index.manifest import atomic_write_bytes
 from refimage_ray.index.pack import PACK_SCHEMA, unpack_group
@@ -93,21 +95,29 @@ def _pack_docshard(batch: pa.Table, cfg: EngineConfig, num_doc_shards: int) -> p
     doc_delta = docs_.copy()
     doc_delta[1:] -= docs_[:-1]
     doc_delta[run_start_mask] = docs_[run_start_mask]
+    # encode each varbyte column ONCE per batch and byte-slice per
+    # gkey (same pattern — and same codec helpers — as pack_batch in
+    # index/pack.py; varbyte is per-value independent, so a slice of
+    # the full encoding equals encoding the slice)
+    run_starts_idx = np.flatnonzero(run_start_mask)
+    run_lens_all = np.diff(np.concatenate((run_starts_idx, [len(gs)])))
+    docd_buf, docd_ends = varbyte_encode_with_offsets(doc_delta.astype(np.uint64))
+    tf_buf, tf_ends = varbyte_encode_with_offsets(tfs.astype(np.uint64))
+    dl_buf, dl_ends = varbyte_encode_with_offsets(dls.astype(np.uint64))
+    rl_buf, rl_ends = varbyte_encode_with_offsets(run_lens_all.astype(np.uint64))
     cols: dict[str, list] = {k: [] for k in PACK_SCHEMA.names}
     for s, e in zip(starts, ends):
-        run_th = ths[s:e]
-        hchan = np.flatnonzero(run_th[1:] != run_th[:-1]) + 1
-        hstarts = np.concatenate(([0], hchan))
-        hends = np.concatenate((hchan, [len(run_th)]))
-        dict_idx = order[s:e][hstarts]
+        r0 = int(np.searchsorted(run_starts_idx, s))
+        r1 = int(np.searchsorted(run_starts_idx, e))
+        dict_idx = order[run_starts_idx[r0:r1]]
         dict_terms = pc.take(terms, pa.array(dict_idx, pa.int64())).to_pylist()
         cols["gkey"].append(int(gs[s]))
         cols["n"].append(int(e - s))
-        cols["rlen"].append(varbyte_encode((hends - hstarts).astype(np.uint64)))
-        cols["docd"].append(varbyte_encode(doc_delta[s:e].astype(np.uint64)))
-        cols["tf"].append(varbyte_encode(tfs[s:e].astype(np.uint64)))
-        cols["dl"].append(varbyte_encode(dls[s:e].astype(np.uint64)))
-        cols["dict_hash"].append(run_th[hstarts].tobytes())
+        cols["rlen"].append(slice_varbyte(rl_buf, rl_ends, r0, r1))
+        cols["docd"].append(slice_varbyte(docd_buf, docd_ends, s, e))
+        cols["tf"].append(slice_varbyte(tf_buf, tf_ends, s, e))
+        cols["dl"].append(slice_varbyte(dl_buf, dl_ends, s, e))
+        cols["dict_hash"].append(ths[run_starts_idx[r0:r1]].tobytes())
         cols["dict_terms"].append("\n".join(dict_terms))
     return pa.table(
         {

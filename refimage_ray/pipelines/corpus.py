@@ -222,10 +222,11 @@ def doc_len_quantiles(
     cum = np.cumsum([r["cnt"] for r in rows])
     n = int(cum[-1]) if len(cum) else 0
     out_p, out_v = [], []
-    for p in ps:
-        k = max(1, int(np.ceil(p * n)))
-        out_p.append(float(p))
-        out_v.append(int(lens[np.searchsorted(cum, k)]))
+    if n:  # empty corpus: no quantiles (rather than lens[0] IndexError)
+        for p in ps:
+            k = max(1, int(np.ceil(p * n)))
+            out_p.append(float(p))
+            out_v.append(int(lens[np.searchsorted(cum, k)]))
     return pa.table(
         {
             "p": pa.array(out_p, pa.float64()),

@@ -318,11 +318,14 @@ def pii_scrub_batch(text: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     passes, no Python loop.  Redaction order (email → ip → phone) is
     part of the contract: an address inside an email must be counted
     once, as an email."""
+    # counts run on the PROGRESSIVELY redacted text so they agree with
+    # the redaction output: a phone/IP embedded in an email is counted
+    # once, as the email that swallowed it
     n_emails = pc.count_substring_regex(text, pattern=PII_EMAIL)
-    n_ips = pc.count_substring_regex(text, pattern=PII_IPV4)
-    n_phones = pc.count_substring_regex(text, pattern=PII_PHONE)
     clean = pc.replace_substring_regex(text, pattern=PII_EMAIL, replacement="<EMAIL>")
+    n_ips = pc.count_substring_regex(clean, pattern=PII_IPV4)
     clean = pc.replace_substring_regex(clean, pattern=PII_IPV4, replacement="<IP>")
+    n_phones = pc.count_substring_regex(clean, pattern=PII_PHONE)
     clean = pc.replace_substring_regex(clean, pattern=PII_PHONE, replacement="<PHONE>")
     return {
         "n_emails": pc.cast(n_emails, pa.int64()),

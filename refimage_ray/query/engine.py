@@ -98,7 +98,8 @@ def _score_disjunctive_dense(
     O(Σ df) writes + one O(universe) scan: no per-query sort, unique,
     or binary search, which is what dominates stopword-sized unions.
     """
-    scores = _pooled_dense_buffer(n_universe)
+    base = _acquire_dense_buffer(n_universe)
+    scores = base[:n_universe]
     # BM25 contributions are strictly positive (Lucene idf > 0,
     # weights > 0), so score > 0 IS the membership test and the second
     # (bool) scatter can be skipped; plugin scorers may emit zero or
@@ -129,27 +130,44 @@ def _score_disjunctive_dense(
                 scores[idx] = 0.0
             except NameError:
                 scores[:] = 0.0
+        _release_dense_buffer(base)
 
 
 import threading as _threading
 
-_DENSE_POOL = _threading.local()
+# Process-wide free-list of all-zero buffers (NOT thread-local: the
+# HTTP shim's ThreadingHTTPServer spawns a thread per connection, so a
+# per-thread pool would re-pay the O(universe) zeros on every request).
+# acquire pops a fitting buffer or allocates; release returns it with
+# the all-zero contract restored by the caller.  Bounded so a burst of
+# concurrent queries can't pin unbounded memory.
+_DENSE_POOL_LOCK = _threading.Lock()
+_DENSE_POOL: "list[np.ndarray]" = []
+_DENSE_POOL_MAX = 4
 
 
-def _pooled_dense_buffer(n: int) -> np.ndarray:
-    """Per-thread reusable all-zero float64 buffer for dense TAAT.
+def _acquire_dense_buffer(n: int) -> np.ndarray:
+    """Pop a reusable all-zero float64 buffer of length ≥ n (or
+    allocate one).  A fresh ``np.zeros(universe)`` per query is an
+    O(universe) allocate+memset (32 MB at 4M docs) that dominates
+    small-query latency; the pool amortizes it to O(candidates) per
+    query (the caller resets exactly the positions it touched, then
+    calls :func:`_release_dense_buffer`)."""
+    with _DENSE_POOL_LOCK:
+        for i, b in enumerate(_DENSE_POOL):
+            if len(b) >= n:
+                return _DENSE_POOL.pop(i)
+    return np.zeros(max(n, 1), np.float64)
 
-    A fresh ``np.zeros(universe)`` per query is an O(universe)
-    allocate+memset (32 MB at 4M docs) that dominates small-query
-    latency; the pool amortizes it to O(candidates) per query (the
-    caller resets exactly the positions it touched).  Thread-local so
-    concurrent serving threads (the HTTP shim) never share a buffer.
-    """
-    buf = getattr(_DENSE_POOL, "buf", None)
-    if buf is None or len(buf) < n:
-        buf = np.zeros(max(n, 1), np.float64)
-        _DENSE_POOL.buf = buf
-    return buf[:n]
+
+def _release_dense_buffer(buf: np.ndarray) -> None:
+    with _DENSE_POOL_LOCK:
+        if len(_DENSE_POOL) < _DENSE_POOL_MAX:
+            _DENSE_POOL.append(buf)
+            # retain the largest buffers so a big-universe searcher's
+            # buffer isn't evicted by small test indexes
+            _DENSE_POOL.sort(key=len, reverse=True)
+            del _DENSE_POOL[_DENSE_POOL_MAX:]
 
 
 def _gallop_member(p: TermPostings, candidates: np.ndarray) -> np.ndarray:

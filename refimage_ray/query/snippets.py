@@ -70,7 +70,10 @@ def best_snippet(
 
     i, j = best_range
     lo = spans[i][0]
-    hi = spans[j - 1][1]
+    # j == i: no whole match fits in `width` (every matched token is
+    # longer than the window) — show the first match truncated to
+    # `width`; counts stay 0 because no FULL match is inside the window
+    hi = spans[j - 1][1] if j > i else min(spans[i][1], lo + width)
     pad = max(0, (width - (hi - lo)) // 2)
     start = max(0, lo - pad)
     end = min(len(text), start + width)

@@ -42,8 +42,16 @@ from refimage_ray.index.manifest import load_manifest
 _DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata|/similar)?$")
 
 
-def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPServer:
-    """Build (not start) the server; ``port=0`` picks a free port."""
+def make_server(index_dir: str, port: int = 0, searcher=None,
+                searcher_factory=None) -> ThreadingHTTPServer:
+    """Build (not start) the server; ``port=0`` picks a free port.
+
+    ``searcher_factory`` (a zero-arg callable returning a fresh
+    searcher) is what ``POST /reload`` uses to build the replacement
+    snapshot, so a DistributedSearcher deployment stays distributed
+    across reloads.  When only a bare ``searcher`` instance is
+    injected, /reload cannot know how to rebuild it and returns 409
+    instead of silently demoting the deployment to a LocalSearcher."""
     from refimage_ray.query.dsl import DSLExecutor, DSLParseError
     from refimage_ray.query.engine import (
         LocalSearcher, lookup_docs, stream_doc_bytes,
@@ -51,8 +59,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
 
     from refimage_ray.query.nl import ProviderManager
 
+    if searcher_factory is None and searcher is None:
+        searcher_factory = lambda: LocalSearcher(index_dir)  # noqa: E731
     state = {
-        "s": searcher if searcher is not None else LocalSearcher(index_dir)
+        "s": searcher if searcher is not None else searcher_factory()
     }
     state["ex"] = DSLExecutor(state["s"])
     # one manager per server so POST /nl/switch affects later /nl2dsl
@@ -91,6 +101,14 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
             ]
 
         def do_GET(self) -> None:
+            # bad numeric params are client errors: structured 422, not
+            # an uncaught ValueError tearing down the connection
+            try:
+                self._get()
+            except (ValueError, KeyError) as err:
+                self._json({"error": f"bad parameter: {err}"}, 422)
+
+        def _get(self) -> None:
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             if u.path == "/health":
@@ -250,12 +268,29 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
             self._json({"error": "no such route"}, 404)
 
         def do_POST(self) -> None:
+            try:
+                self._post()
+            except ValueError as err:  # malformed JSON body, bad number
+                self._json({"error": f"bad request: {err}"}, 422)
+
+        def _post(self) -> None:
             if urlparse(self.path).path == "/reload":
                 # pick up lifecycle mutations (tombstones, compaction,
                 # metadata rewrites): swap in a fresh snapshot searcher
-                # (readers are immutable-after-load, so in-flight
-                # requests on the old snapshot stay consistent)
-                state["s"] = LocalSearcher(index_dir)
+                # of the SAME deployment kind (readers are
+                # immutable-after-load, so in-flight requests finish on
+                # the old snapshot; its actor pool, if any, is reaped by
+                # Ray's handle refcount once those threads drop it)
+                if searcher_factory is None:
+                    return self._json(
+                        {"error": "server was built with an injected "
+                                  "searcher and no searcher_factory; "
+                                  "pass searcher_factory to make_server "
+                                  "to enable /reload"}, 409)
+                fresh = searcher_factory()
+                if hasattr(fresh, "wait_ready"):
+                    fresh.wait_ready()
+                state["s"] = fresh
                 state["ex"] = DSLExecutor(state["s"])
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
@@ -284,6 +319,12 @@ def make_server(index_dir: str, port: int = 0, searcher=None) -> ThreadingHTTPSe
             self._json({"error": "no such route"}, 404)
 
         def do_PUT(self) -> None:
+            try:
+                self._put()
+            except ValueError as err:  # malformed JSON body
+                self._json({"error": f"bad request: {err}"}, 422)
+
+        def _put(self) -> None:
             m = _DOC_RE.match(urlparse(self.path).path)
             if m and m.group(2) == "/metadata":
                 from refimage_ray.index.lifecycle import update_doc_metadata

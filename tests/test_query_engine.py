@@ -523,3 +523,32 @@ def test_dense_pooled_buffer_no_state_leak(ray_session, built_index, local, orac
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert not errs
+
+
+def test_dense_buffer_pool_reuses_across_threads():
+    """The dense-TAAT buffer pool is process-wide (regression: a
+    thread-local pool never reused the buffer under the HTTP shim's
+    thread-per-connection model) and preserves the all-zero
+    contract."""
+    import threading
+
+    from refimage_ray.query import engine
+    from refimage_ray.query.engine import (
+        _acquire_dense_buffer, _release_dense_buffer,
+    )
+
+    with engine._DENSE_POOL_LOCK:  # drain buffers other tests released
+        engine._DENSE_POOL.clear()
+    b = _acquire_dense_buffer(1000)
+    assert not b.any()
+    b[7] = 3.5
+    b[7] = 0.0  # caller resets touched positions before release
+    _release_dense_buffer(b)
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(_acquire_dense_buffer(500)))
+    t.start()
+    t.join()
+    assert got[0] is b          # same allocation, different thread
+    assert not got[0].any()     # all-zero contract held
+    _release_dense_buffer(got[0])

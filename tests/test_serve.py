@@ -223,3 +223,74 @@ def test_server_over_actor_pool_matches_local(ray_session, built_index):
             assert got == s.search(q, k=5), q
     finally:
         srv.shutdown()
+
+
+def test_bad_numeric_params_are_422(server):
+    base, d = server
+    for path in ("/search?q=spark&k=abc",
+                 "/search?q=spark&k=3&snippets=1&width=abc",
+                 "/dsl?q=spark&limit=abc",
+                 "/dsl?q=spark&threshold=abc",
+                 "/explain?q=spark&analyzer=nosuchanalyzer"):
+        st, body = _req(base + path, "GET")
+        assert st == 422, path
+        assert "error" in body, path
+
+
+def test_malformed_json_body_is_422(server):
+    base, d = server
+    req = urllib.request.Request(
+        base + "/nl2dsl", data=b"{not json", method="POST",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            st, body = r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        st, body = e.code, json.loads(e.read())
+    assert st == 422 and "error" in body
+
+
+def test_reload_rebuilds_via_factory(ray_session, built_index):
+    """/reload swaps in a searcher from the SAME factory — a
+    distributed deployment stays distributed (regression: it used to
+    unconditionally demote to LocalSearcher)."""
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.serve import make_server
+
+    d = built_index[0]
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return LocalSearcher(d)
+
+    srv = make_server(d, port=0, searcher_factory=factory)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        assert len(calls) == 1
+        st, body = _req(base + "/reload", "POST")
+        assert st == 200 and body["reloaded"]
+        assert len(calls) == 2  # rebuilt through the factory
+    finally:
+        srv.shutdown()
+
+
+def test_reload_with_bare_injected_searcher_is_409(ray_session, built_index):
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.serve import make_server
+
+    d = built_index[0]
+    srv = make_server(d, port=0, searcher=LocalSearcher(d))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        st, body = _req(base + "/reload", "POST")
+        assert st == 409 and "searcher_factory" in body["error"]
+        # the injected snapshot keeps serving
+        st, body = _get(base + "/health")
+        assert st == 200 and body["status"] == "ok"
+    finally:
+        srv.shutdown()

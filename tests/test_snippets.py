@@ -41,6 +41,19 @@ def test_term_longer_than_width():
     assert sn["n_distinct"] in (0, 1)  # no crash; deterministic
 
 
+def test_term_longer_than_width_honors_width():
+    # regression: with two occurrences and width < len(term), the old
+    # two-pointer left j == i and spans[j-1] negative-indexed the LAST
+    # span, returning the whole first..last region and ignoring width
+    t = "longterm"
+    text = t + " pad" * 30 + " " + t
+    sn = best_snippet(text, [t], width=4)
+    assert len(sn["snippet"]) <= 4          # truncated first match only
+    assert sn["snippet"] == t[:4]
+    assert sn["n_matches"] == 0             # no FULL match fits
+    assert sn["n_distinct"] == 0
+
+
 def test_snippets_for_hits_over_index(ray_session, built_index):
     from refimage_ray.query.engine import LocalSearcher
 

@@ -126,6 +126,16 @@ def test_pii_scrub_counts_and_redaction():
     assert clean[2] == "two ips <IP> <IP> and <EMAIL>"
 
 
+def test_pii_embedded_in_email_counted_once():
+    # regression: a phone/IP inside an email address must be counted
+    # as the email only — counts run on the progressively redacted
+    # text, so they agree with the redaction output
+    out = pii_scrub_batch(pa.array(["reach 555-1234@corp.com today"]))
+    assert out["n_emails"].to_pylist() == [1]
+    assert out["n_phones"].to_pylist() == [0]
+    assert out["clean"].to_pylist() == ["reach <EMAIL> today"]
+
+
 def test_pii_augmentation_is_deterministic():
     b = pa.table(
         {
