@@ -26,6 +26,38 @@ class EngineConfig:
     token_pattern: str = "[a-z0-9]+"
     split_pattern: str = "[^a-z0-9]+"  # inverse, for pc.split_pattern_regex
 
+    def __post_init__(self) -> None:
+        # token_pattern (extract) and split_pattern (its complement,
+        # used by the vectorized split path) MUST agree, or doc_len /
+        # postings / query tokens silently diverge.  When exactly one
+        # of the pair is customized and it is a simple character class,
+        # derive the other; otherwise demand both.
+        d_tok, d_split = "[a-z0-9]+", "[^a-z0-9]+"
+        tok_custom = self.token_pattern != d_tok
+        split_custom = self.split_pattern != d_split
+        if tok_custom == split_custom:
+            return
+        import re as _re
+
+        if tok_custom:
+            m = _re.fullmatch(r"\[([^^\]][^\]]*)\]\+", self.token_pattern)
+            if not m:
+                raise ValueError(
+                    "custom token_pattern needs a matching split_pattern "
+                    "(could not derive the complement of "
+                    f"{self.token_pattern!r})"
+                )
+            object.__setattr__(self, "split_pattern", f"[^{m.group(1)}]+")
+        else:
+            m = _re.fullmatch(r"\[\^([^\]]+)\]\+", self.split_pattern)
+            if not m:
+                raise ValueError(
+                    "custom split_pattern needs a matching token_pattern "
+                    "(could not derive the complement of "
+                    f"{self.split_pattern!r})"
+                )
+            object.__setattr__(self, "token_pattern", f"[{m.group(1)}]+")
+
     # --- shuffle geometry (explicit partitioning, north_rule) ---
     num_shards: int = 32          # P: term shards; size ~4x cores for real runs
     salt_buckets: int = 8         # S: doc-range sub-buckets for hot terms

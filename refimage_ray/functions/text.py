@@ -20,9 +20,24 @@ from collections import Counter
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
-def tokenize(text: str) -> list[str]:
-    """Normalize + tokenize one string (driver/oracle/query-side)."""
-    return _TOKEN_RE.findall(text.lower())
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _compiled(pattern: str) -> "re.Pattern[str]":
+    return re.compile(pattern)
+
+
+def tokenize(text: str, pattern: str | None = None) -> list[str]:
+    """Normalize + tokenize one string (driver/oracle/query-side).
+
+    ``pattern`` overrides the default token regex — searchers pass the
+    ``token_pattern`` recorded in the index manifest so an index built
+    with a custom pattern is queried with the SAME tokenizer
+    (index/query symmetry must hold per-artifact, not just for the
+    default config)."""
+    rx = _TOKEN_RE if pattern is None else _compiled(pattern)
+    return rx.findall(text.lower())
 
 
 def term_counts(text: str) -> Counter:

@@ -209,7 +209,12 @@ def build_doc_partitioned(
     # terms/ is written with uniquely-named files (write_parquet ADDS
     # to an existing dir) — either would silently mix two runs
     for f in os.listdir(index_dir):
-        if f.startswith("docshard-") and f.endswith(".parquet"):
+        # include .parquet.tmp leftovers from a crashed atomic write —
+        # a stale tmp must never survive into (or be globbed by) the
+        # next run
+        if f.startswith("docshard-") and (
+            f.endswith(".parquet") or f.endswith(".tmp")
+        ):
             os.remove(os.path.join(index_dir, f))
     shutil.rmtree(os.path.join(index_dir, "terms"), ignore_errors=True)
     t0 = time.perf_counter()
@@ -271,7 +276,8 @@ def _load_global_df(index_dir: str) -> dict:
 
 
 def _load_shard_view(
-    index_dir: str, fname: str, n_docs: int, avgdl: float, global_df: dict
+    index_dir: str, fname: str, n_docs: int, avgdl: float, global_df: dict,
+    token_pattern: "str | None" = None,
 ):
     """One shard file → an in-process sub-searcher reusing the engine's
     scoring path (`_SearcherBase`) with GLOBAL df/N/avgdl."""
@@ -283,6 +289,7 @@ def _load_shard_view(
             self._tm = term_map
             self.n_docs = n_docs
             self.avgdl = avgdl
+            self.token_pattern = token_pattern
 
         def _term_map(self, terms: list[str]) -> dict:
             return {t: self._tm[t] for t in terms if t in self._tm}
@@ -332,10 +339,13 @@ class DocPartSearcher:
 
         self._global_df = _load_global_df(index_dir)
         files = sorted(
-            f for f in os.listdir(index_dir) if f.startswith("docshard-")
+            f for f in os.listdir(index_dir)
+            if f.startswith("docshard-") and f.endswith(".parquet")
         )
         self.shards = [
-            _load_shard_view(index_dir, f, self.n_docs, self.avgdl, self._global_df)
+            _load_shard_view(index_dir, f, self.n_docs, self.avgdl,
+                             self._global_df,
+                             man["config"].get("token_pattern"))
             for f in files
         ]
 
@@ -374,9 +384,11 @@ class _DocShardActor:
 
     def __init__(self, index_dir: str, fnames: list[str], n_docs: int,
                  avgdl: float) -> None:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            tp = json.load(f)["config"].get("token_pattern")
         global_df = _load_global_df(index_dir)
         self._views = [
-            _load_shard_view(index_dir, f, n_docs, avgdl, global_df)
+            _load_shard_view(index_dir, f, n_docs, avgdl, global_df, tp)
             for f in fnames
         ]
 
@@ -403,7 +415,8 @@ class DistributedDocPartSearcher:
         self.n_docs = int(man["stats"]["n_docs"])
         self.avgdl = float(man["stats"]["avgdl"])
         files = sorted(
-            f for f in os.listdir(index_dir) if f.startswith("docshard-")
+            f for f in os.listdir(index_dir)
+            if f.startswith("docshard-") and f.endswith(".parquet")
         )
         num_actors = max(1, min(num_actors, len(files) or 1))
         assign: list[list[str]] = [[] for _ in range(num_actors)]

@@ -64,20 +64,34 @@ def delete_docs(index_dir: str, doc_ids: list[int] | np.ndarray) -> int:
     return int(len(new))
 
 
+def _dead_ids(index_dir: str) -> np.ndarray:
+    """Sorted union of an index's non-live doc ids: tombstones PLUS
+    the exact-dup losers in ``losers.parquet`` (docs/ keeps loser rows
+    — the postings never contained them, so any stats or docs-copy
+    that reads docs/ raw must exclude both sets or N/avgdl/idf drift
+    from the postings basis)."""
+    dead = IndexReader(index_dir).tombstones
+    losers_path = os.path.join(index_dir, "losers.parquet")
+    if os.path.exists(losers_path):
+        losers = pq.read_table(losers_path)["doc_id"].to_numpy().astype(np.int64)
+        dead = np.union1d(dead, losers)
+    return dead
+
+
 def _live_doc_stats(index_dir: str) -> tuple[int, int, int]:
-    """(n_live, sum_dl_live, max_doc_live) from docs/ minus tombstones."""
-    reader = IndexReader(index_dir)
+    """(n_live, sum_dl_live, max_doc_live) from docs/ minus tombstones
+    and exact-dup losers."""
     t = pq.read_table(
         os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"]
     )
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     dls = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tomb = reader.tombstones
-    if len(tomb):
+    dead = _dead_ids(index_dir)
+    if len(dead):
         from refimage_ray.functions.arrays import sorted_membership
 
-        dead = sorted_membership(tomb, ids)
-        ids, dls = ids[~dead], dls[~dead]
+        mask = sorted_membership(dead, ids)
+        ids, dls = ids[~mask], dls[~mask]
     if len(ids) == 0:
         return 0, 0, 0
     return int(len(ids)), int(dls.sum()), int(ids.max())
@@ -245,22 +259,24 @@ def merge_indexes(
         .take_all()
     )
 
-    # merged docs/ artifact (tombstones dropped)
+    # merged docs/ artifact (tombstones AND exact-dup losers physically
+    # dropped — the output carries no losers.parquet side-channel, so
+    # its docs/ must hold exactly the live corpus)
     docs_out = os.path.join(out_dir, "docs")
     os.makedirs(docs_out, exist_ok=True)
     fi = 0
     for d in input_dirs:
-        tomb = IndexReader(d).tombstones
+        dead = _dead_ids(d)
         src = os.path.join(d, "docs")
         for f in sorted(os.listdir(src)):
             if not f.endswith(".parquet"):
                 continue
             t = pq.read_table(os.path.join(src, f))
-            if len(tomb):
+            if len(dead):
                 from refimage_ray.functions.arrays import sorted_membership
 
                 ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                t = t.filter(pa.array(~sorted_membership(tomb, ids)))
+                t = t.filter(pa.array(~sorted_membership(dead, ids)))
             pq.write_table(t, os.path.join(docs_out, f"merged-{fi:05d}.parquet"))
             fi += 1
     with open(os.path.join(docs_out, "_SUCCESS"), "w") as f:

@@ -159,9 +159,23 @@ class DSLParser:
             if rest.strip():
                 raise DSLParseError(f"trailing input after expression: {rest!r}")
             return node
-        if OP_RE.search(query):
-            return self._parse_or(query)
-        return self._parse_simple(query)
+        # protect quoted phrases BEFORE the operator split: AND/OR/NOT
+        # inside quotes are literal phrase words, not operators (else
+        # '"rock AND roll"' silently degrades to a bag-of-words AND)
+        stash: list[str] = []
+
+        def _stash(m: "re.Match[str]") -> str:
+            stash.append(m.group(1))
+            return f'"\x00{len(stash) - 1}\x00"'
+
+        masked = PHRASE_RE.sub(_stash, query)
+        self._phrase_stash = stash
+        try:
+            if OP_RE.search(masked):
+                return self._parse_or(masked)
+            return self._parse_simple(masked)
+        finally:
+            self._phrase_stash = []
 
     # --- function-style grammar (recursive descent) ---
 
@@ -276,6 +290,14 @@ class DSLParser:
             q = WEIGHT_RE.sub("", q)
         phrases = PHRASE_RE.findall(q)
         q = PHRASE_RE.sub("", q)
+        # restore phrases masked by parse() (quoted-operator protection)
+        stash = getattr(self, "_phrase_stash", [])
+        phrases = [
+            stash[int(m.group(1))]
+            if (m := re.fullmatch("\x00(\\d+)\x00", p)) and int(m.group(1)) < len(stash)
+            else p
+            for p in phrases
+        ]
         tags = TAG_RE.findall(q)
         text = TAG_RE.sub("", q).strip()
         leaves: list[QueryNode] = []

@@ -369,23 +369,36 @@ class _SearcherBase:
     avgdl: float = 1.0
     # sorted doc_id universe for dense-rank TAAT (None → sparse paths)
     all_ids: "np.ndarray | None" = None
+    # the artifact's token_pattern (from its manifest) — query-side
+    # tokenization must match what the BUILD tokenized with, or terms
+    # indexed under a custom pattern become unreachable
+    token_pattern: "str | None" = None
+
+    def _tokenize(self, text: str) -> list[str]:
+        return tokenize(text, self.token_pattern)
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         raise NotImplementedError
 
     def _rescore_map(
-        self, term_map: dict[str, TermPostings], scorer_name: str
+        self, term_map: dict[str, TermPostings], scorer_name: str,
+        terms: "list[str] | None" = None,
     ) -> dict[str, TermPostings]:
         """Plugin-scorer path: recompute per-posting weights from the
         stored (tf, dl) columns with an alternative Scorer — the
         end-to-end payoff of persisting ``dls`` in the artifact.
         idf is swapped per-call in the scoring functions via df, so
-        only weights need rebuilding here."""
+        only weights need rebuilding here.  ``terms`` restricts the
+        rescore to the QUERY's terms — LocalSearcher's term_map is the
+        whole vocabulary, and rescoring it all would be O(total
+        postings) per query."""
         from dataclasses import replace
 
         from refimage_ray.extension import get_scorer
 
         sc = get_scorer(scorer_name)
+        if terms is not None:
+            term_map = {t: term_map[t] for t in terms if t in term_map}
         out = {}
         for t, p in term_map.items():
             if p.dls is None:
@@ -412,7 +425,7 @@ class _SearcherBase:
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
-        terms = query_terms(tokenize(query))
+        terms = query_terms(self._tokenize(query))
         term_map = self._term_map(terms)
         return self._finish_search(
             term_map, terms, k, threshold, mode, prune, scorer, dense
@@ -434,7 +447,7 @@ class _SearcherBase:
         before scoring each."""
         idf_fn = _idf
         if scorer != "bm25":
-            term_map = self._rescore_map(term_map, scorer)
+            term_map = self._rescore_map(term_map, scorer, terms)
             from refimage_ray.extension import get_scorer
 
             idf_fn = get_scorer(scorer).idf
@@ -505,7 +518,7 @@ class _SearcherBase:
         """
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
-        phrase_tokens = tokenize(phrase)
+        phrase_tokens = self._tokenize(phrase)
         if not phrase_tokens:
             return []
         terms = query_terms(phrase_tokens)
@@ -528,7 +541,7 @@ class _SearcherBase:
                             filter=pc.field("doc_id").isin(cand.tolist()))
             ok_ids = {
                 d for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
-                if _contains_phrase(tokenize(txt), phrase_tokens)
+                if _contains_phrase(self._tokenize(txt), phrase_tokens)
             }
             keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
         ids, sc = topk_select(cand[keep], scores[keep], k, threshold)
@@ -587,6 +600,7 @@ class LocalSearcher(_SearcherBase):
         self.terms = reader.load_shards(None)
         self.n_docs = reader.n_docs
         self.avgdl = reader.avgdl
+        self.token_pattern = reader.manifest["config"].get("token_pattern")
         self.index_dir = index_dir
         if dense_ranks:
             self.all_ids = load_doc_universe(index_dir)
@@ -653,6 +667,7 @@ class DistributedSearcher(_SearcherBase):
         self.index_dir = index_dir
         self.n_docs = reader.n_docs
         self.avgdl = reader.avgdl
+        self.token_pattern = reader.manifest["config"].get("token_pattern")
         self.num_shards = reader.num_shards
         shards = reader.shards()
         num_actors = max(1, min(num_actors, max(1, len(shards))))
@@ -781,7 +796,7 @@ class DistributedSearcher(_SearcherBase):
         ``DistributedDocPartSearcher.search_many``."""
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
-        per_query = [query_terms(tokenize(q)) for q in queries]
+        per_query = [query_terms(self._tokenize(q)) for q in queries]
         # ONE postings fetch for the batch's unique terms: real query
         # batches are term-skewed, and issuing per query would re-ship
         # every repeated term's posting list (the cache only fills at
@@ -815,7 +830,6 @@ def more_like_this(
     vector of the stored image as the query); here the "vector" is the
     doc's top tf-idf terms.  Raises ``KeyError`` for unknown ids.
     """
-    import math
     from collections import Counter
 
     from refimage_ray.functions.text import tokenize
@@ -825,7 +839,8 @@ def more_like_this(
     ).to_pylist()
     if not rows:
         raise KeyError(f"doc_id {doc_id} not found")
-    tf = Counter(tokenize(rows[0]["text"]))
+    tf = Counter(tokenize(rows[0]["text"],
+                          getattr(searcher, "token_pattern", None)))
     if not tf:
         return []
     tm = searcher._term_map(sorted(tf))
@@ -835,8 +850,9 @@ def more_like_this(
         p = tm.get(t)
         if p is None:
             continue
-        idf = math.log(1.0 + (n - p.df + 0.5) / (p.df + 0.5))
-        scored.append((f * idf, t))
+        # the engine/oracle-shared idf definition (query/scorer.py) —
+        # term selection must track any future change to it
+        scored.append((f * _idf(p.df, n), t))
     if not scored:
         return []
     scored.sort(key=lambda x: (-x[0], x[1]))

@@ -18,6 +18,11 @@ import re
 from refimage_ray.config import DEFAULT_CONFIG
 
 _WORD_RE = re.compile(DEFAULT_CONFIG.token_pattern)
+# matching runs on the ORIGINAL text with IGNORECASE rather than on
+# text.lower(): str.lower() can change string length (e.g. 'İ' → 'i̇'),
+# which would shift every span after such a character and misplace the
+# marks.  Offsets from this regex are always valid into `text`.
+_WORD_RE_CI = re.compile(DEFAULT_CONFIG.token_pattern, re.IGNORECASE)
 
 
 def best_snippet(
@@ -37,9 +42,9 @@ def best_snippet(
     """
     want = {t.lower() for t in terms if t}
     spans: list[tuple[int, int, str]] = []
-    for m in _WORD_RE.finditer(text.lower()):
-        if m.group(0) in want:
-            spans.append((m.start(), m.end(), m.group(0)))
+    for m in _WORD_RE_CI.finditer(text):
+        if m.group(0).lower() in want:
+            spans.append((m.start(), m.end(), m.group(0).lower()))
     if not spans:
         head = text[:width]
         return {"snippet": head, "n_matches": 0, "n_distinct": 0}
@@ -81,15 +86,14 @@ def best_snippet(
     if start > 0:
         # if `start` lands mid-word (preceding char is part of a
         # token), skip forward past the fragment, then any separators
-        low = text.lower()
-        if _WORD_RE.match(low[start - 1]):
-            while start < lo and _WORD_RE.match(low[start]):
+        if _WORD_RE_CI.match(text[start - 1]):
+            while start < lo and _WORD_RE_CI.match(text[start]):
                 start += 1
-        while start < lo and not _WORD_RE.match(low[start]):
+        while start < lo and not _WORD_RE_CI.match(text[start]):
             start += 1
     if end < len(text):
         # if `end` splits a token, trim back to that token's start
-        for m in _WORD_RE.finditer(text.lower(), start, min(len(text), end + 1)):
+        for m in _WORD_RE_CI.finditer(text, start, min(len(text), end + 1)):
             if m.start() < end < m.end():
                 end = m.start()
                 break

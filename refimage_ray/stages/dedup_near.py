@@ -19,6 +19,14 @@ SQL-reproducible scheme SimHash uses — DuckDB's
 ``('0x' || substr(md5(t), 1, 16))::UBIGINT``) combined with uint64
 wraparound polynomials, so the whole MinHash banding + verify path has
 an exact DuckDB value oracle (see ``__ray_entry__.oracle_sql``).
+
+Token-less documents (texts whose tokenization is empty): MinHash and
+n-gram Jaccard emit no shingle/anchor rows for them, so two empty docs
+are never paired by those operators — by convention, a doc with no
+tokens has no near-duplicates under token-set similarity (even though
+``exact_jaccard`` defines both-empty as 1.0).  SimHash pairs them
+(hash 0 vs hash 0 at hamming 0), and EXACT dedup catches byte-equal
+empty texts; route empty-doc dedup through those two.
 """
 
 from __future__ import annotations

@@ -34,6 +34,11 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
+# pa.ListArray offsets are int32 — one bucket's simple-path token count
+# must stay below this per emitted chunk (tests shrink it to exercise
+# the segmented path)
+_LIST_OFFSET_CAP = (1 << 31) - 1
+
 
 def pack_offsets(
     dl_ds: "rd.Dataset",
@@ -176,6 +181,22 @@ def write_packed_sequences(
     if order not in ("stream", "shuffled"):
         raise ValueError(f"order must be 'stream' or 'shuffled', got {order!r}")
     os.makedirs(out_dir, exist_ok=True)
+    # resume safety: skipping existing files is only sound if the prior
+    # run used the SAME packing geometry — otherwise the artifact would
+    # silently mix two budgets/orders/seeds
+    man_path = os.path.join(out_dir, "manifest.json")
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            prior = json.load(f)
+        want = {"budget": budget, "seqs_per_file": seqs_per_file,
+                "order": order, "seed": seed if order == "shuffled" else None}
+        got = {k: prior.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                "resume=True but the existing manifest.json records "
+                f"different packing geometry ({got} != {want}); pass "
+                "resume=False to rewrite, or use a fresh out_dir"
+            )
     seqs = pack_token_sequences(
         docs_ds, budget=budget, n_buckets=n_buckets, vocab=vocab
     )
@@ -391,19 +412,47 @@ def pack_token_sequences(
         last_seq = np.where(dl > 0, (start + dl - 1) // budget, first_seq)
         simple = (first_seq == last_seq) & (dl > 0)
         tok_keep = simple[parent] if len(parent) else np.zeros(0, bool)
-        simple_vals = pa.array(tok[tok_keep], pa.int32())
+        s_vals = tok[tok_keep]
         s_dl = dl[simple]
-        s_offsets = np.concatenate(([0], np.cumsum(s_dl))).astype(np.int32)
-        simple_tbl = pa.table(
-            {
-                "seq_id": pa.array(first_seq[simple], pa.int64()),
-                "pos": pa.array(start[simple] - first_seq[simple] * budget,
-                                pa.int64()),
-                "ids": pa.ListArray.from_arrays(
-                    pa.array(s_offsets), simple_vals
-                ),
-            }
-        )
+        s_seq = first_seq[simple]
+        s_pos = start[simple] - first_seq[simple] * budget
+        # ListArray offsets are int32: a bucket holding >2^31 tokens
+        # would silently wrap the cumsum — emit the simple-path rows in
+        # segments that each stay under the cap (chunked table concat;
+        # downstream sees the same logical rows)
+        simple_parts = []
+        cum = np.cumsum(s_dl) if len(s_dl) else np.zeros(0, np.int64)
+        seg_start, tok_start = 0, 0
+        while seg_start < len(s_dl):
+            seg_end = int(
+                np.searchsorted(cum, tok_start + _LIST_OFFSET_CAP, side="right")
+            )
+            seg_end = max(seg_end, seg_start + 1)
+            dl_seg = s_dl[seg_start:seg_end]
+            n_tok = int(dl_seg.sum())
+            offs = np.concatenate(([0], np.cumsum(dl_seg))).astype(np.int32)
+            simple_parts.append(pa.table(
+                {
+                    "seq_id": pa.array(s_seq[seg_start:seg_end], pa.int64()),
+                    "pos": pa.array(s_pos[seg_start:seg_end], pa.int64()),
+                    "ids": pa.ListArray.from_arrays(
+                        pa.array(offs),
+                        pa.array(s_vals[tok_start:tok_start + n_tok],
+                                 pa.int32()),
+                    ),
+                }
+            ))
+            seg_start, tok_start = seg_end, tok_start + n_tok
+        if simple_parts:
+            simple_tbl = pa.concat_tables(simple_parts)
+        else:
+            simple_tbl = pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "ids": pa.array([], pa.list_(pa.int32())),
+                }
+            )
         # slow path: boundary-crossing docs (few) — per-piece loop
         seq_ids, poss, pieces = [], [], []
         for d in np.flatnonzero(~simple & (dl > 0)):

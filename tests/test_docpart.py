@@ -130,3 +130,31 @@ def test_docpart_actor_death_is_transparent(both_indexes):
     for a in dist.actors:
         ray.kill(a, no_restart=False)
     assert dist.search(q, k=10) == before
+
+
+def test_stale_tmp_shard_file_is_ignored_and_cleaned(both_indexes, tiny_docs,
+                                                     tmp_path):
+    """Regression: a docshard-*.parquet.tmp left by a crashed atomic
+    write must not be loaded as a shard (double postings / torn reads),
+    and a rebuild must clear it."""
+    import os
+    import shutil
+
+    term_dir, doc_dir, cfg = both_indexes
+    d = str(tmp_path / "idx")
+    shutil.copytree(doc_dir, d)
+    stale = os.path.join(d, "docshard-00000.parquet.tmp")
+    with open(stale, "wb") as f:
+        f.write(b"torn garbage")  # a torn tmp would crash pq.read_table
+
+    a, b = DocPartSearcher(doc_dir), DocPartSearcher(d)
+    assert len(b.shards) == len(a.shards)
+    for q in FIXTURE_QUERIES[:3]:
+        assert a.search(q, k=10) == b.search(q, k=10), q
+
+    # rebuild into the same dir removes the stale tmp before writing
+    build_doc_partitioned(rd.from_arrow(tiny_docs), d, cfg, num_doc_shards=4)
+    assert not os.path.exists(stale)
+    c = DocPartSearcher(d)
+    for q in FIXTURE_QUERIES[:3]:
+        assert a.search(q, k=10) == c.search(q, k=10), q

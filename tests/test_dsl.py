@@ -187,3 +187,25 @@ def test_func_equivalent_to_infix(executor):
     infix = executor.execute_query("merge AND sort", limit=BIG)
     func = executor.execute_query('AND(TEXT("merge"), TEXT("sort"))', limit=BIG)
     assert _ids(infix) == _ids(func)
+
+
+def test_operator_words_inside_quoted_phrase_are_literal():
+    """Regression: the infix parser split on AND/OR/NOT before
+    extracting quoted phrases, so '"rock AND roll"' silently became a
+    bag-of-words AND instead of an exact phrase."""
+    from refimage_ray.query.dsl import (
+        AndQuery, DSLParser, NotQuery, OrQuery, PhraseQuery, TextQuery,
+    )
+
+    p = DSLParser()
+    assert p.parse('"rock AND roll"') == PhraseQuery("rock AND roll")
+    n = p.parse('"rock AND roll" OR jazz')
+    assert isinstance(n, OrQuery)
+    assert n.operands[0] == PhraseQuery("rock AND roll")
+    assert n.operands[1] == TextQuery("jazz")
+    n = p.parse('spark AND "the OR gate" NOT stream')
+    assert isinstance(n, AndQuery)
+    assert n.operands[0] == TextQuery("spark")
+    assert n.operands[1] == NotQuery(
+        base=PhraseQuery("the OR gate"), exclude=TextQuery("stream")
+    )

@@ -200,3 +200,51 @@ def test_build_subranges_more_ranges_than_docs(ray_session, tmp_path):
     assert s.n_docs == 2
     hits = s.search("beta", k=10)
     assert sorted(doc for doc, _ in hits) == [5, 6]
+
+
+def test_compact_dedup_built_index_excludes_losers(ray_session, tiny_docs,
+                                                   tmp_path):
+    """Regression: compacting an index built with in-build dedup used
+    to count exact-dup losers in n_docs/avgdl (wrong idf/weights) and
+    copy their rows into the compacted docs/ with no losers.parquet —
+    resurrecting the duplicates for any downstream consumer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # duplicate the first 10 texts under fresh doc_ids
+    n = tiny_docs.num_rows
+    dup = pa.table(
+        {
+            "doc_id": pa.array([n + i for i in range(10)], pa.int64()),
+            "text": tiny_docs["text"].slice(0, 10),
+        }
+    )
+    from refimage_ray.stages.dedup import add_content_hash
+
+    corpus = add_content_hash(
+        pa.concat_tables([tiny_docs.select(["doc_id", "text"]), dup])
+    )
+    d = str(tmp_path / "idx")
+    dc = str(tmp_path / "compacted")
+    build_index(rd.from_arrow(corpus), d, CFG, dedup_exact=True)
+    losers = set(
+        pq.read_table(d + "/losers.parquet")["doc_id"].to_pylist()
+    )
+    # the 10 synthetic dups lose (tiny_docs may carry intra dups too)
+    assert losers.issuperset(range(n, n + 10))
+
+    compact_index(d, dc, CFG)
+
+    live = [
+        (i, t)
+        for i, t in zip(corpus["doc_id"].to_pylist(),
+                        corpus["text"].to_pylist())
+        if i not in losers
+    ]
+    oracle = BM25Oracle(live, CFG)
+    s = LocalSearcher(dc)
+    assert s.n_docs == len(live)  # losers not counted
+    # compacted docs/ holds exactly the live corpus (losers dropped)
+    assert pq.read_table(dc + "/docs", columns=["doc_id"]).num_rows == len(live)
+    for q in FIXTURE_QUERIES:
+        assert s.search(q, k=10) == oracle.search(q, k=10), q

@@ -552,3 +552,41 @@ def test_dense_buffer_pool_reuses_across_threads():
     assert got[0] is b          # same allocation, different thread
     assert not got[0].any()     # all-zero contract held
     _release_dense_buffer(got[0])
+
+
+def test_custom_token_pattern_index_query_symmetry(ray_session, tmp_path):
+    """Regression: an index built with a custom cfg.token_pattern was
+    queried with the hardcoded default tokenizer, so terms like
+    'foo_bar' (one token under '[a-z0-9_]+') were split at query time
+    and became unreachable.  The searcher now reads token_pattern from
+    the manifest and tokenizes queries with it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.query.oracle import BM25Oracle
+
+    cfg = EngineConfig(num_shards=4, salt_buckets=2,
+                       token_pattern=r"[a-z0-9_]+")
+    texts = [
+        "foo_bar baz alpha", "plain words only", "foo_bar again here",
+        "bar foo separate words", "baz qux alpha beta",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(docs), d, cfg)
+
+    s = LocalSearcher(d)
+    assert s.token_pattern == r"[a-z0-9_]+"
+    hits = s.search("foo_bar", k=10)
+    assert sorted(doc for doc, _ in hits) == [0, 2]  # NOT doc 3
+    # scores match an oracle built with the same pattern
+    oracle = BM25Oracle(list(zip(range(len(texts)), texts)), cfg)
+    assert hits == oracle.search("foo_bar", k=10)

@@ -65,3 +65,13 @@ def test_snippets_for_hits_over_index(ray_session, built_index):
     assert [(o["doc_id"], o["score"]) for o in out] == hits
     assert all(o["n_matches"] >= 1 for o in out)  # BM25 hits contain a term
     assert any("[" in o["snippet"] for o in out)
+
+
+def test_unicode_lowercase_length_change_keeps_marks_aligned():
+    # regression: spans were computed on text.lower(), whose length can
+    # differ from the original ('İ'.lower() is 2 chars), shifting every
+    # later span and garbling the marks
+    text = "İstanbul guide to cats and more"
+    sn = best_snippet(text, ["cats"], width=30)
+    assert "[cats]" in sn["snippet"]
+    assert sn["n_matches"] == 1

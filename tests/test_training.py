@@ -395,3 +395,52 @@ def test_write_packed_sequences_shuffled_order(ray_session, tmp_path):
         hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest() == v
         for f, v in h.items()
     )
+
+
+def test_pack_segmented_list_offsets_identical(ray_session, monkeypatch):
+    """Regression: one bucket's simple-path token cumsum was cast to
+    int32 ListArray offsets, which wraps past 2^31 tokens.  With the
+    cap shrunk to force many segments, the emitted sequences must be
+    identical to the unsegmented run."""
+    from refimage_ray.stages import packing
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 9)))
+        for _ in range(50)
+    ]
+    base = sorted(
+        packing.pack_token_sequences(_docs_ds(texts), 13, n_buckets=2).take_all(),
+        key=lambda r: r["seq_id"],
+    )
+    monkeypatch.setattr(packing, "_LIST_OFFSET_CAP", 7)  # force segments
+    seg = sorted(
+        packing.pack_token_sequences(_docs_ds(texts), 13, n_buckets=2).take_all(),
+        key=lambda r: r["seq_id"],
+    )
+    assert [r["seq_id"] for r in seg] == [r["seq_id"] for r in base]
+    assert [r["token_ids"] for r in seg] == [r["token_ids"] for r in base]
+
+
+def test_write_packed_sequences_resume_geometry_mismatch(ray_session, tmp_path):
+    """Regression: resume=True silently mixed two packing geometries —
+    now it refuses when budget/order/seed/seqs_per_file differ from the
+    prior manifest."""
+    import pytest as _pytest
+
+    from refimage_ray.stages.packing import write_packed_sequences
+
+    texts = [" ".join(["w"] * 9)] * 20
+    d = str(tmp_path / "a")
+    write_packed_sequences(_docs_ds(texts), d, budget=16, seqs_per_file=8)
+    with _pytest.raises(ValueError, match="packing geometry"):
+        write_packed_sequences(_docs_ds(texts), d, budget=32, seqs_per_file=8)
+    with _pytest.raises(ValueError, match="packing geometry"):
+        write_packed_sequences(_docs_ds(texts), d, budget=16, seqs_per_file=4)
+    # same geometry resumes fine; different geometry allowed with resume=False
+    m = write_packed_sequences(_docs_ds(texts), d, budget=16, seqs_per_file=8)
+    assert m["skipped_existing"] == m["files"]
+    m2 = write_packed_sequences(_docs_ds(texts), d, budget=32, seqs_per_file=8,
+                                resume=False)
+    assert m2["skipped_existing"] == []
