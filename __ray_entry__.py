@@ -179,7 +179,10 @@ def _bm25_sql(terms: list[str], k: int, conjunctive: bool = False) -> str:
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT count(*)::DOUBLE AS n, (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl
+-- avgdl divides by ALL docs (the engine's basis), not just docs with
+-- >=1 token — a zero-token doc must lower avgdl on both sides
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
           FROM documents),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 q(term) AS (VALUES {terms_sql}),
@@ -885,11 +888,15 @@ FROM documents
         # deterministic global shuffle: the permutation is a VALUE
         # (shuffle_pos = rank by multiplicative-hash key), so the
         # order-insensitive compare still pins the whole ordering
+        # HUGEINT cast before the multiply (like the sibling oracles):
+        # doc_id * 2654435761 overflows INT64 for doc_id >= ~3.5e9
         "global_shuffle_docs": """
 SELECT doc_id,
-       CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS shuffle_key,
+       CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+           AS shuffle_key,
        CAST(row_number() OVER (
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                    doc_id
        ) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 """,
@@ -926,10 +933,12 @@ FROM stream GROUP BY seq_id
         # doc_sample, threshold from DEFAULT_LANG_RATES
         "lang_mixture_sample": """
 SELECT doc_id, lang FROM documents
+-- floor(), not CAST-to-BIGINT: DuckDB's CAST rounds to nearest while
+-- the engine truncates (int()), an off-by-one threshold at e.g. 0.1
 WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
-      < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
+      < CAST(floor((CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
               WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 0.1
-              ELSE 0.05 END) * 4294967296 AS BIGINT)
+              ELSE 0.05 END) * 4294967296) AS BIGINT)
 """,
         "url_blocklist_stats": """
 SELECT source || '.' || lang || '.example.org' AS host,

@@ -23,28 +23,13 @@ _MASK = np.uint64(0x7F)
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative integer array to varbyte bytes."""
-    a = np.ascontiguousarray(values, dtype=np.uint64)
-    if a.size == 0:
-        return b""
-    # number of 7-bit groups per value (≥1)
-    ngroups = np.ones(a.shape, dtype=np.int64)
-    tmp = a >> _U7
-    while tmp.any():
-        ngroups += tmp > 0
-        tmp >>= _U7
-    ends = np.cumsum(ngroups)
-    starts = ends - ngroups
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    vals = a.copy()
-    for k in range(int(ngroups.max())):
-        mask = ngroups > k
-        out[starts[mask] + k] = (vals[mask] & _MASK).astype(np.uint8)
-        vals[mask] >>= _U7
-    cont = np.ones(out.shape, dtype=bool)
-    cont[ends - 1] = False
-    out[cont] |= 0x80
-    return out.tobytes()
+    """Encode a non-negative integer array to varbyte bytes.
+
+    Thin wrapper over :func:`varbyte_encode_with_offsets` — one body
+    for the codec, so the two can never drift (``slice_varbyte``'s
+    contract is that a slice equals ``varbyte_encode(values[s:e])``).
+    """
+    return varbyte_encode_with_offsets(values)[0].tobytes()
 
 
 def varbyte_encode_with_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -34,7 +34,24 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
     flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     n = len(col)
+    if n == 0:
+        # reshape(0, -1) raises on an empty array; an empty block from
+        # an upstream filter/fragment must pass through, not crash
+        d = col.type.value_type
+        return np.zeros((0, 0), np.float64) if d is not None else flat
     return flat.reshape(n, -1).astype(np.float64)
+
+
+def _topk_candidates(s: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of every entry scoring >= the kk-th largest value — a
+    SUPERSET of any top-kk, so boundary TIES survive the per-batch
+    partial (argpartition alone drops tied lower vec_ids
+    nondeterministically) and the final (score desc, vec_id asc) merge
+    stays exact."""
+    if len(s) <= kk:
+        return np.arange(len(s))
+    kth = np.partition(s, len(s) - kk)[len(s) - kk]
+    return np.flatnonzero(s >= kth)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -60,6 +77,10 @@ def brute_force_topk(
     q_ref = ray.put(qm)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: pass through, don't matmul
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         q = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_to_matrix(batch[emb_col]))
@@ -69,7 +90,7 @@ def brute_force_topk(
         kk = min(k, len(ids))
         for qi in range(nq):  # loop over queries (few), vectorized over vectors
             s = scores[:, qi]
-            sel = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            sel = _topk_candidates(s, kk)
             out_q.append(np.full(len(sel), qi, dtype=np.int64))
             out_id.append(ids[sel])
             out_s.append(s[sel])
@@ -134,6 +155,10 @@ def lsh_bucketed_topk(
     q_ref = ray.put((qm, planes, probe_arr))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         q, pl, pr = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_to_matrix(batch[emb_col]))
@@ -149,7 +174,7 @@ def lsh_bucketed_topk(
         for qi in range(scores.shape[1]):
             s = scores[:, qi]
             kk = min(k, len(s))
-            sel = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            sel = _topk_candidates(s, kk)
             out.append(
                 pa.table(
                     {
@@ -225,6 +250,10 @@ def ivf_topk(
     state = ray.put((qm, cents, q_cent, probe_union))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         q, C, qc, probe = ray.get(state)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_to_matrix(batch[emb_col]))
@@ -238,7 +267,7 @@ def ivf_topk(
                 continue
             s = m[sel] @ q[qi]
             kk = min(k, len(s))
-            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            top = _topk_candidates(s, kk)
             out_q.append(np.full(len(top), qi, dtype=np.int64))
             out_id.append(ids[sel][top])
             out_s.append(s[top])
@@ -366,6 +395,14 @@ def embedding_near_dup_pairs(
         planes_ref = ray.put(_hyperplanes_lazy(emb_ds, emb_col, n_planes, seed))
 
         def to_bucket_rows(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "bucket": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.int64()),
+                        emb_col: batch[emb_col],
+                    }
+                )
             pl = ray.get(planes_ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             m = _normalize(_to_matrix(batch[emb_col]))

@@ -241,7 +241,10 @@ def dedup_and_assign_ids(
     def dedup_enumerate(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["content_hash", order_col], kind="mergesort")
         g = g.drop_duplicates("content_hash", keep="first")
-        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        # content_hash as tiebreak: two DIFFERENT texts under one url
+        # must still rank deterministically (arrival order is not)
+        g = g.sort_values([order_col, "content_hash"],
+                          kind="mergesort").reset_index(drop=True)
         base = int(g["dedup_bucket"].iloc[0]) * stride
         g.insert(0, "doc_id", base + np.arange(len(g), dtype=np.int64))
         return g.drop(columns=["dedup_bucket"])

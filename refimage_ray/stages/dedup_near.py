@@ -77,20 +77,6 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _doc_shingles(th: np.ndarray, k: int) -> np.ndarray:
-    """Shingle hashes of ONE doc's token-hash sequence (k-gram windows;
-    falls back to unigrams when the doc is shorter than k)."""
-    n = len(th)
-    if n == 0:
-        return np.zeros(0, np.uint64)
-    if n < k:
-        return np.unique(th)
-    sh = th[: n - k + 1].copy()
-    for j in range(1, k):
-        sh = sh * _B + th[j : n - k + 1 + j]
-    return np.unique(sh)
-
-
 def _batch_shingles(
     batch: pa.Table, cfg: EngineConfig, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

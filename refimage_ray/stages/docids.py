@@ -68,7 +68,20 @@ def assign_doc_ids(
     )
 
     def enumerate_group(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        # rows sharing a url (re-crawls of the same page) need a
+        # DETERMINISTIC tiebreak — mergesort alone would preserve Ray's
+        # nondeterministic block-arrival order, so a rerun could swap
+        # their ids and break the reproducible-row-for-row contract
+        keys = [key_col]
+        if group[key_col].duplicated().any():
+            for extra in ("content_hash", "warc_ts", "text"):
+                if extra in group.columns:
+                    group["_docid_tiebreak"] = group[extra].astype(str)
+                    keys.append("_docid_tiebreak")
+                    break
+        group = group.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        if "_docid_tiebreak" in group.columns:
+            group = group.drop(columns=["_docid_tiebreak"])
         base = int(group["docid_part"].iloc[0]) * stride
         group.insert(0, "doc_id", base + np.arange(len(group), dtype=np.int64))
         return group.drop(columns=["docid_part"])

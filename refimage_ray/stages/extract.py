@@ -68,9 +68,20 @@ class ExtractText:
             return batch.select(keep).append_column(
                 "text", pa.array(texts, pa.string())
             )
-        n_p = pc.count_substring(as_str, pattern="<p").to_numpy(
-            zero_copy_only=False
+        # mirror the scalar flow exactly: restrict to the <body> region
+        # first (case-insensitive, like the scalar parser), THEN require
+        # exactly one case-insensitive <p inside it — otherwise a page
+        # with a <p> outside <body>, or a <P> variant, would extract
+        # different text depending on which path its batch took
+        body_sub = pc.extract_regex(
+            as_str, pattern=r"(?is)<body[^>]*>(?P<b>.*)</body>"
         )
+        body_str = pc.if_else(
+            pc.is_valid(body_sub), pc.struct_field(body_sub, "b"), as_str
+        )
+        n_p = pc.count_substring(
+            body_str, pattern="<p", ignore_case=True
+        ).to_numpy(zero_copy_only=False)
         has_amp = pc.greater(
             pc.count_substring(as_str, pattern="&"), 0
         ).to_numpy(zero_copy_only=False)
@@ -82,7 +93,8 @@ class ExtractText:
         slow_mask = ~fast
         if fast.any():
             sub = pc.extract_regex(
-                pc.filter(as_str, pa.array(fast)), pattern=r"<p[^>]*>(?P<body>.*?)</p>"
+                pc.filter(body_str, pa.array(fast)),
+                pattern=r"(?is)<p[^>]*>(?P<body>.*?)</p>",
             )
             bodies = pc.struct_field(sub, "body").to_pylist()
             fi = 0

@@ -73,6 +73,13 @@ def tokenize_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Ta
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     if len(flat) == 0:
+        # schema must be uniform across blocks: with store_positions a
+        # token-less block still needs the 'pos' column, or Ray's
+        # block-schema unification fails mid-build
+        if cfg.store_positions:
+            return POSTINGS_SCHEMA.append(
+                pa.field("pos", pa.list_(pa.int32()))
+            ).empty_table()
         return POSTINGS_SCHEMA.empty_table()
 
     # per-(doc, term) tf via Acero hash aggregation (the partial agg)

@@ -167,3 +167,49 @@ def test_lsh_near_dup_finds_close_pairs(ray_session, emb_table):
     ).to_pandas()
     # LSH pairs are a subset of the exact pairs
     assert set(zip(pairs.vec_a, pairs.vec_b)) <= set(zip(exact.vec_a, exact.vec_b))
+
+
+def test_brute_force_boundary_ties_keep_smallest_ids(ray_session):
+    """Regression: the per-batch argpartition dropped tied lower
+    vec_ids at the k boundary; duplicate embeddings must resolve by
+    vec_id asc exactly like the SQL oracle's ORDER BY."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.stages.ann import brute_force_topk
+
+    # 8 identical vectors (all tie at cosine 1.0) + 4 orthogonal ones
+    emb = [[1.0, 0.0]] * 8 + [[0.0, 1.0]] * 4
+    ids = [50, 40, 30, 20, 10, 60, 70, 80, 1, 2, 3, 4]
+    ds = rd.from_arrow(pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float64())),
+        }
+    )).repartition(4)  # ties split across batches
+    out = brute_force_topk(ds, np.array([[1.0, 0.0]]), k=3)
+    assert out["vec_id"].to_pylist() == [10, 20, 30]  # smallest tied ids
+    assert all(abs(s - 1.0) < 1e-12 for s in out["score"].to_pylist())
+
+
+def test_ann_empty_block_passthrough(ray_session):
+    """Regression: an all-filtered (zero-row) block crashed
+    _to_matrix's reshape inside the partial top-k."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.stages.ann import brute_force_topk
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).filter(lambda r: r["vec_id"] < 100)  # no-op filter
+    empty = rd.from_arrow(t.slice(0, 0))
+    out = brute_force_topk(ds.union(empty), np.array([[1.0, 0.0]]), k=2)
+    assert out["vec_id"].to_pylist() == [1, 2]

@@ -95,3 +95,28 @@ def test_extract_text_batch_parity(tiny_pages):
     assert extract_text_batch(inp).equals(ExtractText()(inp))
     # second call exercises the cached path
     assert extract_text_batch(inp).equals(ExtractText()(inp))
+
+
+def test_fast_path_matches_scalar_on_divergent_shapes():
+    """Regression: the vectorized fast path ignored the <body>
+    restriction and matched '<p' case-sensitively, so these shapes
+    extracted different text depending on which path the batch took."""
+    import pyarrow as pa
+
+    from refimage_ray.stages.extract import ExtractText
+
+    ex = ExtractText()
+    cases = [
+        b"<body>stuff</body><p>a</p>",   # <p> OUTSIDE body
+        b"<p>a</p><P>b</P>",             # case variants
+        b'<body><P CLASS="x">upper</P></body>',
+        b"<body><p>one</p><p>two</p></body>",
+        b"no tags at all",
+    ]
+    batch = pa.table(
+        {
+            "html": pa.array(cases, pa.binary()),
+            "url": pa.array([f"u{i}" for i in range(len(cases))]),
+        }
+    )
+    assert ex(batch)["text"].to_pylist() == [ex.extract_one(c) for c in cases]
