@@ -60,3 +60,47 @@ def test_delta_strided_docids():
 def test_f64_roundtrip():
     w = np.array([0.0, 0.5, 1.0 / 3.0, 1e-300], np.float64)
     assert np.array_equal(decode_f64(encode_f64(w)), w)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=60),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_slice_varbyte_equals_encode_of_slice(values, data):
+    """slice_varbyte's contract: a byte slice of the full encoding is
+    bit-identical to encoding the value slice directly (what the pack
+    combiners rely on to encode once per batch and slice per gkey)."""
+    from refimage_ray.functions.codec import (
+        slice_varbyte,
+        varbyte_encode_with_offsets,
+    )
+
+    a = np.asarray(values, dtype=np.uint64)
+    buf, ends = varbyte_encode_with_offsets(a)
+    s = data.draw(st.integers(0, len(a)))
+    e = data.draw(st.integers(s, len(a)))
+    assert slice_varbyte(buf, ends, s, e) == varbyte_encode(a[s:e])
+
+
+@given(
+    st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                       min_value=-1e3, max_value=1e3),
+             min_size=0, max_size=50),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_topk_candidates_superset_property(scores, k):
+    """_topk_candidates must return a superset of every valid top-k set:
+    all indices scoring strictly above the k-th largest, plus every
+    index tied with it."""
+    from refimage_ray.stages.ann import _topk_candidates
+
+    s = np.asarray(scores, dtype=np.float64)
+    sel = set(_topk_candidates(s, k).tolist())
+    if len(s) <= k:
+        assert sel == set(range(len(s)))
+        return
+    kth = np.sort(s)[len(s) - k]
+    must_have = {i for i, v in enumerate(s) if v >= kth}
+    assert sel == must_have
