@@ -172,9 +172,24 @@ FROM stream GROUP BY seq_id
 """
 
 
-def _bm25_sql(terms: list[str], k: int, conjunctive: bool = False) -> str:
-    terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
-    having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+def _bm25_sql(
+    terms: "list[str] | None", k: int, conjunctive: bool = False,
+    q_where: "str | None" = None,
+) -> str:
+    """BM25 top-k oracle.  The query-term set ``q`` is either an
+    explicit VALUES list (``terms``) or DERIVED from the corpus
+    vocabulary by ``q_where`` (e.g. ``term LIKE 's%'`` /
+    ``levenshtein(term, 'sow') <= 1``) — mirroring the engine's
+    prefix/fuzzy expansion, which is definitionally an OR query over
+    the matching vocabulary terms."""
+    if q_where is not None:
+        q_sql = f"q AS (SELECT DISTINCT term FROM df WHERE {q_where})"
+        having = ""
+        assert not conjunctive
+    else:
+        terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+        q_sql = f"q(term) AS (VALUES {terms_sql})"
+        having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
     return f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -185,7 +200,7 @@ stats AS (SELECT count(*)::DOUBLE AS n,
                  (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
           FROM documents),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(term) AS (VALUES {terms_sql}),
+{q_sql},
 scores AS (
   SELECT tf.doc_id,
          sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
@@ -343,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": search.bm25_topk,
         "bm25_topk_and": search.bm25_topk_and,
         "bm25_topk_docpart": search.bm25_topk_docpart,
+        "bm25_topk_prefix": search.bm25_topk_prefix,
+        "bm25_topk_fuzzy": search.bm25_topk_fuzzy,
+        "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "search_and_membership": search.search_and_membership,
         "search_or_membership": search.search_or_membership,
         "search_not_membership": search.search_not_membership,
@@ -571,6 +589,16 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_and": _bm25_sql(["data", "table", "scan"], 10, conjunctive=True),
         # doc-partitioned layout is exact → same oracle as bm25_topk
         "bm25_topk_docpart": _bm25_sql(["spark", "join"], 10),
+        # expansion queries: q derived from the corpus vocabulary, the
+        # exact set the engine expands against (prefix range / SymSpell
+        # neighborhood verified with plain Levenshtein = DuckDB's)
+        "bm25_topk_prefix": _bm25_sql(None, 10, q_where="term LIKE 's%'"),
+        "bm25_topk_fuzzy": _bm25_sql(
+            None, 10, q_where="levenshtein(term, 'sow') <= 1"
+        ),
+        # synonym mapping is an input, so its expansion union is a
+        # fixed term list: {spark→stream, join→merge}
+        "bm25_topk_synonyms": _bm25_sql(["spark", "stream", "join", "merge"], 10),
         "search_and_membership": f"""
 SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
 INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'

@@ -75,6 +75,10 @@ class EngineConfig:
     # threshold in schemas.py:174,193) ---
     default_k: int = 10
     default_threshold: float = 0.0
+    # multi-term expansion cap (prefix/fuzzy queries): keep the N most
+    # frequent matches, deterministically (df desc, term asc) — the
+    # Lucene maxExpansions analog.  <=0 disables the cap.
+    max_expansions: int = 128
 
     def with_(self, **kw) -> "EngineConfig":
         return replace(self, **kw)

@@ -312,6 +312,47 @@ def _load_shard_view(
     return _ShardView(tm)
 
 
+class _GlobalVocabExpander:
+    """Prefix/fuzzy expansion for the doc-partitioned layout, probed
+    against the artifact's GLOBAL ``terms/`` table (term → global df).
+
+    Unlike the term-partitioned layout (where a match set is scattered
+    across shard actors' disjoint vocabularies), here every doc shard
+    may hold postings for every term — so expansion consults the one
+    global dictionary and the expanded terms are then scored by the
+    ordinary scatter-gather path.  Probe structures build lazily, once.
+    """
+
+    def __init__(self, global_df: dict, token_pattern: "str | None") -> None:
+        self._df = global_df
+        self._token_pattern = token_pattern
+        self._vocab: "list[str] | None" = None
+        self._deletes: "dict[str, list[str]] | None" = None
+
+    def expand(self, kind: str, arg: str, max_expansions: int) -> list[str]:
+        from refimage_ray.functions.text import tokenize
+        from refimage_ray.query.expand import (
+            build_deletes_index,
+            cap_expansion,
+            fuzzy_matches,
+            prefix_matches,
+        )
+
+        toks = tokenize(arg, self._token_pattern)
+        if len(toks) != 1:
+            raise ValueError(f"{kind} query takes exactly one term, got {arg!r}")
+        if kind == "prefix":
+            if self._vocab is None:
+                self._vocab = sorted(self._df)
+            matched = prefix_matches(self._vocab, toks[0])
+        else:
+            if self._deletes is None:
+                self._deletes = build_deletes_index(self._df)
+            matched = fuzzy_matches(self._deletes, toks[0])
+        return cap_expansion([(t, int(self._df[t])) for t in matched],
+                             max_expansions)
+
+
 class DocPartSearcher:
     """Scatter-gather searcher over the doc-partitioned artifact.
 
@@ -338,6 +379,9 @@ class DocPartSearcher:
         self.avgdl = float(man["stats"]["avgdl"])
 
         self._global_df = _load_global_df(index_dir)
+        self._expander = _GlobalVocabExpander(
+            self._global_df, man["config"].get("token_pattern")
+        )
         files = sorted(
             f for f in os.listdir(index_dir)
             if f.startswith("docshard-") and f.endswith(".parquet")
@@ -373,6 +417,36 @@ class DocPartSearcher:
             np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
         )
         return list(zip(ids.tolist(), scores.tolist()))
+
+    def _search_expanded(
+        self, kind: str, arg: str, k, threshold, cfg: EngineConfig,
+        max_expansions: "int | None",
+    ) -> list[tuple[int, float]]:
+        cap = cfg.max_expansions if max_expansions is None else max_expansions
+        terms = self._expander.expand(kind, arg, cap)
+        if not terms:
+            return []
+        # expanded terms are tokens, so the joined string re-tokenizes
+        # to exactly this set — identical to an OR query over it
+        return self.search(" ".join(terms), k=k, threshold=threshold,
+                           mode="or", cfg=cfg)
+
+    def search_prefix(self, prefix: str, k=None, threshold=None,
+                      cfg: EngineConfig = DEFAULT_CONFIG,
+                      max_expansions: "int | None" = None):
+        """Prefix top-k over the doc-partitioned layout (see
+        ``engine.search_prefix``) — expansion against the global terms
+        table, scoring via the exact scatter-gather path."""
+        return self._search_expanded("prefix", prefix, k, threshold, cfg,
+                                     max_expansions)
+
+    def search_fuzzy(self, term: str, k=None, threshold=None,
+                     cfg: EngineConfig = DEFAULT_CONFIG,
+                     max_expansions: "int | None" = None):
+        """Levenshtein-≤1 fuzzy top-k over the doc-partitioned layout
+        (see ``engine.search_fuzzy``)."""
+        return self._search_expanded("fuzzy", term, k, threshold, cfg,
+                                     max_expansions)
 
 
 @ray.remote
@@ -412,6 +486,9 @@ class DistributedDocPartSearcher:
             man = json.load(f)
         if man.get("layout") != "doc-partitioned":
             raise ValueError(f"{index_dir} is not a doc-partitioned index")
+        self.index_dir = index_dir
+        self._token_pattern = man["config"].get("token_pattern")
+        self._expander: "_GlobalVocabExpander | None" = None  # lazy
         self.n_docs = int(man["stats"]["n_docs"])
         self.avgdl = float(man["stats"]["avgdl"])
         files = sorted(
@@ -469,6 +546,38 @@ class DistributedDocPartSearcher:
             np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
         )
         return list(zip(ids.tolist(), scores.tolist()))
+
+    def _search_expanded(
+        self, kind: str, arg: str, k, threshold, cfg: EngineConfig,
+        max_expansions: "int | None",
+    ) -> list[tuple[int, float]]:
+        if self._expander is None:
+            # global terms table loaded on first expansion query only —
+            # plain scatter-gather serving never pays for it
+            self._expander = _GlobalVocabExpander(
+                _load_global_df(self.index_dir), self._token_pattern
+            )
+        cap = cfg.max_expansions if max_expansions is None else max_expansions
+        terms = self._expander.expand(kind, arg, cap)
+        if not terms:
+            return []
+        return self.search(" ".join(terms), k=k, threshold=threshold,
+                           mode="or", cfg=cfg)
+
+    def search_prefix(self, prefix: str, k=None, threshold=None,
+                      cfg: EngineConfig = DEFAULT_CONFIG,
+                      max_expansions: "int | None" = None):
+        """Prefix top-k (driver-side expansion against the global terms
+        table, then the ordinary scatter-gather)."""
+        return self._search_expanded("prefix", prefix, k, threshold, cfg,
+                                     max_expansions)
+
+    def search_fuzzy(self, term: str, k=None, threshold=None,
+                     cfg: EngineConfig = DEFAULT_CONFIG,
+                     max_expansions: "int | None" = None):
+        """Levenshtein-≤1 fuzzy top-k (driver-side expansion)."""
+        return self._search_expanded("fuzzy", term, k, threshold, cfg,
+                                     max_expansions)
 
     def search_many(
         self,

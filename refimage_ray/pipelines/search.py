@@ -103,6 +103,29 @@ def bm25_topk_docpart(sf_dir: str, query: str = "spark join", k: int = 10) -> pa
     return _hits_table(_searchers[doc_dir].search(query, k=k, mode="or"))
 
 
+def bm25_topk_prefix(sf_dir: str, prefix: str = "s", k: int = 10) -> pa.Table:
+    """Prefix top-k (``s*``): term-dictionary expansion → disjunctive
+    BM25 over the matches (Lucene PrefixQuery analog)."""
+    return _hits_table(searcher_for(sf_dir).search_prefix(prefix, k=k))
+
+
+def bm25_topk_fuzzy(sf_dir: str, term: str = "sow", k: int = 10) -> pa.Table:
+    """Fuzzy top-k (``sow~``): Levenshtein-≤1 vocabulary expansion via
+    a SymSpell deletion neighborhood → disjunctive BM25."""
+    return _hits_table(searcher_for(sf_dir).search_fuzzy(term, k=k))
+
+
+def bm25_topk_synonyms(sf_dir: str, query: str = "spark join", k: int = 10) -> pa.Table:
+    """Synonym-expanded top-k: each query term unions its synonym set
+    (tokenized with the index's tokenizer) before disjunctive scoring."""
+    return _hits_table(
+        searcher_for(sf_dir).search(
+            query, k=k, mode="or",
+            synonyms={"spark": ["stream"], "join": ["merge"]},
+        )
+    )
+
+
 def _membership(sf_dir: str, dsl_query: str) -> pa.Table:
     ex = DSLExecutor(searcher_for(sf_dir))
     hits = ex.execute_query(dsl_query, limit=10**9)

@@ -44,6 +44,8 @@ TAG_RE = re.compile(r"#(\w+)")
 PHRASE_RE = re.compile(r'"([^"]*)"')
 WEIGHT_RE = re.compile(r"\^(\d*\.?\d+)")
 OP_RE = re.compile(r"\b(AND|OR|NOT)\b")
+PREFIX_TOKEN_RE = re.compile(r"(\w+)\*")
+FUZZY_TOKEN_RE = re.compile(r"(\w+)~")
 
 
 class QueryNode:
@@ -78,6 +80,39 @@ class PhraseQuery(QueryNode):
     def execute(self, ctx):
         hits = ctx.searcher.search_phrase(
             self.text, k=ctx.limit, threshold=ctx.min_score
+        )
+        return {d: s * self.weight for d, s in hits}
+
+
+@dataclass
+class PrefixQuery(QueryNode):
+    """Prefix leaf (``netw*`` infix / ``PREFIX("netw")`` function) —
+    beyond the reference's surface; expands against the index's term
+    dictionary and scores the expansion disjunctively
+    (``engine.search_prefix``)."""
+
+    prefix: str
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        hits = ctx.searcher.search_prefix(
+            self.prefix, k=ctx.limit, threshold=ctx.min_score
+        )
+        return {d: s * self.weight for d, s in hits}
+
+
+@dataclass
+class FuzzyQuery(QueryNode):
+    """Fuzzy leaf (``aple~`` infix / ``FUZZY("aple")`` function) —
+    vocabulary terms within Levenshtein distance 1, scored
+    disjunctively (``engine.search_fuzzy``)."""
+
+    term: str
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        hits = ctx.searcher.search_fuzzy(
+            self.term, k=ctx.limit, threshold=ctx.min_score
         )
         return {d: s * self.weight for d, s in hits}
 
@@ -139,7 +174,9 @@ class DSLParseError(ValueError):
     pass
 
 
-FUNC_RE = re.compile(r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG|PHRASE)\s*\(", re.S)
+FUNC_RE = re.compile(
+    r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG|PHRASE|PREFIX|FUZZY)\s*\(", re.S
+)
 
 
 class DSLParser:
@@ -230,6 +267,14 @@ class DSLParser:
             if len(args) != 1 or not isinstance(args[0], str):
                 raise DSLParseError("PHRASE() takes one string")
             return PhraseQuery(args[0])
+        if name == "PREFIX":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise DSLParseError("PREFIX() takes one string")
+            return PrefixQuery(args[0])
+        if name == "FUZZY":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise DSLParseError("FUZZY() takes one string")
+            return FuzzyQuery(args[0])
         if name == "TAG":
             if not args or not all(isinstance(a, str) for a in args):
                 raise DSLParseError("TAG() takes strings")
@@ -250,10 +295,12 @@ class DSLParser:
             if len(args) != 2 or not isinstance(args[1], float):
                 raise DSLParseError("WEIGHT() takes (expr, number)")
             node = as_node(args[0])
-            if isinstance(node, (TextQuery, TagFilter)):
+            if isinstance(
+                node, (TextQuery, TagFilter, PhraseQuery, PrefixQuery, FuzzyQuery)
+            ):
                 node.weight = args[1]
                 return node
-            raise DSLParseError("WEIGHT() applies to TEXT/TAG leaves")
+            raise DSLParseError("WEIGHT() applies to leaf nodes")
         raise DSLParseError(f"unknown function {name}")
 
     # --- operator levels: OR (loosest) → AND → NOT (tightest) ---
@@ -298,6 +345,13 @@ class DSLParser:
             else p
             for p in phrases
         ]
+        # expansion tokens before tags/text (their trailing * / ~ would
+        # otherwise be stripped by the tokenizer and silently degrade
+        # to exact-term queries)
+        prefixes = PREFIX_TOKEN_RE.findall(q)
+        q = PREFIX_TOKEN_RE.sub("", q)
+        fuzzies = FUZZY_TOKEN_RE.findall(q)
+        q = FUZZY_TOKEN_RE.sub("", q)
         tags = TAG_RE.findall(q)
         text = TAG_RE.sub("", q).strip()
         leaves: list[QueryNode] = []
@@ -306,6 +360,10 @@ class DSLParser:
         for ph in phrases:
             if ph.strip():
                 leaves.append(PhraseQuery(ph, weight))
+        for p in prefixes:
+            leaves.append(PrefixQuery(p, weight))
+        for f in fuzzies:
+            leaves.append(FuzzyQuery(f, weight))
         if tags:
             leaves.append(TagFilter(tags, "any", weight))
         if not leaves:

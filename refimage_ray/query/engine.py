@@ -422,13 +422,81 @@ class _SearcherBase:
         prune: "bool | str" = True,  # False | True (MaxScore) | "blockmax"
         scorer: str = "bm25",
         dense: bool | None = None,
+        synonyms: "dict[str, list[str]] | None" = None,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         terms = query_terms(self._tokenize(query))
+        if synonyms:
+            # synonym expansion widens the match set, which only has a
+            # well-defined meaning disjunctively (an AND over the union
+            # would *require* every synonym — the opposite of intent)
+            if mode != "or":
+                raise ValueError("synonyms expansion requires mode='or'")
+            from refimage_ray.query.expand import expand_synonyms
+
+            terms = expand_synonyms(terms, synonyms, self._tokenize)
         term_map = self._term_map(terms)
         return self._finish_search(
             term_map, terms, k, threshold, mode, prune, scorer, dense
+        )
+
+    # --- multi-term expansion queries (prefix / fuzzy) ---
+
+    def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
+        """(term, df) pairs of vocabulary terms matching an expansion
+        probe — resolved against the resident term dictionary."""
+        raise NotImplementedError
+
+    def _search_expanded(
+        self, kind: str, arg: str, k: int | None, threshold: float | None,
+        cfg: EngineConfig, prune: "bool | str", scorer: str,
+        dense: bool | None, max_expansions: int | None,
+    ) -> list[tuple[int, float]]:
+        from refimage_ray.query.expand import cap_expansion
+
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        toks = self._tokenize(arg)
+        if len(toks) != 1:
+            raise ValueError(
+                f"{kind} query takes exactly one term, got {arg!r}"
+            )
+        cap = cfg.max_expansions if max_expansions is None else max_expansions
+        terms = cap_expansion(self._expand_pairs(kind, toks[0]), cap)
+        if not terms:
+            return []
+        term_map = self._term_map(terms)
+        return self._finish_search(
+            term_map, terms, k, threshold, "or", prune, scorer, dense
+        )
+
+    def search_prefix(
+        self, prefix: str, k: int | None = None,
+        threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
+        prune: "bool | str" = True, scorer: str = "bm25",
+        dense: bool | None = None, max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Prefix top-k (``netw*``): expand against the term dictionary,
+        score the expansion as an ordinary disjunctive query — results
+        identical to ``search(" ".join(expansion))``."""
+        return self._search_expanded(
+            "prefix", prefix, k, threshold, cfg, prune, scorer, dense,
+            max_expansions,
+        )
+
+    def search_fuzzy(
+        self, term: str, k: int | None = None,
+        threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
+        prune: "bool | str" = True, scorer: str = "bm25",
+        dense: bool | None = None, max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Fuzzy top-k (``aple~``): all vocabulary terms within
+        Levenshtein distance 1 (SymSpell deletion neighborhood, built
+        once per resident dictionary), scored disjunctively."""
+        return self._search_expanded(
+            "fuzzy", term, k, threshold, cfg, prune, scorer, dense,
+            max_expansions,
         )
 
     def _finish_search(
@@ -591,6 +659,33 @@ def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
     return False
 
 
+def _expand_resident(
+    terms: dict[str, TermPostings], cache: dict, kind: str, arg: str
+) -> list[tuple[str, int]]:
+    """Expansion over a resident term dictionary with lazy, build-once
+    probe structures (sorted vocab / deletion-neighborhood index) —
+    the per-actor analog of a stateful stage's ``__init__`` work,
+    except the structure is only paid for on the first expansion
+    query, not at load."""
+    from refimage_ray.query.expand import (
+        build_deletes_index,
+        fuzzy_matches,
+        prefix_matches,
+    )
+
+    if kind == "prefix":
+        if "vocab" not in cache:
+            cache["vocab"] = sorted(terms)
+        matched = prefix_matches(cache["vocab"], arg)
+    elif kind == "fuzzy":
+        if "deletes" not in cache:
+            cache["deletes"] = build_deletes_index(terms)
+        matched = fuzzy_matches(cache["deletes"], arg)
+    else:
+        raise ValueError(f"unknown expansion kind {kind!r}")
+    return [(t, terms[t].df) for t in matched]
+
+
 class LocalSearcher(_SearcherBase):
     """Whole index resident in one process (reference: FAISS + id list,
     ``search/__init__.py:57-60``)."""
@@ -602,12 +697,16 @@ class LocalSearcher(_SearcherBase):
         self.avgdl = reader.avgdl
         self.token_pattern = reader.manifest["config"].get("token_pattern")
         self.index_dir = index_dir
+        self._expand_cache: dict = {}
         if dense_ranks:
             self.all_ids = load_doc_universe(index_dir)
             attach_ranks(self.terms, self.all_ids)
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         return self.terms
+
+    def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
+        return _expand_resident(self.terms, self._expand_cache, kind, arg)
 
 
 class ShardSearcher:
@@ -616,11 +715,18 @@ class ShardSearcher:
     def __init__(self, index_dir: str, shards: list[int],
                  dense_ranks: bool = True) -> None:
         self.terms = IndexReader(index_dir).load_shards(shards)
+        self._expand_cache: dict = {}
         if dense_ranks:
             # every shard actor ranks against the SAME sorted universe
             # (one narrow docs/ column read), so the driver can merge
             # rank-space scores from any actor subset
             attach_ranks(self.terms, load_doc_universe(index_dir))
+
+    def expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
+        """Expansion probe against THIS actor's resident vocabulary —
+        term-hash routing scatters a prefix/fuzzy match set across
+        shards, so the driver broadcasts the probe and unions."""
+        return _expand_resident(self.terms, self._expand_cache, kind, arg)
 
     def term_postings(self, terms: list[str]) -> dict[str, tuple]:
         out = {}
@@ -777,6 +883,18 @@ class DistributedSearcher(_SearcherBase):
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         return self._gather_term_map(self._issue_term_map(terms))
+
+    def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
+        """Scatter the expansion probe to every shard actor (the match
+        set is term-hash-scattered), union the per-shard (term, df)
+        pairs.  Each shard owns a disjoint term set, so the union is a
+        plain concatenation — no dedup or df merge needed."""
+        out: list[tuple[str, int]] = []
+        for res in ray.get(
+            [a.expand_pairs.remote(kind, arg) for a in self.actors]
+        ):
+            out.extend(res)
+        return out
 
     def search_many(
         self,

@@ -1,0 +1,111 @@
+"""Query-time term expansion: prefix, fuzzy (edit-distance ≤ 1), synonyms.
+
+The reference's query surface matches exact terms only
+(``/root/reference/src/refimage/dsl.py`` — free text, tags, boolean
+ops); these are the classic full-text extensions layered on top
+(Lucene's PrefixQuery / FuzzyQuery / SynonymFilter equivalents),
+re-expressed for a sharded vocabulary:
+
+- every expansion is resolved against the *resident term dictionary*
+  of each shard actor (prefix: binary search over a sorted vocab;
+  fuzzy: a SymSpell-style deletion-neighborhood index) — built lazily
+  ONCE per actor on first use, never per query;
+- the driver unions per-shard matches, caps them deterministically
+  (df desc, term asc — prefer frequent terms, like Lucene's
+  ``maxExpansions``), and scores the expanded set through the ordinary
+  disjunctive BM25 path.
+
+So an expanded query is *exactly equivalent* to an OR query over its
+expansion — which is what makes the SQL oracles possible
+(``term LIKE 'p%'`` / ``levenshtein(term, q) <= 1`` feeding the same
+BM25 formula).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+
+def prefix_matches(vocab_sorted: list[str], prefix: str) -> list[str]:
+    """All vocabulary terms starting with ``prefix`` (sorted input →
+    one binary search + a contiguous slice; no scan)."""
+    if not prefix:
+        return list(vocab_sorted)
+    lo = bisect_left(vocab_sorted, prefix)
+    # the exclusive upper bound of the prefix range: bump the last char
+    hi = bisect_left(vocab_sorted, prefix[:-1] + chr(ord(prefix[-1]) + 1), lo)
+    return vocab_sorted[lo:hi]
+
+
+def deletes1(term: str) -> list[str]:
+    """All single-character deletions of ``term`` (unique, order-free)."""
+    return list({term[:i] + term[i + 1:] for i in range(len(term))})
+
+
+def build_deletes_index(vocab) -> dict[str, list[str]]:
+    """SymSpell-style neighborhood index for max edit distance 1:
+    maps every term AND every single-deletion variant of it to the
+    terms that produce it.  Size ≈ Σ(len(term)+1) entries — built once
+    per shard actor, amortized over all fuzzy queries."""
+    idx: dict[str, list[str]] = {}
+    for t in vocab:
+        idx.setdefault(t, []).append(t)
+        for v in deletes1(t):
+            idx.setdefault(v, []).append(t)
+    return idx
+
+
+def edit_distance_leq1(a: str, b: str) -> bool:
+    """Plain Levenshtein distance ≤ 1 (no transposition — matches
+    DuckDB's ``levenshtein`` so the SQL oracles agree).  O(len)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # now la <= lb; walk to the first mismatch, then align the tails
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if i == la:  # a is a prefix of b → distance = lb - la (0 or 1)
+        return True
+    if la == lb:  # one substitution: tails after i must match
+        return a[i + 1:] == b[i + 1:]
+    # one insertion in b: skip b[i], tails must match
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_matches(deletes_index: dict[str, list[str]], term: str) -> list[str]:
+    """Vocabulary terms within Levenshtein distance 1 of ``term``
+    (including the exact term).  Candidates come from the deletion
+    neighborhood (term itself + its single deletions); each candidate
+    is then verified with the real distance check — the neighborhood
+    over-generates (e.g. transpositions share a deletion variant but
+    are distance 2)."""
+    cands: set[str] = set()
+    for v in [term, *deletes1(term)]:
+        cands.update(deletes_index.get(v, ()))
+    return sorted(c for c in cands if edit_distance_leq1(term, c))
+
+
+def cap_expansion(pairs: list[tuple[str, int]], max_expansions: int) -> list[str]:
+    """Deterministic expansion cap: keep the ``max_expansions`` most
+    frequent terms (df desc, term asc tie-break), return them term-
+    sorted (the engine's canonical query-term order)."""
+    if max_expansions <= 0 or len(pairs) <= max_expansions:
+        return sorted(t for t, _ in pairs)
+    pairs = sorted(pairs, key=lambda p: (-p[1], p[0]))[:max_expansions]
+    return sorted(t for t, _ in pairs)
+
+
+def expand_synonyms(
+    terms: list[str], mapping: dict[str, list[str]], tokenize_fn
+) -> list[str]:
+    """Union of the query terms and their synonyms, each synonym run
+    through the SAME tokenizer as the query (index/query symmetry —
+    a synonym like "Data-Base" must match the indexed term form)."""
+    out: set[str] = set(terms)
+    for t in terms:
+        for syn in mapping.get(t, ()):
+            out.update(tokenize_fn(syn))
+    return sorted(out)

@@ -9,7 +9,7 @@ Route map (reference analog → here):
 
 - ``GET /health``                      (``api.py`` health)          → index stats probe
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
-- ``GET /search?q=&k=&mode=``          (text search, 3 modes)       → ``searcher.search`` / ``search_phrase`` + metadata join
+- ``GET /search?q=&k=&mode=``          (or/and/phrase/prefix/fuzzy)  → ``searcher.search`` / ``search_phrase`` / ``search_prefix`` / ``search_fuzzy`` + metadata join
   (``&snippets=1&width=N``: term-highlighted snippets instead of metadata)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
 - ``POST /nl2dsl`` {"text": ...}       (LLM text→DSL, ``api.py:273-348``) → ``query.nl.text_to_dsl``
@@ -212,12 +212,19 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     return self._json({"error": "empty query"}, 422)
                 k = int(q.get("k", 10))
                 mode = q.get("mode", "or")
-                if mode == "phrase":
-                    hits = state["s"].search_phrase(q["q"], k=k)
-                elif mode in ("or", "and"):
-                    hits = state["s"].search(q["q"], k=k, mode=mode)
-                else:
-                    return self._json({"error": f"bad mode {mode!r}"}, 422)
+                try:
+                    if mode == "phrase":
+                        hits = state["s"].search_phrase(q["q"], k=k)
+                    elif mode == "prefix":
+                        hits = state["s"].search_prefix(q["q"], k=k)
+                    elif mode == "fuzzy":
+                        hits = state["s"].search_fuzzy(q["q"], k=k)
+                    elif mode in ("or", "and"):
+                        hits = state["s"].search(q["q"], k=k, mode=mode)
+                    else:
+                        return self._json({"error": f"bad mode {mode!r}"}, 422)
+                except ValueError as err:  # e.g. multi-term expansion probe
+                    return self._json({"error": str(err)}, 422)
                 if q.get("snippets") == "1":
                     from refimage_ray.query.snippets import snippets_for_hits
 

@@ -62,6 +62,27 @@ def test_search_matches_library(server):
     assert all("url" in r for r in body["results"])
 
 
+def test_search_expansion_modes(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/search?q=spar&k=5&mode=prefix")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search_prefix("spar", k=5)
+    st, body = _get(base + "/search?q=lime&k=5&mode=fuzzy")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search_fuzzy("lime", k=5)
+    # a multi-term probe is a client error, not a dropped connection
+    try:
+        st, _ = _get(base + "/search?q=two+words&mode=prefix")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422
+
+
 def test_search_snippets(server):
     from refimage_ray.query.engine import LocalSearcher
 
