@@ -513,6 +513,8 @@ class _SearcherBase:
         """Scoring half of :meth:`search` — separated so batch serving
         (``search_many``) can overlap many queries' postings RPCs
         before scoring each."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         idf_fn = _idf
         if scorer != "bm25":
             term_map = self._rescore_map(term_map, scorer, terms)

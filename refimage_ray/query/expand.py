@@ -32,6 +32,8 @@ def prefix_matches(vocab_sorted: list[str], prefix: str) -> list[str]:
     if not prefix:
         return list(vocab_sorted)
     lo = bisect_left(vocab_sorted, prefix)
+    if ord(prefix[-1]) >= 0x10FFFF:  # un-bumpable last char: scan the tail
+        return [t for t in vocab_sorted[lo:] if t.startswith(prefix)]
     # the exclusive upper bound of the prefix range: bump the last char
     hi = bisect_left(vocab_sorted, prefix[:-1] + chr(ord(prefix[-1]) + 1), lo)
     return vocab_sorted[lo:hi]

@@ -50,6 +50,13 @@ def test_prefix_matches_edges():
     assert prefix_matches(vocab, "c") == []
     assert prefix_matches(vocab, "z") == ["z", "zz"]  # last-char bump edge
     assert prefix_matches(vocab, "banana") == ["banana"]  # exact == prefix
+    # un-bumpable last char (U+10FFFF): chr(ord+1) would raise, so the
+    # tail-scan path must take over
+    top = chr(0x10FFFF)
+    vocab2 = sorted(["a", "a" + top, "a" + top + "x", "a" + top + top, "b"])
+    assert prefix_matches(vocab2, "a" + top) == sorted(
+        ["a" + top, "a" + top + "x", "a" + top + top])
+    assert prefix_matches(vocab2, top) == []
 
 
 def test_edit_distance_leq1_vs_naive_dp():
