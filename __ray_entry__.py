@@ -174,14 +174,18 @@ FROM stream GROUP BY seq_id
 
 def _bm25_sql(
     terms: "list[str] | None", k: int, conjunctive: bool = False,
-    q_where: "str | None" = None,
+    q_where: "str | None" = None, doc_where: "str | None" = None,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
     vocabulary by ``q_where`` (e.g. ``term LIKE 's%'`` /
     ``levenshtein(term, 'sow') <= 1``) — mirroring the engine's
     prefix/fuzzy expansion, which is definitionally an OR query over
-    the matching vocabulary terms."""
+    the matching vocabulary terms.  ``doc_where`` is a boolean over
+    ``d`` (documents) and ``dl.dl`` restricting which docs may appear
+    in the result (the engine's doc-value filter) — scoring constants
+    (idf, avgdl, N) stay corpus-wide, exactly as the engine keeps them
+    under a filter."""
     if q_where is not None:
         q_sql = f"q AS (SELECT DISTINCT term FROM df WHERE {q_where})"
         having = ""
@@ -190,6 +194,8 @@ def _bm25_sql(
         terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
         q_sql = f"q(term) AS (VALUES {terms_sql})"
         having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+    d_join = "JOIN documents d ON d.doc_id = tf.doc_id" if doc_where else ""
+    d_cond = f"AND ({doc_where})" if doc_where else ""
     return f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -207,7 +213,9 @@ scores AS (
               * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
   FROM tf
   JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  {d_join}
   WHERE tf.term IN (SELECT term FROM q)
+  {d_cond}
   GROUP BY tf.doc_id
   {having}
 )
@@ -361,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_prefix": search.bm25_topk_prefix,
         "bm25_topk_fuzzy": search.bm25_topk_fuzzy,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
+        "bm25_topk_filtered": search.bm25_topk_filtered,
+        "facet_counts_query": search.facet_counts_query,
+        "facet_doclen_hist": search.facet_doclen_hist,
         "search_and_membership": search.search_and_membership,
         "search_or_membership": search.search_or_membership,
         "search_not_membership": search.search_not_membership,
@@ -599,6 +610,34 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # synonym mapping is an input, so its expansion union is a
         # fixed term list: {spark→stream, join→merge}
         "bm25_topk_synonyms": _bm25_sql(["spark", "stream", "join", "merge"], 10),
+        # doc-value filter: result docs restricted to lang='en' AND
+        # doc_len>=40; idf/avgdl/N stay corpus-wide like the engine
+        "bm25_topk_filtered": _bm25_sql(
+            ["spark", "join"], 10,
+            doc_where="d.lang = 'en' AND dl.dl >= 40",
+        ),
+        # query-time facet panel: value counts per facet column over
+        # the disjunctive match set (resident doc values engine-side)
+        "facet_counts_query": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term IN ('spark', 'vector')
+),
+j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
+SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY lang
+UNION ALL
+SELECT 'source', source, CAST(count(*) AS BIGINT) FROM j GROUP BY source
+""",
+        # histogram facet: fixed-width doc_len buckets over the match
+        # set of one-term query 'data' (bucket = dl // 50 * 50)
+        "facet_doclen_hist": f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT CAST(dl.dl // 50 * 50 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dl JOIN m USING (doc_id) GROUP BY bucket
+""",
         "search_and_membership": f"""
 SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
 INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'

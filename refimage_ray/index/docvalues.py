@@ -1,0 +1,256 @@
+"""Columnar doc values — rank-aligned metadata arrays for query-time
+filtering and faceting (the Lucene DocValues / search-UI facet
+aggregation analog).
+
+Reference analog: ``TagFilter`` pages the WHOLE metadata table through
+SQLite on every tag query (``/root/reference/src/refimage/dsl.py:
+128-153`` — an unbounded paged scan into a Python list, per query).
+Here the needed metadata columns load ONCE per searcher, aligned to
+the same sorted doc_id universe the dense-rank TAAT scorer uses, so a
+metadata predicate is an O(candidates) mask probe at query time and a
+facet rollup is one ``np.bincount`` over the match set — no per-query
+scan, no join, no shuffle.
+
+Residency class (scale note): one narrow value per doc — identical to
+``all_ids`` (``reader.load_doc_universe``), which the term-partitioned
+serving layout already keeps resident (8 B/doc; categorical columns
+are int32 dictionary codes, 4 B/doc).  An index that fits a serving
+box affords its doc values.  At doc-partitioned (trillion-doc) scale
+the same arrays shard with the doc ranges: each doc-shard actor holds
+values for ITS docs, applies the filter/facet locally, and the driver
+merges per-shard facet counts — counts are additive, so the merge is
+exact.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+#: predicate operators accepted by :meth:`DocValues.mask`
+OPS = ("=", "==", "!=", "<", "<=", ">", ">=", "in", "not in")
+
+
+@dataclass
+class DVColumn:
+    """One doc-value column, aligned to the sorted doc_id universe.
+
+    ``values``: numeric columns keep their native numpy dtype
+    (timestamps become int64 microseconds); categorical (string)
+    columns store int32 codes into ``categories`` (sorted unique
+    values — deterministic dictionary order), with -1 for null.
+    """
+
+    values: np.ndarray
+    categories: np.ndarray | None = None  # sorted unique strings
+
+    @property
+    def is_categorical(self) -> bool:
+        return self.categories is not None
+
+
+def _encode_column(arr: pa.ChunkedArray) -> DVColumn:
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        vals = np.asarray(arr.to_pylist(), dtype=object)
+        null = np.array([v is None for v in vals], dtype=bool)
+        vals[null] = ""  # placeholder; coded -1 below
+        cats, codes = np.unique(vals.astype(str), return_inverse=True)
+        codes = codes.astype(np.int32)
+        codes[null] = -1
+        return DVColumn(values=codes, categories=cats)
+    if pa.types.is_timestamp(t):
+        # normalize to int64 microseconds so range predicates take a
+        # plain integer (or np.datetime64 / ISO string, see _as_micros)
+        us = arr.cast(pa.timestamp("us")).cast(pa.int64())
+        return DVColumn(values=us.to_numpy(zero_copy_only=False).astype(np.int64))
+    if pa.types.is_boolean(t):
+        return DVColumn(values=arr.to_numpy(zero_copy_only=False).astype(np.int64))
+    return DVColumn(values=arr.to_numpy(zero_copy_only=False))
+
+
+def _as_micros(value) -> int:
+    """Accept int µs, np.datetime64, or an ISO string for timestamp
+    predicates."""
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    return int(np.datetime64(value, "us").astype(np.int64))
+
+
+class DocValues:
+    """Rank-aligned doc-value columns + predicate/facet kernels."""
+
+    def __init__(self, all_ids: np.ndarray, cols: dict[str, DVColumn]) -> None:
+        self.all_ids = all_ids
+        self.cols = cols
+        # mask cache: realistic filter sets are tiny and heavily reused
+        # (a serving process sees the same lang/date filters all day);
+        # masks are immutable once built — the artifact is read-only
+        self._mask_cache: dict[tuple, np.ndarray] = {}
+
+    def columns(self) -> list[str]:
+        return sorted(self.cols)
+
+    # ------------------------------------------------------------------
+    # predicates
+    # ------------------------------------------------------------------
+
+    def _col_mask(self, col: str, op: str, value) -> np.ndarray:
+        c = self.cols[col]
+        if c.is_categorical:
+            if op in ("in", "not in"):
+                wanted = [str(v) for v in value]
+            elif op in ("=", "==", "!="):
+                wanted = [str(value)]
+            else:
+                raise ValueError(
+                    f"op {op!r} not valid for categorical column {col!r}"
+                )
+            idx = np.searchsorted(c.categories, wanted)
+            codes = [
+                int(i) for i, w in zip(idx, wanted)
+                if i < len(c.categories) and c.categories[i] == w
+            ]
+            m = np.isin(c.values, np.asarray(codes, dtype=np.int32))
+            return ~m if op in ("!=", "not in") else m
+        v = value
+        if c.values.dtype == np.int64 and not isinstance(v, (int, float, np.number)):
+            v = _as_micros(v)  # timestamp-ish column + datetime-ish value
+        if op in ("=", "=="):
+            return c.values == v
+        if op == "!=":
+            return c.values != v
+        if op == "<":
+            return c.values < v
+        if op == "<=":
+            return c.values <= v
+        if op == ">":
+            return c.values > v
+        if op == ">=":
+            return c.values >= v
+        if op in ("in", "not in"):
+            m = np.isin(c.values, np.asarray(list(v)))
+            return ~m if op == "not in" else m
+        raise ValueError(f"unknown predicate op {op!r} (valid: {OPS})")
+
+    def mask(self, where) -> np.ndarray:
+        """Boolean mask over universe ranks for a conjunction of
+        predicates.  ``where`` is a list of ``(column, op, value)``
+        tuples, or a ``{column: value}`` dict (sugar for equality)."""
+        conds = normalize_where(where)
+        key = tuple(
+            (c, o, v if not isinstance(v, (list, tuple, set)) else tuple(sorted(map(str, v))))
+            for c, o, v in conds
+        )
+        hit = self._mask_cache.get(key)
+        if hit is not None:
+            return hit
+        m = np.ones(len(self.all_ids), dtype=bool)
+        for col, op, value in conds:
+            if col not in self.cols:
+                raise KeyError(
+                    f"no doc-value column {col!r} (loaded: {self.columns()})"
+                )
+            m &= self._col_mask(col, op, value)
+        if len(self._mask_cache) < 64:
+            self._mask_cache[key] = m
+        return m
+
+    # ------------------------------------------------------------------
+    # facets
+    # ------------------------------------------------------------------
+
+    def facet_counts(
+        self, col: str, ranks: np.ndarray, top: int | None = None
+    ) -> list[tuple[str, int]]:
+        """Value → match-count over a categorical column, for the docs
+        at ``ranks``; sorted (count desc, value asc), nulls excluded.
+        One bincount over the match set — O(|matches| + |dictionary|).
+        """
+        c = self.cols[col]
+        if not c.is_categorical:
+            raise ValueError(
+                f"{col!r} is numeric — use facet_histogram(width=...)"
+            )
+        codes = c.values[ranks]
+        cnt = np.bincount(codes[codes >= 0], minlength=len(c.categories))
+        nz = np.flatnonzero(cnt)
+        order = sorted(nz.tolist(), key=lambda i: (-int(cnt[i]), str(c.categories[i])))
+        if top is not None:
+            order = order[:top]
+        return [(str(c.categories[i]), int(cnt[i])) for i in order]
+
+    def facet_histogram(
+        self, col: str, ranks: np.ndarray, width
+    ) -> list[tuple[float, int]]:
+        """Fixed-width bucket → match-count over a numeric column
+        (bucket key = floor(v / width) · width), ascending buckets."""
+        c = self.cols[col]
+        if c.is_categorical:
+            raise ValueError(f"{col!r} is categorical — use facet_counts")
+        v = c.values[ranks]
+        if np.issubdtype(v.dtype, np.integer) and float(width).is_integer():
+            b = (v // int(width)) * int(width)
+        else:
+            b = np.floor(v / float(width)) * float(width)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return [
+            (int(u) if float(u).is_integer() else float(u), int(n))
+            for u, n in zip(uniq.tolist(), cnt.tolist())
+        ]
+
+
+def normalize_where(where) -> list[tuple[str, str, object]]:
+    """Canonical predicate list from the accepted sugar forms."""
+    if isinstance(where, dict):
+        return [(c, "=", v) for c, v in sorted(where.items())]
+    out = []
+    for cond in where:
+        col, op, value = cond
+        if op not in OPS:
+            raise ValueError(f"unknown predicate op {op!r} (valid: {OPS})")
+        out.append((col, op, value))
+    return out
+
+
+def where_columns(where) -> list[str]:
+    return sorted({c for c, _, _ in normalize_where(where)})
+
+
+def load_doc_values(
+    index_dir: str, columns: list[str], all_ids: np.ndarray
+) -> DocValues:
+    """Load doc-value columns from the ``docs/`` artifact, aligned to
+    ``all_ids`` (the sorted universe the dense-rank scorer uses) — one
+    narrow column read per column, once per searcher.
+
+    ``docs/`` keeps one row per staged doc (exact-dup losers included);
+    doc_ids are unique by construction, so a stable sort by doc_id IS
+    the universe order.  Losers/tombstoned docs never appear among
+    scoring candidates, so their values are loaded but never probed.
+    """
+    ds = pads.dataset(os.path.join(index_dir, "docs"))
+    missing = [c for c in columns if c not in ds.schema.names]
+    if missing:
+        raise KeyError(
+            f"docs/ artifact has no column(s) {missing}; available: "
+            f"{[n for n in ds.schema.names if n != 'text']}"
+        )
+    t = ds.to_table(columns=["doc_id"] + list(columns))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    if len(ids) != len(all_ids) or not np.array_equal(ids[order], all_ids):
+        raise ValueError(
+            "docs/ doc_ids do not match the loaded universe — artifact "
+            "mutated since the searcher loaded (reload the searcher)"
+        )
+    cols: dict[str, DVColumn] = {}
+    for name in columns:
+        enc = _encode_column(t[name])
+        enc.values = np.ascontiguousarray(enc.values[order])
+        cols[name] = enc
+    return DocValues(all_ids, cols)

@@ -36,20 +36,24 @@ _searchers: dict[str, LocalSearcher] = {}
 
 def _index_dir_for(sf_dir: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/refimage_ray_cache/{tag}/index"
+    # v2: docs/ additionally carries `source` (doc-value facet column);
+    # the suffix invalidates any pre-doc-values cached artifact
+    return f"/tmp/refimage_ray_cache/{tag}/index-v2"
 
 
 def ensure_index(sf_dir: str, cfg: EngineConfig = SEARCH_CFG) -> str:
     """Build (or reuse) the inverted index over ``{sf_dir}/documents.parquet``.
 
     The documents table keeps its own doc_ids (no dedup — dedup is a
-    separate operator) so SQL oracles see the same corpus.
+    separate operator) so SQL oracles see the same corpus.  ``lang``
+    and ``source`` ride along into ``docs/`` as doc-value columns
+    (query-time filters/facets).
     """
     index_dir = _index_dir_for(sf_dir)
     if load_manifest(index_dir) is None:
         docs = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text", "lang"],
+            columns=["doc_id", "text", "lang", "source"],
         )
         build_index(
             docs,
@@ -194,6 +198,55 @@ def search_facets(sf_dir: str, dsl_query: str = "spark OR vector") -> pa.Table:
             "sum_tokens": pa.array(
                 [int(r["sum_tokens"]) for r in out], pa.int64()
             ),
+        }
+    )
+
+
+def bm25_topk_filtered(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """Filtered top-k: BM25 over docs passing a doc-value predicate
+    (``lang = 'en' AND doc_len >= 40``) — the metadata-filter half of
+    every real search API, evaluated as a rank-aligned mask probe (no
+    metadata join at query time; see ``index/docvalues.py``)."""
+    return _hits_table(
+        searcher_for(sf_dir).search(
+            query, k=k, mode="or",
+            where=[("doc_len", ">=", 40), ("lang", "=", "en")],
+        )
+    )
+
+
+def facet_counts_query(sf_dir: str, query: str = "spark vector") -> pa.Table:
+    """Search-time facet panel: lang + source value counts over the
+    FULL match set of a disjunctive query, from resident doc values
+    (one bincount per facet — no corpus scan, unlike the batch
+    ``search_facets`` pipeline)."""
+    f = searcher_for(sf_dir).facets(query, by=["lang", "source"])
+    facets, values, counts = [], [], []
+    for col in ("lang", "source"):
+        for v, n in f["facets"][col]:
+            facets.append(col)
+            values.append(v)
+            counts.append(n)
+    return pa.table(
+        {
+            "facet": pa.array(facets, pa.string()),
+            "value": pa.array(values, pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def facet_doclen_hist(sf_dir: str, query: str = "data", width: int = 50) -> pa.Table:
+    """Histogram facet: fixed-width ``doc_len`` buckets over the match
+    set (the numeric-aggregation flavor of the facet panel)."""
+    f = searcher_for(sf_dir).facets(query, histograms={"doc_len": width})
+    buckets = f["histograms"]["doc_len"]
+    return pa.table(
+        {
+            "bucket": pa.array([b for b, _ in buckets], pa.int64()),
+            "n_docs": pa.array([n for _, n in buckets], pa.int64()),
         }
     )
 

@@ -380,6 +380,66 @@ class _SearcherBase:
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         raise NotImplementedError
 
+    # --- doc values (query-time metadata filters + facets) ---
+
+    def doc_values(self, columns: list[str]):
+        """Rank-aligned doc-value columns, loaded lazily ONCE per
+        searcher and extended column-by-column on first use (the
+        load-once residency class of ``all_ids`` itself) — see
+        ``index/docvalues.py``.  Requires ``dense_ranks=True``: masks
+        and facet kernels are universe-rank-aligned."""
+        if self.all_ids is None or not hasattr(self, "index_dir"):
+            raise ValueError(
+                "doc values require a searcher with a resident doc_id "
+                "universe (dense_ranks=True) and an index_dir"
+            )
+        from refimage_ray.index.docvalues import load_doc_values
+
+        have = getattr(self, "_dv", None)
+        need = [c for c in columns if have is None or c not in have.cols]
+        if need:
+            fresh = load_doc_values(self.index_dir, need, self.all_ids)
+            if have is None:
+                self._dv = have = fresh
+            else:
+                have.cols.update(fresh.cols)
+        return self._dv
+
+    def _ranks_of(self, ids: np.ndarray) -> np.ndarray:
+        """Universe ranks of candidate doc_ids (candidates always come
+        from posting lists, which load-time validation guarantees are a
+        subset of the universe)."""
+        if self.all_ids is None:
+            raise ValueError(
+                "filtered/faceted search requires dense_ranks=True "
+                "(doc-value masks are rank-aligned)"
+            )
+        return np.searchsorted(self.all_ids, ids)
+
+    def _match_ranks_scores(
+        self,
+        term_map: "dict[str, TermPostings]",
+        terms: list[str],
+        mode: str,
+        idf_fn=_idf,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """EXACT full match set as (universe ranks, scores) — the basis
+        for filtered top-k and facet rollups.  Pruned evaluation is
+        deliberately not used here: MaxScore's θ is a bound on the kth
+        UNFILTERED score, and a filter can push the true filtered kth
+        score below θ, making the pruned candidate set incomplete."""
+        if mode == "and":
+            ids, scores = _score_conjunctive(term_map, terms, self.n_docs, idf_fn)
+            return self._ranks_of(ids), scores
+        if self.all_ids is not None and all(
+            term_map[t].ranks is not None for t in terms if t in term_map
+        ):
+            return _score_disjunctive_dense(
+                term_map, terms, self.n_docs, len(self.all_ids), idf_fn
+            )
+        ids, scores = _score_disjunctive(term_map, terms, self.n_docs, idf_fn)
+        return self._ranks_of(ids), scores
+
     def _rescore_map(
         self, term_map: dict[str, TermPostings], scorer_name: str,
         terms: "list[str] | None" = None,
@@ -423,6 +483,7 @@ class _SearcherBase:
         scorer: str = "bm25",
         dense: bool | None = None,
         synonyms: "dict[str, list[str]] | None" = None,
+        where=None,  # [(col, op, value), ...] | {col: value} doc-value filter
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -438,7 +499,7 @@ class _SearcherBase:
             terms = expand_synonyms(terms, synonyms, self._tokenize)
         term_map = self._term_map(terms)
         return self._finish_search(
-            term_map, terms, k, threshold, mode, prune, scorer, dense
+            term_map, terms, k, threshold, mode, prune, scorer, dense, where
         )
 
     # --- multi-term expansion queries (prefix / fuzzy) ---
@@ -451,7 +512,7 @@ class _SearcherBase:
     def _search_expanded(
         self, kind: str, arg: str, k: int | None, threshold: float | None,
         cfg: EngineConfig, prune: "bool | str", scorer: str,
-        dense: bool | None, max_expansions: int | None,
+        dense: bool | None, max_expansions: int | None, where=None,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.expand import cap_expansion
 
@@ -468,7 +529,7 @@ class _SearcherBase:
             return []
         term_map = self._term_map(terms)
         return self._finish_search(
-            term_map, terms, k, threshold, "or", prune, scorer, dense
+            term_map, terms, k, threshold, "or", prune, scorer, dense, where
         )
 
     def search_prefix(
@@ -476,13 +537,14 @@ class _SearcherBase:
         threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
         prune: "bool | str" = True, scorer: str = "bm25",
         dense: bool | None = None, max_expansions: int | None = None,
+        where=None,
     ) -> list[tuple[int, float]]:
         """Prefix top-k (``netw*``): expand against the term dictionary,
         score the expansion as an ordinary disjunctive query — results
         identical to ``search(" ".join(expansion))``."""
         return self._search_expanded(
             "prefix", prefix, k, threshold, cfg, prune, scorer, dense,
-            max_expansions,
+            max_expansions, where,
         )
 
     def search_fuzzy(
@@ -490,13 +552,14 @@ class _SearcherBase:
         threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
         prune: "bool | str" = True, scorer: str = "bm25",
         dense: bool | None = None, max_expansions: int | None = None,
+        where=None,
     ) -> list[tuple[int, float]]:
         """Fuzzy top-k (``aple~``): all vocabulary terms within
         Levenshtein distance 1 (SymSpell deletion neighborhood, built
         once per resident dictionary), scored disjunctively."""
         return self._search_expanded(
             "fuzzy", term, k, threshold, cfg, prune, scorer, dense,
-            max_expansions,
+            max_expansions, where,
         )
 
     def _finish_search(
@@ -509,6 +572,7 @@ class _SearcherBase:
         prune: "bool | str",
         scorer: str,
         dense: bool | None,
+        where=None,
     ) -> list[tuple[int, float]]:
         """Scoring half of :meth:`search` — separated so batch serving
         (``search_many``) can overlap many queries' postings RPCs
@@ -521,6 +585,23 @@ class _SearcherBase:
             from refimage_ray.extension import get_scorer
 
             idf_fn = get_scorer(scorer).idf
+        if where is not None:
+            # doc-value filter: exact full evaluation, then an
+            # O(candidates) rank-aligned mask probe, then top-k.  The
+            # pruned strategies are bypassed on purpose — their θ bound
+            # is valid only against the unfiltered corpus (see
+            # _match_ranks_scores).
+            from refimage_ray.index.docvalues import where_columns
+
+            mask = self.doc_values(where_columns(where)).mask(where)
+            ranks, scores = self._match_ranks_scores(
+                term_map, terms, mode, idf_fn
+            )
+            keep = mask[ranks]
+            # ranks sort like doc_ids (all_ids is sorted), so
+            # topk_select's (score desc, id asc) tie-break is unchanged
+            ranks, scores = topk_select(ranks[keep], scores[keep], k, threshold)
+            return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
         use_dense = (
             # a string prune value (e.g. "blockmax") is an explicitly
             # requested evaluation strategy — only the default
@@ -616,6 +697,56 @@ class _SearcherBase:
             keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
         ids, sc = topk_select(cand[keep], scores[keep], k, threshold)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def facets(
+        self,
+        query: str,
+        by: "list[str] | None" = None,
+        mode: str = "or",
+        where=None,
+        histograms: "dict[str, float] | None" = None,
+        top: int | None = None,
+    ) -> dict:
+        """Facet aggregation over the FULL match set (not just top-k) —
+        what a search UI renders beside the hit list (Elasticsearch
+        terms/histogram aggregations; the reference's nearest analog is
+        TagFilter's whole-table metadata scan, ``dsl.py:128-153``,
+        repaid here by resident doc values).
+
+        ``by``: categorical columns → (value, count) sorted count desc.
+        ``histograms``: {numeric column: bucket width} → ascending
+        fixed-width buckets.  ``where`` pre-filters the match set with
+        the same predicate language as filtered search.  Membership is
+        mode-exact (OR = any query term, AND = all terms); thresholds
+        don't apply — facets count matches, not scores.
+
+        Cost: one exact evaluation (the same work an unpruned query
+        does) + one bincount per facet column over the match ranks.
+        """
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        by = list(by or [])
+        histograms = dict(histograms or {})
+        from refimage_ray.index.docvalues import where_columns
+
+        cols = sorted(
+            set(by) | set(histograms)
+            | (set(where_columns(where)) if where is not None else set())
+        )
+        dv = self.doc_values(cols) if cols else None
+        terms = query_terms(self._tokenize(query))
+        term_map = self._term_map(terms)
+        ranks, _ = self._match_ranks_scores(term_map, terms, mode)
+        if where is not None:
+            ranks = ranks[dv.mask(where)[ranks]]
+        return {
+            "total": int(len(ranks)),
+            "facets": {c: dv.facet_counts(c, ranks, top) for c in by},
+            "histograms": {
+                c: dv.facet_histogram(c, ranks, w)
+                for c, w in histograms.items()
+            },
+        }
 
 
 def _verify_phrase_positions(
@@ -908,6 +1039,7 @@ class DistributedSearcher(_SearcherBase):
         prune: "bool | str" = True,
         scorer: str = "bm25",
         dense: bool | None = None,
+        where=None,
     ) -> list[list[tuple[int, float]]]:
         """Pipelined batch serving: every query's postings RPCs are in
         flight before the first result is scored (scatter all, then
@@ -925,7 +1057,7 @@ class DistributedSearcher(_SearcherBase):
         tmap = self._term_map(union)
         return [
             self._finish_search(
-                tmap, terms, k, threshold, mode, prune, scorer, dense,
+                tmap, terms, k, threshold, mode, prune, scorer, dense, where,
             )
             for terms in per_query
         ]

@@ -10,7 +10,9 @@ Route map (reference analog → here):
 - ``GET /health``                      (``api.py`` health)          → index stats probe
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
 - ``GET /search?q=&k=&mode=``          (or/and/phrase/prefix/fuzzy)  → ``searcher.search`` / ``search_phrase`` / ``search_prefix`` / ``search_fuzzy`` + metadata join
-  (``&snippets=1&width=N``: term-highlighted snippets instead of metadata)
+  (``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
+  ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``)
+- ``GET /facets?q=&by=lang&hist=doc_len:50&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts over the FULL match set)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
 - ``POST /nl2dsl`` {"text": ...}       (LLM text→DSL, ``api.py:273-348``) → ``query.nl.text_to_dsl``
 - ``GET /dsl-syntax``                  (DSL grammar reference, ``api.py:231-267``) → operators + examples
@@ -40,6 +42,52 @@ from urllib.parse import parse_qs, urlparse
 from refimage_ray.index.manifest import load_manifest
 
 _DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata|/similar)?$")
+
+_COND_RE = re.compile(
+    r"^\s*(\w+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$"
+)
+
+
+def _typed(raw: str):
+    """int → float → bare string (quotes optional for strings)."""
+    s = raw.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
+def parse_filter(spec: str):
+    """HTTP mini-grammar → the engine's ``where`` predicate list.
+
+    Comma-separated conjunction of ``col OP value`` with OP ∈
+    {=, !=, <, <=, >, >=}; set membership as ``col=a|b|c`` (an ``=``
+    whose value contains ``|``).  Values: int, float, or string
+    (optionally quoted).  Empty/whitespace spec → None (no filter).
+    e.g. ``filter=lang=en,doc_len>=100`` or ``filter=lang=en|fr``.
+    """
+    spec = (spec or "").strip()
+    if not spec:
+        return None
+    conds = []
+    for part in spec.split(","):
+        m = _COND_RE.match(part)
+        if not m:
+            raise ValueError(f"bad filter condition {part!r}")
+        col, op, raw = m.groups()
+        if op == "=" and "|" in raw:
+            conds.append((col, "in", [_typed(v) for v in raw.split("|")]))
+        elif op == "!=" and "|" in raw:
+            conds.append((col, "not in", [_typed(v) for v in raw.split("|")]))
+        else:
+            conds.append((col, op, _typed(raw)))
+    return conds
 
 
 def make_server(index_dir: str, port: int = 0, searcher=None,
@@ -212,15 +260,23 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     return self._json({"error": "empty query"}, 422)
                 k = int(q.get("k", 10))
                 mode = q.get("mode", "or")
+                where = parse_filter(q.get("filter", ""))
                 try:
                     if mode == "phrase":
+                        if where:
+                            return self._json(
+                                {"error": "filter not supported with "
+                                          "mode=phrase"}, 422)
                         hits = state["s"].search_phrase(q["q"], k=k)
                     elif mode == "prefix":
-                        hits = state["s"].search_prefix(q["q"], k=k)
+                        hits = state["s"].search_prefix(q["q"], k=k,
+                                                        where=where)
                     elif mode == "fuzzy":
-                        hits = state["s"].search_fuzzy(q["q"], k=k)
+                        hits = state["s"].search_fuzzy(q["q"], k=k,
+                                                       where=where)
                     elif mode in ("or", "and"):
-                        hits = state["s"].search(q["q"], k=k, mode=mode)
+                        hits = state["s"].search(q["q"], k=k, mode=mode,
+                                                 where=where)
                     else:
                         return self._json({"error": f"bad mode {mode!r}"}, 422)
                 except ValueError as err:  # e.g. multi-term expansion probe
@@ -233,6 +289,29 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         width=int(q.get("width", 160)),
                     )})
                 return self._json({"results": self._hits_with_meta(hits)})
+            if u.path == "/facets":
+                if not q.get("q", "").strip():
+                    return self._json({"error": "empty query"}, 422)
+                hists = {}
+                for part in filter(None, q.get("hist", "").split(",")):
+                    col, _, w = part.partition(":")
+                    if not w:
+                        return self._json(
+                            {"error": f"hist needs col:width, got {part!r}"},
+                            422)
+                    hists[col.strip()] = float(w)
+                try:
+                    out = state["s"].facets(
+                        q["q"],
+                        by=[c for c in q.get("by", "").split(",") if c],
+                        mode=q.get("mode", "or"),
+                        where=parse_filter(q.get("filter", "")),
+                        histograms=hists,
+                        top=int(q["top"]) if "top" in q else None,
+                    )
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json(out)
             if u.path == "/dsl":
                 try:
                     hits = state["ex"].execute_query(

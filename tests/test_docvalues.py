@@ -1,0 +1,207 @@
+"""Doc values: query-time metadata filters + facet aggregation.
+
+Contracts:
+- filtered search ≡ post-filtering the FULL unfiltered result list
+  (exactness under the filter — the pruned-θ trap is bypassed);
+- facet counts ≡ a pandas groupby oracle over the match set;
+- distributed ≡ local; all predicate ops; timestamp columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from refimage_ray.query.engine import DistributedSearcher, LocalSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    index_dir, _, _ = built_index
+    return LocalSearcher(index_dir)
+
+
+def _doc_meta(searcher) -> pd.DataFrame:
+    import os
+
+    import pyarrow.dataset as pads
+
+    return (
+        pads.dataset(os.path.join(searcher.index_dir, "docs"))
+        .to_table(columns=["doc_id", "lang", "doc_len", "n_chars"])
+        .to_pandas()
+        .set_index("doc_id")
+    )
+
+
+def _post_filter(full, meta, pred, k):
+    return [(d, s) for d, s in full if pred(meta.loc[d])][:k]
+
+
+QUERIES = ["the data join", "spark query", "stream", "zzz missing"]
+
+
+def test_filtered_equals_post_filter(searcher):
+    meta = _doc_meta(searcher)
+    cases = [
+        ([("lang", "=", "en")], lambda r: r.lang == "en"),
+        ([("lang", "!=", "en")], lambda r: r.lang != "en"),
+        ([("lang", "in", ["en", "fr"])], lambda r: r.lang in ("en", "fr")),
+        ([("lang", "not in", ["en", "fr"])], lambda r: r.lang not in ("en", "fr")),
+        ([("doc_len", ">=", 100)], lambda r: r.doc_len >= 100),
+        ([("doc_len", "<", 100)], lambda r: r.doc_len < 100),
+        (
+            [("lang", "=", "en"), ("n_chars", ">", 400)],
+            lambda r: r.lang == "en" and r.n_chars > 400,
+        ),
+        ({"lang": "de"}, lambda r: r.lang == "de"),
+    ]
+    for q in QUERIES:
+        full = searcher.search(q, k=10**9)
+        for where, pred in cases:
+            got = searcher.search(q, k=10, where=where)
+            assert got == _post_filter(full, meta, pred, 10), (q, where)
+
+
+def test_filtered_conjunctive(searcher):
+    meta = _doc_meta(searcher)
+    full = searcher.search("data join", k=10**9, mode="and")
+    got = searcher.search("data join", k=10, mode="and",
+                          where=[("lang", "=", "en")])
+    assert got == _post_filter(full, meta, lambda r: r.lang == "en", 10)
+
+
+def test_filtered_prefix_and_fuzzy(searcher):
+    meta = _doc_meta(searcher)
+    full = searcher.search_prefix("s", k=10**9)
+    got = searcher.search_prefix("s", k=10, where=[("lang", "=", "fr")])
+    assert got == _post_filter(full, meta, lambda r: r.lang == "fr", 10)
+    full = searcher.search_fuzzy("dat", k=10**9)
+    got = searcher.search_fuzzy("dat", k=10, where=[("doc_len", ">=", 50)])
+    assert got == _post_filter(full, meta, lambda r: r.doc_len >= 50, 10)
+
+
+def test_unknown_categorical_value(searcher):
+    assert searcher.search("data", k=10, where=[("lang", "=", "xx")]) == []
+    # != an absent value keeps everything
+    assert searcher.search("data", k=10, where=[("lang", "!=", "xx")]) == \
+        searcher.search("data", k=10)
+
+
+def test_filter_errors(searcher):
+    with pytest.raises(KeyError):
+        searcher.search("data", where=[("no_such_col", "=", 1)])
+    with pytest.raises(ValueError):
+        searcher.search("data", where=[("lang", "<", "en")])  # order on categorical
+    with pytest.raises(ValueError):
+        searcher.search("data", where=[("doc_len", "~", 3)])
+    with pytest.raises(ValueError):
+        LocalSearcher(searcher.index_dir, dense_ranks=False).search(
+            "data", where={"lang": "en"}
+        )
+
+
+def test_facets_match_pandas_oracle(searcher):
+    meta = _doc_meta(searcher)
+    for q, mode in [("the data join", "or"), ("data join", "and")]:
+        full = searcher.search(q, k=10**9, mode=mode)
+        ids = [d for d, _ in full]
+        got = searcher.facets(q, by=["lang"], mode=mode,
+                              histograms={"doc_len": 50})
+        assert got["total"] == len(ids)
+        sub = meta.loc[ids]
+        vc = sub.groupby("lang").size()
+        expect = sorted(
+            ((str(l), int(n)) for l, n in vc.items()),
+            key=lambda p: (-p[1], p[0]),
+        )
+        assert got["facets"]["lang"] == expect
+        hist = sub.doc_len // 50 * 50
+        hv = hist.value_counts().sort_index()
+        assert got["histograms"]["doc_len"] == [
+            (int(b), int(n)) for b, n in hv.items()
+        ]
+
+
+def test_facets_with_where_and_top(searcher):
+    meta = _doc_meta(searcher)
+    full = searcher.search("the data", k=10**9)
+    ids = [d for d, _ in full if meta.loc[d].doc_len >= 100]
+    got = searcher.facets("the data", by=["lang"],
+                          where=[("doc_len", ">=", 100)], top=2)
+    assert got["total"] == len(ids)
+    vc = meta.loc[ids].groupby("lang").size()
+    expect = sorted(((str(l), int(n)) for l, n in vc.items()),
+                    key=lambda p: (-p[1], p[0]))[:2]
+    assert got["facets"]["lang"] == expect
+
+
+def test_facets_empty_match(searcher):
+    got = searcher.facets("zzzqqq", by=["lang"], histograms={"doc_len": 10})
+    assert got == {"total": 0, "facets": {"lang": []},
+                   "histograms": {"doc_len": []}}
+
+
+def test_distributed_matches_local(ray_session, built_index):
+    index_dir, _, _ = built_index
+    loc = LocalSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_actors=3)
+    dist.wait_ready()
+    where = [("lang", "in", ["en", "es"]), ("doc_len", ">=", 60)]
+    for q in QUERIES:
+        assert dist.search(q, k=10, where=where) == \
+            loc.search(q, k=10, where=where)
+    assert dist.facets("the data", by=["lang"], histograms={"doc_len": 100}) \
+        == loc.facets("the data", by=["lang"], histograms={"doc_len": 100})
+
+
+def test_timestamp_doc_values(ray_session, tmp_path):
+    """warc_ts flows into docs/ and filters as int µs, np.datetime64,
+    or ISO string."""
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+    from refimage_ray.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(60, seed=7)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pages["text"],
+            "warc_ts": pages["warc_ts"],
+            "lang": pages["lang"],
+        }
+    )
+    idx = str(tmp_path / "tsidx")
+    build_index(rd.from_arrow(docs), idx,
+                EngineConfig(num_shards=4, salt_buckets=2))
+    s = LocalSearcher(idx)
+    ts = docs["warc_ts"].to_numpy(zero_copy_only=False)
+    cut = ts[30]
+    cut_us = int(cut.astype("datetime64[us]").astype(np.int64))
+    full = s.search("the", k=10**9)
+    late = {int(d) for d in np.flatnonzero(ts >= cut)}
+    expect = [(d, sc) for d, sc in full if d in late][:10]
+    for val in (cut_us, cut, str(cut)):
+        assert s.search("the", k=10, where=[("warc_ts", ">=", val)]) == expect
+    # histogram facet by day buckets is exact vs numpy
+    got = s.facets("the", histograms={"warc_ts": 86_400_000_000})
+    ids = np.array([d for d, _ in full])
+    us = ts.astype("datetime64[us]").astype(np.int64)[ids]
+    b = us // 86_400_000_000 * 86_400_000_000
+    uniq, cnt = np.unique(b, return_counts=True)
+    assert got["histograms"]["warc_ts"] == \
+        [(int(u), int(n)) for u, n in zip(uniq, cnt)]
+
+
+def test_doc_values_extend_and_cache(searcher):
+    dv = searcher.doc_values(["lang"])
+    assert set(dv.cols) >= {"lang"}
+    dv2 = searcher.doc_values(["lang", "doc_len"])
+    assert dv2 is dv and set(dv.cols) >= {"lang", "doc_len"}
+    m1 = dv.mask([("lang", "=", "en")])
+    m2 = dv.mask([("lang", "=", "en")])
+    assert m1 is m2  # cached

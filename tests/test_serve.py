@@ -315,3 +315,60 @@ def test_reload_with_bare_injected_searcher_is_409(ray_session, built_index):
         assert st == 200 and body["status"] == "ok"
     finally:
         srv.shutdown()
+
+
+def test_search_filter_param(server):
+    from urllib.parse import quote
+
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    f = quote("lang=en,doc_len>=60")
+    st, body = _get(base + f"/search?q=spark+join&k=5&filter={f}")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search(
+        "spark join", k=5,
+        where=[("lang", "=", "en"), ("doc_len", ">=", 60)],
+    )
+    # set-membership sugar: lang=en|fr → in
+    st, body = _get(base + f"/search?q=spark&k=5&filter={quote('lang=en|fr')}")
+    assert [(r["doc_id"], r["score"]) for r in body["results"]] == s.search(
+        "spark", k=5, where=[("lang", "in", ["en", "fr"])]
+    )
+    # malformed condition / unknown column / phrase+filter → 422
+    st, _ = _req(base + f"/search?q=spark&filter={quote('lang~en')}", "GET")
+    assert st == 422
+    st, _ = _req(base + f"/search?q=spark&filter={quote('nope=1')}", "GET")
+    assert st == 422
+    st, _ = _req(
+        base + f"/search?q=spark&mode=phrase&filter={quote('lang=en')}", "GET"
+    )
+    assert st == 422
+
+
+def test_facets_route(server):
+    from urllib.parse import quote
+
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(
+        base + "/facets?q=the+data&by=lang&hist=doc_len:50&top=3"
+    )
+    assert st == 200
+    lib = s.facets("the data", by=["lang"], histograms={"doc_len": 50}, top=3)
+    assert body["total"] == lib["total"]
+    assert [tuple(p) for p in body["facets"]["lang"]] == lib["facets"]["lang"]
+    assert [tuple(p) for p in body["histograms"]["doc_len"]] == \
+        lib["histograms"]["doc_len"]
+    # filtered facet total shrinks consistently
+    st, fb = _get(base + f"/facets?q=the+data&by=lang&filter={quote('doc_len>=100')}")
+    assert st == 200 and fb["total"] <= body["total"]
+    # bad hist spec / empty q → 422
+    st, _ = _req(base + "/facets?q=the&hist=doc_len", "GET")
+    assert st == 422
+    st, _ = _req(base + "/facets?q=", "GET")
+    assert st == 422
