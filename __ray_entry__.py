@@ -370,7 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_fuzzy": search.bm25_topk_fuzzy,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_filtered": search.bm25_topk_filtered,
+        "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "facet_counts_query": search.facet_counts_query,
+        "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
         "search_and_membership": search.search_and_membership,
         "search_or_membership": search.search_or_membership,
@@ -616,9 +618,26 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
             ["spark", "join"], 10,
             doc_where="d.lang = 'en' AND dl.dl >= 40",
         ),
+        # doc-partitioned layout: shard-LOCAL doc values, per-shard
+        # filtered top-k merged exactly (disjoint doc subsets)
+        "bm25_topk_filtered_docpart": _bm25_sql(
+            ["spark", "join"], 10, doc_where="d.lang = 'en'",
+        ),
         # query-time facet panel: value counts per facet column over
         # the disjunctive match set (resident doc values engine-side)
         "facet_counts_query": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term IN ('spark', 'vector')
+),
+j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
+SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY lang
+UNION ALL
+SELECT 'source', source, CAST(count(*) AS BIGINT) FROM j GROUP BY source
+""",
+        # doc-partitioned facets are exact by additive merge → same
+        # oracle as the term-partitioned facet panel
+        "facet_counts_docpart": f"""
 WITH m AS (
   SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term IN ('spark', 'vector')
 ),

@@ -196,12 +196,21 @@ def build_doc_partitioned(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     num_doc_shards: int = 16,
+    value_columns: "list[str] | None" = None,
 ) -> dict:
     """docs (doc_id, text) → doc-partitioned artifact.
 
     One narrow stats pass (regex token counts), then ONE posting
     shuffle keyed by doc shard; the per-term global-df aggregate rides
     on the reducers' stat output (vocab-sized rows, not postings).
+
+    ``value_columns`` (e.g. ``["lang"]``) additionally writes one
+    ``docvalues-{shard}.parquet`` per doc shard — the shard-local
+    doc-value columns for query-time filters/facets.  The values shard
+    with the SAME doc→shard hash as the postings, so a shard actor's
+    filter mask and facet counts are entirely local and facet merges
+    are exact by additivity (see ``index/docvalues.py``).  The side
+    pass ships only (doc_id + value columns) — a narrow shuffle.
     """
     os.makedirs(index_dir, exist_ok=True)
     # clear stale outputs from a prior/crashed run: leftover
@@ -212,7 +221,7 @@ def build_doc_partitioned(
         # include .parquet.tmp leftovers from a crashed atomic write —
         # a stale tmp must never survive into (or be globbed by) the
         # next run
-        if f.startswith("docshard-") and (
+        if f.startswith(("docshard-", "docvalues-")) and (
             f.endswith(".parquet") or f.endswith(".tmp")
         ):
             os.remove(os.path.join(index_dir, f))
@@ -244,6 +253,37 @@ def build_doc_partitioned(
         .write_parquet(terms_dir)
     )
 
+    if value_columns:
+        vcols = ["doc_id"] + [c for c in value_columns if c != "doc_id"]
+
+        def _keyed(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column(
+                "dshard", pa.array(_doc_shard_of(ids, num_doc_shards), pa.int64())
+            )
+
+        def _write_values(g: pa.Table) -> pa.Table:
+            import io
+
+            shard = int(g["dshard"][0].as_py())
+            t = g.drop_columns(["dshard"]).sort_by([("doc_id", "ascending")])
+            buf = io.BytesIO()
+            pq.write_table(t, buf)
+            atomic_write_bytes(
+                os.path.join(index_dir, f"docvalues-{shard:05d}.parquet"),
+                buf.getvalue(),
+            )
+            return pa.table({"dshard": pa.array([shard], pa.int64()),
+                             "n": pa.array([t.num_rows], pa.int64())})
+
+        (
+            docs_ds.select_columns(vcols)
+            .map_batches(_keyed, batch_format="pyarrow")
+            .groupby("dshard")
+            .map_groups(_write_values, batch_format="pyarrow")
+            .take_all()  # tiny: one row per shard
+        )
+
     # the hash may leave shard buckets empty (small/skewed corpora):
     # record the files actually written so fsck can verify presence
     # EXACTLY rather than assuming one file per bucket
@@ -255,6 +295,9 @@ def build_doc_partitioned(
         "layout": "doc-partitioned",
         "num_doc_shards": num_doc_shards,
         "docshard_files": shard_files,
+        "value_columns": sorted(
+            c for c in (value_columns or []) if c != "doc_id"
+        ),
         "stats": {"n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
                   "k1": cfg.k1, "b": cfg.b},
         "config": {"token_pattern": cfg.token_pattern},
@@ -285,16 +328,47 @@ def _load_shard_view(
     from refimage_ray.query.engine import _SearcherBase
 
     class _ShardView(_SearcherBase):
-        def __init__(self, term_map: dict) -> None:
+        def __init__(self, term_map: dict, dv=None) -> None:
             self._tm = term_map
             self.n_docs = n_docs
             self.avgdl = avgdl
             self.token_pattern = token_pattern
+            # shard-LOCAL doc values: the values file is this shard's
+            # doc universe (disjoint doc subsets → rank-aligned per
+            # shard; facet counts merge additively across shards)
+            self._dv = dv
+            self.all_ids = dv.all_ids if dv is not None else None
 
         def _term_map(self, terms: list[str]) -> dict:
             return {t: self._tm[t] for t in terms if t in self._tm}
 
+        def doc_values(self, columns: list[str]):
+            if self._dv is None:
+                raise ValueError(
+                    "doc-partitioned artifact was built without "
+                    "value_columns=[...] — rebuild to use filters/facets"
+                )
+            missing = [c for c in columns if c not in self._dv.cols]
+            if missing:
+                raise KeyError(
+                    f"no doc-value column(s) {missing} in this artifact "
+                    f"(built with value_columns={sorted(self._dv.cols)})"
+                )
+            return self._dv
+
     t = pq.read_table(os.path.join(index_dir, fname))
+    dv = None
+    vfile = os.path.join(
+        index_dir, fname.replace("docshard-", "docvalues-")
+    )
+    if os.path.exists(vfile):
+        from refimage_ray.index.docvalues import encode_value_columns
+
+        vt = pq.read_table(vfile)
+        ids = np.sort(
+            vt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        dv = encode_value_columns(vt, ids)
     tm: dict[str, TermPostings] = {}
     for row in t.to_pylist():
         ids = decode_postings(row["doc_ids"])
@@ -309,7 +383,7 @@ def _load_shard_view(
             block_max_weight=np.array([row["max_weight"]], np.float64),
             dls=varbyte_decode(row["dls"]).astype(np.int64),
         )
-    return _ShardView(tm)
+    return _ShardView(tm, dv)
 
 
 class _GlobalVocabExpander:
@@ -400,6 +474,7 @@ class DocPartSearcher:
         threshold: float | None = None,
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
+        where=None,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.scorer import topk_select
 
@@ -407,7 +482,8 @@ class DocPartSearcher:
         threshold = cfg.default_threshold if threshold is None else threshold
         ids_parts, score_parts = [], []
         for sh in self.shards:
-            hits = sh.search(query, k=k, threshold=threshold, mode=mode, cfg=cfg)
+            hits = sh.search(query, k=k, threshold=threshold, mode=mode,
+                             cfg=cfg, where=where)
             if hits:
                 ids_parts.append(np.array([d for d, _ in hits], np.int64))
                 score_parts.append(np.array([s for _, s in hits], np.float64))
@@ -417,6 +493,33 @@ class DocPartSearcher:
             np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
         )
         return list(zip(ids.tolist(), scores.tolist()))
+
+    def facets(
+        self,
+        query: str,
+        by: "list[str] | None" = None,
+        mode: str = "or",
+        where=None,
+        histograms: "dict[str, float] | None" = None,
+        top: int | None = None,
+    ) -> dict:
+        """Facet aggregation, doc-partitioned: each shard counts over
+        ITS match subset from shard-local doc values; counts merge
+        additively (doc shards are disjoint → exact).  ``top`` applies
+        only after the merge."""
+        from refimage_ray.index.docvalues import merge_facet_results
+
+        parts = [
+            sh.facets(query, by=by, mode=mode, where=where,
+                      histograms=histograms)
+            for sh in self.shards
+        ]
+        out = merge_facet_results(parts, top=top)
+        for c in by or []:  # zero-shard (empty corpus) edge
+            out["facets"].setdefault(c, [])
+        for c in histograms or {}:
+            out["histograms"].setdefault(c, [])
+        return out
 
     def _search_expanded(
         self, kind: str, arg: str, k, threshold, cfg: EngineConfig,
@@ -467,12 +570,24 @@ class _DocShardActor:
         ]
 
     def search(
-        self, query: str, k: int, threshold: float, mode: str
+        self, query: str, k: int, threshold: float, mode: str, where=None
     ) -> list[tuple[int, float]]:
         out: list[tuple[int, float]] = []
         for v in self._views:
-            out.extend(v.search(query, k=k, threshold=threshold, mode=mode))
+            out.extend(v.search(query, k=k, threshold=threshold, mode=mode,
+                                where=where))
         return out
+
+    def facets(self, query: str, by, mode: str, where, histograms) -> dict:
+        """Partial facet counts over this actor's doc shards (values
+        are shard-local; the driver's merge is exact by additivity)."""
+        from refimage_ray.index.docvalues import merge_facet_results
+
+        return merge_facet_results([
+            v.facets(query, by=by, mode=mode, where=where,
+                     histograms=histograms)
+            for v in self._views
+        ])
 
 
 class DistributedDocPartSearcher:
@@ -521,13 +636,40 @@ class DistributedDocPartSearcher:
         threshold: float | None = None,
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
+        where=None,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         parts = ray.get(
-            [a.search.remote(query, k, threshold, mode) for a in self.actors]
+            [a.search.remote(query, k, threshold, mode, where)
+             for a in self.actors]
         )
         return self._merge(parts, k, threshold)
+
+    def facets(
+        self,
+        query: str,
+        by: "list[str] | None" = None,
+        mode: str = "or",
+        where=None,
+        histograms: "dict[str, float] | None" = None,
+        top: int | None = None,
+    ) -> dict:
+        """Scatter-gather facets: each actor returns partial counts
+        from its shard-local doc values; the driver merge is exact by
+        additivity over disjoint doc subsets (``top`` after merge)."""
+        from refimage_ray.index.docvalues import merge_facet_results
+
+        parts = ray.get([
+            a.facets.remote(query, by, mode, where, histograms)
+            for a in self.actors
+        ])
+        out = merge_facet_results(parts, top=top)
+        for c in by or []:
+            out["facets"].setdefault(c, [])
+        for c in histograms or {}:
+            out["histograms"].setdefault(c, [])
+        return out
 
     @staticmethod
     def _merge(

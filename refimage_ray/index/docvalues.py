@@ -221,6 +221,56 @@ def where_columns(where) -> list[str]:
     return sorted({c for c, _, _ in normalize_where(where)})
 
 
+def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:
+    """Merge per-shard :meth:`~refimage_ray.query.engine._SearcherBase.
+    facets` results from DISJOINT doc subsets — counts are additive, so
+    the merge is exact (the doc-partitioned scatter-gather path).
+    ``top`` is applied only after the merge (a per-shard top-N could
+    drop a value that is globally frequent but locally rare)."""
+    total = 0
+    fac: dict[str, dict[str, int]] = {}
+    hist: dict[str, dict] = {}
+    for p in parts:
+        total += int(p["total"])
+        for col, pairs in p.get("facets", {}).items():
+            acc = fac.setdefault(col, {})
+            for v, n in pairs:
+                acc[v] = acc.get(v, 0) + int(n)
+        for col, pairs in p.get("histograms", {}).items():
+            acc = hist.setdefault(col, {})
+            for b, n in pairs:
+                acc[b] = acc.get(b, 0) + int(n)
+    return {
+        "total": total,
+        "facets": {
+            col: sorted(acc.items(), key=lambda p: (-p[1], p[0]))[:top]
+            for col, acc in fac.items()
+        },
+        "histograms": {
+            col: sorted(acc.items()) for col, acc in hist.items()
+        },
+    }
+
+
+def encode_value_columns(t: pa.Table, all_ids: np.ndarray) -> DocValues:
+    """Build a :class:`DocValues` directly from an in-memory table of
+    (doc_id + value columns) — the per-doc-shard loading path of the
+    doc-partitioned layout, where each shard's values file IS its doc
+    universe."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    if not np.array_equal(ids[order], all_ids):
+        raise ValueError("value rows do not match the shard's doc universe")
+    cols: dict[str, DVColumn] = {}
+    for name in t.schema.names:
+        if name == "doc_id":
+            continue
+        enc = _encode_column(t[name])
+        enc.values = np.ascontiguousarray(enc.values[order])
+        cols[name] = enc
+    return DocValues(all_ids, cols)
+
+
 def load_doc_values(
     index_dir: str, columns: list[str], all_ids: np.ndarray
 ) -> DocValues:

@@ -90,21 +90,63 @@ def bm25_topk_and(sf_dir: str, query: str = "data table scan", k: int = 10) -> p
     return _hits_table(searcher_for(sf_dir).search(query, k=k, mode="and"))
 
 
-def bm25_topk_docpart(sf_dir: str, query: str = "spark join", k: int = 10) -> pa.Table:
-    """Same top-k over the DOC-partitioned index layout
-    (``index/docpart.py``) — scatter-gather across doc shards, exact
-    by construction, so it shares ``bm25_topk``'s SQL oracle."""
+def _docpart_searcher(sf_dir: str):
     from refimage_ray.index.docpart import DocPartSearcher, build_doc_partitioned
 
     doc_dir = _index_dir_for(sf_dir) + "-docpart"
     if not os.path.exists(os.path.join(doc_dir, "manifest.json")):
         docs = rd.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source"],
         )
-        build_doc_partitioned(docs, doc_dir, SEARCH_CFG, num_doc_shards=8)
+        build_doc_partitioned(
+            docs, doc_dir, SEARCH_CFG, num_doc_shards=8,
+            value_columns=["lang", "source"],
+        )
     if doc_dir not in _searchers:
         _searchers[doc_dir] = DocPartSearcher(doc_dir)
-    return _hits_table(_searchers[doc_dir].search(query, k=k, mode="or"))
+    return _searchers[doc_dir]
+
+
+def bm25_topk_docpart(sf_dir: str, query: str = "spark join", k: int = 10) -> pa.Table:
+    """Same top-k over the DOC-partitioned index layout
+    (``index/docpart.py``) — scatter-gather across doc shards, exact
+    by construction, so it shares ``bm25_topk``'s SQL oracle."""
+    return _hits_table(_docpart_searcher(sf_dir).search(query, k=k, mode="or"))
+
+
+def bm25_topk_filtered_docpart(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """Filtered top-k over the doc-partitioned layout: each doc-shard
+    applies the predicate against its shard-LOCAL doc values, so the
+    filter never leaves the shard — same oracle as the term-partitioned
+    ``bm25_topk_filtered`` except the lang-only predicate."""
+    return _hits_table(
+        _docpart_searcher(sf_dir).search(
+            query, k=k, mode="or", where=[("lang", "=", "en")]
+        )
+    )
+
+
+def facet_counts_docpart(sf_dir: str, query: str = "spark vector") -> pa.Table:
+    """Facet panel over the doc-partitioned layout: per-shard partial
+    counts merged additively (exact — doc shards are disjoint); shares
+    ``facet_counts_query``'s SQL oracle."""
+    f = _docpart_searcher(sf_dir).facets(query, by=["lang", "source"])
+    facets, values, counts = [], [], []
+    for col in ("lang", "source"):
+        for v, n in f["facets"][col]:
+            facets.append(col)
+            values.append(v)
+            counts.append(n)
+    return pa.table(
+        {
+            "facet": pa.array(facets, pa.string()),
+            "value": pa.array(values, pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+        }
+    )
 
 
 def bm25_topk_prefix(sf_dir: str, prefix: str = "s", k: int = 10) -> pa.Table:

@@ -26,7 +26,8 @@ def both_indexes(ray_session, tiny_docs, tmp_path_factory):
     term_dir = str(base / "term")
     doc_dir = str(base / "doc")
     build_index(rd.from_arrow(tiny_docs), term_dir, cfg)
-    build_doc_partitioned(rd.from_arrow(tiny_docs), doc_dir, cfg, num_doc_shards=4)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), doc_dir, cfg,
+                          num_doc_shards=4, value_columns=["lang"])
     return term_dir, doc_dir, cfg
 
 
@@ -158,3 +159,66 @@ def test_stale_tmp_shard_file_is_ignored_and_cleaned(both_indexes, tiny_docs,
     c = DocPartSearcher(d)
     for q in FIXTURE_QUERIES[:3]:
         assert a.search(q, k=10) == c.search(q, k=10), q
+
+
+def test_docpart_filtered_matches_term_partitioned(both_indexes):
+    """Shard-local doc values: filtered top-k identical to the
+    term-partitioned engine's (same corpus, same predicate)."""
+    term_dir, doc_dir, _ = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    for where in ([("lang", "=", "en")], [("lang", "in", ["en", "fr"])],
+                  [("lang", "!=", "ja")]):
+        for q in FIXTURE_QUERIES[:5]:
+            for mode in ("or", "and"):
+                assert a.search(q, k=10, mode=mode, where=where) == \
+                    b.search(q, k=10, mode=mode, where=where), (q, mode, where)
+
+
+def test_docpart_facets_additive_merge(both_indexes):
+    term_dir, doc_dir, _ = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    for q in ("the data join", "spark query"):
+        fa = a.facets(q, by=["lang"])
+        fb = b.facets(q, by=["lang"])
+        assert fb["total"] == fa["total"]
+        assert fb["facets"]["lang"] == fa["facets"]["lang"]
+    # top applies after the merge
+    assert b.facets("the data", by=["lang"], top=2)["facets"]["lang"] == \
+        a.facets("the data", by=["lang"], top=2)["facets"]["lang"]
+    # filtered facets
+    w = [("lang", "in", ["en", "de"])]
+    assert b.facets("the data", by=["lang"], where=w) == \
+        a.facets("the data", by=["lang"], where=w)
+
+
+def test_distributed_docpart_filtered_and_facets(both_indexes):
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    term_dir, doc_dir, _ = both_indexes
+    b = DocPartSearcher(doc_dir)
+    d = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    d.wait_ready()
+    w = [("lang", "=", "en")]
+    for q in FIXTURE_QUERIES[:4]:
+        assert d.search(q, k=10, where=w) == b.search(q, k=10, where=w)
+    assert d.facets("the data", by=["lang"], where=w, top=3) == \
+        b.facets("the data", by=["lang"], where=w, top=3)
+
+
+def test_docpart_without_values_raises(ray_session, tiny_docs, tmp_path):
+    doc_dir = str(tmp_path / "novals")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), doc_dir,
+                          EngineConfig(num_shards=4, salt_buckets=2),
+                          num_doc_shards=4)
+    s = DocPartSearcher(doc_dir)
+    with pytest.raises(ValueError, match="value_columns"):
+        s.search("the data", k=5, where=[("lang", "=", "en")])
+
+
+def test_docpart_unknown_value_column_raises(both_indexes):
+    _, doc_dir, _ = both_indexes
+    s = DocPartSearcher(doc_dir)
+    with pytest.raises(KeyError, match="doc_len"):
+        s.search("the data", k=5, where=[("doc_len", ">=", 10)])
