@@ -175,6 +175,7 @@ FROM stream GROUP BY seq_id
 def _bm25_sql(
     terms: "list[str] | None", k: int, conjunctive: bool = False,
     q_where: "str | None" = None, doc_where: "str | None" = None,
+    order_by_sql: "str | None" = None,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
@@ -196,6 +197,19 @@ def _bm25_sql(
         having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
     d_join = "JOIN documents d ON d.doc_id = tf.doc_id" if doc_where else ""
     d_cond = f"AND ({doc_where})" if doc_where else ""
+    # field ordering (the engine's order_by): final ORDER BY over a
+    # documents column (alias d2) instead of the score
+    if order_by_sql is not None:
+        final = (
+            f"SELECT s.doc_id, round(s.sc, 4) AS score FROM scores s "
+            f"JOIN documents d2 ON d2.doc_id = s.doc_id "
+            f"ORDER BY {order_by_sql} LIMIT {k}"
+        )
+    else:
+        final = (
+            f"SELECT doc_id, round(sc, 4) AS score "
+            f"FROM scores ORDER BY sc DESC, doc_id LIMIT {k}"
+        )
     return f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -219,8 +233,7 @@ scores AS (
   GROUP BY tf.doc_id
   {having}
 )
-SELECT doc_id, round(sc, 4) AS score
-FROM scores ORDER BY sc DESC, doc_id LIMIT {k}
+{final}
 """
 
 
@@ -371,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
+        "bm25_topk_ordered": search.bm25_topk_ordered,
         "facet_counts_query": search.facet_counts_query,
         "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
@@ -622,6 +636,13 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # filtered top-k merged exactly (disjoint doc subsets)
         "bm25_topk_filtered_docpart": _bm25_sql(
             ["spark", "join"], 10, doc_where="d.lang = 'en'",
+        ),
+        # field-ordered results: match set ordered by n_chars desc
+        # (engine: order_by=("n_chars","desc") over resident doc
+        # values; n_chars == length(text), asserted by doc_stats)
+        "bm25_topk_ordered": _bm25_sql(
+            ["spark"], 10,
+            order_by_sql="length(d2.text) DESC, s.doc_id",
         ),
         # query-time facet panel: value counts per facet column over
         # the disjunctive match set (resident doc values engine-side)

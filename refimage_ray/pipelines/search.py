@@ -259,6 +259,18 @@ def bm25_topk_filtered(
     )
 
 
+def bm25_topk_ordered(sf_dir: str, query: str = "spark", k: int = 10) -> pa.Table:
+    """Field-ordered results: the query's match set ordered by a
+    doc-value column (``n_chars`` desc — the 'longest documents first'
+    flavor of recency ranking) instead of score; scores still reported.
+    ORDER BY + LIMIT at query time, from resident doc values."""
+    return _hits_table(
+        searcher_for(sf_dir).search(
+            query, k=k, mode="or", order_by=("n_chars", "desc")
+        )
+    )
+
+
 def facet_counts_query(sf_dir: str, query: str = "spark vector") -> pa.Table:
     """Search-time facet panel: lang + source value counts over the
     FULL match set of a disjunctive query, from resident doc values

@@ -484,6 +484,7 @@ class _SearcherBase:
         dense: bool | None = None,
         synonyms: "dict[str, list[str]] | None" = None,
         where=None,  # [(col, op, value), ...] | {col: value} doc-value filter
+        order_by: "tuple[str, str] | None" = None,  # (col, "asc"|"desc")
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -499,7 +500,8 @@ class _SearcherBase:
             terms = expand_synonyms(terms, synonyms, self._tokenize)
         term_map = self._term_map(terms)
         return self._finish_search(
-            term_map, terms, k, threshold, mode, prune, scorer, dense, where
+            term_map, terms, k, threshold, mode, prune, scorer, dense, where,
+            order_by,
         )
 
     # --- multi-term expansion queries (prefix / fuzzy) ---
@@ -513,6 +515,7 @@ class _SearcherBase:
         self, kind: str, arg: str, k: int | None, threshold: float | None,
         cfg: EngineConfig, prune: "bool | str", scorer: str,
         dense: bool | None, max_expansions: int | None, where=None,
+        order_by=None,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.expand import cap_expansion
 
@@ -529,7 +532,8 @@ class _SearcherBase:
             return []
         term_map = self._term_map(terms)
         return self._finish_search(
-            term_map, terms, k, threshold, "or", prune, scorer, dense, where
+            term_map, terms, k, threshold, "or", prune, scorer, dense, where,
+            order_by,
         )
 
     def search_prefix(
@@ -537,14 +541,14 @@ class _SearcherBase:
         threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
         prune: "bool | str" = True, scorer: str = "bm25",
         dense: bool | None = None, max_expansions: int | None = None,
-        where=None,
+        where=None, order_by=None,
     ) -> list[tuple[int, float]]:
         """Prefix top-k (``netw*``): expand against the term dictionary,
         score the expansion as an ordinary disjunctive query — results
         identical to ``search(" ".join(expansion))``."""
         return self._search_expanded(
             "prefix", prefix, k, threshold, cfg, prune, scorer, dense,
-            max_expansions, where,
+            max_expansions, where, order_by,
         )
 
     def search_fuzzy(
@@ -552,14 +556,14 @@ class _SearcherBase:
         threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
         prune: "bool | str" = True, scorer: str = "bm25",
         dense: bool | None = None, max_expansions: int | None = None,
-        where=None,
+        where=None, order_by=None,
     ) -> list[tuple[int, float]]:
         """Fuzzy top-k (``aple~``): all vocabulary terms within
         Levenshtein distance 1 (SymSpell deletion neighborhood, built
         once per resident dictionary), scored disjunctively."""
         return self._search_expanded(
             "fuzzy", term, k, threshold, cfg, prune, scorer, dense,
-            max_expansions, where,
+            max_expansions, where, order_by,
         )
 
     def _finish_search(
@@ -573,6 +577,7 @@ class _SearcherBase:
         scorer: str,
         dense: bool | None,
         where=None,
+        order_by: "tuple[str, str] | None" = None,
     ) -> list[tuple[int, float]]:
         """Scoring half of :meth:`search` — separated so batch serving
         (``search_many``) can overlap many queries' postings RPCs
@@ -585,22 +590,57 @@ class _SearcherBase:
             from refimage_ray.extension import get_scorer
 
             idf_fn = get_scorer(scorer).idf
-        if where is not None:
-            # doc-value filter: exact full evaluation, then an
-            # O(candidates) rank-aligned mask probe, then top-k.  The
-            # pruned strategies are bypassed on purpose — their θ bound
-            # is valid only against the unfiltered corpus (see
-            # _match_ranks_scores).
+        if where is not None or order_by is not None:
+            # doc-value filter / field ordering: exact full evaluation,
+            # then an O(candidates) rank-aligned mask probe, then top-k.
+            # The pruned strategies are bypassed on purpose — their θ
+            # bound is valid only against the unfiltered corpus (see
+            # _match_ranks_scores), and field ordering isn't score-
+            # correlated at all.
             from refimage_ray.index.docvalues import where_columns
 
-            mask = self.doc_values(where_columns(where)).mask(where)
+            cols = set(where_columns(where)) if where is not None else set()
+            if order_by is not None:
+                ocol, odir = order_by
+                if odir not in ("asc", "desc"):
+                    raise ValueError(
+                        f"order_by direction must be 'asc' or 'desc', "
+                        f"got {odir!r}"
+                    )
+                cols.add(ocol)
+            dv = self.doc_values(sorted(cols))
             ranks, scores = self._match_ranks_scores(
                 term_map, terms, mode, idf_fn
             )
-            keep = mask[ranks]
-            # ranks sort like doc_ids (all_ids is sorted), so
-            # topk_select's (score desc, id asc) tie-break is unchanged
-            ranks, scores = topk_select(ranks[keep], scores[keep], k, threshold)
+            if where is not None:
+                keep = dv.mask(where)[ranks]
+                ranks, scores = ranks[keep], scores[keep]
+            if order_by is None:
+                # ranks sort like doc_ids (all_ids is sorted), so
+                # topk_select's (score desc, id asc) tie-break holds
+                ranks, scores = topk_select(ranks, scores, k, threshold)
+                return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
+            # field ordering (ORDER BY <col> <dir>, doc_id ASC LIMIT k):
+            # threshold still gates on score; the sort key is the
+            # doc-value column.  Integer keys (incl. timestamp µs) sort
+            # as int64 — no float round-trip, so nearby timestamps
+            # never reorder; categorical codes sort lexicographically
+            # (the dictionary is sorted), nulls always last.
+            m = scores >= threshold
+            ranks, scores = ranks[m], scores[m]
+            c = dv.cols[ocol]
+            key = c.values[ranks]
+            if key.dtype.kind in "iu" or c.is_categorical:
+                key = key.astype(np.int64)
+            null = key < 0 if c.is_categorical else None
+            if odir == "desc":
+                key = -key
+            if null is not None and null.any():
+                key[null] = (
+                    np.iinfo(np.int64).max if key.dtype.kind == "i" else np.inf
+                )
+            sel = np.lexsort((ranks, key))[:k]
+            ranks, scores = ranks[sel], scores[sel]
             return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
         use_dense = (
             # a string prune value (e.g. "blockmax") is an explicitly
@@ -1040,6 +1080,7 @@ class DistributedSearcher(_SearcherBase):
         scorer: str = "bm25",
         dense: bool | None = None,
         where=None,
+        order_by=None,
     ) -> list[list[tuple[int, float]]]:
         """Pipelined batch serving: every query's postings RPCs are in
         flight before the first result is scored (scatter all, then
@@ -1058,6 +1099,7 @@ class DistributedSearcher(_SearcherBase):
         return [
             self._finish_search(
                 tmap, terms, k, threshold, mode, prune, scorer, dense, where,
+                order_by,
             )
             for terms in per_query
         ]

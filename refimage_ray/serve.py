@@ -261,22 +261,28 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 k = int(q.get("k", 10))
                 mode = q.get("mode", "or")
                 where = parse_filter(q.get("filter", ""))
+                order = None
+                if q.get("order"):  # order=col:asc|desc (default desc)
+                    ocol, _, odir = q["order"].partition(":")
+                    order = (ocol, odir or "desc")
                 try:
                     if mode == "phrase":
-                        if where:
+                        if where or order:
                             return self._json(
-                                {"error": "filter not supported with "
-                                          "mode=phrase"}, 422)
+                                {"error": "filter/order not supported "
+                                          "with mode=phrase"}, 422)
                         hits = state["s"].search_phrase(q["q"], k=k)
                     elif mode == "prefix":
                         hits = state["s"].search_prefix(q["q"], k=k,
-                                                        where=where)
+                                                        where=where,
+                                                        order_by=order)
                     elif mode == "fuzzy":
                         hits = state["s"].search_fuzzy(q["q"], k=k,
-                                                       where=where)
+                                                       where=where,
+                                                       order_by=order)
                     elif mode in ("or", "and"):
                         hits = state["s"].search(q["q"], k=k, mode=mode,
-                                                 where=where)
+                                                 where=where, order_by=order)
                     else:
                         return self._json({"error": f"bad mode {mode!r}"}, 422)
                 except ValueError as err:  # e.g. multi-term expansion probe

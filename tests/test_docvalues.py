@@ -205,3 +205,67 @@ def test_doc_values_extend_and_cache(searcher):
     m1 = dv.mask([("lang", "=", "en")])
     m2 = dv.mask([("lang", "=", "en")])
     assert m1 is m2  # cached
+
+
+def test_order_by_matches_pandas(searcher):
+    meta = _doc_meta(searcher)
+    for q in ("the data join", "spark query"):
+        full = searcher.search(q, k=10**9)
+        ids = [d for d, _ in full]
+        scores = dict(full)
+        for col, direction in (("doc_len", "desc"), ("doc_len", "asc"),
+                               ("n_chars", "desc"), ("lang", "asc")):
+            got = searcher.search(q, k=10, order_by=(col, direction))
+            vals = meta.loc[ids, col]
+            expect_ids = sorted(
+                ids,
+                key=lambda d: (
+                    (-vals[d] if direction == "desc" else vals[d], d)
+                    if col != "lang"
+                    else (vals[d], d)  # lang asc only (strings)
+                ),
+            )[:10]
+            assert got == [(d, scores[d]) for d in expect_ids], (q, col, direction)
+
+
+def test_order_by_categorical_desc(searcher):
+    meta = _doc_meta(searcher)
+    full = searcher.search("the data", k=10**9)
+    ids = [d for d, _ in full]
+    scores = dict(full)
+    got = searcher.search("the data", k=10, order_by=("lang", "desc"))
+    vals = meta.loc[ids, "lang"]
+    # emulate string desc with an asc tie on id: sort values desc via
+    # their rank in the reversed value order, ids ascending within
+    order = sorted(set(vals[d] for d in ids), reverse=True)
+    rank = {v: i for i, v in enumerate(order)}
+    expect = sorted(ids, key=lambda d: (rank[vals[d]], d))[:10]
+    assert got == [(d, scores[d]) for d in expect]
+
+
+def test_order_by_with_where_composes(searcher):
+    meta = _doc_meta(searcher)
+    full = searcher.search("the data", k=10**9)
+    scores = dict(full)
+    ids = [d for d, _ in full if meta.loc[d].lang == "en"]
+    got = searcher.search("the data", k=5, where=[("lang", "=", "en")],
+                          order_by=("doc_len", "desc"))
+    expect = sorted(ids, key=lambda d: (-meta.loc[d].doc_len, d))[:5]
+    assert got == [(d, scores[d]) for d in expect]
+
+
+def test_order_by_errors(searcher):
+    with pytest.raises(ValueError, match="asc"):
+        searcher.search("data", order_by=("doc_len", "down"))
+    with pytest.raises(KeyError):
+        searcher.search("data", order_by=("nope", "desc"))
+
+
+def test_order_by_distributed_matches_local(ray_session, built_index):
+    index_dir, _, _ = built_index
+    loc = LocalSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_actors=3)
+    dist.wait_ready()
+    for ob in (("doc_len", "desc"), ("lang", "asc")):
+        assert dist.search("the data", k=10, order_by=ob) == \
+            loc.search("the data", k=10, order_by=ob)

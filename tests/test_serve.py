@@ -372,3 +372,18 @@ def test_facets_route(server):
     assert st == 422
     st, _ = _req(base + "/facets?q=", "GET")
     assert st == 422
+
+
+def test_search_order_param(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/search?q=the+data&k=5&order=doc_len:desc")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search("the data", k=5, order_by=("doc_len", "desc"))
+    st, _ = _req(base + "/search?q=the&order=doc_len:down", "GET")
+    assert st == 422
+    st, _ = _req(base + "/search?q=the&mode=phrase&order=doc_len:desc", "GET")
+    assert st == 422
