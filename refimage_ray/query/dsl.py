@@ -383,14 +383,30 @@ class DSLContext:
 
     def doc_langs(self):
         if self._langs is None:
-            import os
+            s = self.searcher
+            if getattr(s, "all_ids", None) is not None and hasattr(
+                s, "doc_values"
+            ):
+                # reuse the searcher's resident doc values (loaded once
+                # per searcher) instead of re-scanning docs/ metadata
+                # per executor — same rows, rank order
+                dv = s.doc_values(["lang"])
+                c = dv.cols["lang"]
+                self._langs = {
+                    "doc_id": dv.all_ids,
+                    "lang": np.where(
+                        c.values >= 0, c.categories[c.values], ""
+                    ),
+                }
+            else:  # searchers without a resident universe (shard views)
+                import os
 
-            ds = pads.dataset(os.path.join(self.searcher.index_dir, "docs"))
-            t = ds.to_table(columns=["doc_id", "lang"])
-            self._langs = {
-                "doc_id": t["doc_id"].to_numpy(),
-                "lang": np.asarray(t["lang"].to_pylist()),
-            }
+                ds = pads.dataset(os.path.join(s.index_dir, "docs"))
+                t = ds.to_table(columns=["doc_id", "lang"])
+                self._langs = {
+                    "doc_id": t["doc_id"].to_numpy(),
+                    "lang": np.asarray(t["lang"].to_pylist()),
+                }
         return self._langs
 
 
