@@ -175,7 +175,7 @@ FROM stream GROUP BY seq_id
 def _bm25_sql(
     terms: "list[str] | None", k: int, conjunctive: bool = False,
     q_where: "str | None" = None, doc_where: "str | None" = None,
-    order_by_sql: "str | None" = None,
+    order_by_sql: "str | None" = None, offset: int = 0,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
@@ -199,16 +199,17 @@ def _bm25_sql(
     d_cond = f"AND ({doc_where})" if doc_where else ""
     # field ordering (the engine's order_by): final ORDER BY over a
     # documents column (alias d2) instead of the score
+    off = f" OFFSET {offset}" if offset else ""
     if order_by_sql is not None:
         final = (
             f"SELECT s.doc_id, round(s.sc, 4) AS score FROM scores s "
             f"JOIN documents d2 ON d2.doc_id = s.doc_id "
-            f"ORDER BY {order_by_sql} LIMIT {k}"
+            f"ORDER BY {order_by_sql} LIMIT {k}{off}"
         )
     else:
         final = (
             f"SELECT doc_id, round(sc, 4) AS score "
-            f"FROM scores ORDER BY sc DESC, doc_id LIMIT {k}"
+            f"FROM scores ORDER BY sc DESC, doc_id LIMIT {k}{off}"
         )
     return f"""
 WITH toks AS ({_TOKS}),
@@ -385,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
+        "bm25_topk_page2": search.bm25_topk_page2,
         "facet_counts_query": search.facet_counts_query,
         "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
@@ -644,6 +646,9 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
             ["spark"], 10,
             order_by_sql="length(d2.text) DESC, s.doc_id",
         ),
+        # pagination: page 2 of the same total order (engine fetches
+        # top k+offset and slices — page boundaries are deterministic)
+        "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
         # query-time facet panel: value counts per facet column over
         # the disjunctive match set (resident doc values engine-side)
         "facet_counts_query": f"""

@@ -475,14 +475,18 @@ class DocPartSearcher:
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
         where=None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.scorer import topk_select
 
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
+        # pagination: each shard returns its top (k+offset) — the global
+        # page is contained in the union (disjoint doc subsets)
+        kk = k + offset
         ids_parts, score_parts = [], []
         for sh in self.shards:
-            hits = sh.search(query, k=k, threshold=threshold, mode=mode,
+            hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
                              cfg=cfg, where=where)
             if hits:
                 ids_parts.append(np.array([d for d, _ in hits], np.int64))
@@ -490,9 +494,9 @@ class DocPartSearcher:
         if not ids_parts:
             return []
         ids, scores = topk_select(
-            np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
+            np.concatenate(ids_parts), np.concatenate(score_parts), kk, threshold
         )
-        return list(zip(ids.tolist(), scores.tolist()))
+        return list(zip(ids.tolist(), scores.tolist()))[offset:]
 
     def facets(
         self,
@@ -637,14 +641,16 @@ class DistributedDocPartSearcher:
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
         where=None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
         parts = ray.get(
-            [a.search.remote(query, k, threshold, mode, where)
+            [a.search.remote(query, kk, threshold, mode, where)
              for a in self.actors]
         )
-        return self._merge(parts, k, threshold)
+        return self._merge(parts, kk, threshold)[offset:]
 
     def facets(
         self,

@@ -271,6 +271,17 @@ def bm25_topk_ordered(sf_dir: str, query: str = "spark", k: int = 10) -> pa.Tabl
     )
 
 
+def bm25_topk_page2(
+    sf_dir: str, query: str = "spark join", k: int = 10, offset: int = 10
+) -> pa.Table:
+    """Search pagination: page 2 of the ranked result list (LIMIT k
+    OFFSET n over the engine's deterministic total order — fetch
+    k+offset, slice)."""
+    return _hits_table(
+        searcher_for(sf_dir).search(query, k=k, mode="or", offset=offset)
+    )
+
+
 def facet_counts_query(sf_dir: str, query: str = "spark vector") -> pa.Table:
     """Search-time facet panel: lang + source value counts over the
     FULL match set of a disjunctive query, from resident doc values

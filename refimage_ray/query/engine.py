@@ -170,6 +170,11 @@ def _release_dense_buffer(buf: np.ndarray) -> None:
             del _DENSE_POOL[_DENSE_POOL_MAX:]
 
 
+def _check_offset(offset) -> None:
+    if not isinstance(offset, int) or offset < 0:
+        raise ValueError(f"offset must be a non-negative int, got {offset!r}")
+
+
 def _gallop_member(p: TermPostings, candidates: np.ndarray) -> np.ndarray:
     """Membership mask of candidates in p.doc_ids, using block fences
     to narrow then binary search within (vectorized skip + search)."""
@@ -485,6 +490,7 @@ class _SearcherBase:
         synonyms: "dict[str, list[str]] | None" = None,
         where=None,  # [(col, op, value), ...] | {col: value} doc-value filter
         order_by: "tuple[str, str] | None" = None,  # (col, "asc"|"desc")
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -499,10 +505,17 @@ class _SearcherBase:
 
             terms = expand_synonyms(terms, synonyms, self._tokenize)
         term_map = self._term_map(terms)
+        # pagination (LIMIT k OFFSET n over the same total order): fetch
+        # the top (k+offset) and slice — every scoring path's ordering
+        # is total and deterministic (score desc then doc_id asc, or
+        # the order_by key), so page boundaries never shift between
+        # requests against the same artifact
+        if offset:
+            _check_offset(offset)
         return self._finish_search(
-            term_map, terms, k, threshold, mode, prune, scorer, dense, where,
-            order_by,
-        )
+            term_map, terms, k + offset, threshold, mode, prune, scorer,
+            dense, where, order_by,
+        )[offset:]
 
     # --- multi-term expansion queries (prefix / fuzzy) ---
 
@@ -515,7 +528,7 @@ class _SearcherBase:
         self, kind: str, arg: str, k: int | None, threshold: float | None,
         cfg: EngineConfig, prune: "bool | str", scorer: str,
         dense: bool | None, max_expansions: int | None, where=None,
-        order_by=None,
+        order_by=None, offset: int = 0,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.expand import cap_expansion
 
@@ -531,24 +544,26 @@ class _SearcherBase:
         if not terms:
             return []
         term_map = self._term_map(terms)
+        if offset:
+            _check_offset(offset)
         return self._finish_search(
-            term_map, terms, k, threshold, "or", prune, scorer, dense, where,
-            order_by,
-        )
+            term_map, terms, k + offset, threshold, "or", prune, scorer,
+            dense, where, order_by,
+        )[offset:]
 
     def search_prefix(
         self, prefix: str, k: int | None = None,
         threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
         prune: "bool | str" = True, scorer: str = "bm25",
         dense: bool | None = None, max_expansions: int | None = None,
-        where=None, order_by=None,
+        where=None, order_by=None, offset: int = 0,
     ) -> list[tuple[int, float]]:
         """Prefix top-k (``netw*``): expand against the term dictionary,
         score the expansion as an ordinary disjunctive query — results
         identical to ``search(" ".join(expansion))``."""
         return self._search_expanded(
             "prefix", prefix, k, threshold, cfg, prune, scorer, dense,
-            max_expansions, where, order_by,
+            max_expansions, where, order_by, offset,
         )
 
     def search_fuzzy(
@@ -556,14 +571,14 @@ class _SearcherBase:
         threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
         prune: "bool | str" = True, scorer: str = "bm25",
         dense: bool | None = None, max_expansions: int | None = None,
-        where=None, order_by=None,
+        where=None, order_by=None, offset: int = 0,
     ) -> list[tuple[int, float]]:
         """Fuzzy top-k (``aple~``): all vocabulary terms within
         Levenshtein distance 1 (SymSpell deletion neighborhood, built
         once per resident dictionary), scored disjunctively."""
         return self._search_expanded(
             "fuzzy", term, k, threshold, cfg, prune, scorer, dense,
-            max_expansions, where, order_by,
+            max_expansions, where, order_by, offset,
         )
 
     def _finish_search(
@@ -697,6 +712,7 @@ class _SearcherBase:
         k: int | None = None,
         threshold: float | None = None,
         cfg: EngineConfig = DEFAULT_CONFIG,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         """Exact-phrase top-k: conjunctive candidates from the index,
         then adjacency verification against the stored text (tokenized
@@ -735,8 +751,10 @@ class _SearcherBase:
                 if _contains_phrase(self._tokenize(txt), phrase_tokens)
             }
             keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
-        ids, sc = topk_select(cand[keep], scores[keep], k, threshold)
-        return list(zip(ids.tolist(), sc.tolist()))
+        if offset:
+            _check_offset(offset)
+        ids, sc = topk_select(cand[keep], scores[keep], k + offset, threshold)
+        return list(zip(ids.tolist(), sc.tolist()))[offset:]
 
     def facets(
         self,

@@ -259,6 +259,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 if not q.get("q", "").strip():
                     return self._json({"error": "empty query"}, 422)
                 k = int(q.get("k", 10))
+                offset = int(q.get("offset", 0))
                 mode = q.get("mode", "or")
                 where = parse_filter(q.get("filter", ""))
                 order = None
@@ -271,18 +272,22 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                             return self._json(
                                 {"error": "filter/order not supported "
                                           "with mode=phrase"}, 422)
-                        hits = state["s"].search_phrase(q["q"], k=k)
+                        hits = state["s"].search_phrase(q["q"], k=k,
+                                                        offset=offset)
                     elif mode == "prefix":
                         hits = state["s"].search_prefix(q["q"], k=k,
                                                         where=where,
-                                                        order_by=order)
+                                                        order_by=order,
+                                                        offset=offset)
                     elif mode == "fuzzy":
                         hits = state["s"].search_fuzzy(q["q"], k=k,
                                                        where=where,
-                                                       order_by=order)
+                                                       order_by=order,
+                                                       offset=offset)
                     elif mode in ("or", "and"):
                         hits = state["s"].search(q["q"], k=k, mode=mode,
-                                                 where=where, order_by=order)
+                                                 where=where, order_by=order,
+                                                 offset=offset)
                     else:
                         return self._json({"error": f"bad mode {mode!r}"}, 422)
                 except ValueError as err:  # e.g. multi-term expansion probe

@@ -222,3 +222,23 @@ def test_docpart_unknown_value_column_raises(both_indexes):
     s = DocPartSearcher(doc_dir)
     with pytest.raises(KeyError, match="doc_len"):
         s.search("the data", k=5, where=[("doc_len", ">=", 10)])
+
+
+def test_docpart_offset_pagination(both_indexes):
+    term_dir, doc_dir, _ = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    for off in (0, 5, 10):
+        assert a.search("the data", k=5, offset=off) == \
+            b.search("the data", k=5, offset=off)
+
+
+def test_distributed_docpart_offset(both_indexes):
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    _, doc_dir, _ = both_indexes
+    b = DocPartSearcher(doc_dir)
+    d = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    d.wait_ready()
+    assert d.search("the data", k=5, offset=5) == \
+        b.search("the data", k=5, offset=5)

@@ -269,3 +269,42 @@ def test_order_by_distributed_matches_local(ray_session, built_index):
     for ob in (("doc_len", "desc"), ("lang", "asc")):
         assert dist.search("the data", k=10, order_by=ob) == \
             loc.search("the data", k=10, order_by=ob)
+
+
+def test_offset_pagination(searcher):
+    """Pages tile the full ranked list exactly, across every search
+    flavor (plain, filtered, ordered, conjunctive, prefix, phrase)."""
+    cases = [
+        lambda off: searcher.search("the data join", k=7, offset=off),
+        lambda off: searcher.search("the data join", k=7, offset=off,
+                                    where=[("lang", "!=", "ja")]),
+        lambda off: searcher.search("the data", k=7, offset=off,
+                                    order_by=("doc_len", "desc")),
+        lambda off: searcher.search("data join", k=7, offset=off, mode="and"),
+        lambda off: searcher.search_prefix("s", k=7, offset=off),
+        lambda off: searcher.search_phrase("the data", k=7, offset=off),
+    ]
+    fulls = [
+        searcher.search("the data join", k=10**9),
+        searcher.search("the data join", k=10**9,
+                        where=[("lang", "!=", "ja")]),
+        searcher.search("the data", k=10**9, order_by=("doc_len", "desc")),
+        searcher.search("data join", k=10**9, mode="and"),
+        searcher.search_prefix("s", k=10**9),
+        searcher.search_phrase("the data", k=10**9),
+    ]
+    for fn, full in zip(cases, fulls):
+        pages = [fn(off) for off in range(0, 22, 7)]
+        tiled = [h for p in pages for h in p]
+        assert tiled == full[:len(tiled)]
+    with pytest.raises(ValueError):
+        searcher.search("data", offset=-1)
+
+
+def test_offset_docpart_and_distributed(ray_session, built_index):
+    index_dir, _, _ = built_index
+    loc = LocalSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_actors=3)
+    dist.wait_ready()
+    assert dist.search("the data", k=5, offset=5) == \
+        loc.search("the data", k=5, offset=5)

@@ -387,3 +387,16 @@ def test_search_order_param(server):
     assert st == 422
     st, _ = _req(base + "/search?q=the&mode=phrase&order=doc_len:desc", "GET")
     assert st == 422
+
+
+def test_search_offset_param(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/search?q=the+data&k=5&offset=5")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search("the data", k=5, offset=5)
+    st, _ = _req(base + "/search?q=the&offset=-2", "GET")
+    assert st == 422
