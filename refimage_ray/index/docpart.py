@@ -383,6 +383,15 @@ def _load_shard_view(
             block_max_weight=np.array([row["max_weight"]], np.float64),
             dls=varbyte_decode(row["dls"]).astype(np.int64),
         )
+    if dv is not None:
+        # validates posting doc_ids ⊆ the shard's values universe (a
+        # stale/foreign docvalues file would otherwise rank-misalign
+        # filter masks SILENTLY) — and the attached ranks enable the
+        # dense-TAAT fast path per shard, same as the term-partitioned
+        # searchers (bit-identical; asserted by the docpart A/B tests)
+        from refimage_ray.index.reader import attach_ranks
+
+        attach_ranks(tm, dv.all_ids)
     return _ShardView(tm, dv)
 
 

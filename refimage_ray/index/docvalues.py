@@ -101,6 +101,13 @@ class DocValues:
 
     def _col_mask(self, col: str, op: str, value) -> np.ndarray:
         c = self.cols[col]
+        if op in ("in", "not in") and not isinstance(
+            value, (list, tuple, set, frozenset, np.ndarray)
+        ):
+            # a bare string would silently iterate per character
+            raise ValueError(
+                f"op {op!r} takes a list/tuple/set of values, got {value!r}"
+            )
         if c.is_categorical:
             if op in ("in", "not in"):
                 wanted = [str(v) for v in value]
@@ -142,10 +149,15 @@ class DocValues:
         predicates.  ``where`` is a list of ``(column, op, value)``
         tuples, or a ``{column: value}`` dict (sugar for equality)."""
         conds = normalize_where(where)
-        key = tuple(
-            (c, o, v if not isinstance(v, (list, tuple, set)) else tuple(sorted(map(str, v))))
-            for c, o, v in conds
-        )
+
+        def _vkey(v):
+            # type-tagged so e.g. in [1, 2] and in ["1", "2"] (different
+            # masks on a numeric column) never share a cache entry
+            if isinstance(v, (list, tuple, set, frozenset)):
+                return tuple(sorted((type(x).__name__, str(x)) for x in v))
+            return (type(v).__name__, str(v))
+
+        key = tuple((c, o, _vkey(v)) for c, o, v in conds)
         hit = self._mask_cache.get(key)
         if hit is not None:
             return hit
@@ -192,6 +204,8 @@ class DocValues:
         c = self.cols[col]
         if c.is_categorical:
             raise ValueError(f"{col!r} is categorical — use facet_counts")
+        if not (float(width) > 0):
+            raise ValueError(f"histogram width must be > 0, got {width!r}")
         v = c.values[ranks]
         if np.issubdtype(v.dtype, np.integer) and float(width).is_integer():
             b = (v // int(width)) * int(width)

@@ -242,3 +242,23 @@ def test_distributed_docpart_offset(both_indexes):
     d.wait_ready()
     assert d.search("the data", k=5, offset=5) == \
         b.search("the data", k=5, offset=5)
+
+
+def test_docpart_foreign_values_file_rejected(both_indexes, tmp_path):
+    """A docvalues file whose universe doesn't cover the shard's
+    postings must fail LOUDLY at load, not misalign masks silently."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    _, doc_dir, _ = both_indexes
+    d = str(tmp_path / "tampered")
+    shutil.copytree(doc_dir, d)
+    vfiles = sorted(f for f in os.listdir(d) if f.startswith("docvalues-"))
+    # truncate one shard's values file to half its rows
+    p = os.path.join(d, vfiles[0])
+    t = pq.read_table(p)
+    pq.write_table(t.slice(0, t.num_rows // 2), p)
+    with pytest.raises(ValueError, match="not all present"):
+        DocPartSearcher(d)

@@ -308,3 +308,16 @@ def test_offset_docpart_and_distributed(ray_session, built_index):
     dist.wait_ready()
     assert dist.search("the data", k=5, offset=5) == \
         loc.search("the data", k=5, offset=5)
+
+
+def test_review_fixes_edge_cases(searcher):
+    """Regression trio: typed mask-cache keys, bare-string 'in',
+    non-positive histogram width."""
+    dv = searcher.doc_values(["doc_len", "lang"])
+    m_int = dv.mask([("doc_len", "in", [50, 60])])
+    m_str = dv.mask([("doc_len", "in", ["50", "60"])])
+    assert m_int.sum() > 0 and m_str.sum() == 0  # str never matches int col
+    with pytest.raises(ValueError, match="list"):
+        searcher.search("data", where=[("lang", "in", "en")])
+    with pytest.raises(ValueError, match="width"):
+        searcher.facets("data", histograms={"doc_len": 0})
