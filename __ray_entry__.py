@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts_query": search.facet_counts_query,
         "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
+        "facet_lang_token_sums": search.facet_lang_token_sums,
         "search_and_membership": search.search_and_membership,
         "search_or_membership": search.search_or_membership,
         "search_not_membership": search.search_not_membership,
@@ -672,6 +673,16 @@ SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
 FROM j GROUP BY lang
 UNION ALL
 SELECT 'source', source, CAST(count(*) AS BIGINT) FROM j GROUP BY source
+""",
+        # sub-aggregation facet: per-lang token-mass sum over the
+        # match set of one-term query 'data'
+        "facet_lang_token_sums": f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT d.lang AS value, CAST(sum(dl.dl) AS BIGINT) AS sum_doc_len
+FROM documents d JOIN m USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY d.lang
 """,
         # histogram facet: fixed-width doc_len buckets over the match
         # set of one-term query 'data' (bucket = dl // 50 * 50)

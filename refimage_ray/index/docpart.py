@@ -515,16 +515,17 @@ class DocPartSearcher:
         where=None,
         histograms: "dict[str, float] | None" = None,
         top: int | None = None,
+        sums: "dict[str, str] | None" = None,
     ) -> dict:
         """Facet aggregation, doc-partitioned: each shard counts over
-        ITS match subset from shard-local doc values; counts merge
-        additively (doc shards are disjoint → exact).  ``top`` applies
-        only after the merge."""
+        ITS match subset from shard-local doc values; counts and sums
+        merge additively (doc shards are disjoint → exact).  ``top``
+        applies only after the merge."""
         from refimage_ray.index.docvalues import merge_facet_results
 
         parts = [
             sh.facets(query, by=by, mode=mode, where=where,
-                      histograms=histograms)
+                      histograms=histograms, sums=sums)
             for sh in self.shards
         ]
         out = merge_facet_results(parts, top=top)
@@ -532,6 +533,10 @@ class DocPartSearcher:
             out["facets"].setdefault(c, [])
         for c in histograms or {}:
             out["histograms"].setdefault(c, [])
+        if sums:
+            out.setdefault("sums", {})
+            for c in sums:
+                out["sums"].setdefault(c, [])
         return out
 
     def _search_expanded(
@@ -591,14 +596,15 @@ class _DocShardActor:
                                 where=where))
         return out
 
-    def facets(self, query: str, by, mode: str, where, histograms) -> dict:
+    def facets(self, query: str, by, mode: str, where, histograms,
+               sums=None) -> dict:
         """Partial facet counts over this actor's doc shards (values
         are shard-local; the driver's merge is exact by additivity)."""
         from refimage_ray.index.docvalues import merge_facet_results
 
         return merge_facet_results([
             v.facets(query, by=by, mode=mode, where=where,
-                     histograms=histograms)
+                     histograms=histograms, sums=sums)
             for v in self._views
         ])
 
@@ -669,6 +675,7 @@ class DistributedDocPartSearcher:
         where=None,
         histograms: "dict[str, float] | None" = None,
         top: int | None = None,
+        sums: "dict[str, str] | None" = None,
     ) -> dict:
         """Scatter-gather facets: each actor returns partial counts
         from its shard-local doc values; the driver merge is exact by
@@ -676,7 +683,7 @@ class DistributedDocPartSearcher:
         from refimage_ray.index.docvalues import merge_facet_results
 
         parts = ray.get([
-            a.facets.remote(query, by, mode, where, histograms)
+            a.facets.remote(query, by, mode, where, histograms, sums)
             for a in self.actors
         ])
         out = merge_facet_results(parts, top=top)
@@ -684,6 +691,10 @@ class DistributedDocPartSearcher:
             out["facets"].setdefault(c, [])
         for c in histograms or {}:
             out["histograms"].setdefault(c, [])
+        if sums:
+            out.setdefault("sums", {})
+            for c in sums:
+                out["sums"].setdefault(c, [])
         return out
 
     @staticmethod

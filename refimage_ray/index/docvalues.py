@@ -196,6 +196,40 @@ class DocValues:
             order = order[:top]
         return [(str(c.categories[i]), int(cnt[i])) for i in order]
 
+    def facet_sums(
+        self, col: str, value_col: str, ranks: np.ndarray,
+        top: int | None = None,
+    ) -> list[tuple[str, float]]:
+        """Per-bucket SUM of a numeric doc value over the match set —
+        the sub-aggregation flavor of the facet panel (e.g. total
+        tokens per language among matches).  One weighted bincount;
+        buckets with zero matching docs are omitted (a present bucket
+        may still sum to 0); sorted (sum desc, value asc).  Integer
+        value columns return exact ints (float64 bincount is exact
+        below 2^53 — far above any per-bucket token mass here)."""
+        c = self.cols[col]
+        v = self.cols[value_col]
+        if not c.is_categorical:
+            raise ValueError(f"{col!r} must be categorical to facet by")
+        if v.is_categorical:
+            raise ValueError(f"{value_col!r} must be numeric to sum")
+        codes = c.values[ranks]
+        ok = codes >= 0
+        w = v.values[ranks][ok].astype(np.float64)
+        tot = np.bincount(codes[ok], weights=w, minlength=len(c.categories))
+        cnt = np.bincount(codes[ok], minlength=len(c.categories))
+        nz = np.flatnonzero(cnt)
+        order = sorted(
+            nz.tolist(), key=lambda i: (-tot[i], str(c.categories[i]))
+        )
+        if top is not None:
+            order = order[:top]
+        as_int = v.values.dtype.kind in "iu"
+        return [
+            (str(c.categories[i]), int(tot[i]) if as_int else float(tot[i]))
+            for i in order
+        ]
+
     def facet_histogram(
         self, col: str, ranks: np.ndarray, width
     ) -> list[tuple[float, int]]:
@@ -244,6 +278,7 @@ def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:
     total = 0
     fac: dict[str, dict[str, int]] = {}
     hist: dict[str, dict] = {}
+    sums: dict[str, dict] = {}
     for p in parts:
         total += int(p["total"])
         for col, pairs in p.get("facets", {}).items():
@@ -254,7 +289,11 @@ def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:
             acc = hist.setdefault(col, {})
             for b, n in pairs:
                 acc[b] = acc.get(b, 0) + int(n)
-    return {
+        for col, pairs in p.get("sums", {}).items():
+            acc = sums.setdefault(col, {})
+            for v, s in pairs:
+                acc[v] = acc.get(v, 0) + s
+    out = {
         "total": total,
         "facets": {
             col: sorted(acc.items(), key=lambda p: (-p[1], p[0]))[:top]
@@ -264,6 +303,12 @@ def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:
             col: sorted(acc.items()) for col, acc in hist.items()
         },
     }
+    if sums:
+        out["sums"] = {
+            col: sorted(acc.items(), key=lambda p: (-p[1], p[0]))[:top]
+            for col, acc in sums.items()
+        }
+    return out
 
 
 def encode_value_columns(t: pa.Table, all_ids: np.ndarray) -> DocValues:

@@ -303,6 +303,20 @@ def facet_counts_query(sf_dir: str, query: str = "spark vector") -> pa.Table:
     )
 
 
+def facet_lang_token_sums(sf_dir: str, query: str = "data") -> pa.Table:
+    """Sub-aggregation facet: per-lang SUM of doc_len over the match
+    set (the 'token mass per language' panel) — one weighted bincount
+    over resident doc values, no corpus scan."""
+    f = searcher_for(sf_dir).facets(query, sums={"lang": "doc_len"})
+    pairs = f["sums"]["lang"]
+    return pa.table(
+        {
+            "value": pa.array([v for v, _ in pairs], pa.string()),
+            "sum_doc_len": pa.array([int(s) for _, s in pairs], pa.int64()),
+        }
+    )
+
+
 def facet_doclen_hist(sf_dir: str, query: str = "data", width: int = 50) -> pa.Table:
     """Histogram facet: fixed-width ``doc_len`` buckets over the match
     set (the numeric-aggregation flavor of the facet panel)."""

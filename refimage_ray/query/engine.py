@@ -764,6 +764,7 @@ class _SearcherBase:
         where=None,
         histograms: "dict[str, float] | None" = None,
         top: int | None = None,
+        sums: "dict[str, str] | None" = None,
     ) -> dict:
         """Facet aggregation over the FULL match set (not just top-k) —
         what a search UI renders beside the hit list (Elasticsearch
@@ -773,10 +774,13 @@ class _SearcherBase:
 
         ``by``: categorical columns → (value, count) sorted count desc.
         ``histograms``: {numeric column: bucket width} → ascending
-        fixed-width buckets.  ``where`` pre-filters the match set with
-        the same predicate language as filtered search.  Membership is
-        mode-exact (OR = any query term, AND = all terms); thresholds
-        don't apply — facets count matches, not scores.
+        fixed-width buckets.  ``sums``: {categorical column: numeric
+        column} → per-bucket SUM of the numeric column (the ES
+        sub-aggregation shape, e.g. tokens per language).  ``where``
+        pre-filters the match set with the same predicate language as
+        filtered search.  Membership is mode-exact (OR = any query
+        term, AND = all terms); thresholds don't apply — facets count
+        matches, not scores.
 
         Cost: one exact evaluation (the same work an unpruned query
         does) + one bincount per facet column over the match ranks.
@@ -785,10 +789,11 @@ class _SearcherBase:
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         by = list(by or [])
         histograms = dict(histograms or {})
+        sums = dict(sums or {})
         from refimage_ray.index.docvalues import where_columns
 
         cols = sorted(
-            set(by) | set(histograms)
+            set(by) | set(histograms) | set(sums) | set(sums.values())
             | (set(where_columns(where)) if where is not None else set())
         )
         dv = self.doc_values(cols) if cols else None
@@ -797,7 +802,7 @@ class _SearcherBase:
         ranks, _ = self._match_ranks_scores(term_map, terms, mode)
         if where is not None:
             ranks = ranks[dv.mask(where)[ranks]]
-        return {
+        out = {
             "total": int(len(ranks)),
             "facets": {c: dv.facet_counts(c, ranks, top) for c in by},
             "histograms": {
@@ -805,6 +810,11 @@ class _SearcherBase:
                 for c, w in histograms.items()
             },
         }
+        if sums:
+            out["sums"] = {
+                c: dv.facet_sums(c, vc, ranks, top) for c, vc in sums.items()
+            }
+        return out
 
 
 def _verify_phrase_positions(

@@ -311,6 +311,14 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                             {"error": f"hist needs col:width, got {part!r}"},
                             422)
                     hists[col.strip()] = float(w)
+                sums = {}
+                for part in filter(None, q.get("sum", "").split(",")):
+                    col, _, vc = part.partition(":")
+                    if not vc:
+                        return self._json(
+                            {"error": "sum needs facetcol:valuecol, got "
+                                      f"{part!r}"}, 422)
+                    sums[col.strip()] = vc.strip()
                 try:
                     out = state["s"].facets(
                         q["q"],
@@ -319,6 +327,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         where=parse_filter(q.get("filter", "")),
                         histograms=hists,
                         top=int(q["top"]) if "top" in q else None,
+                        sums=sums,
                     )
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)

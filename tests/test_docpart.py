@@ -262,3 +262,33 @@ def test_docpart_foreign_values_file_rejected(both_indexes, tmp_path):
     pq.write_table(t.slice(0, t.num_rows // 2), p)
     with pytest.raises(ValueError, match="not all present"):
         DocPartSearcher(d)
+
+
+def test_docpart_facet_sums_additive(both_indexes, tmp_path):
+    """Per-shard sums merge additively; needs a numeric value column in
+    the values files, so build a fresh artifact with doc_len values."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+    from refimage_ray.stages.tokenize import doc_stats_batch
+
+    term_dir, _, cfg = both_indexes
+    # docs table with doc_len (the build's stats pass computes it for
+    # the term layout; here we precompute so values can carry it)
+    docs_t = pq.read_table(os.path.join(term_dir, "docs"))
+    d = str(tmp_path / "sumidx")
+    build_doc_partitioned(
+        rd.from_arrow(docs_t.select(["doc_id", "text", "lang", "doc_len"])),
+        d, cfg, num_doc_shards=4, value_columns=["lang", "doc_len"],
+    )
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(d)
+    dist = DistributedDocPartSearcher(d, num_actors=2)
+    dist.wait_ready()
+    fa = a.facets("the data", sums={"lang": "doc_len"}, top=3)
+    assert b.facets("the data", sums={"lang": "doc_len"}, top=3)["sums"] \
+        == fa["sums"]
+    assert dist.facets("the data", sums={"lang": "doc_len"}, top=3)["sums"] \
+        == fa["sums"]

@@ -321,3 +321,31 @@ def test_review_fixes_edge_cases(searcher):
         searcher.search("data", where=[("lang", "in", "en")])
     with pytest.raises(ValueError, match="width"):
         searcher.facets("data", histograms={"doc_len": 0})
+
+
+def test_facet_sums_match_pandas(searcher):
+    meta = _doc_meta(searcher)
+    for q in ("the data", "spark query"):
+        full = searcher.search(q, k=10**9)
+        ids = [d for d, _ in full]
+        got = searcher.facets(q, sums={"lang": "doc_len"})
+        sub = meta.loc[ids]
+        gs = sub.groupby("lang")["doc_len"].sum()
+        expect = sorted(((str(l), int(s)) for l, s in gs.items()),
+                        key=lambda p: (-p[1], p[0]))
+        assert got["sums"]["lang"] == expect
+    # sums compose with where and top
+    got = searcher.facets("the data", sums={"lang": "doc_len"},
+                          where=[("doc_len", ">=", 100)], top=2)
+    ids = [d for d, _ in searcher.search("the data", k=10**9)
+           if meta.loc[d].doc_len >= 100]
+    gs = meta.loc[ids].groupby("lang")["doc_len"].sum()
+    expect = sorted(((str(l), int(s)) for l, s in gs.items()),
+                    key=lambda p: (-p[1], p[0]))[:2]
+    assert got["sums"]["lang"] == expect
+    # sums key absent unless requested (back-compat shape)
+    assert "sums" not in searcher.facets("the data", by=["lang"])
+    with pytest.raises(ValueError, match="numeric"):
+        searcher.facets("the data", sums={"lang": "lang"})
+    with pytest.raises(ValueError, match="categorical"):
+        searcher.facets("the data", sums={"doc_len": "doc_len"})

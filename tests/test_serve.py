@@ -400,3 +400,16 @@ def test_search_offset_param(server):
     assert got == s.search("the data", k=5, offset=5)
     st, _ = _req(base + "/search?q=the&offset=-2", "GET")
     assert st == 422
+
+
+def test_facets_sum_param(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/facets?q=the+data&sum=lang:doc_len&top=3")
+    assert st == 200
+    lib = s.facets("the data", sums={"lang": "doc_len"}, top=3)
+    assert [tuple(p) for p in body["sums"]["lang"]] == lib["sums"]["lang"]
+    st, _ = _req(base + "/facets?q=the&sum=lang", "GET")
+    assert st == 422
