@@ -754,6 +754,8 @@ class DistributedDocPartSearcher:
         threshold: float | None = None,
         mode: str = "or",
         cfg: EngineConfig = DEFAULT_CONFIG,
+        where=None,
+        offset: int = 0,
     ) -> list[list[tuple[int, float]]]:
         """Pipelined scatter-gather: every (query, actor) call is
         submitted up front so the shard actors stream through the whole
@@ -762,8 +764,13 @@ class DistributedDocPartSearcher:
         driver does only the tiny per-query top-k merge."""
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
         futures = [
-            [a.search.remote(q, k, threshold, mode) for a in self.actors]
+            [a.search.remote(q, kk, threshold, mode, where)
+             for a in self.actors]
             for q in queries
         ]
-        return [self._merge(ray.get(row), k, threshold) for row in futures]
+        return [
+            self._merge(ray.get(row), kk, threshold)[offset:]
+            for row in futures
+        ]

@@ -292,3 +292,16 @@ def test_docpart_facet_sums_additive(both_indexes, tmp_path):
         == fa["sums"]
     assert dist.facets("the data", sums={"lang": "doc_len"}, top=3)["sums"] \
         == fa["sums"]
+
+
+def test_distributed_docpart_search_many_where_offset(both_indexes):
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    _, doc_dir, _ = both_indexes
+    b = DocPartSearcher(doc_dir)
+    d = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    d.wait_ready()
+    qs = FIXTURE_QUERIES[:4]
+    w = [("lang", "=", "en")]
+    batch = d.search_many(qs, k=5, where=w, offset=3)
+    assert batch == [b.search(q, k=5, where=w, offset=3) for q in qs]
