@@ -234,6 +234,28 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    # doc-values query paths: filtered top-k and a full facet panel.
+    # Filtered search is the EXACT (unpruned) evaluation + an
+    # O(candidates) rank-aligned mask probe, so its p95 tracks the
+    # dense-TAAT cost rather than the MaxScore-pruned plain p95 —
+    # recorded separately and honestly (first call pays the one-time
+    # doc-value column load; warmed before timing).
+    _where = [("lang", "=", "en")]
+    searcher.search(BENCH_QUERIES[0], k=10, where=_where)  # dv load + warm
+    flat = []
+    for _ in range(2):
+        for q in BENCH_QUERIES:
+            tq = time.perf_counter()
+            searcher.search(q, k=10, where=_where)
+            flat.append(time.perf_counter() - tq)
+    timings["query_p95_filtered"] = round(
+        float(np.percentile(np.array(flat), 95)), 5
+    )
+    tq = time.perf_counter()
+    searcher.facets(BENCH_QUERIES[0], by=["lang"],
+                    histograms={"doc_len": 50}, sums={"lang": "doc_len"})
+    timings["facet_panel_sec"] = round(time.perf_counter() - tq, 5)
+
     # actor-pool serving path (shard actors load postings once in
     # __init__; driver merges in canonical order)
     from refimage_ray.query.engine import DistributedSearcher
