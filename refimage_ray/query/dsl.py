@@ -427,3 +427,28 @@ class DSLExecutor:
         items = [(d, s) for d, s in scored.items() if s >= threshold]
         items.sort(key=lambda x: (-x[1], x[0]))
         return items[:limit]
+
+    def facets(
+        self,
+        query_string: str,
+        by: "list[str] | None" = None,
+        histograms: "dict[str, float] | None" = None,
+        sums: "dict[str, str] | None" = None,
+        top: "int | None" = None,
+        where=None,
+    ) -> dict:
+        """Facet panel over a DSL query's FULL membership (leaves run
+        unbounded so set algebra sees complete id sets, mirroring the
+        membership pipelines) — aggregation itself is the searcher's
+        doc-value kernels (``engine.facet_panel``)."""
+        import numpy as np
+
+        from refimage_ray.query.engine import facet_panel
+
+        node = self.parser.parse(query_string)
+        ctx = DSLContext(self.searcher, limit=10**9, threshold=0.0,
+                         min_score=0.0)
+        ids = np.sort(np.fromiter(node.execute(ctx).keys(), np.int64))
+        ranks = self.searcher._ranks_of(ids)
+        return facet_panel(self.searcher, ranks, by, histograms, sums, top,
+                           where)

@@ -787,34 +787,49 @@ class _SearcherBase:
         """
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-        by = list(by or [])
-        histograms = dict(histograms or {})
-        sums = dict(sums or {})
-        from refimage_ray.index.docvalues import where_columns
-
-        cols = sorted(
-            set(by) | set(histograms) | set(sums) | set(sums.values())
-            | (set(where_columns(where)) if where is not None else set())
-        )
-        dv = self.doc_values(cols) if cols else None
         terms = query_terms(self._tokenize(query))
         term_map = self._term_map(terms)
         ranks, _ = self._match_ranks_scores(term_map, terms, mode)
-        if where is not None:
-            ranks = ranks[dv.mask(where)[ranks]]
-        out = {
-            "total": int(len(ranks)),
-            "facets": {c: dv.facet_counts(c, ranks, top) for c in by},
-            "histograms": {
-                c: dv.facet_histogram(c, ranks, w)
-                for c, w in histograms.items()
-            },
+        return facet_panel(self, ranks, by, histograms, sums, top, where)
+
+
+def facet_panel(
+    searcher,
+    ranks: np.ndarray,
+    by: "list[str] | None" = None,
+    histograms: "dict[str, float] | None" = None,
+    sums: "dict[str, str] | None" = None,
+    top: int | None = None,
+    where=None,
+) -> dict:
+    """Aggregation tail shared by :meth:`_SearcherBase.facets` and
+    ``DSLExecutor.facets``: given match ranks, apply an optional
+    doc-value filter and compute the requested counts / histograms /
+    metric sums from the searcher's resident doc values."""
+    from refimage_ray.index.docvalues import where_columns
+
+    by = list(by or [])
+    histograms = dict(histograms or {})
+    sums = dict(sums or {})
+    cols = sorted(
+        set(by) | set(histograms) | set(sums) | set(sums.values())
+        | (set(where_columns(where)) if where is not None else set())
+    )
+    dv = searcher.doc_values(cols) if cols else None
+    if where is not None:
+        ranks = ranks[dv.mask(where)[ranks]]
+    out = {
+        "total": int(len(ranks)),
+        "facets": {c: dv.facet_counts(c, ranks, top) for c in by},
+        "histograms": {
+            c: dv.facet_histogram(c, ranks, w) for c, w in histograms.items()
+        },
+    }
+    if sums:
+        out["sums"] = {
+            c: dv.facet_sums(c, vc, ranks, top) for c, vc in sums.items()
         }
-        if sums:
-            out["sums"] = {
-                c: dv.facet_sums(c, vc, ranks, top) for c, vc in sums.items()
-            }
-        return out
+    return out
 
 
 def _verify_phrase_positions(

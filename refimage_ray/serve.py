@@ -301,7 +301,8 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     )})
                 return self._json({"results": self._hits_with_meta(hits)})
             if u.path == "/facets":
-                if not q.get("q", "").strip():
+                use_dsl = bool(q.get("dsl", "").strip())
+                if not use_dsl and not q.get("q", "").strip():
                     return self._json({"error": "empty query"}, 422)
                 hists = {}
                 for part in filter(None, q.get("hist", "").split(",")):
@@ -320,15 +321,28 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                       f"{part!r}"}, 422)
                     sums[col.strip()] = vc.strip()
                 try:
-                    out = state["s"].facets(
-                        q["q"],
-                        by=[c for c in q.get("by", "").split(",") if c],
-                        mode=q.get("mode", "or"),
-                        where=parse_filter(q.get("filter", "")),
-                        histograms=hists,
-                        top=int(q["top"]) if "top" in q else None,
-                        sums=sums,
-                    )
+                    if use_dsl:  # facet panel over a DSL query's members
+                        try:
+                            out = state["ex"].facets(
+                                q["dsl"],
+                                by=[c for c in q.get("by", "").split(",") if c],
+                                where=parse_filter(q.get("filter", "")),
+                                histograms=hists,
+                                top=int(q["top"]) if "top" in q else None,
+                                sums=sums,
+                            )
+                        except DSLParseError as err:
+                            return self._json({"error": str(err)}, 422)
+                    else:
+                        out = state["s"].facets(
+                            q["q"],
+                            by=[c for c in q.get("by", "").split(",") if c],
+                            mode=q.get("mode", "or"),
+                            where=parse_filter(q.get("filter", "")),
+                            histograms=hists,
+                            top=int(q["top"]) if "top" in q else None,
+                            sums=sums,
+                        )
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)
                 return self._json(out)

@@ -349,3 +349,23 @@ def test_facet_sums_match_pandas(searcher):
         searcher.facets("the data", sums={"lang": "lang"})
     with pytest.raises(ValueError, match="categorical"):
         searcher.facets("the data", sums={"doc_len": "doc_len"})
+
+
+def test_dsl_facets(searcher):
+    """Facet panel over DSL membership: OR-query panel equals the
+    plain-search panel; NOT-query panel equals a pandas oracle."""
+    from refimage_ray.query.dsl import DSLExecutor
+
+    ex = DSLExecutor(searcher)
+    assert ex.facets("spark OR query", by=["lang"], sums={"lang": "doc_len"}) \
+        == searcher.facets("spark query", by=["lang"],
+                           sums={"lang": "doc_len"})
+    meta = _doc_meta(searcher)
+    ids = [d for d, _ in ex.execute_query("data NOT spark", limit=10**9)]
+    got = ex.facets("data NOT spark", by=["lang"],
+                    where=[("doc_len", ">=", 50)])
+    keep = [d for d in ids if meta.loc[d].doc_len >= 50]
+    vc = meta.loc[keep].groupby("lang").size()
+    expect = sorted(((str(l), int(n)) for l, n in vc.items()),
+                    key=lambda p: (-p[1], p[0]))
+    assert got["total"] == len(keep) and got["facets"]["lang"] == expect

@@ -413,3 +413,20 @@ def test_facets_sum_param(server):
     assert [tuple(p) for p in body["sums"]["lang"]] == lib["sums"]["lang"]
     st, _ = _req(base + "/facets?q=the&sum=lang", "GET")
     assert st == 422
+
+
+def test_facets_dsl_param(server):
+    from urllib.parse import quote
+
+    from refimage_ray.query.dsl import DSLExecutor
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    ex = DSLExecutor(LocalSearcher(d))
+    st, body = _get(base + f"/facets?dsl={quote('data NOT spark')}&by=lang")
+    assert st == 200
+    lib = ex.facets("data NOT spark", by=["lang"])
+    assert body["total"] == lib["total"]
+    assert [tuple(p) for p in body["facets"]["lang"]] == lib["facets"]["lang"]
+    st, _ = _req(base + f"/facets?dsl={quote('AND(')}", "GET")
+    assert st == 422
