@@ -1208,6 +1208,51 @@ def more_like_this(
     return hits
 
 
+def explain_score(
+    searcher, query: str, doc_id: int, mode: str = "or"
+) -> dict:
+    """Per-term score breakdown for one document — the Lucene
+    ``explain`` API analog (the reference exposes conversion/debug
+    endpoints in the same spirit, ``api.py:160-229``).
+
+    Returns ``{"doc_id", "score", "mode", "terms": [{term, tf, df,
+    idf, weight, contribution}, ...]}`` where contributions are the
+    EXACT float64 addends of the scoring paths, listed in ascending
+    term order (the determinism contract) — so accumulating them in
+    list order reproduces the search score bit-for-bit (asserted in
+    tests).  A term the doc doesn't contain appears with tf=0 and
+    contribution 0.0; under ``mode='and'`` a missing term zeroes the
+    whole score (conjunctive semantics)."""
+    terms = query_terms(searcher._tokenize(query))
+    term_map = searcher._term_map(terms)
+    n = searcher.n_docs
+    rows = []
+    score = 0.0
+    missing = False
+    for t in terms:  # ascending unique terms → canonical float sums
+        p = term_map.get(t)
+        row = {"term": t, "tf": 0, "df": 0, "idf": 0.0, "weight": 0.0,
+               "contribution": 0.0}
+        if p is not None and p.df > 0:
+            row["df"] = int(p.df)
+            row["idf"] = float(_idf(p.df, n))
+            i = int(np.searchsorted(p.doc_ids, doc_id))
+            if i < len(p.doc_ids) and p.doc_ids[i] == doc_id:
+                row["tf"] = int(p.tfs[i])
+                row["weight"] = float(p.weights[i])
+                row["contribution"] = row["idf"] * row["weight"]
+                score += row["contribution"]
+            else:
+                missing = True
+        else:
+            missing = True
+        rows.append(row)
+    if mode == "and" and missing:
+        score = 0.0
+    return {"doc_id": int(doc_id), "score": float(score), "mode": mode,
+            "terms": rows}
+
+
 def lookup_docs(index_dir: str, doc_ids: list[int], columns: list[str] | None = None):
     """Broadcast/map-side metadata join for a (tiny) top-k result set.
 

@@ -41,7 +41,7 @@ from urllib.parse import parse_qs, urlparse
 
 from refimage_ray.index.manifest import load_manifest
 
-_DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata|/similar)?$")
+_DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata|/similar|/explain)?$")
 
 _COND_RE = re.compile(
     r"^\s*(\w+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$"
@@ -361,6 +361,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 if not rows:
                     return self._json({"error": "not found"}, 404)
                 return self._json({k: str(v) for k, v in rows[0].items()})
+            if m and m.group(2) == "/explain":
+                from refimage_ray.query.engine import explain_score
+
+                if not q.get("q", "").strip():
+                    return self._json({"error": "empty query"}, 422)
+                return self._json(explain_score(
+                    state["s"], q["q"], int(m.group(1)),
+                    mode=q.get("mode", "or"),
+                ))
             if m and m.group(2) == "/similar":
                 from refimage_ray.query.engine import more_like_this
 

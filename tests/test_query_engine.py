@@ -590,3 +590,25 @@ def test_custom_token_pattern_index_query_symmetry(ray_session, tmp_path):
     # scores match an oracle built with the same pattern
     oracle = BM25Oracle(list(zip(range(len(texts)), texts)), cfg)
     assert hits == oracle.search("foo_bar", k=10)
+
+
+def test_explain_score_bit_identical(built_index):
+    """explain_score contributions accumulated in list order reproduce
+    the search score bit-for-bit, on every hit, both modes; docpart and
+    distributed searchers share the implementation via _term_map."""
+    from refimage_ray.query.engine import LocalSearcher, explain_score
+
+    s = LocalSearcher(built_index[0])
+    for q, mode in (("the data join", "or"), ("data join", "and"),
+                    ("zzz data", "or")):
+        for doc_id, score in s.search(q, k=20, mode=mode):
+            exp = explain_score(s, q, doc_id, mode=mode)
+            acc = 0.0
+            for row in exp["terms"]:
+                acc += row["contribution"]
+            assert acc == score and exp["score"] == score, (q, mode, doc_id)
+            assert all(r["df"] >= r["tf"] >= 0 for r in exp["terms"])
+    # a doc missing a conjunctive term explains to score 0
+    hits_or = s.search("the zzzmissingterm", k=1)
+    d = hits_or[0][0]
+    assert explain_score(s, "the zzzmissingterm", d, mode="and")["score"] == 0.0

@@ -430,3 +430,18 @@ def test_facets_dsl_param(server):
     assert [tuple(p) for p in body["facets"]["lang"]] == lib["facets"]["lang"]
     st, _ = _req(base + f"/facets?dsl={quote('AND(')}", "GET")
     assert st == 422
+
+
+def test_doc_explain_route(server):
+    from refimage_ray.query.engine import LocalSearcher, explain_score
+
+    base, d = server
+    s = LocalSearcher(d)
+    doc_id, score = s.search("spark join", k=1)[0]
+    st, body = _get(f"{base}/docs/{doc_id}/explain?q=spark+join")
+    assert st == 200
+    lib = explain_score(s, "spark join", doc_id)
+    assert body["score"] == lib["score"] == score
+    assert body["terms"] == lib["terms"]
+    st, _ = _req(f"{base}/docs/{doc_id}/explain?q=", "GET")
+    assert st == 422
