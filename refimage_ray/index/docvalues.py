@@ -56,13 +56,24 @@ class DVColumn:
 def _encode_column(arr: pa.ChunkedArray) -> DVColumn:
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        vals = np.asarray(arr.to_pylist(), dtype=object)
-        null = np.array([v is None for v in vals], dtype=bool)
-        vals[null] = ""  # placeholder; coded -1 below
-        cats, codes = np.unique(vals.astype(str), return_inverse=True)
-        codes = codes.astype(np.int32)
-        codes[null] = -1
-        return DVColumn(values=codes, categories=cats)
+        # Arrow dictionary-encode (vectorized, no per-row Python), then
+        # remap first-occurrence dictionary order to SORTED order — the
+        # sorted dictionary is what makes categorical order_by
+        # lexicographic and '=' probes a binary search
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        denc = arr.dictionary_encode()
+        dict_strs = np.asarray(denc.dictionary.to_pylist(), dtype=str)
+        idx = denc.indices
+        codes_raw = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        perm = np.argsort(dict_strs, kind="stable")
+        cats = dict_strs[perm]
+        remap = np.empty(len(dict_strs) + 1, np.int32)
+        remap[perm] = np.arange(len(dict_strs), dtype=np.int32)
+        remap[-1] = -1  # null slot (codes_raw -1 indexes it)
+        return DVColumn(values=remap[codes_raw], categories=cats)
     if pa.types.is_timestamp(t):
         # normalize to int64 microseconds so range predicates take a
         # plain integer (or np.datetime64 / ISO string, see _as_micros)
