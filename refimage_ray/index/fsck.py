@@ -130,11 +130,54 @@ def verify_docpart_index(index_dir: str, deep: bool = False) -> dict:
     if not os.path.isdir(os.path.join(index_dir, "terms")):
         problems.append("terms/ global-df table missing")
 
+    # doc-value files: the manifest records which columns were built;
+    # every NON-EMPTY doc shard must then carry a docvalues sibling
+    # with exactly (doc_id + those columns); docvalues files on an
+    # artifact built WITHOUT value_columns are stale leftovers
+    vcols = man.get("value_columns") or []
+    vfiles = {f for f in os.listdir(index_dir) if f.startswith("docvalues-")
+              and f.endswith(".parquet")}
+    if vcols:
+        for f in shards:
+            vf = f.replace("docshard-", "docvalues-")
+            if vf not in vfiles:
+                problems.append(f"{vf}: value_columns={vcols} but missing")
+            else:
+                names = set(pq.read_schema(os.path.join(index_dir, vf)).names)
+                want = set(vcols) | {"doc_id"}
+                if names != want:
+                    problems.append(
+                        f"{vf}: columns {sorted(names)} != manifest "
+                        f"{sorted(want)}"
+                    )
+        # a values file may exist without a postings sibling (every doc
+        # in that shard had zero tokens) — structurally fine
+    elif vfiles:
+        problems.append(
+            f"{len(vfiles)} docvalues files but manifest has no "
+            "value_columns (stale from a prior build?)"
+        )
+
     if deep and not problems:
+        check_values = bool(vcols)
+
         def check(batch: pa.Table) -> pa.Table:
             errs, terms, dfs = [], [], []
             for row in batch.to_pylist():
                 t = pq.read_table(os.path.join(index_dir, row["f"]))
+                vids = None
+                if check_values:
+                    vt = pq.read_table(
+                        os.path.join(
+                            index_dir,
+                            row["f"].replace("docshard-", "docvalues-"),
+                        ),
+                        columns=["doc_id"],
+                    )
+                    vids = np.sort(
+                        vt["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
                 for i in range(t.num_rows):
                     ids = delta_decode(varbyte_decode(t["doc_ids"][i].as_py()))
                     if len(ids) != t["df_local"][i].as_py():
@@ -143,6 +186,21 @@ def verify_docpart_index(index_dir: str, deep: bool = False) -> dict:
                         np.diff(ids.astype(np.int64)) > 0
                     ).all():
                         errs.append(f"{row['f']}[{t['term'][i]}]: ids not sorted")
+                    elif vids is not None:
+                        # searcher-load invariant: posting docs must be
+                        # covered by the shard's values universe, or
+                        # filter masks would rank-misalign
+                        j = np.searchsorted(vids, ids.astype(np.int64))
+                        ok = (j < len(vids)) & (
+                            vids[np.minimum(j, len(vids) - 1)]
+                            == ids.astype(np.int64)
+                        )
+                        if not ok.all():
+                            errs.append(
+                                f"{row['f']}[{t['term'][i]}]: "
+                                f"{int((~ok).sum())} posting docs not in "
+                                "docvalues universe"
+                            )
                 terms.extend(t["term"].to_pylist())
                 dfs.extend(t["df_local"].to_pylist())
             return pa.table(

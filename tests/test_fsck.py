@@ -162,3 +162,37 @@ def test_docpart_fsck_missing_shard(ray_session, built_index, tmp_path):
     os.remove(os.path.join(d, "docshard-00002.parquet"))
     rep = verify_index(d)
     assert not rep["ok"]
+
+
+def test_fsck_docpart_docvalues(ray_session, tiny_docs, tmp_path):
+    """fsck covers the docvalues files: green on a values-built
+    artifact (deep incl. posting-coverage), red on a missing sibling
+    and on a truncated universe."""
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import build_doc_partitioned
+
+    doc_dir = str(tmp_path / "dv")
+    build_doc_partitioned(
+        rd.from_arrow(tiny_docs), doc_dir,
+        EngineConfig(num_shards=4, salt_buckets=2),
+        num_doc_shards=4, value_columns=["lang"],
+    )
+    res = verify_index(doc_dir, deep=True)
+    assert res["ok"], res["problems"]
+
+    d = str(tmp_path / "missing")
+    shutil.copytree(doc_dir, d)
+    vf = sorted(f for f in os.listdir(d) if f.startswith("docvalues-"))[0]
+    os.remove(os.path.join(d, vf))
+    res = verify_index(d)
+    assert not res["ok"] and any("missing" in p for p in res["problems"])
+
+    d2 = str(tmp_path / "truncated")
+    shutil.copytree(doc_dir, d2)
+    p = os.path.join(d2, vf)
+    t = pq.read_table(p)
+    pq.write_table(t.slice(0, t.num_rows // 2), p)
+    res = verify_index(d2, deep=True)
+    assert not res["ok"] and any("universe" in p for p in res["problems"])
