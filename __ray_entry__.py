@@ -55,6 +55,17 @@ SELECT d.doc_id, COALESCE(shx.simhash, 0::UBIGINT) AS simhash
 FROM documents d LEFT JOIN shx USING (doc_id)
 """
 
+_FACET_COUNTS_SQL = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term IN ('spark', 'vector')
+),
+j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
+SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY lang
+UNION ALL
+SELECT 'source', source, CAST(count(*) AS BIGINT) FROM j GROUP BY source
+"""
+
 _STOPLIST_SQL = (
     "'the','a','an','and','or','of','to','in','for','on','with','at','by',"
     "'from','is','are','was','were','be','been','it','its','this','that',"
@@ -651,29 +662,11 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # top k+offset and slices — page boundaries are deterministic)
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
         # query-time facet panel: value counts per facet column over
-        # the disjunctive match set (resident doc values engine-side)
-        "facet_counts_query": f"""
-WITH m AS (
-  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term IN ('spark', 'vector')
-),
-j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
-SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
-FROM j GROUP BY lang
-UNION ALL
-SELECT 'source', source, CAST(count(*) AS BIGINT) FROM j GROUP BY source
-""",
-        # doc-partitioned facets are exact by additive merge → same
-        # oracle as the term-partitioned facet panel
-        "facet_counts_docpart": f"""
-WITH m AS (
-  SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term IN ('spark', 'vector')
-),
-j AS (SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id))
-SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
-FROM j GROUP BY lang
-UNION ALL
-SELECT 'source', source, CAST(count(*) AS BIGINT) FROM j GROUP BY source
-""",
+        # the disjunctive match set (resident doc values engine-side);
+        # doc-partitioned facets are exact by additive merge → the SAME
+        # oracle re-checks that layout
+        "facet_counts_query": _FACET_COUNTS_SQL,
+        "facet_counts_docpart": _FACET_COUNTS_SQL,
         # sub-aggregation facet: per-lang token-mass sum over the
         # match set of one-term query 'data'
         "facet_lang_token_sums": f"""

@@ -40,17 +40,29 @@ class DVColumn:
     """One doc-value column, aligned to the sorted doc_id universe.
 
     ``values``: numeric columns keep their native numpy dtype
-    (timestamps become int64 microseconds); categorical (string)
-    columns store int32 codes into ``categories`` (sorted unique
-    values — deterministic dictionary order), with -1 for null.
+    (timestamps become int64 microseconds, flagged ``is_timestamp``);
+    categorical (string) columns store int32 codes into ``categories``
+    (sorted unique values — deterministic dictionary order), with -1
+    for null.  ``null``: optional bool mask for non-categorical
+    columns with nulls (SQL semantics: a null never satisfies any
+    predicate, sorts last under order_by, and is skipped by
+    histogram/sum aggregations).
     """
 
     values: np.ndarray
     categories: np.ndarray | None = None  # sorted unique strings
+    null: np.ndarray | None = None        # bool mask; None = no nulls
+    is_timestamp: bool = False
 
     @property
     def is_categorical(self) -> bool:
         return self.categories is not None
+
+    def null_mask(self) -> "np.ndarray | None":
+        """Null rows (bool mask) for either representation, or None."""
+        if self.is_categorical:
+            return self.values < 0 if (self.values < 0).any() else None
+        return self.null
 
 
 def _encode_column(arr: pa.ChunkedArray) -> DVColumn:
@@ -74,13 +86,31 @@ def _encode_column(arr: pa.ChunkedArray) -> DVColumn:
         remap[perm] = np.arange(len(dict_strs), dtype=np.int32)
         remap[-1] = -1  # null slot (codes_raw -1 indexes it)
         return DVColumn(values=remap[codes_raw], categories=cats)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null = None
+    if arr.null_count:
+        null = arr.is_null().to_numpy(zero_copy_only=False)
     if pa.types.is_timestamp(t):
         # normalize to int64 microseconds so range predicates take a
-        # plain integer (or np.datetime64 / ISO string, see _as_micros)
-        us = arr.cast(pa.timestamp("us")).cast(pa.int64())
-        return DVColumn(values=us.to_numpy(zero_copy_only=False).astype(np.int64))
+        # plain integer (or np.datetime64 / ISO string, see _as_micros);
+        # nulls are filled (never compared — see null_mask) so the cast
+        # can't smuggle INT64_MIN sentinels into range predicates
+        us = arr.cast(pa.timestamp("us")).fill_null(0).cast(pa.int64())
+        return DVColumn(
+            values=us.to_numpy(zero_copy_only=False).astype(np.int64),
+            null=null, is_timestamp=True,
+        )
     if pa.types.is_boolean(t):
-        return DVColumn(values=arr.to_numpy(zero_copy_only=False).astype(np.int64))
+        v = arr.fill_null(False).to_numpy(zero_copy_only=False)
+        return DVColumn(values=v.astype(np.int64), null=null)
+    if null is not None and (
+        pa.types.is_integer(t) or pa.types.is_floating(t)
+    ):
+        # fill so integer columns stay integer (a null would degrade
+        # to float64 NaN, which would MATCH every '!=' predicate)
+        v = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        return DVColumn(values=v, null=null)
     return DVColumn(values=arr.to_numpy(zero_copy_only=False))
 
 
@@ -134,26 +164,47 @@ class DocValues:
                 if i < len(c.categories) and c.categories[i] == w
             ]
             m = np.isin(c.values, np.asarray(codes, dtype=np.int32))
-            return ~m if op in ("!=", "not in") else m
-        v = value
-        if c.values.dtype == np.int64 and not isinstance(v, (int, float, np.number)):
-            v = _as_micros(v)  # timestamp-ish column + datetime-ish value
-        if op in ("=", "=="):
-            return c.values == v
-        if op == "!=":
-            return c.values != v
-        if op == "<":
-            return c.values < v
-        if op == "<=":
-            return c.values <= v
-        if op == ">":
-            return c.values > v
-        if op == ">=":
-            return c.values >= v
+            if op in ("!=", "not in"):
+                # SQL semantics: NULL != x is NULL → a null row never
+                # satisfies ANY predicate, negated ones included
+                m = ~m & (c.values >= 0)
+            return m
+        # numeric / timestamp column
+        def coerce(x):
+            if isinstance(x, (int, float, np.number)):
+                return x
+            if c.is_timestamp:
+                return _as_micros(x)  # np.datetime64 / ISO string
+            raise ValueError(
+                f"non-numeric predicate value {x!r} for numeric column "
+                f"{col!r}"
+            )
+
         if op in ("in", "not in"):
-            m = np.isin(c.values, np.asarray(list(v)))
-            return ~m if op == "not in" else m
-        raise ValueError(f"unknown predicate op {op!r} (valid: {OPS})")
+            m = np.isin(c.values, np.asarray([coerce(x) for x in value]))
+        else:
+            v = coerce(value)
+            if op in ("=", "=="):
+                m = c.values == v
+            elif op == "!=":
+                m = c.values != v
+            elif op == "<":
+                m = c.values < v
+            elif op == "<=":
+                m = c.values <= v
+            elif op == ">":
+                m = c.values > v
+            elif op == ">=":
+                m = c.values >= v
+            else:
+                raise ValueError(
+                    f"unknown predicate op {op!r} (valid: {OPS})"
+                )
+        if op == "not in":
+            m = ~m
+        if c.null is not None:  # nulls never match (SQL semantics)
+            m = m & ~c.null
+        return m
 
     def mask(self, where) -> np.ndarray:
         """Boolean mask over universe ranks for a conjunction of
@@ -163,7 +214,11 @@ class DocValues:
 
         def _vkey(v):
             # type-tagged so e.g. in [1, 2] and in ["1", "2"] (different
-            # masks on a numeric column) never share a cache entry
+            # masks on a numeric column) never share a cache entry;
+            # ndarrays key by their exact bytes — str(ndarray) ELIDES
+            # elements past 1000, which would alias distinct filters
+            if isinstance(v, np.ndarray):
+                return ("ndarray", str(v.dtype), v.tobytes())
             if isinstance(v, (list, tuple, set, frozenset)):
                 return tuple(sorted((type(x).__name__, str(x)) for x in v))
             return (type(v).__name__, str(v))
@@ -226,7 +281,10 @@ class DocValues:
             raise ValueError(f"{value_col!r} must be numeric to sum")
         codes = c.values[ranks]
         ok = codes >= 0
-        w = v.values[ranks][ok].astype(np.float64)
+        w = v.values[ranks].astype(np.float64)
+        if v.null is not None:  # SQL SUM skips null addends
+            w = np.where(v.null[ranks], 0.0, w)
+        w = w[ok]
         tot = np.bincount(codes[ok], weights=w, minlength=len(c.categories))
         cnt = np.bincount(codes[ok], minlength=len(c.categories))
         nz = np.flatnonzero(cnt)
@@ -252,6 +310,8 @@ class DocValues:
         if not (float(width) > 0):
             raise ValueError(f"histogram width must be > 0, got {width!r}")
         v = c.values[ranks]
+        if c.null is not None:  # SQL semantics: nulls land in no bucket
+            v = v[~c.null[ranks]]
         if np.issubdtype(v.dtype, np.integer) and float(width).is_integer():
             b = (v // int(width)) * int(width)
         else:

@@ -178,6 +178,12 @@ def verify_docpart_index(index_dir: str, deep: bool = False) -> dict:
                         vt["doc_id"].to_numpy(zero_copy_only=False)
                         .astype(np.int64)
                     )
+                    if len(vids) == 0 and t.num_rows:
+                        errs.append(
+                            f"{row['f']}: docvalues sibling has 0 rows "
+                            "but shard has postings"
+                        )
+                        vids = None
                 for i in range(t.num_rows):
                     ids = delta_decode(varbyte_decode(t["doc_ids"][i].as_py()))
                     if len(ids) != t["df_local"][i].as_py():

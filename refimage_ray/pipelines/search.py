@@ -133,19 +133,8 @@ def facet_counts_docpart(sf_dir: str, query: str = "spark vector") -> pa.Table:
     """Facet panel over the doc-partitioned layout: per-shard partial
     counts merged additively (exact — doc shards are disjoint); shares
     ``facet_counts_query``'s SQL oracle."""
-    f = _docpart_searcher(sf_dir).facets(query, by=["lang", "source"])
-    facets, values, counts = [], [], []
-    for col in ("lang", "source"):
-        for v, n in f["facets"][col]:
-            facets.append(col)
-            values.append(v)
-            counts.append(n)
-    return pa.table(
-        {
-            "facet": pa.array(facets, pa.string()),
-            "value": pa.array(values, pa.string()),
-            "n_docs": pa.array(counts, pa.int64()),
-        }
+    return _facet_table(
+        _docpart_searcher(sf_dir).facets(query, by=["lang", "source"])
     )
 
 
@@ -282,14 +271,10 @@ def bm25_topk_page2(
     )
 
 
-def facet_counts_query(sf_dir: str, query: str = "spark vector") -> pa.Table:
-    """Search-time facet panel: lang + source value counts over the
-    FULL match set of a disjunctive query, from resident doc values
-    (one bincount per facet — no corpus scan, unlike the batch
-    ``search_facets`` pipeline)."""
-    f = searcher_for(sf_dir).facets(query, by=["lang", "source"])
+def _facet_table(f: dict, cols: tuple = ("lang", "source")) -> pa.Table:
+    """(facet, value, n_docs) rows from a ``facets()`` result dict."""
     facets, values, counts = [], [], []
-    for col in ("lang", "source"):
+    for col in cols:
         for v, n in f["facets"][col]:
             facets.append(col)
             values.append(v)
@@ -300,6 +285,16 @@ def facet_counts_query(sf_dir: str, query: str = "spark vector") -> pa.Table:
             "value": pa.array(values, pa.string()),
             "n_docs": pa.array(counts, pa.int64()),
         }
+    )
+
+
+def facet_counts_query(sf_dir: str, query: str = "spark vector") -> pa.Table:
+    """Search-time facet panel: lang + source value counts over the
+    FULL match set of a disjunctive query, from resident doc values
+    (one bincount per facet — no corpus scan, unlike the batch
+    ``search_facets`` pipeline)."""
+    return _facet_table(
+        searcher_for(sf_dir).facets(query, by=["lang", "source"])
     )
 
 

@@ -636,21 +636,27 @@ class _SearcherBase:
                 ranks, scores = topk_select(ranks, scores, k, threshold)
                 return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
             # field ordering (ORDER BY <col> <dir>, doc_id ASC LIMIT k):
-            # threshold still gates on score; the sort key is the
-            # doc-value column.  Integer keys (incl. timestamp µs) sort
-            # as int64 — no float round-trip, so nearby timestamps
-            # never reorder; categorical codes sort lexicographically
-            # (the dictionary is sorted), nulls always last.
-            m = scores >= threshold
-            ranks, scores = ranks[m], scores[m]
+            # threshold gates on score EXACTLY like topk_select (only
+            # when > 0, so plugin scorers with zero/negative
+            # contributions keep the same match set with or without
+            # ordering); the sort key is the doc-value column.  Integer
+            # keys (incl. timestamp µs) sort as int64 — no float
+            # round-trip, so nearby timestamps never reorder;
+            # categorical codes sort lexicographically (the dictionary
+            # is sorted), nulls always last in either direction.
+            if threshold > 0.0:
+                m = scores >= threshold
+                ranks, scores = ranks[m], scores[m]
             c = dv.cols[ocol]
             key = c.values[ranks]
             if key.dtype.kind in "iu" or c.is_categorical:
                 key = key.astype(np.int64)
-            null = key < 0 if c.is_categorical else None
+            nm = c.null_mask()
+            null = nm[ranks] if nm is not None else None
             if odir == "desc":
                 key = -key
             if null is not None and null.any():
+                # key is already a private copy (fancy indexing above)
                 key[null] = (
                     np.iinfo(np.int64).max if key.dtype.kind == "i" else np.inf
                 )

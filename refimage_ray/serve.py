@@ -321,11 +321,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                       f"{part!r}"}, 422)
                     sums[col.strip()] = vc.strip()
                 try:
+                    by_cols = [
+                        c.strip() for c in q.get("by", "").split(",")
+                        if c.strip()
+                    ]
                     if use_dsl:  # facet panel over a DSL query's members
                         try:
                             out = state["ex"].facets(
                                 q["dsl"],
-                                by=[c for c in q.get("by", "").split(",") if c],
+                                by=by_cols,
                                 where=parse_filter(q.get("filter", "")),
                                 histograms=hists,
                                 top=int(q["top"]) if "top" in q else None,
@@ -336,7 +340,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     else:
                         out = state["s"].facets(
                             q["q"],
-                            by=[c for c in q.get("by", "").split(",") if c],
+                            by=by_cols,
                             mode=q.get("mode", "or"),
                             where=parse_filter(q.get("filter", "")),
                             histograms=hists,

@@ -91,10 +91,17 @@ def main() -> int:
         attempt += 1
         print(f"[run] attempt {attempt}: window calm, launching pair",
               flush=True)
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-            capture_output=True, text=True, cwd=REPO, timeout=3600,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                capture_output=True, text=True, cwd=REPO, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung pair (busiest co-tenant windows) is a failed
+            # attempt, not a reason to die — that is the watcher's job
+            print("[run] pair timed out after 1h; retrying", flush=True)
+            time.sleep(args.sleep)
+            continue
         line = (r.stdout.strip().splitlines() or [""])[-1]
         try:
             res = json.loads(line)

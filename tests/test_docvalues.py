@@ -315,8 +315,9 @@ def test_review_fixes_edge_cases(searcher):
     non-positive histogram width."""
     dv = searcher.doc_values(["doc_len", "lang"])
     m_int = dv.mask([("doc_len", "in", [50, 60])])
-    m_str = dv.mask([("doc_len", "in", ["50", "60"])])
-    assert m_int.sum() > 0 and m_str.sum() == 0  # str never matches int col
+    assert m_int.sum() > 0
+    with pytest.raises(ValueError, match="non-numeric"):
+        dv.mask([("doc_len", "in", ["50", "60"])])  # str vs int column
     with pytest.raises(ValueError, match="list"):
         searcher.search("data", where=[("lang", "in", "en")])
     with pytest.raises(ValueError, match="width"):
@@ -369,3 +370,110 @@ def test_dsl_facets(searcher):
     expect = sorted(((str(l), int(n)) for l, n in vc.items()),
                     key=lambda p: (-p[1], p[0]))
     assert got["total"] == len(keep) and got["facets"]["lang"] == expect
+
+
+def test_numeric_in_and_string_value_errors(searcher):
+    """Review regressions: 'in' on an int64 column works; a string
+    value against a numeric column raises instead of silently parsing
+    as a datetime; ndarray filter values never alias in the cache."""
+    meta = _doc_meta(searcher)
+    full = searcher.search("the data", k=10**9)
+    lens = sorted({int(meta.loc[d].n_chars) for d, _ in full})[:3]
+    got = searcher.search("the data", k=10, where=[("n_chars", "in", lens)])
+    expect = [(d, s) for d, s in full if meta.loc[d].n_chars in lens][:10]
+    assert got == expect
+    with pytest.raises(ValueError, match="non-numeric"):
+        searcher.search("the data", where=[("n_chars", "=", "100")])
+    with pytest.raises(ValueError, match="non-numeric"):
+        searcher.search("the data", where=[("n_chars", "in", [100, "200"])])
+    dv = searcher.doc_values(["n_chars"])
+    a = np.arange(2000, dtype=np.int64)
+    b = a.copy(); b[1000] = 10**9
+    m1 = dv.mask([("n_chars", "in", a)])
+    m2 = dv.mask([("n_chars", "in", b)])
+    assert m1 is not m2  # str(ndarray) elision must not alias keys
+
+
+def test_null_semantics(ray_session, tmp_path):
+    """Nulls in doc-value columns: never match any predicate (SQL
+    semantics), sort last under order_by both directions, skip
+    histogram buckets and sum addends; bool-with-null loads."""
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+
+    n = 40
+    texts = [f"tok{i % 5} common filler" for i in range(n)]
+    cat = [None if i % 7 == 0 else ("a" if i % 2 else "b") for i in range(n)]
+    num = [None if i % 5 == 0 else i for i in range(n)]
+    ts = [None if i % 11 == 0 else
+          np.datetime64("2023-01-01", "us") + np.timedelta64(i, "D")
+          for i in range(n)]
+    flag = [None if i % 13 == 0 else bool(i % 2) for i in range(n)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "cat": pa.array(cat, pa.string()),
+            "num": pa.array(num, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "flag": pa.array(flag, pa.bool_()),
+        }
+    )
+    idx = str(tmp_path / "nullidx")
+    build_index(rd.from_arrow(docs), idx,
+                EngineConfig(num_shards=4, salt_buckets=2))
+    s = LocalSearcher(idx)
+    full = s.search("common", k=10**9)
+    assert len(full) == n
+    null_cat = {i for i in range(n) if cat[i] is None}
+    null_num = {i for i in range(n) if num[i] is None}
+    # predicates exclude nulls, negated ones included
+    got = {d for d, _ in s.search("common", k=n, where=[("cat", "!=", "a")])}
+    assert got == {i for i in range(n) if cat[i] == "b"}
+    got = {d for d, _ in s.search("common", k=n,
+                                  where=[("num", "!=", 3)])}
+    assert got == {i for i in range(n) if num[i] not in (None, 3)}
+    got = {d for d, _ in s.search("common", k=n,
+                                  where=[("ts", "<", "2030-01-01")])}
+    assert got == {i for i in range(n) if ts[i] is not None}
+    got = {d for d, _ in s.search("common", k=n, where=[("flag", "=", 1)])}
+    assert got == {i for i in range(n) if flag[i] is True}
+    # order_by: nulls last both directions, non-null prefix ordered
+    for direction in ("asc", "desc"):
+        hits = s.search("common", k=n, order_by=("num", direction))
+        ids = [d for d, _ in hits]
+        nn = [d for d in ids if d not in null_num]
+        assert set(ids[-len(null_num):]) == null_num
+        vals = [num[d] for d in nn]
+        assert vals == sorted(vals, reverse=(direction == "desc"))
+    # histogram / sums skip nulls
+    f = s.facets("common", histograms={"num": 10}, sums={"cat": "num"})
+    assert sum(c for _, c in f["histograms"]["num"]) == n - len(null_num)
+    expect_a = sum(num[i] or 0 for i in range(n)
+                   if cat[i] == "a" and num[i] is not None)
+    assert dict(f["sums"]["cat"])["a"] == expect_a
+
+
+def test_order_by_threshold_parity_with_nonpositive_scorer(searcher):
+    """Review regression: adding order_by must not change the match set
+    at threshold 0.0 — topk_select only filters when threshold > 0, so
+    a plugin scorer emitting negative contributions keeps its docs."""
+    from refimage_ray.extension import register_scorer
+
+    @register_scorer
+    class NegScorer:
+        name = "neg_test"
+
+        def idf(self, df, n_docs):
+            return 1.0
+
+        def weight(self, tf, dl, avgdl):
+            return -tf  # every contribution negative
+
+    plain = searcher.search("the data", k=10**9, scorer="neg_test")
+    assert plain and all(s < 0 for _, s in plain)
+    ordered = searcher.search("the data", k=10**9, scorer="neg_test",
+                              order_by=("doc_len", "asc"))
+    assert {d for d, _ in ordered} == {d for d, _ in plain}

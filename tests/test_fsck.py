@@ -196,3 +196,27 @@ def test_fsck_docpart_docvalues(ray_session, tiny_docs, tmp_path):
     pq.write_table(t.slice(0, t.num_rows // 2), p)
     res = verify_index(d2, deep=True)
     assert not res["ok"] and any("universe" in p for p in res["problems"])
+
+
+def test_fsck_docpart_zero_row_values_file(ray_session, tiny_docs, tmp_path):
+    """A docvalues file truncated to ZERO rows must be a reported
+    problem, not an IndexError crashing fsck."""
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import build_doc_partitioned
+
+    doc_dir = str(tmp_path / "dv0")
+    build_doc_partitioned(
+        rd.from_arrow(tiny_docs), doc_dir,
+        EngineConfig(num_shards=4, salt_buckets=2),
+        num_doc_shards=4, value_columns=["lang"],
+    )
+    vf = sorted(f for f in os.listdir(doc_dir)
+                if f.startswith("docvalues-"))[0]
+    p = os.path.join(doc_dir, vf)
+    t = pq.read_table(p)
+    pq.write_table(t.slice(0, 0), p)
+    res = verify_index(doc_dir, deep=True)
+    assert not res["ok"]
+    assert any("0 rows" in x for x in res["problems"]), res["problems"]
