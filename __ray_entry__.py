@@ -187,6 +187,7 @@ def _bm25_sql(
     terms: "list[str] | None", k: int, conjunctive: bool = False,
     q_where: "str | None" = None, doc_where: "str | None" = None,
     order_by_sql: "str | None" = None, offset: int = 0,
+    grouped_by: "str | None" = None,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
@@ -211,7 +212,17 @@ def _bm25_sql(
     # field ordering (the engine's order_by): final ORDER BY over a
     # documents column (alias d2) instead of the score
     off = f" OFFSET {offset}" if offset else ""
-    if order_by_sql is not None:
+    if grouped_by is not None:
+        # grouped top-k (engine search_grouped): k best per group via a
+        # window function; k here = rows PER GROUP, not a global LIMIT
+        final = f"""SELECT grp, doc_id, round(sc, 4) AS score FROM (
+  SELECT s.doc_id, s.sc, d2.{grouped_by} AS grp,
+         row_number() OVER (
+           PARTITION BY d2.{grouped_by} ORDER BY s.sc DESC, s.doc_id
+         ) AS rn
+  FROM scores s JOIN documents d2 ON d2.doc_id = s.doc_id
+) WHERE rn <= {k}"""
+    elif order_by_sql is not None:
         final = (
             f"SELECT s.doc_id, round(s.sc, 4) AS score FROM scores s "
             f"JOIN documents d2 ON d2.doc_id = s.doc_id "
@@ -398,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
         "bm25_topk_page2": search.bm25_topk_page2,
+        "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "facet_counts_query": search.facet_counts_query,
         "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
@@ -661,6 +673,11 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # pagination: page 2 of the same total order (engine fetches
         # top k+offset and slices — page boundaries are deterministic)
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
+        # grouped top-k: best 3 hits per lang (ES top_hits analog);
+        # exact — one full evaluation + per-group prefix take
+        "bm25_grouped_by_lang": _bm25_sql(
+            ["spark", "join"], 3, grouped_by="lang"
+        ),
         # query-time facet panel: value counts per facet column over
         # the disjunctive match set (resident doc values engine-side);
         # doc-partitioned facets are exact by additive merge → the SAME

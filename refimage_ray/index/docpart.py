@@ -310,6 +310,23 @@ def build_doc_partitioned(
     return manifest
 
 
+def _merge_grouped(
+    parts: "list[list[tuple[str, int, float]]]", k: int
+) -> list[tuple[str, int, float]]:
+    """Merge per-shard grouped top-k rows (disjoint doc subsets → the
+    global per-group winners are in the union): re-sort each group by
+    (score desc, doc_id asc), truncate to k, groups in lex order."""
+    acc: dict[str, list[tuple[int, float]]] = {}
+    for rows in parts:
+        for g, d, s in rows:
+            acc.setdefault(g, []).append((int(d), float(s)))
+    out: list[tuple[str, int, float]] = []
+    for g in sorted(acc):
+        hits = sorted(acc[g], key=lambda x: (-x[1], x[0]))[:k]
+        out.extend((g, d, s) for d, s in hits)
+    return out
+
+
 def _load_global_df(index_dir: str) -> dict:
     df_t = pq.read_table(os.path.join(index_dir, "terms"))
     return dict(
@@ -507,6 +524,29 @@ class DocPartSearcher:
         )
         return list(zip(ids.tolist(), scores.tolist()))[offset:]
 
+    def search_grouped(
+        self,
+        query: str,
+        by: str,
+        k_per_group: int = 3,
+        mode: str = "or",
+        where=None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        groups: "list[str] | None" = None,
+    ) -> list[tuple[str, int, float]]:
+        """Grouped top-k over the doc-partitioned layout: each shard
+        returns its per-group top-k from shard-local values; the global
+        per-group winners are contained in the union (disjoint docs),
+        so the merge re-sorts and truncates per group — exact."""
+        parts = [
+            sh.search_grouped(query, by, k_per_group=k_per_group, mode=mode,
+                              where=where, threshold=threshold, cfg=cfg,
+                              groups=groups)
+            for sh in self.shards
+        ]
+        return _merge_grouped(parts, k_per_group)
+
     def facets(
         self,
         query: str,
@@ -596,6 +636,15 @@ class _DocShardActor:
                                 where=where))
         return out
 
+    def search_grouped(self, query: str, by: str, k_per_group: int,
+                       mode: str, where, groups) -> list:
+        out: list = []
+        for v in self._views:
+            out.extend(v.search_grouped(query, by, k_per_group=k_per_group,
+                                        mode=mode, where=where,
+                                        groups=groups))
+        return out
+
     def facets(self, query: str, by, mode: str, where, histograms,
                sums=None) -> dict:
         """Partial facet counts over this actor's doc shards (values
@@ -666,6 +715,24 @@ class DistributedDocPartSearcher:
              for a in self.actors]
         )
         return self._merge(parts, kk, threshold)[offset:]
+
+    def search_grouped(
+        self,
+        query: str,
+        by: str,
+        k_per_group: int = 3,
+        mode: str = "or",
+        where=None,
+        groups: "list[str] | None" = None,
+    ) -> list[tuple[str, int, float]]:
+        """Scatter-gather grouped top-k (see ``DocPartSearcher``) —
+        per-actor partial grouped tops, exact driver merge."""
+        parts = ray.get([
+            a.search_grouped.remote(query, by, k_per_group, mode, where,
+                                    groups)
+            for a in self.actors
+        ])
+        return _merge_grouped(parts, k_per_group)
 
     def facets(
         self,

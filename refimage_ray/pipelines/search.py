@@ -271,6 +271,25 @@ def bm25_topk_page2(
     )
 
 
+def bm25_grouped_by_lang(
+    sf_dir: str, query: str = "spark join", k_per_group: int = 3
+) -> pa.Table:
+    """Grouped top-k: the best ``k_per_group`` hits per ``lang`` over
+    the match set (result diversification / ES top_hits analog) — one
+    exact evaluation + a single lexsort, no per-group loop."""
+    rows = searcher_for(sf_dir).search_grouped(
+        query, by="lang", k_per_group=k_per_group
+    )
+    return pa.table(
+        {
+            "grp": pa.array([g for g, _, _ in rows], pa.string()),
+            "doc_id": pa.array([d for _, d, _ in rows], pa.int64()),
+            "score": pa.array([round(s, 4) for _, _, s in rows],
+                              pa.float64()),
+        }
+    )
+
+
 def _facet_table(f: dict, cols: tuple = ("lang", "source")) -> pa.Table:
     """(facet, value, n_docs) rows from a ``facets()`` result dict."""
     facets, values, counts = [], [], []

@@ -762,6 +762,80 @@ class _SearcherBase:
         ids, sc = topk_select(cand[keep], scores[keep], k + offset, threshold)
         return list(zip(ids.tolist(), sc.tolist()))[offset:]
 
+    def search_grouped(
+        self,
+        query: str,
+        by: str,
+        k_per_group: int = 3,
+        mode: str = "or",
+        where=None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        groups: "list[str] | None" = None,
+    ) -> list[tuple[str, int, float]]:
+        """Grouped top-k: the best ``k_per_group`` hits per value of a
+        categorical doc-value column (the ES ``top_hits``
+        sub-aggregation / result-diversification shape — one result
+        block per language, per source, ...).
+
+        Exact: one full evaluation (facets' cost model), then a single
+        lexsort by (group, score desc, doc_id asc) and a vectorized
+        per-group prefix take — no per-group loop.  Null-valued docs
+        form no group; ``groups`` restricts output to listed values.
+        Returns ``(group_value, doc_id, score)`` rows, groups in
+        dictionary (lexicographic) order, hits ranked within group.
+        """
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        threshold = cfg.default_threshold if threshold is None else threshold
+        from refimage_ray.index.docvalues import where_columns
+
+        cols = sorted(
+            {by} | (set(where_columns(where)) if where is not None else set())
+        )
+        dv = self.doc_values(cols)
+        c = dv.cols[by]
+        if not c.is_categorical:
+            raise ValueError(f"search_grouped needs a categorical column, "
+                             f"{by!r} is numeric")
+        terms = query_terms(self._tokenize(query))
+        term_map = self._term_map(terms)
+        ranks, scores = self._match_ranks_scores(term_map, terms, mode)
+        if where is not None:
+            keep = dv.mask(where)[ranks]
+            ranks, scores = ranks[keep], scores[keep]
+        if threshold > 0.0:  # topk_select parity
+            keep = scores >= threshold
+            ranks, scores = ranks[keep], scores[keep]
+        codes = c.values[ranks]
+        keep = codes >= 0  # null group values form no group
+        if groups is not None:
+            idx = np.searchsorted(c.categories, groups)
+            wanted = np.asarray(
+                [int(i) for i, g in zip(idx, groups)
+                 if i < len(c.categories) and c.categories[i] == g],
+                dtype=codes.dtype,
+            )
+            keep &= np.isin(codes, wanted)
+        ranks, scores, codes = ranks[keep], scores[keep], codes[keep]
+        if len(ranks) == 0:
+            return []
+        order = np.lexsort((ranks, -scores, codes))
+        ranks, scores, codes = ranks[order], scores[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1]))
+        )
+        pos = np.arange(len(codes)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(codes)])))
+        )
+        take = pos < k_per_group
+        ids = self.all_ids[ranks[take]]
+        return [
+            (str(c.categories[g]), int(d), float(s))
+            for g, d, s in zip(codes[take].tolist(), ids.tolist(),
+                               scores[take].tolist())
+        ]
+
     def facets(
         self,
         query: str,

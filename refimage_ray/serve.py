@@ -300,6 +300,24 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         width=int(q.get("width", 160)),
                     )})
                 return self._json({"results": self._hits_with_meta(hits)})
+            if u.path == "/grouped":
+                if not q.get("q", "").strip() or not q.get("by", "").strip():
+                    return self._json({"error": "need q and by"}, 422)
+                try:
+                    rows = state["s"].search_grouped(
+                        q["q"], by=q["by"].strip(),
+                        k_per_group=int(q.get("k", 3)),
+                        mode=q.get("mode", "or"),
+                        where=parse_filter(q.get("filter", "")),
+                        groups=(q["groups"].split(",")
+                                if q.get("groups") else None),
+                    )
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json({"results": [
+                    {"group": g, "doc_id": d, "score": s}
+                    for g, d, s in rows
+                ]})
             if u.path == "/facets":
                 use_dsl = bool(q.get("dsl", "").strip())
                 if not use_dsl and not q.get("q", "").strip():

@@ -305,3 +305,17 @@ def test_distributed_docpart_search_many_where_offset(both_indexes):
     w = [("lang", "=", "en")]
     batch = d.search_many(qs, k=5, where=w, offset=3)
     assert batch == [b.search(q, k=5, where=w, offset=3) for q in qs]
+
+
+def test_docpart_grouped_matches_term_partitioned(both_indexes):
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    term_dir, doc_dir, _ = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    d = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    d.wait_ready()
+    for q in FIXTURE_QUERIES[:4]:
+        expect = a.search_grouped(q, by="lang", k_per_group=2)
+        assert b.search_grouped(q, by="lang", k_per_group=2) == expect, q
+        assert d.search_grouped(q, by="lang", k_per_group=2) == expect, q

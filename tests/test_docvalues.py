@@ -477,3 +477,39 @@ def test_order_by_threshold_parity_with_nonpositive_scorer(searcher):
     ordered = searcher.search("the data", k=10**9, scorer="neg_test",
                               order_by=("doc_len", "asc"))
     assert {d for d, _ in ordered} == {d for d, _ in plain}
+
+
+def test_search_grouped_matches_pandas(searcher):
+    """Grouped top-k == per-group head of the (score desc, doc_id asc)
+    ranking, for both modes, with filters and group restriction."""
+    meta = _doc_meta(searcher)
+    for q, mode in (("the data join", "or"), ("data join", "and")):
+        full = searcher.search(q, k=10**9, mode=mode)
+        got = searcher.search_grouped(q, by="lang", k_per_group=3, mode=mode)
+        expect = []
+        for g in sorted({meta.loc[d].lang for d, _ in full}):
+            hits = [(d, s) for d, s in full if meta.loc[d].lang == g][:3]
+            expect.extend((g, d, s) for d, s in hits)
+        assert got == expect, (q, mode)
+    # where composes; groups restricts
+    full = searcher.search("the data", k=10**9,
+                           where=[("doc_len", ">=", 50)])
+    got = searcher.search_grouped("the data", by="lang", k_per_group=2,
+                                  where=[("doc_len", ">=", 50)],
+                                  groups=["en", "fr"])
+    expect = []
+    for g in ("en", "fr"):
+        hits = [(d, s) for d, s in full if meta.loc[d].lang == g][:2]
+        expect.extend((g, d, s) for d, s in hits)
+    assert got == expect
+    # numeric group column / empty match / unknown group
+    with pytest.raises(ValueError, match="categorical"):
+        searcher.search_grouped("the data", by="doc_len")
+    assert searcher.search_grouped("zzzqq", by="lang") == []
+    assert searcher.search_grouped("the data", by="lang",
+                                   groups=["xx"]) == []
+    # distributed identical
+    dist = DistributedSearcher(searcher.index_dir, num_actors=3)
+    dist.wait_ready()
+    assert dist.search_grouped("the data", by="lang", k_per_group=3) == \
+        searcher.search_grouped("the data", by="lang", k_per_group=3)

@@ -445,3 +445,18 @@ def test_doc_explain_route(server):
     assert body["terms"] == lib["terms"]
     st, _ = _req(f"{base}/docs/{doc_id}/explain?q=", "GET")
     assert st == 422
+
+
+def test_grouped_route(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/grouped?q=the+data&by=lang&k=2")
+    assert st == 200
+    got = [(r["group"], r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search_grouped("the data", by="lang", k_per_group=2)
+    st, _ = _req(base + "/grouped?q=the", "GET")
+    assert st == 422
+    st, _ = _req(base + "/grouped?q=the&by=doc_len", "GET")
+    assert st == 422
