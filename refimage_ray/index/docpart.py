@@ -429,11 +429,11 @@ class _GlobalVocabExpander:
         self._vocab: "list[str] | None" = None
         self._deletes: "dict[str, list[str]] | None" = None
 
-    def expand(self, kind: str, arg: str, max_expansions: int) -> list[str]:
+    def pairs(self, kind: str, arg: str) -> tuple[str, list]:
+        """(token, matched (term, df) pairs) for an expansion probe."""
         from refimage_ray.functions.text import tokenize
         from refimage_ray.query.expand import (
             build_deletes_index,
-            cap_expansion,
             fuzzy_matches,
             prefix_matches,
         )
@@ -449,8 +449,19 @@ class _GlobalVocabExpander:
             if self._deletes is None:
                 self._deletes = build_deletes_index(self._df)
             matched = fuzzy_matches(self._deletes, toks[0])
-        return cap_expansion([(t, int(self._df[t])) for t in matched],
-                             max_expansions)
+        return toks[0], [(t, int(self._df[t])) for t in matched]
+
+    def expand(self, kind: str, arg: str, max_expansions: int) -> list[str]:
+        from refimage_ray.query.expand import cap_expansion
+
+        _, pairs = self.pairs(kind, arg)
+        return cap_expansion(pairs, max_expansions)
+
+    def suggest(self, term: str, max_suggestions: int) -> list[dict]:
+        from refimage_ray.query.expand import rank_suggestions
+
+        tok, pairs = self.pairs("fuzzy", term)
+        return rank_suggestions(pairs, tok, max_suggestions)
 
 
 class DocPartSearcher:
@@ -591,6 +602,11 @@ class DocPartSearcher:
         # to exactly this set — identical to an OR query over it
         return self.search(" ".join(terms), k=k, threshold=threshold,
                            mode="or", cfg=cfg)
+
+    def suggest(self, term: str, max_suggestions: int = 5) -> list[dict]:
+        """Did-you-mean over the global terms table (see
+        ``engine._SearcherBase.suggest``)."""
+        return self._expander.suggest(term, max_suggestions)
 
     def search_prefix(self, prefix: str, k=None, threshold=None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
@@ -782,16 +798,24 @@ class DistributedDocPartSearcher:
         )
         return list(zip(ids.tolist(), scores.tolist()))
 
-    def _search_expanded(
-        self, kind: str, arg: str, k, threshold, cfg: EngineConfig,
-        max_expansions: "int | None",
-    ) -> list[tuple[int, float]]:
+    def _ensure_expander(self) -> "_GlobalVocabExpander":
         if self._expander is None:
             # global terms table loaded on first expansion query only —
             # plain scatter-gather serving never pays for it
             self._expander = _GlobalVocabExpander(
                 _load_global_df(self.index_dir), self._token_pattern
             )
+        return self._expander
+
+    def suggest(self, term: str, max_suggestions: int = 5) -> list[dict]:
+        """Did-you-mean over the global terms table."""
+        return self._ensure_expander().suggest(term, max_suggestions)
+
+    def _search_expanded(
+        self, kind: str, arg: str, k, threshold, cfg: EngineConfig,
+        max_expansions: "int | None",
+    ) -> list[tuple[int, float]]:
+        self._ensure_expander()
         cap = cfg.max_expansions if max_expansions is None else max_expansions
         terms = self._expander.expand(kind, arg, cap)
         if not terms:

@@ -762,6 +762,22 @@ class _SearcherBase:
         ids, sc = topk_select(cand[keep], scores[keep], k + offset, threshold)
         return list(zip(ids.tolist(), sc.tolist()))[offset:]
 
+    def suggest(self, term: str, max_suggestions: int = 5) -> list[dict]:
+        """Spell suggestion ("did you mean"): vocabulary terms within
+        Levenshtein ≤ 1 of the input, ranked (exact first, then df
+        desc, term asc) with their document frequencies — the fuzzy
+        machinery's user-facing completion (Lucene's
+        DirectSpellChecker shape).  Empty list = no nearby vocabulary
+        term; an exact vocabulary hit ranks first by definition."""
+        from refimage_ray.query.expand import rank_suggestions
+
+        toks = self._tokenize(term)
+        if len(toks) != 1:
+            raise ValueError(f"suggest takes exactly one term, got {term!r}")
+        return rank_suggestions(
+            self._expand_pairs("fuzzy", toks[0]), toks[0], max_suggestions
+        )
+
     def search_grouped(
         self,
         query: str,

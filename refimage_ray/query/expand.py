@@ -100,6 +100,18 @@ def cap_expansion(pairs: list[tuple[str, int]], max_expansions: int) -> list[str
     return sorted(t for t, _ in pairs)
 
 
+def rank_suggestions(
+    pairs: list[tuple[str, int]], exact_term: str, max_suggestions: int
+) -> list[dict]:
+    """Did-you-mean ranking shared by every searcher flavor: exact
+    vocabulary hit first, then df desc, term asc."""
+    pairs = sorted(pairs, key=lambda p: (p[0] != exact_term, -p[1], p[0]))
+    return [
+        {"term": t, "df": int(df), "exact": t == exact_term}
+        for t, df in pairs[:max_suggestions]
+    ]
+
+
 def expand_synonyms(
     terms: list[str], mapping: dict[str, list[str]], tokenize_fn
 ) -> list[str]:

@@ -300,6 +300,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         width=int(q.get("width", 160)),
                     )})
                 return self._json({"results": self._hits_with_meta(hits)})
+            if u.path == "/suggest":
+                if not q.get("q", "").strip():
+                    return self._json({"error": "empty query"}, 422)
+                try:
+                    return self._json({"suggestions": state["s"].suggest(
+                        q["q"], max_suggestions=int(q.get("k", 5))
+                    )})
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
             if u.path == "/grouped":
                 if not q.get("q", "").strip() or not q.get("by", "").strip():
                     return self._json({"error": "need q and by"}, 422)

@@ -227,3 +227,47 @@ def test_dsl_executor_prefix_membership(local):
     matches = prefix_matches(_vocab(local), "spar")
     want = {d for d, _ in local.search(" ".join(matches), k=10**6, mode="or")}
     assert got == want
+
+
+def test_suggest_all_searchers(ray_session, built_index, tmp_path):
+    """Did-you-mean: exact hit first, then df desc; identical across
+    local / distributed / both docpart searchers."""
+    import ray.data as rd
+
+    from refimage_ray.index.docpart import (
+        DistributedDocPartSearcher,
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+    from refimage_ray.index.reader import staged_docs
+    from refimage_ray.query.engine import DistributedSearcher, LocalSearcher
+
+    index_dir, cfg, _ = built_index
+    s = LocalSearcher(index_dir)
+    # "dat" is not in the vocab; data/date-like neighbors are
+    sug = s.suggest("dat", max_suggestions=5)
+    assert sug and all(x["df"] > 0 for x in sug)
+    dfs = [x["df"] for x in sug]
+    assert dfs == sorted(dfs, reverse=True)
+    assert not any(x["exact"] for x in sug)
+    # exact vocabulary term ranks first and is flagged
+    sug2 = s.suggest("data")
+    assert sug2[0]["term"] == "data" and sug2[0]["exact"]
+    # unknown gibberish -> empty; multi-token input -> error
+    assert s.suggest("qqqqzzzz") == []
+    with pytest.raises(ValueError):
+        s.suggest("two words")
+
+    d = DistributedSearcher(index_dir, num_actors=3)
+    d.wait_ready()
+    assert d.suggest("dat", 5) == sug
+
+    doc_dir = str(tmp_path / "dp")
+    build_doc_partitioned(
+        staged_docs(index_dir, columns=["doc_id", "text"]), doc_dir, cfg,
+        num_doc_shards=4,
+    )
+    assert DocPartSearcher(doc_dir).suggest("dat", 5) == sug
+    dd = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    dd.wait_ready()
+    assert dd.suggest("dat", 5) == sug

@@ -460,3 +460,17 @@ def test_grouped_route(server):
     assert st == 422
     st, _ = _req(base + "/grouped?q=the&by=doc_len", "GET")
     assert st == 422
+
+
+def test_suggest_route(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/suggest?q=dat&k=3")
+    assert st == 200
+    assert body["suggestions"] == s.suggest("dat", max_suggestions=3)
+    st, _ = _req(base + "/suggest?q=", "GET")
+    assert st == 422
+    st, _ = _req(base + "/suggest?q=two+words", "GET")
+    assert st == 422
