@@ -11,8 +11,12 @@ Route map (reference analog → here):
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
 - ``GET /search?q=&k=&mode=``          (or/and/phrase/prefix/fuzzy)  → ``searcher.search`` / ``search_phrase`` / ``search_prefix`` / ``search_fuzzy`` + metadata join
   (``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
-  ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``)
-- ``GET /facets?q=&by=lang&hist=doc_len:50&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts over the FULL match set)
+  ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``;
+  ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination)
+- ``GET /facets?q=&by=lang&hist=doc_len:50&sum=lang:doc_len&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts / histograms / metric sums over the FULL match set; ``dsl=`` instead of ``q=`` facets a DSL query's membership)
+- ``GET /grouped?q=&by=lang&k=3&filter=&groups=`` (result diversification) → ``searcher.search_grouped`` (best k hits per facet value)
+- ``GET /suggest?q=&k=``               ("did you mean")              → ``searcher.suggest`` (Levenshtein-≤1 vocabulary neighbors, df-ranked)
+- ``GET /docs/{id}/explain?q=&mode=``  (Lucene explain analog)       → ``engine.explain_score`` (per-term contributions, bit-exact sum)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
 - ``POST /nl2dsl`` {"text": ...}       (LLM text→DSL, ``api.py:273-348``) → ``query.nl.text_to_dsl``
 - ``GET /dsl-syntax``                  (DSL grammar reference, ``api.py:231-267``) → operators + examples
