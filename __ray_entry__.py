@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_ordered": search.bm25_topk_ordered,
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
+        "suggest_terms": search.suggest_terms,
         "facet_counts_query": search.facet_counts_query,
         "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
@@ -678,6 +679,14 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_grouped_by_lang": _bm25_sql(
             ["spark", "join"], 3, grouped_by="lang"
         ),
+        # did-you-mean: the full Levenshtein-<=1 vocabulary
+        # neighborhood of a misspelled probe, with dfs
+        "suggest_terms": f"""
+WITH tf AS ({_TF}),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df
+FROM df WHERE levenshtein(term, 'sow') <= 1
+""",
         # query-time facet panel: value counts per facet column over
         # the disjunctive match set (resident doc values engine-side);
         # doc-partitioned facets are exact by additive merge → the SAME

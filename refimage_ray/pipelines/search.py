@@ -271,6 +271,19 @@ def bm25_topk_page2(
     )
 
 
+def suggest_terms(sf_dir: str, probe: str = "sow") -> pa.Table:
+    """Did-you-mean suggestions for a misspelled probe: every
+    vocabulary term within Levenshtein ≤ 1, with its df — the SymSpell
+    deletion-neighborhood lookup, SQL-checkable via ``levenshtein``."""
+    rows = searcher_for(sf_dir).suggest(probe, max_suggestions=10**9)
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "df": pa.array([r["df"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def bm25_grouped_by_lang(
     sf_dir: str, query: str = "spark join", k_per_group: int = 3
 ) -> pa.Table:
