@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docpart": search.bm25_topk_docpart,
         "bm25_topk_prefix": search.bm25_topk_prefix,
         "bm25_topk_fuzzy": search.bm25_topk_fuzzy,
+        "bm25_topk_wildcard": search.bm25_topk_wildcard,
+        "bm25_topk_regex": search.bm25_topk_regex,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
@@ -649,6 +651,12 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_prefix": _bm25_sql(None, 10, q_where="term LIKE 's%'"),
         "bm25_topk_fuzzy": _bm25_sql(
             None, 10, q_where="levenshtein(term, 'sow') <= 1"
+        ),
+        # wildcard glob == SQL LIKE by construction (* → %, ? → _)
+        "bm25_topk_wildcard": _bm25_sql(None, 10, q_where="term LIKE 's_a%'"),
+        # anchored regex == DuckDB regexp_full_match (same RE subset)
+        "bm25_topk_regex": _bm25_sql(
+            None, 10, q_where="regexp_full_match(term, '[a-z]*ow')"
         ),
         # synonym mapping is an input, so its expansion union is a
         # fixed term list: {spark→stream, join→merge}

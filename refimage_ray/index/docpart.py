@@ -435,21 +435,29 @@ class _GlobalVocabExpander:
         from refimage_ray.query.expand import (
             build_deletes_index,
             fuzzy_matches,
+            normalize_probe,
             prefix_matches,
+            regex_matches,
+            wildcard_matches,
         )
 
-        toks = tokenize(arg, self._token_pattern)
-        if len(toks) != 1:
-            raise ValueError(f"{kind} query takes exactly one term, got {arg!r}")
-        if kind == "prefix":
-            if self._vocab is None:
-                self._vocab = sorted(self._df)
-            matched = prefix_matches(self._vocab, toks[0])
-        else:
+        probe = normalize_probe(
+            kind, arg, lambda s: tokenize(s, self._token_pattern)
+        )
+        if kind == "fuzzy":
             if self._deletes is None:
                 self._deletes = build_deletes_index(self._df)
-            matched = fuzzy_matches(self._deletes, toks[0])
-        return toks[0], [(t, int(self._df[t])) for t in matched]
+            matched = fuzzy_matches(self._deletes, probe)
+        else:
+            if self._vocab is None:
+                self._vocab = sorted(self._df)
+            if kind == "prefix":
+                matched = prefix_matches(self._vocab, probe)
+            elif kind == "wildcard":
+                matched = wildcard_matches(self._vocab, probe)
+            else:
+                matched = regex_matches(self._vocab, probe)
+        return probe, [(t, int(self._df[t])) for t in matched]
 
     def expand(self, kind: str, arg: str, max_expansions: int) -> list[str]:
         from refimage_ray.query.expand import cap_expansion
@@ -623,6 +631,22 @@ class DocPartSearcher:
         """Levenshtein-≤1 fuzzy top-k over the doc-partitioned layout
         (see ``engine.search_fuzzy``)."""
         return self._search_expanded("fuzzy", term, k, threshold, cfg,
+                                     max_expansions)
+
+    def search_wildcard(self, pattern: str, k=None, threshold=None,
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        max_expansions: "int | None" = None):
+        """Glob wildcard top-k over the doc-partitioned layout (see
+        ``engine.search_wildcard``)."""
+        return self._search_expanded("wildcard", pattern, k, threshold, cfg,
+                                     max_expansions)
+
+    def search_regex(self, pattern: str, k=None, threshold=None,
+                     cfg: EngineConfig = DEFAULT_CONFIG,
+                     max_expansions: "int | None" = None):
+        """Anchored-regex top-k over the doc-partitioned layout (see
+        ``engine.search_regex``)."""
+        return self._search_expanded("regex", pattern, k, threshold, cfg,
                                      max_expansions)
 
 
@@ -836,6 +860,20 @@ class DistributedDocPartSearcher:
                      max_expansions: "int | None" = None):
         """Levenshtein-≤1 fuzzy top-k (driver-side expansion)."""
         return self._search_expanded("fuzzy", term, k, threshold, cfg,
+                                     max_expansions)
+
+    def search_wildcard(self, pattern: str, k=None, threshold=None,
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        max_expansions: "int | None" = None):
+        """Glob wildcard top-k (driver-side expansion)."""
+        return self._search_expanded("wildcard", pattern, k, threshold, cfg,
+                                     max_expansions)
+
+    def search_regex(self, pattern: str, k=None, threshold=None,
+                     cfg: EngineConfig = DEFAULT_CONFIG,
+                     max_expansions: "int | None" = None):
+        """Anchored-regex top-k (driver-side expansion)."""
+        return self._search_expanded("regex", pattern, k, threshold, cfg,
                                      max_expansions)
 
     def search_many(

@@ -150,6 +150,23 @@ def bm25_topk_fuzzy(sf_dir: str, term: str = "sow", k: int = 10) -> pa.Table:
     return _hits_table(searcher_for(sf_dir).search_fuzzy(term, k=k))
 
 
+def bm25_topk_wildcard(
+    sf_dir: str, pattern: str = "s?a*", k: int = 10
+) -> pa.Table:
+    """Wildcard top-k (``s?a*`` = SQL ``LIKE 's_a%'``): glob expansion
+    against the term dictionary → disjunctive BM25 (Lucene
+    WildcardQuery analog)."""
+    return _hits_table(searcher_for(sf_dir).search_wildcard(pattern, k=k))
+
+
+def bm25_topk_regex(
+    sf_dir: str, pattern: str = "[a-z]*ow", k: int = 10
+) -> pa.Table:
+    """Regex top-k (anchored full-match, Lucene RegexpQuery analog):
+    the leading-wildcard shape exercises the full-dictionary scan."""
+    return _hits_table(searcher_for(sf_dir).search_regex(pattern, k=k))
+
+
 def bm25_topk_synonyms(sf_dir: str, query: str = "spark join", k: int = 10) -> pa.Table:
     """Synonym-expanded top-k: each query term unions its synonym set
     (tokenized with the index's tokenizer) before disjunctive scoring."""

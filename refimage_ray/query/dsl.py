@@ -46,6 +46,10 @@ WEIGHT_RE = re.compile(r"\^(\d*\.?\d+)")
 OP_RE = re.compile(r"\b(AND|OR|NOT)\b")
 PREFIX_TOKEN_RE = re.compile(r"(\w+)\*")
 FUZZY_TOKEN_RE = re.compile(r"(\w+)~")
+# any token containing a glob metachar (superset of the prefix form;
+# extracted in one pass, then classified: single trailing `*` → the
+# cheaper PrefixQuery, anything else → WildcardQuery)
+WILD_TOKEN_RE = re.compile(r"([\w*?]*[*?][\w*?]*)")
 
 
 class QueryNode:
@@ -118,6 +122,38 @@ class FuzzyQuery(QueryNode):
 
 
 @dataclass
+class WildcardQuery(QueryNode):
+    """Glob leaf (``ne?w*k`` infix / ``WILDCARD("ne?w*k")`` function):
+    ``*`` = any run, ``?`` = one char — SQL ``LIKE`` semantics.  The
+    expansion is scored disjunctively (``engine.search_wildcard``)."""
+
+    pattern: str
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        hits = ctx.searcher.search_wildcard(
+            self.pattern, k=ctx.limit, threshold=ctx.min_score
+        )
+        return {d: s * self.weight for d, s in hits}
+
+
+@dataclass
+class RegexQuery(QueryNode):
+    """Anchored-regex leaf (``REGEX("ne.w[o0]rk")`` function grammar
+    only — regex metachars clash with the infix operators).  Expands
+    against the term dictionary (``engine.search_regex``)."""
+
+    pattern: str
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        hits = ctx.searcher.search_regex(
+            self.pattern, k=ctx.limit, threshold=ctx.min_score
+        )
+        return {d: s * self.weight for d, s in hits}
+
+
+@dataclass
 class TagFilter(QueryNode):
     tags: list[str]
     mode: str = "any"  # any | all (reference: dsl.py:102-156)
@@ -175,7 +211,8 @@ class DSLParseError(ValueError):
 
 
 FUNC_RE = re.compile(
-    r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG|PHRASE|PREFIX|FUZZY)\s*\(", re.S
+    r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG|PHRASE|PREFIX|FUZZY"
+    r"|WILDCARD|REGEX)\s*\(", re.S
 )
 
 
@@ -275,6 +312,14 @@ class DSLParser:
             if len(args) != 1 or not isinstance(args[0], str):
                 raise DSLParseError("FUZZY() takes one string")
             return FuzzyQuery(args[0])
+        if name == "WILDCARD":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise DSLParseError("WILDCARD() takes one string")
+            return WildcardQuery(args[0])
+        if name == "REGEX":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise DSLParseError("REGEX() takes one string")
+            return RegexQuery(args[0])
         if name == "TAG":
             if not args or not all(isinstance(a, str) for a in args):
                 raise DSLParseError("TAG() takes strings")
@@ -296,7 +341,8 @@ class DSLParser:
                 raise DSLParseError("WEIGHT() takes (expr, number)")
             node = as_node(args[0])
             if isinstance(
-                node, (TextQuery, TagFilter, PhraseQuery, PrefixQuery, FuzzyQuery)
+                node, (TextQuery, TagFilter, PhraseQuery, PrefixQuery,
+                       FuzzyQuery, WildcardQuery, RegexQuery)
             ):
                 node.weight = args[1]
                 return node
@@ -348,8 +394,13 @@ class DSLParser:
         # expansion tokens before tags/text (their trailing * / ~ would
         # otherwise be stripped by the tokenizer and silently degrade
         # to exact-term queries)
-        prefixes = PREFIX_TOKEN_RE.findall(q)
-        q = PREFIX_TOKEN_RE.sub("", q)
+        wilds = WILD_TOKEN_RE.findall(q)
+        q = WILD_TOKEN_RE.sub("", q)
+        # classify: `word*` (one trailing star, no other metachar) keeps
+        # the dedicated prefix path; every other glob shape is a wildcard
+        prefixes = [w[:-1] for w in wilds
+                    if w.endswith("*") and re.fullmatch(r"\w+\*", w)]
+        wildcards = [w for w in wilds if not re.fullmatch(r"\w+\*", w)]
         fuzzies = FUZZY_TOKEN_RE.findall(q)
         q = FUZZY_TOKEN_RE.sub("", q)
         tags = TAG_RE.findall(q)
@@ -362,6 +413,8 @@ class DSLParser:
                 leaves.append(PhraseQuery(ph, weight))
         for p in prefixes:
             leaves.append(PrefixQuery(p, weight))
+        for w in wildcards:
+            leaves.append(WildcardQuery(w, weight))
         for f in fuzzies:
             leaves.append(FuzzyQuery(f, weight))
         if tags:

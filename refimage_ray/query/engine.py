@@ -530,17 +530,13 @@ class _SearcherBase:
         dense: bool | None, max_expansions: int | None, where=None,
         order_by=None, offset: int = 0,
     ) -> list[tuple[int, float]]:
-        from refimage_ray.query.expand import cap_expansion
+        from refimage_ray.query.expand import cap_expansion, normalize_probe
 
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
-        toks = self._tokenize(arg)
-        if len(toks) != 1:
-            raise ValueError(
-                f"{kind} query takes exactly one term, got {arg!r}"
-            )
+        probe = normalize_probe(kind, arg, self._tokenize)
         cap = cfg.max_expansions if max_expansions is None else max_expansions
-        terms = cap_expansion(self._expand_pairs(kind, toks[0]), cap)
+        terms = cap_expansion(self._expand_pairs(kind, probe), cap)
         if not terms:
             return []
         term_map = self._term_map(terms)
@@ -578,6 +574,38 @@ class _SearcherBase:
         once per resident dictionary), scored disjunctively."""
         return self._search_expanded(
             "fuzzy", term, k, threshold, cfg, prune, scorer, dense,
+            max_expansions, where, order_by, offset,
+        )
+
+    def search_wildcard(
+        self, pattern: str, k: int | None = None,
+        threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
+        prune: "bool | str" = True, scorer: str = "bm25",
+        dense: bool | None = None, max_expansions: int | None = None,
+        where=None, order_by=None, offset: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Wildcard top-k (``ne?w*k``, Lucene WildcardQuery): glob
+        expansion against the term dictionary (``*`` any run, ``?``
+        one char — exactly SQL ``LIKE``'s ``%``/``_``), scored as an
+        ordinary disjunctive query.  A leading literal bounds the
+        vocab scan to a prefix range."""
+        return self._search_expanded(
+            "wildcard", pattern, k, threshold, cfg, prune, scorer, dense,
+            max_expansions, where, order_by, offset,
+        )
+
+    def search_regex(
+        self, pattern: str, k: int | None = None,
+        threshold: float | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
+        prune: "bool | str" = True, scorer: str = "bm25",
+        dense: bool | None = None, max_expansions: int | None = None,
+        where=None, order_by=None, offset: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Regex top-k (Lucene RegexpQuery): vocabulary terms fully
+        matching an anchored regex, scored disjunctively.  Terms are
+        lowercase, so patterns should be too."""
+        return self._search_expanded(
+            "regex", pattern, k, threshold, cfg, prune, scorer, dense,
             max_expansions, where, order_by, offset,
         )
 
@@ -983,18 +1011,25 @@ def _expand_resident(
         build_deletes_index,
         fuzzy_matches,
         prefix_matches,
+        regex_matches,
+        wildcard_matches,
     )
 
-    if kind == "prefix":
-        if "vocab" not in cache:
-            cache["vocab"] = sorted(terms)
-        matched = prefix_matches(cache["vocab"], arg)
-    elif kind == "fuzzy":
+    if kind == "fuzzy":
         if "deletes" not in cache:
             cache["deletes"] = build_deletes_index(terms)
         matched = fuzzy_matches(cache["deletes"], arg)
     else:
-        raise ValueError(f"unknown expansion kind {kind!r}")
+        if "vocab" not in cache:
+            cache["vocab"] = sorted(terms)
+        if kind == "prefix":
+            matched = prefix_matches(cache["vocab"], arg)
+        elif kind == "wildcard":
+            matched = wildcard_matches(cache["vocab"], arg)
+        elif kind == "regex":
+            matched = regex_matches(cache["vocab"], arg)
+        else:
+            raise ValueError(f"unknown expansion kind {kind!r}")
     return [(t, terms[t].df) for t in matched]
 
 

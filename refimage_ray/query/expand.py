@@ -23,6 +23,7 @@ BM25 formula).
 
 from __future__ import annotations
 
+import re
 from bisect import bisect_left
 
 
@@ -88,6 +89,89 @@ def fuzzy_matches(deletes_index: dict[str, list[str]], term: str) -> list[str]:
     for v in [term, *deletes1(term)]:
         cands.update(deletes_index.get(v, ()))
     return sorted(c for c in cands if edit_distance_leq1(term, c))
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Glob → regex translation for wildcard term queries (Lucene
+    WildcardQuery semantics): ``*`` = any run (incl. empty), ``?`` =
+    exactly one char, everything else literal.  Mirrors SQL ``LIKE``
+    (``%`` / ``_``) exactly, which is what makes the value oracle
+    possible."""
+    return "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern
+    )
+
+
+def literal_prefix(pattern: str) -> str:
+    """The literal run before the first wildcard metachar — used to
+    narrow the vocabulary scan to the prefix range (one binary search)
+    before regex verification."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def wildcard_matches(vocab_sorted: list[str], pattern: str) -> list[str]:
+    """Vocabulary terms matching a glob pattern.  The leading literal
+    prefix bounds the candidate range (same trick as
+    :func:`prefix_matches`); a compiled full-match regex verifies —
+    so ``net*`` costs the same as a prefix query and only a leading
+    wildcard pays the full-vocab scan (exactly Lucene's cost model)."""
+    rx = re.compile(wildcard_to_regex(pattern))
+    cands = prefix_matches(vocab_sorted, literal_prefix(pattern))
+    return [t for t in cands if rx.fullmatch(t)]
+
+
+def regex_matches(vocab_sorted: list[str], pattern: str) -> list[str]:
+    """Vocabulary terms fully matching ``pattern`` (Lucene RegexpQuery
+    analog: anchored at both ends).  Full dictionary scan with one
+    compiled regex — the resident vocab is small relative to postings,
+    and unlike Lucene we have no FST to intersect; a literal-prefix
+    fast path applies when the pattern starts with plain characters."""
+    rx = re.compile(pattern)
+    # narrow by any leading literal chars (conservative: stop at the
+    # first regex metacharacter)
+    pre = []
+    for ch in pattern:
+        if ch in r".^$*+?{}[]()|\\":
+            break
+        pre.append(ch)
+    cands = prefix_matches(vocab_sorted, "".join(pre))
+    return [t for t in cands if rx.fullmatch(t)]
+
+
+def normalize_probe(kind: str, arg: str, tokenize_fn) -> str:
+    """Normalize an expansion probe the way the engine normalizes
+    query text — shared by every searcher flavor so term-partitioned,
+    doc-partitioned and local expansion agree.
+
+    prefix/fuzzy probes are single *terms*: run them through the
+    artifact's tokenizer (index/query symmetry).  wildcard probes are
+    lowercased but NOT tokenized (the metachars would be stripped);
+    regex probes pass through verbatim — indexed terms are lowercase,
+    so a pattern with uppercase literals simply matches nothing, while
+    lowercasing the pattern could flip escape classes (``\\D`` →
+    ``\\d``)."""
+    if kind in ("prefix", "fuzzy"):
+        toks = tokenize_fn(arg)
+        if len(toks) != 1:
+            raise ValueError(f"{kind} query takes exactly one term, got {arg!r}")
+        return toks[0]
+    if kind == "wildcard":
+        probe = arg.lower()
+    elif kind == "regex":
+        probe = arg
+        try:
+            re.compile(probe)
+        except re.error as e:
+            raise ValueError(f"invalid regex query {arg!r}: {e}") from e
+    else:
+        raise ValueError(f"unknown expansion kind {kind!r}")
+    if not probe:
+        raise ValueError(f"{kind} query must be non-empty")
+    return probe
 
 
 def cap_expansion(pairs: list[tuple[str, int]], max_expansions: int) -> list[str]:

@@ -9,7 +9,7 @@ Route map (reference analog → here):
 
 - ``GET /health``                      (``api.py`` health)          → index stats probe
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
-- ``GET /search?q=&k=&mode=``          (or/and/phrase/prefix/fuzzy)  → ``searcher.search`` / ``search_phrase`` / ``search_prefix`` / ``search_fuzzy`` + metadata join
+- ``GET /search?q=&k=&mode=``          (or/and/phrase/prefix/fuzzy/wildcard/regex)  → ``searcher.search`` / ``search_phrase`` / ``search_prefix`` / ``search_fuzzy`` / ``search_wildcard`` / ``search_regex`` + metadata join
   (``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
   ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``;
   ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination)
@@ -285,6 +285,16 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                                         offset=offset)
                     elif mode == "fuzzy":
                         hits = state["s"].search_fuzzy(q["q"], k=k,
+                                                       where=where,
+                                                       order_by=order,
+                                                       offset=offset)
+                    elif mode == "wildcard":
+                        hits = state["s"].search_wildcard(q["q"], k=k,
+                                                          where=where,
+                                                          order_by=order,
+                                                          offset=offset)
+                    elif mode == "regex":
+                        hits = state["s"].search_regex(q["q"], k=k,
                                                        where=where,
                                                        order_by=order,
                                                        offset=offset)

@@ -271,3 +271,120 @@ def test_suggest_all_searchers(ray_session, built_index, tmp_path):
     dd = DistributedDocPartSearcher(doc_dir, num_actors=2)
     dd.wait_ready()
     assert dd.suggest("dat", 5) == sug
+
+
+# --- wildcard / regex expansion ---
+
+
+def test_wildcard_matches_equals_fnmatch():
+    import fnmatch
+
+    from refimage_ray.query.expand import wildcard_matches
+
+    vocab = sorted(["scan", "small", "spark", "stream", "slow", "sort",
+                    "net", "network", "newark", "notwork", "nk"])
+    for pat in ["s?a*", "n*k", "*ow*", "ne?w*k", "scan", "*", "?", "q*"]:
+        brute = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+        assert wildcard_matches(vocab, pat) == brute, pat
+
+
+def test_regex_matches_anchored():
+    from refimage_ray.query.expand import regex_matches
+
+    vocab = sorted(["row", "slow", "window", "rowdy", "crow", "spark"])
+    assert regex_matches(vocab, "[a-z]*ow") == ["crow", "row", "slow", "window"]
+    # anchored both ends: "rowdy" must not match "row"
+    assert regex_matches(vocab, "row") == ["row"]
+    assert regex_matches(vocab, "s.*k") == ["spark"]
+
+
+def test_search_wildcard_equals_or_query(local):
+    from refimage_ray.query.expand import wildcard_matches
+
+    matches = wildcard_matches(_vocab(local), "s?a*")
+    assert len(matches) >= 2
+    assert local.search_wildcard("s?a*", k=20) == local.search(
+        " ".join(matches), k=20, mode="or"
+    )
+    # pure-prefix glob == the dedicated prefix path
+    assert local.search_wildcard("s*", k=20) == local.search_prefix("s", k=20)
+    assert local.search_wildcard("qq*zz", k=10) == []
+
+
+def test_search_regex_equals_or_query(local):
+    from refimage_ray.query.expand import regex_matches
+
+    matches = regex_matches(_vocab(local), "[a-z]*ow")
+    assert matches
+    assert local.search_regex("[a-z]*ow", k=20) == local.search(
+        " ".join(matches), k=20, mode="or"
+    )
+
+
+def test_wildcard_regex_probe_validation(local):
+    with pytest.raises(ValueError):
+        local.search_regex("[unclosed")
+    with pytest.raises(ValueError):
+        local.search_wildcard("")
+    # uppercase glob lowercases (terms are lowercase)
+    assert local.search_wildcard("S?A*", k=5) == local.search_wildcard(
+        "s?a*", k=5
+    )
+
+
+def test_distributed_wildcard_regex_match_local(ray_session, built_index, local):
+    d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready()
+    assert d.search_wildcard("s?a*", k=15) == local.search_wildcard("s?a*", k=15)
+    assert d.search_regex("[a-z]*ow", k=15) == local.search_regex(
+        "[a-z]*ow", k=15
+    )
+
+
+def test_docpart_wildcard_regex_match_local(
+    ray_session, tiny_docs, tmp_path, local
+):
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import DocPartSearcher, build_doc_partitioned
+
+    cfg = EngineConfig(num_shards=8, salt_buckets=4, hot_df_fraction=0.05)
+    out = str(tmp_path / "dpw")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), out, cfg, num_doc_shards=4)
+    dp = DocPartSearcher(out)
+    assert dp.search_wildcard("s?a*", k=15) == local.search_wildcard(
+        "s?a*", k=15
+    )
+    assert dp.search_regex("[a-z]*ow", k=15) == local.search_regex(
+        "[a-z]*ow", k=15
+    )
+
+
+def test_dsl_wildcard_tokens():
+    from refimage_ray.query.dsl import RegexQuery, WildcardQuery
+
+    p = DSLParser()
+    # mid-token glob → wildcard; single trailing star stays prefix
+    node = p.parse("s?a* AND spar*")
+    assert isinstance(node, AndQuery)
+    assert isinstance(node.operands[0], WildcardQuery)
+    assert node.operands[0].pattern == "s?a*"
+    assert isinstance(node.operands[1], PrefixQuery)
+    assert node.operands[1].prefix == "spar"
+    node = p.parse('WILDCARD("ne?w*k")')
+    assert isinstance(node, WildcardQuery) and node.pattern == "ne?w*k"
+    node = p.parse('WEIGHT(REGEX("[a-z]*ow"), 3.0)')
+    assert isinstance(node, RegexQuery)
+    assert node.pattern == "[a-z]*ow" and node.weight == 3.0
+
+
+def test_dsl_executor_wildcard_membership(local):
+    from refimage_ray.query.dsl import DSLExecutor
+    from refimage_ray.query.expand import wildcard_matches
+
+    ex = DSLExecutor(local)
+    got = {d for d, _ in ex.execute_query("s?a*", limit=10**6)}
+    matches = wildcard_matches(_vocab(local), "s?a*")
+    want = {d for d, _ in local.search(" ".join(matches), k=10**6, mode="or")}
+    assert got == want
