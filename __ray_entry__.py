@@ -187,7 +187,7 @@ def _bm25_sql(
     terms: "list[str] | None", k: int, conjunctive: bool = False,
     q_where: "str | None" = None, doc_where: "str | None" = None,
     order_by_sql: "str | None" = None, offset: int = 0,
-    grouped_by: "str | None" = None,
+    grouped_by: "str | None" = None, min_match: "int | None" = None,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
@@ -207,6 +207,10 @@ def _bm25_sql(
         terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
         q_sql = f"q(term) AS (VALUES {terms_sql})"
         having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+        if min_match is not None:
+            # one tf row per (doc, term) → count(*) = distinct matched
+            # query terms (the engine's minimum_should_match)
+            having = f"HAVING count(*) >= {min_match}"
     d_join = "JOIN documents d ON d.doc_id = tf.doc_id" if doc_where else ""
     d_cond = f"AND ({doc_where})" if doc_where else ""
     # field ordering (the engine's order_by): final ORDER BY over a
@@ -406,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_fuzzy": search.bm25_topk_fuzzy,
         "bm25_topk_wildcard": search.bm25_topk_wildcard,
         "bm25_topk_regex": search.bm25_topk_regex,
+        "bm25_topk_min_match": search.bm25_topk_min_match,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
@@ -657,6 +662,10 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # anchored regex == DuckDB regexp_full_match (same RE subset)
         "bm25_topk_regex": _bm25_sql(
             None, 10, q_where="regexp_full_match(term, '[a-z]*ow')"
+        ),
+        # minimum_should_match: >= 2 of the 3 query terms
+        "bm25_topk_min_match": _bm25_sql(
+            ["spark", "join", "scan"], 10, min_match=2
         ),
         # synonym mapping is an input, so its expansion union is a
         # fixed term list: {spark→stream, join→merge}

@@ -521,18 +521,21 @@ class DocPartSearcher:
         cfg: EngineConfig = DEFAULT_CONFIG,
         where=None,
         offset: int = 0,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.scorer import topk_select
 
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         # pagination: each shard returns its top (k+offset) — the global
-        # page is contained in the union (disjoint doc subsets)
+        # page is contained in the union (disjoint doc subsets).
+        # min_match is shard-exact: a doc's postings live entirely in
+        # its one shard, so per-shard term counts are global counts.
         kk = k + offset
         ids_parts, score_parts = [], []
         for sh in self.shards:
             hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
-                             cfg=cfg, where=where)
+                             cfg=cfg, where=where, min_match=min_match)
             if hits:
                 ids_parts.append(np.array([d for d, _ in hits], np.int64))
                 score_parts.append(np.array([s for _, s in hits], np.float64))
@@ -668,12 +671,13 @@ class _DocShardActor:
         ]
 
     def search(
-        self, query: str, k: int, threshold: float, mode: str, where=None
+        self, query: str, k: int, threshold: float, mode: str, where=None,
+        min_match: "int | None" = None,
     ) -> list[tuple[int, float]]:
         out: list[tuple[int, float]] = []
         for v in self._views:
             out.extend(v.search(query, k=k, threshold=threshold, mode=mode,
-                                where=where))
+                                where=where, min_match=min_match))
         return out
 
     def search_grouped(self, query: str, by: str, k_per_group: int,
@@ -746,12 +750,13 @@ class DistributedDocPartSearcher:
         cfg: EngineConfig = DEFAULT_CONFIG,
         where=None,
         offset: int = 0,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         kk = k + offset
         parts = ray.get(
-            [a.search.remote(query, kk, threshold, mode, where)
+            [a.search.remote(query, kk, threshold, mode, where, min_match)
              for a in self.actors]
         )
         return self._merge(parts, kk, threshold)[offset:]

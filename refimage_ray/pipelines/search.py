@@ -178,6 +178,17 @@ def bm25_topk_synonyms(sf_dir: str, query: str = "spark join", k: int = 10) -> p
     )
 
 
+def bm25_topk_min_match(
+    sf_dir: str, query: str = "spark join scan", m: int = 2, k: int = 10
+) -> pa.Table:
+    """minimum_should_match top-k (Lucene analog): docs matching at
+    least ``m`` distinct query terms, scored over the terms they match
+    — an OR whose membership is tightened (m=1 ≡ OR, m=|q| ≡ AND)."""
+    return _hits_table(
+        searcher_for(sf_dir).search(query, k=k, mode="or", min_match=m)
+    )
+
+
 def _membership(sf_dir: str, dsl_query: str) -> pa.Table:
     ex = DSLExecutor(searcher_for(sf_dir))
     hits = ex.execute_query(dsl_query, limit=10**9)

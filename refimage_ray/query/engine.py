@@ -445,6 +445,27 @@ class _SearcherBase:
         ids, scores = _score_disjunctive(term_map, terms, self.n_docs, idf_fn)
         return self._ranks_of(ids), scores
 
+    def _min_match_mask(
+        self,
+        term_map: "dict[str, TermPostings]",
+        terms: list[str],
+        ranks: np.ndarray,
+        m: int,
+    ) -> np.ndarray:
+        """Boolean mask over candidate ``ranks``: does the doc match at
+        least ``m`` distinct query terms?  Counting is one concatenate
+        + unique over the query terms' posting ranks — O(query posting
+        mass), the same order as scoring itself."""
+        parts = []
+        for t in terms:  # terms is already unique (query_terms)
+            p = term_map.get(t)
+            if p is None or p.df == 0:
+                continue
+            parts.append(
+                p.ranks if p.ranks is not None else self._ranks_of(p.doc_ids)
+            )
+        return _count_mask(parts, ranks, m)
+
     def _rescore_map(
         self, term_map: dict[str, TermPostings], scorer_name: str,
         terms: "list[str] | None" = None,
@@ -491,6 +512,7 @@ class _SearcherBase:
         where=None,  # [(col, op, value), ...] | {col: value} doc-value filter
         order_by: "tuple[str, str] | None" = None,  # (col, "asc"|"desc")
         offset: int = 0,
+        min_match: int | None = None,  # ≥m distinct query terms (OR only)
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -514,7 +536,7 @@ class _SearcherBase:
             _check_offset(offset)
         return self._finish_search(
             term_map, terms, k + offset, threshold, mode, prune, scorer,
-            dense, where, order_by,
+            dense, where, order_by, min_match,
         )[offset:]
 
     # --- multi-term expansion queries (prefix / fuzzy) ---
@@ -621,18 +643,43 @@ class _SearcherBase:
         dense: bool | None,
         where=None,
         order_by: "tuple[str, str] | None" = None,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """Scoring half of :meth:`search` — separated so batch serving
         (``search_many``) can overlap many queries' postings RPCs
         before scoring each."""
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        if min_match is not None:
+            # Lucene minimum_should_match analog: docs matching at
+            # least m DISTINCT query terms, scored over the terms they
+            # match (an OR whose membership is tightened).  m=1 is
+            # plain OR; m=len(terms) is AND membership.
+            min_match = int(min_match)
+            if min_match < 1:
+                raise ValueError(f"min_match must be >= 1, got {min_match}")
+            if mode != "or":
+                raise ValueError("min_match applies to mode='or'")
+            if min_match == 1:
+                min_match = None  # plain OR — keep the pruned fast paths
         idf_fn = _idf
         if scorer != "bm25":
             term_map = self._rescore_map(term_map, scorer, terms)
             from refimage_ray.extension import get_scorer
 
             idf_fn = get_scorer(scorer).idf
+        if min_match is not None and where is None and order_by is None:
+            # exact evaluation + count mask (pruned θ bounds only the
+            # unconstrained OR, so pruning is bypassed — same argument
+            # as doc-value filters below).  Id-based, so it works on
+            # searchers without a resident rank universe too.
+            ids, scores = _score_disjunctive(term_map, terms, self.n_docs,
+                                             idf_fn)
+            parts = [term_map[t].doc_ids for t in terms
+                     if t in term_map and term_map[t].df > 0]
+            keep = _count_mask(parts, ids, min_match)
+            ids, scores = topk_select(ids[keep], scores[keep], k, threshold)
+            return list(zip(ids.tolist(), scores.tolist()))
         if where is not None or order_by is not None:
             # doc-value filter / field ordering: exact full evaluation,
             # then an O(candidates) rank-aligned mask probe, then top-k.
@@ -655,6 +702,9 @@ class _SearcherBase:
             ranks, scores = self._match_ranks_scores(
                 term_map, terms, mode, idf_fn
             )
+            if min_match is not None:
+                keep = self._min_match_mask(term_map, terms, ranks, min_match)
+                ranks, scores = ranks[keep], scores[keep]
             if where is not None:
                 keep = dv.mask(where)[ranks]
                 ranks, scores = ranks[keep], scores[keep]
@@ -997,6 +1047,18 @@ def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
         if tokens[i] == first and tokens[i : i + m] == phrase:
             return True
     return False
+
+
+def _count_mask(parts: list, cand: np.ndarray, m: int) -> np.ndarray:
+    """Mask over ``cand``: appears in at least ``m`` of the ``parts``
+    arrays (each holding unique keys).  One concatenate + unique —
+    O(query posting mass), same order as scoring."""
+    if len(parts) < m:  # can't possibly reach m matches
+        return np.zeros(len(cand), bool)
+    uniq, counts = np.unique(np.concatenate(parts), return_counts=True)
+    # every candidate comes from these same posting lists, so the
+    # searchsorted position is always an exact hit
+    return counts[np.searchsorted(uniq, cand)] >= m
 
 
 def _expand_resident(

@@ -299,9 +299,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                                        order_by=order,
                                                        offset=offset)
                     elif mode in ("or", "and"):
+                        mm = int(q["min_match"]) if q.get("min_match") else None
                         hits = state["s"].search(q["q"], k=k, mode=mode,
                                                  where=where, order_by=order,
-                                                 offset=offset)
+                                                 offset=offset, min_match=mm)
                     else:
                         return self._json({"error": f"bad mode {mode!r}"}, 422)
                 except ValueError as err:  # e.g. multi-term expansion probe

@@ -612,3 +612,107 @@ def test_explain_score_bit_identical(built_index):
     hits_or = s.search("the zzzmissingterm", k=1)
     d = hits_or[0][0]
     assert explain_score(s, "the zzzmissingterm", d, mode="and")["score"] == 0.0
+
+
+# --- minimum_should_match (min_match) ---
+
+
+def _brute_min_match(searcher, query, m, k=50):
+    """Oracle: full OR evaluation, keep docs matching >= m distinct
+    query terms, score = sum over matched terms (== the OR score)."""
+    from refimage_ray.query.scorer import query_terms
+
+    terms = query_terms(searcher._tokenize(query))
+    tm = searcher._term_map(terms)
+    full = searcher.search(query, k=10**9, mode="or")
+    counts = {}
+    for t in terms:
+        p = tm.get(t)
+        if p is None or p.df == 0:
+            continue
+        for d in p.doc_ids.tolist():
+            counts[d] = counts.get(d, 0) + 1
+    kept = [(d, s) for d, s in full if counts.get(d, 0) >= m]
+    kept.sort(key=lambda x: (-x[1], x[0]))
+    return kept[:k]
+
+
+def test_min_match_equals_brute_force(built_index):
+    from refimage_ray.query.engine import LocalSearcher
+
+    s = LocalSearcher(built_index[0])
+    q = "spark join scan data"
+    for m in (1, 2, 3, 4):
+        assert s.search(q, k=50, mode="or", min_match=m) == \
+            _brute_min_match(s, q, m, k=50), m
+
+
+def test_min_match_boundaries(built_index):
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.query.scorer import query_terms
+
+    s = LocalSearcher(built_index[0])
+    q = "spark join"
+    # m=1 == plain OR (and keeps the pruned fast path)
+    assert s.search(q, k=20, min_match=1) == s.search(q, k=20, mode="or")
+    # m=|terms| == AND membership AND scores (same accumulation)
+    n_terms = len(query_terms(s._tokenize(q)))
+    assert s.search(q, k=20, min_match=n_terms) == s.search(
+        q, k=20, mode="and"
+    )
+    # m > |terms| == empty
+    assert s.search(q, k=20, min_match=n_terms + 1) == []
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        s.search(q, min_match=0)
+    with pytest.raises(ValueError):
+        s.search(q, mode="and", min_match=2)
+
+
+def test_min_match_with_filter(built_index):
+    """min_match composes with doc-value filters: result == post-filter
+    of the unfiltered min_match list."""
+    from refimage_ray.query.engine import LocalSearcher, lookup_docs
+
+    s = LocalSearcher(built_index[0])
+    q = "spark join scan"
+    full = s.search(q, k=10**9, mode="or", min_match=2)
+    where = [("lang", "=", "en")]
+    got = s.search(q, k=10, mode="or", min_match=2, where=where)
+    meta = lookup_docs(built_index[0], [d for d, _ in full])
+    en = set(
+        meta.filter(
+            __import__("pyarrow").compute.equal(meta["lang"], "en")
+        )["doc_id"].to_pylist()
+    )
+    want = [(d, s_) for d, s_ in full if d in en][:10]
+    assert got == want
+
+
+def test_min_match_distributed_and_docpart(ray_session, built_index, tiny_docs, tmp_path):
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import (
+        DistributedDocPartSearcher,
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+    from refimage_ray.query.engine import DistributedSearcher, LocalSearcher
+
+    s = LocalSearcher(built_index[0])
+    q = "spark join scan"
+    want = s.search(q, k=15, min_match=2)
+    d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready()
+    assert d.search(q, k=15, min_match=2) == want
+
+    cfg = EngineConfig(num_shards=8, salt_buckets=4, hot_df_fraction=0.05)
+    out = str(tmp_path / "dp_mm")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), out, cfg, num_doc_shards=4)
+    assert DocPartSearcher(out).search(q, k=15, min_match=2) == want
+    dd = DistributedDocPartSearcher(out, num_actors=2)
+    dd.wait_ready()
+    assert dd.search(q, k=15, min_match=2) == want
