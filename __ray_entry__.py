@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wildcard": search.bm25_topk_wildcard,
         "bm25_topk_regex": search.bm25_topk_regex,
         "bm25_topk_min_match": search.bm25_topk_min_match,
+        "bm25_topk_search_after": search.bm25_topk_search_after,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
@@ -667,6 +668,10 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_min_match": _bm25_sql(
             ["spark", "join", "scan"], 10, min_match=2
         ),
+        # search_after cursor == the strict continuation of the total
+        # order == LIMIT k OFFSET k (the engine path differs: O(k)
+        # cursor mask, not a k+offset fetch)
+        "bm25_topk_search_after": _bm25_sql(["data", "table"], 10, offset=10),
         # synonym mapping is an input, so its expansion union is a
         # fixed term list: {spark→stream, join→merge}
         "bm25_topk_synonyms": _bm25_sql(["spark", "stream", "join", "merge"], 10),

@@ -522,6 +522,7 @@ class DocPartSearcher:
         where=None,
         offset: int = 0,
         min_match: int | None = None,
+        after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.scorer import topk_select
 
@@ -529,13 +530,15 @@ class DocPartSearcher:
         threshold = cfg.default_threshold if threshold is None else threshold
         # pagination: each shard returns its top (k+offset) — the global
         # page is contained in the union (disjoint doc subsets).
-        # min_match is shard-exact: a doc's postings live entirely in
-        # its one shard, so per-shard term counts are global counts.
+        # min_match and the after-cursor are shard-exact: a doc's
+        # postings live entirely in its one shard, so per-shard counts
+        # and per-doc cursor masks are global.
         kk = k + offset
         ids_parts, score_parts = [], []
         for sh in self.shards:
             hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
-                             cfg=cfg, where=where, min_match=min_match)
+                             cfg=cfg, where=where, min_match=min_match,
+                             after=after)
             if hits:
                 ids_parts.append(np.array([d for d, _ in hits], np.int64))
                 score_parts.append(np.array([s for _, s in hits], np.float64))
@@ -673,11 +676,13 @@ class _DocShardActor:
     def search(
         self, query: str, k: int, threshold: float, mode: str, where=None,
         min_match: "int | None" = None,
+        after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
         out: list[tuple[int, float]] = []
         for v in self._views:
             out.extend(v.search(query, k=k, threshold=threshold, mode=mode,
-                                where=where, min_match=min_match))
+                                where=where, min_match=min_match,
+                                after=after))
         return out
 
     def search_grouped(self, query: str, by: str, k_per_group: int,
@@ -751,12 +756,14 @@ class DistributedDocPartSearcher:
         where=None,
         offset: int = 0,
         min_match: int | None = None,
+        after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         kk = k + offset
         parts = ray.get(
-            [a.search.remote(query, kk, threshold, mode, where, min_match)
+            [a.search.remote(query, kk, threshold, mode, where, min_match,
+                             after)
              for a in self.actors]
         )
         return self._merge(parts, kk, threshold)[offset:]

@@ -178,6 +178,21 @@ def bm25_topk_synonyms(sf_dir: str, query: str = "spark join", k: int = 10) -> p
     )
 
 
+def bm25_topk_search_after(
+    sf_dir: str, query: str = "data table", k: int = 10
+) -> pa.Table:
+    """Cursor pagination (ES search_after analog): page 1's last hit
+    becomes the (score, doc_id) cursor; page 2 is the strict
+    continuation of the (score desc, doc_id asc) total order — O(k)
+    per page at any depth, equal to ``LIMIT k OFFSET k`` by
+    construction (which is the SQL oracle)."""
+    s = searcher_for(sf_dir)
+    page1 = s.search(query, k=k)
+    if len(page1) < k:
+        return _hits_table([])
+    return _hits_table(s.search(query, k=k, after=page1[-1]))
+
+
 def bm25_topk_min_match(
     sf_dir: str, query: str = "spark join scan", m: int = 2, k: int = 10
 ) -> pa.Table:

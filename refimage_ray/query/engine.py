@@ -513,6 +513,7 @@ class _SearcherBase:
         order_by: "tuple[str, str] | None" = None,  # (col, "asc"|"desc")
         offset: int = 0,
         min_match: int | None = None,  # ≥m distinct query terms (OR only)
+        after: "tuple[float, int] | None" = None,  # (score, doc_id) cursor
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -536,7 +537,7 @@ class _SearcherBase:
             _check_offset(offset)
         return self._finish_search(
             term_map, terms, k + offset, threshold, mode, prune, scorer,
-            dense, where, order_by, min_match,
+            dense, where, order_by, min_match, after,
         )[offset:]
 
     # --- multi-term expansion queries (prefix / fuzzy) ---
@@ -644,12 +645,34 @@ class _SearcherBase:
         where=None,
         order_by: "tuple[str, str] | None" = None,
         min_match: int | None = None,
+        after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
         """Scoring half of :meth:`search` — separated so batch serving
         (``search_many``) can overlap many queries' postings RPCs
         before scoring each."""
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        if after is not None:
+            # search_after cursor (deep pagination): the strict
+            # continuation of the (score desc, doc_id asc) total order
+            # past the cursor — O(k) per page regardless of depth,
+            # unlike offset's k+offset fetch.  The cursor is a
+            # (doc_id, score) pair, i.e. EXACTLY a hit tuple, so
+            # ``after=page[-1]`` continues a page.  Scores are
+            # bit-stable across requests (deterministic accumulation
+            # order), so the float equality in the tie arm is exact.
+            try:
+                a_id, a_score = int(after[0]), float(after[1])
+            except (TypeError, ValueError, IndexError):
+                raise ValueError(
+                    f"after must be a (doc_id, score) hit tuple, got {after!r}"
+                )
+            if order_by is not None:
+                raise ValueError(
+                    "after= cursors the score order; it cannot combine "
+                    "with order_by"
+                )
+            after = (a_id, a_score)
         if min_match is not None:
             # Lucene minimum_should_match analog: docs matching at
             # least m DISTINCT query terms, scored over the terms they
@@ -668,17 +691,27 @@ class _SearcherBase:
             from refimage_ray.extension import get_scorer
 
             idf_fn = get_scorer(scorer).idf
-        if min_match is not None and where is None and order_by is None:
-            # exact evaluation + count mask (pruned θ bounds only the
-            # unconstrained OR, so pruning is bypassed — same argument
-            # as doc-value filters below).  Id-based, so it works on
-            # searchers without a resident rank universe too.
-            ids, scores = _score_disjunctive(term_map, terms, self.n_docs,
-                                             idf_fn)
-            parts = [term_map[t].doc_ids for t in terms
-                     if t in term_map and term_map[t].df > 0]
-            keep = _count_mask(parts, ids, min_match)
-            ids, scores = topk_select(ids[keep], scores[keep], k, threshold)
+        if (min_match is not None or after is not None) and \
+                where is None and order_by is None:
+            # exact evaluation + count/cursor mask (pruned θ bounds only
+            # the unconstrained OR, so pruning is bypassed — same
+            # argument as doc-value filters below).  Id-based, so it
+            # works on searchers without a resident rank universe too.
+            if mode == "and":
+                ids, scores = _score_conjunctive(term_map, terms,
+                                                 self.n_docs, idf_fn)
+            else:
+                ids, scores = _score_disjunctive(term_map, terms,
+                                                 self.n_docs, idf_fn)
+            if min_match is not None:
+                parts = [term_map[t].doc_ids for t in terms
+                         if t in term_map and term_map[t].df > 0]
+                keep = _count_mask(parts, ids, min_match)
+                ids, scores = ids[keep], scores[keep]
+            if after is not None:
+                keep = _after_mask(ids, scores, after)
+                ids, scores = ids[keep], scores[keep]
+            ids, scores = topk_select(ids, scores, k, threshold)
             return list(zip(ids.tolist(), scores.tolist()))
         if where is not None or order_by is not None:
             # doc-value filter / field ordering: exact full evaluation,
@@ -707,6 +740,9 @@ class _SearcherBase:
                 ranks, scores = ranks[keep], scores[keep]
             if where is not None:
                 keep = dv.mask(where)[ranks]
+                ranks, scores = ranks[keep], scores[keep]
+            if after is not None:  # order_by+after already rejected
+                keep = _after_mask(self.all_ids[ranks], scores, after)
                 ranks, scores = ranks[keep], scores[keep]
             if order_by is None:
                 # ranks sort like doc_ids (all_ids is sorted), so
@@ -1059,6 +1095,16 @@ def _count_mask(parts: list, cand: np.ndarray, m: int) -> np.ndarray:
     # every candidate comes from these same posting lists, so the
     # searchsorted position is always an exact hit
     return counts[np.searchsorted(uniq, cand)] >= m
+
+
+def _after_mask(
+    ids: np.ndarray, scores: np.ndarray, after: "tuple[int, float]"
+) -> np.ndarray:
+    """Strictly-after-the-cursor mask in the (score desc, doc_id asc)
+    total order: score < cursor score, or equal score with a larger
+    doc_id.  ``after`` is a (doc_id, score) hit tuple."""
+    a_id, a_score = after
+    return (scores < a_score) | ((scores == a_score) & (ids > a_id))
 
 
 def _expand_resident(

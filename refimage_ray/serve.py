@@ -300,9 +300,14 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                                        offset=offset)
                     elif mode in ("or", "and"):
                         mm = int(q["min_match"]) if q.get("min_match") else None
+                        after = None
+                        if q.get("after"):  # after=<doc_id>:<score>
+                            a_d, _, a_s = q["after"].partition(":")
+                            after = (int(a_d), float(a_s))
                         hits = state["s"].search(q["q"], k=k, mode=mode,
                                                  where=where, order_by=order,
-                                                 offset=offset, min_match=mm)
+                                                 offset=offset, min_match=mm,
+                                                 after=after)
                     else:
                         return self._json({"error": f"bad mode {mode!r}"}, 422)
                 except ValueError as err:  # e.g. multi-term expansion probe

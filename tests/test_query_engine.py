@@ -716,3 +716,85 @@ def test_min_match_distributed_and_docpart(ray_session, built_index, tiny_docs, 
     dd = DistributedDocPartSearcher(out, num_actors=2)
     dd.wait_ready()
     assert dd.search(q, k=15, min_match=2) == want
+
+
+# --- search_after cursor pagination ---
+
+
+def test_search_after_tiles_the_full_list(built_index):
+    from refimage_ray.query.engine import LocalSearcher
+
+    s = LocalSearcher(built_index[0])
+    q = "spark join scan"
+    full = s.search(q, k=10**9, mode="or")
+    assert len(full) > 25
+    pages, cursor = [], None
+    while True:
+        page = s.search(q, k=7, after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = page[-1]
+    assert pages == full
+    # page 2 == offset fetch of the same order
+    p1 = s.search(q, k=7)
+    assert s.search(q, k=7, after=p1[-1]) == s.search(q, k=7, offset=7)
+
+
+def test_search_after_modes_and_validation(built_index):
+    import pytest
+
+    from refimage_ray.query.engine import LocalSearcher
+
+    s = LocalSearcher(built_index[0])
+    q = "spark join"
+    # works conjunctively too
+    full_and = s.search(q, k=10**9, mode="and")
+    if len(full_and) > 4:
+        p1 = s.search(q, k=3, mode="and")
+        assert s.search(q, k=3, mode="and", after=p1[-1]) == full_and[3:6]
+    # composes with min_match
+    mm = s.search("spark join scan", k=10**9, min_match=2)
+    if len(mm) > 4:
+        p1 = mm[:3]
+        assert s.search("spark join scan", k=3, min_match=2,
+                        after=p1[-1]) == mm[3:6]
+    # composes with where
+    w = [("lang", "=", "en")]
+    fw = s.search(q, k=10**9, where=w)
+    if len(fw) > 4:
+        assert s.search(q, k=3, where=w, after=fw[2]) == fw[3:6]
+    with pytest.raises(ValueError):
+        s.search(q, after=("x",))
+    with pytest.raises(ValueError):
+        s.search(q, after=(1.0, 2), order_by=("lang", "asc"))
+
+
+def test_search_after_distributed_and_docpart(
+    ray_session, built_index, tiny_docs, tmp_path
+):
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import (
+        DistributedDocPartSearcher,
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+    from refimage_ray.query.engine import DistributedSearcher, LocalSearcher
+
+    s = LocalSearcher(built_index[0])
+    q = "spark join"
+    cursor = s.search(q, k=5)[-1]
+    want = s.search(q, k=5, after=cursor)
+    d = DistributedSearcher(built_index[0], num_actors=3)
+    d.wait_ready()
+    assert d.search(q, k=5, after=cursor) == want
+
+    cfg = EngineConfig(num_shards=8, salt_buckets=4, hot_df_fraction=0.05)
+    out = str(tmp_path / "dp_after")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), out, cfg, num_doc_shards=4)
+    assert DocPartSearcher(out).search(q, k=5, after=cursor) == want
+    dd = DistributedDocPartSearcher(out, num_actors=2)
+    dd.wait_ready()
+    assert dd.search(q, k=5, after=cursor) == want
