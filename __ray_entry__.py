@@ -264,6 +264,60 @@ scores AS (
 """
 
 
+def _hybrid_rrf_sql(
+    terms: list[str], qvec_id: int, k: int, n_each: int, rrf_k: int
+) -> str:
+    """Hybrid RRF oracle: BM25 top-``n_each`` ranks (same scoring CTEs
+    as ``_bm25_sql``) FULL OUTER JOIN cosine top-``n_each`` ranks over
+    embeddings (doc_id = vec_id), fused as
+    ``Σ 1/(rrf_k + rank)`` — mirroring ``query/fusion.rrf_fuse``.
+    Only RANKS cross the fusion, so float-identity holds as long as
+    both rankings are rank-identical (the property the bm25_topk and
+    knn_cosine oracles already pin)."""
+    terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES {terms_sql}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS r
+  FROM scores QUALIFY r <= {n_each}
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id = {qvec_id}),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe)
+                    DESC, e.vec_id
+         ) AS r
+  FROM embeddings e CROSS JOIN qv QUALIFY r <= {n_each}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1.0 / ({rrf_k} + l.r), 0.0)
+           + COALESCE(1.0 / ({rrf_k} + v.r), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {k}
+"""
+
+
 def _minhash_ctes(threshold: float = 0.6) -> str:
     """Flat CTE chain reproducing ``stages.dedup_near`` MinHash+LSH
     bit-for-bit: md5-u64 token hashes, 3-gram shingle polynomial with
@@ -454,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_embedding_stats": vectors.lang_embedding_stats,
         "embedding_near_dups": vectors.embedding_near_dups,
         "embedding_near_dups_lsh": vectors.embedding_near_dups_lsh,  # rows-only (approx)
+        "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
         # --- relational / dataflow breadth ---
         "tpch_q1": relational.tpch_q1,
         "top_customers": relational.top_customers,
@@ -898,6 +953,9 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
 GROUP BY d.lang ORDER BY d.lang
 """,
+        "hybrid_rrf_topk": _hybrid_rrf_sql(
+            ["spark", "join"], qvec_id=0, k=10, n_each=50, rrf_k=60
+        ),
         "embedding_near_dups": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

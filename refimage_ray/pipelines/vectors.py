@@ -89,6 +89,47 @@ def knn_cosine_ivf(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) 
     )
 
 
+def hybrid_rrf_topk(
+    sf_dir: str,
+    query: str = "spark join",
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_each: int = 50,
+    rrf_k: int = 60,
+) -> pa.Table:
+    """Hybrid retrieval: BM25 top-``n_each`` over the inverted index
+    ⊕ exact cosine top-``n_each`` over the embeddings table
+    (doc_id = vec_id, the corpus convention), fused by reciprocal-rank
+    fusion (``query/fusion.py``).
+
+    This is the bridge between the reference's CLIP+FAISS semantic
+    search (``/root/reference/src/refimage/search/__init__.py``) and
+    this repo's from-scratch BM25 path: both sides stay fully
+    distributed top-k operators; only the two rank lists (≤ n_each
+    ids each) meet on the driver.
+    """
+    from refimage_ray.pipelines.search import searcher_for
+    from refimage_ray.query.fusion import rrf_fuse
+
+    lex_ids = [d for d, _ in searcher_for(sf_dir).search(query, k=n_each, mode="or")]
+
+    q = _query_vectors(sf_dir, [int(query_vec_id)])
+    t = brute_force_topk(_emb(sf_dir), q, k=n_each)
+    vec_rows = sorted(
+        zip(t["vec_id"].to_pylist(), t["score"].to_pylist()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    vec_ids = [v for v, _ in vec_rows]
+
+    fused = rrf_fuse([lex_ids, vec_ids], k=k, rrf_k=rrf_k)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+            "rrf_score": pa.array([round(s, 6) for _, s in fused], pa.float64()),
+        }
+    )
+
+
 def embedding_norm_by_label(sf_dir: str) -> pa.Table:
     """Mean L2 norm per label (vectorized per-batch norms → grouped sums)."""
 
