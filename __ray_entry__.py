@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
+        "search_count": search.search_count,
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "suggest_terms": search.suggest_terms,
@@ -751,6 +752,22 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # pagination: page 2 of the same total order (engine fetches
         # top k+offset and slices — page boundaries are deterministic)
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
+        # engine.count: match-set sizes, no scoring — m counts DISTINCT
+        # matched query terms per doc (tf has one row per doc,term)
+        "search_count": """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+q(term) AS (VALUES ('spark'), ('join'), ('stream')),
+m AS (SELECT doc_id, count(*) AS nt FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY doc_id)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_or,
+  (SELECT CAST(count(*) AS BIGINT) FROM m WHERE nt = 3) AS n_and,
+  (SELECT CAST(count(*) AS BIGINT) FROM m WHERE nt >= 2) AS n_min2,
+  (SELECT CAST(count(*) AS BIGINT) FROM m JOIN documents d USING (doc_id)
+   WHERE d.lang = 'en') AS n_or_en
+""",
         # grouped top-k: best 3 hits per lang (ES top_hits analog);
         # exact — one full evaluation + per-group prefix take
         "bm25_grouped_by_lang": _bm25_sql(

@@ -572,6 +572,20 @@ class DocPartSearcher:
         ]
         return _merge_grouped(parts, k_per_group)
 
+    def count(
+        self,
+        query: str,
+        mode: str = "or",
+        where=None,
+        min_match: "int | None" = None,
+    ) -> int:
+        """Exact hit count, doc-partitioned: shard counts sum exactly
+        (doc shards are disjoint)."""
+        return sum(
+            sh.count(query, mode=mode, where=where, min_match=min_match)
+            for sh in self.shards
+        )
+
     def facets(
         self,
         query: str,
@@ -694,6 +708,13 @@ class _DocShardActor:
                                         groups=groups))
         return out
 
+    def count(self, query: str, mode: str, where=None,
+              min_match: "int | None" = None) -> int:
+        return sum(
+            v.count(query, mode=mode, where=where, min_match=min_match)
+            for v in self._views
+        )
+
     def facets(self, query: str, by, mode: str, where, histograms,
                sums=None) -> dict:
         """Partial facet counts over this actor's doc shards (values
@@ -785,6 +806,20 @@ class DistributedDocPartSearcher:
             for a in self.actors
         ])
         return _merge_grouped(parts, k_per_group)
+
+    def count(
+        self,
+        query: str,
+        mode: str = "or",
+        where=None,
+        min_match: "int | None" = None,
+    ) -> int:
+        """Scatter-gather hit count — exact by disjoint-shard
+        additivity."""
+        return sum(ray.get([
+            a.count.remote(query, mode, where, min_match)
+            for a in self.actors
+        ]))
 
     def facets(
         self,

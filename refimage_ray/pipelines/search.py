@@ -291,6 +291,25 @@ def bm25_topk_filtered(
     )
 
 
+def search_count(sf_dir: str, query: str = "spark join stream") -> pa.Table:
+    """Exact hit counts in every membership flavor (the ES ``_count``
+    analog; see ``engine._SearcherBase.count``): disjunctive,
+    conjunctive, min_match≥2, and doc-value-filtered — one row, four
+    counts, no scoring anywhere."""
+    s = searcher_for(sf_dir)
+    return pa.table(
+        {
+            "n_or": pa.array([s.count(query, mode="or")], pa.int64()),
+            "n_and": pa.array([s.count(query, mode="and")], pa.int64()),
+            "n_min2": pa.array([s.count(query, mode="or", min_match=2)], pa.int64()),
+            "n_or_en": pa.array(
+                [s.count(query, mode="or", where=[("lang", "=", "en")])],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def bm25_topk_ordered(sf_dir: str, query: str = "spark", k: int = 10) -> pa.Table:
     """Field-ordered results: the query's match set ordered by a
     doc-value column (``n_chars`` desc — the 'longest documents first'

@@ -966,6 +966,36 @@ class _SearcherBase:
                                scores[take].tolist())
         ]
 
+    def count(
+        self,
+        query: str,
+        mode: str = "or",
+        where=None,
+        min_match: "int | None" = None,
+    ) -> int:
+        """Exact number of matching documents — the hit-count surface
+        (Elasticsearch ``_count``; the reference reports result counts
+        on its list endpoints, ``api.py:397-409``).  Membership is
+        mode-exact (OR = any query term, AND = all), optionally
+        narrowed by ``min_match`` (≥m distinct query terms, OR only)
+        and a ``where`` doc-value predicate.  No scoring, no top-k:
+        one exact membership evaluation + O(candidates) mask probes."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        if min_match is not None and mode != "or":
+            raise ValueError("min_match only applies to mode='or'")
+        terms = query_terms(self._tokenize(query))
+        term_map = self._term_map(terms)
+        ranks, _ = self._match_ranks_scores(term_map, terms, mode)
+        if min_match is not None:
+            ranks = ranks[self._min_match_mask(term_map, terms, ranks, min_match)]
+        if where is not None:
+            from refimage_ray.index.docvalues import where_columns
+
+            dv = self.doc_values(sorted(set(where_columns(where))))
+            ranks = ranks[dv.mask(where)[ranks]]
+        return int(len(ranks))
+
     def facets(
         self,
         query: str,

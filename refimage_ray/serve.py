@@ -15,6 +15,7 @@ Route map (reference analog → here):
   ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination)
 - ``GET /facets?q=&by=lang&hist=doc_len:50&sum=lang:doc_len&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts / histograms / metric sums over the FULL match set; ``dsl=`` instead of ``q=`` facets a DSL query's membership)
 - ``GET /grouped?q=&by=lang&k=3&filter=&groups=`` (result diversification) → ``searcher.search_grouped`` (best k hits per facet value)
+- ``GET /count?q=&mode=&filter=&min_match=`` (ES ``_count`` analog; the reference reports result counts on list endpoints, ``api.py:397-409``) → ``searcher.count`` (exact match-set size, no scoring)
 - ``GET /suggest?q=&k=``               ("did you mean")              → ``searcher.suggest`` (Levenshtein-≤1 vocabulary neighbors, df-ranked)
 - ``GET /docs/{id}/explain?q=&mode=``  (Lucene explain analog)       → ``engine.explain_score`` (per-term contributions, bit-exact sum)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
@@ -320,6 +321,19 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         width=int(q.get("width", 160)),
                     )})
                 return self._json({"results": self._hits_with_meta(hits)})
+            if u.path == "/count":
+                if not q.get("q", "").strip():
+                    return self._json({"error": "empty query"}, 422)
+                try:
+                    mm = int(q["min_match"]) if q.get("min_match") else None
+                    n = state["s"].count(
+                        q["q"], mode=q.get("mode", "or"),
+                        where=parse_filter(q.get("filter", "")),
+                        min_match=mm,
+                    )
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json({"count": n})
             if u.path == "/suggest":
                 if not q.get("q", "").strip():
                     return self._json({"error": "empty query"}, 422)

@@ -319,3 +319,21 @@ def test_docpart_grouped_matches_term_partitioned(both_indexes):
         expect = a.search_grouped(q, by="lang", k_per_group=2)
         assert b.search_grouped(q, by="lang", k_per_group=2) == expect, q
         assert d.search_grouped(q, by="lang", k_per_group=2) == expect, q
+
+
+def test_count_identical_across_layouts(both_indexes):
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    term_dir, doc_dir, cfg = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    c = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    c.wait_ready()
+    for q in FIXTURE_QUERIES:
+        for mode in ("or", "and"):
+            want = a.count(q, mode=mode)
+            assert b.count(q, mode=mode) == want, (q, mode)
+            assert c.count(q, mode=mode) == want, (q, mode)
+    w = [("lang", "=", "en")]
+    assert b.count("data join", where=w) == a.count("data join", where=w)
+    assert c.count("data join", where=w) == a.count("data join", where=w)

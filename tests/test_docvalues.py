@@ -513,3 +513,35 @@ def test_search_grouped_matches_pandas(searcher):
     dist.wait_ready()
     assert dist.search_grouped("the data", by="lang", k_per_group=3) == \
         searcher.search_grouped("the data", by="lang", k_per_group=3)
+
+
+# --- count surface (ES _count analog) ---
+
+def test_count_equals_membership_size(searcher):
+    for q in QUERIES:
+        for mode in ("or", "and"):
+            full = searcher.search(q, k=10**9, mode=mode, threshold=0.0)
+            assert searcher.count(q, mode=mode) == len(full), (q, mode)
+
+
+def test_count_min_match_and_where(searcher):
+    q = "the data join"
+    full = searcher.search(q, k=10**9, mode="or", threshold=0.0,
+                           min_match=2)
+    assert searcher.count(q, min_match=2) == len(full)
+    meta = _doc_meta(searcher)
+    full_en = searcher.search(q, k=10**9, mode="or", threshold=0.0,
+                              where=[("lang", "=", "en")])
+    assert searcher.count(q, where=[("lang", "=", "en")]) == len(full_en)
+    assert searcher.count(q, where=[("lang", "=", "en")]) == sum(
+        1 for d, _ in searcher.search(q, k=10**9, threshold=0.0)
+        if meta.loc[d].lang == "en"
+    )
+
+
+def test_count_validation(searcher):
+    with pytest.raises(ValueError):
+        searcher.count("x", mode="phrase")
+    with pytest.raises(ValueError):
+        searcher.count("a b", mode="and", min_match=1)
+    assert searcher.count("zzz missing qqq") == 0

@@ -474,3 +474,21 @@ def test_suggest_route(server):
     assert st == 422
     st, _ = _req(base + "/suggest?q=two+words", "GET")
     assert st == 422
+
+
+def test_count_route(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/count?q=spark+join")
+    assert st == 200 and body["count"] == s.count("spark join")
+    st, body = _get(base + "/count?q=spark+join&mode=and")
+    assert st == 200 and body["count"] == s.count("spark join", mode="and")
+    st, body = _get(base + "/count?q=spark+join&filter=lang%3Den&min_match=2")
+    assert st == 200 and body["count"] == s.count(
+        "spark join", where=[("lang", "=", "en")], min_match=2
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/count?q=+")
+    assert ei.value.code == 422
