@@ -264,6 +264,63 @@ scores AS (
 """
 
 
+def _phrase_sql(tokens: list[str], slop: int, k: int) -> str:
+    """Phrase / proximity top-k oracle: ordinal token positions via
+    LATERAL unnest, a chain of self-joins requiring each consecutive
+    token at ``i ∈ [prev+1, prev+1+slop]`` (the engine's ordered-
+    proximity semantic, ``engine._verify_phrase_positions``), BM25
+    scores over the phrase's DISTINCT terms conjunctively (the
+    engine's ``_score_conjunctive`` basis)."""
+    assert len(tokens) >= 2
+    chain = []
+    for j in range(1, len(tokens)):
+        chain.append(
+            f"JOIN pos p{j} ON p{j}.doc_id = p{j-1}.doc_id "
+            f"AND p{j}.term = '{tokens[j]}' "
+            f"AND p{j}.i BETWEEN p{j-1}.i + 1 AND p{j-1}.i + 1 + {slop}"
+        )
+    chain_sql = "\n  ".join(chain)
+    distinct = sorted(set(tokens))
+    terms_sql = ", ".join(f"('{t}')" for t in distinct)
+    return f"""
+WITH toks_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks_arr, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) _
+),
+pmatch AS (
+  SELECT DISTINCT p0.doc_id
+  FROM pos p0
+  {chain_sql}
+  WHERE p0.term = '{tokens[0]}'
+),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES {terms_sql}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+  HAVING count(*) = {len(distinct)}
+)
+SELECT s.doc_id, round(s.sc, 4) AS score
+FROM scores s JOIN pmatch USING (doc_id)
+ORDER BY s.sc DESC, s.doc_id LIMIT {k}
+"""
+
+
 def _hybrid_rrf_sql(
     terms: list[str], qvec_id: int, k: int, n_each: int, rrf_k: int
 ) -> str:
@@ -471,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
         "search_count": search.search_count,
+        "phrase_topk": search.phrase_topk,
+        "phrase_topk_slop": search.phrase_topk_slop,
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "suggest_terms": search.suggest_terms,
@@ -752,6 +811,8 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # pagination: page 2 of the same total order (engine fetches
         # top k+offset and slices — page boundaries are deterministic)
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
+        "phrase_topk": _phrase_sql(["table", "scan"], slop=0, k=10),
+        "phrase_topk_slop": _phrase_sql(["data", "join"], slop=2, k=10),
         # engine.count: match-set sizes, no scoring — m counts DISTINCT
         # matched query terms per doc (tf has one row per doc,term)
         "search_count": """

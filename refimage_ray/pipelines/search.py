@@ -291,6 +291,22 @@ def bm25_topk_filtered(
     )
 
 
+def phrase_topk(sf_dir: str, phrase: str = "table scan", k: int = 10) -> pa.Table:
+    """Exact-phrase top-k: conjunctive candidates + adjacency
+    verification (``engine.search_phrase``); scores are the BM25
+    scores of the phrase's terms."""
+    return _hits_table(searcher_for(sf_dir).search_phrase(phrase, k=k))
+
+
+def phrase_topk_slop(
+    sf_dir: str, phrase: str = "data join", k: int = 10, slop: int = 2
+) -> pa.Table:
+    """Proximity-phrase top-k: ordered occurrence with ≤ ``slop``
+    interleaved tokens per consecutive pair (the match-phrase slop
+    knob; see ``engine.search_phrase``)."""
+    return _hits_table(searcher_for(sf_dir).search_phrase(phrase, k=k, slop=slop))
+
+
 def search_count(sf_dir: str, query: str = "spark join stream") -> pa.Table:
     """Exact hit counts in every membership flavor (the ES ``_count``
     analog; see ``engine._SearcherBase.count``): disjunctive,

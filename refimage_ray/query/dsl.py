@@ -42,6 +42,10 @@ import pyarrow.dataset as pads
 
 TAG_RE = re.compile(r"#(\w+)")
 PHRASE_RE = re.compile(r'"([^"]*)"')
+# quoted phrase + optional proximity suffix: "a b"~2 (slop=2); used at
+# leaf-build time — parse()'s stash masking keeps using PHRASE_RE, so
+# the ~N suffix survives masking and is picked up here
+PHRASE_SLOP_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
 WEIGHT_RE = re.compile(r"\^(\d*\.?\d+)")
 OP_RE = re.compile(r"\b(AND|OR|NOT)\b")
 PREFIX_TOKEN_RE = re.compile(r"(\w+)\*")
@@ -74,16 +78,19 @@ class TextQuery(QueryNode):
 
 @dataclass
 class PhraseQuery(QueryNode):
-    """Exact-phrase leaf (quoted in the infix grammar, ``PHRASE()`` in
-    the function grammar) — beyond the reference's surface; executed
-    via conjunctive candidates + adjacency verification."""
+    """Phrase leaf (quoted in the infix grammar — ``"a b"~2`` for
+    proximity — ``PHRASE("a b", 2)`` in the function grammar) — beyond
+    the reference's surface; executed via conjunctive candidates +
+    ordered-proximity verification (``slop`` = max interleaved tokens
+    per consecutive pair; 0 = exact adjacency)."""
 
     text: str
     weight: float = 1.0
+    slop: int = 0
 
     def execute(self, ctx):
         hits = ctx.searcher.search_phrase(
-            self.text, k=ctx.limit, threshold=ctx.min_score
+            self.text, k=ctx.limit, threshold=ctx.min_score, slop=self.slop
         )
         return {d: s * self.weight for d, s in hits}
 
@@ -301,9 +308,15 @@ class DSLParser:
                 raise DSLParseError("TEXT() takes one string")
             return TextQuery(args[0])
         if name == "PHRASE":
-            if len(args) != 1 or not isinstance(args[0], str):
-                raise DSLParseError("PHRASE() takes one string")
-            return PhraseQuery(args[0])
+            if (
+                not args or not isinstance(args[0], str) or len(args) > 2
+                or (len(args) == 2 and not isinstance(args[1], float))
+            ):
+                raise DSLParseError(
+                    "PHRASE() takes one string and an optional numeric slop"
+                )
+            slop = int(args[1]) if len(args) == 2 else 0
+            return PhraseQuery(args[0], slop=slop)
         if name == "PREFIX":
             if len(args) != 1 or not isinstance(args[0], str):
                 raise DSLParseError("PREFIX() takes one string")
@@ -381,15 +394,19 @@ class DSLParser:
         if wm:
             weight = float(wm.group(1))
             q = WEIGHT_RE.sub("", q)
-        phrases = PHRASE_RE.findall(q)
-        q = PHRASE_RE.sub("", q)
+        phrases = PHRASE_SLOP_RE.findall(q)  # [(content, slop_digits)]
+        q = PHRASE_SLOP_RE.sub("", q)
         # restore phrases masked by parse() (quoted-operator protection)
         stash = getattr(self, "_phrase_stash", [])
         phrases = [
-            stash[int(m.group(1))]
-            if (m := re.fullmatch("\x00(\\d+)\x00", p)) and int(m.group(1)) < len(stash)
-            else p
-            for p in phrases
+            (
+                stash[int(m.group(1))]
+                if (m := re.fullmatch("\x00(\\d+)\x00", p))
+                and int(m.group(1)) < len(stash)
+                else p,
+                int(slop_s) if slop_s else 0,
+            )
+            for p, slop_s in phrases
         ]
         # expansion tokens before tags/text (their trailing * / ~ would
         # otherwise be stripped by the tokenizer and silently degrade
@@ -408,9 +425,9 @@ class DSLParser:
         leaves: list[QueryNode] = []
         if text:
             leaves.append(TextQuery(text, weight))
-        for ph in phrases:
+        for ph, slop in phrases:
             if ph.strip():
-                leaves.append(PhraseQuery(ph, weight))
+                leaves.append(PhraseQuery(ph, weight, slop))
         for p in prefixes:
             leaves.append(PrefixQuery(p, weight))
         for w in wildcards:

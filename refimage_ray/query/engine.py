@@ -833,16 +833,24 @@ class _SearcherBase:
         threshold: float | None = None,
         cfg: EngineConfig = DEFAULT_CONFIG,
         offset: int = 0,
+        slop: int = 0,
     ) -> list[tuple[int, float]]:
-        """Exact-phrase top-k: conjunctive candidates from the index,
-        then adjacency verification against the stored text (tokenized
-        with THE tokenizer, so index/verify symmetry holds).  Scores
-        are the BM25 scores of the phrase's terms.
+        """Phrase top-k: conjunctive candidates from the index, then
+        ordered-proximity verification — ``slop=0`` is the exact phrase
+        (adjacent tokens), ``slop=s`` allows up to ``s`` interleaved
+        tokens per consecutive pair, IN ORDER (the match-phrase
+        proximity knob; unlike Lucene's edit-distance slop, reordering
+        never matches).  Verification runs against the positional index
+        when present, else the stored text (tokenized with THE
+        tokenizer, so index/verify symmetry holds).  Scores are the
+        BM25 scores of the phrase's terms.
 
-        Scale note: verification fetches candidate texts — fine while
-        conjunctive candidate sets are modest; a positional index
-        (positions varbyte per posting) is the scale path (TODO.md).
+        Scale note: text-fallback verification fetches candidate texts
+        — fine while conjunctive candidate sets are modest; the
+        positional index is the scale path.
         """
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         phrase_tokens = self._tokenize(phrase)
@@ -857,7 +865,7 @@ class _SearcherBase:
             t in term_map and term_map[t].positions is not None for t in terms
         )
         if positional:
-            keep = _verify_phrase_positions(term_map, phrase_tokens, cand)
+            keep = _verify_phrase_positions(term_map, phrase_tokens, cand, slop)
         else:
             # fallback: fetch candidate texts and re-tokenize (exact, but
             # requires the docs artifact; positional indexes skip this IO)
@@ -868,7 +876,7 @@ class _SearcherBase:
                             filter=pc.field("doc_id").isin(cand.tolist()))
             ok_ids = {
                 d for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
-                if _contains_phrase(self._tokenize(txt), phrase_tokens)
+                if _contains_phrase(self._tokenize(txt), phrase_tokens, slop)
             }
             keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
         if offset:
@@ -1073,16 +1081,22 @@ def facet_panel(
 
 
 def _verify_phrase_positions(
-    term_map: dict[str, TermPostings], phrase_tokens: list[str], cand: np.ndarray
+    term_map: dict[str, TermPostings], phrase_tokens: list[str],
+    cand: np.ndarray, slop: int = 0,
 ) -> np.ndarray:
-    """Adjacency verification from the positional index: candidate doc
-    matches iff positions(t0) ∩ (positions(t1)−1) ∩ … is non-empty.
+    """Proximity verification from the positional index: candidate doc
+    matches iff the phrase tokens occur IN ORDER with each consecutive
+    gap in [1, slop+1] — slop=0 is exact adjacency, slop=s allows up to
+    s interleaved tokens per step (ordered proximity; unlike Lucene's
+    edit-distance sloppy phrase, reordering never matches — documented
+    choice, SQL-oracle-expressible).
 
     Vectorized over ALL candidates at once: each term's candidate
     positions are gathered ragged-flat, tagged with the candidate index
     in the high int64 bits (positions are int32 < 2^31 « the 2^32
-    shift), so one sorted-set intersection per phrase step replaces the
-    per-candidate Python loop."""
+    shift), so per phrase step the chain extension is slop+1 sorted-set
+    intersections, never a per-candidate Python loop.  ``alive`` holds
+    the tagged positions of the CURRENT token's chain ends."""
     from refimage_ray.index.pack import ragged_take
 
     nc = len(cand)
@@ -1095,8 +1109,14 @@ def _verify_phrase_positions(
         labels = np.repeat(np.arange(nc, dtype=np.int64), lens[idx])
         seg[t] = labels * shift + ragged_take(p.positions, lens, idx).astype(np.int64)
     alive = seg[phrase_tokens[0]]
-    for i, t in enumerate(phrase_tokens[1:], start=1):
-        alive = alive[np.isin(alive + i, seg[t])]
+    for t in phrase_tokens[1:]:
+        nxt = seg[t]
+        parts = [
+            probe[np.isin(probe, nxt)]
+            for d in range(1, slop + 2)
+            for probe in (alive + np.int64(d),)
+        ]
+        alive = np.unique(np.concatenate(parts)) if parts else alive[:0]
         if len(alive) == 0:
             break
     keep = np.zeros(nc, dtype=bool)
@@ -1104,15 +1124,22 @@ def _verify_phrase_positions(
     return keep
 
 
-def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
-    n, m = len(tokens), len(phrase)
-    if m == 0 or m > n:
-        return m == 0
-    first = phrase[0]
-    for i in range(n - m + 1):
-        if tokens[i] == first and tokens[i : i + m] == phrase:
-            return True
-    return False
+def _contains_phrase(tokens: list[str], phrase: list[str], slop: int = 0) -> bool:
+    """Ordered-proximity containment (text-fallback twin of
+    ``_verify_phrase_positions``): consecutive gaps in [1, slop+1]."""
+    m = len(phrase)
+    if m == 0:
+        return True
+    occ: list[list[int]] = [
+        [i for i, tok in enumerate(tokens) if tok == t] for t in phrase
+    ]
+    alive = occ[0]
+    for nxt in occ[1:]:
+        if not alive:
+            return False
+        ok = set(alive)
+        alive = [q for q in nxt if any(q - d in ok for d in range(1, slop + 2))]
+    return bool(alive)
 
 
 def _count_mask(parts: list, cand: np.ndarray, m: int) -> np.ndarray:

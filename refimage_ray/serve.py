@@ -10,7 +10,8 @@ Route map (reference analog → here):
 - ``GET /health``                      (``api.py`` health)          → index stats probe
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
 - ``GET /search?q=&k=&mode=``          (or/and/phrase/prefix/fuzzy/wildcard/regex)  → ``searcher.search`` / ``search_phrase`` / ``search_prefix`` / ``search_fuzzy`` / ``search_wildcard`` / ``search_regex`` + metadata join
-  (``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
+  (``&slop=N`` with mode=phrase: ordered proximity, ≤N interleaved tokens per step;
+  ``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
   ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``;
   ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination)
 - ``GET /facets?q=&by=lang&hist=doc_len:50&sum=lang:doc_len&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts / histograms / metric sums over the FULL match set; ``dsl=`` instead of ``q=`` facets a DSL query's membership)
@@ -277,8 +278,9 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                             return self._json(
                                 {"error": "filter/order not supported "
                                           "with mode=phrase"}, 422)
-                        hits = state["s"].search_phrase(q["q"], k=k,
-                                                        offset=offset)
+                        hits = state["s"].search_phrase(
+                            q["q"], k=k, offset=offset,
+                            slop=int(q.get("slop", 0)))
                     elif mode == "prefix":
                         hits = state["s"].search_prefix(q["q"], k=k,
                                                         where=where,

@@ -107,3 +107,74 @@ def test_mixed_positional_merge_refused(ray_session, tiny_docs, tmp_path):
     build_index(rd.from_arrow(b), db, PLAIN_CFG)
     with pytest.raises(Exception, match="positional"):
         merge_indexes([da, db], str(tmp_path / "out"), POS_CFG)
+
+
+def test_slop_positions_equals_text_verify(pos_indexes, tiny_docs):
+    from refimage_ray.functions.text import tokenize
+
+    dp, dn = pos_indexes
+    sp, sn = LocalSearcher(dp), LocalSearcher(dn)
+    texts = tiny_docs["text"].to_pylist()
+    toks = tokenize(texts[7])
+    # t0 ? t2 matches at slop>=1 in doc 7 by construction
+    probes = [
+        (f"{toks[0]} {toks[2]}", 1),
+        (f"{toks[0]} {toks[2]}", 0),
+        (f"{toks[0]} {toks[3]}", 2),
+        (f"{toks[0]} {toks[2]} {toks[4]}", 1),
+        ("nonexistent sequence entirely", 3),
+    ]
+    for ph, slop in probes:
+        got = sp.search_phrase(ph, k=10000, slop=slop)
+        want = sn.search_phrase(ph, k=10000, slop=slop)
+        assert got == want, (ph, slop)
+
+
+def test_slop_semantics_hand_built(ray_session, tmp_path):
+    """Ordered proximity on a hand-built corpus: gaps within slop
+    match, reordering and over-gap never do; slop composes per step."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "alpha beta gamma",        # adjacent
+            "alpha filler beta end",   # gap 1
+            "beta alpha",              # reversed
+            "alpha x y z beta",        # gap 3
+        ],
+    })
+    d = str(tmp_path / "slopidx")
+    build_index(rd.from_arrow(docs), d, POS_CFG)
+    s = LocalSearcher(d)
+
+    def ids(ph, slop):
+        return sorted(d for d, _ in s.search_phrase(ph, k=100, slop=slop))
+
+    assert ids("alpha beta", 0) == [0]
+    assert ids("alpha beta", 1) == [0, 1]
+    assert ids("alpha beta", 3) == [0, 1, 3]
+    assert ids("beta alpha", 0) == [2]      # order matters
+    assert ids("alpha gamma", 0) == []      # non-adjacent at slop 0
+    assert ids("alpha gamma", 1) == [0]
+    # 3-token chain: alpha..beta gap 1 then beta..? none in doc 1
+    assert ids("alpha beta end", 0) == []
+    assert ids("alpha beta end", 1) == [1]
+    with pytest.raises(ValueError):
+        s.search_phrase("a b", slop=-1)
+
+
+def test_dsl_slop_syntax(pos_indexes):
+    from refimage_ray.query.dsl import DSLExecutor, DSLParser, PhraseQuery
+
+    dp, _ = pos_indexes
+    s = LocalSearcher(dp)
+    node = DSLParser().parse('"data join"~2')
+    assert isinstance(node, PhraseQuery) and node.slop == 2
+    node_f = DSLParser().parse('PHRASE("data join", 2)')
+    assert isinstance(node_f, PhraseQuery) and node_f.slop == 2
+    # executes like the library call
+    ex = DSLExecutor(s)
+    got = ex.execute_query('"data join"~2', limit=10)
+    want = s.search_phrase("data join", k=10, slop=2)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # exact phrase unchanged
+    assert DSLParser().parse('"data join"').slop == 0
