@@ -76,7 +76,10 @@ def _pack_docshard(batch: pa.Table, cfg: EngineConfig, num_doc_shards: int) -> p
     combiner; same blob format as ``index/pack.py`` so the reducer can
     reuse ``unpack_group``)."""
     toks = tokenize_batch(batch, cfg)
+    with_pos = "pos" in toks.column_names
     if toks.num_rows == 0:
+        if with_pos:
+            return PACK_SCHEMA.append(pa.field("posb", pa.binary())).empty_table()
         return PACK_SCHEMA.empty_table()
     th = toks["term_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     doc = toks["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -85,6 +88,17 @@ def _pack_docshard(batch: pa.Table, cfg: EngineConfig, num_doc_shards: int) -> p
     gkey = _doc_shard_of(doc, num_doc_shards)
     order = np.lexsort((doc, th, gkey))
     gs, ths, docs_, tfs, dls = gkey[order], th[order], doc[order], tf[order], dl[order]
+    pos_perm = pos_offsets = None
+    if with_pos:
+        # positions ride the shuffle exactly as in pack.pack_batch:
+        # flat int32 per posting run, permuted with the posting sort
+        from refimage_ray.index.pack import ragged_take
+
+        pos_flat = pc.list_flatten(
+            toks["pos"].combine_chunks()
+        ).to_numpy(zero_copy_only=False).astype(np.int32)
+        pos_perm = ragged_take(pos_flat, tf.astype(np.int64), order)
+        pos_offsets = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
     terms = toks["term"].combine_chunks()
     changes = np.flatnonzero(gs[1:] != gs[:-1]) + 1
     starts = np.concatenate(([0], changes))
@@ -105,7 +119,9 @@ def _pack_docshard(batch: pa.Table, cfg: EngineConfig, num_doc_shards: int) -> p
     tf_buf, tf_ends = varbyte_encode_with_offsets(tfs.astype(np.uint64))
     dl_buf, dl_ends = varbyte_encode_with_offsets(dls.astype(np.uint64))
     rl_buf, rl_ends = varbyte_encode_with_offsets(run_lens_all.astype(np.uint64))
-    cols: dict[str, list] = {k: [] for k in PACK_SCHEMA.names}
+    cols: dict[str, list] = {
+        k: [] for k in (list(PACK_SCHEMA.names) + (["posb"] if with_pos else []))
+    }
     for s, e in zip(starts, ends):
         r0 = int(np.searchsorted(run_starts_idx, s))
         r1 = int(np.searchsorted(run_starts_idx, e))
@@ -119,18 +135,23 @@ def _pack_docshard(batch: pa.Table, cfg: EngineConfig, num_doc_shards: int) -> p
         cols["dl"].append(slice_varbyte(dl_buf, dl_ends, s, e))
         cols["dict_hash"].append(ths[run_starts_idx[r0:r1]].tobytes())
         cols["dict_terms"].append("\n".join(dict_terms))
-    return pa.table(
-        {
-            "gkey": pa.array(cols["gkey"], pa.int64()),
-            "n": pa.array(cols["n"], pa.int32()),
-            "rlen": pa.array(cols["rlen"], pa.binary()),
-            "docd": pa.array(cols["docd"], pa.binary()),
-            "tf": pa.array(cols["tf"], pa.binary()),
-            "dl": pa.array(cols["dl"], pa.binary()),
-            "dict_hash": pa.array(cols["dict_hash"], pa.binary()),
-            "dict_terms": pa.array(cols["dict_terms"], pa.string()),
-        }
-    )
+        if with_pos:
+            cols["posb"].append(
+                pos_perm[pos_offsets[s]:pos_offsets[e]].tobytes()
+            )
+    out = {
+        "gkey": pa.array(cols["gkey"], pa.int64()),
+        "n": pa.array(cols["n"], pa.int32()),
+        "rlen": pa.array(cols["rlen"], pa.binary()),
+        "docd": pa.array(cols["docd"], pa.binary()),
+        "tf": pa.array(cols["tf"], pa.binary()),
+        "dl": pa.array(cols["dl"], pa.binary()),
+        "dict_hash": pa.array(cols["dict_hash"], pa.binary()),
+        "dict_terms": pa.array(cols["dict_terms"], pa.string()),
+    }
+    if with_pos:
+        out["posb"] = pa.array(cols["posb"], pa.binary())
+    return pa.table(out)
 
 
 class _BuildDocShard:
@@ -145,7 +166,7 @@ class _BuildDocShard:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         shard = int(group["gkey"][0].as_py())
-        th, doc, tf, dl, lookup, _ = unpack_group(group)
+        th, doc, tf, dl, lookup, pos = unpack_group(group)
         n = len(th)
         changes = np.flatnonzero(th[1:] != th[:-1]) + 1
         starts = np.concatenate(([0], changes))
@@ -154,8 +175,12 @@ class _BuildDocShard:
             tf.astype(np.float64), dl.astype(np.float64), self.avgdl,
             self.cfg.k1, self.cfg.b,
         )
-        out = {k: [] for k in ("term", "term_hash", "df_local", "doc_ids",
-                               "tfs", "dls", "weights", "max_weight")}
+        names = ["term", "term_hash", "df_local", "doc_ids",
+                 "tfs", "dls", "weights", "max_weight"]
+        if pos is not None:
+            names.append("positions")
+            po = np.concatenate(([0], np.cumsum(tf.astype(np.int64))))
+        out = {k: [] for k in names}
         for s, e in zip(starts, ends):
             out["term"].append(lookup[int(th[s])])
             out["term_hash"].append(int(th[s]))
@@ -165,18 +190,26 @@ class _BuildDocShard:
             out["dls"].append(varbyte_encode(dl[s:e].astype(np.uint64)))
             out["weights"].append(encode_f64(w[s:e]))
             out["max_weight"].append(float(w[s:e].max()))
-        table = pa.table(
-            {
-                "term": pa.array(out["term"], pa.string()),
-                "term_hash": pa.array(out["term_hash"], pa.uint64()),
-                "df_local": pa.array(out["df_local"], pa.int64()),
-                "doc_ids": pa.array(out["doc_ids"], pa.binary()),
-                "tfs": pa.array(out["tfs"], pa.binary()),
-                "dls": pa.array(out["dls"], pa.binary()),
-                "weights": pa.array(out["weights"], pa.binary()),
-                "max_weight": pa.array(out["max_weight"], pa.float64()),
-            }
-        ).sort_by([("term", "ascending")])
+            if pos is not None:
+                # same column name + varbyte codec as the term-
+                # partitioned partition files (index/build.py), so the
+                # shard reader decodes identically
+                out["positions"].append(
+                    varbyte_encode(pos[po[s]:po[e]].astype(np.uint64))
+                )
+        table_cols = {
+            "term": pa.array(out["term"], pa.string()),
+            "term_hash": pa.array(out["term_hash"], pa.uint64()),
+            "df_local": pa.array(out["df_local"], pa.int64()),
+            "doc_ids": pa.array(out["doc_ids"], pa.binary()),
+            "tfs": pa.array(out["tfs"], pa.binary()),
+            "dls": pa.array(out["dls"], pa.binary()),
+            "weights": pa.array(out["weights"], pa.binary()),
+            "max_weight": pa.array(out["max_weight"], pa.float64()),
+        }
+        if pos is not None:
+            table_cols["positions"] = pa.array(out["positions"], pa.binary())
+        table = pa.table(table_cols).sort_by([("term", "ascending")])
         import io
 
         buf = io.BytesIO()
@@ -300,7 +333,8 @@ def build_doc_partitioned(
         ),
         "stats": {"n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
                   "k1": cfg.k1, "b": cfg.b},
-        "config": {"token_pattern": cfg.token_pattern},
+        "config": {"token_pattern": cfg.token_pattern,
+                   "store_positions": bool(cfg.store_positions)},
         "build_sec": round(time.perf_counter() - t0, 3),
     }
     atomic_write_bytes(
@@ -387,6 +421,7 @@ def _load_shard_view(
         )
         dv = encode_value_columns(vt, ids)
     tm: dict[str, TermPostings] = {}
+    with_pos = "positions" in t.column_names
     for row in t.to_pylist():
         ids = decode_postings(row["doc_ids"])
         w = decode_f64(row["weights"])
@@ -399,6 +434,10 @@ def _load_shard_view(
             block_last_doc=ids[-1:].copy(),
             block_max_weight=np.array([row["max_weight"]], np.float64),
             dls=varbyte_decode(row["dls"]).astype(np.int64),
+            positions=(
+                varbyte_decode(row["positions"]).astype(np.int32)
+                if with_pos else None
+            ),
         )
     if dv is not None:
         # validates posting doc_ids ⊆ the shard's values universe (a
@@ -539,6 +578,46 @@ class DocPartSearcher:
             hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
                              cfg=cfg, where=where, min_match=min_match,
                              after=after)
+            if hits:
+                ids_parts.append(np.array([d for d, _ in hits], np.int64))
+                score_parts.append(np.array([s for _, s in hits], np.float64))
+        if not ids_parts:
+            return []
+        ids, scores = topk_select(
+            np.concatenate(ids_parts), np.concatenate(score_parts), kk, threshold
+        )
+        return list(zip(ids.tolist(), scores.tolist()))[offset:]
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int | None = None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        offset: int = 0,
+        slop: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Phrase / proximity top-k over the doc-partitioned layout:
+        each shard verifies from ITS positional postings (a phrase
+        match is doc-local, so shard results are exact and the top-k
+        merge is exact by disjointness).  Requires the artifact to be
+        built with ``store_positions=True`` — doc shards hold no text,
+        so there is no fallback verify path here."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "phrase search on a doc-partitioned artifact requires "
+                "build_doc_partitioned with cfg.store_positions=True "
+                "(doc shards store no text to verify against)"
+            )
+        from refimage_ray.query.scorer import topk_select
+
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
+        ids_parts, score_parts = [], []
+        for sh in self.shards:
+            hits = sh.search_phrase(phrase, k=kk, threshold=threshold,
+                                    cfg=cfg, slop=slop)
             if hits:
                 ids_parts.append(np.array([d for d, _ in hits], np.int64))
                 score_parts.append(np.array([s for _, s in hits], np.float64))
@@ -715,6 +794,14 @@ class _DocShardActor:
             for v in self._views
         )
 
+    def search_phrase(self, phrase: str, k: int, threshold: float,
+                      slop: int = 0) -> list[tuple[int, float]]:
+        out: list[tuple[int, float]] = []
+        for v in self._views:
+            out.extend(v.search_phrase(phrase, k=k, threshold=threshold,
+                                       slop=slop))
+        return out
+
     def facets(self, query: str, by, mode: str, where, histograms,
                sums=None) -> dict:
         """Partial facet counts over this actor's doc shards (values
@@ -740,6 +827,7 @@ class DistributedDocPartSearcher:
         if man.get("layout") != "doc-partitioned":
             raise ValueError(f"{index_dir} is not a doc-partitioned index")
         self.index_dir = index_dir
+        self.manifest = man
         self._token_pattern = man["config"].get("token_pattern")
         self._expander: "_GlobalVocabExpander | None" = None  # lazy
         self.n_docs = int(man["stats"]["n_docs"])
@@ -806,6 +894,33 @@ class DistributedDocPartSearcher:
             for a in self.actors
         ])
         return _merge_grouped(parts, k_per_group)
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int | None = None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        offset: int = 0,
+        slop: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Scatter-gather phrase / proximity top-k (see
+        :meth:`DocPartSearcher.search_phrase`; requires
+        ``store_positions=True`` at build)."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "phrase search on a doc-partitioned artifact requires "
+                "build_doc_partitioned with cfg.store_positions=True "
+                "(doc shards store no text to verify against)"
+            )
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
+        parts = ray.get([
+            a.search_phrase.remote(phrase, kk, threshold, slop)
+            for a in self.actors
+        ])
+        return self._merge(parts, kk, threshold)[offset:]
 
     def count(
         self,

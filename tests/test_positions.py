@@ -178,3 +178,47 @@ def test_dsl_slop_syntax(pos_indexes):
     assert [d for d, _ in got] == [d for d, _ in want]
     # exact phrase unchanged
     assert DSLParser().parse('"data join"').slop == 0
+
+
+def test_docpart_phrase_matches_term_layout(ray_session, tiny_docs, tmp_path):
+    """Doc-partitioned phrase search (per-shard positional verify +
+    exact disjoint merge) ≡ the term-partitioned LocalSearcher, for
+    exact and sloppy phrases; artifacts without positions refuse."""
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.index.docpart import (
+        DistributedDocPartSearcher,
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+
+    dt = str(tmp_path / "term")
+    dd = str(tmp_path / "doc")
+    dplain = str(tmp_path / "plain")
+    build_index(rd.from_arrow(tiny_docs), dt, POS_CFG)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dd, POS_CFG,
+                          num_doc_shards=4)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dplain, PLAIN_CFG,
+                          num_doc_shards=4)
+
+    st = LocalSearcher(dt)
+    sd = DocPartSearcher(dd)
+    sx = DistributedDocPartSearcher(dd, num_actors=2)
+    sx.wait_ready()
+
+    texts = tiny_docs["text"].to_pylist()
+    toks = tokenize(texts[7])
+    probes = [
+        (f"{toks[0]} {toks[1]}", 0),
+        (f"{toks[0]} {toks[2]}", 1),
+        (f"{toks[0]} {toks[3]}", 2),
+        (f"{toks[2]} {toks[3]} {toks[4]}", 0),
+        ("nonexistent sequence entirely", 2),
+    ]
+    for ph, slop in probes:
+        want = st.search_phrase(ph, k=10000, slop=slop)
+        assert sd.search_phrase(ph, k=10000, slop=slop) == want, (ph, slop)
+        assert sx.search_phrase(ph, k=10000, slop=slop) == want, (ph, slop)
+
+    splain = DocPartSearcher(dplain)
+    with pytest.raises(ValueError, match="store_positions"):
+        splain.search_phrase("a b")
