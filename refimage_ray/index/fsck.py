@@ -44,6 +44,23 @@ from refimage_ray.functions.hashing import blake2b64
 from refimage_ray.index.manifest import load_manifest
 
 
+def _check_positions(tag: str, pos_b: bytes, tf_b: bytes, errs: list) -> None:
+    """Positional-index invariants for one term run: the flat positions
+    blob segments exactly by tf, and positions ascend strictly WITHIN
+    each doc's segment (they may reset at doc boundaries)."""
+    pos = varbyte_decode(pos_b).astype(np.int64)
+    tfs = varbyte_decode(tf_b).astype(np.int64)
+    if len(pos) != int(tfs.sum()):
+        errs.append(f"{tag}: positions len {len(pos)} != sum(tf) {int(tfs.sum())}")
+        return
+    if len(pos) > 1:
+        starts = np.cumsum(tfs)[:-1]  # segment boundaries in [1, len)
+        ok = np.diff(pos) > 0
+        ok[starts - 1] = True  # cross-doc steps are unconstrained
+        if not ok.all():
+            errs.append(f"{tag}: positions not ascending within a doc")
+
+
 def _check_partition(index_dir: str, part: dict, num_shards: int) -> list[str]:
     """Deep per-partition invariants → list of problem strings."""
     errs: list[str] = []
@@ -83,6 +100,10 @@ def _check_partition(index_dir: str, part: dict, num_shards: int) -> list[str]:
         bl = t["block_last_doc"][i].as_py()
         if bl and int(bl[-1]) != int(ids[-1]):
             errs.append(f"{tag}: block_last_doc[-1] != last doc id")
+        if "positions" in t.column_names and "tfs" in t.column_names:
+            _check_positions(
+                tag, t["positions"][i].as_py(), t["tfs"][i].as_py(), errs
+            )
     return errs
 
 
@@ -184,8 +205,15 @@ def verify_docpart_index(index_dir: str, deep: bool = False) -> dict:
                             "but shard has postings"
                         )
                         vids = None
+                check_pos = "positions" in t.column_names
                 for i in range(t.num_rows):
                     ids = delta_decode(varbyte_decode(t["doc_ids"][i].as_py()))
+                    if check_pos:
+                        _check_positions(
+                            f"{row['f']}[{t['term'][i]}]",
+                            t["positions"][i].as_py(), t["tfs"][i].as_py(),
+                            errs,
+                        )
                     if len(ids) != t["df_local"][i].as_py():
                         errs.append(f"{row['f']}[{t['term'][i]}]: df_local mismatch")
                     elif len(ids) > 1 and not (

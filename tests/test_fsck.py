@@ -220,3 +220,43 @@ def test_fsck_docpart_zero_row_values_file(ray_session, tiny_docs, tmp_path):
     res = verify_index(doc_dir, deep=True)
     assert not res["ok"]
     assert any("0 rows" in x for x in res["problems"]), res["problems"]
+
+
+def test_fsck_deep_verifies_positions(ray_session, tiny_docs, tmp_path):
+    """Deep fsck on positional artifacts (both layouts): clean passes;
+    a corrupted positions blob is caught."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+    from refimage_ray.index.docpart import build_doc_partitioned
+    from refimage_ray.index.fsck import verify_docpart_index, verify_index
+
+    cfg = EngineConfig(num_shards=4, salt_buckets=2, store_positions=True)
+    dt, dd = str(tmp_path / "t"), str(tmp_path / "d")
+    build_index(rd.from_arrow(tiny_docs), dt, cfg)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dd, cfg, num_doc_shards=2)
+    assert verify_index(dt, deep=True)["ok"]
+    assert verify_docpart_index(dd, deep=True)["ok"]
+
+    # corrupt one positions blob in one docpart shard file
+    import glob
+
+    f = sorted(glob.glob(os.path.join(dd, "docshard-*.parquet")))[0]
+    t = pq.read_table(f)
+    from refimage_ray.functions.codec import varbyte_encode
+    import numpy as np
+
+    bad = t.set_column(
+        t.schema.get_field_index("positions"), "positions",
+        pa.array(
+            [varbyte_encode(np.array([1], np.uint64))] * t.num_rows,
+            pa.binary(),
+        ),
+    )
+    pq.write_table(bad, f)
+    rep = verify_docpart_index(dd, deep=True)
+    assert not rep["ok"] and any("positions" in p for p in rep["problems"])
