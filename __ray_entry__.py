@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_search_after": search.bm25_topk_search_after,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_filtered": search.bm25_topk_filtered,
+        "bm25_topk_filtered_or": search.bm25_topk_filtered_or,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
         "search_count": search.search_count,
@@ -795,6 +796,11 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_filtered": _bm25_sql(
             ["spark", "join"], 10,
             doc_where="d.lang = 'en' AND dl.dl >= 40",
+        ),
+        # DNF filter (OR of conjunctions) — engine where={"or": [...]}
+        "bm25_topk_filtered_or": _bm25_sql(
+            ["spark", "join"], 10,
+            doc_where="(d.lang = 'en' AND dl.dl >= 40) OR d.lang = 'fr'",
         ),
         # doc-partitioned layout: shard-LOCAL doc values, per-shard
         # filtered top-k merged exactly (disjoint doc subsets)

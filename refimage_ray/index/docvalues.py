@@ -207,10 +207,12 @@ class DocValues:
         return m
 
     def mask(self, where) -> np.ndarray:
-        """Boolean mask over universe ranks for a conjunction of
-        predicates.  ``where`` is a list of ``(column, op, value)``
-        tuples, or a ``{column: value}`` dict (sugar for equality)."""
-        conds = normalize_where(where)
+        """Boolean mask over universe ranks for a predicate in
+        disjunctive normal form.  ``where`` is a list of ``(column, op,
+        value)`` tuples (a conjunction), a ``{column: value}`` dict
+        (equality sugar), or ``{"or": [conjunction, ...]}`` (OR of
+        conjunctions — the ES bool ``should``-filter shape)."""
+        dnf = normalize_dnf(where)
 
         def _vkey(v):
             # type-tagged so e.g. in [1, 2] and in ["1", "2"] (different
@@ -223,17 +225,22 @@ class DocValues:
                 return tuple(sorted((type(x).__name__, str(x)) for x in v))
             return (type(v).__name__, str(v))
 
-        key = tuple((c, o, _vkey(v)) for c, o, v in conds)
+        key = tuple(
+            tuple((c, o, _vkey(v)) for c, o, v in conj) for conj in dnf
+        )
         hit = self._mask_cache.get(key)
         if hit is not None:
             return hit
-        m = np.ones(len(self.all_ids), dtype=bool)
-        for col, op, value in conds:
-            if col not in self.cols:
-                raise KeyError(
-                    f"no doc-value column {col!r} (loaded: {self.columns()})"
-                )
-            m &= self._col_mask(col, op, value)
+        m = np.zeros(len(self.all_ids), dtype=bool)
+        for conj in dnf:
+            cm = np.ones(len(self.all_ids), dtype=bool)
+            for col, op, value in conj:
+                if col not in self.cols:
+                    raise KeyError(
+                        f"no doc-value column {col!r} (loaded: {self.columns()})"
+                    )
+                cm &= self._col_mask(col, op, value)
+            m |= cm
         if len(self._mask_cache) < 64:
             self._mask_cache[key] = m
         return m
@@ -336,8 +343,28 @@ def normalize_where(where) -> list[tuple[str, str, object]]:
     return out
 
 
+def normalize_dnf(where) -> list[list[tuple[str, str, object]]]:
+    """Canonical disjunctive normal form: a list of conjunctions.
+
+    Accepted shapes: any conjunction form (``[(col, op, val), ...]`` or
+    the ``{col: val}`` equality dict) → one disjunct; or the explicit
+    OR-of-conjunctions ``{"or": [conjunction, ...]}`` (the ES bool
+    ``should``-filter shape).  DNF is boolean-complete here because the
+    op set carries its own negations (``!=``, ``not in``)."""
+    if (
+        isinstance(where, dict)
+        and set(where) == {"or"}
+        and isinstance(where["or"], (list, tuple))
+    ):
+        disjuncts = [normalize_where(w) for w in where["or"]]
+        if not disjuncts:
+            raise ValueError('{"or": [...]} needs at least one clause group')
+        return disjuncts
+    return [normalize_where(where)]
+
+
 def where_columns(where) -> list[str]:
-    return sorted({c for c, _, _ in normalize_where(where)})
+    return sorted({c for conj in normalize_dnf(where) for c, _, _ in conj})
 
 
 def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:

@@ -291,6 +291,23 @@ def bm25_topk_filtered(
     )
 
 
+def bm25_topk_filtered_or(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """DNF-filtered top-k: the doc-value predicate is an OR of
+    conjunctions (``(lang='en' AND doc_len>=40) OR lang='fr'`` — the ES
+    bool should-filter shape; see ``docvalues.normalize_dnf``)."""
+    return _hits_table(
+        searcher_for(sf_dir).search(
+            query, k=k, mode="or",
+            where={"or": [
+                [("lang", "=", "en"), ("doc_len", ">=", 40)],
+                [("lang", "=", "fr")],
+            ]},
+        )
+    )
+
+
 def phrase_topk(sf_dir: str, phrase: str = "table scan", k: int = 10) -> pa.Table:
     """Exact-phrase top-k: conjunctive candidates + adjacency
     verification (``engine.search_phrase``); scores are the BM25

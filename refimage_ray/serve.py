@@ -70,30 +70,41 @@ def _typed(raw: str):
 
 
 def parse_filter(spec: str):
-    """HTTP mini-grammar → the engine's ``where`` predicate list.
+    """HTTP mini-grammar → the engine's ``where`` predicate (DNF).
 
     Comma-separated conjunction of ``col OP value`` with OP ∈
     {=, !=, <, <=, >, >=}; set membership as ``col=a|b|c`` (an ``=``
-    whose value contains ``|``).  Values: int, float, or string
-    (optionally quoted).  Empty/whitespace spec → None (no filter).
-    e.g. ``filter=lang=en,doc_len>=100`` or ``filter=lang=en|fr``.
+    whose value contains ``|``); ``;``-separated conjunction groups OR
+    together (the ES bool ``should``-filter shape).  Values: int,
+    float, or string (optionally quoted).  Empty/whitespace spec →
+    None (no filter).  e.g. ``filter=lang=en,doc_len>=100``,
+    ``filter=lang=en|fr``, or ``filter=lang=en,doc_len>=100;lang=fr``.
     """
     spec = (spec or "").strip()
     if not spec:
         return None
-    conds = []
-    for part in spec.split(","):
-        m = _COND_RE.match(part)
-        if not m:
-            raise ValueError(f"bad filter condition {part!r}")
-        col, op, raw = m.groups()
-        if op == "=" and "|" in raw:
-            conds.append((col, "in", [_typed(v) for v in raw.split("|")]))
-        elif op == "!=" and "|" in raw:
-            conds.append((col, "not in", [_typed(v) for v in raw.split("|")]))
-        else:
-            conds.append((col, op, _typed(raw)))
-    return conds
+
+    def _conj(group: str):
+        conds = []
+        for part in group.split(","):
+            m = _COND_RE.match(part)
+            if not m:
+                raise ValueError(f"bad filter condition {part!r}")
+            col, op, raw = m.groups()
+            if op == "=" and "|" in raw:
+                conds.append((col, "in", [_typed(v) for v in raw.split("|")]))
+            elif op == "!=" and "|" in raw:
+                conds.append(
+                    (col, "not in", [_typed(v) for v in raw.split("|")])
+                )
+            else:
+                conds.append((col, op, _typed(raw)))
+        return conds
+
+    groups = [g for g in spec.split(";") if g.strip()]
+    if len(groups) == 1:
+        return _conj(groups[0])
+    return {"or": [_conj(g) for g in groups]}
 
 
 def make_server(index_dir: str, port: int = 0, searcher=None,

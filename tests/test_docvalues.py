@@ -545,3 +545,58 @@ def test_count_validation(searcher):
     with pytest.raises(ValueError):
         searcher.count("a b", mode="and", min_match=1)
     assert searcher.count("zzz missing qqq") == 0
+
+
+# --- DNF filters: {"or": [conjunction, ...]} ---
+
+def test_or_filter_equals_post_filter(searcher):
+    meta = _doc_meta(searcher)
+    w = {"or": [
+        [("lang", "=", "en"), ("doc_len", ">=", 100)],
+        [("lang", "=", "fr")],
+    ]}
+    pred = lambda r: (r.lang == "en" and r.doc_len >= 100) or r.lang == "fr"
+    for q in QUERIES:
+        full = searcher.search(q, k=10**9, threshold=0.0)
+        got = searcher.search(q, k=10, where=w)
+        assert got == _post_filter(full, meta, pred, 10), q
+        assert searcher.count(q, where=w) == len(
+            _post_filter(full, meta, pred, 10**9)
+        ), q
+
+
+def test_or_filter_single_group_equals_conjunction(searcher):
+    w_flat = [("lang", "=", "en"), ("doc_len", ">=", 100)]
+    w_dnf = {"or": [w_flat]}
+    for q in QUERIES:
+        assert searcher.search(q, k=10, where=w_dnf) == searcher.search(
+            q, k=10, where=w_flat
+        ), q
+
+
+def test_or_filter_facets_and_validation(searcher):
+    w = {"or": [[("lang", "=", "en")], [("lang", "=", "fr")]]}
+    a = searcher.facets("data join", by=["lang"], where=w)
+    b = searcher.facets("data join", by=["lang"],
+                        where=[("lang", "in", ["en", "fr"])])
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        searcher.count("data", where={"or": []})
+
+
+def test_parse_filter_dnf():
+    from refimage_ray.serve import parse_filter
+
+    assert parse_filter("lang=en,doc_len>=100;lang=fr") == {"or": [
+        [("lang", "=", "en"), ("doc_len", ">=", 100)],
+        [("lang", "=", "fr")],
+    ]}
+    assert parse_filter("lang=en,doc_len>=100") == [
+        ("lang", "=", "en"), ("doc_len", ">=", 100)
+    ]
+    assert parse_filter("lang=en|fr;n_chars<300") == {"or": [
+        [("lang", "in", ["en", "fr"])],
+        [("n_chars", "<", 300)],
+    ]}
