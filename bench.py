@@ -256,6 +256,18 @@ def run_bench() -> dict:
                     histograms={"doc_len": 50}, sums={"lang": "doc_len"})
     timings["facet_panel_sec"] = round(time.perf_counter() - tq, 5)
 
+    # hit-count surface (exact membership, no scoring/top-k)
+    searcher.count(BENCH_QUERIES[0])  # warm
+    clat = []
+    for _ in range(2):
+        for q in BENCH_QUERIES:
+            tq = time.perf_counter()
+            searcher.count(q)
+            clat.append(time.perf_counter() - tq)
+    timings["query_p95_count"] = round(
+        float(np.percentile(np.array(clat), 95)), 5
+    )
+
     # actor-pool serving path (shard actors load postings once in
     # __init__; driver merges in canonical order)
     from refimage_ray.query.engine import DistributedSearcher
@@ -300,12 +312,19 @@ def run_bench() -> dict:
         for a in dsr.actors:
             ray.kill(a)
 
+        # POSITIONAL docpart build (store_positions=True): the richer
+        # artifact — phrase/proximity-capable shards — so docpart_build
+        # includes positions through the exchange (was position-free
+        # before 2026-08-19; noted in BENCH/BASELINE.md)
+        from dataclasses import replace as _dc_replace
+
         docpart_dir = f"/tmp/refimage_ray_bench/docpart-{NUM_CPUS}"
         shutil.rmtree(docpart_dir, ignore_errors=True)
         tq = time.perf_counter()
         build_doc_partitioned(
             staged_docs(index_dir, columns=["doc_id", "text"]),
-            docpart_dir, cfg, num_doc_shards=max(8, NUM_CPUS // 2),
+            docpart_dir, _dc_replace(cfg, store_positions=True),
+            num_doc_shards=max(8, NUM_CPUS // 2),
         )
         timings["docpart_build"] = round(time.perf_counter() - tq, 3)
         dps = DistributedDocPartSearcher(
@@ -316,6 +335,19 @@ def run_bench() -> dict:
         dps.search_many(qbatch, k=10, mode="or")
         qps_sec = time.perf_counter() - tq
         timings["qps_docpart"] = round(len(qbatch) / qps_sec, 1)
+
+        # phrase/proximity serving over the positional doc shards
+        dps.search_phrase("table scan", k=10)  # warm
+        plat = []
+        for _ in range(2):
+            for q in ["table scan", "data join", "merge sort",
+                      "window stream", "key value", "fast data"]:
+                tq = time.perf_counter()
+                dps.search_phrase(q, k=10, slop=1)
+                plat.append(time.perf_counter() - tq)
+        timings["query_p95_phrase_docpart"] = round(
+            float(np.percentile(np.array(plat), 95)), 5
+        )
         for a in dps.actors:
             ray.kill(a)
 
