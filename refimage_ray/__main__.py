@@ -40,6 +40,18 @@ def _ray_up(num_cpus: int) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def _is_docpart(index_dir: str) -> bool:
+    """Route lifecycle subcommands by the artifact's manifest layout."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(index_dir, "manifest.json")
+    if not _os.path.exists(p):
+        return False
+    with open(p) as f:
+        return _json.load(f).get("layout") == "doc-partitioned"
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="refimage_ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -217,24 +229,36 @@ def main(argv: list[str] | None = None) -> int:
             from refimage_ray.index.lifecycle import compact_index
             from refimage_ray.index.manifest import load_manifest
 
-            man = load_manifest(args.index)
-            cfg = EngineConfig(
-                num_shards=int(man["config"]["num_shards"]),
-                salt_buckets=int(man["config"]["salt_buckets"]),
-            )
-            out = compact_index(args.index, args.out, cfg)
+            if _is_docpart(args.index):
+                from refimage_ray.index.docpart_lifecycle import compact_docpart
+
+                out = compact_docpart(args.index, args.out)
+            else:
+                man = load_manifest(args.index)
+                cfg = EngineConfig(
+                    num_shards=int(man["config"]["num_shards"]),
+                    salt_buckets=int(man["config"]["salt_buckets"]),
+                )
+                out = compact_index(args.index, args.out, cfg)
             print(json.dumps(out["stats"]))
         elif args.cmd == "merge":
             from refimage_ray.config import EngineConfig
             from refimage_ray.index.lifecycle import merge_indexes
             from refimage_ray.index.manifest import load_manifest
 
-            man = load_manifest(args.inputs[0])
-            cfg = EngineConfig(
-                num_shards=int(man["config"]["num_shards"]),
-                salt_buckets=int(man["config"]["salt_buckets"]),
-            )
-            out = merge_indexes(args.inputs, args.out, cfg)
+            if _is_docpart(args.inputs[0]):
+                from refimage_ray.index.docpart_lifecycle import (
+                    merge_docpart_indexes,
+                )
+
+                out = merge_docpart_indexes(args.inputs, args.out)
+            else:
+                man = load_manifest(args.inputs[0])
+                cfg = EngineConfig(
+                    num_shards=int(man["config"]["num_shards"]),
+                    salt_buckets=int(man["config"]["salt_buckets"]),
+                )
+                out = merge_indexes(args.inputs, args.out, cfg)
             print(json.dumps(out["stats"]))
         elif args.cmd == "fsck":
             from refimage_ray.index.fsck import verify_index

@@ -369,12 +369,42 @@ def _load_global_df(index_dir: str) -> dict:
     )
 
 
+def _load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted tombstoned doc ids (same ``tombstones.parquet``
+    convention as the term layout, ``lifecycle.delete_docs``)."""
+    p = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(p):
+        return np.zeros(0, np.int64)
+    return np.sort(
+        pq.read_table(p)["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+def _filter_postings_row(
+    ids: np.ndarray, keep: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+    w: np.ndarray, pos: "np.ndarray | None",
+):
+    """Drop dead postings from one term run (positions are ragged —
+    segment-sliced with the same keep set, as in ``reader.py``)."""
+    from refimage_ray.index.pack import ragged_take
+
+    if pos is not None:
+        pos = ragged_take(pos, tfs.astype(np.int64), np.flatnonzero(keep))
+    return ids[keep], tfs[keep], dls[keep], w[keep], pos
+
+
 def _load_shard_view(
     index_dir: str, fname: str, n_docs: int, avgdl: float, global_df: dict,
     token_pattern: "str | None" = None,
+    dead: "np.ndarray | None" = None,
 ):
     """One shard file → an in-process sub-searcher reusing the engine's
-    scoring path (`_SearcherBase`) with GLOBAL df/N/avgdl."""
+    scoring path (`_SearcherBase`) with GLOBAL df/N/avgdl.
+
+    ``dead`` (sorted tombstoned doc ids) filters postings at load —
+    Lucene deleted-docs semantics, mirroring the term layout's reader:
+    dead docs stop matching immediately; df/N/avgdl keep pre-delete
+    values until ``docpart_lifecycle.compact_docpart``."""
     from refimage_ray.index.reader import TermPostings
     from refimage_ray.query.engine import _SearcherBase
 
@@ -425,19 +455,32 @@ def _load_shard_view(
     for row in t.to_pylist():
         ids = decode_postings(row["doc_ids"])
         w = decode_f64(row["weights"])
+        tfs = varbyte_decode(row["tfs"]).astype(np.int64)
+        dls = varbyte_decode(row["dls"]).astype(np.int64)
+        pos = (
+            varbyte_decode(row["positions"]).astype(np.int32)
+            if with_pos else None
+        )
+        if dead is not None and len(dead):
+            from refimage_ray.functions.arrays import sorted_membership
+
+            keep = ~sorted_membership(dead, ids)
+            if not keep.all():
+                ids, tfs, dls, w, pos = _filter_postings_row(
+                    ids, keep, tfs, dls, w, pos
+                )
+                if len(ids) == 0:
+                    continue
         tm[row["term"]] = TermPostings(
             df=int(global_df[row["term"]]),  # GLOBAL df → exact idf
             doc_ids=ids,
             weights=w,
-            tfs=varbyte_decode(row["tfs"]).astype(np.int64),
+            tfs=tfs,
             max_weight=float(row["max_weight"]),
             block_last_doc=ids[-1:].copy(),
             block_max_weight=np.array([row["max_weight"]], np.float64),
-            dls=varbyte_decode(row["dls"]).astype(np.int64),
-            positions=(
-                varbyte_decode(row["positions"]).astype(np.int32)
-                if with_pos else None
-            ),
+            dls=dls,
+            positions=pos,
         )
     if dv is not None:
         # validates posting doc_ids ⊆ the shard's values universe (a
@@ -547,7 +590,8 @@ class DocPartSearcher:
         self.shards = [
             _load_shard_view(index_dir, f, self.n_docs, self.avgdl,
                              self._global_df,
-                             man["config"].get("token_pattern"))
+                             man["config"].get("token_pattern"),
+                             dead=_load_tombstones(index_dir))
             for f in files
         ]
 
@@ -762,7 +806,8 @@ class _DocShardActor:
             tp = json.load(f)["config"].get("token_pattern")
         global_df = _load_global_df(index_dir)
         self._views = [
-            _load_shard_view(index_dir, f, n_docs, avgdl, global_df, tp)
+            _load_shard_view(index_dir, f, n_docs, avgdl, global_df, tp,
+                             dead=_load_tombstones(index_dir))
             for f in fnames
         ]
 
