@@ -188,6 +188,7 @@ def _bm25_sql(
     q_where: "str | None" = None, doc_where: "str | None" = None,
     order_by_sql: "str | None" = None, offset: int = 0,
     grouped_by: "str | None" = None, min_match: "int | None" = None,
+    corpus_where: "str | None" = None,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
@@ -237,15 +238,19 @@ def _bm25_sql(
             f"SELECT doc_id, round(sc, 4) AS score "
             f"FROM scores ORDER BY sc DESC, doc_id LIMIT {k}{off}"
         )
+    # corpus_where restricts the CORPUS itself (lifecycle oracles: the
+    # live doc set after delete+compact) — unlike doc_where, it changes
+    # the scoring basis (N, avgdl, df), exactly as compaction does
+    cw = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""
-WITH toks AS ({_TOKS}),
+WITH toks AS ({_TOKS}{cw}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 -- avgdl divides by ALL docs (the engine's basis), not just docs with
 -- >=1 token — a zero-token doc must lower avgdl on both sides
 stats AS (SELECT count(*)::DOUBLE AS n,
                  (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
-          FROM documents),
+          FROM documents{cw}),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 {q_sql},
 scores AS (
@@ -526,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_or": search.bm25_topk_filtered_or,
+        "lifecycle_compact_topk": search.lifecycle_compact_topk,
+        "docpart_add_topk": search.docpart_add_topk,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
         "search_count": search.search_count,
@@ -797,6 +804,13 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
             ["spark", "join"], 10,
             doc_where="d.lang = 'en' AND dl.dl >= 40",
         ),
+        # delete -> compact lifecycle: the oracle's corpus IS the live
+        # set, so N/avgdl/df are the post-compaction basis
+        "lifecycle_compact_topk": _bm25_sql(
+            ["spark", "join"], 10, corpus_where="doc_id % 7 <> 0",
+        ),
+        # docpart incremental add == monolithic build -> full-corpus oracle
+        "docpart_add_topk": _bm25_sql(["spark", "join"], 10),
         # DNF filter (OR of conjunctions) — engine where={"or": [...]}
         "bm25_topk_filtered_or": _bm25_sql(
             ["spark", "join"], 10,

@@ -291,6 +291,74 @@ def bm25_topk_filtered(
     )
 
 
+def lifecycle_compact_topk(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """The delete→compact lifecycle under the value oracle: tombstone
+    every 7th doc (doc_id % 7 == 0), physically compact (stats/weights
+    refreshed over the live corpus), then search — the oracle scores
+    BM25 over ``documents WHERE doc_id % 7 <> 0`` with the live
+    N/avgdl/df basis, so a stale-stats bug would hash-mismatch."""
+    import shutil
+
+    from refimage_ray.index.lifecycle import compact_index, delete_docs
+    from refimage_ray.index.manifest import load_manifest
+
+    base = ensure_index(sf_dir)
+    out = base + "-lc-compact"
+    if load_manifest(out) is None:
+        import pyarrow.parquet as pq
+
+        work = base + "-lc-work"
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(base, work)
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        delete_docs(work, [int(d) for d in ids if d % 7 == 0])
+        shutil.rmtree(out, ignore_errors=True)
+        compact_index(work, out, SEARCH_CFG)
+    if out not in _searchers:
+        _searchers[out] = LocalSearcher(out)
+    return _hits_table(_searchers[out].search(query, k=k, mode="or"))
+
+
+def docpart_add_topk(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """The incremental-add lifecycle on the doc-partitioned layout:
+    build over the even doc_ids, ``add_documents_docpart`` the odd
+    half (delta build + shard merge, weights recomputed against the
+    union avgdl), then search — must equal a monolithic build, so it
+    shares ``bm25_topk``'s full-corpus oracle."""
+    from refimage_ray.index.docpart import DocPartSearcher, build_doc_partitioned
+    from refimage_ray.index.docpart_lifecycle import add_documents_docpart
+
+    base = _index_dir_for(sf_dir) + "-dp-even"
+    out = _index_dir_for(sf_dir) + "-dp-added"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        import pyarrow.compute as pc
+
+        def _half(parity: int):
+            return docs.map_batches(
+                lambda b, p=parity: b.filter(
+                    pc.equal(pc.bit_wise_and(b["doc_id"], 1), p)
+                ),
+                batch_format="pyarrow",
+            )
+
+        even, odd = _half(0), _half(1)
+        build_doc_partitioned(even, base, SEARCH_CFG, num_doc_shards=8)
+        add_documents_docpart(base, odd, out, SEARCH_CFG)
+    if out not in _searchers:
+        _searchers[out] = DocPartSearcher(out)
+    return _hits_table(_searchers[out].search(query, k=k, mode="or"))
+
+
 def bm25_topk_filtered_or(
     sf_dir: str, query: str = "spark join", k: int = 10
 ) -> pa.Table:
