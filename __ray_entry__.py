@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docpart_add_topk": search.docpart_add_topk,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
+        "bm25_topk_ordered_multi": search.bm25_topk_ordered_multi,
         "search_count": search.search_count,
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
@@ -827,6 +828,12 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_ordered": _bm25_sql(
             ["spark"], 10,
             order_by_sql="length(d2.text) DESC, s.doc_id",
+        ),
+        # multi-key field ordering (ES sort-array): secondary keys
+        # decide within equal primaries, doc_id asc last
+        "bm25_topk_ordered_multi": _bm25_sql(
+            ["spark"], 10,
+            order_by_sql="d2.lang ASC, d2.n_chars DESC, s.doc_id",
         ),
         # pagination: page 2 of the same total order (engine fetches
         # top k+offset and slices — page boundaries are deterministic)

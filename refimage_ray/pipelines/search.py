@@ -291,6 +291,20 @@ def bm25_topk_filtered(
     )
 
 
+def bm25_topk_ordered_multi(
+    sf_dir: str, query: str = "spark", k: int = 10
+) -> pa.Table:
+    """Multi-key field ordering (the ES sort-array shape): match set
+    ordered by (lang asc, n_chars desc), doc_id asc tie — secondary
+    keys only decide WITHIN equal primaries, exactly SQL ORDER BY."""
+    return _hits_table(
+        searcher_for(sf_dir).search(
+            query, k=k, mode="or",
+            order_by=[("lang", "asc"), ("n_chars", "desc")],
+        )
+    )
+
+
 def lifecycle_compact_topk(
     sf_dir: str, query: str = "spark join", k: int = 10
 ) -> pa.Table:

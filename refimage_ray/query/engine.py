@@ -723,14 +723,10 @@ class _SearcherBase:
             from refimage_ray.index.docvalues import where_columns
 
             cols = set(where_columns(where)) if where is not None else set()
+            order_keys: "list[tuple[str, str]]" = []
             if order_by is not None:
-                ocol, odir = order_by
-                if odir not in ("asc", "desc"):
-                    raise ValueError(
-                        f"order_by direction must be 'asc' or 'desc', "
-                        f"got {odir!r}"
-                    )
-                cols.add(ocol)
+                order_keys = _normalize_order_by(order_by)
+                cols.update(c for c, _ in order_keys)
             dv = self.doc_values(sorted(cols))
             ranks, scores = self._match_ranks_scores(
                 term_map, terms, mode, idf_fn
@@ -749,32 +745,26 @@ class _SearcherBase:
                 # topk_select's (score desc, id asc) tie-break holds
                 ranks, scores = topk_select(ranks, scores, k, threshold)
                 return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
-            # field ordering (ORDER BY <col> <dir>, doc_id ASC LIMIT k):
-            # threshold gates on score EXACTLY like topk_select (only
-            # when > 0, so plugin scorers with zero/negative
-            # contributions keep the same match set with or without
-            # ordering); the sort key is the doc-value column.  Integer
-            # keys (incl. timestamp µs) sort as int64 — no float
-            # round-trip, so nearby timestamps never reorder;
+            # field ordering (ORDER BY col1 dir1[, col2 dir2, ...],
+            # doc_id ASC LIMIT k): threshold gates on score EXACTLY
+            # like topk_select (only when > 0, so plugin scorers with
+            # zero/negative contributions keep the same match set with
+            # or without ordering); sort keys are doc-value columns.
+            # Integer keys (incl. timestamp µs) sort as int64 — no
+            # float round-trip, so nearby timestamps never reorder;
             # categorical codes sort lexicographically (the dictionary
-            # is sorted), nulls always last in either direction.
+            # is sorted), nulls always last in either direction of
+            # their own key.
             if threshold > 0.0:
                 m = scores >= threshold
                 ranks, scores = ranks[m], scores[m]
-            c = dv.cols[ocol]
-            key = c.values[ranks]
-            if key.dtype.kind in "iu" or c.is_categorical:
-                key = key.astype(np.int64)
-            nm = c.null_mask()
-            null = nm[ranks] if nm is not None else None
-            if odir == "desc":
-                key = -key
-            if null is not None and null.any():
-                # key is already a private copy (fancy indexing above)
-                key[null] = (
-                    np.iinfo(np.int64).max if key.dtype.kind == "i" else np.inf
-                )
-            sel = np.lexsort((ranks, key))[:k]
+            keys = [
+                _order_key(dv.cols[ocol], ranks, odir)
+                for ocol, odir in order_keys
+            ]
+            # np.lexsort: LAST key is primary → doc_id tiebreak first,
+            # then the order columns reversed
+            sel = np.lexsort(tuple([ranks] + keys[::-1]))[:k]
             ranks, scores = ranks[sel], scores[sel]
             return list(zip(self.all_ids[ranks].tolist(), scores.tolist()))
         use_dense = (
@@ -1078,6 +1068,47 @@ def facet_panel(
             c: dv.facet_sums(c, vc, ranks, top) for c, vc in sums.items()
         }
     return out
+
+
+def _normalize_order_by(order_by) -> list[tuple[str, str]]:
+    """Canonical ``[(col, dir), ...]`` from the accepted sugar: a
+    single ``(col, dir)`` tuple, or a list of them (multi-key sort —
+    the ES ``sort`` array shape)."""
+    if (
+        isinstance(order_by, (tuple, list))
+        and len(order_by) == 2
+        and all(isinstance(x, str) for x in order_by)
+    ):
+        order_by = [tuple(order_by)]
+    out = []
+    for item in order_by:
+        ocol, odir = item
+        if odir not in ("asc", "desc"):
+            raise ValueError(
+                f"order_by direction must be 'asc' or 'desc', got {odir!r}"
+            )
+        out.append((ocol, odir))
+    if not out:
+        raise ValueError("order_by needs at least one (column, direction)")
+    return out
+
+
+def _order_key(c, ranks: np.ndarray, odir: str) -> np.ndarray:
+    """One order column → a sortable key over the candidate ranks
+    (int64 for integer/categorical columns, nulls pushed last)."""
+    key = c.values[ranks]
+    if key.dtype.kind in "iu" or c.is_categorical:
+        key = key.astype(np.int64)
+    nm = c.null_mask()
+    null = nm[ranks] if nm is not None else None
+    if odir == "desc":
+        key = -key
+    if null is not None and null.any():
+        # key is already a private copy (fancy indexing above)
+        key[null] = (
+            np.iinfo(np.int64).max if key.dtype.kind == "i" else np.inf
+        )
+    return key
 
 
 def _verify_phrase_positions(

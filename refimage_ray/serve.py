@@ -280,9 +280,13 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 mode = q.get("mode", "or")
                 where = parse_filter(q.get("filter", ""))
                 order = None
-                if q.get("order"):  # order=col:asc|desc (default desc)
-                    ocol, _, odir = q["order"].partition(":")
-                    order = (ocol, odir or "desc")
+                if q.get("order"):
+                    # order=col:asc|desc[,col2:dir2...] (default desc)
+                    keys = []
+                    for part in q["order"].split(","):
+                        ocol, _, odir = part.partition(":")
+                        keys.append((ocol, odir or "desc"))
+                    order = keys[0] if len(keys) == 1 else keys
                 try:
                     if mode == "phrase":
                         if where or order:

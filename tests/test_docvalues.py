@@ -600,3 +600,38 @@ def test_parse_filter_dnf():
         [("lang", "in", ["en", "fr"])],
         [("n_chars", "<", 300)],
     ]}
+
+
+# --- multi-key order_by ---
+
+def test_order_by_multi_equals_pandas(searcher):
+    meta = _doc_meta(searcher)
+    for q in QUERIES:
+        full = searcher.search(q, k=10**9, threshold=0.0)
+        if not full:
+            assert searcher.search(
+                q, k=5, order_by=[("lang", "asc"), ("n_chars", "desc")]
+            ) == []
+            continue
+        df = pd.DataFrame(
+            [(d, s, meta.loc[d].lang, meta.loc[d].n_chars) for d, s in full],
+            columns=["doc_id", "score", "lang", "n_chars"],
+        ).sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        want = list(zip(df.doc_id.tolist()[:5], df.score.tolist()[:5]))
+        got = searcher.search(
+            q, k=5, order_by=[("lang", "asc"), ("n_chars", "desc")]
+        )
+        assert got == want, q
+
+
+def test_order_by_single_tuple_unchanged(searcher):
+    a = searcher.search("data join", k=10, order_by=("n_chars", "desc"))
+    b = searcher.search("data join", k=10, order_by=[("n_chars", "desc")])
+    assert a == b
+    with pytest.raises(ValueError):
+        searcher.search("data", k=5, order_by=[("n_chars", "sideways")])
+    with pytest.raises(ValueError):
+        searcher.search("data", k=5, order_by=[])
