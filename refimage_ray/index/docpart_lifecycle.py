@@ -375,6 +375,81 @@ def merge_docpart_indexes(
     return manifest
 
 
+def update_doc_values_docpart(
+    index_dir: str, updates: "dict[int, dict[str, object]]"
+) -> int:
+    """Doc-value upsert on the doc-partitioned layout — the PUT
+    /metadata analog (see ``lifecycle.update_doc_metadata``; reference
+    ``api.py:731-766``).  Mutable columns are the artifact's
+    ``value_columns``.
+
+    The doc→shard hash routes each update straight to its one
+    ``docvalues-{shard}.parquet`` file — only touched shards are read
+    and rewritten (atomically), unlike the term layout's probe of
+    every docs/ partition.  Raises ``KeyError`` for unknown ids and
+    ``ValueError`` for non-value columns BEFORE any rewrite, so a 404
+    never partially applies the batch.  Returns docs updated; running
+    searchers see the new values after reload (load-once residency).
+    """
+    import io
+
+    from refimage_ray.index.docpart import _doc_shard_of
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    vcols = set(man.get("value_columns", []))
+    if not vcols:
+        raise ValueError(
+            "artifact has no value_columns — rebuild with "
+            "build_doc_partitioned(..., value_columns=[...])"
+        )
+    bad = {c for u in updates.values() for c in u} - vcols
+    if bad:
+        raise ValueError(
+            f"not doc-value columns: {sorted(bad)}; mutable: {sorted(vcols)}"
+        )
+    n_shards = int(man["num_doc_shards"])
+    want = np.asarray(sorted(updates), dtype=np.int64)
+    by_shard: dict[int, np.ndarray] = {}
+    shards = _doc_shard_of(want, n_shards)
+    for s in np.unique(shards):
+        by_shard[int(s)] = want[shards == s]
+
+    # pass 1: probe (404 before any mutation)
+    hits: list[tuple[str, pa.Table, np.ndarray, np.ndarray]] = []
+    found: list[int] = []
+    for s, ids_want in sorted(by_shard.items()):
+        path = os.path.join(index_dir, f"docvalues-{s:05d}.parquet")
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = sorted_membership(np.sort(ids_want), ids)
+        if hit.any():
+            hits.append((path, t, ids, hit))
+            found.extend(ids[hit].tolist())
+    missing = np.setdiff1d(want, np.asarray(sorted(found), np.int64))
+    if len(missing):
+        raise KeyError(f"doc_ids not found: {missing.tolist()[:20]}")
+
+    # pass 2: atomic rewrite of touched shard value files only
+    for path, t, ids, hit in hits:
+        cols = {name: t[name] for name in t.column_names}
+        hit_rows = np.flatnonzero(hit)
+        touched = vcols & {c for u in updates.values() for c in u}
+        for col in sorted(touched):
+            vals = cols[col].to_pylist()
+            for r in hit_rows:
+                new = updates[int(ids[r])].get(col)
+                if new is not None:
+                    vals[r] = new
+            cols[col] = pa.array(vals, t.schema.field(col).type)
+        buf = io.BytesIO()
+        pq.write_table(pa.table(cols), buf)
+        atomic_write_bytes(path, buf.getvalue())
+    return int(len(found))
+
+
 def compact_docpart(index_dir: str, out_dir: str) -> dict:
     """Physically drop tombstoned docs and refresh stats/weights
     (self-merge, same as the term layout's ``compact_index``)."""

@@ -139,3 +139,32 @@ def test_merge_geometry_validation(base, tmp_path):
     )
     with pytest.raises(ValueError, match="store_positions"):
         merge_docpart_indexes([d, nopos], str(tmp_path / "y"))
+
+
+def test_update_doc_values(base, tmp_path):
+    import shutil
+
+    from refimage_ray.index.docpart_lifecycle import update_doc_values_docpart
+
+    d, docs, root = base
+    dd = str(tmp_path / "upd")
+    shutil.copytree(d, dd)
+    s0 = DocPartSearcher(dd)
+    hits = s0.search("data join", k=5)
+    assert hits
+    target = hits[0][0]
+    n = update_doc_values_docpart(dd, {target: {"lang": "xx"}})
+    assert n == 1
+    s1 = DocPartSearcher(dd)  # reload (load-once residency)
+    assert s1.count("data join", where=[("lang", "=", "xx")]) >= 1
+    got = s1.search("data join", k=100, where=[("lang", "=", "xx")])
+    assert target in [d_ for d_, _ in got]
+    # 404 atomicity: unknown id fails before any write
+    with pytest.raises(KeyError):
+        update_doc_values_docpart(dd, {target: {"lang": "yy"},
+                                       10**15 + 7: {"lang": "zz"}})
+    s2 = DocPartSearcher(dd)
+    assert s2.count("data join", where=[("lang", "=", "yy")]) == 0
+    # immutable / unknown column
+    with pytest.raises(ValueError):
+        update_doc_values_docpart(dd, {target: {"text": "nope"}})
