@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
         "bm25_topk_ordered": search.bm25_topk_ordered,
         "bm25_topk_ordered_multi": search.bm25_topk_ordered_multi,
+        "doc_term_vector": search.doc_term_vector_query,
         "search_count": search.search_count,
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
@@ -829,6 +830,18 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
             ["spark"], 10,
             order_by_sql="length(d2.text) DESC, s.doc_id",
         ),
+        # per-doc term vector (ES _termvectors): tokenizer symmetry
+        "doc_term_vector": """
+WITH pos AS (
+  SELECT t[i] AS term, i - 1 AS p
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents WHERE doc_id = 42) _,
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) __
+)
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(p) AS BIGINT) AS first_pos
+FROM pos GROUP BY term ORDER BY term
+""",
         # multi-key field ordering (ES sort-array): secondary keys
         # decide within equal primaries, doc_id asc last
         "bm25_topk_ordered_multi": _bm25_sql(

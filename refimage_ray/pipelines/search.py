@@ -291,6 +291,24 @@ def bm25_topk_filtered(
     )
 
 
+def doc_term_vector_query(sf_dir: str, doc_id: int = 42) -> pa.Table:
+    """Per-doc term vector (ES _termvectors): (term, tf, first_pos)
+    from the artifact's point lookup + the index tokenizer
+    (``engine.doc_term_vector``)."""
+    from refimage_ray.query.engine import doc_term_vector
+
+    rows = doc_term_vector(ensure_index(sf_dir), doc_id)
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "tf": pa.array([r["tf"] for r in rows], pa.int64()),
+            "first_pos": pa.array(
+                [r["positions"][0] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
 def bm25_topk_ordered_multi(
     sf_dir: str, query: str = "spark", k: int = 10
 ) -> pa.Table:

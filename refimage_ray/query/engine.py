@@ -1595,6 +1595,32 @@ def lookup_docs(index_dir: str, doc_ids: list[int], columns: list[str] | None = 
     return ds.to_table(columns=cols, filter=pc.field("doc_id").isin(doc_ids))
 
 
+def doc_term_vector(index_dir: str, doc_id: int) -> list[dict]:
+    """Per-document term vector (the ES ``_termvectors`` analog):
+    ``[{term, tf, positions}]`` in ascending term order, tokenized with
+    the artifact's own pattern (index/verify symmetry), text fetched
+    via the same pruned point lookup as ``lookup_docs``.  Raises
+    ``KeyError`` for unknown ids (the 404 analog)."""
+    import os
+
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.index.manifest import load_manifest
+
+    t = lookup_docs(index_dir, [int(doc_id)], columns=["doc_id", "text"])
+    if t.num_rows == 0:
+        raise KeyError(f"doc_id {doc_id} not found")
+    man = load_manifest(os.path.join(index_dir)) or {}
+    pattern = (man.get("config") or {}).get("token_pattern")
+    toks = tokenize(t["text"][0].as_py(), pattern)
+    acc: dict[str, list[int]] = {}
+    for i, tok in enumerate(toks):
+        acc.setdefault(tok, []).append(i)
+    return [
+        {"term": term, "tf": len(ps), "positions": ps}
+        for term, ps in sorted(acc.items())
+    ]
+
+
 def stream_doc_bytes(index_dir: str, doc_id: int, chunk_size: int = 65536):
     """Chunked streaming read of one stored document's content — the
     blob-serving analog of the reference's ranged file response

@@ -26,6 +26,7 @@ Route map (reference analog → here):
 - ``GET /nl/providers``                (``GET /llm/providers``, ``api.py:350-395``) → ``ProviderManager`` registry
 - ``POST /nl/switch`` {"provider": ...} (``POST /llm/switch``, ``api.py:398-435``) → runtime provider switch
 - ``GET /docs/{id}``                   (metadata GET)                → ``lookup_docs`` (404 when missing)
+- ``GET /docs/{id}/termvectors``       (ES _termvectors analog)      → ``doc_term_vector`` (term/tf/positions, index tokenizer)
 - ``GET /docs/{id}/file``              (chunked file serving, ``api.py:944-954``) → ``stream_doc_bytes`` chunked response
 - ``PUT /docs/{id}/metadata``          (metadata PUT, ``api.py:731-766``) → ``lifecycle.update_doc_metadata``
 - ``DELETE /docs/{id}``                (delete, rebuild-on-delete in the reference) → ``lifecycle.delete_docs`` tombstone
@@ -47,7 +48,9 @@ from urllib.parse import parse_qs, urlparse
 
 from refimage_ray.index.manifest import load_manifest
 
-_DOC_RE = re.compile(r"^/docs/(\d+)(/file|/metadata|/similar|/explain)?$")
+_DOC_RE = re.compile(
+    r"^/docs/(\d+)(/file|/metadata|/similar|/explain|/termvectors)?$"
+)
 
 _COND_RE = re.compile(
     r"^\s*(\w+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$"
@@ -452,6 +455,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     state["s"], q["q"], int(m.group(1)),
                     mode=q.get("mode", "or"),
                 ))
+            if m and m.group(2) == "/termvectors":
+                from refimage_ray.query.engine import doc_term_vector
+
+                try:
+                    return self._json(
+                        {"terms": doc_term_vector(index_dir, int(m.group(1)))}
+                    )
+                except KeyError:
+                    return self._json({"error": "not found"}, 404)
             if m and m.group(2) == "/similar":
                 from refimage_ray.query.engine import more_like_this
 

@@ -492,3 +492,18 @@ def test_count_route(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "/count?q=+")
     assert ei.value.code == 422
+
+
+def test_termvectors_route(server):
+    from refimage_ray.query.engine import doc_term_vector
+
+    base, d = server
+    doc_id = _get(base + "/search?q=the&k=1")[1]["results"][0]["doc_id"]
+    st, body = _get(f"{base}/docs/{doc_id}/termvectors")
+    assert st == 200 and body["terms"] == doc_term_vector(d, doc_id)
+    tv = body["terms"]
+    assert tv == sorted(tv, key=lambda r: r["term"])
+    assert all(r["tf"] == len(r["positions"]) for r in tv)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/docs/999999999999/termvectors")
+    assert ei.value.code == 404
