@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_ordered": search.bm25_topk_ordered,
         "bm25_topk_ordered_multi": search.bm25_topk_ordered_multi,
         "doc_term_vector": search.doc_term_vector_query,
+        "significant_terms": search.significant_terms_query,
         "search_count": search.search_count,
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
@@ -830,6 +831,37 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
             ["spark"], 10,
             order_by_sql="length(d2.text) DESC, s.doc_id",
         ),
+        # ES significant_terms: relative-risk vs corpus background over
+        # the BM25 top-sample (the engine's deterministic total order)
+        "significant_terms": """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES ('spark'), ('join')),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM q) GROUP BY tf.doc_id
+),
+sample AS (SELECT doc_id FROM scores ORDER BY sc DESC, doc_id LIMIT 200),
+ns AS (SELECT count(*)::DOUBLE AS n FROM sample),
+fg AS (SELECT t.term, count(*) AS f
+       FROM tf t JOIN sample USING (doc_id) GROUP BY t.term)
+SELECT fg.term, CAST(fg.f AS BIGINT) AS doc_count,
+       CAST(df.df AS BIGINT) AS bg_count,
+       round((fg.f / ns.n) / (df.df / s.n), 6) AS score
+FROM fg JOIN df USING (term) CROSS JOIN ns CROSS JOIN stats s
+WHERE fg.f >= 5
+ORDER BY (fg.f / ns.n) / (df.df / s.n) DESC, fg.term
+LIMIT 15
+""",
         # per-doc term vector (ES _termvectors): tokenizer symmetry
         "doc_term_vector": """
 WITH pos AS (

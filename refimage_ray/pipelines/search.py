@@ -291,6 +291,32 @@ def bm25_topk_filtered(
     )
 
 
+def significant_terms_query(
+    sf_dir: str, query: str = "spark join", sample_n: int = 200,
+    min_doc_count: int = 5, top: int = 15,
+) -> pa.Table:
+    """ES significant_terms over the query's top-sample (see
+    ``engine.significant_terms``) — relative-risk scores vs the
+    corpus background, deterministic sample by the engine's total
+    order."""
+    from refimage_ray.query.engine import significant_terms
+
+    rows = significant_terms(
+        searcher_for(sf_dir), query, sample_n=sample_n,
+        min_doc_count=min_doc_count, top=top,
+    )
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+            "bg_count": pa.array([r["bg_count"] for r in rows], pa.int64()),
+            "score": pa.array(
+                [round(r["score"], 6) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
 def doc_term_vector_query(sf_dir: str, doc_id: int = 42) -> pa.Table:
     """Per-doc term vector (ES _termvectors): (term, tf, first_pos)
     from the artifact's point lookup + the index tokenizer

@@ -1595,6 +1595,55 @@ def lookup_docs(index_dir: str, doc_ids: list[int], columns: list[str] | None = 
     return ds.to_table(columns=cols, filter=pc.field("doc_id").isin(doc_ids))
 
 
+def significant_terms(
+    searcher,
+    query: str,
+    sample_n: int = 200,
+    min_doc_count: int = 3,
+    top: int = 20,
+    mode: str = "or",
+) -> list[dict]:
+    """Terms over-represented in the query's result sample vs the
+    corpus (the ES ``significant_terms`` aggregation, sampler-scoped
+    as ES recommends): score = (df_fg / n_sample) / (df_bg / N) —
+    the relative-risk heuristic, deterministic and oracle-exact.
+
+    The foreground is the top-``sample_n`` hits (the engine's total
+    order makes the sample deterministic); foreground dfs come from
+    tokenizing just those texts (index tokenizer — symmetry), the
+    background dfs from the index's term dictionary.  Driver-side work
+    is sample-bounded by construction."""
+    hits = searcher.search(query, k=sample_n, mode=mode)
+    ids = [d for d, _ in hits]
+    if not ids:
+        return []
+    t = lookup_docs(searcher.index_dir, ids, columns=["doc_id", "text"])
+    ns = t.num_rows
+    from collections import Counter
+
+    fg: Counter = Counter()
+    for txt in t["text"].to_pylist():
+        fg.update(set(searcher._tokenize(txt)))
+    terms = sorted(fg)
+    tm = searcher._term_map(terms)
+    n_bg = float(searcher.n_docs)
+    out = []
+    for term in terms:
+        f = int(fg[term])
+        if f < min_doc_count:
+            continue
+        p = tm.get(term)
+        if p is None or p.df == 0:
+            continue
+        score = (f / ns) / (p.df / n_bg)
+        out.append(
+            {"term": term, "doc_count": f, "bg_count": int(p.df),
+             "score": score}
+        )
+    out.sort(key=lambda r: (-r["score"], r["term"]))
+    return out[:top]
+
+
 def doc_term_vector(index_dir: str, doc_id: int) -> list[dict]:
     """Per-document term vector (the ES ``_termvectors`` analog):
     ``[{term, tf, positions}]`` in ascending term order, tokenized with

