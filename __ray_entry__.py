@@ -538,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_ordered_multi": search.bm25_topk_ordered_multi,
         "doc_term_vector": search.doc_term_vector_query,
         "significant_terms": search.significant_terms_query,
+        "export_matches": search.export_matches,
+        "export_matches_and": search.export_matches_and,
         "search_count": search.search_count,
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
@@ -831,6 +833,26 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
             ["spark"], 10,
             order_by_sql="length(d2.text) DESC, s.doc_id",
         ),
+        # full-match-set export as a Dataset (scroll/export-all):
+        # membership == count-threshold over matched distinct terms
+        "export_matches": """
+WITH tf AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                  FROM documents) GROUP BY doc_id, term)
+SELECT m.doc_id, CAST(m.nt AS BIGINT) AS n_terms, d.lang
+FROM (SELECT doc_id, count(*) AS nt FROM tf
+      WHERE term IN ('spark', 'vector') GROUP BY doc_id) m
+JOIN documents d USING (doc_id)
+ORDER BY m.doc_id
+""",
+        "export_matches_and": """
+WITH tf AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                  FROM documents) GROUP BY doc_id, term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms FROM tf
+WHERE term IN ('spark', 'vector') GROUP BY doc_id
+HAVING count(*) = 2 ORDER BY doc_id
+""",
         # ES significant_terms: relative-risk vs corpus background over
         # the BM25 top-sample (the engine's deterministic total order)
         "significant_terms": """

@@ -291,6 +291,29 @@ def bm25_topk_filtered(
     )
 
 
+def export_matches(sf_dir: str, query: str = "spark vector") -> pa.Table:
+    """The query's FULL match set as a streaming Dataset (the
+    scroll/export-all path, ``pipelines/export.matches_dataset``):
+    term-pruned partition reads → per-batch decode+combine → one
+    narrow groupby → large-large hash_join for the payload column."""
+    from refimage_ray.pipelines.export import matches_table
+
+    t = matches_table(
+        ensure_index(sf_dir), query, mode="or", columns=["lang"]
+    )
+    return t.select(["doc_id", "n_terms", "lang"]).sort_by(
+        [("doc_id", "ascending")]
+    )
+
+
+def export_matches_and(sf_dir: str, query: str = "spark vector") -> pa.Table:
+    """Conjunctive flavor of the export (count threshold = |terms|)."""
+    from refimage_ray.pipelines.export import matches_table
+
+    t = matches_table(ensure_index(sf_dir), query, mode="and")
+    return t.select(["doc_id", "n_terms"]).sort_by([("doc_id", "ascending")])
+
+
 def significant_terms_query(
     sf_dir: str, query: str = "spark join", sample_n: int = 200,
     min_doc_count: int = 5, top: int = 15,
