@@ -292,6 +292,13 @@ def merge_docpart_indexes(
             raise ValueError("merge requires identical store_positions")
         if m["config"].get("token_pattern") != m0["config"].get("token_pattern"):
             raise ValueError("merge requires identical token_pattern")
+        if sorted(m.get("value_columns", [])) != sorted(
+            m0.get("value_columns", [])
+        ):
+            # mismatched values would merge into shard files whose
+            # docvalues universe misses some input's docs — the load-
+            # time rank validation would fail LOUDLY later; refuse now
+            raise ValueError("merge requires identical value_columns")
 
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):

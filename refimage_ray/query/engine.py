@@ -984,14 +984,26 @@ class _SearcherBase:
             raise ValueError("min_match only applies to mode='or'")
         terms = query_terms(self._tokenize(query))
         term_map = self._term_map(terms)
+        if where is None:
+            # rank-free path: plain counts must work on searchers with
+            # no resident doc_id universe (e.g. value-less docpart
+            # shard views) — ids suffice when no doc-value mask probes
+            if mode == "and":
+                ids, _ = _score_conjunctive(term_map, terms, self.n_docs)
+            else:
+                ids, _ = _score_disjunctive(term_map, terms, self.n_docs)
+            if min_match is not None:
+                parts = [term_map[t].doc_ids for t in terms
+                         if t in term_map and term_map[t].df > 0]
+                ids = ids[_count_mask(parts, ids, min_match)]
+            return int(len(ids))
         ranks, _ = self._match_ranks_scores(term_map, terms, mode)
         if min_match is not None:
             ranks = ranks[self._min_match_mask(term_map, terms, ranks, min_match)]
-        if where is not None:
-            from refimage_ray.index.docvalues import where_columns
+        from refimage_ray.index.docvalues import where_columns
 
-            dv = self.doc_values(sorted(set(where_columns(where))))
-            ranks = ranks[dv.mask(where)[ranks]]
+        dv = self.doc_values(sorted(set(where_columns(where))))
+        ranks = ranks[dv.mask(where)[ranks]]
         return int(len(ranks))
 
     def facets(

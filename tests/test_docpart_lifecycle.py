@@ -168,3 +168,26 @@ def test_update_doc_values(base, tmp_path):
     # immutable / unknown column
     with pytest.raises(ValueError):
         update_doc_values_docpart(dd, {target: {"text": "nope"}})
+
+
+def test_count_works_without_value_columns(ray_session, tiny_docs, tmp_path):
+    """Plain counts must not require a resident doc-value universe."""
+    d = str(tmp_path / "novals")
+    build_doc_partitioned(rd.from_arrow(tiny_docs), d, CFG, num_doc_shards=4)
+    s = DocPartSearcher(d)
+    full = s.search("the data join", k=10**9, threshold=0.0)
+    assert s.count("the data join") == len(full)
+    assert s.count("the data join", mode="and") == len(
+        s.search("the data join", k=10**9, threshold=0.0, mode="and")
+    )
+    assert s.count("the data join", min_match=2) == len(
+        s.search("the data join", k=10**9, threshold=0.0, min_match=2)
+    )
+
+
+def test_merge_value_columns_validation(base, tmp_path):
+    d, docs, root = base  # base has value_columns=["lang"]
+    novals = str(tmp_path / "nv")
+    build_doc_partitioned(rd.from_arrow(docs), novals, CFG, num_doc_shards=4)
+    with pytest.raises(ValueError, match="value_columns"):
+        merge_docpart_indexes([d, novals], str(tmp_path / "z"))
