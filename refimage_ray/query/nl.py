@@ -113,6 +113,8 @@ _WEIGHT_WORDS = [
     (re.compile(r"\b(somewhat|less) important\b", re.I), 0.8),
 ]
 
+_PHRASE_SPAN_RE = re.compile(r'"([^"]+)"')
+_NEAR_RE = re.compile(r"\bwithin\s+(\d+)\s+words?\b", re.I)
 _EXCLUDE_RE = re.compile(r"\b(without|except|but not)\b", re.I)
 _OR_RE = re.compile(r"\bor\b", re.I)
 _AND_RE = re.compile(r"\band\b", re.I)
@@ -146,6 +148,15 @@ class RuleBasedProvider(BaseProvider):
         return "pattern-rules-v1"
 
     def _convert(self, nl: str) -> str:
+        # quoted span = the user dictating exact wording → PHRASE;
+        # "within N words" turns it into the proximity form.  Highest
+        # precedence: explicit quoting beats every looser marker.
+        pm = _PHRASE_SPAN_RE.search(nl)
+        if pm:
+            nm = _NEAR_RE.search(nl)
+            if nm:
+                return f"PHRASE({_quote(pm.group(1))}, {int(nm.group(1))})"
+            return f"PHRASE({_quote(pm.group(1))})"
         segs = list(_IMPORTANCE_SEG_RE.finditer(nl))
         if segs:
             parts = []

@@ -196,3 +196,26 @@ def test_nl_roundtrip_membership_matches_handwritten_dsl(ray_session, built_inde
         got = ex.execute_query(dsl, limit=100000)
         want = ex.execute_query(handwritten, limit=100000)
         assert got == want, (nl, dsl)
+
+
+def test_nl_rules_phrase_and_proximity(built_index):
+    from refimage_ray.query.dsl import DSLExecutor, DSLParser, PhraseQuery
+    from refimage_ray.query.engine import LocalSearcher
+    from refimage_ray.query.nl import ProviderManager, text_to_dsl
+
+    mgr = ProviderManager()
+    dsl = text_to_dsl('find the exact phrase "big data" please', mgr)
+    assert dsl == 'PHRASE("big data")'
+    node = DSLParser().parse(dsl)
+    assert isinstance(node, PhraseQuery) and node.slop == 0
+
+    dsl2 = text_to_dsl('"data join" within 2 words', mgr)
+    assert dsl2 == 'PHRASE("data join", 2)'
+    node2 = DSLParser().parse(dsl2)
+    assert isinstance(node2, PhraseQuery) and node2.slop == 2
+
+    # NL -> DSL -> execution == the direct library call
+    s = LocalSearcher(built_index[0])
+    got = DSLExecutor(s).execute_query(dsl2, limit=10)
+    want = s.search_phrase("data join", k=10, slop=2)
+    assert [d for d, _ in got] == [d for d, _ in want]
