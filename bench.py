@@ -351,6 +351,17 @@ def run_bench() -> dict:
         for a in dps.actors:
             ray.kill(a)
 
+        # full-match-set export (scroll/export-all): hot-term membership
+        # streamed through the term-pruned decode + narrow groupby —
+        # rows/s for the batch-export side of the query engine
+        from refimage_ray.pipelines.export import matches_dataset
+
+        tq = time.perf_counter()
+        n_export = matches_dataset(index_dir, "the data join").count()
+        export_sec = time.perf_counter() - tq
+        timings["export_matches"] = round(export_sec, 3)
+        timings["export_rows_per_sec"] = round(n_export / export_sec, 1)
+
         # training-prep throughput: token-id sequence packing over the
         # staged REP'd corpus (vocab build + scan + piece/assembly
         # shuffles) — docs/s for the prep side of the engine
