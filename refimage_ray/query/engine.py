@@ -1624,7 +1624,17 @@ def significant_terms(
     order makes the sample deterministic); foreground dfs come from
     tokenizing just those texts (index tokenizer — symmetry), the
     background dfs from the index's term dictionary.  Driver-side work
-    is sample-bounded by construction."""
+    is sample-bounded by construction.
+
+    Requires a searcher over the TERM-partitioned artifact (sample
+    texts come from its ``docs/`` store via ``lookup_docs``); the
+    doc-partitioned layout keeps no text, so it has no significant-
+    terms path — same constraint as phrase's text-fallback verify."""
+    if not hasattr(searcher, "index_dir"):
+        raise ValueError(
+            "significant_terms needs a searcher with a docs/ artifact "
+            "(term-partitioned layout)"
+        )
     hits = searcher.search(query, k=sample_n, mode=mode)
     ids = [d for d, _ in hits]
     if not ids:
