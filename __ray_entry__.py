@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
         "facet_lang_token_sums": search.facet_lang_token_sums,
+        "percolate_matches": search.percolate_matches,
         "search_and_membership": search.search_and_membership,
         "search_or_membership": search.search_or_membership,
         "search_not_membership": search.search_not_membership,
@@ -906,6 +907,51 @@ FROM pos GROUP BY term ORDER BY term
         # top k+offset and slices — page boundaries are deterministic)
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
         "phrase_topk": _phrase_sql(["table", "scan"], slop=0, k=10),
+        # percolator: boolean membership per stored rule — set algebra
+        # mirrors the DSL exactly (OR binds loosest, so
+        # 'data OR graph NOT sql' = has(data) ∪ (has(graph) ∖ has(sql)))
+        "percolate_matches": f"""
+WITH toks AS ({_TOKS}),
+has AS (SELECT DISTINCT doc_id, term FROM toks),
+toks_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks_arr, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) _
+),
+q_and AS (
+  SELECT doc_id FROM has WHERE term = 'spark'
+  INTERSECT
+  SELECT doc_id FROM has WHERE term = 'vector'
+),
+q_or_not AS (
+  SELECT doc_id FROM has WHERE term = 'data'
+  UNION
+  (SELECT doc_id FROM has WHERE term = 'graph'
+   EXCEPT
+   SELECT doc_id FROM has WHERE term = 'sql')
+),
+q_phrase AS (
+  SELECT DISTINCT p0.doc_id FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.term = 'scan'
+             AND p1.i = p0.i + 1
+  WHERE p0.term = 'table'
+),
+q_prefix AS (SELECT DISTINCT doc_id FROM has WHERE term LIKE 'netw%'),
+q_tag AS (
+  SELECT h.doc_id FROM has h JOIN documents d ON d.doc_id = h.doc_id
+  WHERE h.term = 'spark' AND d.lang = 'en'
+)
+SELECT query_id, doc_id FROM (
+  SELECT 'q_and' AS query_id, doc_id FROM q_and
+  UNION ALL SELECT 'q_or_not', doc_id FROM q_or_not
+  UNION ALL SELECT 'q_phrase', doc_id FROM q_phrase
+  UNION ALL SELECT 'q_prefix', doc_id FROM q_prefix
+  UNION ALL SELECT 'q_tag_and', doc_id FROM q_tag
+) ORDER BY query_id, doc_id
+""",
         "phrase_topk_slop": _phrase_sql(["data", "join"], slop=2, k=10),
         # engine.count: match-set sizes, no scoring — m counts DISTINCT
         # matched query terms per doc (tf has one row per doc,term)

@@ -616,3 +616,36 @@ def index_term_stats(sf_dir: str) -> pa.Table:
             "total_tf": pa.array([int(terms[t].tfs.sum()) for t in names], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# percolation (reverse search)
+# ---------------------------------------------------------------------------
+
+#: the stored rule set for the contract query — one rule per leaf
+#: family the percolator supports (boolean, negation, phrase, prefix
+#: expansion, tag filter)
+PERCOLATE_QUERIES = {
+    "q_and": "spark AND vector",
+    "q_or_not": "data OR graph NOT sql",
+    "q_phrase": '"table scan"',
+    "q_prefix": "netw*",
+    "q_tag_and": "spark #en",
+}
+
+
+def percolate_matches(sf_dir: str) -> pa.Table:
+    """Reverse search: stream the corpus through the STORED query set
+    (``stages.percolate``) and return every ``(query_id, doc_id)``
+    match.  The corpus is read once (pruned columns), never shuffled;
+    queries compile once per actor.  Unlike the scoring-side expansion
+    queries, percolation applies NO ``max_expansions`` cap — it is
+    boolean membership, so the SQL oracle is exact."""
+    from refimage_ray.stages.percolate import PERCOLATE_SCHEMA, percolate
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    rows = percolate(docs, PERCOLATE_QUERIES).sort(["query_id", "doc_id"]).take_all()
+    return pa.Table.from_pylist(rows, schema=PERCOLATE_SCHEMA)

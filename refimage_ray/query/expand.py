@@ -91,6 +91,26 @@ def fuzzy_matches(deletes_index: dict[str, list[str]], term: str) -> list[str]:
     return sorted(c for c in cands if edit_distance_leq1(term, c))
 
 
+def lev1_regex(term: str) -> str:
+    """Anchored regex alternation matching EXACTLY the strings within
+    Levenshtein distance ≤ 1 of ``term`` (same metric as
+    ``edit_distance_leq1`` — no transposition): the exact term, every
+    single deletion, every single substitution (one position → ``.``),
+    and every single insertion (``.`` between any two positions).
+    O(len) branches — lets a batch-local vocabulary be fuzzy-matched
+    with ONE vectorized regex kernel instead of a per-term Python loop
+    (``stages.percolate`` uses this against each batch's dictionary)."""
+    esc = [re.escape(ch) for ch in term]
+    branches = ["".join(esc)]  # exact
+    for i in range(len(term)):  # deletion of position i
+        branches.append("".join(esc[:i] + esc[i + 1:]))
+    for i in range(len(term)):  # substitution at position i
+        branches.append("".join(esc[:i] + ["."] + esc[i + 1:]))
+    for i in range(len(term) + 1):  # insertion before position i
+        branches.append("".join(esc[:i] + ["."] + esc[i:]))
+    return "^(?:" + "|".join(dict.fromkeys(branches)) + ")$"
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """Glob → regex translation for wildcard term queries (Lucene
     WildcardQuery semantics): ``*`` = any run (incl. empty), ``?`` =
