@@ -569,6 +569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": corpus.dup_span_stats,
         "doc_len_quantiles": corpus.doc_len_quantiles,
         "repetition_stats": corpus.repetition_stats,
+        "heavy_hitters": corpus.heavy_hitters,
+        "distinct_counts": corpus.distinct_counts,
+        "distinct_terms_hll": corpus.distinct_terms_hll,  # rows-only (sketch)
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
         "quality_stats": corpus.quality_stats,
@@ -649,6 +652,21 @@ FROM ({_TF}) GROUP BY term
         "index_term_stats": f"""
 SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM ({_TF}) GROUP BY term
+""",
+        # Misra–Gries candidate pass + exact recount == plain GROUP BY
+        # with a relative-frequency HAVING threshold
+        "heavy_hitters": f"""
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM ({_TOKS})
+GROUP BY term
+HAVING count(*) >= CAST(ceil(0.01 * (SELECT count(*) FROM ({_TOKS}))) AS BIGINT)
+ORDER BY cnt DESC, term
+""",
+        "distinct_counts": f"""
+SELECT CAST((SELECT count(DISTINCT term) FROM ({_TOKS})) AS BIGINT)
+         AS distinct_terms,
+       CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT)
+         AS distinct_langs
 """,
         "top_terms": f"""
 SELECT term, CAST(count(*) AS BIGINT) AS df

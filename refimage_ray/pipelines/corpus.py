@@ -744,3 +744,154 @@ def simhash_values(sf_dir: str) -> "rd.Dataset":
         )
 
     return _docs(sf_dir).map_batches(sh, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sketch-backed aggregations (stages/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    sf_dir: str, threshold_frac: float = 0.01, capacity: int = 4095
+) -> pa.Table:
+    """EXACT counts of every term whose corpus-wide token frequency is
+    ≥ ``ceil(threshold_frac * total_tokens)`` — via a Misra–Gries
+    candidate pass, not a vocab-wide shuffle.
+
+    Pass 1 (one scan): per-batch exact counts compressed to
+    ``capacity`` MG rows (``stages/sketches.mg_partials_batch``);
+    summaries merge in a *summary-sized* groupby (≤ capacity rows per
+    block, vs the full vocab for ``term_stats``).  The total
+    under-count ``E = Σ batch decrements ≤ N/(capacity+1)``, so when
+    ``threshold > E`` the merged summary provably contains every
+    qualifying term.  Pass 2 (one scan): exact recount restricted to
+    the candidate set, broadcast once via ``ray.put``.  If the guard
+    fails (threshold too small for the capacity) we fall back to the
+    exact ``term_stats`` path — the result is always exact.
+    """
+    import ray
+
+    from refimage_ray.stages.sketches import MG_SENTINEL, mg_partials_batch
+
+    merged = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(
+            lambda b: mg_partials_batch(b, capacity), batch_format="pyarrow"
+        )
+        .groupby("term")
+        .aggregate(
+            Sum("w", alias_name="w"),
+            Sum("decr", alias_name="decr"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .take_all()  # ≤ blocks × capacity summary rows, never the corpus
+    )
+    total_err = sum(r["decr"] for r in merged)
+    total_tokens = sum(r["n_tokens"] for r in merged)
+    threshold = int(np.ceil(threshold_frac * total_tokens))
+
+    if threshold <= total_err:
+        # guard: sketch can't certify the superset — exact fallback
+        stats = term_stats(sf_dir).take_all()
+        rows = [
+            (r["term"], r["total_tf"]) for r in stats if r["total_tf"] >= threshold
+        ]
+    else:
+        candidates = {
+            r["term"]
+            for r in merged
+            if r["term"] != MG_SENTINEL and r["w"] + total_err >= threshold
+        }
+        cand_ref = ray.put(pa.array(sorted(candidates), pa.string()))
+
+        def recount(batch: pa.Table) -> pa.Table:
+            from refimage_ray.stages.tokenize import _flat_tokens
+
+            cand = ray.get(cand_ref)
+            flat, _ = _flat_tokens(batch["text"], DEFAULT_CONFIG)
+            flat = flat.filter(pc.is_in(flat, value_set=cand))
+            g = pa.table({"term": flat}).group_by("term").aggregate(
+                [([], "count_all")]
+            )
+            return pa.table(
+                {"term": g["term"], "cnt_part": pc.cast(g["count_all"], pa.int64())}
+            )
+
+        exact = (
+            _docs(sf_dir, columns=("text",))
+            .map_batches(recount, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("cnt_part", alias_name="cnt"))
+            .take_all()
+        )
+        rows = [(r["term"], r["cnt"]) for r in exact if r["cnt"] >= threshold]
+
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "cnt": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def distinct_counts(sf_dir: str) -> pa.Table:
+    """Exact distinct-term and distinct-language counts (one row).
+
+    Distinct terms: per-batch unique terms (the combiner) → narrow
+    groupby → ``Dataset.count()`` of the group table (never collected).
+    """
+    def uniq_terms(batch: pa.Table) -> pa.Table:
+        from refimage_ray.stages.tokenize import _flat_tokens
+
+        flat, _ = _flat_tokens(batch["text"], DEFAULT_CONFIG)
+        return pa.table({"term": pc.unique(flat)})
+
+    n_terms = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(uniq_terms, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    n_langs = (
+        _docs(sf_dir, columns=("lang",))
+        .groupby("lang")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    return pa.table(
+        {
+            "distinct_terms": pa.array([n_terms], pa.int64()),
+            "distinct_langs": pa.array([n_langs], pa.int64()),
+        }
+    )
+
+
+def distinct_terms_hll(sf_dir: str, p: int = 12) -> pa.Table:
+    """HyperLogLog distinct-term estimate (rows-only contract query —
+    approximate by design; the exact twin is ``distinct_counts``).
+
+    Each block contributes ONE ``2**p``-byte register row; the merge
+    is a driver-side elementwise max over block-count rows.  The
+    estimate is deterministic (md5-u64 token hash — no seeded runtime
+    hashing), so the rows-only check is stable across runs.
+    """
+    from refimage_ray.stages.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers_batch,
+    )
+
+    rows = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(lambda b: hll_registers_batch(b, p), batch_format="pyarrow")
+        .take_all()  # one tiny row per block
+    )
+    regs = hll_merge([np.asarray(r["regs"], dtype=np.uint8) for r in rows])
+    return pa.table(
+        {
+            "estimate": pa.array([round(hll_estimate(regs), 3)], pa.float64()),
+            "p": pa.array([p], pa.int64()),
+        }
+    )
