@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": corpus.doc_len_quantiles,
         "repetition_stats": corpus.repetition_stats,
         "heavy_hitters": corpus.heavy_hitters,
+        "bigram_pmi": corpus.bigram_pmi,
         "distinct_counts": corpus.distinct_counts,
         "distinct_terms_hll": corpus.distinct_terms_hll,  # rows-only (sketch)
         "lang_counts": corpus.lang_counts,
@@ -661,6 +662,38 @@ FROM ({_TOKS})
 GROUP BY term
 HAVING count(*) >= CAST(ceil(0.01 * (SELECT count(*) FROM ({_TOKS}))) AS BIGINT)
 ORDER BY cnt DESC, term
+""",
+        # PMI mirrors the Ray float expression shape exactly:
+        # ln((c_xy * N_uni^2) / (N_bi * c_x * c_y)), rounded to 6 dp
+        "bigram_pmi": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+totals AS (
+  SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_uni,
+         CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_bi
+  FROM docs
+),
+uni AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT unnest(toks) AS term FROM docs) GROUP BY term
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM docs WHERE len(toks) >= 2
+),
+bi AS (
+  SELECT bigram, count(*) AS n FROM pairs GROUP BY bigram HAVING count(*) >= 5
+)
+SELECT b.bigram,
+       CAST(b.n AS BIGINT) AS n,
+       round(ln((CAST(b.n AS DOUBLE) * t.n_uni * t.n_uni)
+                / (t.n_bi * ux.tf * uy.tf)), 6) AS pmi
+FROM bi b, totals t
+JOIN uni ux ON ux.term = split_part(b.bigram, ' ', 1)
+JOIN uni uy ON uy.term = split_part(b.bigram, ' ', 2)
 """,
         "distinct_counts": f"""
 SELECT CAST((SELECT count(DISTINCT term) FROM ({_TOKS})) AS BIGINT)

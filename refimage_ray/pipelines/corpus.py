@@ -895,3 +895,71 @@ def distinct_terms_hll(sf_dir: str, p: int = 12) -> pa.Table:
             "p": pa.array([p], pa.int64()),
         }
     )
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5) -> "rd.Dataset":
+    """Pointwise mutual information of word bigrams (collocation
+    mining): ``pmi = ln( P(xy) / (P(x)·P(y)) )`` over all bigrams with
+    count ≥ ``min_count``.
+
+    Dataflow: the bigram counts reuse :func:`bigram_counts`'s combiner
+    → vocab²-bounded groupby; unigram counts are vocab-bounded and
+    broadcast ONCE via ``ray.put`` (at true web scale swap the
+    broadcast for ``stages/joins.hash_join`` against the term table —
+    the bigram side never leaves the cluster either way).  No LIMIT:
+    every qualifying bigram is returned, so float tie-order can't
+    change membership; pmi is rounded to 6 dp on both sides.
+    """
+    import ray
+
+    from refimage_ray.stages.tokenize import doc_lengths
+
+    # corpus totals: unigram tokens + bigram slots (Σ max(dl-1, 0))
+    def totals(batch: pa.Table) -> pa.Table:
+        dl = doc_lengths(batch["text"]).astype(np.int64)
+        return pa.table(
+            {
+                "uni": pa.array([int(dl.sum())], pa.int64()),
+                "bi": pa.array([int(np.maximum(dl - 1, 0).sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(totals, batch_format="pyarrow")
+        .aggregate(Sum("uni", alias_name="uni"), Sum("bi", alias_name="bi"))
+    )
+    n_uni, n_bi = float(tot["uni"]), float(tot["bi"])
+
+    # unigram tf per term (vocab-bounded) → broadcast lookup table
+    uni = (
+        _docs(sf_dir)
+        .map_batches(_term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf_part", alias_name="tf"))
+        .take_all()
+    )
+    terms = pa.array([r["term"] for r in uni], pa.string())
+    counts = np.array([r["tf"] for r in uni], dtype=np.float64)
+    lut_ref = ray.put((terms, counts))
+
+    def pmi_batch(batch: pa.Table) -> pa.Table:
+        t, c = ray.get(lut_ref)
+        parts = pc.split_pattern(batch["bigram"], " ")
+        left = pc.list_element(parts, 0)
+        right = pc.list_element(parts, 1)
+        cx = c[pc.index_in(left, value_set=t).to_numpy(zero_copy_only=False)]
+        cy = c[pc.index_in(right, value_set=t).to_numpy(zero_copy_only=False)]
+        cxy = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log((cxy * n_uni * n_uni) / (n_bi * cx * cy)), 6)
+        return pa.table(
+            {
+                "bigram": batch["bigram"],
+                "n": batch["n"],
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return bigram_counts(sf_dir, min_count).map_batches(
+        pmi_batch, batch_format="pyarrow"
+    )

@@ -211,3 +211,44 @@ def test_distinct_counts_and_hll_pipeline(ray_session, zipf_corpus_dir):
     assert dc["distinct_langs"] == 1
     est = distinct_terms_hll(sf_dir).to_pylist()[0]["estimate"]
     assert abs(est - len(exact)) / len(exact) < 0.05
+
+
+def test_bigram_pmi_vs_bruteforce(ray_session, zipf_corpus_dir):
+    """PMI pipeline == a Counter-based brute force on the same corpus."""
+    from refimage_ray.pipelines.corpus import bigram_pmi
+
+    sf_dir, _ = zipf_corpus_dir
+    import pyarrow.parquet as _pq
+
+    texts = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )["text"].to_pylist()
+    uni: collections.Counter = collections.Counter()
+    bi: collections.Counter = collections.Counter()
+    n_uni = n_bi = 0
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        n_uni += len(toks)
+        pairs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bi.update(pairs)
+        n_bi += len(pairs)
+    want = {
+        bg: (
+            c,
+            round(
+                float(
+                    np.log((c * float(n_uni) * float(n_uni))
+                           / (float(n_bi) * uni[bg.split()[0]] * uni[bg.split()[1]]))
+                ),
+                6,
+            ),
+        )
+        for bg, c in bi.items()
+        if c >= 5
+    }
+    got = {
+        r["bigram"]: (r["n"], r["pmi"])
+        for r in bigram_pmi(sf_dir, min_count=5).take_all()
+    }
+    assert got == want and len(want) > 10
