@@ -188,7 +188,7 @@ def _bm25_sql(
     q_where: "str | None" = None, doc_where: "str | None" = None,
     order_by_sql: "str | None" = None, offset: int = 0,
     grouped_by: "str | None" = None, min_match: "int | None" = None,
-    corpus_where: "str | None" = None,
+    corpus_where: "str | None" = None, boost_sql: "str | None" = None,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
@@ -232,6 +232,14 @@ def _bm25_sql(
             f"SELECT s.doc_id, round(s.sc, 4) AS score FROM scores s "
             f"JOIN documents d2 ON d2.doc_id = s.doc_id "
             f"ORDER BY {order_by_sql} LIMIT {k}{off}"
+        )
+    elif boost_sql is not None:
+        # decay boost (engine boost=DecaySpec): multiplicative per-doc
+        # factor over a documents column, applied BEFORE the top-k order
+        final = (
+            f"SELECT s.doc_id, round(s.sc * ({boost_sql}), 4) AS score "
+            f"FROM scores s JOIN documents d2 ON d2.doc_id = s.doc_id "
+            f"ORDER BY s.sc * ({boost_sql}) DESC, s.doc_id LIMIT {k}{off}"
         )
     else:
         final = (
@@ -529,6 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_min_match": search.bm25_topk_min_match,
         "bm25_topk_search_after": search.bm25_topk_search_after,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
+        "bm25_topk_decay": search.bm25_topk_decay,
+        "bm25_topk_decay_where": search.bm25_topk_decay_where,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_or": search.bm25_topk_filtered_or,
         "lifecycle_compact_topk": search.lifecycle_compact_topk,
@@ -857,6 +867,17 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_synonyms": _bm25_sql(["spark", "stream", "join", "merge"], 10),
         # doc-value filter: result docs restricted to lang='en' AND
         # doc_len>=40; idf/avgdl/N stay corpus-wide like the engine
+        # decay boost: score × exp(ln(.5)/scale · |n_chars|), mirrored
+        # float-for-float (engine factors() uses the same expression)
+        "bm25_topk_decay": _bm25_sql(
+            ["spark", "join"], 10,
+            boost_sql="exp(ln(0.5) / 2000.0 * abs(d2.n_chars - 0.0))",
+        ),
+        "bm25_topk_decay_where": _bm25_sql(
+            ["spark", "join"], 10,
+            doc_where="d.lang = 'en'",
+            boost_sql="exp(ln(0.5) / 2000.0 * abs(d2.n_chars - 0.0))",
+        ),
         "bm25_topk_filtered": _bm25_sql(
             ["spark", "join"], 10,
             doc_where="d.lang = 'en' AND dl.dl >= 40",

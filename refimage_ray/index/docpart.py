@@ -606,6 +606,7 @@ class DocPartSearcher:
         offset: int = 0,
         min_match: int | None = None,
         after: "tuple[float, int] | None" = None,
+        boost=None,  # DecaySpec — per-doc factor, so shard-exact too
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.scorer import topk_select
 
@@ -621,7 +622,7 @@ class DocPartSearcher:
         for sh in self.shards:
             hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
                              cfg=cfg, where=where, min_match=min_match,
-                             after=after)
+                             after=after, boost=boost)
             if hits:
                 ids_parts.append(np.array([d for d, _ in hits], np.int64))
                 score_parts.append(np.array([s for _, s in hits], np.float64))

@@ -36,9 +36,9 @@ _searchers: dict[str, LocalSearcher] = {}
 
 def _index_dir_for(sf_dir: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    # v2: docs/ additionally carries `source` (doc-value facet column);
-    # the suffix invalidates any pre-doc-values cached artifact
-    return f"/tmp/refimage_ray_cache/{tag}/index-v2"
+    # v3: docs/ additionally carries `n_chars` (numeric doc value for
+    # decay boosts); the suffix invalidates older cached artifacts
+    return f"/tmp/refimage_ray_cache/{tag}/index-v3"
 
 
 def ensure_index(sf_dir: str, cfg: EngineConfig = SEARCH_CFG) -> str:
@@ -53,7 +53,7 @@ def ensure_index(sf_dir: str, cfg: EngineConfig = SEARCH_CFG) -> str:
     if load_manifest(index_dir) is None:
         docs = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text", "lang", "source"],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
         )
         build_index(
             docs,
@@ -97,11 +97,11 @@ def _docpart_searcher(sf_dir: str):
     if not os.path.exists(os.path.join(doc_dir, "manifest.json")):
         docs = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text", "lang", "source"],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
         )
         build_doc_partitioned(
             docs, doc_dir, SEARCH_CFG, num_doc_shards=8,
-            value_columns=["lang", "source"],
+            value_columns=["lang", "source", "n_chars"],
         )
     if doc_dir not in _searchers:
         _searchers[doc_dir] = DocPartSearcher(doc_dir)
@@ -273,6 +273,42 @@ def search_facets(sf_dir: str, dsl_query: str = "spark OR vector") -> pa.Table:
                 [int(r["sum_tokens"]) for r in out], pa.int64()
             ),
         }
+    )
+
+
+def bm25_topk_decay(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """Function-scored top-k: BM25 × an exponential decay on the
+    ``n_chars`` doc value (ES ``function_score`` decay analog,
+    ``query/boost.py``) — shorter docs float up, f(0)=1, f(2000)=0.5.
+    Exact evaluation (pruned θ is invalid under a boosted order), one
+    vectorized factor multiply over the candidate set."""
+    from refimage_ray.query.boost import DecaySpec
+
+    return _hits_table(
+        searcher_for(sf_dir).search(
+            query, k=k, mode="or",
+            boost=DecaySpec("n_chars", origin=0.0, scale=2000.0,
+                            decay=0.5, kind="exp"),
+        )
+    )
+
+
+def bm25_topk_decay_where(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """Decay boost composed with a doc-value filter (the two share the
+    exact-evaluation path and its rank-aligned doc values)."""
+    from refimage_ray.query.boost import DecaySpec
+
+    return _hits_table(
+        searcher_for(sf_dir).search(
+            query, k=k, mode="or",
+            where=[("lang", "=", "en")],
+            boost=DecaySpec("n_chars", origin=0.0, scale=2000.0,
+                            decay=0.5, kind="exp"),
+        )
     )
 
 

@@ -514,6 +514,7 @@ class _SearcherBase:
         offset: int = 0,
         min_match: int | None = None,  # ≥m distinct query terms (OR only)
         after: "tuple[float, int] | None" = None,  # (score, doc_id) cursor
+        boost=None,  # DecaySpec — multiplicative doc-value decay
     ) -> list[tuple[int, float]]:
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -537,7 +538,7 @@ class _SearcherBase:
             _check_offset(offset)
         return self._finish_search(
             term_map, terms, k + offset, threshold, mode, prune, scorer,
-            dense, where, order_by, min_match, after,
+            dense, where, order_by, min_match, after, boost,
         )[offset:]
 
     # --- multi-term expansion queries (prefix / fuzzy) ---
@@ -646,6 +647,7 @@ class _SearcherBase:
         order_by: "tuple[str, str] | None" = None,
         min_match: int | None = None,
         after: "tuple[float, int] | None" = None,
+        boost=None,  # DecaySpec
     ) -> list[tuple[int, float]]:
         """Scoring half of :meth:`search` — separated so batch serving
         (``search_many``) can overlap many queries' postings RPCs
@@ -692,7 +694,7 @@ class _SearcherBase:
 
             idf_fn = get_scorer(scorer).idf
         if (min_match is not None or after is not None) and \
-                where is None and order_by is None:
+                where is None and order_by is None and boost is None:
             # exact evaluation + count/cursor mask (pruned θ bounds only
             # the unconstrained OR, so pruning is bypassed — same
             # argument as doc-value filters below).  Id-based, so it
@@ -713,13 +715,13 @@ class _SearcherBase:
                 ids, scores = ids[keep], scores[keep]
             ids, scores = topk_select(ids, scores, k, threshold)
             return list(zip(ids.tolist(), scores.tolist()))
-        if where is not None or order_by is not None:
-            # doc-value filter / field ordering: exact full evaluation,
-            # then an O(candidates) rank-aligned mask probe, then top-k.
-            # The pruned strategies are bypassed on purpose — their θ
-            # bound is valid only against the unfiltered corpus (see
-            # _match_ranks_scores), and field ordering isn't score-
-            # correlated at all.
+        if where is not None or order_by is not None or boost is not None:
+            # doc-value filter / field ordering / decay boost: exact full
+            # evaluation, then an O(candidates) rank-aligned mask probe,
+            # then top-k.  The pruned strategies are bypassed on purpose —
+            # their θ bound is valid only against the unfiltered,
+            # unboosted corpus (see _match_ranks_scores), and field
+            # ordering isn't score-correlated at all.
             from refimage_ray.index.docvalues import where_columns
 
             cols = set(where_columns(where)) if where is not None else set()
@@ -727,6 +729,8 @@ class _SearcherBase:
             if order_by is not None:
                 order_keys = _normalize_order_by(order_by)
                 cols.update(c for c, _ in order_keys)
+            if boost is not None:
+                cols.add(boost.col)
             dv = self.doc_values(sorted(cols))
             ranks, scores = self._match_ranks_scores(
                 term_map, terms, mode, idf_fn
@@ -737,6 +741,10 @@ class _SearcherBase:
             if where is not None:
                 keep = dv.mask(where)[ranks]
                 ranks, scores = ranks[keep], scores[keep]
+            if boost is not None:
+                # multiplicative decay BEFORE threshold/cursor/top-k:
+                # those all gate on the FINAL score order
+                scores = scores * boost.factors(dv.cols[boost.col], ranks)
             if after is not None:  # order_by+after already rejected
                 keep = _after_mask(self.all_ids[ranks], scores, after)
                 ranks, scores = ranks[keep], scores[keep]

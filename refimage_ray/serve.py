@@ -13,7 +13,8 @@ Route map (reference analog → here):
   (``&slop=N`` with mode=phrase: ordered proximity, ≤N interleaved tokens per step;
   ``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
   ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``;
-  ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination)
+  ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination;
+  ``&decay=n_chars:exp:0:2000:0.5``: decay boost — ``query/boost.py``)
 - ``GET /facets?q=&by=lang&hist=doc_len:50&sum=lang:doc_len&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts / histograms / metric sums over the FULL match set; ``dsl=`` instead of ``q=`` facets a DSL query's membership)
 - ``GET /grouped?q=&by=lang&k=3&filter=&groups=`` (result diversification) → ``searcher.search_grouped`` (best k hits per facet value)
 - ``GET /count?q=&mode=&filter=&min_match=`` (ES ``_count`` analog; the reference reports result counts on list endpoints, ``api.py:397-409``) → ``searcher.count`` (exact match-set size, no scoring)
@@ -326,10 +327,26 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         if q.get("after"):  # after=<doc_id>:<score>
                             a_d, _, a_s = q["after"].partition(":")
                             after = (int(a_d), float(a_s))
+                        boost = None
+                        if q.get("decay"):
+                            # decay=col:kind:origin:scale[:decay]
+                            # (function_score sugar, query/boost.py)
+                            from refimage_ray.query.boost import DecaySpec
+
+                            parts = q["decay"].split(":")
+                            if len(parts) not in (4, 5):
+                                return self._json(
+                                    {"error": "decay= wants "
+                                              "col:kind:origin:scale[:dec]"},
+                                    422)
+                            boost = DecaySpec(
+                                parts[0], float(parts[2]), float(parts[3]),
+                                float(parts[4]) if len(parts) == 5 else 0.5,
+                                parts[1])
                         hits = state["s"].search(q["q"], k=k, mode=mode,
                                                  where=where, order_by=order,
                                                  offset=offset, min_match=mm,
-                                                 after=after)
+                                                 after=after, boost=boost)
                     else:
                         return self._json({"error": f"bad mode {mode!r}"}, 422)
                 except ValueError as err:  # e.g. multi-term expansion probe

@@ -527,3 +527,29 @@ def test_significant_terms_route(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "/significant?q=+")
     assert ei.value.code == 422
+
+
+def test_search_decay_param(server):
+    from refimage_ray.query.boost import DecaySpec
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/search?q=spark+join&k=5&decay=n_chars:exp:0:500")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search(
+        "spark join", k=5,
+        boost=DecaySpec("n_chars", 0.0, 500.0, 0.5, "exp"),
+    )
+    # malformed spec → 422, not a dropped connection
+    import urllib.error
+
+    def _status(url):
+        try:
+            return _get(url)[0]
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert _status(base + "/search?q=spark&decay=n_chars:exp:0") == 422
+    assert _status(base + "/search?q=spark&decay=n_chars:step:0:10") == 422
