@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_decay_where": search.bm25_topk_decay_where,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_or": search.bm25_topk_filtered_or,
+        "nrt_delta_topk": search.nrt_delta_topk,
         "lifecycle_compact_topk": search.lifecycle_compact_topk,
         "docpart_add_topk": search.docpart_add_topk,
         "bm25_topk_filtered_docpart": search.bm25_topk_filtered_docpart,
@@ -867,6 +868,10 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_synonyms": _bm25_sql(["spark", "stream", "join", "merge"], 10),
         # doc-value filter: result docs restricted to lang='en' AND
         # doc_len>=40; idf/avgdl/N stay corpus-wide like the engine
+        # NRT: half the corpus built, half in the in-memory delta
+        # buffer — merged stats make it equal a full rebuild, so the
+        # oracle is plain BM25 over the WHOLE documents table
+        "nrt_delta_topk": _bm25_sql(["stream", "window", "state"], 10),
         # decay boost: score × exp(ln(.5)/scale · |n_chars|), mirrored
         # float-for-float (engine factors() uses the same expression)
         "bm25_topk_decay": _bm25_sql(

@@ -685,3 +685,35 @@ def percolate_matches(sf_dir: str) -> pa.Table:
     )
     rows = percolate(docs, PERCOLATE_QUERIES).sort(["query_id", "doc_id"]).take_all()
     return pa.Table.from_pylist(rows, schema=PERCOLATE_SCHEMA)
+
+
+def nrt_delta_topk(
+    sf_dir: str, query: str = "stream window state", k: int = 10
+) -> pa.Table:
+    """NRT contract query: the LOWER half of the corpus (by doc_id) is
+    a built artifact, the upper half is added through the in-memory
+    delta buffer (``query/nrt.DeltaSearcher``) — and the oracle is
+    plain BM25 over the FULL documents table, because NRT merged
+    statistics make base ∪ buffer bit-identical to a full rebuild."""
+    import pyarrow.compute as pc2
+    import pyarrow.parquet as pq2
+
+    from refimage_ray.query.nrt import DeltaSearcher
+
+    base_dir = _index_dir_for(sf_dir) + "-nrtbase"
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ids = np.sort(
+        pq2.read_table(docs_path, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    cut = int(ids[len(ids) // 2])
+    if load_manifest(base_dir) is None:
+        lower = rd.read_parquet(docs_path, columns=["doc_id", "text"]).filter(
+            expr=f"doc_id < {cut}"
+        )
+        build_index(lower, base_dir, SEARCH_CFG)
+    delta = DeltaSearcher(base_dir)
+    upper = pq2.read_table(docs_path, columns=["doc_id", "text"])
+    delta.add(upper.filter(pc2.greater_equal(upper["doc_id"], cut)))
+    return _hits_table(delta.search(query, k=k))

@@ -1,0 +1,248 @@
+"""Near-real-time search: a base artifact + an in-memory delta buffer.
+
+Lucene-NRT analog for this engine: freshly added documents become
+searchable IMMEDIATELY (no rebuild, no artifact write) by holding
+their postings in process memory and merging them with the base
+index's postings *at query time, with merged global statistics* —
+N, avgdl, df and every per-posting weight are recomputed over
+base ∪ buffer, so a DeltaSearcher's results are **bit-identical** to a
+full rebuild over the union corpus (asserted in tests/test_nrt.py).
+
+Reference analog: the reference adds one vector at a time straight
+into the resident FAISS index (`/root/reference/src/refimage/search/
+__init__.py:243-261` index.add) — NRT-by-construction but with no
+persistence story.  Here the persistent artifact stays immutable and
+the buffer is explicitly flushed through the incremental-add lifecycle
+(``index/lifecycle.add_documents``) when it grows past serving size.
+
+Scale note: the buffer is a *serving-side* structure (thousands of
+docs, not the corpus); each query recomputes weights only for ITS
+terms' postings — O(query posting mass), the same order as scoring.
+Filters/facets/order_by need the rank-aligned doc-value machinery of a
+built artifact and therefore require a flush first (loud error).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from refimage_ray.index.manifest import load_manifest
+from refimage_ray.index.reader import TermPostings
+from refimage_ray.query.engine import LocalSearcher, _SearcherBase
+from refimage_ray.query.scorer import bm25_weight
+
+
+def _buffer_postings(
+    table: pa.Table, cfg
+) -> tuple[dict[str, tuple], np.ndarray, np.ndarray]:
+    """(doc_id, text) buffer rows → per-term (ids, tfs, dls) arrays +
+    (sorted buffer ids, doc lengths aligned to them).  Vectorized: one
+    tokenize_batch + one argsort; no per-row Python."""
+    from refimage_ray.stages.tokenize import doc_lengths, tokenize_batch
+
+    ids = table["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dl = doc_lengths(table["text"], cfg).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, dl = ids[order], dl[order]
+    if len(np.unique(ids)) != len(ids):
+        raise ValueError("duplicate doc_ids within the added batch")
+
+    toks = tokenize_batch(table, cfg)
+    t_ids = toks["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t_tfs = toks["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = toks["term"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    import pyarrow.compute as pc
+
+    dct = pc.dictionary_encode(terms)
+    if isinstance(dct, pa.ChunkedArray):
+        dct = dct.combine_chunks()
+    codes = dct.indices.to_numpy(zero_copy_only=False)
+    vocab = dct.dictionary.to_pylist()
+    # group rows by (term code, doc_id): one lexsort, then split at
+    # term-code boundaries — postings come out doc_id-sorted per term
+    sel = np.lexsort((t_ids, codes))
+    codes, t_ids, t_tfs = codes[sel], t_ids[sel], t_tfs[sel]
+    bounds = np.flatnonzero(np.diff(codes)) + 1
+    dls_all = dl[np.searchsorted(ids, t_ids)]
+    out: dict[str, tuple] = {}
+    for c_start, c_end in zip(
+        np.concatenate(([0], bounds)), np.concatenate((bounds, [len(codes)]))
+    ):
+        if c_end == c_start:
+            continue
+        term = vocab[codes[c_start]]
+        out[term] = (
+            t_ids[c_start:c_end],
+            t_tfs[c_start:c_end],
+            dls_all[c_start:c_end],
+        )
+    return out, ids, dl
+
+
+class DeltaSearcher(_SearcherBase):
+    """Search base ∪ buffer with exact merged statistics."""
+
+    def __init__(self, index_dir: str, base: "LocalSearcher | None" = None):
+        self.base = base if base is not None else LocalSearcher(index_dir)
+        if self.base.index_dir != index_dir:
+            raise ValueError("base searcher was loaded from a different dir")
+        man = load_manifest(index_dir)
+        stats = man["stats"]
+        self.index_dir = index_dir
+        self._base_n = int(stats["n_docs"])
+        self._base_sum_dl = int(stats["sum_dl"])
+        self._k1 = float(stats.get("k1", 1.2))
+        self._b = float(stats.get("b", 0.75))
+        self.token_pattern = man["config"].get("token_pattern")
+        from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
+
+        self._cfg = (
+            EngineConfig(token_pattern=self.token_pattern)
+            if self.token_pattern
+            else DEFAULT_CONFIG
+        )
+        # base universe for disjointness checks (narrow read; the dense
+        # LocalSearcher already holds it)
+        if self.base.all_ids is not None:
+            self._base_ids = self.base.all_ids
+        else:
+            from refimage_ray.index.reader import load_doc_universe
+
+            self._base_ids = load_doc_universe(index_dir)
+        self._buf_tables: list[pa.Table] = []
+        self._buf: dict[str, tuple] = {}
+        self._buf_ids = np.zeros(0, dtype=np.int64)
+        self._buf_sum_dl = 0
+        # dense TAAT needs a rank universe over base ∪ buffer, which
+        # would re-rank every base posting per add — stay sparse
+        self.all_ids = None
+        self._refresh_stats()
+
+    # ------------------------------------------------------------------
+
+    def _refresh_stats(self) -> None:
+        self.n_docs = self._base_n + len(self._buf_ids)
+        total = self._base_sum_dl + self._buf_sum_dl
+        self.avgdl = total / self.n_docs if self.n_docs else 1.0
+
+    def add(self, docs: pa.Table) -> int:
+        """Buffer (doc_id, text) rows; they are searchable on return.
+        Doc ids must be new (not in the base artifact or the buffer)."""
+        if not {"doc_id", "text"} <= set(docs.column_names):
+            raise ValueError("add() needs doc_id and text columns")
+        postings, ids, dl = _buffer_postings(docs, self._cfg)
+        clash = ids[np.isin(ids, self._buf_ids) | np.isin(ids, self._base_ids)]
+        if len(clash):
+            raise ValueError(
+                f"doc_ids already indexed or buffered: {clash[:5].tolist()}"
+            )
+        for term, (p_ids, p_tfs, p_dls) in postings.items():
+            have = self._buf.get(term)
+            if have is None:
+                self._buf[term] = (p_ids, p_tfs, p_dls)
+            else:
+                merged = tuple(
+                    np.concatenate((a, b)) for a, b in zip(have, (p_ids, p_tfs, p_dls))
+                )
+                order = np.argsort(merged[0], kind="stable")
+                self._buf[term] = tuple(m[order] for m in merged)
+        self._buf_tables.append(docs)
+        self._buf_ids = np.sort(np.concatenate((self._buf_ids, ids)))
+        self._buf_sum_dl += int(dl.sum())
+        self._refresh_stats()
+        return len(ids)
+
+    @property
+    def buffered(self) -> int:
+        return len(self._buf_ids)
+
+    def flush(self, out_dir: str, cfg=None) -> str:
+        """Persist the buffer through the incremental-add lifecycle
+        (delta build + shard merge) and clear it.  Returns ``out_dir``
+        — reload a DeltaSearcher from there to continue."""
+        if not self._buf_tables:
+            raise ValueError("nothing buffered")
+        import ray.data as rd
+
+        from refimage_ray.config import DEFAULT_CONFIG
+        from refimage_ray.index.lifecycle import add_documents
+
+        add_documents(
+            self.index_dir,
+            rd.from_arrow(pa.concat_tables(self._buf_tables, promote_options="default")),
+            out_dir,
+            cfg if cfg is not None else DEFAULT_CONFIG,
+        )
+        self._buf_tables, self._buf = [], {}
+        self._buf_ids = np.zeros(0, dtype=np.int64)
+        self._buf_sum_dl = 0
+        self._refresh_stats()
+        return out_dir
+
+    # ------------------------------------------------------------------
+
+    def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
+        out: dict[str, TermPostings] = {}
+        for t in terms:
+            bp = self.base.terms.get(t)
+            buf = self._buf.get(t)
+            if bp is None and buf is None:
+                continue
+            parts_ids, parts_tfs, parts_dls = [], [], []
+            if bp is not None and bp.df > 0:
+                if bp.dls is None:
+                    raise ValueError(
+                        "NRT merge needs per-posting doc lengths; rebuild "
+                        "the base artifact (dls missing for term "
+                        f"{t!r})"
+                    )
+                parts_ids.append(bp.doc_ids)
+                parts_tfs.append(bp.tfs)
+                parts_dls.append(bp.dls)
+            if buf is not None:
+                parts_ids.append(buf[0])
+                parts_tfs.append(buf[1])
+                parts_dls.append(buf[2])
+            ids = np.concatenate(parts_ids)
+            tfs = np.concatenate(parts_tfs)
+            dls = np.concatenate(parts_dls)
+            if len(parts_ids) > 1:
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            w = bm25_weight(
+                tfs.astype(np.float64), dls.astype(np.float64),
+                self.avgdl, self._k1, self._b,
+            )
+            mx = float(w.max()) if len(w) else 0.0
+            out[t] = TermPostings(
+                df=len(ids),
+                doc_ids=ids,
+                weights=w,
+                tfs=tfs,
+                max_weight=mx,
+                block_last_doc=ids[-1:].copy(),
+                block_max_weight=np.array([mx], np.float64),
+                dls=dls,
+            )
+        return out
+
+    def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
+        # expansion probes must see buffered vocabulary too; merge the
+        # base's resident expansion with a probe over the buffer terms
+        from refimage_ray.query.engine import _expand_resident
+
+        base_pairs = dict(self.base._expand_pairs(kind, arg))
+        if self._buf:
+            fake = {
+                t: TermPostings(
+                    df=len(v[0]), doc_ids=v[0], weights=None, tfs=None,
+                    max_weight=0.0, block_last_doc=None, block_max_weight=None,
+                )
+                for t, v in self._buf.items()
+            }
+            for t, df in _expand_resident(fake, {}, kind, arg):
+                base_pairs[t] = base_pairs.get(t, 0) + df
+        return sorted(base_pairs.items())
