@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences": training.packed_sequences,
         "curated_packed_sequences": training.curated_packed_sequences,
         "lang_mixture_sample": training.lang_mixture_sample,
+        "stratified_sample": training.stratified_sample,
         "url_blocklist_stats": training.url_blocklist_stats,
         "pii_scrub_stats": training.pii_scrub_stats,
         "token_count_multi": training.token_count_multi,
@@ -1448,6 +1449,21 @@ FROM stream GROUP BY seq_id
         "curated_packed_sequences": _curated_packed_sql(),
         # per-language mixture gate: same multiplicative hash as
         # doc_sample, threshold from DEFAULT_LANG_RATES
+        # exact-count stratified sample: lowest-n md5-u64 hashes per
+        # lang — the combiner+finalizer == one window-function rank
+        "stratified_sample": """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 30
+""",
         "lang_mixture_sample": """
 SELECT doc_id, lang FROM documents
 -- floor(), not CAST-to-BIGINT: DuckDB's CAST rounds to nearest while

@@ -356,3 +356,63 @@ def pii_scrub_stats(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
         scrub, batch_format="pyarrow"
     )
+
+
+def stratified_sample(sf_dir: str, n_per_stratum: int = 30) -> "rd.Dataset":
+    """EXACT-count stratified sample: the ``n`` docs with the lowest
+    deterministic hash within each language (so the sample is stable
+    across runs/cluster sizes — the property a reproducible training
+    mix needs; rate-based sampling is :func:`lang_mixture_sample`).
+
+    Scale shape: a stratum is a whole language — far too large for one
+    ``map_groups`` group — so each batch first keeps only ITS lowest
+    ``n`` per lang (combiner), shrinking the shuffle to ≤ blocks × n ×
+    |langs| rows; the per-lang finalizer then picks the global lowest
+    ``n`` from those.  Order key is (md5-u64(doc_id), doc_id): fully
+    deterministic and mirrored by the SQL oracle's ``row_number()``.
+    """
+    import pyarrow.compute as pc
+
+    from refimage_ray.functions.hashing import md5_u64_string_array
+
+    # hash column type: reinterpreting u64 as int64 would flip the
+    # order for hashes >= 2^63, so store the hash SHIFTED into signed
+    # range (h - 2^63) — strictly monotone in the unsigned value
+    def partial_shifted(b: pa.Table) -> pa.Table:
+        h = md5_u64_string_array(pc.cast(b["doc_id"], pa.string()))
+        hs = (h - np.uint64(1 << 63)).view(np.int64)
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("lang", "ascending"), ("h", "ascending"),
+                          ("doc_id", "ascending")]
+        )
+        t = t.take(idx)
+        # keep the first n rows of each lang run (vectorized run-length)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], langs[1:] != langs[:-1]))
+        )
+        run_id = np.cumsum(
+            np.concatenate(([False], langs[1:] != langs[:-1]))
+        )
+        pos_in_run = np.arange(len(langs)) - starts[run_id]
+        return t.filter(pa.array(pos_in_run < n_per_stratum))
+
+    def finalize(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(n_per_stratum)
+        return g[["doc_id", "lang"]]
+
+    import pandas as pd  # noqa: F401  (map_groups yields pandas)
+
+    return (
+        _docs(sf_dir, ("doc_id", "lang"))
+        .map_batches(partial_shifted, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finalize)
+    )

@@ -444,3 +444,41 @@ def test_write_packed_sequences_resume_geometry_mismatch(ray_session, tmp_path):
     m2 = write_packed_sequences(_docs_ds(texts), d, budget=32, seqs_per_file=8,
                                 resume=False)
     assert m2["skipped_existing"] == []
+
+
+def test_stratified_sample_exact_vs_bruteforce(ray_session, tmp_path):
+    """Combiner + finalizer == brute-force lowest-n-hash-per-lang, even
+    when block boundaries split strata."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.training import stratified_sample
+
+    rng = np.random.default_rng(3)
+    n = 700
+    langs = rng.choice(["en", "fr", "de"], size=n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(langs),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    def h(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+
+    want = set()
+    for lang in ("en", "fr", "de"):
+        ids = [i for i in range(n) if langs[i] == lang]
+        ids.sort(key=lambda i: (h(i), i))
+        want |= {(i, lang) for i in ids[:30]}
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(str(tmp_path), 30).take_all()
+    }
+    assert got == want and len(got) == 90
