@@ -113,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--deep", action="store_true",
                     help="decode every posting list (distributed)")
 
+    sn = sub.add_parser("snapshot", help="checksummed artifact snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+
+    rs = sub.add_parser("restore", help="verified restore of a snapshot")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True)
+    rs.add_argument("--force", action="store_true")
+
     pk = sub.add_parser("pack", help="write token-id training sequences")
     pk.add_argument("--documents", required=True,
                     help="parquet file/dir with (doc_id, text)")
@@ -266,6 +275,18 @@ def main(argv: list[str] | None = None) -> int:
             rep = verify_index(args.index, deep=args.deep)
             print(json.dumps(rep, indent=1))
             return 0 if rep["ok"] else 1
+        elif args.cmd == "snapshot":
+            from refimage_ray.index.snapshot import snapshot_index
+
+            man = snapshot_index(args.index, args.out)
+            print(json.dumps({"ok": True, "files": len(man["files"])}))
+            return 0
+        elif args.cmd == "restore":
+            from refimage_ray.index.snapshot import restore_index
+
+            print(json.dumps(restore_index(args.snapshot, args.out,
+                                           force=args.force)))
+            return 0
         elif args.cmd == "pack":
             import ray.data as rd
 
