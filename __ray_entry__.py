@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_class": relational.part_size_class,
         "nation_region_join": relational.nation_region_join,
         "events_hourly": relational.events_hourly,
+        "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
         "events_asof_last": relational.events_asof_last,
         "events_rolling_avg": relational.events_rolling_avg,
@@ -1314,6 +1315,12 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
 """,
         "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+""",
+        # rollup artifact + raw tail must reproduce the plain aggregate
+        "events_hourly_rollup": """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour

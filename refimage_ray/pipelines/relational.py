@@ -452,3 +452,126 @@ def orders_priority_filter(sf_dir: str) -> "rd.Dataset":
         .groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# rollup index (pre-aggregated time series + raw tail)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_dir_for(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/refimage_ray_cache/{tag}/events-rollup-v1"
+
+
+def build_events_rollup(sf_dir: str, cutoff_us: int, out_dir: str) -> str:
+    """Persist hourly (event_type, hour) partials for events BEFORE the
+    hour-aligned ``cutoff_us`` — the ES rollup-index analog: old data
+    is served from the compact pre-aggregate, only the recent tail is
+    scanned raw.  Written with a _SUCCESS marker + cutoff sidecar so
+    consumers can trust it and re-builds are idempotent."""
+    import json as _json
+    import shutil as _shutil
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    meta_p = os.path.join(out_dir, "rollup.json")
+    if os.path.exists(marker):
+        with open(meta_p) as f:
+            if _json.load(f)["cutoff_us"] == cutoff_us:
+                return out_dir
+        _shutil.rmtree(out_dir)
+    elif os.path.exists(out_dir):
+        _shutil.rmtree(out_dir)  # interrupted build → start clean
+
+    def bucket_old(b: pa.Table) -> pa.Table:
+        keep = pc.less(pc.cast(b["ts"], pa.int64()), cutoff_us)
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                # µs unit on BOTH rollup and tail sides so the union's
+                # block schemas agree (floor_temporal returns the input
+                # unit, parquet round-trips can downcast)
+                "hour": pc.cast(
+                    pc.floor_temporal(b["ts"], unit="hour"),
+                    pa.timestamp("us"),
+                ),
+                "value": b["value"],
+            }
+        )
+
+    (
+        _t(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(bucket_old, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .write_parquet(os.path.join(out_dir, "data"))  # sidecars live above
+    )
+    with open(meta_p, "w") as f:
+        _json.dump({"cutoff_us": cutoff_us}, f)
+    with open(marker, "w") as f:
+        f.write("")
+    return out_dir
+
+
+def events_hourly_rollup(sf_dir: str) -> pa.Table:
+    """``events_hourly`` served lambda-style: hours before the cutoff
+    come from the persisted rollup artifact, the recent tail is
+    aggregated raw, and the two sides union through one final combine
+    groupby.  The cutoff is hour-aligned, so no window spans both
+    sides and the result is EXACT — the oracle is the plain hourly
+    aggregate over the whole table (same SQL as ``events_hourly``)."""
+    # deterministic hour-aligned cutoff at ~70% of the time range
+    rng = _t(sf_dir, "events", ["ts"]).aggregate(Min("ts"), Max("ts"))
+    lo = int(pa.scalar(rng["min(ts)"]).cast(pa.int64()).as_py())
+    hi = int(pa.scalar(rng["max(ts)"]).cast(pa.int64()).as_py())
+    hour_us = 3_600_000_000
+    cutoff_us = (lo + int(0.7 * (hi - lo))) // hour_us * hour_us
+    roll_dir = build_events_rollup(sf_dir, cutoff_us, _rollup_dir_for(sf_dir))
+
+    rolled = rd.read_parquet(
+        os.path.join(roll_dir, "data"),
+        columns=["event_type", "hour", "n_events", "sum_value"],
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("hour"), "hour",
+            pc.cast(b["hour"], pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_tail(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.cast(b["ts"], pa.int64()), cutoff_us)
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pc.cast(
+                    pc.floor_temporal(b["ts"], unit="hour"),
+                    pa.timestamp("us"),
+                ),
+                "value": b["value"],
+            }
+        )
+
+    tail = (
+        _t(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(bucket_tail, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    out = (
+        rolled.union(tail)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    out = out.sort_values(["event_type", "hour"])
+    return pa.Table.from_pandas(out, preserve_index=False)

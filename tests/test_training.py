@@ -482,3 +482,47 @@ def test_stratified_sample_exact_vs_bruteforce(ray_session, tmp_path):
         for r in stratified_sample(str(tmp_path), 30).take_all()
     }
     assert got == want and len(got) == 90
+
+
+def test_events_rollup_equals_plain_hourly(ray_session, tmp_path):
+    """rollup artifact + raw tail == the plain hourly aggregate, and the
+    artifact is reused (idempotent) on the second call."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.relational import (
+        _rollup_dir_for,
+        events_hourly,
+        events_hourly_rollup,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    base = 1_600_000_000_000_000  # µs epoch
+    ts = base + rng.integers(0, 72 * 3600, size=n) * 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "event_type": pa.array(rng.choice(["click", "view", "buy"], n)),
+            "value": pa.array(rng.random(n).round(3), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    import shutil
+
+    shutil.rmtree(_rollup_dir_for(sf), ignore_errors=True)
+    want = events_hourly(sf).to_pylist()
+    got = events_hourly_rollup(sf).to_pylist()
+    assert got == want and len(got) > 100
+    marker = os.path.join(_rollup_dir_for(sf), "_SUCCESS")
+    before = os.path.getmtime(marker)
+    time.sleep(0.05)
+    assert events_hourly_rollup(sf).to_pylist() == want  # artifact reused
+    assert os.path.getmtime(marker) == before
