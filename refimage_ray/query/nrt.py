@@ -159,6 +159,20 @@ class DeltaSearcher(_SearcherBase):
     def buffered(self) -> int:
         return len(self._buf_ids)
 
+    def lookup_buffered(self, ids: list[int]) -> list[dict]:
+        """Metadata rows for buffered doc_ids (serving's metadata join
+        falls back here for hits that aren't in the artifact yet)."""
+        import pyarrow.compute as pc
+
+        want = set(int(i) for i in ids)
+        out: list[dict] = []
+        for t in self._buf_tables:
+            m = pc.is_in(
+                t["doc_id"], value_set=pa.array(sorted(want), pa.int64())
+            )
+            out.extend(t.filter(m).to_pylist())
+        return out
+
     def flush(self, out_dir: str, cfg=None) -> str:
         """Persist the buffer through the incremental-add lifecycle
         (delta build + shard merge) and clear it.  Returns ``out_dir``

@@ -30,6 +30,7 @@ Route map (reference analog → here):
 - ``GET /docs/{id}``                   (metadata GET)                → ``lookup_docs`` (404 when missing)
 - ``GET /docs/{id}/termvectors``       (ES _termvectors analog)      → ``doc_term_vector`` (term/tf/positions, index tokenizer)
 - ``GET /docs/{id}/file``              (chunked file serving, ``api.py:944-954``) → ``stream_doc_bytes`` chunked response
+- ``POST /docs``                       (NRT add — query/nrt.py)     → ``DeltaSearcher.add`` (searchable immediately, no rebuild)
 - ``PUT /docs/{id}/metadata``          (metadata PUT, ``api.py:731-766``) → ``lifecycle.update_doc_metadata``
 - ``DELETE /docs/{id}``                (delete, rebuild-on-delete in the reference) → ``lifecycle.delete_docs`` tombstone
 - ``POST /reload``                     (serve-after-mutation)        → fresh snapshot searcher (tombstones/compaction visible)
@@ -162,6 +163,12 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     index_dir, [d for d, _ in hits]
                 ).to_pylist()
             }
+            srch = state["s"]
+            if hasattr(srch, "lookup_buffered"):  # NRT: unflushed docs
+                missing = [d for d, _ in hits if d not in meta]
+                if missing:
+                    for r in srch.lookup_buffered(missing):
+                        meta[r["doc_id"]] = r
             # inner-join semantics: ids without metadata are dropped
             # (reference skips missing records, api.py:461-474)
             return [
@@ -551,6 +558,47 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 state["ex"] = DSLExecutor(state["s"])
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
+            if urlparse(self.path).path == "/docs":
+                # NRT add (Lucene soft-commit analog): documents become
+                # searchable immediately via query/nrt.DeltaSearcher;
+                # persist later with the lifecycle add + /reload
+                import pyarrow as pa
+
+                from refimage_ray.query.engine import LocalSearcher
+                from refimage_ray.query.nrt import DeltaSearcher
+
+                rows = self._body().get("docs")
+                if not rows or not isinstance(rows, list):
+                    return self._json(
+                        {"error": "body wants {'docs': [{doc_id, text}]}"},
+                        422)
+                srch = state["s"]
+                if not isinstance(srch, DeltaSearcher):
+                    if not isinstance(srch, LocalSearcher):
+                        return self._json(
+                            {"error": "NRT add needs a local deployment "
+                                      "(distributed/docpart serving adds "
+                                      "go through the lifecycle + "
+                                      "/reload)"}, 409)
+                    srch = DeltaSearcher(index_dir, base=srch)
+                    state["s"] = srch
+                    state["ex"] = DSLExecutor(srch)
+                try:
+                    t = pa.table({
+                        "doc_id": pa.array(
+                            [int(r["doc_id"]) for r in rows], pa.int64()),
+                        "text": pa.array(
+                            [str(r["text"]) for r in rows], pa.string()),
+                    })
+                except (KeyError, TypeError) as err:
+                    return self._json(
+                        {"error": f"bad docs payload: {err}"}, 422)
+                try:
+                    n = srch.add(t)
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json({"added": n, "buffered": srch.buffered,
+                                   "n_docs": srch.n_docs})
             if urlparse(self.path).path == "/nl2dsl":
                 from refimage_ray.query.nl import ProviderError, text_to_dsl
 

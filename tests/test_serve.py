@@ -553,3 +553,33 @@ def test_search_decay_param(server):
 
     assert _status(base + "/search?q=spark&decay=n_chars:exp:0") == 422
     assert _status(base + "/search?q=spark&decay=n_chars:step:0:10") == 422
+
+
+def test_post_docs_nrt_add(server):
+    """POST /docs buffers documents NRT: they hit /search immediately,
+    and duplicate ids are a 422."""
+    base, d = server
+    st, body = _req(
+        base + "/docs", "POST",
+        {"docs": [
+            {"doc_id": 10**12 + 1, "text": "zanzibar quorum raft"},
+            {"doc_id": 10**12 + 2, "text": "zanzibar gossip"},
+        ]},
+    )
+    assert st == 200 and body["added"] == 2 and body["buffered"] == 2
+    st, res = _get(base + "/search?q=zanzibar&k=5")
+    assert st == 200
+    ids = [r["doc_id"] for r in res["results"]]
+    assert set(ids) == {10**12 + 1, 10**12 + 2}
+    # re-add → 422
+    st, body = _req(base + "/docs", "POST",
+                    {"docs": [{"doc_id": 10**12 + 1, "text": "x"}]})
+    assert st == 422
+    # malformed payload → 422
+    st, body = _req(base + "/docs", "POST", {"docs": "nope"})
+    assert st == 422
+    # reload restores the plain snapshot (buffer dropped)
+    st, body = _req(base + "/reload", "POST")
+    assert st == 200
+    st, res = _get(base + "/search?q=zanzibar&k=5")
+    assert res["results"] == []
