@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "bm25_topk_decay": search.bm25_topk_decay,
         "bm25_topk_decay_where": search.bm25_topk_decay_where,
+        "bm25_topk_decay_docpart": search.bm25_topk_decay_docpart,
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_or": search.bm25_topk_filtered_or,
         "nrt_delta_topk": search.nrt_delta_topk,
@@ -614,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_by_priority": relational.order_revenue_by_priority,
         "doc_sample": relational.doc_sample,
         "events_user_stats": relational.events_user_stats,
+        "customer_order_counts_left": relational.customer_order_counts_left,
+        "events_value_median": relational.events_value_median,
         # --- training-data preparation ---
         "pack_sequences": training.pack_sequences,
         "packed_sequences": training.packed_sequences,
@@ -883,6 +886,11 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_decay_where": _bm25_sql(
             ["spark", "join"], 10,
             doc_where="d.lang = 'en'",
+            boost_sql="exp(ln(0.5) / 2000.0 * abs(d2.n_chars - 0.0))",
+        ),
+        # doc-partitioned decay is exact by disjointness → same oracle
+        "bm25_topk_decay_docpart": _bm25_sql(
+            ["spark", "join"], 10,
             boost_sql="exp(ln(0.5) / 2000.0 * abs(d2.n_chars - 0.0))",
         ),
         "bm25_topk_filtered": _bm25_sql(
@@ -1313,6 +1321,17 @@ GROUP BY c.size_class
 SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
+""",
+        "customer_order_counts_left": """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+  ON o.o_custkey = c.c_custkey
+""",
+        "events_value_median": """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour,

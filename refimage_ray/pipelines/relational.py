@@ -575,3 +575,66 @@ def events_hourly_rollup(sf_dir: str) -> pa.Table:
     out["sum_value"] = out["sum_value"].round(4)
     out = out.sort_values(["event_type", "hour"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def customer_order_counts_left(sf_dir: str) -> "rd.Dataset":
+    """LEFT OUTER join breadth: every customer with their order count,
+    zero-order customers included (count 0) — the bucketed distributed
+    hash join (``stages/joins.py``) in its outer mode; the orders side
+    is pre-aggregated to one row per customer BEFORE the join, so the
+    exchange carries |customers| rows, not |orders|."""
+    from refimage_ray.stages.joins import hash_join
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = hash_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        per_cust,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_cols=["c_custkey", "c_mktsegment"],
+        right_cols=["o_custkey", "n_orders"],  # key must ride along
+        buckets=16,
+        how="left",
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(b["n_orders"], pa.int64()), 0)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": n,
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def events_value_median(sf_dir: str) -> pa.Table:
+    """Exact per-type interpolated median (SQL ``quantile_cont``):
+    non-algebraic, so it runs as a per-group sort inside map_groups —
+    groups here are event types (few, large); the bounded-int exact
+    path for corpus quantiles is ``doc_len_quantiles``."""
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        h = (len(v) - 1) * 0.5
+        lo = int(np.floor(h))
+        m = v[lo] + (h - lo) * (v[min(lo + 1, len(v) - 1)] - v[lo])
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "median_value": [round(float(m), 6)]}
+        )
+
+    out = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -717,3 +717,21 @@ def nrt_delta_topk(
     upper = pq2.read_table(docs_path, columns=["doc_id", "text"])
     delta.add(upper.filter(pc2.greater_equal(upper["doc_id"], cut)))
     return _hits_table(delta.search(query, k=k))
+
+
+def bm25_topk_decay_docpart(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """Decay boost over the doc-partitioned layout: each shard boosts
+    from its shard-LOCAL n_chars doc values (per-doc factor, so the
+    disjoint top-k merge stays exact) — shares ``bm25_topk_decay``'s
+    oracle."""
+    from refimage_ray.query.boost import DecaySpec
+
+    return _hits_table(
+        _docpart_searcher(sf_dir).search(
+            query, k=k, mode="or",
+            boost=DecaySpec("n_chars", origin=0.0, scale=2000.0,
+                            decay=0.5, kind="exp"),
+        )
+    )

@@ -176,3 +176,28 @@ def test_asof_join_prior_validates_columns(ray_session):
     with pytest.raises(ValueError):
         asof_join_prior(ds, ds, key="k", on="t",
                         left_cols=["v"], right_cols=["v"])
+
+
+def test_hash_join_left_outer(ray_session):
+    """how='left': unmatched left rows survive with nulls, even in
+    buckets that contain NO right-side rows at all."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.stages.joins import hash_join
+
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array(range(40), pa.int64()),
+         "lv": pa.array([f"l{i}" for i in range(40)])}))
+    right = rd.from_arrow(pa.table(
+        {"k2": pa.array([0, 2, 4], pa.int64()),
+         "rv": pa.array([10.0, 12.0, 14.0], pa.float64())}))
+    out = hash_join(
+        left, right, left_on="k", right_on="k2",
+        left_cols=["k", "lv"], right_cols=["k2", "rv"],
+        buckets=8, how="left",
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(out) == 40
+    assert out.loc[out.k == 2, "rv"].iloc[0] == 12.0
+    assert pd.isna(out.loc[out.k == 1, "rv"].iloc[0])
