@@ -256,6 +256,56 @@ def run_bench() -> dict:
                     histograms={"doc_len": 50}, sums={"lang": "doc_len"})
     timings["facet_panel_sec"] = round(time.perf_counter() - tq, 5)
 
+    # function-scored path (decay boost = exact evaluation + one
+    # vectorized per-candidate factor multiply over rank-aligned
+    # doc values) — same evaluation class as filtered search
+    from refimage_ray.query.boost import DecaySpec
+
+    _spec = DecaySpec("n_chars", 0.0, 2000.0, 0.5, "exp")
+    searcher.search(BENCH_QUERIES[0], k=10, boost=_spec)  # warm
+    blat = []
+    for _ in range(2):
+        for q in BENCH_QUERIES:
+            tq = time.perf_counter()
+            searcher.search(q, k=10, boost=_spec)
+            blat.append(time.perf_counter() - tq)
+    timings["query_p95_decay"] = round(
+        float(np.percentile(np.array(blat), 95)), 5
+    )
+
+    # NRT ingestion: docs/s into the in-memory delta buffer (searchable
+    # on return, merged-stats exact) + the buffered-query p95
+    import pyarrow as pa
+    import pyarrow.dataset as _pads
+
+    from refimage_ray.query.nrt import DeltaSearcher
+
+    _nrt_src = _pads.dataset(os.path.join(index_dir, "docs")).head(
+        5000, columns=["doc_id", "text"]
+    )
+    _nrt_tbl = _nrt_src.set_column(
+        _nrt_src.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(
+            _nrt_src["doc_id"].to_numpy(zero_copy_only=False) + 10**15,
+            pa.int64(),
+        ),
+    )
+    _delta = DeltaSearcher(index_dir, base=searcher)
+    tq = time.perf_counter()
+    _delta.add(_nrt_tbl)
+    _nrt_sec = time.perf_counter() - tq
+    timings["nrt_add_docs_per_sec"] = round(_nrt_tbl.num_rows / _nrt_sec, 1)
+    nlat = []
+    for _ in range(2):
+        for q in BENCH_QUERIES:
+            tq = time.perf_counter()
+            _delta.search(q, k=10)
+            nlat.append(time.perf_counter() - tq)
+    timings["query_p95_nrt"] = round(
+        float(np.percentile(np.array(nlat), 95)), 5
+    )
+    del _delta
+
     # hit-count surface (exact membership, no scoring/top-k)
     searcher.count(BENCH_QUERIES[0])  # warm
     clat = []
