@@ -594,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": vectors.knn_cosine,
         "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
         "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
+        "knn_cosine_pq": vectors.knn_cosine_pq,             # rows-only (approx)
+        "embedding_pca_stats": vectors.embedding_pca_stats,  # rows-only (no SQL eigensolver)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
         "lang_embedding_stats": vectors.lang_embedding_stats,
         "embedding_near_dups": vectors.embedding_near_dups,

@@ -221,3 +221,76 @@ def embedding_near_dups_lsh(sf_dir: str, tau: float = 0.45) -> pa.Table:
             "cosine": pc.round(pairs["cosine"], ndigits=4),
         }
     )
+
+
+def knn_cosine_pq(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
+    """Product-quantized ANN (8×16 codebooks + exact pool re-rank,
+    ``stages/pq.py``) — rows-only check (membership is approximate by
+    design; returned scores are exact cosines of the selected pool)."""
+    from refimage_ray.stages.ann import pq_topk
+
+    q = _query_vectors(sf_dir, list(query_vec_ids))
+    t = pq_topk(_emb(sf_dir), q, k=k)
+    qid = pa.array(
+        [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
+    )
+    return pa.table(
+        {
+            "query_id": qid,
+            "vec_id": t["vec_id"],
+            "score": pc.round(t["score"], ndigits=4),
+        }
+    )
+
+
+def embedding_pca_stats(sf_dir: str, top: int = 8) -> pa.Table:
+    """Distributed PCA spectrum: per-batch (n, Σx, XᵀX) partials — one
+    (1 + d + d²)-float row per block regardless of batch size — are
+    the WHOLE exchange; the d×d eigenproblem is driver-side (d is
+    model-dimension small).  Returns the top eigenvalues and explained
+    variance ratios (rows-only: no SQL eigensolver exists; the math is
+    pytest-verified against numpy.cov/eigh on the gathered matrix).
+    """
+
+    def partials(b: pa.Table) -> pa.Table:
+        from refimage_ray.stages.ann import _to_matrix
+
+        mat = _to_matrix(b["embedding"])
+        n, d = mat.shape
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum": pa.array([mat.sum(axis=0).tolist()],
+                                pa.list_(pa.float64())),
+                "xtx": pa.array([(mat.T @ mat).ravel().tolist()],
+                                pa.list_(pa.float64())),
+            }
+        )
+
+    rows = (
+        _emb(sf_dir).select_columns(["embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .take_all()
+    )
+    # deterministic reduce: sum partials in a canonical order (blocks
+    # arrive in nondeterministic order; float addition isn't associative)
+    rows.sort(key=lambda r: (r["n"], r["sum"][0], r["xtx"][0]))
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["sum"])
+    s = np.sum(np.stack([np.asarray(r["sum"]) for r in rows]), axis=0)
+    xtx = np.sum(np.stack([np.asarray(r["xtx"]) for r in rows]), axis=0)
+    xtx = xtx.reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    top = min(top, d)
+    return pa.table(
+        {
+            "component": pa.array(range(1, top + 1), pa.int64()),
+            "eigenvalue": pa.array(np.round(evals[:top], 6), pa.float64()),
+            "explained_ratio": pa.array(
+                np.round(evals[:top] / total, 6), pa.float64()
+            ),
+        }
+    )

@@ -496,3 +496,76 @@ def _hyperplanes_lazy(
     first = emb_ds.limit(1).take_all()
     dim = len(first[0][emb_col])
     return _hyperplanes(dim, n_planes, seed)
+
+
+def pq_topk(
+    emb_ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    pool_factor: int = 4,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Product-quantized approximate top-k with exact re-ranking
+    (``stages/pq.py``): codebooks train on the same deterministic
+    sample contract as :func:`ivf_topk`; per batch, ADC lookup scores
+    select a ``pool_factor × k`` candidate pool which is re-ranked
+    with the batch's exact vectors — returned scores are true cosines,
+    only membership is approximate.  Approximate by design (rows-only
+    contract); recall grows with ``n_codes`` / ``pool_factor``.
+    """
+    from refimage_ray.stages.pq import adc_scores, pq_encode, pq_train
+
+    qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    head = emb_ds.limit(sample_rows).to_pandas()
+    sm = _normalize(np.stack(head[emb_col].to_numpy()).astype(np.float64))
+    books = pq_train(sm, m=m, k=n_codes)
+    state = ray.put((qm, books))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        q, bks = ray.get(state)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_to_matrix(batch[emb_col]))
+        codes = pq_encode(mat, bks)
+        pool = min(pool_factor * k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            approx = adc_scores(q[qi], bks, codes)
+            cand = _topk_candidates(approx, pool)
+            exact = mat[cand] @ q[qi]          # re-rank pool exactly
+            sel = cand[_topk_candidates(exact, min(k, len(cand)))]
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(mat[sel] @ q[qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )

@@ -1,0 +1,118 @@
+"""Product quantization + distributed PCA: determinism, recall against
+exact search, ADC law checks, PCA == numpy on the gathered matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from refimage_ray.stages.pq import adc_scores, pq_encode, pq_train
+
+RNG = np.random.default_rng(5)
+
+
+def _unit_rows(n, d):
+    m = RNG.standard_normal((n, d))
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_pq_train_deterministic_shapes():
+    x = _unit_rows(500, 32)
+    a = pq_train(x, m=4, k=8)
+    b = pq_train(x, m=4, k=8)
+    assert a.shape == (4, 8, 8) and (a == b).all()
+
+
+def test_pq_train_validates():
+    x = _unit_rows(10, 30)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(x, m=4, k=4)
+    with pytest.raises(ValueError, match="sample"):
+        pq_train(_unit_rows(4, 32), m=4, k=8)
+
+
+def test_pq_encode_picks_nearest_centroid():
+    x = _unit_rows(300, 16)
+    books = pq_train(x, m=2, k=8)
+    codes = pq_encode(x, books)
+    assert codes.shape == (300, 2) and codes.dtype == np.uint8
+    # brute-force check on subspace 0
+    sub = x[:, :8]
+    d2 = ((sub[:, None, :] - books[0][None, :, :]) ** 2).sum(axis=2)
+    assert (codes[:, 0] == d2.argmin(axis=1)).all()
+
+
+def test_adc_equals_reconstructed_inner_product():
+    """ADC score == q · decode(code) exactly (it's the same sum)."""
+    x = _unit_rows(200, 16)
+    books = pq_train(x, m=4, k=8)
+    codes = pq_encode(x, books)
+    q = _unit_rows(1, 16)[0]
+    got = adc_scores(q, books, codes)
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(4)], axis=1
+    )
+    np.testing.assert_allclose(got, recon @ q, rtol=1e-12)
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    import ray.data as rd
+
+    from refimage_ray.stages.ann import brute_force_topk, pq_topk
+
+    x = _unit_rows(1200, 32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(1200), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    q = x[[3, 77]]
+    exact = brute_force_topk(rd.from_arrow(t), q, k=10).to_pylist()
+    approx = pq_topk(rd.from_arrow(t), q, k=10).to_pylist()
+    approx2 = pq_topk(rd.from_arrow(t), q, k=10).to_pylist()
+    assert approx == approx2  # deterministic end to end
+    by_q_exact: dict = {}
+    by_q_approx: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        by_q_approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(by_q_exact[qi] & by_q_approx.get(qi, set()))
+               for qi in by_q_exact)
+    recall = hits / sum(len(v) for v in by_q_exact.values())
+    assert recall >= 0.6  # random gaussian data is PQ's worst case
+    # self-match must survive: the query IS a stored vector
+    assert 3 in by_q_approx[0] and 77 in by_q_approx[1]
+    # returned scores are exact cosines (re-ranked pool)
+    exact_map = {(r["query_id"], r["vec_id"]): r["score"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_map:
+            assert r["score"] == pytest.approx(exact_map[key], rel=1e-12)
+
+
+def test_embedding_pca_matches_numpy(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from refimage_ray.pipelines.vectors import embedding_pca_stats
+
+    x = RNG.standard_normal((800, 12)) * np.linspace(3, 0.1, 12)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(800), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 800, pa.int32()),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = embedding_pca_stats(str(tmp_path), top=5).to_pylist()
+    want = np.linalg.eigvalsh(np.cov(x.astype(np.float32).astype(np.float64).T))[::-1]
+    for i, row in enumerate(got):
+        assert row["component"] == i + 1
+        assert row["eigenvalue"] == pytest.approx(round(want[i], 6), abs=2e-6)
+    ratios = [r["explained_ratio"] for r in got]
+    assert all(a >= b for a, b in zip(ratios, ratios[1:]))
