@@ -113,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--deep", action="store_true",
                     help="decode every posting list (distributed)")
 
+    al = sub.add_parser("alias", help="named atomic pointers to artifacts")
+    al.add_argument("action", choices=["set", "drop", "list", "resolve"])
+    al.add_argument("--registry", required=True)
+    al.add_argument("--name")
+    al.add_argument("--index")
+
     sn = sub.add_parser("snapshot", help="checksummed artifact snapshot")
     sn.add_argument("--index", required=True)
     sn.add_argument("--out", required=True)
@@ -143,6 +149,35 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd == "alias":  # pure file ops, no Ray needed
+        from refimage_ray.index.alias import (
+            drop_alias, load_aliases, resolve_alias, set_alias,
+        )
+
+        if args.action == "list":
+            print(json.dumps(load_aliases(args.registry), indent=1))
+            return 0
+        if not args.name:
+            print(json.dumps({"error": "--name required"}))
+            return 1
+        if args.action == "resolve":
+            try:
+                print(json.dumps({"index": resolve_alias(args.registry,
+                                                         args.name)}))
+                return 0
+            except KeyError as err:
+                print(json.dumps({"error": str(err)}))
+                return 1
+        if args.action == "drop":
+            ok = drop_alias(args.registry, args.name)
+            print(json.dumps({"dropped": ok}))
+            return 0 if ok else 1
+        if not args.index:
+            print(json.dumps({"error": "--index required for set"}))
+            return 1
+        set_alias(args.registry, args.name, args.index)
+        print(json.dumps({"alias": args.name, "index": args.index}))
+        return 0
     if args.cmd == "plan":  # pure arithmetic, no Ray needed
         from refimage_ray.planner import plan_build, plan_dict
 

@@ -735,3 +735,39 @@ def bm25_topk_decay_docpart(
                             decay=0.5, kind="exp"),
         )
     )
+
+
+def federated_topk(
+    sf_dir: str, query: str = "merge sort index", k: int = 10
+) -> pa.Table:
+    """Federation contract query: the corpus split into THREE
+    independently-built artifacts (by doc_id range), searched as one
+    via ``query/multi.MultiSearcher`` — merged global stats make the
+    federation bit-identical to a monolithic index, so the oracle is
+    plain BM25 over the whole documents table."""
+    import pyarrow.parquet as pq2
+
+    from refimage_ray.query.multi import MultiSearcher
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ids = np.sort(
+        pq2.read_table(docs_path, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    cuts = [int(ids[len(ids) // 3]), int(ids[2 * len(ids) // 3])]
+    spans = [
+        f"doc_id < {cuts[0]}",
+        f"doc_id >= {cuts[0]} and doc_id < {cuts[1]}",
+        f"doc_id >= {cuts[1]}",
+    ]
+    dirs = []
+    for i, span in enumerate(spans):
+        d = _index_dir_for(sf_dir) + f"-fed{i}"
+        if load_manifest(d) is None:
+            part = rd.read_parquet(
+                docs_path, columns=["doc_id", "text"]
+            ).filter(expr=span)
+            build_index(part, d, SEARCH_CFG)
+        dirs.append(d)
+    return _hits_table(MultiSearcher(dirs).search(query, k=k))
