@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": relational.events_user_stats,
         "customer_order_counts_left": relational.customer_order_counts_left,
         "events_value_median": relational.events_value_median,
+        "event_transition_pagerank": relational.event_transition_pagerank,  # rows-only (iterative)
         # --- training-data preparation ---
         "pack_sequences": training.pack_sequences,
         "packed_sequences": training.packed_sequences,

@@ -638,3 +638,27 @@ def events_value_median(sf_dir: str) -> pa.Table:
         .sort_values("event_type")
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def event_transition_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the user-journey transition graph: within each
+    user's time-ordered event stream, consecutive events contribute a
+    (type → type) edge; ``stages/graph.pagerank`` then ranks event
+    types by stationary visit probability (rows-only: no SQL
+    eigensolver; the operator is pytest-verified against numpy power
+    iteration)."""
+    from refimage_ray.stages.graph import pagerank
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"src": [], "dst": []})
+        return pd.DataFrame({"src": t[:-1], "dst": t[1:]})
+
+    edges = (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    return pagerank(edges, damping=0.85, iters=20)
