@@ -96,9 +96,11 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("query")
     e.add_argument("--num-shards", type=int, default=32)
 
-    rm = sub.add_parser("delete", help="tombstone doc ids")
+    rm = sub.add_parser("delete", help="tombstone doc ids or a predicate")
     rm.add_argument("--index", required=True)
-    rm.add_argument("--doc-ids", required=True, help="comma-separated")
+    rm.add_argument("--doc-ids", help="comma-separated doc ids")
+    rm.add_argument("--where", help="doc-value predicate (retention/TTL), "
+                                    "serve filter grammar: 'lang=en,doc_len<40'")
 
     c = sub.add_parser("compact", help="drop tombstones, refresh stats")
     c.add_argument("--index", required=True)
@@ -142,7 +144,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="shuffle permutation seed")
 
     sv = sub.add_parser("serve", help="HTTP JSON API over an index")
-    sv.add_argument("--index", required=True)
+    sv.add_argument("--index", help="artifact dir (or use --registry/--alias)")
+    sv.add_argument("--registry", help="alias registry dir")
+    sv.add_argument("--alias", help="alias name to resolve at boot")
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--actors", type=int, default=0,
                     help="0 = in-process searcher; N = shard actor pool")
@@ -264,10 +268,20 @@ def main(argv: list[str] | None = None) -> int:
                                     threshold=args.threshold)
             print(json.dumps([{"doc_id": d, "score": s} for d, s in hits], indent=1))
         elif args.cmd == "delete":
-            from refimage_ray.index.lifecycle import delete_docs
+            from refimage_ray.index.lifecycle import delete_docs, delete_docs_where
 
-            ids = [int(x) for x in args.doc_ids.split(",") if x]
-            print(json.dumps({"tombstones": delete_docs(args.index, ids)}))
+            if bool(args.doc_ids) == bool(args.where):
+                print(json.dumps(
+                    {"error": "exactly one of --doc-ids / --where"}))
+                return 1
+            if args.where:
+                from refimage_ray.serve import parse_filter
+
+                n = delete_docs_where(args.index, parse_filter(args.where))
+                print(json.dumps({"deleted": n}))
+            else:
+                ids = [int(x) for x in args.doc_ids.split(",") if x]
+                print(json.dumps({"tombstones": delete_docs(args.index, ids)}))
         elif args.cmd == "compact":
             from refimage_ray.config import EngineConfig
             from refimage_ray.index.lifecycle import compact_index
@@ -343,6 +357,17 @@ def main(argv: list[str] | None = None) -> int:
                               "order": man["order"]}))
         elif args.cmd == "serve":
             from refimage_ray.serve import make_server
+
+            if args.alias or args.registry:
+                if not (args.alias and args.registry):
+                    print(json.dumps({"error": "--alias needs --registry"}))
+                    return 1
+                from refimage_ray.index.alias import resolve_alias
+
+                args.index = resolve_alias(args.registry, args.alias)
+            elif not args.index:
+                print(json.dumps({"error": "--index or --registry/--alias"}))
+                return 1
 
             # a factory (not a bare instance) so POST /reload rebuilds
             # the SAME deployment kind — distributed stays distributed

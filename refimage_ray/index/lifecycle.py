@@ -455,3 +455,50 @@ def update_doc_metadata(
         pq.write_table(pa.table(cols), buf)
         atomic_write_bytes(path, buf.getvalue())
     return int(len(found))
+
+
+def delete_docs_where(index_dir: str, where) -> int:
+    """Predicate delete (retention/TTL analog: ``DELETE WHERE
+    warc_ts < cutoff``): evaluate a doc-value predicate over the
+    artifact's docs/ columns — the same ``where`` grammar as filtered
+    search, incl. DNF ``{"or": [...]}`` — and tombstone every matching
+    live doc.  Returns how many NEW doc_ids were tombstoned.
+
+    Evaluation is a streamed column scan (map_batches over docs/ with
+    only the predicate's columns read), so it never loads text; the
+    matched-id list is the only thing collected (bounded by the
+    delete's own size, like any tombstone set).
+    """
+    import ray.data as rd
+
+    from refimage_ray.index.docvalues import encode_value_columns, where_columns
+
+    cols = sorted(set(where_columns(where)))
+    if not cols:
+        raise ValueError("empty predicate")
+
+    def match(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")  # DocValues wants a sorted universe
+        batch = batch.take(pa.array(order))
+        sids = ids[order]
+        dv = encode_value_columns(batch, sids)
+        keep = dv.mask(where)
+        return pa.table({"doc_id": pa.array(sids[keep], pa.int64())})
+
+    rows = (
+        rd.read_parquet(
+            os.path.join(index_dir, "docs"), columns=["doc_id"] + cols
+        )
+        .map_batches(match, batch_format="pyarrow")
+        .take_all()
+    )
+    hit = [r["doc_id"] for r in rows]
+    if not hit:
+        return 0
+    tomb_path = os.path.join(index_dir, "tombstones.parquet")
+    before = 0
+    if os.path.exists(tomb_path):
+        before = pq.read_table(tomb_path).num_rows
+    after = delete_docs(index_dir, hit)
+    return after - before

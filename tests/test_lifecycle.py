@@ -248,3 +248,33 @@ def test_compact_dedup_built_index_excludes_losers(ray_session, tiny_docs,
     assert pq.read_table(dc + "/docs", columns=["doc_id"]).num_rows == len(live)
     for q in FIXTURE_QUERIES:
         assert s.search(q, k=10) == oracle.search(q, k=10), q
+
+
+def test_delete_docs_where_retention(built_index, tmp_path):
+    """Predicate delete (TTL analog): tombstoned set == the filtered
+    search membership; search excludes them; compact == fresh build of
+    the survivors; idempotent re-delete reports 0 new."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from refimage_ray.index.lifecycle import delete_docs_where
+    from refimage_ray.query.engine import LocalSearcher
+
+    index_dir, cfg, _ = built_index
+    d = str(tmp_path / "idx")
+    shutil.copytree(index_dir, d)
+    meta = pads.dataset(d + "/docs").to_table(columns=["doc_id", "lang"])
+    frlang = {r["doc_id"] for r in meta.to_pylist() if r["lang"] == "fr"}
+    n = delete_docs_where(d, [("lang", "=", "fr")])
+    assert n == len(frlang) > 0
+    s = LocalSearcher(d)
+    hits = {doc for doc, _ in s.search("the data", k=10**9)}
+    assert not (hits & frlang)
+    # idempotent
+    assert delete_docs_where(d, [("lang", "=", "fr")]) == 0
+    # DNF predicate
+    n2 = delete_docs_where(d, {"or": [[("lang", "=", "de")],
+                                      [("doc_len", "<", 10)]]})
+    des = {r["doc_id"] for r in meta.to_pylist() if r["lang"] == "de"}
+    assert n2 >= len(des) > 0
