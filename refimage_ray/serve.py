@@ -31,6 +31,7 @@ Route map (reference analog → here):
 - ``GET /docs/{id}/termvectors``       (ES _termvectors analog)      → ``doc_term_vector`` (term/tf/positions, index tokenizer)
 - ``GET /docs/{id}/file``              (chunked file serving, ``api.py:944-954``) → ``stream_doc_bytes`` chunked response
 - ``POST /docs``                       (NRT add — query/nrt.py)     → ``DeltaSearcher.add`` (searchable immediately, no rebuild)
+- ``POST /percolate`` + ``GET/PUT/DELETE /percolate/rules[/{id}]`` (ES percolator analog) → ``stages/percolate.Percolator`` over the registered DSL rules
 - ``PUT /docs/{id}/metadata``          (metadata PUT, ``api.py:731-766``) → ``lifecycle.update_doc_metadata``
 - ``DELETE /docs/{id}``                (delete, rebuild-on-delete in the reference) → ``lifecycle.delete_docs`` tombstone
 - ``POST /reload``                     (serve-after-mutation)        → fresh snapshot searcher (tombstones/compaction visible)
@@ -139,6 +140,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
     # one manager per server so POST /nl/switch affects later /nl2dsl
     # calls (the reference holds its LLMManager the same way)
     state["nl"] = ProviderManager()
+    # percolator rule registry (ES percolator analog): query_id → DSL
+    # string; the compiled Percolator is rebuilt lazily after mutations
+    state["perc_rules"] = {}
+    state["perc"] = None
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -190,6 +195,8 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             if u.path == "/health":
                 return self._json({"status": "ok", "n_docs": state["s"].n_docs})
+            if u.path == "/percolate/rules":
+                return self._json({"rules": dict(state["perc_rules"])})
             if u.path == "/stats":
                 man = load_manifest(index_dir) or {}
                 st = man.get("stats", {})
@@ -558,6 +565,29 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 state["ex"] = DSLExecutor(state["s"])
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
+            if urlparse(self.path).path == "/percolate":
+                # reverse search: which stored rules match THIS doc?
+                from refimage_ray.stages.percolate import Percolator
+
+                body = self._body()
+                text = body.get("text", "")
+                if not text.strip():
+                    return self._json({"error": "empty text"}, 422)
+                if not state["perc_rules"]:
+                    return self._json({"error": "no rules registered "
+                                                "(PUT /percolate/rules/{id})"},
+                                      409)
+                if state["perc"] is None:
+                    state["perc"] = Percolator(dict(state["perc_rules"]))
+                import pyarrow as pa
+
+                cols = {"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array([str(text)], pa.string())}
+                if body.get("lang") is not None:
+                    cols["lang"] = pa.array([str(body["lang"])], pa.string())
+                hits = state["perc"](pa.table(cols))
+                return self._json(
+                    {"matches": sorted(hits["query_id"].to_pylist())})
             if urlparse(self.path).path == "/docs":
                 # NRT add (Lucene soft-commit analog): documents become
                 # searchable immediately via query/nrt.DeltaSearcher;
@@ -630,6 +660,19 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 self._json({"error": f"bad request: {err}"}, 422)
 
         def _put(self) -> None:
+            pm = re.match(r"^/percolate/rules/([\w.-]+)$",
+                          urlparse(self.path).path)
+            if pm:
+                from refimage_ray.query.dsl import DSLParser, DSLParseError
+
+                dsl = self._body().get("dsl", "")
+                try:
+                    DSLParser().parse(dsl)  # validate before storing
+                except DSLParseError as err:
+                    return self._json({"error": str(err)}, 422)
+                state["perc_rules"][pm.group(1)] = dsl
+                state["perc"] = None  # recompile lazily
+                return self._json({"rules": len(state["perc_rules"])})
             m = _DOC_RE.match(urlparse(self.path).path)
             if m and m.group(2) == "/metadata":
                 from refimage_ray.index.lifecycle import update_doc_metadata
@@ -646,6 +689,16 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
             self._json({"error": "no such route"}, 404)
 
         def do_DELETE(self) -> None:
+            pm = re.match(r"^/percolate/rules/([\w.-]+)$",
+                          urlparse(self.path).path)
+            if pm:
+                gone = state["perc_rules"].pop(pm.group(1), None)
+                state["perc"] = None
+                return self._json({"deleted": gone is not None},
+                                  200 if gone is not None else 404)
+            self._delete_doc()
+
+        def _delete_doc(self) -> None:
             m = _DOC_RE.match(urlparse(self.path).path)
             if m and m.group(2) is None:
                 from refimage_ray.index.lifecycle import delete_docs

@@ -583,3 +583,36 @@ def test_post_docs_nrt_add(server):
     assert st == 200
     st, res = _get(base + "/search?q=zanzibar&k=5")
     assert res["results"] == []
+
+
+def test_percolate_routes(server):
+    base, d = server
+    # no rules yet → 409
+    st, body = _req(base + "/percolate", "POST", {"text": "spark joins"})
+    assert st == 409
+    # register rules (validated at PUT time)
+    st, body = _req(base + "/percolate/rules/r1", "PUT",
+                    {"dsl": "spark AND join"})
+    assert st == 200 and body["rules"] == 1
+    st, body = _req(base + "/percolate/rules/r2", "PUT", {"dsl": "zanzibar"})
+    assert st == 200 and body["rules"] == 2
+    st, body = _req(base + "/percolate/rules/bad", "PUT", {"dsl": "AND("})
+    assert st == 422
+    st, body = _get(base + "/percolate/rules")
+    assert set(body["rules"]) == {"r1", "r2"}
+    # percolate documents against the stored rules
+    st, body = _req(base + "/percolate", "POST",
+                    {"text": "spark streams join the table"})
+    assert st == 200 and body["matches"] == ["r1"]
+    st, body = _req(base + "/percolate", "POST", {"text": "plain words"})
+    assert st == 200 and body["matches"] == []
+    st, body = _req(base + "/percolate", "POST", {"text": "  "})
+    assert st == 422
+    # delete a rule → stops matching
+    st, body = _req(base + "/percolate/rules/r1", "DELETE")
+    assert st == 200 and body["deleted"]
+    st, body = _req(base + "/percolate/rules/r1", "DELETE")
+    assert st == 404
+    st, body = _req(base + "/percolate", "POST",
+                    {"text": "spark streams join the table"})
+    assert st == 200 and body["matches"] == []
