@@ -277,6 +277,45 @@ scores AS (
 """
 
 
+def _mlt_sql(doc_id: int, top_terms: int, k: int) -> str:
+    """More-like-this oracle: the seed doc's ``top_terms`` highest
+    tf·idf terms (ties → term asc, mirroring
+    ``engine.more_like_this``'s sort), weights normalized by the max,
+    then an exact weighted BM25 OR (``search_weighted``) with the
+    seed doc excluded from the result."""
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+seed AS (SELECT term, tf AS f FROM tf WHERE doc_id = {doc_id}),
+cand AS (
+  SELECT s.term,
+         s.f * ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) AS w
+  FROM seed s JOIN df USING (term) CROSS JOIN stats st
+),
+top AS (SELECT term, w FROM cand ORDER BY w DESC, term LIMIT {top_terms}),
+q AS (SELECT term, w / (SELECT max(w) FROM top) AS qw FROM top),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (q.qw * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(sc, 4) AS score FROM scores
+WHERE doc_id <> {doc_id}
+ORDER BY sc DESC, doc_id LIMIT {k}
+"""
+
+
 def _phrase_sql(tokens: list[str], slop: int, k: int) -> str:
     """Phrase / proximity top-k oracle: ordinal token positions via
     LATERAL unnest, a chain of self-joins requiring each consecutive
@@ -537,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_min_match": search.bm25_topk_min_match,
         "bm25_topk_search_after": search.bm25_topk_search_after,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
+        "more_like_this_topk": search.more_like_this_topk,
         "bm25_topk_decay": search.bm25_topk_decay,
         "bm25_topk_decay_where": search.bm25_topk_decay_where,
         "bm25_topk_decay_docpart": search.bm25_topk_decay_docpart,
@@ -875,6 +915,9 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # synonym mapping is an input, so its expansion union is a
         # fixed term list: {spark→stream, join→merge}
         "bm25_topk_synonyms": _bm25_sql(["spark", "stream", "join", "merge"], 10),
+        # more-like-this: tf·idf term selection + weighted OR, both
+        # fully mirrored in SQL (engine.more_like_this → search_weighted)
+        "more_like_this_topk": _mlt_sql(7, 5, 10),
         # doc-value filter: result docs restricted to lang='en' AND
         # doc_len>=40; idf/avgdl/N stay corpus-wide like the engine
         # NRT: half the corpus built, half in the in-memory delta

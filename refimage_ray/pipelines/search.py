@@ -178,6 +178,23 @@ def bm25_topk_synonyms(sf_dir: str, query: str = "spark join", k: int = 10) -> p
     )
 
 
+def more_like_this_topk(
+    sf_dir: str, doc_id: int = 7, k: int = 10, top_terms: int = 5
+) -> pa.Table:
+    """More-like-this: the seed doc's ``top_terms`` highest-tf·idf
+    terms (wmax-normalized weights) as an EXACT weighted OR query,
+    seed doc excluded (``engine.more_like_this`` →
+    ``search_weighted``)."""
+    from refimage_ray.query.engine import more_like_this
+
+    return _hits_table(
+        more_like_this(
+            searcher_for(sf_dir), doc_id, k=k, top_terms=top_terms,
+            exclude_self=True,
+        )
+    )
+
+
 def bm25_topk_search_after(
     sf_dir: str, query: str = "data table", k: int = 10
 ) -> pa.Table:

@@ -541,6 +541,56 @@ class _SearcherBase:
             dense, where, order_by, min_match, after, boost,
         )[offset:]
 
+    def search_weighted(
+        self,
+        pairs: "list[tuple[str, float]]",
+        k: int = 10,
+        threshold: float = float("-inf"),
+    ) -> list[tuple[int, float]]:
+        """Exact weighted disjunctive top-k (Lucene boosted-OR):
+        ``score(d) = Σ_t w_t · idf_t · tfnorm(d, t)``.
+
+        Unlike the DSL's ``^w`` leaves — which score each leaf's own
+        top-``limit`` hits and merge, an approximation whenever a doc
+        is in no leaf's prefix but its SUM is top-k — this is ONE
+        exact TAAT pass over the query terms' postings, so it admits
+        a full SQL value oracle.  Backs :func:`more_like_this`.
+        Duplicate terms sum their weights; weights must be > 0 (the
+        positive-contribution membership contract of BM25 scoring).
+
+        Reference analog: weighted multi-tag search
+        (``/root/reference/src/refimage/dsl.py`` weight nodes), made
+        exact at the postings level.
+        """
+        wmap: dict[str, float] = {}
+        for t, w in pairs:
+            if not (w > 0):
+                raise ValueError(f"weight for {t!r} must be > 0, got {w}")
+            wmap[t] = wmap.get(t, 0.0) + float(w)
+        if not wmap:
+            return []
+        terms = sorted(wmap)
+        term_map = self._term_map(terms)
+        parts_ids, parts_scores = [], []
+        for term in terms:  # ascending unique → canonical float sums
+            p = term_map.get(term)
+            if p is None or p.df == 0:
+                continue
+            parts_ids.append(p.doc_ids)
+            # (w·idf) scalar first, then the tfnorm vector — the same
+            # association as the oracle's (qw * idf) * tfnorm
+            parts_scores.append(
+                (wmap[term] * _idf(p.df, self.n_docs)) * p.weights
+            )
+        if not parts_ids:
+            return []
+        import pandas as pd
+
+        codes, uniq = pd.factorize(np.concatenate(parts_ids), sort=False)
+        scores = np.bincount(codes, weights=np.concatenate(parts_scores))
+        ids, sc = topk_select(uniq.astype(np.int64), scores, k, threshold)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
     # --- multi-term expansion queries (prefix / fuzzy) ---
 
     def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
@@ -1504,9 +1554,11 @@ def more_like_this(
 ) -> list[tuple[int, float]]:
     """Relevance-feedback "similar documents" (the classic
     more-like-this): the doc's highest tf·idf terms become a weighted
-    OR query over the SAME index, executed through the DSL's ``^w``
-    leaves — no new scoring machinery, so distributed == local holds
-    by construction.  Exact duplicates of the doc score identically to
+    OR query over the SAME index, executed EXACTLY through
+    :meth:`_SearcherBase.search_weighted` (one TAAT pass — not the
+    DSL's per-leaf-truncated ``^w`` merge), so distributed == local
+    holds by construction and the whole operator admits a full SQL
+    value oracle.  Exact duplicates of the doc score identically to
     the doc itself (same tf vector).
 
     Reference analog: ``POST /search/image`` — find items similar to a
@@ -1541,14 +1593,11 @@ def more_like_this(
         return []
     scored.sort(key=lambda x: (-x[0], x[1]))
     top = scored[:top_terms]
-    wmax = top[0][0] or 1.0
-    dsl = " OR ".join(
-        f"{t}^{max(w / wmax, 1e-4):.4f}" for w, t in top
-    )
-    from refimage_ray.query.dsl import DSLExecutor
-
-    hits = DSLExecutor(searcher).execute_query(
-        dsl, limit=k + (1 if exclude_self else 0)
+    # wmax normalization keeps weights on the ES-boost scale (max 1.0);
+    # idf > 0 and tf >= 1 guarantee wmax > 0 here
+    wmax = top[0][0]
+    hits = searcher.search_weighted(
+        [(t, w / wmax) for w, t in top], k=k + (1 if exclude_self else 0)
     )
     if exclude_self:
         hits = [(d, s) for d, s in hits if d != doc_id][:k]

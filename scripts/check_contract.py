@@ -47,7 +47,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
@@ -66,6 +72,8 @@ def main() -> int:
     qs, sqls = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and only not in name:
+            continue
         t0 = time.perf_counter()
         try:
             mine = canon(to_pandas(fn(sf_dir)))

@@ -455,6 +455,49 @@ def test_serving_actor_death_is_transparent(ray_session, built_index, local):
     assert after == before
 
 
+def test_search_weighted_laws(local):
+    """search_weighted: unit weights == plain OR exactly; duplicate
+    terms sum weights; a dominant weight reorders; w<=0 rejected."""
+    import math
+
+    from refimage_ray.query.scorer import idf as _idf
+
+    terms = ["table", "scan", "merge"]
+    plain = local.search(" ".join(terms), k=25, prune=False)
+    weighted = local.search_weighted([(t, 1.0) for t in terms], k=25)
+    assert weighted == plain  # exact float identity, not approx
+
+    # duplicate term entries sum: (t,0.25)+(t,0.75) == (t,1.0)
+    dup = local.search_weighted(
+        [("table", 0.25), ("table", 0.75), ("scan", 1.0), ("merge", 1.0)],
+        k=25,
+    )
+    assert [d for d, _ in dup] == [d for d, _ in plain]
+    for (_, a), (_, b) in zip(dup, plain):
+        assert math.isclose(a, b, rel_tol=1e-12)
+
+    # brute-force law: score(d) = sum_t w_t * idf_t * tfnorm
+    w = {"table": 3.0, "scan": 0.5}
+    got = dict(local.search_weighted(sorted(w.items()), k=1000))
+    tm = local._term_map(sorted(w))
+    exp: dict[int, float] = {}
+    for t in sorted(w):
+        p = tm.get(t)
+        if p is None:
+            continue
+        contrib = (w[t] * _idf(p.df, local.n_docs)) * p.weights
+        for d, c in zip(p.doc_ids.tolist(), contrib.tolist()):
+            exp[d] = exp.get(d, 0.0) + c
+    assert set(got) == set(exp)
+    for d in got:
+        assert math.isclose(got[d], exp[d], rel_tol=1e-12)
+
+    with pytest.raises(ValueError):
+        local.search_weighted([("table", 0.0)])
+    assert local.search_weighted([]) == []
+    assert local.search_weighted([("zzzznotaterm", 1.0)]) == []
+
+
 def test_more_like_this_self_and_dup(ray_session, tmp_path):
     """MLT: the doc itself ranks first; an exact duplicate ties it
     (same tf vector -> identical weighted-OR score)."""
