@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_search_after": search.bm25_topk_search_after,
         "bm25_topk_synonyms": search.bm25_topk_synonyms,
         "more_like_this_topk": search.more_like_this_topk,
+        "reindex_topk": search.reindex_topk,
         "bm25_topk_decay": search.bm25_topk_decay,
         "bm25_topk_decay_where": search.bm25_topk_decay_where,
         "bm25_topk_decay_docpart": search.bm25_topk_decay_docpart,
@@ -918,6 +919,12 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # more-like-this: tf·idf term selection + weighted OR, both
         # fully mirrored in SQL (engine.more_like_this → search_weighted)
         "more_like_this_topk": _mlt_sql(7, 5, 10),
+        # reindex under a predicate rebuilds the scoring basis over
+        # the surviving corpus (corpus_where), unlike a query-time
+        # doc_where filter which keeps corpus-wide stats
+        "reindex_topk": _bm25_sql(
+            ["spark", "join"], 10, corpus_where="lang = 'en'"
+        ),
         # doc-value filter: result docs restricted to lang='en' AND
         # doc_len>=40; idf/avgdl/N stay corpus-wide like the engine
         # NRT: half the corpus built, half in the in-memory delta

@@ -106,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--out", required=True)
 
+    ri = sub.add_parser("reindex", help="stream docs into a fresh build "
+                                        "(optional predicate / new shards)")
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--out", required=True)
+    ri.add_argument("--where", help="doc-value predicate, serve filter "
+                                    "grammar: 'lang=en,doc_len<40'")
+    ri.add_argument("--num-shards", type=int,
+                    help="re-shard the target (default: source config)")
+
     m = sub.add_parser("merge", help="merge same-config indexes")
     m.add_argument("--out", required=True)
     m.add_argument("inputs", nargs="+")
@@ -299,6 +308,24 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 out = compact_index(args.index, args.out, cfg)
             print(json.dumps(out["stats"]))
+        elif args.cmd == "reindex":
+            from refimage_ray.config import EngineConfig
+            from refimage_ray.index.lifecycle import reindex
+            from refimage_ray.index.manifest import load_manifest
+
+            where = None
+            if args.where:
+                from refimage_ray.serve import parse_filter
+
+                where = parse_filter(args.where)
+            cfg = None
+            if args.num_shards:
+                man = load_manifest(args.index)
+                cfg = EngineConfig(
+                    **{**man["config"], "num_shards": int(args.num_shards)}
+                )
+            out = reindex(args.index, args.out, cfg, where=where)
+            print(json.dumps(out.manifest["stats"]))
         elif args.cmd == "merge":
             from refimage_ray.config import EngineConfig
             from refimage_ray.index.lifecycle import merge_indexes

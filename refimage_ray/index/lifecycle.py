@@ -502,3 +502,85 @@ def delete_docs_where(index_dir: str, where) -> int:
         before = pq.read_table(tomb_path).num_rows
     after = delete_docs(index_dir, hit)
     return after - before
+
+
+def reindex(
+    src_index_dir: str,
+    out_dir: str,
+    cfg: "EngineConfig | None" = None,
+    *,
+    where=None,
+    transform=None,
+):
+    """ES ``_reindex``: stream the source artifact's stored documents
+    into a FRESH build — optionally narrowed by the shared doc-value
+    ``where`` grammar (incl. DNF ``{"or": [...]}``) and/or re-shaped
+    by a per-batch ``transform`` (``pa.Table -> pa.Table``; must keep
+    ``doc_id:int64, text:string``).
+
+    Semantics: dead docs (tombstones + dedup losers) never leave the
+    source scan, so the target is born compact with EXACT stats over
+    the surviving corpus — equivalently, ``reindex(src, out)`` with no
+    predicate answers queries bit-identically to ``compact_index``.
+    Changing ``cfg`` re-shards / re-tokenizes (the actual reindex use
+    case: new analyzer, new shard count).
+
+    Scale shape: docs/ partitions stream straight into
+    ``build_index``'s pipeline (filter + transform are per-batch
+    map_batches; the dead-id set is one ``ray.put`` broadcast read via
+    sorted searchsorted per batch) — nothing materializes driver-side.
+
+    Reference analog: deletion-as-rebuild
+    (``/root/reference/src/refimage/search/__init__.py:100-145``),
+    generalized to predicate + re-analysis.
+    """
+    from refimage_ray.index.docvalues import encode_value_columns, where_columns
+
+    man = load_manifest(src_index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no index at {src_index_dir}")
+    if cfg is None:
+        cfg = EngineConfig(
+            **man["config"],
+            k1=float(man["stats"].get("k1", 1.2)),
+            b=float(man["stats"].get("b", 0.75)),
+        )
+    dead = _dead_ids(src_index_dir)
+    dead_ref = ray.put(np.sort(np.asarray(dead, np.int64))) if len(dead) else None
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")  # DocValues wants sorted ids
+        batch = batch.take(pa.array(order))
+        sids = ids[order]
+        keep = np.ones(len(sids), bool)
+        if dead_ref is not None:
+            d = ray.get(dead_ref)
+            pos = np.searchsorted(d, sids)
+            hit = pos < len(d)
+            hit[hit] = d[pos[hit]] == sids[hit]
+            keep &= ~hit
+        if where is not None:
+            # encode ONLY the predicate's columns (encoding text/url
+            # would dictionary-encode every unique payload per batch)
+            narrow = batch.select(
+                ["doc_id"] + [c for c in where_columns(where)
+                              if c in batch.schema.names]
+            )
+            dv = encode_value_columns(narrow, sids)
+            keep &= dv.mask(where)
+        out = batch.filter(pa.array(keep))
+        if transform is not None:
+            out = transform(out)
+        return out
+
+    ds = rd.read_parquet(os.path.join(src_index_dir, "docs")).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return build_index(
+        ds,
+        out_dir,
+        cfg,
+        lineage=[{"reindex_of": os.path.abspath(src_index_dir),
+                  "where": repr(where) if where is not None else None}],
+    )

@@ -195,6 +195,26 @@ def more_like_this_topk(
     )
 
 
+def reindex_topk(
+    sf_dir: str, query: str = "spark join", k: int = 10
+) -> pa.Table:
+    """ES ``_reindex``: stream the cached artifact's docs through a
+    ``lang = 'en'`` predicate into a FRESH index, then search it.  The
+    new artifact's scoring basis (N, avgdl, df) is the filtered corpus
+    — unlike a query-time ``where=`` filter, which keeps corpus-wide
+    stats — so the oracle scores over ``WHERE lang = 'en'`` documents
+    only (``corpus_where``)."""
+    from refimage_ray.index.lifecycle import reindex
+
+    src = ensure_index(sf_dir)
+    out = src + "-reindex-en"
+    if load_manifest(out) is None:
+        reindex(src, out, where={"lang": "en"})
+    if out not in _searchers:
+        _searchers[out] = LocalSearcher(out)
+    return _hits_table(_searchers[out].search(query, k=k, mode="or"))
+
+
 def bm25_topk_search_after(
     sf_dir: str, query: str = "data table", k: int = 10
 ) -> pa.Table:

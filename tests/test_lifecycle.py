@@ -278,3 +278,64 @@ def test_delete_docs_where_retention(built_index, tmp_path):
                                       [("doc_len", "<", 10)]]})
     des = {r["doc_id"] for r in meta.to_pylist() if r["lang"] == "de"}
     assert n2 >= len(des) > 0
+
+
+def test_reindex_plain_equals_compact(ray_session, tiny_docs, tmp_path):
+    """reindex with no predicate == compact: dead docs dropped, stats
+    exact over the survivors — bit-identical answers."""
+    from refimage_ray.index.lifecycle import reindex
+
+    d = str(tmp_path / "src")
+    build_index(rd.from_arrow(tiny_docs), d, CFG)
+    delete_docs(d, list(range(0, 30)))
+    dc, dr = str(tmp_path / "compacted"), str(tmp_path / "reindexed")
+    compact_index(d, dc, CFG)
+    reindex(d, dr)  # cfg reconstructed from the source manifest
+    sc, sr = LocalSearcher(dc), LocalSearcher(dr)
+    assert sr.n_docs == sc.n_docs
+    for q in FIXTURE_QUERIES:
+        assert sr.search(q, k=10) == sc.search(q, k=10), q
+
+
+def test_reindex_where_equals_filtered_build(ray_session, tiny_docs, tmp_path):
+    """reindex under a doc-value predicate == a fresh build over the
+    matching rows only (scoring basis = survivors)."""
+    from refimage_ray.index.lifecycle import reindex
+
+    d = str(tmp_path / "src")
+    build_index(rd.from_arrow(tiny_docs), d, CFG)
+    dr, df = str(tmp_path / "reindexed"), str(tmp_path / "filtered")
+    reindex(d, dr, where={"lang": "en"})
+    mask = [l == "en" for l in tiny_docs["lang"].to_pylist()]
+    build_index(rd.from_arrow(tiny_docs.filter(pa.array(mask))), df, CFG)
+    sr, sf = LocalSearcher(dr), LocalSearcher(df)
+    assert 0 < sr.n_docs == sf.n_docs < tiny_docs.num_rows
+    for q in FIXTURE_QUERIES[:5]:
+        assert sr.search(q, k=10) == sf.search(q, k=10), q
+
+
+def test_reindex_transform_and_new_config(ray_session, tiny_docs, tmp_path):
+    """A per-batch transform re-shapes text before the rebuild, and a
+    new cfg re-shards — the reindexed artifact answers like a fresh
+    build over the transformed corpus under the new config."""
+    import pyarrow.compute as pc
+
+    from refimage_ray.index.lifecycle import reindex
+
+    d = str(tmp_path / "src")
+    build_index(rd.from_arrow(tiny_docs), d, CFG)
+
+    def add_marker(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()), "zzmarker", " "
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    cfg2 = EngineConfig(num_shards=2, salt_buckets=1, hot_df_fraction=0.05)
+    dr = str(tmp_path / "reindexed")
+    reindex(d, dr, cfg2, transform=add_marker)
+    s = LocalSearcher(dr)
+    # every doc now contains the marker token
+    assert len(s.search("zzmarker", k=10)) == 10
+    tm = s._term_map(["zzmarker"])
+    assert tm["zzmarker"].df == tiny_docs.num_rows
