@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_or": search.bm25_topk_filtered_or,
         "nrt_delta_topk": search.nrt_delta_topk,
+        "rollover_topk": search.rollover_topk,
         "federated_topk": search.federated_topk,
         "lifecycle_compact_topk": search.lifecycle_compact_topk,
         "docpart_add_topk": search.docpart_add_topk,
@@ -931,6 +932,9 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # buffer — merged stats make it equal a full rebuild, so the
         # oracle is plain BM25 over the WHOLE documents table
         "nrt_delta_topk": _bm25_sql(["stream", "window", "state"], 10),
+        # rollover group (3 tertile ingests, gen-1 sealed/merged):
+        # federation == monolithic rebuild, so plain corpus BM25
+        "rollover_topk": _bm25_sql(["stream", "window", "state"], 10),
         # 3-way federation == monolithic index == plain corpus BM25
         "federated_topk": _bm25_sql(["merge", "sort", "index"], 10),
         # decay boost: score × exp(ln(.5)/scale · |n_chars|), mirrored

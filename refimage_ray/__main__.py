@@ -139,6 +139,20 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--out", required=True)
     rs.add_argument("--force", action="store_true")
 
+    ro = sub.add_parser("rollover", help="generation/segment index groups "
+                        "(ES rollover / ILM analog)")
+    ro.add_argument("action", choices=["ingest", "search", "prune", "status"])
+    ro.add_argument("--group", required=True, help="group root dir")
+    ro.add_argument("--documents", help="parquet with (doc_id, text) to ingest")
+    ro.add_argument("--max-docs", type=int, default=1_000_000,
+                    help="seal a generation once it holds this many docs")
+    ro.add_argument("--num-shards", type=int, default=8)
+    ro.add_argument("--salt-buckets", type=int, default=4)
+    ro.add_argument("--query", help="query for the search action")
+    ro.add_argument("--k", type=int, default=10)
+    ro.add_argument("--keep-last", type=int, default=1,
+                    help="generations to keep for the prune action")
+
     pk = sub.add_parser("pack", help="write token-id training sequences")
     pk.add_argument("--documents", required=True,
                     help="parquet file/dir with (doc_id, text)")
@@ -362,6 +376,48 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(restore_index(args.snapshot, args.out,
                                            force=args.force)))
+            return 0
+        elif args.cmd == "rollover":
+            from refimage_ray.index import rollover as ro_mod
+
+            if args.action == "ingest":
+                import ray.data as rd
+
+                from refimage_ray.config import EngineConfig
+
+                if not args.documents:
+                    print(json.dumps({"error": "--documents required"}))
+                    return 1
+                cfg = (None if ro_mod.group_parts(args.group)
+                       else EngineConfig(num_shards=args.num_shards,
+                                         salt_buckets=args.salt_buckets))
+                docs = rd.read_parquet(args.documents,
+                                       columns=["doc_id", "text"])
+                print(json.dumps(ro_mod.ingest(args.group, docs, cfg,
+                                               max_docs=args.max_docs)))
+            elif args.action == "search":
+                if not args.query:
+                    print(json.dumps({"error": "--query required"}))
+                    return 1
+                hits = ro_mod.group_searcher(args.group).search(
+                    args.query, k=args.k)
+                print(json.dumps(
+                    [{"doc_id": d, "score": s} for d, s in hits], indent=1))
+            elif args.action == "prune":
+                dropped = ro_mod.prune_generations(args.group,
+                                                   keep_last=args.keep_last)
+                print(json.dumps({"dropped": dropped}))
+            else:  # status
+                gens = ro_mod.generations(args.group)
+                print(json.dumps({
+                    "generations": [
+                        {"dir": g,
+                         "sealed": ro_mod._is_sealed(g),
+                         "docs": ro_mod._gen_docs(g)}
+                        for g in gens
+                    ],
+                    "parts": ro_mod.group_parts(args.group),
+                }, indent=1))
             return 0
         elif args.cmd == "pack":
             import ray.data as rd

@@ -756,6 +756,47 @@ def nrt_delta_topk(
     return _hits_table(delta.search(query, k=k))
 
 
+def rollover_topk(
+    sf_dir: str, query: str = "stream window state", k: int = 10
+) -> pa.Table:
+    """Rollover-group contract query: the corpus is ingested in THREE
+    doc-id tertile slices into an ``index/rollover.py`` group sized so
+    the first generation seals (force-merges) after the second ingest —
+    the search federates a sealed merged artifact + an open segment.
+    Oracle: plain BM25 over the FULL documents table, because the
+    group's merged-stats federation is bit-identical to a monolithic
+    rebuild regardless of ingest slicing (tests/test_rollover.py)."""
+    import pyarrow.parquet as pq2
+
+    from refimage_ray.index.rollover import (
+        group_parts, group_searcher, ingest,
+    )
+
+    group_dir = _index_dir_for(sf_dir) + "-rollover"
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if not group_parts(group_dir):
+        ids = np.sort(
+            pq2.read_table(docs_path, columns=["doc_id"])["doc_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = len(ids)
+        cut1, cut2 = int(ids[n // 3]), int(ids[2 * n // 3])
+        preds = [
+            f"doc_id < {cut1}",
+            f"doc_id >= {cut1} and doc_id < {cut2}",
+            f"doc_id >= {cut2}",
+        ]
+        for i, pred in enumerate(preds):
+            part = rd.read_parquet(
+                docs_path, columns=["doc_id", "text"]
+            ).filter(expr=pred)
+            # gen 1 holds tertiles 1+2 and seals on the 2nd ingest
+            ingest(group_dir, part, SEARCH_CFG if i == 0 else None,
+                   max_docs=2 * (n // 3))
+    return _hits_table(group_searcher(group_dir).search(query, k=k))
+
+
 def bm25_topk_decay_docpart(
     sf_dir: str, query: str = "spark join", k: int = 10
 ) -> pa.Table:

@@ -1,0 +1,144 @@
+"""Rollover groups (ES rollover / ILM analog): ingest slicing must not
+change results — a group answers bit-identically to a monolithic index
+over the same docs, before AND after seals; retention drops whole
+generations; seal crash-recovery is re-runnable."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+import ray.data as rd
+
+from refimage_ray.config import EngineConfig
+from refimage_ray.index.build import build_index
+from refimage_ray.index.rollover import (
+    generations,
+    group_parts,
+    group_searcher,
+    ingest,
+    prune_generations,
+)
+from refimage_ray.query.engine import LocalSearcher
+
+CFG = EngineConfig(num_shards=4, salt_buckets=2)
+QUERIES = ["the data join", "spark query", "stream merge", "zzz missing"]
+
+
+def _mono(docs_tbl, out_dir):
+    build_index(rd.from_arrow(docs_tbl), out_dir, CFG)
+    return LocalSearcher(out_dir)
+
+
+@pytest.fixture(scope="module")
+def group(ray_session, tiny_docs, tmp_path_factory):
+    """Three ingests with max_docs sized so the FIRST generation seals
+    after the second ingest and the third opens gen-000002."""
+    root = tmp_path_factory.mktemp("rollover")
+    gdir = str(root / "grp")
+    n = tiny_docs.num_rows
+    cut1, cut2 = n // 3, 2 * n // 3
+    slices = [
+        tiny_docs.slice(0, cut1),
+        tiny_docs.slice(cut1, cut2 - cut1),
+        tiny_docs.slice(cut2),
+    ]
+    results = []
+    for i, part in enumerate(slices):
+        results.append(
+            ingest(
+                gdir,
+                rd.from_arrow(part),
+                CFG if i == 0 else None,
+                max_docs=cut2,  # gen 1 reaches it on the 2nd ingest
+            )
+        )
+    return gdir, tiny_docs, results, str(root)
+
+
+def test_rollover_generation_lifecycle(group):
+    gdir, _, results, _ = group
+    assert [r["rolled"] for r in results] == [False, True, False]
+    gens = generations(gdir)
+    assert [os.path.basename(g) for g in gens] == ["gen-000001", "gen-000002"]
+    assert os.path.exists(os.path.join(gens[0], "_SEALED"))
+    assert not os.path.exists(os.path.join(gens[1], "_SEALED"))
+    # sealed gen federates ONLY its merged artifact; open gen its segments
+    parts = group_parts(gdir)
+    assert parts == [
+        os.path.join(gens[0], "merged"),
+        os.path.join(gens[1], "seg-000001"),
+    ]
+
+
+def test_group_bit_identical_to_monolith(group, tmp_path):
+    gdir, docs, _, _ = group
+    full = _mono(docs, str(tmp_path / "full"))
+    multi = group_searcher(gdir)
+    assert multi.n_docs == full.n_docs
+    assert multi.avgdl == full.avgdl
+    for q in QUERIES:
+        for mode in ("or", "and"):
+            assert multi.search(q, k=25, mode=mode) == full.search(
+                q, k=25, mode=mode
+            ), (q, mode)
+
+
+def test_second_ingest_inherits_cfg(group):
+    gdir, _, _, _ = group
+    # every artifact in the group was built with the first ingest's cfg
+    from refimage_ray.index.manifest import load_manifest
+
+    shards = {load_manifest(p)["config"]["num_shards"] for p in group_parts(gdir)}
+    assert shards == {CFG.num_shards}
+
+
+def test_prune_matches_reingest(group, tmp_path):
+    gdir, docs, _, root = group
+    pruned = os.path.join(root, "pruned")
+    shutil.copytree(gdir, pruned)
+    dropped = prune_generations(pruned, keep_last=1)
+    assert [os.path.basename(d) for d in dropped] == ["gen-000001"]
+    # survivors == a monolith over just the docs of gen-000002
+    n = docs.num_rows
+    tail = docs.slice(2 * n // 3)
+    full = _mono(tail, str(tmp_path / "tail"))
+    multi = group_searcher(pruned)
+    assert multi.n_docs == full.n_docs
+    for q in QUERIES:
+        assert multi.search(q, k=20) == full.search(q, k=20), q
+
+
+def test_seal_recovers_from_stale_tmp(group, tmp_path, tiny_docs):
+    """A crash mid-merge leaves merged.tmp; the next roll must rebuild
+    cleanly and still answer identically."""
+    root = str(tmp_path / "crashy")
+    n = tiny_docs.num_rows
+    half = tiny_docs.slice(0, n // 2)
+    ingest(root, rd.from_arrow(half), CFG, max_docs=n)  # open gen, no seal
+    gen = generations(root)[0]
+    os.makedirs(os.path.join(gen, "merged.tmp", "junk"))  # fake partial merge
+    rest = tiny_docs.slice(n // 2)
+    res = ingest(root, rd.from_arrow(rest), max_docs=n)
+    assert res["rolled"]
+    assert not os.path.exists(os.path.join(gen, "merged.tmp"))
+    full = _mono(tiny_docs, str(tmp_path / "full2"))
+    multi = group_searcher(root)
+    for q in QUERIES:
+        assert multi.search(q, k=15) == full.search(q, k=15), q
+
+
+def test_first_ingest_requires_cfg(ray_session, tiny_docs, tmp_path):
+    with pytest.raises(ValueError, match="first ingest"):
+        ingest(str(tmp_path / "empty"), rd.from_arrow(tiny_docs.slice(0, 5)))
+
+
+def test_prune_validates_keep_last(group):
+    with pytest.raises(ValueError, match="keep_last"):
+        prune_generations(group[0], keep_last=0)
+
+
+def test_empty_group_search_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        group_searcher(str(tmp_path / "nothing"))
