@@ -626,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": corpus.repetition_stats,
         "heavy_hitters": corpus.heavy_hitters,
         "bigram_pmi": corpus.bigram_pmi,
+        "doc_perplexity": corpus.doc_perplexity,
+        "perplexity_filter_stats": corpus.perplexity_filter_stats,
         "distinct_counts": corpus.distinct_counts,
         "distinct_terms_hll": corpus.distinct_terms_hll,  # rows-only (sketch)
         "lang_counts": corpus.lang_counts,
@@ -727,6 +729,68 @@ ORDER BY cnt DESC, term
 """,
         # PMI mirrors the Ray float expression shape exactly:
         # ln((c_xy * N_uni^2) / (N_bi * c_x * c_y)), rounded to 6 dp
+        # add-1 bigram LM self-perplexity, float-for-float with
+        # stages/lm.py: p(cur|prev) = (C(prev,cur)+1)/(C(prev)+V),
+        # ppl = exp(-avg ln p) over a doc's transitions; <2-token docs
+        # have no transitions and are dropped on both sides
+        "doc_perplexity": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i - 1] AS prev, t[i] AS cur
+  FROM docs, LATERAL (SELECT unnest(generate_series(2, len(t))) AS i) _
+),
+uni AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(t) AS w FROM docs) GROUP BY w
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (
+  SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c FROM pos GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       round(exp(-avg(ln((coalesce(b.c, 0) + 1.0) / (u.c + v.v)))), 3) AS ppl
+FROM pos p
+CROSS JOIN v
+JOIN uni u ON u.w = p.prev
+LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+GROUP BY p.doc_id
+""",
+        # threshold applied to the SAME rounded ppl the engine gates on
+        "perplexity_filter_stats": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i - 1] AS prev, t[i] AS cur
+  FROM docs, LATERAL (SELECT unnest(generate_series(2, len(t))) AS i) _
+),
+uni AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(t) AS w FROM docs) GROUP BY w
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (
+  SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c FROM pos GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_id,
+         round(exp(-avg(ln((coalesce(b.c, 0) + 1.0) / (u.c + v.v)))), 3)
+           AS ppl
+  FROM pos p
+  CROSS JOIN v
+  JOIN uni u ON u.w = p.prev
+  LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+  GROUP BY p.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(len(d.t)) AS BIGINT) AS kept_tokens
+FROM scored s JOIN docs d USING (doc_id)
+WHERE s.ppl <= 120.0
+""",
         "bigram_pmi": """
 WITH docs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

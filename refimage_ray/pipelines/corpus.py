@@ -725,6 +725,53 @@ def bigram_counts(sf_dir: str, min_count: int = 5) -> "rd.Dataset":
     )
 
 
+def doc_perplexity(sf_dir: str, k: float = 1.0) -> "rd.Dataset":
+    """CCNet-style LM quality scores: train an add-k bigram LM on the
+    corpus (ONE vocab-sized counting exchange), broadcast it once, score
+    every document's perplexity vectorized (``stages/lm.py``).  Docs with
+    <2 tokens have no transitions and are dropped (mirrored in SQL)."""
+    from refimage_ray.stages.lm import score_perplexity, train_bigram_lm
+
+    docs = _docs(sf_dir)
+    lm = train_bigram_lm(docs, k=k)
+    import pyarrow.compute as _pc
+
+    scored = score_perplexity(docs, lm)
+    return scored.map_batches(
+        lambda b: b.filter(_pc.is_valid(b["ppl"])), batch_format="pyarrow"
+    )
+
+
+def perplexity_filter_stats(sf_dir: str, max_ppl: float = 120.0) -> pa.Table:
+    """Quality-gate rollup: how many docs (and tokens) survive a
+    perplexity threshold — the planning query behind choosing a CCNet
+    cutoff."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Sum
+
+    from refimage_ray.stages.lm import perplexity_filter, train_bigram_lm
+
+    docs = _docs(sf_dir)
+    lm = train_bigram_lm(docs)
+    kept = perplexity_filter(docs, lm, max_ppl)
+
+    def with_len(b: pa.Table) -> pa.Table:
+        toks = _pc.count_substring_regex(
+            _pc.utf8_lower(b["text"]), pattern=DEFAULT_CONFIG.token_pattern
+        )
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": _pc.cast(toks, pa.int64())})
+
+    agg = (
+        kept.map_batches(with_len, batch_format="pyarrow")
+        .aggregate(Count(), Sum("n_tokens", alias_name="kept_tokens"))
+    )
+    return pa.table({
+        "kept_docs": pa.array([int(agg["count()"])], pa.int64()),
+        "kept_tokens": pa.array([int(agg["kept_tokens"])], pa.int64()),
+    })
+
+
 def minhash_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     """Near-dup clusters (connected components over verified MinHash
     pairs): (doc_id, cluster_id) — rows-only check."""
