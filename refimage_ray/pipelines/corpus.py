@@ -772,6 +772,45 @@ def perplexity_filter_stats(sf_dir: str, max_ppl: float = 120.0) -> pa.Table:
     })
 
 
+def bpe_merges(sf_dir: str, num_merges: int = 200) -> pa.Table:
+    """Learned BPE merge table (rank, left, right).  The distributed
+    part is the word histogram (``term_stats``, one vocab-sized
+    exchange); the merge loop runs over the histogram — O(vocab×merges),
+    corpus-size-independent (``stages/bpe.py``).  Rows-only check: the
+    greedy merge recursion has no SQL analog; determinism + hand-traced
+    merge laws live in tests/test_bpe.py."""
+    from refimage_ray.stages.bpe import learn_bpe, merges_table
+
+    hist = (
+        term_stats(sf_dir)
+        .select_columns(["term", "total_tf"])
+        .to_pandas()
+    )
+    merges = learn_bpe(
+        list(zip(hist["term"], hist["total_tf"])), num_merges
+    )
+    return merges_table(merges)
+
+
+def bpe_token_stats_query(
+    sf_dir: str, num_merges: int = 200
+) -> "rd.Dataset":
+    """Per-doc regex-word vs learned-subword counts (rows-only; the
+    n_words column is SQL-checkable but n_bpe is not — pytest verifies
+    encode == training segmentation instead)."""
+    from refimage_ray.stages.bpe import bpe_token_stats, learn_bpe
+
+    hist = (
+        term_stats(sf_dir)
+        .select_columns(["term", "total_tf"])
+        .to_pandas()
+    )
+    merges = learn_bpe(
+        list(zip(hist["term"], hist["total_tf"])), num_merges
+    )
+    return bpe_token_stats(_docs(sf_dir), merges)
+
+
 def minhash_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     """Near-dup clusters (connected components over verified MinHash
     pairs): (doc_id, cluster_id) — rows-only check."""
