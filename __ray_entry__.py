@@ -642,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
         "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
         "knn_cosine_pq": vectors.knn_cosine_pq,             # rows-only (approx)
+        "kmeans_cluster_sizes": vectors.kmeans_cluster_sizes,  # rows-only (iterative)
         "embedding_pca_stats": vectors.embedding_pca_stats,  # rows-only (no SQL eigensolver)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
         "lang_embedding_stats": vectors.lang_embedding_stats,
@@ -660,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
         "events_asof_last": relational.events_asof_last,
+        "events_user_lag": relational.events_user_lag,
         "events_rolling_avg": relational.events_rolling_avg,
         "order_revenue_by_priority": relational.order_revenue_by_priority,
         "doc_sample": relational.doc_sample,
@@ -1480,6 +1482,16 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 SELECT doc_id, lang FROM documents
 WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
       < CAST(0.2 * 4294967296 AS BIGINT)
+""",
+        # lag/lead window per user (same in-group ordering contract as
+        # the engine: ts then event_id)
+        "events_user_lag": """
+SELECT user_id, event_id,
+       round(lag(value) OVER w, 4) AS prev_value,
+       round(lead(value) OVER w, 4) AS next_value,
+       round(epoch(ts - lag(ts) OVER w), 6) AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         # as-of join (strictly prior, per user): last 'click' before
         # each event — IGNORE NULLS last_value over a 1-preceding frame

@@ -360,6 +360,39 @@ def events_asof_last(sf_dir: str, match_type: str = "click") -> "rd.Dataset":
     )
 
 
+def events_user_lag(sf_dir: str) -> "rd.Dataset":
+    """LAG/LEAD window functions per user: each event with the
+    previous and next event's value and the seconds since the previous
+    event — the remaining classic window primitive next to sessionize /
+    rolling / as-of.  Same partitioning shape (one groupby, in-group
+    mergesort by (ts, event_id), vectorized shifts)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        val = g["value"].to_numpy()
+        ts = g["ts"].to_numpy()
+        prev_val = np.concatenate(([np.nan], val[:-1]))
+        next_val = np.concatenate((val[1:], [np.nan]))
+        gap = np.full(len(g), np.nan)
+        if len(g) > 1:
+            gap[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "prev_value": np.round(prev_val, 4),
+            "next_value": np.round(next_val, 4),
+            "gap_seconds": np.round(gap, 6),
+        })
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     """Session windows per user (gap-based): the classic stream-shaped
     op on a batch engine — partition by key, sort by event time within

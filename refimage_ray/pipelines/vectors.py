@@ -243,6 +243,30 @@ def knn_cosine_pq(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -
     )
 
 
+def kmeans_cluster_sizes(sf_dir: str, k: int = 8, n_iter: int = 6) -> pa.Table:
+    """Distributed Lloyd k-means over the embeddings table, then the
+    cluster-size histogram (``stages/kmeans.py`` — per-iteration
+    exchange is one sufficient-statistics row per block; assignment is
+    one broadcast + narrow map).  Rows-only: iterative, no SQL analog;
+    Lloyd laws (SSE monotone, blob recovery, numpy-argmin identity) are
+    pytest-verified."""
+    from ray.data.aggregate import Count
+
+    from refimage_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    emb = _emb(sf_dir)
+    cents, _ = kmeans_fit(emb, k, n_iter=n_iter)
+    out = (
+        kmeans_assign(emb, cents)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def embedding_pca_stats(sf_dir: str, top: int = 8) -> pa.Table:
     """Distributed PCA spectrum: per-batch (n, Σx, XᵀX) partials — one
     (1 + d + d²)-float row per block regardless of batch size — are
