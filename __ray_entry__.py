@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": corpus.doc_perplexity,
         "perplexity_filter_stats": corpus.perplexity_filter_stats,
         "bpe_merges": corpus.bpe_merges,  # rows-only (greedy recursion)
+        "lang_classifier_stats": corpus.lang_classifier_stats,  # rows-only (iterative)
         "bpe_token_stats": corpus.bpe_token_stats_query,  # rows-only
         "distinct_counts": corpus.distinct_counts,
         "distinct_terms_hll": corpus.distinct_terms_hll,  # rows-only (sketch)

@@ -811,6 +811,47 @@ def bpe_token_stats_query(
     return bpe_token_stats(_docs(sf_dir), merges)
 
 
+def lang_classifier_stats(sf_dir: str, dim: int = 4096) -> pa.Table:
+    """Distributed logistic regression (fastText-style quality/domain
+    gate, ``stages/classifier.py``): train on the corpus to predict
+    ``lang == 'en'`` from hashed bag-of-words, report the confusion
+    matrix at p>=0.5.  Rows-only: training is iterative (no SQL
+    analog); separability/gradient/determinism laws are pytest-verified
+    in tests/test_classifier.py.  NOTE: the synthetic corpus draws all
+    languages from ONE shared vocabulary, so the Bayes-optimal here is
+    the majority class — the interesting guarantees are the pytest laws
+    (perfect accuracy on separable data), not this table's values."""
+    import pyarrow.compute as _pc
+
+    from refimage_ray.stages.classifier import score_logreg, train_logreg
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    w, _hist = train_logreg(docs, "lang", "en", dim=dim, n_iter=12)
+    scored = score_logreg(docs, w, dim=dim)
+
+    def confusion(b: pa.Table) -> pa.Table:
+        pred = _pc.greater_equal(b["p"], 0.5)
+        truth = _pc.equal(b["lang"], "en")
+        p = pred.to_numpy(zero_copy_only=False)
+        t = truth.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tp": pa.array([int((p & t).sum())], pa.int64()),
+            "fp": pa.array([int((p & ~t).sum())], pa.int64()),
+            "tn": pa.array([int((~p & ~t).sum())], pa.int64()),
+            "fn": pa.array([int((~p & t).sum())], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        scored.map_batches(confusion, batch_format="pyarrow")
+        .aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+                   Sum("tn", alias_name="tn"), Sum("fn", alias_name="fn"))
+    )
+    return pa.table({k: pa.array([int(agg[k])], pa.int64())
+                     for k in ("tp", "fp", "tn", "fn")})
+
+
 def minhash_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     """Near-dup clusters (connected components over verified MinHash
     pairs): (doc_id, cluster_id) — rows-only check."""
