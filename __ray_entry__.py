@@ -644,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
         "knn_cosine_pq": vectors.knn_cosine_pq,             # rows-only (approx)
         "kmeans_cluster_sizes": vectors.kmeans_cluster_sizes,  # rows-only (iterative)
+        "semdedup_losers": vectors.semdedup_losers,  # rows-only (clustered approx)
         "embedding_pca_stats": vectors.embedding_pca_stats,  # rows-only (no SQL eigensolver)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
         "lang_embedding_stats": vectors.lang_embedding_stats,

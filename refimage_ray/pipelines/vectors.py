@@ -267,6 +267,62 @@ def kmeans_cluster_sizes(sf_dir: str, k: int = 8, n_iter: int = 6) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def semdedup_losers(
+    sf_dir: str, k: int = 8, tau: float = 0.45, n_iter: int = 5
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): semantic dedup of an embedding
+    corpus by (1) distributed k-means clustering, (2) exact cosine
+    pairs WITHIN each cluster only — the cluster is the blocking key,
+    so the pairwise work is O(Σ|cluster|²) instead of O(n²) — and
+    (3) connected components keeping the minimum id per component.
+    Returns the losers: ``(vec_id, keep_id)`` rows for every vector
+    that would be dropped.  Rows-only (clustering is iterative); the
+    composition reuses three independently-verified operators
+    (kmeans laws, block-pair == LSH-free exact oracle pairs,
+    union-find == min-label propagation).
+
+    Scale note: with k sized so clusters fit a reducer, step 2 is one
+    shuffle; SemDeDup's published recipe accepts the cross-cluster
+    miss (two near-dups split by the quantizer are not compared) —
+    that approximation is inherent to the method, not this
+    implementation."""
+    import ray
+
+    from refimage_ray.stages.ann import embedding_near_dup_pairs
+    from refimage_ray.stages.dedup_near import dup_clusters
+    from refimage_ray.stages.kmeans import kmeans_fit
+
+    emb = _emb(sf_dir)
+    cents, _ = kmeans_fit(emb, k, n_iter=n_iter)
+    cref = ray.put(cents)
+
+    def add_cluster(b: pa.Table) -> pa.Table:
+        from refimage_ray.stages.ann import _to_matrix
+
+        c = ray.get(cref)
+        mat = _to_matrix(b["embedding"]).astype(np.float64)
+        if mat.shape[0] == 0:
+            return b.append_column("cluster", pa.array([], pa.int64()))
+        d2 = ((mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return b.append_column(
+            "cluster", pa.array(d2.argmin(axis=1).astype(np.int64))
+        )
+
+    clustered = emb.map_batches(add_cluster, batch_format="pyarrow")
+    pairs = embedding_near_dup_pairs(clustered, tau=tau, group_col="cluster")
+    comp = dup_clusters(pa.table({
+        "doc_a": pairs["vec_a"], "doc_b": pairs["vec_b"],
+    }))
+    losers = comp.filter(
+        pc.not_equal(comp["doc_id"], comp["cluster_id"])
+    )
+    return pa.table({
+        "vec_id": losers["doc_id"],
+        "keep_id": losers["cluster_id"],
+    })
+
+
 def embedding_pca_stats(sf_dir: str, top: int = 8) -> pa.Table:
     """Distributed PCA spectrum: per-batch (n, Σx, XᵀX) partials — one
     (1 + d + d²)-float row per block regardless of batch size — are
