@@ -653,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
         # --- relational / dataflow breadth ---
         "tpch_q1": relational.tpch_q1,
+        "tpch_q3": relational.tpch_q3,
+        "tpch_q5": relational.tpch_q5,
         "top_customers": relational.top_customers,
         "orders_by_status": relational.orders_by_status,
         "orders_priority_filter": relational.orders_priority_filter,
@@ -1398,6 +1400,35 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
+""",
+        # q3: revenue rounded to cents BEFORE the order/limit, ties
+        # (revenue desc, o_orderdate, l_orderkey) — engine-identical
+        "tpch_q3": """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-01'
+  AND l_shipdate > TIMESTAMP '1996-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+        # q5: whole-unit revenue rounding (distributed float sums on
+        # 1e9-magnitude values — see the tpch_q1 note)
+        "tpch_q5": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -216,6 +216,177 @@ def order_revenue_by_priority(sf_dir: str, buckets: int = 32) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def tpch_q3(sf_dir: str, segment: str = "BUILDING",
+            cutoff: str = "1996-06-01", k: int = 10) -> pa.Table:
+    """TPC-H Q3 shipping priority (3-table join → per-order revenue →
+    top-k).  Plan: customer filtered to the segment joins orders via
+    the bucketed hash join (both sides scale with the corpus — no
+    broadcast), the result joins lineitem the same way, revenue
+    pre-aggregates per (orderkey, orderdate) and the final top-k is a
+    distributed sort + limit (never a driver sort).  Ties break
+    (revenue desc, o_orderdate asc, l_orderkey asc) for determinism —
+    mirrored in the oracle."""
+    from refimage_ray.stages.joins import hash_join
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    cust = (
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], segment))
+            .select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["o_orderdate"], cut)),
+            batch_format="pyarrow",
+        )
+    )
+    co = hash_join(
+        orders, cust,
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "o_custkey", "o_orderdate"],
+        right_cols=["c_custkey"],
+    )
+    li = (
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["l_shipdate"], cut)),
+            batch_format="pyarrow",
+        )
+    )
+    j = hash_join(
+        li, co,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "rev": r,
+        })
+
+    top = (
+        j.map_batches(rev, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="rev_sum"))
+        .map_batches(
+            lambda b: b.append_column(
+                "revenue", pc.round(b["rev_sum"], ndigits=2)
+            ).drop_columns(["rev_sum"]),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue", "o_orderdate", "l_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        top[["l_orderkey", "revenue", "o_orderdate"]], preserve_index=False
+    )
+
+
+def tpch_q5(sf_dir: str, region: str = "ASIA",
+            year_start: str = "1996-01-01",
+            year_end: str = "1997-01-01") -> pa.Table:
+    """TPC-H Q5 local-supplier volume (6-table join).  Plan: the
+    dimension chain region→nation→supplier collapses to TWO broadcast
+    arrays (nation-key → name, supp-key → nation-key — suppliers are
+    the small side by TPC-H construction); customer⋈orders and
+    (c⋈o)⋈lineitem run as bucketed hash joins; the local-supplier
+    predicate (customer nation == supplier nation) and the name lookup
+    are one vectorized map; the final rollup is a nation-sized
+    groupby."""
+    from refimage_ray.stages.joins import hash_join
+
+    lo = pa.scalar(np.datetime64(year_start, "us"))
+    hi = pa.scalar(np.datetime64(year_end, "us"))
+
+    nation = _t(sf_dir, "nation").to_pandas()
+    region_t = _t(sf_dir, "region").to_pandas()
+    asia_keys = set(
+        nation.merge(region_t, left_on="n_regionkey", right_on="r_regionkey")
+        .query("r_name == @region")["n_nationkey"]
+    )
+    n_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    max_supp = int(supp["s_suppkey"].max())
+    supp_nat = np.full(max_supp + 1, -1, np.int64)
+    supp_nat[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+
+    import ray
+
+    side = ray.put((supp_nat, asia_keys, n_names))
+
+    orders = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo),
+                pc.less(b["o_orderdate"], hi),
+            )).select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    co = hash_join(
+        orders,
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "o_custkey"],
+        right_cols=["c_custkey", "c_nationkey"],
+    )
+    j = hash_join(
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        co,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"],
+        right_cols=["o_orderkey", "c_nationkey"],
+    )
+
+    def local_rev(b: pa.Table) -> pa.Table:
+        s_nat_arr, asia, names = ray.get(side)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = s_nat_arr[sk]
+        c_nat = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = (s_nat == c_nat) & np.isin(
+            s_nat, np.fromiter(asia, np.int64, len(asia))
+        )
+        rev = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        name = [names.get(int(x), "") for x in s_nat[keep]]
+        return pa.table({
+            "n_name": pa.array(name, pa.string()),
+            "rev": pa.array(rev[keep], pa.float64()),
+        })
+
+    out = (
+        j.map_batches(local_rev, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="rev_sum"))
+        .to_pandas()
+    )
+    out["revenue"] = out["rev_sum"].round(0)  # whole units: see tpch_q1 note
+    out = out.drop(columns=["rev_sum"]).sort_values(
+        "revenue", ascending=False
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def doc_sample(sf_dir: str, rate: float = 0.2) -> "rd.Dataset":
     """Deterministic hash-based sample (no RNG → stable across runs and
     cluster sizes; the same multiplicative-hash mask the index build
