@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": corpus.bpe_token_stats_query,  # rows-only
         "distinct_counts": corpus.distinct_counts,
         "distinct_terms_hll": corpus.distinct_terms_hll,  # rows-only (sketch)
+        "term_counts_cms": corpus.term_counts_cms,  # rows-only (sketch)
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
         "quality_stats": corpus.quality_stats,

@@ -1024,6 +1024,39 @@ def distinct_terms_hll(sf_dir: str, p: int = 12) -> pa.Table:
     )
 
 
+def term_counts_cms(
+    sf_dir: str,
+    probes: tuple = ("data", "spark", "query", "zzz_absent"),
+    width: int = 4096,
+    depth: int = 4,
+) -> pa.Table:
+    """Count-Min point estimates for probe terms (rows-only — the
+    sketch is approximate by design; its exact twin `term_stats` IS
+    oracled, and the never-undercount + merge-linearity laws are
+    pytest-verified).  One ``depth·width``-int64 row per block is the
+    whole exchange; the driver merge is elementwise add (CMS is a
+    linear sketch)."""
+    from refimage_ray.functions.hashing import md5_u64_string_array
+    from refimage_ray.stages.sketches import cms_batch, cms_merge, cms_query
+
+    rows = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(
+            lambda b: cms_batch(b, width, depth), batch_format="pyarrow"
+        )
+        .take_all()  # one tiny row per block
+    )
+    cms = cms_merge([
+        np.asarray(r["cms"], np.int64).reshape(depth, width) for r in rows
+    ])
+    h = md5_u64_string_array(pa.array(list(probes), pa.string()))
+    est = cms_query(cms, h)
+    return pa.table({
+        "term": pa.array(list(probes), pa.string()),
+        "est": pa.array(est, pa.int64()),
+    })
+
+
 def bigram_pmi(sf_dir: str, min_count: int = 5) -> "rd.Dataset":
     """Pointwise mutual information of word bigrams (collocation
     mining): ``pmi = ln( P(xy) / (P(x)·P(y)) )`` over all bigrams with

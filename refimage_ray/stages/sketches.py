@@ -203,3 +203,82 @@ def hll_registers_batch(
     )
     regs = hll_from_hashes(h, p=p)
     return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+#: fixed odd multipliers for multiply-shift row hashing (deterministic —
+#: sketches must be reproducible and mergeable across runs/workers)
+_CMS_SALTS = np.array([
+    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+    0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D,
+], dtype=np.uint64)
+
+
+def cms_rows(hashes: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) row-bucket indices via multiply-shift hashing."""
+    if depth > len(_CMS_SALTS):
+        raise ValueError(f"depth must be <= {len(_CMS_SALTS)}")
+    h = hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = h[None, :] * _CMS_SALTS[:depth, None]  # wrapping u64 mul
+    return ((mixed >> np.uint64(33)) % np.uint64(width)).astype(np.int64)
+
+
+def cms_from_counts(
+    hashes: np.ndarray, counts: np.ndarray, width: int, depth: int
+) -> np.ndarray:
+    """Weighted items → (depth, width) int64 Count-Min table."""
+    cms = np.zeros((depth, width), dtype=np.int64)
+    if len(hashes):
+        idx = cms_rows(hashes, width, depth)
+        for j in range(depth):
+            np.add.at(cms[j], idx[j], counts.astype(np.int64))
+    return cms
+
+
+def cms_merge(tables: list[np.ndarray]) -> np.ndarray:
+    """Elementwise sum — CMS is a linear sketch, so merge == add."""
+    if not tables:
+        raise ValueError("cms_merge needs at least one table")
+    out = tables[0].copy()
+    for t in tables[1:]:
+        out += t
+    return out
+
+
+def cms_query(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows.  NEVER undercounts (every row
+    holds true_count + collisions ≥ true_count); the classic bound is
+    overcount ≤ e/width · N with prob 1 - e^-depth per query."""
+    depth, width = cms.shape
+    idx = cms_rows(hashes, width, depth)
+    return np.min(
+        np.stack([cms[j, idx[j]] for j in range(depth)]), axis=0
+    )
+
+
+def cms_batch(
+    batch: pa.Table, width: int = 4096, depth: int = 4,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> pa.Table:
+    """documents batch → ONE row holding this batch's CMS (flattened).
+
+    Same shape as ``hll_registers_batch``: the merge exchange carries
+    ``depth·width`` int64 per BLOCK, independent of corpus size."""
+    from refimage_ray.stages.tokenize import _flat_tokens
+
+    flat, _parent = _flat_tokens(batch["text"], cfg)
+    if len(flat):
+        tbl = pa.table({"t": flat}).group_by("t").aggregate([([], "count_all")])
+        h = md5_u64_string_array(tbl["t"].combine_chunks())
+        c = tbl["count_all"].to_numpy(zero_copy_only=False)
+    else:
+        h = np.zeros(0, np.uint64)
+        c = np.zeros(0, np.int64)
+    cms = cms_from_counts(h, c, width, depth)
+    return pa.table({"cms": pa.array([cms.ravel().tolist()],
+                                     pa.list_(pa.int64()))})

@@ -252,3 +252,89 @@ def test_bigram_pmi_vs_bruteforce(ray_session, zipf_corpus_dir):
         for r in bigram_pmi(sf_dir, min_count=5).take_all()
     }
     assert got == want and len(want) > 10
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts():
+    from refimage_ray.functions.hashing import md5_u64_string_array
+    from refimage_ray.stages.sketches import cms_from_counts, cms_query
+
+    import pyarrow as pa
+
+    terms = [f"t{i}" for i in range(500)]
+    counts = np.arange(1, 501, dtype=np.int64)
+    h = md5_u64_string_array(pa.array(terms, pa.string()))
+    cms = cms_from_counts(h, counts, width=64, depth=4)  # heavy collisions
+    est = cms_query(cms, h)
+    assert (est >= counts).all()
+    # total overcount bounded in aggregate: each row sums to N
+    assert cms.sum(axis=1).tolist() == [int(counts.sum())] * 4
+
+
+def test_cms_exact_when_wide():
+    from refimage_ray.functions.hashing import md5_u64_string_array
+    from refimage_ray.stages.sketches import cms_from_counts, cms_query
+
+    import pyarrow as pa
+
+    terms = [f"w{i}" for i in range(20)]
+    counts = np.arange(5, 25, dtype=np.int64)
+    h = md5_u64_string_array(pa.array(terms, pa.string()))
+    cms = cms_from_counts(h, counts, width=1 << 16, depth=4)
+    est = cms_query(cms, h)
+    assert (est == counts).all()  # no collisions at this width
+    absent = md5_u64_string_array(pa.array(["nope"], pa.string()))
+    assert cms_query(cms, absent)[0] == 0
+
+
+def test_cms_merge_linearity():
+    """CMS(a ∪ b) == CMS(a) + CMS(b) — the mergeable-summary law."""
+    from refimage_ray.functions.hashing import md5_u64_string_array
+    from refimage_ray.stages.sketches import cms_from_counts, cms_merge
+
+    import pyarrow as pa
+
+    terms = [f"m{i}" for i in range(100)]
+    h = md5_u64_string_array(pa.array(terms, pa.string()))
+    c1 = np.arange(1, 101, dtype=np.int64)
+    c2 = np.arange(100, 0, -1, dtype=np.int64)
+    whole = cms_from_counts(np.concatenate([h, h]),
+                            np.concatenate([c1, c2]), width=256, depth=3)
+    merged = cms_merge([
+        cms_from_counts(h, c1, width=256, depth=3),
+        cms_from_counts(h, c2, width=256, depth=3),
+    ])
+    np.testing.assert_array_equal(whole, merged)
+
+
+def test_cms_pipeline_upper_bounds_exact(ray_session, tiny_docs):
+    """Distributed CMS estimates >= exact term counts on the fixture."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.config import DEFAULT_CONFIG
+    from refimage_ray.functions.hashing import md5_u64_string_array
+    from refimage_ray.stages.sketches import cms_batch, cms_merge, cms_query
+    from refimage_ray.stages.tokenize import _flat_tokens
+
+    width, depth = 2048, 4
+    rows = (
+        rd.from_arrow(tiny_docs)
+        .map_batches(lambda b: cms_batch(b, width, depth),
+                     batch_format="pyarrow")
+        .take_all()
+    )
+    cms = cms_merge([np.asarray(r["cms"], np.int64).reshape(depth, width)
+                     for r in rows])
+    flat, _ = _flat_tokens(tiny_docs["text"], DEFAULT_CONFIG)
+    exact_tbl = pa.table({"t": flat}).group_by("t").aggregate(
+        [([], "count_all")]
+    )
+    h = md5_u64_string_array(exact_tbl["t"].combine_chunks())
+    exact = exact_tbl["count_all"].to_numpy(zero_copy_only=False)
+    est = cms_query(cms, h)
+    assert (est >= exact).all()
+    assert cms[0].sum() == exact.sum()
