@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_asof_last": relational.events_asof_last,
         "events_user_lag": relational.events_user_lag,
+        "events_value_quantiles": relational.events_value_quantiles,
         "events_rolling_avg": relational.events_rolling_avg,
         "order_revenue_by_priority": relational.order_revenue_by_priority,
         "doc_sample": relational.doc_sample,
@@ -1516,6 +1517,17 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 SELECT doc_id, lang FROM documents
 WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
       < CAST(0.2 * 4294967296 AS BIGINT)
+""",
+        # exact rank-ceil(q*n) selection (distributed histogram
+        # bisection == plain ORDER BY/OFFSET)
+        "events_value_quantiles": """
+WITH n AS (SELECT count(*) AS n FROM events),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events
+)
+SELECT qs.q, r.value
+FROM (VALUES (0.5), (0.9), (0.99)) AS qs(q), n
+JOIN ranked r ON r.rn = CAST(ceil(qs.q * n.n) AS BIGINT)
 """,
         # lag/lead window per user (same in-group ordering contract as
         # the engine: ts then event_id)

@@ -387,6 +387,21 @@ def tpch_q5(sf_dir: str, region: str = "ASIA",
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_value_quantiles(
+    sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)
+) -> pa.Table:
+    """Exact quantiles of the unbounded double ``value`` column via
+    iterative histogram bisection (``stages/selection.py`` — one
+    B-int64 row per block per round, a handful of rounds).  The result
+    is the exact rank-``ceil(q·n)`` element, so the oracle is plain
+    ``ORDER BY value LIMIT 1 OFFSET k-1`` SQL."""
+    from refimage_ray.stages.selection import quantiles_exact
+
+    return quantiles_exact(
+        _t(sf_dir, "events", ["value"]), "value", tuple(qs)
+    )
+
+
 def doc_sample(sf_dir: str, rate: float = 0.2) -> "rd.Dataset":
     """Deterministic hash-based sample (no RNG → stable across runs and
     cluster sizes; the same multiplicative-hash mask the index build
