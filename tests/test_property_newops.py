@@ -1,0 +1,138 @@
+"""Property tests for the round-2 data-prep operators — pure-function
+laws only (no Ray needed): selection vs numpy, CMS never-undercounts,
+BPE losslessness, bigram-LM probability laws."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from refimage_ray.functions.hashing import md5_u64_string_array
+from refimage_ray.stages.bpe import END, encode_word, learn_bpe
+from refimage_ray.stages.lm import BigramLM
+from refimage_ray.stages.sketches import (
+    cms_from_counts,
+    cms_merge,
+    cms_query,
+)
+
+WORD = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+
+@given(
+    st.lists(st.tuples(WORD, st.integers(1, 50)), min_size=1, max_size=20),
+    st.integers(0, 12),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_lossless_and_merge_prefix_consistent(items, m):
+    hist = list({w: c for w, c in items}.items())
+    merges = learn_bpe(hist, m)
+    ranks = {p: r for r, p in enumerate(merges)}
+    for w, _ in hist:
+        pieces = encode_word(w, ranks)
+        assert "".join(pieces) == w + END
+        # fewer merges can never produce fewer pieces
+        shorter = encode_word(w, {p: r for r, p in enumerate(merges[: m // 2])})
+        assert len(pieces) <= len(shorter)
+
+
+@given(
+    st.lists(st.tuples(WORD, st.integers(1, 100)), min_size=1, max_size=40),
+    st.integers(4, 64),
+    st.integers(1, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_cms_laws(items, width, depth):
+    uniq = {}
+    for w, c in items:
+        uniq[w] = uniq.get(w, 0) + c
+    terms = list(uniq)
+    counts = np.array([uniq[t] for t in terms], np.int64)
+    h = md5_u64_string_array(pa.array(terms, pa.string()))
+    cms = cms_from_counts(h, counts, width, depth)
+    est = cms_query(cms, h)
+    assert (est >= counts).all()
+    assert (cms.sum(axis=1) == counts.sum()).all()
+    # linearity: two halves merge to the whole
+    half = len(terms) // 2 or 1
+    merged = cms_merge([
+        cms_from_counts(h[:half], counts[:half], width, depth),
+        cms_from_counts(h[half:], counts[half:], width, depth),
+    ])
+    np.testing.assert_array_equal(cms, merged)
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+                max_size=300),
+       st.data())
+@settings(max_examples=40, deadline=None)
+def test_selection_bucket_math_matches_numpy(vals, data):
+    """The single-machine core of kth_smallest (searchsorted bucketing +
+    rank walk) must select numpy's k-th order statistic."""
+    from refimage_ray.stages.selection import _pass_counts  # noqa: F401
+
+    arr = np.asarray(vals, np.float64)
+    k = data.draw(st.integers(1, len(arr)))
+    srt = np.sort(arr)
+    # emulate one bisection round locally with tiny buckets
+    lo, hi, rank = float(arr.min()), float(arr.max()), k
+    for _ in range(64):
+        if lo == hi:
+            got = lo
+            break
+        edges = np.linspace(lo, hi, 9)
+        inner = edges[1:-1]
+        x = arr[(arr >= lo) & (arr <= hi)]
+        idx = np.searchsorted(inner, x, side="right")
+        counts = np.bincount(idx, minlength=8)
+        cum = np.cumsum(counts)
+        j = int(np.searchsorted(cum, rank))
+        rank -= int(cum[j - 1]) if j else 0
+        lo_j = float(edges[j])
+        hi_j = float(edges[j + 1]) if j + 1 < len(edges) else hi
+        if counts[j] <= 4 or lo_j == hi_j or np.nextafter(lo_j, hi_j) >= hi_j:
+            sel = np.sort(x[idx == j])
+            got = float(sel[rank - 1])
+            break
+        lo, hi = lo_j, hi_j
+    else:
+        raise AssertionError("no convergence")
+    assert got == srt[k - 1]
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_lm_probabilities_are_proper(seq):
+    """Smoothed transition probs are in (0,1); perplexity >= 1."""
+    toks = np.asarray(seq)
+    prev, cur = toks[:-1], toks[1:]
+    uniq, cnt = np.unique(toks, return_counts=True)
+    order = np.argsort(uniq)
+    vocab = uniq[order]
+    ucnt = cnt[order].astype(np.int64)
+    pairs = {}
+    for a, b in zip(prev, cur):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    V = len(vocab)
+    pid = {t: i + 1 for i, t in enumerate(vocab)}
+    keys = np.array(sorted(pid[a] * (V + 1) + pid[b] for a, b in pairs),
+                    np.int64)
+    kcnt = np.array([pairs[k] for k in sorted(
+        pairs, key=lambda ab: pid[ab[0]] * (V + 1) + pid[ab[1]])], np.int64)
+    lm = BigramLM(vocab.astype(str), ucnt, keys, kcnt, k=1.0)
+    lp = lm.transition_logprobs(prev.astype(str), cur.astype(str))
+    assert (lp < 0).all() or math.isclose(float(np.max(lp)), 0.0)
+    ppl = math.exp(-float(lp.mean()))
+    assert ppl >= 1.0 - 1e-12
+    # probabilities over a fixed prev sum to <= 1 (add-k leaves OOV mass)
+    a = prev[0]
+    total = sum(
+        math.exp(float(lm.transition_logprobs(
+            np.array([a]), np.array([b]))[0]))
+        for b in vocab
+    )
+    assert total <= 1.0 + 1e-9
