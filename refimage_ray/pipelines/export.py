@@ -177,3 +177,100 @@ def matches_table(index_dir: str, query: str, **kwargs) -> pa.Table:
             fields += [docs_schema.field(c) for c in payload]
         return pa.schema(fields).empty_table()
     return pa.concat_tables(blocks, promote_options="default")
+
+
+def export_jsonl(
+    ds: "rd.Dataset",
+    out_dir: str,
+    key_col: str,
+    *,
+    n_files: int = 64,
+    compress: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Distributed, resumable JSONL export — the C4/Dolma-style
+    delivery format for a curated corpus.
+
+    Partitioning is a pure function of the data, not of Ray's block
+    layout: file id = ``md5_u64(key) % n_files`` and rows inside a
+    file are sorted by key, so the artifact is byte-identical across
+    runs, block sizes, and cluster shapes — which is what makes
+    resume sound (a crashed run's completed files are valid as-is;
+    the re-run SKIPS them).  Each file is written atomically
+    (tmp + rename) by the reducer that owns its bucket; the exchange
+    is ONE narrow groupby on the precomputed bucket id.
+
+    Returns ``{"files", "rows", "skipped"}``.  Geometry (n_files /
+    compress / key_col) is recorded in ``manifest.json`` and enforced
+    on resume, mirroring ``write_packed_sequences``.
+    """
+    import gzip
+    import json as _json
+
+    import pandas as pd
+
+    from refimage_ray.functions.hashing import md5_u64_string_array
+    from refimage_ray.index.manifest import atomic_write_bytes
+
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, "manifest.json")
+    want = {"n_files": n_files, "compress": compress, "key_col": key_col}
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            prior = _json.load(f)
+        got = {k: prior.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                "resume=True but manifest.json records different export "
+                f"geometry ({got} != {want}); use resume=False or a fresh "
+                "out_dir"
+            )
+
+    ext = ".jsonl.gz" if compress else ".jsonl"
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b[key_col], pa.string())
+        h = md5_u64_string_array(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys
+        )
+        return b.append_column(
+            "_file", pa.array((h % np.uint64(n_files)).astype(np.int64))
+        )
+
+    def write_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        fid = int(g["_file"].iloc[0])
+        path = os.path.join(out_dir, f"part-{fid:05d}{ext}")
+        if resume and os.path.exists(path):
+            return pd.DataFrame({"file": [fid], "rows": [len(g)],
+                                 "skipped": [True]})
+        g = g.sort_values(key_col, kind="mergesort").drop(columns=["_file"])
+        recs = g.to_dict(orient="records")
+        payload = "".join(
+            _json.dumps(r, default=str, sort_keys=True) + "\n" for r in recs
+        ).encode()
+        if compress:
+            payload = gzip.compress(payload, mtime=0)  # deterministic bytes
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pd.DataFrame({"file": [fid], "rows": [len(g)],
+                             "skipped": [False]})
+
+    stats = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_file")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    atomic_write_bytes(
+        man_path,
+        _json.dumps({**want, "files": int(stats["file"].nunique()),
+                     "rows": int(stats["rows"].sum())}, indent=1).encode(),
+    )
+    return {
+        "files": int(stats["file"].nunique()),
+        "rows": int(stats["rows"].sum()),
+        "skipped": int(stats.loc[stats["skipped"], "rows"].sum()),
+    }

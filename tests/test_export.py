@@ -60,3 +60,89 @@ def test_export_empty_keeps_schema(built_index):
     t = matches_table(index_dir, "zzz missing qqq", columns=["lang"])
     assert t.num_rows == 0
     assert t.schema.names == ["doc_id", "n_terms", "lang"]
+
+
+# ---------------------------------------------------------------------------
+# export_jsonl
+# ---------------------------------------------------------------------------
+
+def _hash_of_dir(d):
+    import hashlib
+    import os as _os
+
+    h = hashlib.md5()
+    for name in sorted(_os.listdir(d)):
+        if name.endswith((".jsonl", ".jsonl.gz")):
+            with open(_os.path.join(d, name), "rb") as f:
+                h.update(name.encode())
+                h.update(f.read())
+    return h.hexdigest()
+
+
+def test_export_jsonl_roundtrip_and_resume(ray_session, tiny_docs, tmp_path):
+    import json as _json
+    import os as _os
+
+    import ray.data as rd
+
+    from refimage_ray.pipelines.export import export_jsonl
+
+    src = rd.from_arrow(tiny_docs.select(["doc_id", "text", "lang"]))
+    out1 = str(tmp_path / "a")
+    res = export_jsonl(src, out1, "doc_id", n_files=8)
+    assert res["rows"] == tiny_docs.num_rows and res["skipped"] == 0
+
+    # roundtrip: every row comes back exactly once
+    rows = []
+    for name in sorted(_os.listdir(out1)):
+        if name.endswith(".jsonl"):
+            with open(_os.path.join(out1, name)) as f:
+                rows += [_json.loads(line) for line in f]
+    assert len(rows) == tiny_docs.num_rows
+    got = {r["doc_id"]: r["text"] for r in rows}
+    want = dict(zip(tiny_docs["doc_id"].to_pylist(),
+                    tiny_docs["text"].to_pylist()))
+    assert got == want
+
+    # byte-identical across independent runs (determinism)
+    out2 = str(tmp_path / "b")
+    export_jsonl(src, out2, "doc_id", n_files=8)
+    assert _hash_of_dir(out1) == _hash_of_dir(out2)
+
+    # resume skips everything, bytes unchanged
+    before = _hash_of_dir(out1)
+    res2 = export_jsonl(src, out1, "doc_id", n_files=8)
+    assert res2["skipped"] == res2["rows"] == tiny_docs.num_rows
+    assert _hash_of_dir(out1) == before
+
+    # geometry drift refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="geometry"):
+        export_jsonl(src, out1, "doc_id", n_files=16)
+
+
+def test_export_jsonl_partial_resume_completes(ray_session, tiny_docs,
+                                               tmp_path):
+    import os as _os
+
+    import ray.data as rd
+
+    from refimage_ray.pipelines.export import export_jsonl
+
+    src = rd.from_arrow(tiny_docs.select(["doc_id", "text"]))
+    full = str(tmp_path / "full")
+    export_jsonl(src, full, "doc_id", n_files=8)
+    crashed = str(tmp_path / "crashed")
+    _os.makedirs(crashed)
+    # simulate a crash that completed only 3 files (copy them over)
+    import shutil as _shutil
+
+    done = [n for n in sorted(_os.listdir(full)) if n.endswith(".jsonl")][:3]
+    for n in done:
+        _shutil.copy(_os.path.join(full, n), _os.path.join(crashed, n))
+    _shutil.copy(_os.path.join(full, "manifest.json"),
+                 _os.path.join(crashed, "manifest.json"))
+    res = export_jsonl(src, crashed, "doc_id", n_files=8)
+    assert res["skipped"] > 0
+    assert _hash_of_dir(crashed) == _hash_of_dir(full)
