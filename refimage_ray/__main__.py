@@ -166,6 +166,22 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--seed", type=int, default=0,
                     help="shuffle permutation seed")
 
+    ej = sub.add_parser("export-jsonl", help="corpus/match-set → resumable "
+                        "partitioned JSONL (C4/Dolma delivery format)")
+    ej.add_argument("--documents", help="parquet file/dir to export")
+    ej.add_argument("--index", help="export a query's match set instead")
+    ej.add_argument("--query", help="query (with --index)")
+    ej.add_argument("--out", required=True)
+    ej.add_argument("--key-col", default="doc_id")
+    ej.add_argument("--n-files", type=int, default=64)
+    ej.add_argument("--compress", action="store_true")
+
+    qt = sub.add_parser("quantiles", help="exact quantiles of a numeric "
+                        "column (distributed histogram bisection)")
+    qt.add_argument("--input", required=True, help="parquet file/dir")
+    qt.add_argument("--column", required=True)
+    qt.add_argument("--q", type=float, nargs="+", default=[0.5, 0.9, 0.99])
+
     sv = sub.add_parser("serve", help="HTTP JSON API over an index")
     sv.add_argument("--index", help="artifact dir (or use --registry/--alias)")
     sv.add_argument("--registry", help="alias registry dir")
@@ -376,6 +392,40 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(restore_index(args.snapshot, args.out,
                                            force=args.force)))
+            return 0
+        elif args.cmd == "export-jsonl":
+            import ray.data as rd
+
+            from refimage_ray.pipelines.export import export_jsonl
+
+            if args.index and args.query:
+                from refimage_ray.pipelines.export import matches_dataset
+
+                src = matches_dataset(args.index, args.query)
+            elif args.documents:
+                src = rd.read_parquet(args.documents)
+            else:
+                print(json.dumps({"error": "--documents or --index+--query "
+                                           "required"}))
+                return 1
+            print(json.dumps(export_jsonl(
+                src, args.out, args.key_col,
+                n_files=args.n_files, compress=args.compress,
+            )))
+            return 0
+        elif args.cmd == "quantiles":
+            import ray.data as rd
+
+            from refimage_ray.stages.selection import quantiles_exact
+
+            t = quantiles_exact(
+                rd.read_parquet(args.input, columns=[args.column]),
+                args.column, tuple(args.q),
+            )
+            print(json.dumps(dict(zip(
+                [f"q{q:g}" for q in t["q"].to_pylist()],
+                t["value"].to_pylist(),
+            ))))
             return 0
         elif args.cmd == "rollover":
             from refimage_ray.index import rollover as ro_mod
