@@ -430,6 +430,21 @@ def run_bench() -> dict:
         timings["pack_docs_per_sec"] = round(n_docs / pack_sec, 1)
         timings["pack_n_seqs"] = int(n_seqs)
 
+        # LM quality-gate throughput: bigram-LM train (one vocab-sized
+        # exchange) + full-corpus perplexity scoring (broadcast model,
+        # vectorized searchsorted probes) — docs/s for the CCNet-style
+        # filter stage
+        from refimage_ray.stages.lm import score_perplexity, train_bigram_lm
+
+        _corp = staged_docs(index_dir, columns=["doc_id", "text"])
+        tq = time.perf_counter()
+        _lm = train_bigram_lm(_corp, min_count=2)
+        timings["lm_train_sec"] = round(time.perf_counter() - tq, 3)
+        tq = time.perf_counter()
+        n_scored = score_perplexity(_corp, _lm).count()
+        ppl_sec = time.perf_counter() - tq
+        timings["ppl_score_docs_per_sec"] = round(n_scored / ppl_sec, 1)
+
     for name, fn in [
         ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),
         ("tpch_q1", lambda: relational.tpch_q1(SF_DIR)),
