@@ -5,17 +5,26 @@ an arbitrary double column.
 histogram; this module covers the general case — unbounded doubles —
 with the classic **iterative histogram bisection** (a.k.a. distributed
 quickselect): each round is ONE streaming pass emitting a B-bucket
-count row per block (the exchange is B int64 per block, corpus-size
-independent), the driver narrows to the bucket containing the target
-rank, and when the surviving bucket is small enough one filter pass
-collects it exactly.  With B=1024 buckets the interval shrinks 1024×
-per round, so even pathological ranges converge in a handful of
-passes; ties and duplicate-heavy columns are handled by the equal-
-value early exit.
+(count, min, max) row per block (the exchange is ~3·B values per
+block, corpus-size independent), the driver narrows to the bucket
+containing the target rank, and when the surviving bucket is small
+enough one filter pass collects it exactly.
+
+Two details make this robust where the naive version is not (both
+found by the hypothesis property suite):
+
+- the next interval is the chosen bucket's observed **data min/max**,
+  not its edge bounds — so the interval always lands on actual values
+  and every round that doesn't finish strictly removes at least one
+  distinct value (the bucket extremes split into different buckets
+  next round), guaranteeing termination;
+- an all-equal bucket (``min == max``) returns immediately — a
+  duplicate spike (e.g. millions of exact 0.0s) would otherwise take
+  hundreds of rounds to shrink the interval to one ULP of 0.
 
 The result is EXACT (the k-th smallest element, 1-indexed), so the
-contract query has a full SQL value oracle (``ORDER BY … LIMIT 1
-OFFSET k-1``) despite being computed by an iterative distributed
+contract query has a full SQL value oracle (``row_number() OVER
+(ORDER BY value)``) despite being computed by an iterative distributed
 algorithm — same spirit as the Misra–Gries exact-after-sketch pass.
 """
 
@@ -25,24 +34,73 @@ import numpy as np
 import pyarrow as pa
 
 
-def _pass_counts(ds, col: str, lo: float, hi: float, buckets: int):
-    """One streaming pass: per-block histogram of values in [lo, hi]."""
+def local_histogram_pass(
+    x: np.ndarray, lo: float, hi: float, buckets: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One block's contribution: per-bucket (count, data-min, data-max)
+    of the values in the CLOSED interval [lo, hi].  Pure function —
+    shared by the distributed pass and the property-test driver."""
     edges = np.linspace(lo, hi, buckets + 1)
     inner = edges[1:-1]
+    x = x[(x >= lo) & (x <= hi)]
+    idx = np.searchsorted(inner, x, side="right")
+    counts = np.bincount(idx, minlength=buckets).astype(np.int64)
+    bmin = np.full(buckets, np.inf)
+    bmax = np.full(buckets, -np.inf)
+    if len(x):
+        np.minimum.at(bmin, idx, x)
+        np.maximum.at(bmax, idx, x)
+    return edges, counts, bmin, bmax
 
-    def partial(batch: pa.Table) -> pa.Table:
-        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        x = x[(x >= lo) & (x <= hi)]
-        idx = np.searchsorted(inner, x, side="right")
-        counts = np.bincount(idx, minlength=buckets).astype(np.int64)
-        return pa.table({"c": pa.array([counts.tolist()],
-                                       pa.list_(pa.int64()))})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    total = np.zeros(buckets, dtype=np.int64)
-    for r in rows:
-        total += np.asarray(r["c"], np.int64)
-    return edges, total
+def local_collect_pass(
+    x: np.ndarray, lo: float, hi: float, buckets: int, j: int
+) -> np.ndarray:
+    """Values of bucket ``j`` — the SAME membership rule as the
+    counting pass (identical edges + searchsorted)."""
+    edges = np.linspace(lo, hi, buckets + 1)
+    inner = edges[1:-1]
+    x = x[(x >= lo) & (x <= hi)]
+    return x[np.searchsorted(inner, x, side="right") == j]
+
+
+def select_core(
+    count_pass,
+    collect_pass,
+    k: int,
+    lo: float,
+    hi: float,
+    *,
+    buckets: int = 1024,
+    collect_cap: int = 65536,
+    max_rounds: int = 64,
+) -> float:
+    """Driver loop shared by the distributed and in-memory variants.
+
+    ``count_pass(lo, hi) -> (counts, bmin, bmax)`` aggregated over all
+    data; ``collect_pass(lo, hi, j) -> sorted ndarray`` of bucket j's
+    values."""
+    rank = k
+    for _ in range(max_rounds):
+        if lo == hi:
+            return float(lo)
+        counts, bmin, bmax = count_pass(lo, hi)
+        cum = np.cumsum(counts)
+        j = int(np.searchsorted(cum, rank))
+        rank -= int(cum[j - 1]) if j else 0
+        if bmin[j] == bmax[j]:  # all-equal bucket: done, whatever rank
+            return float(bmin[j])
+        if counts[j] <= collect_cap:
+            vals = collect_pass(lo, hi, j)
+            if len(vals) != counts[j]:
+                raise RuntimeError(
+                    f"selection collect drift: {len(vals)} != {counts[j]}"
+                )
+            return float(np.sort(vals)[rank - 1])
+        # data bounds, not edge bounds: strictly removes the bucket's
+        # extremes from co-residence next round → guaranteed progress
+        lo, hi = float(bmin[j]), float(bmax[j])
+    raise RuntimeError("kth_smallest failed to converge")
 
 
 def kth_smallest(
@@ -54,62 +112,56 @@ def kth_smallest(
     collect_cap: int = 65536,
     max_rounds: int = 64,
 ) -> float:
-    """Exact k-th smallest (1-indexed) of ``ds[col]``.
-
-    Requires ``1 <= k <= n``.  Narrows [lo, hi] by one histogram pass
-    per round; collects the final bucket exactly once it fits
-    ``collect_cap`` values."""
-    import pyarrow.compute as pc
+    """Exact k-th smallest (1-indexed) of ``ds[col]`` — distributed."""
+    from ray.data.aggregate import Count, Max, Min
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    stats = ds.aggregate(
-        *(agg(col) for agg in _min_max_count())
-    )
+    stats = ds.aggregate(Min(col), Max(col), Count(col))
     n = int(stats[f"count({col})"])
     if k > n:
         raise ValueError(f"k={k} > n={n}")
-    lo = float(stats[f"min({col})"])
-    hi = float(stats[f"max({col})"])
-    rank = k
-    for _ in range(max_rounds):
-        if lo == hi:
-            return lo
-        edges, counts = _pass_counts(ds, col, lo, hi, buckets)
-        cum = np.cumsum(counts)
-        j = int(np.searchsorted(cum, rank))
-        rank -= int(cum[j - 1]) if j else 0
-        lo_j = float(edges[j])
-        hi_j = float(edges[j + 1]) if j + 1 < len(edges) else hi
-        if counts[j] <= collect_cap or lo_j == hi_j or (
-            np.nextafter(lo_j, hi_j) >= hi_j
-        ):
-            # collect the bucket exactly — same membership rule as the
-            # counting pass (searchsorted over the SAME inner edges)
-            inner = edges[1:-1]
 
-            def keep(batch: pa.Table, _j=j) -> pa.Table:
-                x = batch[col].to_numpy(zero_copy_only=False).astype(
-                    np.float64
-                )
-                m = (x >= lo) & (x <= hi)
-                xm = x[m]
-                sel = xm[np.searchsorted(inner, xm, side="right") == _j]
-                return pa.table({"v": pa.array(sel, pa.float64())})
+    def count_pass(lo: float, hi: float):
+        def partial(batch: pa.Table) -> pa.Table:
+            x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            _, c, mn, mx = local_histogram_pass(x, lo, hi, buckets)
+            return pa.table({
+                "c": pa.array([c.tolist()], pa.list_(pa.int64())),
+                "mn": pa.array([mn.tolist()], pa.list_(pa.float64())),
+                "mx": pa.array([mx.tolist()], pa.list_(pa.float64())),
+            })
 
-            vals = np.sort(np.concatenate([
-                np.asarray(b["v"], np.float64)
-                for b in ds.map_batches(
-                    keep, batch_format="pyarrow"
-                ).iter_batches(batch_format="pyarrow", batch_size=None)
-            ] or [np.zeros(0)]))
-            if len(vals) != counts[j]:
-                raise RuntimeError(
-                    f"selection collect drift: {len(vals)} != {counts[j]}"
-                )
-            return float(vals[rank - 1])
-        lo, hi = lo_j, hi_j
-    raise RuntimeError("kth_smallest failed to converge")
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        counts = np.zeros(buckets, np.int64)
+        bmin = np.full(buckets, np.inf)
+        bmax = np.full(buckets, -np.inf)
+        for r in rows:
+            counts += np.asarray(r["c"], np.int64)
+            np.minimum(bmin, np.asarray(r["mn"], np.float64), out=bmin)
+            np.maximum(bmax, np.asarray(r["mx"], np.float64), out=bmax)
+        return counts, bmin, bmax
+
+    def collect_pass(lo: float, hi: float, j: int) -> np.ndarray:
+        def keep(batch: pa.Table) -> pa.Table:
+            x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({
+                "v": pa.array(local_collect_pass(x, lo, hi, buckets, j),
+                              pa.float64()),
+            })
+
+        parts = [
+            np.asarray(b["v"], np.float64)
+            for b in ds.map_batches(keep, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        return np.concatenate(parts or [np.zeros(0)])
+
+    return select_core(
+        count_pass, collect_pass, k,
+        float(stats[f"min({col})"]), float(stats[f"max({col})"]),
+        buckets=buckets, collect_cap=collect_cap, max_rounds=max_rounds,
+    )
 
 
 def quantiles_exact(
@@ -128,13 +180,3 @@ def quantiles_exact(
         "q": pa.array(out_q, pa.float64()),
         "value": pa.array(out_v, pa.float64()),
     })
-
-
-def _min_max_count():
-    from ray.data.aggregate import Count, Max, Min
-
-    return (
-        lambda c: Min(c),
-        lambda c: Max(c),
-        lambda c: Count(c),
-    )

@@ -66,42 +66,50 @@ def test_cms_laws(items, width, depth):
     np.testing.assert_array_equal(cms, merged)
 
 
+def _select_local(arr: np.ndarray, k: int, *, buckets: int = 8,
+                  collect_cap: int = 4) -> float:
+    """Drive the REAL select_core with in-memory passes (tiny buckets
+    and cap to force many rounds)."""
+    from refimage_ray.stages.selection import (
+        local_collect_pass,
+        local_histogram_pass,
+        select_core,
+    )
+
+    def count_pass(lo, hi):
+        _, c, mn, mx = local_histogram_pass(arr, lo, hi, buckets)
+        return c, mn, mx
+
+    def collect_pass(lo, hi, j):
+        return local_collect_pass(arr, lo, hi, buckets, j)
+
+    return select_core(count_pass, collect_pass, k,
+                       float(arr.min()), float(arr.max()),
+                       buckets=buckets, collect_cap=collect_cap)
+
+
 @given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
                 max_size=300),
        st.data())
-@settings(max_examples=40, deadline=None)
-def test_selection_bucket_math_matches_numpy(vals, data):
-    """The single-machine core of kth_smallest (searchsorted bucketing +
-    rank walk) must select numpy's k-th order statistic."""
-    from refimage_ray.stages.selection import _pass_counts  # noqa: F401
-
+@settings(max_examples=60, deadline=None)
+def test_selection_core_matches_numpy(vals, data):
     arr = np.asarray(vals, np.float64)
     k = data.draw(st.integers(1, len(arr)))
-    srt = np.sort(arr)
-    # emulate one bisection round locally with tiny buckets
-    lo, hi, rank = float(arr.min()), float(arr.max()), k
-    for _ in range(64):
-        if lo == hi:
-            got = lo
-            break
-        edges = np.linspace(lo, hi, 9)
-        inner = edges[1:-1]
-        x = arr[(arr >= lo) & (arr <= hi)]
-        idx = np.searchsorted(inner, x, side="right")
-        counts = np.bincount(idx, minlength=8)
-        cum = np.cumsum(counts)
-        j = int(np.searchsorted(cum, rank))
-        rank -= int(cum[j - 1]) if j else 0
-        lo_j = float(edges[j])
-        hi_j = float(edges[j + 1]) if j + 1 < len(edges) else hi
-        if counts[j] <= 4 or lo_j == hi_j or np.nextafter(lo_j, hi_j) >= hi_j:
-            sel = np.sort(x[idx == j])
-            got = float(sel[rank - 1])
-            break
-        lo, hi = lo_j, hi_j
-    else:
-        raise AssertionError("no convergence")
-    assert got == srt[k - 1]
+    assert _select_local(arr, k) == np.sort(arr)[k - 1]
+
+
+def test_selection_zero_spike_regression():
+    """Found by hypothesis: a duplicate spike of exact 0.0 larger than
+    collect_cap used to loop forever (the interval cannot shrink to one
+    ULP of 0 in bounded rounds); the all-equal-bucket early exit fixes
+    it."""
+    arr = np.array([0.0] * 50 + [1.0])
+    for k in (1, 25, 50, 51):
+        assert _select_local(arr, k) == np.sort(arr)[k - 1]
+    # denormal-adjacent variant
+    arr2 = np.array([5e-324] * 40 + [0.0] * 40 + [2.0])
+    for k in (1, 41, 80, 81):
+        assert _select_local(arr2, k) == np.sort(arr2)[k - 1]
 
 
 @given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=30))
