@@ -141,7 +141,10 @@ def main(argv: list[str] | None = None) -> int:
 
     ro = sub.add_parser("rollover", help="generation/segment index groups "
                         "(ES rollover / ILM analog)")
-    ro.add_argument("action", choices=["ingest", "search", "prune", "status"])
+    ro.add_argument("action",
+                    choices=["ingest", "search", "prune", "status", "verify"])
+    ro.add_argument("--deep", action="store_true",
+                    help="verify: decode every posting list")
     ro.add_argument("--group", required=True, help="group root dir")
     ro.add_argument("--documents", help="parquet with (doc_id, text) to ingest")
     ro.add_argument("--max-docs", type=int, default=1_000_000,
@@ -453,6 +456,12 @@ def main(argv: list[str] | None = None) -> int:
                     args.query, k=args.k)
                 print(json.dumps(
                     [{"doc_id": d, "score": s} for d, s in hits], indent=1))
+            elif args.action == "verify":
+                rep = ro_mod.verify_group(args.group, deep=args.deep)
+                print(json.dumps({"ok": rep["ok"],
+                                  "parts": len(rep["parts"]),
+                                  "problems": rep["problems"]}, indent=1))
+                return 0 if rep["ok"] else 1
             elif args.action == "prune":
                 dropped = ro_mod.prune_generations(args.group,
                                                    keep_last=args.keep_last)

@@ -157,6 +157,32 @@ def ingest(
             "gen_docs": n}
 
 
+def verify_group(group_dir: str, deep: bool = False) -> dict:
+    """fsck every live artifact of the group + the group invariants
+    (sealed generations carry merged/; segment doc-id universes are
+    disjoint — MultiSearcher's precondition).  Never raises on a bad
+    group; returns ``{"ok", "parts": {dir: report}, "problems"}``."""
+    from refimage_ray.index.fsck import verify_index
+
+    problems: list[str] = []
+    parts = group_parts(group_dir)
+    if not parts:
+        return {"ok": False, "parts": {},
+                "problems": [f"group {group_dir} has no live artifacts"]}
+    for g in generations(group_dir):
+        if _is_sealed(g) and load_manifest(os.path.join(g, "merged")) is None:
+            problems.append(f"sealed generation {g} lacks merged/ manifest")
+    reports = {p: verify_index(p, deep=deep) for p in parts}
+    for p, rep in reports.items():
+        if not rep["ok"]:
+            problems.append(f"{p}: {rep['problems'][:3]}")
+    try:  # disjointness: MultiSearcher validates on load
+        group_searcher(group_dir)
+    except Exception as err:  # noqa: BLE001 — report, never raise
+        problems.append(f"federation invalid: {err}")
+    return {"ok": not problems, "parts": reports, "problems": problems}
+
+
 def prune_generations(group_dir: str, keep_last: int) -> list[str]:
     """ILM delete phase: drop the oldest generations, keeping the
     newest ``keep_last``.  Returns the dropped generation dirs.  The

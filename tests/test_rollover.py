@@ -142,3 +142,36 @@ def test_prune_validates_keep_last(group):
 def test_empty_group_search_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         group_searcher(str(tmp_path / "nothing"))
+
+
+def test_verify_group(group):
+    from refimage_ray.index.rollover import verify_group
+
+    gdir, _, _, _ = group
+    rep = verify_group(gdir, deep=True)
+    assert rep["ok"], rep["problems"]
+    assert len(rep["parts"]) == 2
+
+
+def test_verify_group_detects_damage(group, tmp_path):
+    import shutil as _shutil
+
+    from refimage_ray.index.rollover import verify_group
+
+    gdir, _, _, _ = group
+    bad = str(tmp_path / "bad")
+    _shutil.copytree(gdir, bad)
+    # damage: drop the sealed generation's merged manifest
+    import os as _os
+
+    merged = _os.path.join(bad, "gen-000001", "merged")
+    _os.remove(_os.path.join(merged, "manifest.json"))
+    rep = verify_group(bad)
+    assert not rep["ok"] and rep["problems"]
+
+
+def test_verify_empty_group(tmp_path):
+    from refimage_ray.index.rollover import verify_group
+
+    rep = verify_group(str(tmp_path / "none"))
+    assert not rep["ok"]
