@@ -100,7 +100,9 @@ def train_logreg(
             })
 
         rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        rows.sort(key=lambda r: (r["n"], r["loss"]))  # canonical reduce
+        # canonical reduce — grad in the key so identical (n, loss)
+        # blocks still order deterministically
+        rows.sort(key=lambda r: (r["n"], r["loss"], r["grad"]))
         n = sum(r["n"] for r in rows)
         loss = sum(r["loss"] for r in rows)
         grad = np.sum(np.stack([np.asarray(r["grad"]) for r in rows]), axis=0)

@@ -103,7 +103,9 @@ def kmeans_fit(
             })
 
         rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        rows.sort(key=lambda r: (r["sse"], r["n"]))  # canonical reduce order
+        # canonical reduce order — key includes the sums so even blocks
+        # with identical (sse, counts) order deterministically
+        rows.sort(key=lambda r: (r["sse"], r["n"], r["sums"]))
         counts = np.sum(np.stack([np.asarray(r["n"]) for r in rows]), axis=0)
         sums = np.sum(np.stack([np.asarray(r["sums"]) for r in rows]), axis=0)
         sums = sums.reshape(k, -1)

@@ -82,6 +82,11 @@ class BigramLM:
         self, prev: np.ndarray, cur: np.ndarray
     ) -> np.ndarray:
         """Vectorized ln p(cur | prev) for aligned token arrays."""
+        if self.vocab_size == 0:
+            raise ValueError(
+                "cannot score with an empty-vocabulary LM (min_count "
+                "pruned everything?)"
+            )
         pid = self._token_ids(prev)
         cid = self._token_ids(cur)
         keys = pid * np.int64(self.vocab_size + 1) + cid

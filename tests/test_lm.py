@@ -90,3 +90,10 @@ def test_score_drops_text_keeps_other_columns(lm, ray_session):
     })
     [row] = score_perplexity(rd.from_arrow(docs), lm).take_all()
     assert set(row) == {"doc_id", "lang", "ppl"}
+
+
+def test_empty_vocab_lm_refuses_to_score(ray_session):
+    lm3 = train_bigram_lm(rd.from_arrow(CORPUS), k=1.0, min_count=5)
+    assert lm3.vocab_size == 0
+    with pytest.raises(ValueError, match="empty-vocabulary"):
+        lm3.transition_logprobs(np.array(["a"]), np.array(["b"]))
