@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_not_membership": search.search_not_membership,
         "search_tag_membership": search.search_tag_membership,
         "search_facets": search.search_facets,
+        "facet_month_hist": search.facet_month_hist,
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "minhash_near_dups": corpus.minhash_near_dups,
@@ -1232,6 +1233,22 @@ FROM dl JOIN m USING (doc_id) GROUP BY bucket
         "search_and_membership": f"""
 SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'
 INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'vector'
+""",
+        # date_histogram facet: derived ts (mirrored expression) →
+        # date_trunc month over the 'data' match set
+        "facet_month_hist": f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'data'),
+tsd AS (
+  SELECT doc_id,
+         TIMESTAMP '2023-01-01'
+           + (doc_id % 397) * INTERVAL 1 DAY
+           + (doc_id % 1440) * INTERVAL 1 MINUTE AS ts
+  FROM documents
+)
+SELECT date_trunc('month', ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM tsd JOIN m USING (doc_id)
+GROUP BY 1
 """,
         "search_or_membership": f"""
 SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'

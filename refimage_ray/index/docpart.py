@@ -719,6 +719,7 @@ class DocPartSearcher:
         histograms: "dict[str, float] | None" = None,
         top: int | None = None,
         sums: "dict[str, str] | None" = None,
+        date_histograms: "dict[str, str] | None" = None,
     ) -> dict:
         """Facet aggregation, doc-partitioned: each shard counts over
         ITS match subset from shard-local doc values; counts and sums
@@ -728,7 +729,8 @@ class DocPartSearcher:
 
         parts = [
             sh.facets(query, by=by, mode=mode, where=where,
-                      histograms=histograms, sums=sums)
+                      histograms=histograms, sums=sums,
+                      date_histograms=date_histograms)
             for sh in self.shards
         ]
         out = merge_facet_results(parts, top=top)
@@ -849,14 +851,15 @@ class _DocShardActor:
         return out
 
     def facets(self, query: str, by, mode: str, where, histograms,
-               sums=None) -> dict:
+               sums=None, date_histograms=None) -> dict:
         """Partial facet counts over this actor's doc shards (values
         are shard-local; the driver's merge is exact by additivity)."""
         from refimage_ray.index.docvalues import merge_facet_results
 
         return merge_facet_results([
             v.facets(query, by=by, mode=mode, where=where,
-                     histograms=histograms, sums=sums)
+                     histograms=histograms, sums=sums,
+                     date_histograms=date_histograms)
             for v in self._views
         ])
 
@@ -991,6 +994,7 @@ class DistributedDocPartSearcher:
         histograms: "dict[str, float] | None" = None,
         top: int | None = None,
         sums: "dict[str, str] | None" = None,
+        date_histograms: "dict[str, str] | None" = None,
     ) -> dict:
         """Scatter-gather facets: each actor returns partial counts
         from its shard-local doc values; the driver merge is exact by
@@ -998,7 +1002,8 @@ class DistributedDocPartSearcher:
         from refimage_ray.index.docvalues import merge_facet_results
 
         parts = ray.get([
-            a.facets.remote(query, by, mode, where, histograms, sums)
+            a.facets.remote(query, by, mode, where, histograms, sums,
+                            date_histograms)
             for a in self.actors
         ])
         out = merge_facet_results(parts, top=top)

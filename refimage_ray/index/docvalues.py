@@ -330,6 +330,41 @@ class DocValues:
         ]
 
 
+    def facet_date_histogram(
+        self, col: str, ranks: np.ndarray, interval: str
+    ) -> list[tuple[int, int]]:
+        """Calendar-interval bucket → match-count over a timestamp-µs
+        column (ES ``date_histogram``).  Unlike the fixed-width
+        histogram, month/year buckets are irregular — computed by
+        numpy datetime64 truncation, which floors toward -inf exactly
+        like DuckDB ``date_trunc`` (verified incl. pre-epoch values);
+        weeks are Monday-aligned (ISO / DuckDB convention, NOT numpy's
+        Thursday-epoch [W] unit).  Bucket keys are the boundary's epoch
+        µs (int64) — additive across doc shards like every facet."""
+        c = self.cols[col]
+        if c.is_categorical:
+            raise ValueError(f"{col!r} is categorical — use facet_counts")
+        v = c.values[ranks].astype(np.int64)
+        if c.null is not None:
+            v = v[~c.null[ranks]]
+        dt = v.astype("datetime64[us]")
+        if interval == "week":
+            days = dt.astype("datetime64[D]").astype(np.int64)
+            b = (((days + 3) // 7) * 7 - 3) * 86_400_000_000
+        elif interval in ("hour", "day", "month", "year"):
+            unit = {"hour": "h", "day": "D", "month": "M", "year": "Y"}
+            b = (
+                dt.astype(f"datetime64[{unit[interval]}]")
+                .astype("datetime64[us]").astype(np.int64)
+            )
+        else:
+            raise ValueError(
+                f"interval must be hour/day/week/month/year, got {interval!r}"
+            )
+        uniq, cnt = np.unique(b, return_counts=True)
+        return [(int(u), int(n)) for u, n in zip(uniq.tolist(), cnt.tolist())]
+
+
 def normalize_where(where) -> list[tuple[str, str, object]]:
     """Canonical predicate list from the accepted sugar forms."""
     if isinstance(where, dict):
@@ -376,6 +411,7 @@ def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:
     total = 0
     fac: dict[str, dict[str, int]] = {}
     hist: dict[str, dict] = {}
+    dhist: dict[str, dict] = {}
     sums: dict[str, dict] = {}
     for p in parts:
         total += int(p["total"])
@@ -385,6 +421,10 @@ def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:
                 acc[v] = acc.get(v, 0) + int(n)
         for col, pairs in p.get("histograms", {}).items():
             acc = hist.setdefault(col, {})
+            for b, n in pairs:
+                acc[b] = acc.get(b, 0) + int(n)
+        for col, pairs in p.get("date_histograms", {}).items():
+            acc = dhist.setdefault(col, {})
             for b, n in pairs:
                 acc[b] = acc.get(b, 0) + int(n)
         for col, pairs in p.get("sums", {}).items():
@@ -401,6 +441,10 @@ def merge_facet_results(parts: list[dict], top: int | None = None) -> dict:
             col: sorted(acc.items()) for col, acc in hist.items()
         },
     }
+    if dhist:
+        out["date_histograms"] = {
+            col: sorted(acc.items()) for col, acc in dhist.items()
+        }
     if sums:
         out["sums"] = {
             col: sorted(acc.items(), key=lambda p: (-p[1], p[0]))[:top]

@@ -674,6 +674,42 @@ def facet_doclen_hist(sf_dir: str, query: str = "data", width: int = 50) -> pa.T
     )
 
 
+def facet_month_hist(
+    sf_dir: str, query: str = "data", interval: str = "month"
+) -> pa.Table:
+    """Calendar date_histogram facet (ES parity): month buckets of a
+    timestamp doc value over the match set.  The documents table has no
+    timestamp, so the index derives one deterministically from doc_id
+    (base 2023-01-01 + (id%397) days + (id%1440) minutes — ~13 months
+    of spread) and the SQL oracle computes the SAME expression, making
+    the irregular-width truncation fully value-checked."""
+    base = int(np.datetime64("2023-01-01", "us").astype(np.int64))
+
+    def add_ts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (base + (ids % 397) * 86_400_000_000
+              + (ids % 1440) * 60_000_000)
+        return b.append_column("ts", pa.array(us, pa.timestamp("us")))
+
+    index_dir = _index_dir_for(sf_dir) + "-tsvals"
+    if load_manifest(index_dir) is None:
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).map_batches(add_ts, batch_format="pyarrow")
+        build_index(docs, index_dir, SEARCH_CFG)
+    f = LocalSearcher(index_dir).facets(
+        query, date_histograms={"ts": interval}
+    )
+    buckets = f["date_histograms"]["ts"]
+    return pa.table({
+        "bucket": pa.array(
+            np.array([b for b, _ in buckets], np.int64), pa.timestamp("us")
+        ),
+        "n_docs": pa.array([n for _, n in buckets], pa.int64()),
+    })
+
+
 def index_term_stats(sf_dir: str) -> pa.Table:
     """df / total-tf per term read back FROM THE INDEX ARTIFACT —
     checks posting-list construction end-to-end against SQL."""

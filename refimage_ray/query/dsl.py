@@ -506,6 +506,7 @@ class DSLExecutor:
         sums: "dict[str, str] | None" = None,
         top: "int | None" = None,
         where=None,
+        date_histograms: "dict[str, str] | None" = None,
     ) -> dict:
         """Facet panel over a DSL query's FULL membership (leaves run
         unbounded so set algebra sees complete id sets, mirroring the
@@ -521,4 +522,4 @@ class DSLExecutor:
         ids = np.sort(np.fromiter(node.execute(ctx).keys(), np.int64))
         ranks = self.searcher._ranks_of(ids)
         return facet_panel(self.searcher, ranks, by, histograms, sums, top,
-                           where)
+                           where, date_histograms)

@@ -1073,6 +1073,7 @@ class _SearcherBase:
         histograms: "dict[str, float] | None" = None,
         top: int | None = None,
         sums: "dict[str, str] | None" = None,
+        date_histograms: "dict[str, str] | None" = None,
     ) -> dict:
         """Facet aggregation over the FULL match set (not just top-k) —
         what a search UI renders beside the hit list (Elasticsearch
@@ -1098,7 +1099,8 @@ class _SearcherBase:
         terms = query_terms(self._tokenize(query))
         term_map = self._term_map(terms)
         ranks, _ = self._match_ranks_scores(term_map, terms, mode)
-        return facet_panel(self, ranks, by, histograms, sums, top, where)
+        return facet_panel(self, ranks, by, histograms, sums, top, where,
+                           date_histograms)
 
 
 def facet_panel(
@@ -1109,6 +1111,7 @@ def facet_panel(
     sums: "dict[str, str] | None" = None,
     top: int | None = None,
     where=None,
+    date_histograms: "dict[str, str] | None" = None,
 ) -> dict:
     """Aggregation tail shared by :meth:`_SearcherBase.facets` and
     ``DSLExecutor.facets``: given match ranks, apply an optional
@@ -1119,8 +1122,10 @@ def facet_panel(
     by = list(by or [])
     histograms = dict(histograms or {})
     sums = dict(sums or {})
+    date_histograms = dict(date_histograms or {})
     cols = sorted(
         set(by) | set(histograms) | set(sums) | set(sums.values())
+        | set(date_histograms)
         | (set(where_columns(where)) if where is not None else set())
     )
     dv = searcher.doc_values(cols) if cols else None
@@ -1133,6 +1138,11 @@ def facet_panel(
             c: dv.facet_histogram(c, ranks, w) for c, w in histograms.items()
         },
     }
+    if date_histograms:
+        out["date_histograms"] = {
+            c: dv.facet_date_histogram(c, ranks, iv)
+            for c, iv in date_histograms.items()
+        }
     if sums:
         out["sums"] = {
             c: dv.facet_sums(c, vc, ranks, top) for c, vc in sums.items()

@@ -15,7 +15,7 @@ Route map (reference analog → here):
   ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``;
   ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination;
   ``&decay=n_chars:exp:0:2000:0.5``: decay boost — ``query/boost.py``)
-- ``GET /facets?q=&by=lang&hist=doc_len:50&sum=lang:doc_len&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts / histograms / metric sums over the FULL match set; ``dsl=`` instead of ``q=`` facets a DSL query's membership)
+- ``GET /facets?q=&by=lang&hist=doc_len:50&date_hist=warc_ts:month&sum=lang:doc_len&filter=&mode=&top=`` (search-UI facet panel) → ``searcher.facets`` (counts / histograms / metric sums over the FULL match set; ``dsl=`` instead of ``q=`` facets a DSL query's membership)
 - ``GET /grouped?q=&by=lang&k=3&filter=&groups=`` (result diversification) → ``searcher.search_grouped`` (best k hits per facet value)
 - ``GET /count?q=&mode=&filter=&min_match=`` (ES ``_count`` analog; the reference reports result counts on list endpoints, ``api.py:397-409``) → ``searcher.count`` (exact match-set size, no scoring)
 - ``GET /significant?q=&sample=&min_count=&top=`` (ES significant_terms) → ``engine.significant_terms`` (relative-risk vs corpus background over the top-sample)
@@ -441,6 +441,14 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                             {"error": f"hist needs col:width, got {part!r}"},
                             422)
                     hists[col.strip()] = float(w)
+                dhists = {}
+                for part in filter(None, q.get("date_hist", "").split(",")):
+                    col, _, iv = part.partition(":")
+                    if not iv:
+                        return self._json(
+                            {"error": "date_hist needs col:interval, got "
+                                      f"{part!r}"}, 422)
+                    dhists[col.strip()] = iv.strip()
                 sums = {}
                 for part in filter(None, q.get("sum", "").split(",")):
                     col, _, vc = part.partition(":")
@@ -475,6 +483,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                             histograms=hists,
                             top=int(q["top"]) if "top" in q else None,
                             sums=sums,
+                            date_histograms=dhists,
                         )
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)
