@@ -344,6 +344,11 @@ class DocValues:
         c = self.cols[col]
         if c.is_categorical:
             raise ValueError(f"{col!r} is categorical — use facet_counts")
+        if not c.is_timestamp:
+            raise ValueError(
+                f"{col!r} is not a timestamp column — use facet_histogram "
+                "for plain numeric buckets"
+            )
         v = c.values[ranks].astype(np.int64)
         if c.null is not None:
             v = v[~c.null[ranks]]

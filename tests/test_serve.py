@@ -616,3 +616,12 @@ def test_percolate_routes(server):
     st, body = _req(base + "/percolate", "POST",
                     {"text": "spark streams join the table"})
     assert st == 200 and body["matches"] == []
+
+
+def test_facets_date_hist_param(server):
+    base, d = server
+    # the serve index has no timestamp doc value → clean 422, not garbage
+    st, body = _req(base + "/facets?q=the&date_hist=doc_len:month", "GET")
+    assert st == 422
+    st, _ = _req(base + "/facets?q=the&date_hist=doc_len", "GET")
+    assert st == 422  # missing interval
