@@ -183,6 +183,67 @@ FROM stream GROUP BY seq_id
 """
 
 
+def _lm_gated_packed_sql(max_ppl: float = 32.0) -> str:
+    """Curation keep-set ∩ add-1 bigram-LM perplexity gate (rounded to
+    3dp, the engine's gate basis) → packed-stream checksums over the
+    survivors — the END-TO-END training-prep pipeline under one value
+    oracle."""
+    return f"""
+WITH keep AS ({_curated_sql()}),
+alltoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+lmpos AS (
+  SELECT doc_id, t[i - 1] AS prev, t[i] AS cur
+  FROM alltoks, LATERAL (SELECT unnest(generate_series(2, len(t))) AS i) _
+),
+uni AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(t) AS w FROM alltoks) GROUP BY w
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (
+  SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c FROM lmpos GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_id,
+         round(exp(-avg(ln((coalesce(b.c, 0) + 1.0) / (u.c + v.v)))), 3)
+           AS ppl
+  FROM lmpos p
+  CROSS JOIN v
+  JOIN uni u ON u.w = p.prev
+  LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+  GROUP BY p.doc_id
+),
+gated AS (
+  SELECT k.doc_id FROM keep k JOIN scored s USING (doc_id)
+  WHERE s.ppl <= {max_ppl}
+),
+toks AS (
+  SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z0-9]+') AS t
+  FROM documents d JOIN gated USING (doc_id)
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS vid
+  FROM (SELECT DISTINCT term FROM pos)
+),
+stream AS (
+  SELECT row_number() OVER (ORDER BY p.doc_id, p.i) - 1 AS gp, v2.vid
+  FROM pos p JOIN vocab v2 USING (term)
+)
+SELECT CAST(gp // 256 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(vid) AS BIGINT) AS sum_ids,
+       CAST(sum((gp % 256 + 1) * vid) AS BIGINT) AS possum_ids
+FROM stream GROUP BY seq_id
+"""
+
+
 def _bm25_sql(
     terms: "list[str] | None", k: int, conjunctive: bool = False,
     q_where: "str | None" = None, doc_where: "str | None" = None,
@@ -680,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": training.pack_sequences,
         "packed_sequences": training.packed_sequences,
         "curated_packed_sequences": training.curated_packed_sequences,
+        "lm_gated_packed_sequences": training.lm_gated_packed_sequences,
         "lang_mixture_sample": training.lang_mixture_sample,
         "stratified_sample": training.stratified_sample,
         "url_blocklist_stats": training.url_blocklist_stats,
@@ -1674,6 +1736,7 @@ FROM stream GROUP BY seq_id
         # composed pipeline: curation keep-set -> packed survivor
         # stream (vocab over survivors; same checksum shape)
         "curated_packed_sequences": _curated_packed_sql(),
+        "lm_gated_packed_sequences": _lm_gated_packed_sql(),
         # per-language mixture gate: same multiplicative hash as
         # doc_sample, threshold from DEFAULT_LANG_RATES
         # exact-count stratified sample: lowest-n md5-u64 hashes per

@@ -162,6 +162,46 @@ def lang_mixture_sample(
     )
 
 
+def lm_gated_packed_sequences(
+    sf_dir: str, budget: int = 256, n_buckets: int = 16,
+    max_ppl: float = 32.0,
+) -> "rd.Dataset":
+    """The FULL training-prep composition under one value oracle:
+    curation gates (quality + lang-ID + exact dedup) ∩ bigram-LM
+    perplexity gate (model self-trained on the whole corpus,
+    ``stages/lm.py``) → token-id sequence packing over the survivors,
+    checksummed per sequence.  Every stage's SQL mirror already exists
+    (curation keep-set, add-1 LM scored CTE, packed-stream windows) —
+    composed, they pin the END-TO-END pipeline content and order.
+
+    Dataflow: curated ids broadcast (small side), LM broadcast once,
+    the ppl gate runs in-stage over the survivor stream — nothing
+    rescans the corpus driver-side."""
+    import ray
+
+    from refimage_ray.pipelines.curate import curated_doc_ids
+    from refimage_ray.stages.lm import perplexity_filter, train_bigram_lm
+    from refimage_ray.stages.packing import pack_token_sequences
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    lm = train_bigram_lm(docs)  # full-corpus basis, like doc_perplexity
+    keep_tbl = curated_doc_ids(docs)
+    keep_ref = ray.put(keep_tbl["doc_id"].combine_chunks())
+
+    def keep_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(keep_ref)))
+
+    survivors = perplexity_filter(
+        _docs(sf_dir, ("doc_id", "text")).map_batches(
+            keep_only, batch_format="pyarrow"
+        ),
+        lm, max_ppl,
+    )
+    seqs = pack_token_sequences(survivors, budget=budget,
+                                n_buckets=n_buckets)
+    return seqs.map_batches(_seq_checksums, batch_format="pyarrow")
+
+
 def curated_packed_sequences(
     sf_dir: str, budget: int = 256, n_buckets: int = 16
 ) -> "rd.Dataset":
