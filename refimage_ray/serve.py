@@ -132,10 +132,42 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
     from refimage_ray.query.nl import ProviderManager
 
     if searcher_factory is None and searcher is None:
-        searcher_factory = lambda: LocalSearcher(index_dir)  # noqa: E731
+        from refimage_ray.index.rollover import generations
+
+        if load_manifest(index_dir) is None and generations(index_dir):
+            # a rollover GROUP root (gen-*/ dirs, no manifest): serve the
+            # federation; /reload re-derives the live part list, so new
+            # segments/seals become visible without a restart
+            from refimage_ray.index.rollover import group_searcher
+
+            searcher_factory = lambda: group_searcher(index_dir)  # noqa: E731
+        else:
+            searcher_factory = lambda: LocalSearcher(index_dir)  # noqa: E731
     state = {
         "s": searcher if searcher is not None else searcher_factory()
     }
+
+    def _group_dirs():
+        """Live artifact dirs when serving a rollover group, else None
+        (recomputed on /reload so new segments' docs/ become visible)."""
+        from refimage_ray.index.rollover import generations, group_parts
+
+        if load_manifest(index_dir) is None and generations(index_dir):
+            return group_parts(index_dir)
+        return None
+
+    state["meta_dirs"] = _group_dirs()
+
+    def _lookup(ids):
+        """Metadata lookup that federates docs/ across a group's parts
+        (disjoint universes — concat needs no dedup)."""
+        if state["meta_dirs"] is None:
+            return lookup_docs(index_dir, ids)
+        import pyarrow as _pa
+
+        return _pa.concat_tables(
+            [lookup_docs(d, ids) for d in state["meta_dirs"]]
+        )
     state["ex"] = DSLExecutor(state["s"])
     # one manager per server so POST /nl/switch affects later /nl2dsl
     # calls (the reference holds its LLMManager the same way)
@@ -164,9 +196,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
         def _hits_with_meta(self, hits):
             meta = {
                 r["doc_id"]: r
-                for r in lookup_docs(
-                    index_dir, [d for d, _ in hits]
-                ).to_pylist()
+                for r in _lookup([d for d, _ in hits]).to_pylist()
             }
             srch = state["s"]
             if hasattr(srch, "lookup_buffered"):  # NRT: unflushed docs
@@ -499,7 +529,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 return self._json({"results": self._hits_with_meta(hits)})
             m = _DOC_RE.match(u.path)
             if m and m.group(2) is None:
-                rows = lookup_docs(index_dir, [int(m.group(1))]).to_pylist()
+                rows = _lookup([int(m.group(1))]).to_pylist()
                 if not rows:
                     return self._json({"error": "not found"}, 404)
                 return self._json({k: str(v) for k, v in rows[0].items()})
@@ -572,6 +602,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     fresh.wait_ready()
                 state["s"] = fresh
                 state["ex"] = DSLExecutor(state["s"])
+                state["meta_dirs"] = _group_dirs()  # new segments' docs/
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
             if urlparse(self.path).path == "/percolate":

@@ -625,3 +625,44 @@ def test_facets_date_hist_param(server):
     assert st == 422
     st, _ = _req(base + "/facets?q=the&date_hist=doc_len", "GET")
     assert st == 422  # missing interval
+
+
+def test_serve_rollover_group(ray_session, tiny_docs, tmp_path):
+    """serve --index GROUP_DIR federates the group; /reload makes a
+    newly ingested segment visible without a restart."""
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.rollover import group_searcher, ingest
+    from refimage_ray.serve import make_server
+
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+    gdir = str(tmp_path / "grp")
+    n = tiny_docs.num_rows
+    ingest(gdir, rd.from_arrow(tiny_docs.slice(0, n // 2)), cfg,
+           max_docs=10**9)
+    srv = make_server(gdir, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        st, h = _get(base + "/health")
+        assert st == 200 and h["n_docs"] == n // 2
+        st, hits = _get(base + "/search?q=the+data&k=5")
+        assert st == 200
+        lib = group_searcher(gdir).search("the data", k=5)
+        assert [(r["doc_id"], r["score"]) for r in hits["results"]] == lib
+        # metadata join federates across parts (url column rides along)
+        assert all("url" in r for r in hits["results"])
+        # DSL over the federation
+        st, d = _get(base + "/dsl?q=spark+OR+join&limit=5")
+        assert st == 200 and d["results"]
+        # ingest a second segment, then /reload → new docs visible
+        ingest(gdir, rd.from_arrow(tiny_docs.slice(n // 2)),
+               max_docs=10**9)
+        st, _ = _req(base + "/reload", "POST")
+        assert st == 200
+        st, h2 = _get(base + "/health")
+        assert st == 200 and h2["n_docs"] == n
+    finally:
+        srv.shutdown()
