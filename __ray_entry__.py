@@ -706,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
         "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
         "knn_cosine_pq": vectors.knn_cosine_pq,             # rows-only (approx)
+        "knn_cosine_filtered": vectors.knn_cosine_filtered,
         "kmeans_cluster_sizes": vectors.kmeans_cluster_sizes,  # rows-only (iterative)
         "semdedup_losers": vectors.semdedup_losers,  # rows-only (clustered approx)
         "embedding_pca_stats": vectors.embedding_pca_stats,  # rows-only (no SQL eigensolver)
@@ -1442,6 +1443,19 @@ SELECT d.doc_id,
        round(coalesce(a.sum_len, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1), 6)
            AS mean_token_len
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        # filtered vector search: label predicate BEFORE top-k
+        "knn_cosine_filtered": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1))
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.label IN (1, 2)
+QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+) <= 10
 """,
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

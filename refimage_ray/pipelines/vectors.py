@@ -56,6 +56,34 @@ def knn_cosine(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> p
     )
 
 
+def knn_cosine_filtered(
+    sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10,
+    labels: tuple = (1, 2),
+) -> pa.Table:
+    """Filtered vector search (the vector-store "metadata filter + ANN"
+    shape): the label predicate applies as a vectorized in-stage mask
+    BEFORE the matmul — pre-filtering, so top-k is exact over the
+    allowed subset (post-filtering an unfiltered top-k can return
+    <k or miss allowed vectors; documented trade-off)."""
+    q = _query_vectors(sf_dir, list(query_vec_ids))
+    allowed = pa.array(list(labels), pa.int32())
+
+    def gate(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["label"], value_set=allowed))
+
+    t = brute_force_topk(
+        _emb(sf_dir).map_batches(gate, batch_format="pyarrow"), q, k=k
+    )
+    qid = pa.array(
+        [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
+    )
+    return pa.table({
+        "query_id": qid,
+        "vec_id": t["vec_id"],
+        "score": pc.round(t["score"], ndigits=4),
+    })
+
+
 def knn_cosine_lsh(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
     """Approximate (LSH-bucketed) variant — rows-only check (recall is
     probabilistic by design)."""
