@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tag_membership": search.search_tag_membership,
         "search_facets": search.search_facets,
         "facet_month_hist": search.facet_month_hist,
+        "facet_doclen_pct": search.facet_doclen_pct,
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "minhash_near_dups": corpus.minhash_near_dups,
@@ -1292,6 +1293,22 @@ m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
 SELECT CAST(dl.dl // 50 * 50 AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM dl JOIN m USING (doc_id) GROUP BY bucket
+""",
+        # exact percentiles facet: value at rank ceil(q*n) of the
+        # match set's doc_len (same discrete definition as
+        # events_value_quantiles)
+        "facet_doclen_pct": f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data'),
+vals AS (
+  SELECT dl.dl, row_number() OVER (ORDER BY dl.dl) AS rn,
+         count(*) OVER () AS n
+  FROM dl JOIN m USING (doc_id)
+)
+SELECT qs.q, CAST(v.dl AS DOUBLE) AS value
+FROM (VALUES (0.5), (0.9)) AS qs(q)
+JOIN vals v ON v.rn = CAST(ceil(qs.q * v.n) AS BIGINT)
 """,
         "search_and_membership": f"""
 SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'

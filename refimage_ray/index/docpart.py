@@ -720,6 +720,7 @@ class DocPartSearcher:
         top: int | None = None,
         sums: "dict[str, str] | None" = None,
         date_histograms: "dict[str, str] | None" = None,
+        percentiles=None,
     ) -> dict:
         """Facet aggregation, doc-partitioned: each shard counts over
         ITS match subset from shard-local doc values; counts and sums
@@ -727,6 +728,12 @@ class DocPartSearcher:
         applies only after the merge."""
         from refimage_ray.index.docvalues import merge_facet_results
 
+        if percentiles:
+            raise ValueError(
+                "percentiles are not additive across doc shards — compute "
+                "them on a LocalSearcher, or use stages/selection.py over "
+                "the exported match set"
+            )
         parts = [
             sh.facets(query, by=by, mode=mode, where=where,
                       histograms=histograms, sums=sums,
@@ -995,12 +1002,19 @@ class DistributedDocPartSearcher:
         top: int | None = None,
         sums: "dict[str, str] | None" = None,
         date_histograms: "dict[str, str] | None" = None,
+        percentiles=None,
     ) -> dict:
         """Scatter-gather facets: each actor returns partial counts
         from its shard-local doc values; the driver merge is exact by
         additivity over disjoint doc subsets (``top`` after merge)."""
         from refimage_ray.index.docvalues import merge_facet_results
 
+        if percentiles:
+            raise ValueError(
+                "percentiles are not additive across doc shards — compute "
+                "them on a LocalSearcher, or use stages/selection.py over "
+                "the exported match set"
+            )
         parts = ray.get([
             a.facets.remote(query, by, mode, where, histograms, sums,
                             date_histograms)

@@ -370,6 +370,37 @@ class DocValues:
         return [(int(u), int(n)) for u, n in zip(uniq.tolist(), cnt.tolist())]
 
 
+    def facet_percentiles(
+        self, col: str, ranks: np.ndarray, qs: "list[float]"
+    ) -> list[tuple[float, float]]:
+        """Exact percentiles of a numeric column over the match set
+        (ES ``percentiles`` aggregation, but exact): value at rank
+        ``ceil(q·n)`` — the same discrete definition as
+        ``stages/selection.py``, so the SQL mirror is one
+        ``row_number()`` window.  ``np.partition`` selection, O(n) per
+        quantile.  NOT additive across doc shards (unlike every other
+        facet) — the doc-partitioned searchers reject it loudly."""
+        c = self.cols[col]
+        if c.is_categorical:
+            raise ValueError(f"{col!r} is categorical — use facet_counts")
+        v = c.values[ranks]
+        if c.null is not None:
+            v = v[~c.null[ranks]]
+        out: list[tuple[float, float]] = []
+        n = len(v)
+        for q in qs:
+            if not 0.0 < q <= 1.0:
+                raise ValueError(f"percentile must be in (0, 1], got {q}")
+            if n == 0:
+                out.append((float(q), float("nan")))
+                continue
+            k = max(1, int(np.ceil(q * n)))
+            out.append(
+                (float(q), float(np.partition(v, k - 1)[k - 1]))
+            )
+        return out
+
+
 def normalize_where(where) -> list[tuple[str, str, object]]:
     """Canonical predicate list from the accepted sugar forms."""
     if isinstance(where, dict):

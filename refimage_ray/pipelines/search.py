@@ -674,6 +674,21 @@ def facet_doclen_hist(sf_dir: str, query: str = "data", width: int = 50) -> pa.T
     )
 
 
+def facet_doclen_pct(
+    sf_dir: str, query: str = "data", qs: tuple = (0.5, 0.9)
+) -> pa.Table:
+    """Exact percentiles facet (ES percentiles agg, exact): doc_len
+    value at rank ceil(q·n) over the match set — np.partition
+    selection over resident doc values, mirrored by one row_number
+    window in SQL."""
+    f = searcher_for(sf_dir).facets(query, percentiles={"doc_len": list(qs)})
+    pairs = f["percentiles"]["doc_len"]
+    return pa.table({
+        "q": pa.array([q for q, _ in pairs], pa.float64()),
+        "value": pa.array([v for _, v in pairs], pa.float64()),
+    })
+
+
 def facet_month_hist(
     sf_dir: str, query: str = "data", interval: str = "month"
 ) -> pa.Table:

@@ -1074,6 +1074,7 @@ class _SearcherBase:
         top: int | None = None,
         sums: "dict[str, str] | None" = None,
         date_histograms: "dict[str, str] | None" = None,
+        percentiles: "dict[str, list[float]] | None" = None,
     ) -> dict:
         """Facet aggregation over the FULL match set (not just top-k) —
         what a search UI renders beside the hit list (Elasticsearch
@@ -1100,7 +1101,7 @@ class _SearcherBase:
         term_map = self._term_map(terms)
         ranks, _ = self._match_ranks_scores(term_map, terms, mode)
         return facet_panel(self, ranks, by, histograms, sums, top, where,
-                           date_histograms)
+                           date_histograms, percentiles)
 
 
 def facet_panel(
@@ -1112,6 +1113,7 @@ def facet_panel(
     top: int | None = None,
     where=None,
     date_histograms: "dict[str, str] | None" = None,
+    percentiles: "dict[str, list[float]] | None" = None,
 ) -> dict:
     """Aggregation tail shared by :meth:`_SearcherBase.facets` and
     ``DSLExecutor.facets``: given match ranks, apply an optional
@@ -1123,9 +1125,10 @@ def facet_panel(
     histograms = dict(histograms or {})
     sums = dict(sums or {})
     date_histograms = dict(date_histograms or {})
+    percentiles = dict(percentiles or {})
     cols = sorted(
         set(by) | set(histograms) | set(sums) | set(sums.values())
-        | set(date_histograms)
+        | set(date_histograms) | set(percentiles)
         | (set(where_columns(where)) if where is not None else set())
     )
     dv = searcher.doc_values(cols) if cols else None
@@ -1142,6 +1145,11 @@ def facet_panel(
         out["date_histograms"] = {
             c: dv.facet_date_histogram(c, ranks, iv)
             for c, iv in date_histograms.items()
+        }
+    if percentiles:
+        out["percentiles"] = {
+            c: dv.facet_percentiles(c, ranks, qs)
+            for c, qs in percentiles.items()
         }
     if sums:
         out["sums"] = {

@@ -635,3 +635,41 @@ def test_order_by_single_tuple_unchanged(searcher):
         searcher.search("data", k=5, order_by=[("n_chars", "sideways")])
     with pytest.raises(ValueError):
         searcher.search("data", k=5, order_by=[])
+
+
+def test_facet_percentiles(searcher):
+    import numpy as np
+
+    f = searcher.facets("the data", percentiles={"doc_len": [0.5, 0.9, 1.0]})
+    pairs = f["percentiles"]["doc_len"]
+    # oracle: gather match-set doc_lens and select the same ranks
+    full = searcher.facets("the data", histograms={"doc_len": 1})
+    vals = np.repeat([b for b, _ in full["histograms"]["doc_len"]],
+                     [n for _, n in full["histograms"]["doc_len"]])
+    vals = np.sort(vals)
+    for q, v in pairs:
+        k = max(1, int(np.ceil(q * len(vals))))
+        assert v == vals[k - 1], q
+    with pytest.raises(ValueError, match="percentile"):
+        searcher.facets("the", percentiles={"doc_len": [0.0]})
+    with pytest.raises(ValueError, match="categorical"):
+        searcher.facets("the", percentiles={"lang": [0.5]})
+
+
+def test_facet_percentiles_docpart_rejected(ray_session, built_index,
+                                            tmp_path):
+    import ray.data as rd
+
+    from refimage_ray.index.docpart import (
+        DocPartSearcher, build_doc_partitioned,
+    )
+    import pyarrow.dataset as pads
+
+    index_dir, cfg, _ = built_index
+    docs = pads.dataset(index_dir + "/docs").to_table(
+        columns=["doc_id", "text"]
+    )
+    dp = str(tmp_path / "dp")
+    build_doc_partitioned(rd.from_arrow(docs), dp, cfg)
+    with pytest.raises(ValueError, match="not additive"):
+        DocPartSearcher(dp).facets("the", percentiles={"doc_len": [0.5]})
