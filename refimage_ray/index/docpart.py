@@ -728,19 +728,35 @@ class DocPartSearcher:
         applies only after the merge."""
         from refimage_ray.index.docvalues import merge_facet_results
 
-        if percentiles:
-            raise ValueError(
-                "percentiles are not additive across doc shards — compute "
-                "them on a LocalSearcher, or use stages/selection.py over "
-                "the exported match set"
-            )
         parts = [
             sh.facets(query, by=by, mode=mode, where=where,
                       histograms=histograms, sums=sums,
                       date_histograms=date_histograms)
             for sh in self.shards
         ]
+        pct = None
+        if percentiles:
+            # percentiles are NOT additive: gather each shard's match
+            # VALUES (capped) and rank-select over the concatenation —
+            # exact, bounded, one extra round trip
+            from refimage_ray.index.docvalues import select_percentiles
+
+            gathered = [
+                sh.match_values(query, sorted(percentiles), mode=mode,
+                                where=where)
+                for sh in self.shards
+            ]
+            pct = {
+                c: select_percentiles(
+                    np.concatenate([g[c] for g in gathered])
+                    if gathered else np.zeros(0),
+                    qs,
+                )
+                for c, qs in percentiles.items()
+            }
         out = merge_facet_results(parts, top=top)
+        if pct is not None:
+            out["percentiles"] = pct
         for c in by or []:  # zero-shard (empty corpus) edge
             out["facets"].setdefault(c, [])
         for c in histograms or {}:
@@ -856,6 +872,20 @@ class _DocShardActor:
             out.extend(v.search_phrase(phrase, k=k, threshold=threshold,
                                        slop=slop))
         return out
+
+    def match_values(self, query: str, cols, mode: str = "or",
+                     where=None, cap: int = 1_000_000) -> dict:
+        """Concatenated match values across this actor's shard views
+        (the percentile gather primitive; cap applies per view)."""
+        import numpy as _np
+
+        parts = [v.match_values(query, cols, mode=mode, where=where,
+                                cap=cap) for v in self._views]
+        return {
+            c: (_np.concatenate([p[c] for p in parts])
+                if parts else _np.zeros(0))
+            for c in cols
+        }
 
     def facets(self, query: str, by, mode: str, where, histograms,
                sums=None, date_histograms=None) -> dict:
@@ -1009,18 +1039,31 @@ class DistributedDocPartSearcher:
         additivity over disjoint doc subsets (``top`` after merge)."""
         from refimage_ray.index.docvalues import merge_facet_results
 
-        if percentiles:
-            raise ValueError(
-                "percentiles are not additive across doc shards — compute "
-                "them on a LocalSearcher, or use stages/selection.py over "
-                "the exported match set"
-            )
         parts = ray.get([
             a.facets.remote(query, by, mode, where, histograms, sums,
                             date_histograms)
             for a in self.actors
         ])
+        pct = None
+        if percentiles:
+            from refimage_ray.index.docvalues import select_percentiles
+
+            gathered = ray.get([
+                a.match_values.remote(query, sorted(percentiles), mode,
+                                      where)
+                for a in self.actors
+            ])
+            pct = {
+                c: select_percentiles(
+                    np.concatenate([g[c] for g in gathered])
+                    if gathered else np.zeros(0),
+                    qs,
+                )
+                for c, qs in percentiles.items()
+            }
         out = merge_facet_results(parts, top=top)
+        if pct is not None:
+            out["percentiles"] = pct
         for c in by or []:
             out["facets"].setdefault(c, [])
         for c in histograms or {}:

@@ -370,6 +370,18 @@ class DocValues:
         return [(int(u), int(n)) for u, n in zip(uniq.tolist(), cnt.tolist())]
 
 
+    def numeric_values(self, col: str, ranks: np.ndarray) -> np.ndarray:
+        """Match-set values of a numeric column, nulls dropped — the
+        gather primitive behind percentiles (local AND the docpart
+        capped-gather path)."""
+        c = self.cols[col]
+        if c.is_categorical:
+            raise ValueError(f"{col!r} is categorical — use facet_counts")
+        v = c.values[ranks]
+        if c.null is not None:
+            v = v[~c.null[ranks]]
+        return v
+
     def facet_percentiles(
         self, col: str, ranks: np.ndarray, qs: "list[float]"
     ) -> list[tuple[float, float]]:
@@ -380,25 +392,26 @@ class DocValues:
         ``row_number()`` window.  ``np.partition`` selection, O(n) per
         quantile.  NOT additive across doc shards (unlike every other
         facet) — the doc-partitioned searchers reject it loudly."""
-        c = self.cols[col]
-        if c.is_categorical:
-            raise ValueError(f"{col!r} is categorical — use facet_counts")
-        v = c.values[ranks]
-        if c.null is not None:
-            v = v[~c.null[ranks]]
-        out: list[tuple[float, float]] = []
-        n = len(v)
-        for q in qs:
-            if not 0.0 < q <= 1.0:
-                raise ValueError(f"percentile must be in (0, 1], got {q}")
-            if n == 0:
-                out.append((float(q), float("nan")))
-                continue
-            k = max(1, int(np.ceil(q * n)))
-            out.append(
-                (float(q), float(np.partition(v, k - 1)[k - 1]))
-            )
-        return out
+        return select_percentiles(self.numeric_values(col, ranks), qs)
+
+
+def select_percentiles(
+    values: np.ndarray, qs: "list[float]"
+) -> list[tuple[float, float]]:
+    """Rank-ceil(q·n) selection over a gathered value array — shared by
+    the local facet kernel and the docpart gather-merge so both paths
+    use ONE definition."""
+    out: list[tuple[float, float]] = []
+    n = len(values)
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"percentile must be in (0, 1], got {q}")
+        if n == 0:
+            out.append((float(q), float("nan")))
+            continue
+        k = max(1, int(np.ceil(q * n)))
+        out.append((float(q), float(np.partition(values, k - 1)[k - 1])))
+    return out
 
 
 def normalize_where(where) -> list[tuple[str, str, object]]:

@@ -1103,6 +1103,39 @@ class _SearcherBase:
         return facet_panel(self, ranks, by, histograms, sums, top, where,
                            date_histograms, percentiles)
 
+    def match_values(
+        self,
+        query: str,
+        cols: "list[str]",
+        mode: str = "or",
+        where=None,
+        cap: int = 1_000_000,
+    ) -> dict:
+        """Gather the match set's raw numeric doc values (nulls
+        dropped) — the primitive behind the doc-partitioned percentile
+        path: each shard gathers ITS match values (bounded by ``cap``),
+        the driver concatenates and rank-selects.  Raises when the
+        match set exceeds ``cap`` — an unbounded gather is exactly the
+        driver materialization this engine avoids everywhere else."""
+        from refimage_ray.index.docvalues import where_columns
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        terms = query_terms(self._tokenize(query))
+        term_map = self._term_map(terms)
+        ranks, _ = self._match_ranks_scores(term_map, terms, mode)
+        need = sorted(
+            set(cols) | (set(where_columns(where)) if where else set())
+        )
+        dv = self.doc_values(need)
+        if where is not None:
+            ranks = ranks[dv.mask(where)[ranks]]
+        if len(ranks) > cap:
+            raise ValueError(
+                f"match set ({len(ranks)}) exceeds the gather cap ({cap})"
+            )
+        return {c: dv.numeric_values(c, ranks) for c in cols}
+
 
 def facet_panel(
     searcher,

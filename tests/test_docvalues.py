@@ -656,8 +656,10 @@ def test_facet_percentiles(searcher):
         searcher.facets("the", percentiles={"lang": [0.5]})
 
 
-def test_facet_percentiles_docpart_rejected(ray_session, built_index,
-                                            tmp_path):
+def test_facet_percentiles_docpart_gather(ray_session, built_index,
+                                          searcher, tmp_path):
+    """Docpart percentiles gather match VALUES per shard and
+    rank-select over the concatenation — must equal the local panel."""
     import ray.data as rd
 
     from refimage_ray.index.docpart import (
@@ -667,9 +669,18 @@ def test_facet_percentiles_docpart_rejected(ray_session, built_index,
 
     index_dir, cfg, _ = built_index
     docs = pads.dataset(index_dir + "/docs").to_table(
-        columns=["doc_id", "text"]
+        columns=["doc_id", "text", "n_chars"]
     )
     dp = str(tmp_path / "dp")
-    build_doc_partitioned(rd.from_arrow(docs), dp, cfg)
-    with pytest.raises(ValueError, match="not additive"):
-        DocPartSearcher(dp).facets("the", percentiles={"doc_len": [0.5]})
+    # value_columns → shard views carry a resident universe + values
+    build_doc_partitioned(rd.from_arrow(docs), dp, cfg,
+                          value_columns=["n_chars"])
+    spec = {"n_chars": [0.5, 0.9, 1.0]}
+    local = searcher.facets("the data", percentiles=spec)
+    part = DocPartSearcher(dp).facets("the data", percentiles=spec)
+    assert part["percentiles"] == local["percentiles"]
+    # cap is enforced per shard view
+    with pytest.raises(ValueError, match="gather cap"):
+        DocPartSearcher(dp).shards[0].match_values(
+            "the", ["n_chars"], cap=1
+        )
