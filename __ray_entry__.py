@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": search.search_facets,
         "facet_month_hist": search.facet_month_hist,
         "facet_doclen_pct": search.facet_doclen_pct,
+        "bm25_topk_runtime_filtered": search.bm25_topk_runtime_filtered,
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "minhash_near_dups": corpus.minhash_near_dups,
@@ -1095,6 +1096,12 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         "bm25_topk_filtered": _bm25_sql(
             ["spark", "join"], 10,
             doc_where="d.lang = 'en' AND dl.dl >= 40",
+        ),
+        # runtime field: chars-per-token = n_chars / doc_len, same
+        # float64 division both sides → bit-identical comparisons
+        "bm25_topk_runtime_filtered": _bm25_sql(
+            ["spark", "join"], 10,
+            doc_where="(d.n_chars * 1.0 / dl.dl) >= 5.05",
         ),
         # delete -> compact lifecycle: the oracle's corpus IS the live
         # set, so N/avgdl/df are the post-compaction basis

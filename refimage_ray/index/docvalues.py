@@ -395,6 +395,38 @@ class DocValues:
         return select_percentiles(self.numeric_values(col, ranks), qs)
 
 
+def add_computed_column(
+    dv: "DocValues", name: str, sources: "list[str]", fn
+) -> None:
+    """Register a RUNTIME FIELD (ES runtime-mapping analog): a numeric
+    column computed once from resident source columns and cached as a
+    normal DVColumn — after registration it works in every ``where`` /
+    ``order_by`` / facet / percentile surface with zero special-casing.
+
+    ``fn`` receives ``{source: np.ndarray}`` (full universe length,
+    rank-aligned) and must return a numeric array of the same length.
+    Rows where ANY source is null are null in the result (SQL
+    semantics ride along for free through the null mask)."""
+    srcs = {s: dv.cols[s] for s in sources}
+    for s, c in srcs.items():
+        if c.is_categorical:
+            raise ValueError(
+                f"runtime field source {s!r} is categorical — compute "
+                "from numeric columns"
+            )
+    out = np.asarray(fn({s: c.values for s, c in srcs.items()}))
+    n = len(dv.all_ids)
+    if out.shape != (n,):
+        raise ValueError(
+            f"runtime field fn must return shape ({n},), got {out.shape}"
+        )
+    null = None
+    masks = [c.null for c in srcs.values() if c.null is not None]
+    if masks:
+        null = np.logical_or.reduce(masks)
+    dv.cols[name] = DVColumn(values=out, null=null)
+
+
 def select_percentiles(
     values: np.ndarray, qs: "list[float]"
 ) -> list[tuple[float, float]]:

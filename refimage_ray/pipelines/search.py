@@ -674,6 +674,28 @@ def facet_doclen_hist(sf_dir: str, query: str = "data", width: int = 50) -> pa.T
     )
 
 
+def bm25_topk_runtime_filtered(
+    sf_dir: str, query: str = "spark join", k: int = 10,
+    min_ratio: float = 5.05,
+) -> pa.Table:
+    """Runtime-field filter (ES runtime mappings): chars-per-token =
+    n_chars / doc_len computed ONCE from resident doc values, then
+    filtered like any stored column; the oracle mirrors the same
+    float64 division over the same integers, so comparisons agree
+    bit-for-bit."""
+    s = searcher_for(sf_dir)
+    dv = s.doc_values(["n_chars", "doc_len"])
+    if "chars_per_tok" not in dv.cols:
+        s.define_runtime_field(
+            "chars_per_tok", ["n_chars", "doc_len"],
+            lambda c: c["n_chars"].astype(np.float64)
+            / np.maximum(c["doc_len"].astype(np.float64), 1.0),
+        )
+    return _hits_table(
+        s.search(query, k=k, where=[("chars_per_tok", ">=", min_ratio)])
+    )
+
+
 def facet_doclen_pct(
     sf_dir: str, query: str = "data", qs: tuple = (0.5, 0.9)
 ) -> pa.Table:

@@ -1103,6 +1103,19 @@ class _SearcherBase:
         return facet_panel(self, ranks, by, histograms, sums, top, where,
                            date_histograms, percentiles)
 
+    def define_runtime_field(
+        self, name: str, sources: "list[str]", fn
+    ) -> None:
+        """ES runtime-field analog: register a computed numeric doc
+        value (``fn({source: ndarray}) -> ndarray``) that then behaves
+        like any stored column in ``where`` / ``order_by`` / facets /
+        percentiles.  Evaluated ONCE per searcher (cached DVColumn) —
+        query-time cost is identical to a stored value."""
+        from refimage_ray.index.docvalues import add_computed_column
+
+        dv = self.doc_values(sources)  # loads sources, returns the store
+        add_computed_column(dv, name, sources, fn)
+
     def match_values(
         self,
         query: str,

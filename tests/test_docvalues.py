@@ -684,3 +684,26 @@ def test_facet_percentiles_docpart_gather(ray_session, built_index,
         DocPartSearcher(dp).shards[0].match_values(
             "the", ["n_chars"], cap=1
         )
+
+
+def test_runtime_field(searcher):
+    import numpy as np
+
+    if "ratio" not in searcher.doc_values(["doc_len"]).cols:
+        searcher.define_runtime_field(
+            "ratio", ["doc_len"],
+            lambda c: c["doc_len"].astype(np.float64) * 2.0,
+        )
+    # behaves like a stored column in where / order_by / facets
+    plain = searcher.search("the data", k=10, where=[("doc_len", ">=", 50)])
+    runtime = searcher.search("the data", k=10, where=[("ratio", ">=", 100.0)])
+    assert plain == runtime
+    f = searcher.facets("the data", percentiles={"ratio": [0.5]})
+    g = searcher.facets("the data", percentiles={"doc_len": [0.5]})
+    assert f["percentiles"]["ratio"][0][1] == 2 * g["percentiles"]["doc_len"][0][1]
+    # validation: shape and categorical sources rejected
+    with pytest.raises(ValueError, match="shape"):
+        searcher.define_runtime_field("bad", ["doc_len"],
+                                      lambda c: c["doc_len"][:3])
+    with pytest.raises(ValueError, match="categorical"):
+        searcher.define_runtime_field("bad2", ["lang"], lambda c: c["lang"])
