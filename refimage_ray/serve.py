@@ -19,6 +19,7 @@ Route map (reference analog → here):
 - ``GET /grouped?q=&by=lang&k=3&filter=&groups=`` (result diversification) → ``searcher.search_grouped`` (best k hits per facet value)
 - ``GET /count?q=&mode=&filter=&min_match=`` (ES ``_count`` analog; the reference reports result counts on list endpoints, ``api.py:397-409``) → ``searcher.count`` (exact match-set size, no scoring)
 - ``GET /significant?q=&sample=&min_count=&top=`` (ES significant_terms) → ``engine.significant_terms`` (relative-risk vs corpus background over the top-sample)
+- ``GET /terms?prefix=&max=``          (ES ``_terms_enum``)           → vocabulary browse (term asc + df, resident dictionary)
 - ``GET /suggest?q=&k=``               ("did you mean")              → ``searcher.suggest`` (Levenshtein-≤1 vocabulary neighbors, df-ranked)
 - ``GET /docs/{id}/explain?q=&mode=``  (Lucene explain analog)       → ``engine.explain_score`` (per-term contributions, bit-exact sum)
 - ``GET /dsl?q=&limit=&threshold=``    (DSL search endpoint)        → ``DSLExecutor.execute_query``
@@ -432,6 +433,19 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)
                 return self._json({"terms": rows})
+            if u.path == "/terms":
+                # ES _terms_enum analog: browse the vocabulary by
+                # prefix (term asc, df attached, resident dictionary)
+                prefix = q.get("prefix", "")
+                try:
+                    pairs = state["s"]._expand_pairs("prefix", prefix)
+                except ValueError as err:
+                    return self._json({"error": str(err)}, 422)
+                pairs.sort()
+                cap = int(q.get("max", 50))
+                return self._json({"terms": [
+                    {"term": t, "df": int(df)} for t, df in pairs[:cap]
+                ]})
             if u.path == "/suggest":
                 if not q.get("q", "").strip():
                     return self._json({"error": "empty query"}, 422)

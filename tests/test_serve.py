@@ -666,3 +666,18 @@ def test_serve_rollover_group(ray_session, tiny_docs, tmp_path):
         assert st == 200 and h2["n_docs"] == n
     finally:
         srv.shutdown()
+
+
+def test_terms_enum_route(server):
+    base, d = server
+    st, body = _get(base + "/terms?prefix=s&max=10")
+    assert st == 200 and body["terms"]
+    terms = [t["term"] for t in body["terms"]]
+    assert terms == sorted(terms) and len(terms) <= 10
+    assert all(t.startswith("s") for t in terms)
+    assert all(t["df"] >= 1 for t in body["terms"])
+    # df agrees with the library expansion
+    from refimage_ray.query.engine import LocalSearcher
+
+    lib = dict(LocalSearcher(d)._expand_pairs("prefix", "s"))
+    assert all(lib[t["term"]] == t["df"] for t in body["terms"])
