@@ -115,8 +115,11 @@ def kmeans_fit(
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         for j in np.flatnonzero(~nonempty):
             # re-seed deterministically: nudge off the heaviest centroid
+            # (affine, not multiplicative — a zero-vector centroid would
+            # otherwise nudge to itself and stay duplicated forever)
             heavy = int(np.argmax(counts))
-            new[j] = new[heavy] * (1.0 + 1e-4 * (j + 1))
+            eps = 1e-4 * (j + 1)
+            new[j] = new[heavy] * (1.0 + eps) + eps
         shift = float(np.abs(new - cents).max())
         cents = new
         if shift <= tol:

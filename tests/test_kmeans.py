@@ -93,3 +93,18 @@ def test_requires_enough_vectors(ray_session):
     })
     with pytest.raises(ValueError, match="init"):
         kmeans_fit(rd.from_arrow(tbl), 3)
+
+
+def test_empty_cluster_reseeds_off_origin(ray_session):
+    """Regression: a zero-vector heavy centroid must still produce a
+    DISTINCT re-seed (multiplicative nudge alone maps 0 → 0)."""
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0], [9.0, 0.0]],
+            pa.list_(pa.float32())),
+    })
+    cents, _ = kmeans_fit(rd.from_arrow(tbl), 2, n_iter=8)
+    # both true locations recovered despite the origin-heavy start
+    assert np.min(np.linalg.norm(cents - np.array([0.0, 0.0]), axis=1)) < 1e-6
+    assert np.min(np.linalg.norm(cents - np.array([9.0, 0.0]), axis=1)) < 1e-6
