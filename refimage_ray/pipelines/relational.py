@@ -280,8 +280,15 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING",
         .groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("rev", alias_name="rev_sum"))
         .map_batches(
+            # half-AWAY cents rounding (floor(x·100 + 0.5)/100), matching
+            # DuckDB round(); pc.round is half-even and can differ by a
+            # cent on exact .xx5 revenues (caught at sf0.001)
             lambda b: b.append_column(
-                "revenue", pc.round(b["rev_sum"], ndigits=2)
+                "revenue",
+                pc.divide(
+                    pc.floor(pc.add(pc.multiply(b["rev_sum"], 100.0), 0.5)),
+                    100.0,
+                ),
             ).drop_columns(["rev_sum"]),
             batch_format="pyarrow",
         )
@@ -290,6 +297,9 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING",
         .limit(k)
         .to_pandas()
     )
+    # tiny corpora: empty pandas blocks in the sort degrade int64 →
+    # float64 (observed at sf0.001); restore the key dtype explicitly
+    top["l_orderkey"] = top["l_orderkey"].astype("int64")
     return pa.Table.from_pandas(
         top[["l_orderkey", "revenue", "o_orderdate"]], preserve_index=False
     )
