@@ -761,6 +761,10 @@ class DocPartSearcher:
             out["facets"].setdefault(c, [])
         for c in histograms or {}:
             out["histograms"].setdefault(c, [])
+        if date_histograms:
+            out.setdefault("date_histograms", {})
+            for c in date_histograms:
+                out["date_histograms"].setdefault(c, [])
         if sums:
             out.setdefault("sums", {})
             for c in sums:
@@ -1068,6 +1072,10 @@ class DistributedDocPartSearcher:
             out["facets"].setdefault(c, [])
         for c in histograms or {}:
             out["histograms"].setdefault(c, [])
+        if date_histograms:
+            out.setdefault("date_histograms", {})
+            for c in date_histograms:
+                out["date_histograms"].setdefault(c, [])
         if sums:
             out.setdefault("sums", {})
             for c in sums:

@@ -391,7 +391,9 @@ class DocValues:
         ``stages/selection.py``, so the SQL mirror is one
         ``row_number()`` window.  ``np.partition`` selection, O(n) per
         quantile.  NOT additive across doc shards (unlike every other
-        facet) — the doc-partitioned searchers reject it loudly."""
+        facet) — the doc-partitioned searchers run a CAPPED per-shard
+        value gather and rank-select over the concatenation instead
+        (see ``docpart`` facets)."""
         return select_percentiles(self.numeric_values(col, ranks), qs)
 
 

@@ -109,12 +109,17 @@ def _cfg_of(artifact_dir: str) -> EngineConfig:
 
 def _seal(gen_dir: str, cfg: EngineConfig) -> None:
     merged = os.path.join(gen_dir, "merged")
-    if not os.path.isdir(merged):
-        tmp = merged + ".tmp"
-        if os.path.isdir(tmp):  # stale partial merge: rebuild cleanly
-            shutil.rmtree(tmp)
-        merge_indexes(_segments(gen_dir), tmp, cfg)
-        os.rename(tmp, merged)
+    if os.path.isdir(merged):
+        # a crash BETWEEN the rename and _SEALED leaves merged/ while
+        # the gen still accepted segments — that merged artifact may be
+        # stale.  Rebuilding unconditionally is idempotent and cheap
+        # relative to losing the post-crash segments silently.
+        shutil.rmtree(merged)
+    tmp = merged + ".tmp"
+    if os.path.isdir(tmp):  # stale partial merge: rebuild cleanly
+        shutil.rmtree(tmp)
+    merge_indexes(_segments(gen_dir), tmp, cfg)
+    os.rename(tmp, merged)
     with open(os.path.join(gen_dir, "_SEALED"), "w") as f:
         f.write("sealed\n")
 
@@ -139,7 +144,14 @@ def ingest(
     if gens and not _is_sealed(gens[-1]):
         gen = gens[-1]
     else:
-        gen = os.path.join(group_dir, f"gen-{len(gens) + 1:06d}")
+        # number from the HIGHEST existing generation, not the count —
+        # after prune_generations the count is smaller than the max and
+        # len+1 would collide with (or sort before) a sealed survivor
+        last = max(
+            (int(_GEN_RE.match(os.path.basename(g)).group(1)) for g in gens),
+            default=0,
+        )
+        gen = os.path.join(group_dir, f"gen-{last + 1:06d}")
         os.makedirs(gen, exist_ok=True)
     if cfg is None:
         parts = group_parts(group_dir)

@@ -435,14 +435,16 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 return self._json({"terms": rows})
             if u.path == "/terms":
                 # ES _terms_enum analog: browse the vocabulary by
-                # prefix (term asc, df attached, resident dictionary)
-                prefix = q.get("prefix", "")
+                # prefix (term asc, df attached, resident dictionary);
+                # the probe lowercases like every other expansion
+                # surface (the vocabulary is lowercase by construction)
+                prefix = q.get("prefix", "").lower()
                 try:
+                    cap = int(q.get("max", 50))
                     pairs = state["s"]._expand_pairs("prefix", prefix)
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)
                 pairs.sort()
-                cap = int(q.get("max", 50))
                 return self._json({"terms": [
                     {"term": t, "df": int(df)} for t, df in pairs[:cap]
                 ]})
@@ -515,6 +517,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                 histograms=hists,
                                 top=int(q["top"]) if "top" in q else None,
                                 sums=sums,
+                                date_histograms=dhists,
                             )
                         except DSLParseError as err:
                             return self._json({"error": str(err)}, 422)

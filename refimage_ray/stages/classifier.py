@@ -110,21 +110,26 @@ def train_logreg(
 
     history: list[float] = []
     step = 1.0
+    cur = stats_for(ray.put(w))
     for _ in range(n_iter):
-        n, loss_sum, grad = stats_for(ray.put(w))
+        n, loss_sum, grad = cur
         loss = loss_sum / n + 0.5 * l2 * float(w @ w)
         grad = grad / n + l2 * w
         history.append(loss)
         gnorm2 = float(grad @ grad)
         if gnorm2 < 1e-18:
             break
-        # deterministic backtracking: halve until Armijo holds
+        # deterministic backtracking: halve until Armijo holds.  The
+        # accepted candidate's stats carry into the next iteration —
+        # one full-corpus pass per iteration, not two (the candidate
+        # pass IS next iteration's stats pass, same weights).
         while step > 1e-8:
             cand = w - step * grad
-            _, cand_loss_sum, _ = stats_for(ray.put(cand))
-            cand_loss = cand_loss_sum / n + 0.5 * l2 * float(cand @ cand)
+            cand_stats = stats_for(ray.put(cand))
+            cand_loss = cand_stats[1] / n + 0.5 * l2 * float(cand @ cand)
             if cand_loss <= loss - 1e-4 * step * gnorm2:
                 w = cand
+                cur = cand_stats
                 step = min(step * 2.0, 64.0)  # let it grow back
                 break
             step *= 0.5

@@ -112,13 +112,28 @@ def kth_smallest(
     collect_cap: int = 65536,
     max_rounds: int = 64,
 ) -> float:
-    """Exact k-th smallest (1-indexed) of ``ds[col]`` — distributed."""
-    from ray.data.aggregate import Count, Max, Min
+    """Exact k-th smallest (1-indexed) of ``ds[col]`` — distributed.
 
+    Nulls and NaNs are EXCLUDED (SQL ORDER BY semantics); ranks are
+    over the valid values only.  (``Count(col)`` counts null rows and
+    ``Max`` propagates NaN, so the bounds come from an explicit
+    valid-only pass.)"""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    stats = ds.aggregate(Min(col), Max(col), Count(col))
-    n = int(stats[f"count({col})"])
+
+    def valid_stats(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[np.isfinite(x)]  # drops null→NaN and ±inf alike
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "mn": pa.array([float(x.min()) if len(x) else np.inf],
+                           pa.float64()),
+            "mx": pa.array([float(x.max()) if len(x) else -np.inf],
+                           pa.float64()),
+        })
+
+    rows = ds.map_batches(valid_stats, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
     if k > n:
         raise ValueError(f"k={k} > n={n}")
 
@@ -159,7 +174,7 @@ def kth_smallest(
 
     return select_core(
         count_pass, collect_pass, k,
-        float(stats[f"min({col})"]), float(stats[f"max({col})"]),
+        min(r["mn"] for r in rows), max(r["mx"] for r in rows),
         buckets=buckets, collect_cap=collect_cap, max_rounds=max_rounds,
     )
 
@@ -167,8 +182,17 @@ def kth_smallest(
 def quantiles_exact(
     ds, col: str, qs: "tuple[float, ...]" = (0.5, 0.9, 0.99), **kw
 ) -> pa.Table:
-    """Exact discrete quantiles: value at rank ``ceil(q·n)``."""
-    n = int(ds.count())
+    """Exact discrete quantiles: value at rank ``ceil(q·n)`` where n
+    counts only VALID (non-null, finite) values — SQL ORDER BY drops
+    nulls the same way."""
+
+    def valid_count(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"n": pa.array([int(np.isfinite(x).sum())],
+                                       pa.int64())})
+
+    n = sum(r["n"] for r in
+            ds.map_batches(valid_count, batch_format="pyarrow").take_all())
     out_q, out_v = [], []
     for q in qs:
         if not 0.0 < q <= 1.0:

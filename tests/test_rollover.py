@@ -175,3 +175,57 @@ def test_verify_empty_group(tmp_path):
 
     rep = verify_group(str(tmp_path / "none"))
     assert not rep["ok"]
+
+
+def test_ingest_after_prune_numbers_past_survivors(group, tmp_path,
+                                                   tiny_docs):
+    """Review regression: gen numbering must come from the MAX existing
+    generation, not the count — after prune, len+1 collided with (or
+    sorted before) a sealed survivor and new docs vanished."""
+    import ray.data as rd2
+
+    root = str(tmp_path / "prune_then_ingest")
+    n = tiny_docs.num_rows
+    third = n // 3
+    # three sealed generations
+    for i in range(3):
+        ingest(root, rd2.from_arrow(tiny_docs.slice(i * third, third)),
+               CFG if i == 0 else None, max_docs=1)
+    dropped = prune_generations(root, keep_last=1)
+    assert len(dropped) == 2
+    extra = tiny_docs.slice(3 * third)
+    if extra.num_rows == 0:
+        extra = tiny_docs.slice(0, third)  # re-ingest ids are fine here
+    res = ingest(root, rd2.from_arrow(extra), max_docs=10**9)
+    assert os.path.basename(res["generation"]) == "gen-000004"
+    # the new docs are actually served
+    multi = group_searcher(root)
+    assert multi.n_docs == third + extra.num_rows
+
+
+def test_seal_recovers_from_missing_sealed_marker(tmp_path, tiny_docs):
+    """Review regression: a crash BETWEEN the merged/ rename and the
+    _SEALED marker used to freeze the stale merged artifact — segments
+    ingested after the crash were silently dropped at the next seal."""
+    import ray.data as rd2
+
+    from refimage_ray.index.rollover import _seal, _segments
+
+    root = str(tmp_path / "crash_between")
+    n = tiny_docs.num_rows
+    ingest(root, rd2.from_arrow(tiny_docs.slice(0, n // 2)), CFG,
+           max_docs=10**9)
+    gen = generations(root)[0]
+    # simulate the crash: merged/ exists (covers seg-1 only), no _SEALED
+    from refimage_ray.index.lifecycle import merge_indexes
+
+    merge_indexes(_segments(gen), os.path.join(gen, "merged"), CFG)
+    # post-crash ingest adds a second segment to the still-open gen
+    res = ingest(root, rd2.from_arrow(tiny_docs.slice(n // 2)),
+                 max_docs=n)  # reaches max_docs → seals now
+    assert res["rolled"]
+    full = _mono(tiny_docs, str(tmp_path / "full3"))
+    multi = group_searcher(root)
+    assert multi.n_docs == full.n_docs  # post-crash docs NOT dropped
+    for q in QUERIES:
+        assert multi.search(q, k=15) == full.search(q, k=15), q

@@ -68,3 +68,17 @@ def test_validates_k(messy):
         kth_smallest(ds, "value", 0)
     with pytest.raises(ValueError, match="quantile"):
         quantiles_exact(ds, "value", (0.0,))
+
+
+def test_nulls_and_nan_excluded(ray_session):
+    """Review regression: n used to count null/NaN rows, shifting every
+    rank (and crashing high quantiles)."""
+    vals = pa.array([1.0, None, 2.0, float("nan"), 3.0, None, 4.0],
+                    pa.float64())
+    ds = rd.from_arrow(pa.table({"value": vals})).repartition(3)
+    assert kth_smallest(ds, "value", 1) == 1.0
+    assert kth_smallest(ds, "value", 4) == 4.0
+    t = quantiles_exact(ds, "value", (0.5, 0.99, 1.0))
+    assert t["value"].to_pylist() == [2.0, 4.0, 4.0]
+    with pytest.raises(ValueError, match="k=5"):
+        kth_smallest(ds, "value", 5)
