@@ -728,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_class": relational.part_size_class,
         "nation_region_join": relational.nation_region_join,
         "events_hourly": relational.events_hourly,
+        "events_hopping": relational.events_hopping,
         "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
         "events_asof_last": relational.events_asof_last,
@@ -1612,6 +1613,22 @@ LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
         "events_value_median": """
 SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # hopping windows: L=60min, H=30min → each event in 2 windows
+        # (window starts hop-aligned, ts ∈ [start, start+L))
+        "events_hopping": """
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+x AS (
+  SELECT event_type, value,
+         make_timestamp(((us // 1800000000) - i) * 1800000000)
+           AS window_start
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 1)) AS i) _
+  WHERE ((us // 1800000000) - i) * 1800000000 + 3600000000 > us
+)
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM x GROUP BY 1, 2
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour,

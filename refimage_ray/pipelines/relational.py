@@ -163,6 +163,53 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_hopping(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 30
+) -> pa.Table:
+    """HOPPING (sliding/overlapping) event-time windows — the remaining
+    classic window shape next to tumbling/session/rolling: window
+    length L, hop H < L, so each event lands in L/H windows.  The
+    expansion happens INSIDE map_batches (each row emits its L/H
+    window-start keys, vectorized via one np.repeat/tile — never a
+    driver loop), then one grouped aggregate over (type, window_start).
+    Mirrored in SQL by a generate_series lateral join."""
+    assert window_minutes % hop_minutes == 0, "L must be a multiple of H"
+    k = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+    win_us = window_minutes * 60_000_000
+
+    def expand(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # last window start containing ts, then k hops backward
+        last = (ts // hop_us) * hop_us
+        starts = last[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_us
+        keep = (starts.ravel() + win_us) > np.repeat(ts, k)  # ts ∈ [s, s+L)
+        idx = np.repeat(np.arange(len(ts), dtype=np.int64), k)[keep]
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pa.array(et[idx], pa.string()),
+            "window_start": pa.array(starts.ravel()[keep],
+                                     pa.timestamp("us")),
+            "value": pa.array(val[idx], pa.float64()),
+        })
+
+    out = (
+        _t(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out = out.sort_values(["event_type", "window_start"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def events_user_stats(sf_dir: str) -> "rd.Dataset":
     """Per-user event stats incl. distinct-type count (map_groups for
     the non-algebraic distinct aggregate)."""
