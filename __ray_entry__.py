@@ -747,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_packed_sequences": training.curated_packed_sequences,
         "lm_gated_packed_sequences": training.lm_gated_packed_sequences,
         "lang_mixture_sample": training.lang_mixture_sample,
+        "lang_temperature_sample": training.lang_temperature_sample,
         "stratified_sample": training.stratified_sample,
         "url_blocklist_stats": training.url_blocklist_stats,
         "pii_scrub_stats": training.pii_scrub_stats,
@@ -1808,6 +1809,20 @@ r AS (
   FROM h
 )
 SELECT doc_id, lang FROM r WHERE rn <= 30
+""",
+        # temperature sampling (alpha=0.5): r_l = p_l^(alpha-1) / max,
+        # same power()/floor() float path as the engine
+        "lang_temperature_sample": """
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS n FROM c),
+w AS (SELECT lang, power(c.n / tot.n, -0.5) AS w FROM c, tot),
+mx AS (SELECT max(w) AS m FROM w),
+rate AS (SELECT lang, w.w / mx.m AS r FROM w, mx)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rate USING (lang)
+WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+      < CAST(floor(rate.r * 4294967296) AS BIGINT)
 """,
         "lang_mixture_sample": """
 SELECT doc_id, lang FROM documents

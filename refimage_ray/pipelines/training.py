@@ -162,6 +162,26 @@ def lang_mixture_sample(
     )
 
 
+def lang_temperature_sample(sf_dir: str, alpha: float = 0.5) -> "rd.Dataset":
+    """Temperature-based language rebalancing (the XLM-R / mT5
+    α-sampling recipe): effective language shares ∝ p_l^α, realized by
+    per-lang survival rates r_l ∝ p_l^(α-1) normalized so the rarest
+    language keeps everything.  Rates derive from ONE lang-sized count
+    pass; the gate is the same deterministic multiplicative-hash
+    threshold as ``lang_mixture_sample`` (seed-free, resume-stable,
+    SQL-mirrored float-for-float via power()/floor())."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        _docs(sf_dir, ("lang",)).groupby("lang")
+        .aggregate(Count(alias_name="n")).to_pandas()
+    )
+    n_total = float(counts["n"].sum())
+    w = (counts["n"].astype(np.float64) / n_total) ** (alpha - 1.0)
+    rates = dict(zip(counts["lang"], (w / w.max()).astype(float)))
+    return lang_mixture_sample(sf_dir, rates=rates, default=0.0)
+
+
 def lm_gated_packed_sequences(
     sf_dir: str, budget: int = 256, n_buckets: int = 16,
     max_ppl: float = 32.0,
