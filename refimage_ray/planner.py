@@ -139,3 +139,77 @@ def plan_dict(plan: BuildPlan) -> dict:
     d = asdict(plan)
     d["notes"] = list(plan.notes)
     return d
+
+
+def plan_mixture(
+    token_budget: float,
+    domain_tokens: dict[str, float],
+    max_epochs: float = 4.0,
+    alpha: float = 1.0,
+) -> dict:
+    """Data-constrained mixture allocation (the "how many epochs of
+    each domain" planning step of a 100-TB training run, after the
+    per-domain corpora are curated and counted).
+
+    Target shares are proportional to ``available^alpha`` (alpha=1 →
+    natural proportions; alpha<1 flattens toward uniform, the same
+    temperature knob as ``training.lang_temperature_sample``).  Each
+    domain's usable tokens cap at ``max_epochs × available`` — the
+    empirical repetition limit beyond which extra epochs of the same
+    data stop helping (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models") — and capped domains' unused
+    budget WATER-FILLS into the uncapped ones at their relative
+    shares until the budget is spent or everything is capped.
+
+    Pure deterministic arithmetic (no I/O): returns per-domain
+    ``{tokens, epochs, share}`` plus ``shortfall`` (budget that could
+    not be placed because every domain hit its cap).
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if any(v < 0 for v in domain_tokens.values()):
+        raise ValueError("domain token counts must be >= 0")
+    caps = {d: max_epochs * n for d, n in domain_tokens.items()}
+    weights = {d: (n ** alpha if n > 0 else 0.0)
+               for d, n in domain_tokens.items()}
+    alloc = {d: 0.0 for d in domain_tokens}
+    remaining = float(token_budget)
+    open_set = {d for d, w in weights.items() if w > 0}
+    # water-filling: give every open domain its share; domains that hit
+    # their cap close, freeing budget for the rest.  Each round closes
+    # at least one domain, so this terminates in <= |domains| rounds.
+    while remaining > 1e-9 and open_set:
+        wsum = sum(weights[d] for d in open_set)
+        closed_any = False
+        for d in sorted(open_set):
+            give = remaining * weights[d] / wsum
+            room = caps[d] - alloc[d]
+            if give >= room - 1e-12:
+                alloc[d] = caps[d]
+                open_set.discard(d)
+                closed_any = True
+        taken = 0.0
+        if not closed_any:
+            # nobody capped: place the whole remainder proportionally
+            for d in sorted(open_set):
+                alloc[d] += remaining * weights[d] / wsum
+            taken = remaining
+        remaining = float(token_budget) - sum(alloc.values()) \
+            if closed_any else remaining - taken
+    out = {
+        d: {
+            "tokens": round(alloc[d], 3),
+            "epochs": round(alloc[d] / domain_tokens[d], 4)
+            if domain_tokens[d] > 0 else 0.0,
+            "share": round(alloc[d] / token_budget, 6)
+            if token_budget > 0 else 0.0,
+        }
+        for d in sorted(domain_tokens)
+    }
+    return {
+        "domains": out,
+        "placed": round(sum(alloc.values()), 3),
+        "shortfall": round(max(0.0, token_budget - sum(alloc.values())), 3),
+    }

@@ -58,3 +58,67 @@ def test_plan_dict_roundtrip_and_validation():
     assert d["n_docs"] == 1000 and isinstance(d["notes"], list)
     with pytest.raises(ValueError):
         plan_build(0, 10)
+
+
+# ---------------------------------------------------------------------------
+# plan_mixture (data-constrained allocation)
+# ---------------------------------------------------------------------------
+
+def test_mixture_uncapped_is_proportional():
+    from refimage_ray.planner import plan_mixture
+
+    r = plan_mixture(100.0, {"web": 50.0, "code": 10.0, "books": 5.0})
+    assert r["shortfall"] == 0 and r["placed"] == 100.0
+    # equal epochs everywhere when nobody caps (proportional shares)
+    eps = {d: v["epochs"] for d, v in r["domains"].items()}
+    assert len(set(eps.values())) == 1
+
+
+def test_mixture_water_fills_capped_domains():
+    from refimage_ray.planner import plan_mixture
+
+    # NOTE: with alpha=1 caps are proportional to shares, so every
+    # domain caps at the same budget — water-filling only matters when
+    # alpha flattens shares.  alpha=0.5, budget 200: books (cap 20) and
+    # code (cap 40) cap; their overflow lands on web.
+    r = plan_mixture(200.0, {"web": 50.0, "code": 10.0, "books": 5.0},
+                     max_epochs=4, alpha=0.5)
+    d = r["domains"]
+    assert d["books"]["tokens"] == 20.0 and d["books"]["epochs"] == 4.0
+    assert d["code"]["tokens"] == 40.0 and d["code"]["epochs"] == 4.0
+    assert d["web"]["tokens"] == 140.0  # absorbed the overflow
+    assert d["web"]["epochs"] == 2.8 <= 4.0
+    assert r["shortfall"] == 0 and r["placed"] == 200.0
+
+
+def test_mixture_infeasible_budget_reports_shortfall():
+    from refimage_ray.planner import plan_mixture
+
+    r = plan_mixture(1000.0, {"web": 50.0, "code": 10.0}, max_epochs=4)
+    assert r["placed"] == 240.0  # 4*(50+10)
+    assert r["shortfall"] == 760.0
+    assert all(v["epochs"] == 4.0 for v in r["domains"].values())
+
+
+def test_mixture_alpha_flattens():
+    from refimage_ray.planner import plan_mixture
+
+    prop = plan_mixture(60.0, {"big": 90.0, "small": 10.0}, alpha=1.0)
+    flat = plan_mixture(60.0, {"big": 90.0, "small": 10.0}, alpha=0.5)
+    assert (flat["domains"]["small"]["tokens"]
+            > prop["domains"]["small"]["tokens"])
+
+
+def test_mixture_validation_and_edges():
+    import pytest as _pytest
+
+    from refimage_ray.planner import plan_mixture
+
+    with _pytest.raises(ValueError, match="alpha"):
+        plan_mixture(10, {"a": 1.0}, alpha=0)
+    with _pytest.raises(ValueError, match="token_budget"):
+        plan_mixture(-1, {"a": 1.0})
+    r = plan_mixture(10, {"a": 0.0, "b": 5.0}, max_epochs=2)
+    assert r["domains"]["a"]["tokens"] == 0.0
+    assert r["domains"]["b"]["tokens"] == 10.0
+    assert plan_mixture(0.0, {"a": 1.0})["placed"] == 0.0
