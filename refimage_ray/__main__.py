@@ -92,6 +92,17 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--nodes", type=int, default=1)
     pl.add_argument("--cpus-per-node", type=int, default=32)
 
+    pm = sub.add_parser("plan-mixture", help="data-constrained token "
+                        "allocation across domains (epoch caps + "
+                        "water-filling)")
+    pm.add_argument("--budget", type=float, required=True,
+                    help="total training tokens")
+    pm.add_argument("--domain", action="append", required=True,
+                    metavar="NAME=TOKENS",
+                    help="repeatable: available tokens per domain")
+    pm.add_argument("--max-epochs", type=float, default=4.0)
+    pm.add_argument("--alpha", type=float, default=1.0)
+
     e = sub.add_parser("explain", help="query → execution plan (no exec)")
     e.add_argument("query")
     e.add_argument("--num-shards", type=int, default=32)
@@ -232,6 +243,22 @@ def main(argv: list[str] | None = None) -> int:
             nodes=args.nodes, cpus_per_node=args.cpus_per_node,
         )), indent=1))
         return
+    if args.cmd == "plan-mixture":  # pure arithmetic, no Ray needed
+        from refimage_ray.planner import plan_mixture
+
+        domains = {}
+        for spec in args.domain:
+            name, _, tok = spec.partition("=")
+            if not tok:
+                print(json.dumps({"error": f"--domain needs NAME=TOKENS, "
+                                           f"got {spec!r}"}))
+                return 1
+            domains[name] = float(tok)
+        print(json.dumps(plan_mixture(
+            args.budget, domains,
+            max_epochs=args.max_epochs, alpha=args.alpha,
+        ), indent=1))
+        return 0
     if args.cmd == "explain":  # driver-only, no Ray needed
         from refimage_ray.extension import explain
 
