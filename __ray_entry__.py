@@ -729,6 +729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_join": relational.nation_region_join,
         "events_hourly": relational.events_hourly,
         "events_hopping": relational.events_hopping,
+        "events_funnel": relational.events_funnel,
+        "events_cohort_retention": relational.events_cohort_retention,
         "events_hourly_rollup": relational.events_hourly_rollup,
         "events_sessionize": relational.events_sessionize,
         "events_asof_last": relational.events_asof_last,
@@ -1614,6 +1616,34 @@ LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
         "events_value_median": """
 SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # ordered funnel: each step strictly after the user's FIRST
+        # completion of the previous step
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT step, CAST(step_idx AS BIGINT) AS step_idx,
+       CAST(n_users AS BIGINT) AS n_users
+FROM (VALUES
+  ('view', 1, (SELECT count(*) FROM s1)),
+  ('click', 2, (SELECT count(*) FROM s2)),
+  ('purchase', 3, (SELECT count(*) FROM s3))) AS t(step, step_idx, n_users)
+""",
+        # weekly cohort retention (Monday weeks, offsets < 8)
+        "events_cohort_retention": """
+WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+           FROM events),
+c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+SELECT c.cw AS cohort_week,
+       CAST(date_diff('day', c.cw, w.wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM w JOIN c USING (user_id)
+WHERE date_diff('day', c.cw, w.wk) // 7 < 8
+GROUP BY 1, 2
 """,
         # hopping windows: L=60min, H=30min → each event in 2 windows
         # (window starts hop-aligned, ts ∈ [start, start+L))

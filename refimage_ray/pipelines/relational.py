@@ -210,6 +210,83 @@ def events_hopping(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_funnel(
+    sf_dir: str, steps: tuple = ("view", "click", "purchase")
+) -> pa.Table:
+    """Ordered funnel conversion: how many users completed step 1,
+    then step 2 STRICTLY AFTER their first step-1 event, and so on
+    (the classic product-analytics funnel).  Per-user work is one
+    in-group sort + a vectorized first-occurrence walk; the exchange
+    is ONE user-keyed groupby emitting a single depth row per user.
+    SQL mirror: nested min-ts-after-previous-step subqueries."""
+    step_list = list(steps)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        depth = 0
+        cur = None  # ts of the previous completed step
+        for s in step_list:
+            m = (et == s) if cur is None else ((et == s) & (ts > cur))
+            if not m.any():
+                break
+            cur = ts[m].min()
+            depth += 1
+        return pd.DataFrame({"depth": [depth]})
+
+    depths = (
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()["depth"]
+        .to_numpy()
+    )
+    # users at step i = users whose depth >= i (cumulative from the top)
+    n_at = [(depths >= i).sum() for i in range(1, len(step_list) + 1)]
+    return pa.table({
+        "step": pa.array(step_list, pa.string()),
+        "step_idx": pa.array(range(1, len(step_list) + 1), pa.int64()),
+        "n_users": pa.array([int(x) for x in n_at], pa.int64()),
+    })
+
+
+def events_cohort_retention(sf_dir: str, max_weeks: int = 8) -> pa.Table:
+    """Weekly cohort retention matrix: users grouped by their FIRST
+    activity week (Monday-aligned), counted in each later week they
+    were active — (cohort_week, week_offset, n_users).  Per-user work
+    is one distinct-week set; the exchange is user-keyed.  SQL mirror:
+    date_trunc('week') + min-over-user + offset join."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        weeks = np.unique((((days + 3) // 7) * 7 - 3))  # Monday-aligned
+        cohort = int(weeks.min())
+        off = ((weeks - cohort) // 7).astype(np.int64)
+        off = off[off < max_weeks]
+        return pd.DataFrame({
+            "cohort_days": np.full(len(off), cohort, np.int64),
+            "week_offset": off,
+        })
+
+    out = (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_days", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["cohort_days", "week_offset"])
+    )
+    out["cohort_week"] = (
+        out["cohort_days"].to_numpy().astype("datetime64[D]")
+        .astype("datetime64[us]")
+    )
+    out = out[["cohort_week", "week_offset", "n_users"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def events_user_stats(sf_dir: str) -> "rd.Dataset":
     """Per-user event stats incl. distinct-type count (map_groups for
     the non-algebraic distinct aggregate)."""
