@@ -690,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": corpus.repetition_stats,
         "heavy_hitters": corpus.heavy_hitters,
         "bigram_pmi": corpus.bigram_pmi,
+        "doc_lexical_stats": corpus.doc_lexical_stats,
         "doc_perplexity": corpus.doc_perplexity,
         "perplexity_filter_stats": corpus.perplexity_filter_stats,
         "bpe_merges": corpus.bpe_merges,  # rows-only (greedy recursion)
@@ -809,6 +810,26 @@ ORDER BY cnt DESC, term
 """,
         # PMI mirrors the Ray float expression shape exactly:
         # ln((c_xy * N_uni^2) / (N_bi * c_x * c_y)), rounded to 6 dp
+        # per-doc lexical richness (distinct/TTR/hapax)
+        "doc_lexical_stats": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ({_TOKS}) GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_terms,
+         CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.distinct_terms, 0) AS distinct_terms,
+       CASE WHEN a.n_tokens > 0
+            THEN round(a.distinct_terms * 1.0 / a.n_tokens, 6) END AS ttr,
+       coalesce(a.hapax, 0) AS hapax
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
         # add-1 bigram LM self-perplexity, float-for-float with
         # stages/lm.py: p(cur|prev) = (C(prev,cur)+1)/(C(prev)+V),
         # ppl = exp(-avg ln p) over a doc's transitions; <2-token docs

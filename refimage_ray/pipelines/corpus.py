@@ -725,6 +725,51 @@ def bigram_counts(sf_dir: str, min_count: int = 5) -> "rd.Dataset":
     )
 
 
+def doc_lexical_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-doc vocabulary-richness signals (the classic quality-filter
+    trio next to length/stopword heuristics): distinct terms,
+    type-token ratio, and hapax count (terms occurring once in the
+    doc).  One tokenize pass per batch, one Arrow group_by(doc, term)
+    — a document's text is one row, so per-doc stats are exact within
+    the batch with NO shuffle."""
+
+    from refimage_ray.stages.tokenize import _flat_tokens
+
+    def stats(b: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(b["text"], DEFAULT_CONFIG)
+        n_rows = b.num_rows
+        if len(flat) == 0:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(np.zeros(n_rows, np.int64)),
+                "distinct_terms": pa.array(np.zeros(n_rows, np.int64)),
+                "ttr": pa.array(np.full(n_rows, np.nan), pa.float64()),
+                "hapax": pa.array(np.zeros(n_rows, np.int64)),
+            })
+        g = (
+            pa.table({"row": pa.array(parent), "term": flat})
+            .group_by(["row", "term"]).aggregate([([], "count_all")])
+        )
+        rows = g["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        distinct = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        hapax = np.bincount(rows[tf == 1], minlength=n_rows).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            ttr = np.where(n_tok > 0,
+                           np.round(distinct / np.maximum(n_tok, 1), 6),
+                           np.nan)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "distinct_terms": pa.array(distinct),
+            "ttr": pa.array(ttr, pa.float64(), mask=np.isnan(ttr)),
+            "hapax": pa.array(hapax),
+        })
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
 def doc_perplexity(sf_dir: str, k: float = 1.0) -> "rd.Dataset":
     """CCNet-style LM quality scores: train an add-k bigram LM on the
     corpus (ONE vocab-sized counting exchange), broadcast it once, score
