@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": corpus.heavy_hitters,
         "bigram_pmi": corpus.bigram_pmi,
         "doc_lexical_stats": corpus.doc_lexical_stats,
+        "zipf_fit": corpus.zipf_fit,
         "doc_perplexity": corpus.doc_perplexity,
         "perplexity_filter_stats": corpus.perplexity_filter_stats,
         "bpe_merges": corpus.bpe_merges,  # rows-only (greedy recursion)
@@ -810,6 +811,22 @@ ORDER BY cnt DESC, term
 """,
         # PMI mirrors the Ray float expression shape exactly:
         # ln((c_xy * N_uni^2) / (N_bi * c_x * c_y)), rounded to 6 dp
+        # Zipf fit: ln(tf) vs ln(rank), rank by (tf desc, term asc)
+        "zipf_fit": f"""
+WITH tf AS (
+  SELECT term, count(*) AS tf FROM ({_TOKS}) GROUP BY term
+),
+r AS (
+  SELECT ln(CAST(tf AS DOUBLE)) AS y,
+         ln(CAST(row_number() OVER (ORDER BY tf DESC, term) AS DOUBLE)) AS x
+  FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM r
+""",
         # per-doc lexical richness (distinct/TTR/hapax)
         "doc_lexical_stats": f"""
 WITH tf AS (

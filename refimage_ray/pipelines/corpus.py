@@ -770,6 +770,38 @@ def doc_lexical_stats(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def zipf_fit(sf_dir: str) -> pa.Table:
+    """Zipf-law fit of the term-frequency distribution: least-squares
+    slope/intercept/R² of ln(tf) vs ln(rank) (rank by tf desc, term
+    asc).  A healthy natural-language corpus slopes ≈ −1; synthetic or
+    template-heavy corpora flatten — a one-row corpus-health
+    diagnostic on top of `term_stats`' vocab-sized aggregate.  The
+    regression runs on the driver over |vocab| rows and is mirrored by
+    DuckDB regr_slope/intercept/r2 (same ranking, same logs)."""
+    hist = (
+        term_stats(sf_dir)
+        .select_columns(["term", "total_tf"])
+        .to_pandas()
+        .sort_values(["total_tf", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    y = np.log(hist["total_tf"].to_numpy(np.float64))
+    x = np.log(np.arange(1, len(hist) + 1, dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    cov = ((x - mx) * (y - my)).sum()
+    varx = ((x - mx) ** 2).sum()
+    vary = ((y - my) ** 2).sum()
+    slope = cov / varx
+    return pa.table({
+        "n_terms": pa.array([len(hist)], pa.int64()),
+        "slope": pa.array([round(float(slope), 6)], pa.float64()),
+        "intercept": pa.array([round(float(my - slope * mx), 6)],
+                              pa.float64()),
+        "r2": pa.array([round(float(cov * cov / (varx * vary)), 6)],
+                       pa.float64()),
+    })
+
+
 def doc_perplexity(sf_dir: str, k: float = 1.0) -> "rd.Dataset":
     """CCNet-style LM quality scores: train an add-k bigram LM on the
     corpus (ONE vocab-sized counting exchange), broadcast it once, score
