@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": corpus.heavy_hitters,
         "bigram_pmi": corpus.bigram_pmi,
         "doc_lexical_stats": corpus.doc_lexical_stats,
+        "dup_rate_by_source": corpus.dup_rate_by_source,
         "zipf_fit": corpus.zipf_fit,
         "doc_perplexity": corpus.doc_perplexity,
         "perplexity_filter_stats": corpus.perplexity_filter_stats,
@@ -811,6 +812,15 @@ ORDER BY cnt DESC, term
 """,
         # PMI mirrors the Ray float expression shape exactly:
         # ln((c_xy * N_uni^2) / (N_bi * c_x * c_y)), rounded to 6 dp
+        # per-source exact-dup rollup (md5 grouping, SQL-parity hash)
+        "dup_rate_by_source": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents GROUP BY source
+""",
         # Zipf fit: ln(tf) vs ln(rank), rank by (tf desc, term asc)
         "zipf_fit": f"""
 WITH tf AS (

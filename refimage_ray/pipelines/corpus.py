@@ -770,6 +770,48 @@ def doc_lexical_stats(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def dup_rate_by_source(sf_dir: str) -> pa.Table:
+    """Exact-duplicate rate per source (crawl-health rollup: which
+    feeds ship copies).  Per-batch combiner emits (source, md5-hash)
+    partial counts; ONE narrow groupby over (source, hash) then a
+    source-sized rollup — the corpus text never shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    from refimage_ray.functions.hashing import md5_string_array
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "h": md5_string_array(b["text"]),
+        })
+
+    per_hash = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "docs": pc.cast(b["n"], pa.int64()),
+            "distinct": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+
+    agg = (
+        per_hash.map_batches(rollup, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("docs", alias_name="n_docs"),
+                   Sum("distinct", alias_name="n_distinct"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    agg["dup_rate"] = (1.0 - agg["n_distinct"] / agg["n_docs"]).round(6)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def zipf_fit(sf_dir: str) -> pa.Table:
     """Zipf-law fit of the term-frequency distribution: least-squares
     slope/intercept/R² of ln(tf) vs ln(rank) (rank by tf desc, term
