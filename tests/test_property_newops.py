@@ -144,3 +144,27 @@ def test_lm_probabilities_are_proper(seq):
         for b in vocab
     )
     assert total <= 1.0 + 1e-9
+
+
+@given(
+    st.floats(0, 1e6, allow_nan=False),
+    st.dictionaries(st.sampled_from(["a", "b", "c", "d", "e"]),
+                    st.floats(0, 1e5, allow_nan=False),
+                    min_size=1, max_size=5),
+    st.floats(0.1, 2.0),
+    st.floats(1.0, 8.0),
+)
+@settings(max_examples=80, deadline=None)
+def test_plan_mixture_invariants(budget, domains, alpha, max_epochs):
+    from refimage_ray.planner import plan_mixture
+
+    r = plan_mixture(budget, domains, max_epochs=max_epochs, alpha=alpha)
+    placed = sum(v["tokens"] for v in r["domains"].values())
+    # conservation: placed + shortfall == budget (to rounding)
+    assert abs(placed + r["shortfall"] - budget) < 1e-2 + budget * 1e-9
+    for d, v in r["domains"].items():
+        cap = max_epochs * domains[d]
+        assert v["tokens"] <= cap + 1e-6  # never exceeds the epoch cap
+        assert v["tokens"] >= 0
+        if domains[d] == 0:
+            assert v["tokens"] == 0
