@@ -200,8 +200,11 @@ def plan_mixture(
             if closed_any else remaining - taken
     out = {
         d: {
-            "tokens": round(alloc[d], 3),
-            "epochs": round(alloc[d] / domain_tokens[d], 4)
+            # clamp to the cap: round() alone can round a capped
+            # allocation UP past max_epochs * available (e.g. 0.34375
+            # -> 0.344), violating the epoch-cap invariant
+            "tokens": min(round(alloc[d], 3), caps[d]),
+            "epochs": min(round(alloc[d] / domain_tokens[d], 4), max_epochs)
             if domain_tokens[d] > 0 else 0.0,
             "share": round(alloc[d] / token_budget, 6)
             if token_budget > 0 else 0.0,
