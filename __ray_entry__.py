@@ -754,6 +754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mixture_sample": training.lang_mixture_sample,
         "lang_temperature_sample": training.lang_temperature_sample,
         "stratified_sample": training.stratified_sample,
+        "split_by_hash": training.split_by_hash,
+        "url_latest_snapshot": training.url_latest_snapshot,
         "url_blocklist_stats": training.url_blocklist_stats,
         "pii_scrub_stats": training.pii_scrub_stats,
         "token_count_multi": training.token_count_multi,
@@ -1887,6 +1889,48 @@ r AS (
   FROM h
 )
 SELECT doc_id, lang FROM r WHERE rn <= 30
+""",
+        # deterministic train/val/test holdout: md5-u64 bucket % 100
+        # (train < 98, val = 98, test = 99); checksummed per split
+        "split_by_hash": """
+WITH s AS (
+  SELECT doc_id,
+         CASE
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                % 100 < 98 THEN 'train'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                % 100 < 99 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+FROM s GROUP BY split
+""",
+        # latest-snapshot-per-url (argmax by derived fetch offset, then
+        # doc_id) with the per-url snapshot count
+        "url_latest_snapshot": """
+WITH v AS (
+  SELECT source || '.' || lang || '.example.org/page-'
+           || CAST(doc_id % 500 AS VARCHAR) AS url,
+         doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              % 1000000 AS BIGINT) AS ts_off
+  FROM documents
+),
+r AS (
+  SELECT url, doc_id,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY ts_off DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY url) AS n
+  FROM v
+)
+SELECT url, doc_id AS latest_doc_id, CAST(n AS BIGINT) AS n_snapshots
+FROM r WHERE rn = 1
 """,
         # temperature sampling (alpha=0.5): r_l = p_l^(alpha-1) / max,
         # same power()/floor() float path as the engine

@@ -418,6 +418,154 @@ def pii_scrub_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def split_by_hash(sf_dir: str, val_pct: int = 1, test_pct: int = 1) -> "rd.Dataset":
+    """Deterministic train/val/test split rollup: every doc is assigned
+    a split by ``md5_u64(doc_id) % 100`` (train < 98, val = 98,
+    test = 99 at the defaults) — the standard reproducible holdout
+    assignment for a training corpus (no RNG: adding machines, resuming,
+    or re-running never moves a doc across splits, so the val set can
+    never leak into train between runs).
+
+    Output pins the assignment, not just the sizes: per split,
+    ``n_docs``, ``total_tokens`` (engine tokenizer) and ``sum_doc_ids``
+    — a misassigned doc changes two rows' checksums at once.
+
+    Scale shape: the assignment is a pure per-batch map (NO shuffle at
+    100 TB — the split column would simply be written through);
+    the rollup combines per batch first, so the only exchange is
+    ≤ 3 rows per block through one tiny groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    from refimage_ray.functions.hashing import md5_u64_string_array
+
+    train_hi = 100 - val_pct - test_pct
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = md5_u64_string_array(
+            pc.cast(b["doc_id"], pa.string())
+        ) % np.uint64(100)
+        split = np.where(
+            bucket < train_hi, "train",
+            np.where(bucket < 100 - test_pct, "val", "test"),
+        )
+        dl = doc_lengths(b["text"]).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"split": [], "n_docs": [], "total_tokens": [], "sum_doc_ids": []}
+        for s in ("train", "val", "test"):
+            m = split == s
+            if m.any():
+                out["split"].append(s)
+                out["n_docs"].append(int(m.sum()))
+                out["total_tokens"].append(int(dl[m].sum()))
+                out["sum_doc_ids"].append(int(ids[m].sum()))
+        return pa.table(
+            {
+                "split": pa.array(out["split"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                "total_tokens": pa.array(out["total_tokens"], pa.int64()),
+                "sum_doc_ids": pa.array(out["sum_doc_ids"], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("sum_doc_ids", alias_name="sum_doc_ids"),
+        )
+    )
+
+
+def url_latest_snapshot(sf_dir: str, pages_per_host: int = 500) -> "rd.Dataset":
+    """Latest-crawl-snapshot-per-url selection (the recency dedup every
+    multi-crawl web pipeline runs before content dedup: many fetches of
+    the same page over time, keep the newest).  The synthetic corpus has
+    one row per doc, so the page url and fetch time are DERIVED
+    deterministically — several docs share a url (``doc_id %
+    pages_per_host`` within a host) and the fetch offset is
+    ``md5_u64(doc_id) % 1e6`` seconds — giving the oracle real
+    multi-snapshot groups to adjudicate.
+
+    Winner per url = max by (fetch offset, doc_id) — an argmax-per-key
+    aggregate, the "latest version wins" upsert semantic.
+
+    Scale shape: each batch first reduces to ONE candidate row per url
+    it saw (per-batch argmax combiner + partial count), so the shuffle
+    carries ≤ |urls-in-batch| narrow rows, never the corpus; the final
+    ``groupby(url)`` adjudicates candidate rows only.
+    """
+    from refimage_ray.functions.hashing import md5_u64_string_array
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ts_off = (
+            md5_u64_string_array(pc.cast(b["doc_id"], pa.string()))
+            % np.uint64(1_000_000)
+        ).astype(np.int64)
+        url = pc.binary_join_element_wise(
+            b["source"], ".", b["lang"], ".example.org/page-",
+            pc.cast(
+                pc.subtract(
+                    b["doc_id"],
+                    pc.multiply(
+                        pc.divide(b["doc_id"], pages_per_host),
+                        pages_per_host,
+                    ),
+                ),
+                pa.string(),
+            ),
+            "",
+        )
+        t = pa.table(
+            {
+                "url": url,
+                "doc_id": b["doc_id"],
+                "ts_off": pa.array(ts_off, pa.int64()),
+                "n": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            }
+        )
+        # per-batch argmax combiner: sort (url asc, ts_off desc, id desc),
+        # keep each url run's first row, carry the run length as n
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("url", "ascending"), ("ts_off", "descending"),
+                       ("doc_id", "descending")],
+        )
+        t = t.take(idx)
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        is_first = np.concatenate(([True], urls[1:] != urls[:-1]))
+        starts = np.flatnonzero(is_first)
+        run_len = np.diff(np.append(starts, len(urls)))
+        return t.filter(pa.array(is_first)).set_column(
+            3, "n", pa.array(run_len.astype(np.int64), pa.int64())
+        )
+
+    def finalize(g):
+        g = g.sort_values(
+            ["ts_off", "doc_id"], ascending=[False, False], kind="mergesort"
+        )
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "url": [g["url"].iloc[0]],
+                "latest_doc_id": [np.int64(g["doc_id"].iloc[0])],
+                "n_snapshots": [np.int64(g["n"].sum())],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "lang", "source"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(finalize)
+    )
+
+
 def stratified_sample(sf_dir: str, n_per_stratum: int = 30) -> "rd.Dataset":
     """EXACT-count stratified sample: the ``n`` docs with the lowest
     deterministic hash within each language (so the sample is stable

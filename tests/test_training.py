@@ -484,6 +484,136 @@ def test_stratified_sample_exact_vs_bruteforce(ray_session, tmp_path):
     assert got == want and len(got) == 90
 
 
+def test_split_by_hash_vs_bruteforce(ray_session, tmp_path):
+    """Per-batch combiner + Sum groupby == per-doc brute-force holdout
+    assignment (md5-u64 % 100), including the token and id checksums."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.training import split_by_hash
+
+    n = 600
+    texts = [f"alpha beta doc {i} " + "w " * (i % 7) for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    import re
+
+    def split_of(i):
+        b = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big") % 100
+        return "train" if b < 98 else ("val" if b < 99 else "test")
+
+    want = {}
+    for i in range(n):
+        s = split_of(i)
+        dl = len(re.findall(r"[a-z0-9]+", texts[i].lower()))
+        a = want.setdefault(s, [0, 0, 0])
+        a[0] += 1
+        a[1] += dl
+        a[2] += i
+    got = {
+        r["split"]: [r["n_docs"], r["total_tokens"], r["sum_doc_ids"]]
+        for r in split_by_hash(str(tmp_path)).take_all()
+    }
+    assert got == want
+
+
+def test_split_by_hash_is_batch_invariant(ray_session, tmp_path):
+    """The assignment never depends on block boundaries: one file vs
+    many small files produce identical rollups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.training import split_by_hash
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"tok{i} tok{i+1}" for i in range(n)]),
+        }
+    )
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir()
+    many.mkdir()
+    pq.write_table(t, str(one / "documents.parquet"))
+    import os
+
+    os.mkdir(str(many / "documents.parquet"))
+    for j in range(8):
+        pq.write_table(
+            t.slice(j * 50, 50),
+            str(many / "documents.parquet" / f"part-{j}.parquet"),
+        )
+
+    def rollup(d):
+        return sorted(
+            (r["split"], r["n_docs"], r["total_tokens"], r["sum_doc_ids"])
+            for r in split_by_hash(str(d)).take_all()
+        )
+
+    assert rollup(one) == rollup(many)
+
+
+def test_url_latest_snapshot_vs_bruteforce(ray_session, tmp_path):
+    """Per-batch argmax combiner + groupby finalizer == brute-force
+    latest-per-url, with snapshot counts, across block boundaries."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refimage_ray.pipelines.training import url_latest_snapshot
+
+    n = 900
+    langs = ["en", "fr"] * (n // 2)
+    sources = [f"src{i % 3}" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(langs),
+            "source": pa.array(sources),
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    import os
+
+    os.mkdir(str(d))
+    for j in range(6):  # many blocks: urls straddle batches
+        pq.write_table(t.slice(j * 150, 150), str(d / f"p{j}.parquet"))
+
+    def ts(i):
+        return (
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+            % 1_000_000
+        )
+
+    want = {}
+    for i in range(n):
+        url = f"{sources[i]}.{langs[i]}.example.org/page-{i % 500}"
+        cur = want.get(url)
+        if cur is None:
+            want[url] = [i, 1]
+        else:
+            best = cur[0]
+            if (ts(i), i) > (ts(best), best):
+                cur[0] = i
+            cur[1] += 1
+    got = {
+        r["url"]: [r["latest_doc_id"], r["n_snapshots"]]
+        for r in url_latest_snapshot(str(tmp_path)).take_all()
+    }
+    assert got == want
+
+
 def test_events_rollup_equals_plain_hourly(ray_session, tmp_path):
     """rollup artifact + raw tail == the plain hourly aggregate, and the
     artifact is reused (idempotent) on the second call."""
