@@ -945,7 +945,11 @@ def lang_classifier_stats(sf_dir: str, dim: int = 4096) -> pa.Table:
     from refimage_ray.stages.classifier import score_logreg, train_logreg
 
     docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
-    w, _hist = train_logreg(docs, "lang", "en", dim=dim, n_iter=12)
+    # train on a deterministic 25% hash sample (production gate shape:
+    # each GD iteration is a full pass over the training set, so the
+    # sample cuts iteration cost 4x); scoring runs over the FULL corpus
+    w, _hist = train_logreg(docs, "lang", "en", dim=dim, n_iter=12,
+                            sample_frac=0.25)
     scored = score_logreg(docs, w, dim=dim)
 
     def confusion(b: pa.Table) -> pa.Table:

@@ -71,13 +71,40 @@ def train_logreg(
     dim: int = 4096,
     n_iter: int = 20,
     l2: float = 1e-4,
+    sample_frac: float = 1.0,
+    sample_key: str = "doc_id",
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> tuple[np.ndarray, list[float]]:
     """Full-batch logistic regression; returns (weights (dim+1,), loss
     history).  The last weight is the bias.  Loss is mean log-loss +
     (l2/2)·||w||² and is non-increasing across iterations by the
-    backtracking guarantee."""
+    backtracking guarantee.
+
+    ``sample_frac < 1`` trains on a deterministic md5-u64 hash sample of
+    the corpus (gate on ``sample_key``) — the production shape: a gate
+    classifier doesn't need every document, and each GD iteration is a
+    full pass over whatever it trains on, so a 10% sample cuts training
+    cost ~10× while scoring still runs over the full corpus.  The gate
+    is seed-free and resume/cluster-size-stable like every other
+    sampling operator here.
+    """
+    import pyarrow.compute as pc
     import ray
+
+    if not 0.0 < sample_frac <= 1.0:
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    if sample_frac < 1.0:
+        thr = np.uint64(int(sample_frac * 4294967296.0))
+
+        def gate(b: pa.Table) -> pa.Table:
+            h = md5_u64_string_array(
+                pc.cast(b[sample_key], pa.string())
+            ) % np.uint64(4294967296)
+            return b.filter(pa.array(h < thr))
+
+        docs_ds = docs_ds.select_columns(
+            [sample_key, "text", label_col]
+        ).map_batches(gate, batch_format="pyarrow")
 
     ds = docs_ds.select_columns(["text", label_col])
     w = np.zeros(dim + 1)

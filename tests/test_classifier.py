@@ -110,3 +110,37 @@ def test_empty_text_rows_score_at_bias(trained, ray_session):
     [row] = score_logreg(probe, w, dim=DIM).take_all()
     expected = 1 / (1 + np.exp(-w[-1]))
     assert row["p"] == round(float(expected), 6)
+
+
+def test_sample_frac_equals_prefiltered_training(ray_session):
+    """sample_frac trains on EXACTLY the md5-u64-gated subset: weights
+    are bit-identical to sample_frac=1.0 over the manually pre-filtered
+    corpus, and differ from full-corpus training."""
+    import hashlib
+
+    tbl = _corpus(40)
+    ds = rd.from_arrow(tbl)
+    frac = 0.5
+
+    def survives(i):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+        return (h % 4294967296) < int(frac * 4294967296)
+
+    keep = [i for i in range(tbl.num_rows) if survives(i)]
+    assert 0 < len(keep) < tbl.num_rows
+    sub = tbl.take(pa.array(keep))
+
+    w_sampled, _ = train_logreg(ds, "label", "good", dim=DIM, n_iter=8,
+                                sample_frac=frac)
+    w_manual, _ = train_logreg(rd.from_arrow(sub), "label", "good",
+                               dim=DIM, n_iter=8)
+    w_full, _ = train_logreg(ds, "label", "good", dim=DIM, n_iter=8)
+    np.testing.assert_array_equal(w_sampled, w_manual)
+    assert not np.array_equal(w_sampled, w_full)
+
+
+def test_sample_frac_validation():
+    with pytest.raises(ValueError):
+        train_logreg(None, "label", "good", sample_frac=0.0)
+    with pytest.raises(ValueError):
+        train_logreg(None, "label", "good", sample_frac=1.5)
