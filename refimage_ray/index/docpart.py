@@ -721,6 +721,7 @@ class DocPartSearcher:
         sums: "dict[str, str] | None" = None,
         date_histograms: "dict[str, str] | None" = None,
         percentiles=None,
+        percentile_gather_cap: int = 1_000_000,
     ) -> dict:
         """Facet aggregation, doc-partitioned: each shard counts over
         ITS match subset from shard-local doc values; counts and sums
@@ -738,22 +739,32 @@ class DocPartSearcher:
         if percentiles:
             # percentiles are NOT additive: gather each shard's match
             # VALUES (capped) and rank-select over the concatenation —
-            # exact, bounded, one extra round trip
+            # exact, bounded, one extra round trip.  Above the cap,
+            # fall back to exact histogram-bisection selection
+            # (O(buckets) exchange per round, match-size independent).
             from refimage_ray.index.docvalues import select_percentiles
 
-            gathered = [
-                sh.match_values(query, sorted(percentiles), mode=mode,
-                                where=where)
-                for sh in self.shards
-            ]
-            pct = {
-                c: select_percentiles(
-                    np.concatenate([g[c] for g in gathered])
-                    if gathered else np.zeros(0),
-                    qs,
+            try:
+                gathered = [
+                    sh.match_values(query, sorted(percentiles), mode=mode,
+                                    where=where, cap=percentile_gather_cap)
+                    for sh in self.shards
+                ]
+                pct = {
+                    c: select_percentiles(
+                        np.concatenate([g[c] for g in gathered])
+                        if gathered else np.zeros(0),
+                        qs,
+                    )
+                    for c, qs in percentiles.items()
+                }
+            except ValueError as e:
+                if not _is_gather_cap_error(e):
+                    raise
+                pct = _selection_percentiles(
+                    lambda m, *a: [getattr(sh, m)(*a) for sh in self.shards],
+                    percentiles, query, mode, where,
                 )
-                for c, qs in percentiles.items()
-            }
         out = merge_facet_results(parts, top=top)
         if pct is not None:
             out["percentiles"] = pct
@@ -821,6 +832,73 @@ class DocPartSearcher:
         ``engine.search_regex``)."""
         return self._search_expanded("regex", pattern, k, threshold, cfg,
                                      max_expansions)
+
+
+def _selection_percentiles(
+    shard_call,
+    percentiles: "dict[str, list[float]]",
+    query: str,
+    mode: str,
+    where,
+    *,
+    buckets: int = 1024,
+    collect_cap: int = 65536,
+) -> dict:
+    """Above-cap percentile path: exact quantiles by iterative
+    histogram bisection (``stages/selection.select_core``) where each
+    round's exchange is O(buckets) per shard — match-set-size
+    INDEPENDENT, so this works when the capped value gather cannot.
+
+    ``shard_call(method_name, *args) -> list[per-shard result]`` is the
+    only transport dependency — the local searcher passes a direct
+    loop, the distributed one a ray.get fan-out.  Shards recompute
+    their match set per round (2–4 rounds typical): recompute is
+    shard-local and parallel; what this path refuses to do is ship
+    O(match) values to the driver."""
+    import math
+
+    from refimage_ray.stages.selection import select_core
+
+    out: dict = {}
+    for c, qs in percentiles.items():
+        for q in qs:
+            if not 0.0 < q <= 1.0:
+                raise ValueError(f"percentile must be in (0, 1], got {q}")
+        stats = [s for s in shard_call("match_value_stats", query, c, mode,
+                                       where) if s[0]]
+        n = sum(s[0] for s in stats)
+        if n == 0:
+            out[c] = [(float(q), float("nan")) for q in qs]
+            continue
+        lo = min(s[1] for s in stats)
+        hi = max(s[2] for s in stats)
+
+        def count_pass(l, h, _c=c):
+            cs, mns, mxs = zip(*shard_call(
+                "match_value_histogram", query, _c, mode, where, l, h,
+                buckets,
+            ))
+            return (np.sum(cs, axis=0), np.minimum.reduce(mns),
+                    np.maximum.reduce(mxs))
+
+        def collect_pass(l, h, j, _c=c):
+            return np.concatenate(shard_call(
+                "match_value_bucket", query, _c, mode, where, l, h,
+                buckets, j,
+            ))
+
+        out[c] = [
+            (float(q),
+             select_core(count_pass, collect_pass,
+                         max(1, int(math.ceil(q * n))), lo, hi,
+                         buckets=buckets, collect_cap=collect_cap))
+            for q in qs
+        ]
+    return out
+
+
+def _is_gather_cap_error(e: BaseException) -> bool:
+    return "exceeds the gather cap" in str(e)
 
 
 @ray.remote
@@ -901,6 +979,33 @@ class _DocShardActor:
             v.facets(query, by=by, mode=mode, where=where,
                      histograms=histograms, sums=sums,
                      date_histograms=date_histograms)
+            for v in self._views
+        ])
+
+    def match_value_stats(self, query, col, mode, where):
+        parts = [v.match_value_stats(query, col, mode, where)
+                 for v in self._views]
+        parts = [p for p in parts if p[0]]
+        if not parts:
+            return 0, float("nan"), float("nan")
+        return (sum(p[0] for p in parts), min(p[1] for p in parts),
+                max(p[2] for p in parts))
+
+    def match_value_histogram(self, query, col, mode, where, lo, hi, buckets):
+        import numpy as _np
+
+        cs, mns, mxs = zip(*[
+            v.match_value_histogram(query, col, mode, where, lo, hi, buckets)
+            for v in self._views
+        ])
+        return (_np.sum(cs, axis=0), _np.minimum.reduce(mns),
+                _np.maximum.reduce(mxs))
+
+    def match_value_bucket(self, query, col, mode, where, lo, hi, buckets, j):
+        import numpy as _np
+
+        return _np.concatenate([
+            v.match_value_bucket(query, col, mode, where, lo, hi, buckets, j)
             for v in self._views
         ])
 
@@ -1037,6 +1142,7 @@ class DistributedDocPartSearcher:
         sums: "dict[str, str] | None" = None,
         date_histograms: "dict[str, str] | None" = None,
         percentiles=None,
+        percentile_gather_cap: int = 1_000_000,
     ) -> dict:
         """Scatter-gather facets: each actor returns partial counts
         from its shard-local doc values; the driver merge is exact by
@@ -1052,19 +1158,29 @@ class DistributedDocPartSearcher:
         if percentiles:
             from refimage_ray.index.docvalues import select_percentiles
 
-            gathered = ray.get([
-                a.match_values.remote(query, sorted(percentiles), mode,
-                                      where)
-                for a in self.actors
-            ])
-            pct = {
-                c: select_percentiles(
-                    np.concatenate([g[c] for g in gathered])
-                    if gathered else np.zeros(0),
-                    qs,
+            try:
+                gathered = ray.get([
+                    a.match_values.remote(query, sorted(percentiles), mode,
+                                          where, percentile_gather_cap)
+                    for a in self.actors
+                ])
+                pct = {
+                    c: select_percentiles(
+                        np.concatenate([g[c] for g in gathered])
+                        if gathered else np.zeros(0),
+                        qs,
+                    )
+                    for c, qs in percentiles.items()
+                }
+            except ray.exceptions.RayTaskError as e:
+                if not _is_gather_cap_error(e):
+                    raise
+                pct = _selection_percentiles(
+                    lambda m, *a: ray.get([
+                        getattr(act, m).remote(*a) for act in self.actors
+                    ]),
+                    percentiles, query, mode, where,
                 )
-                for c, qs in percentiles.items()
-            }
         out = merge_facet_results(parts, top=top)
         if pct is not None:
             out["percentiles"] = pct

@@ -392,8 +392,9 @@ class DocValues:
         ``row_number()`` window.  ``np.partition`` selection, O(n) per
         quantile.  NOT additive across doc shards (unlike every other
         facet) — the doc-partitioned searchers run a CAPPED per-shard
-        value gather and rank-select over the concatenation instead
-        (see ``docpart`` facets)."""
+        value gather and rank-select over the concatenation, falling
+        back above the cap to exact histogram-bisection selection with
+        an O(buckets)-per-round exchange (see ``docpart`` facets)."""
         return select_percentiles(self.numeric_values(col, ranks), qs)
 
 

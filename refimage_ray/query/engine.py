@@ -1149,6 +1149,62 @@ class _SearcherBase:
             )
         return {c: dv.numeric_values(c, ranks) for c in cols}
 
+    def _match_numeric(self, query: str, col: str, mode, where) -> np.ndarray:
+        """Match-set values of one numeric column (nulls dropped), NO
+        cap — internal primitive of the bounded-exchange percentile
+        rounds below (the values never leave this shard; only
+        O(buckets) summaries do)."""
+        from refimage_ray.index.docvalues import where_columns
+
+        terms = query_terms(self._tokenize(query))
+        term_map = self._term_map(terms)
+        ranks, _ = self._match_ranks_scores(term_map, terms, mode)
+        need = sorted({col} | (set(where_columns(where)) if where else set()))
+        dv = self.doc_values(need)
+        if where is not None:
+            ranks = ranks[dv.mask(where)[ranks]]
+        v = dv.numeric_values(col, ranks)
+        # NaN-valued (non-null) entries would poison the bounds round
+        # (min/max) and never land in any [lo, hi] bucket — exclude
+        # them up front (SQL ORDER BY semantics, same rule as
+        # stages/selection.kth_smallest)
+        return v[~np.isnan(v)] if v.dtype.kind == "f" else v
+
+    def match_value_stats(
+        self, query: str, col: str, mode: str = "or", where=None
+    ) -> tuple[int, float, float]:
+        """(n_valid, min, max) of the match set's values — the O(1)
+        bounds round of the histogram-bisection percentile path (the
+        above-cap alternative to :meth:`match_values`)."""
+        v = self._match_numeric(query, col, mode, where)
+        if len(v) == 0:
+            return 0, float("nan"), float("nan")
+        return int(len(v)), float(v.min()), float(v.max())
+
+    def match_value_histogram(
+        self, query: str, col: str, mode: str, where,
+        lo: float, hi: float, buckets: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One histogram-bisection round: per-bucket (count, data-min,
+        data-max) of the match values inside [lo, hi] — O(buckets)
+        returned regardless of match-set size."""
+        from refimage_ray.stages.selection import local_histogram_pass
+
+        v = self._match_numeric(query, col, mode, where)
+        _, counts, bmin, bmax = local_histogram_pass(v, lo, hi, buckets)
+        return counts, bmin, bmax
+
+    def match_value_bucket(
+        self, query: str, col: str, mode: str, where,
+        lo: float, hi: float, buckets: int, j: int,
+    ) -> np.ndarray:
+        """The surviving bucket's values (the final collect round —
+        bounded by the driver's collect_cap check before it asks)."""
+        from refimage_ray.stages.selection import local_collect_pass
+
+        v = self._match_numeric(query, col, mode, where)
+        return local_collect_pass(v, lo, hi, buckets, j)
+
 
 def facet_panel(
     searcher,

@@ -686,6 +686,46 @@ def test_facet_percentiles_docpart_gather(ray_session, built_index,
         )
 
 
+def test_facet_percentiles_above_cap_selection_fallback(
+    ray_session, built_index, searcher, tmp_path
+):
+    """When the match set exceeds the gather cap, docpart percentiles
+    switch to exact histogram-bisection selection (O(buckets) exchange
+    per round) — results must equal the gather path EXACTLY, on both
+    the in-process and the actor-pool searchers."""
+    import ray.data as rd
+
+    from refimage_ray.index.docpart import (
+        DistributedDocPartSearcher,
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+    import pyarrow.dataset as pads
+
+    index_dir, cfg, _ = built_index
+    docs = pads.dataset(index_dir + "/docs").to_table(
+        columns=["doc_id", "text", "n_chars"]
+    )
+    dp = str(tmp_path / "dp_sel")
+    build_doc_partitioned(rd.from_arrow(docs), dp, cfg,
+                          value_columns=["n_chars"])
+    spec = {"n_chars": [0.25, 0.5, 0.9, 1.0]}
+    dps = DocPartSearcher(dp)
+    gathered = dps.facets("the data", percentiles=spec)
+    fallback = dps.facets("the data", percentiles=spec,
+                          percentile_gather_cap=1)
+    assert fallback["percentiles"] == gathered["percentiles"]
+
+    dist = DistributedDocPartSearcher(dp, num_actors=2)
+    dist_fb = dist.facets("the data", percentiles=spec,
+                          percentile_gather_cap=1)
+    assert dist_fb["percentiles"] == gathered["percentiles"]
+    # a non-cap error must still propagate, not reroute
+    with pytest.raises(KeyError, match="doc-value column"):
+        dps.facets("the data", percentiles={"missing_col": [0.5]},
+                   percentile_gather_cap=1)
+
+
 def test_runtime_field(searcher):
     import numpy as np
 
