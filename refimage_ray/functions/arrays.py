@@ -16,3 +16,95 @@ def sorted_membership(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
     return (pos < len(sorted_arr)) & (
         sorted_arr[np.minimum(pos, len(sorted_arr) - 1)] == values
     )
+
+
+def _sum_rows(rows: list[dict], key_fn) -> dict:
+    """Sum a list of same-schema partial rows in canonical key order
+    (float addition isn't associative — the order IS the contract).
+    List/array columns sum elementwise; scalars add."""
+    rows = sorted(rows, key=key_fn)
+    out: dict = {}
+    for c in rows[0]:
+        vals = [r[c] for r in rows]
+        if isinstance(vals[0], (list, np.ndarray)):
+            out[c] = np.sum(
+                np.stack([np.asarray(v) for v in vals]), axis=0
+            ).tolist()
+        else:
+            acc = vals[0]
+            for v in vals[1:]:
+                acc = acc + v
+            out[c] = acc
+    return out
+
+
+def canonical_tree_sum(
+    partials_ds,
+    key_fn,
+    *,
+    driver_cap: int = 4096,
+    branch: int = 256,
+    max_rounds: int = 8,
+) -> "dict | None":
+    """Deterministic sum-reduce of a partial-rows Dataset (the reduce
+    tail of k-means / PCA / the classifier gate: one row per block, all
+    columns pure sums).
+
+    ≤ ``driver_cap`` rows: collect and sum driver-side in ``key_fn``
+    order — bit-identical to the historical driver reduce.  Above the
+    cap (the >10⁵-block regime at 100 TB, where even one row per block
+    is too much driver traffic): distributed tree rounds — rows bucket
+    by ``md5(key) % B`` (CONTENT-keyed, so the tree shape — hence the
+    float summation order — depends only on the partial rows
+    themselves, never on block layout or cluster size), each bucket
+    sums in key order inside ``map_groups``, and rounds repeat until
+    the survivors fit the driver.  ``branch`` bounds bucket fan-in, so
+    each round shrinks the row count ~branch× and ships only combined
+    rows.
+
+    Returns the single fully-combined row (or None for an empty
+    dataset).  Caller's ``key_fn`` must produce a total order on rows
+    (include every column — ties would otherwise leave the float order
+    ambiguous).
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    n = partials_ds.count()
+    if n == 0:
+        return None
+    rounds = 0
+    while n > driver_cap and rounds < max_rounds:
+        n_buckets = max(1, -(-n // branch))
+
+        def bucket_of(rows_tbl: "pa.Table", _nb=n_buckets) -> "pa.Table":
+            rows = rows_tbl.to_pylist()
+            b = [
+                int.from_bytes(
+                    hashlib.md5(repr(key_fn(r)).encode()).digest()[:8],
+                    "big",
+                ) % _nb
+                for r in rows
+            ]
+            return rows_tbl.append_column(
+                "__ctr_bucket", pa.array(b, pa.int64())
+            )
+
+        def combine(group: "pa.Table") -> "pa.Table":
+            rows = group.drop_columns(["__ctr_bucket"]).to_pylist()
+            merged = _sum_rows(rows, key_fn)
+            return pa.table(
+                {c: [merged[c]] for c in rows[0]},
+                schema=group.drop_columns(["__ctr_bucket"]).schema,
+            )
+
+        partials_ds = (
+            partials_ds.map_batches(bucket_of, batch_format="pyarrow")
+            .groupby("__ctr_bucket")
+            .map_groups(combine, batch_format="pyarrow")
+        )
+        n = partials_ds.count()
+        rounds += 1
+    rows = partials_ds.take_all()
+    return _sum_rows(rows, key_fn) if rows else None

@@ -375,18 +375,22 @@ def embedding_pca_stats(sf_dir: str, top: int = 8) -> pa.Table:
             }
         )
 
-    rows = (
-        _emb(sf_dir).select_columns(["embedding"])
-        .map_batches(partials, batch_format="pyarrow")
-        .take_all()
-    )
     # deterministic reduce: sum partials in a canonical order (blocks
-    # arrive in nondeterministic order; float addition isn't associative)
-    rows.sort(key=lambda r: (r["n"], r["sum"][0], r["xtx"][0]))
-    n = sum(r["n"] for r in rows)
-    d = len(rows[0]["sum"])
-    s = np.sum(np.stack([np.asarray(r["sum"]) for r in rows]), axis=0)
-    xtx = np.sum(np.stack([np.asarray(r["xtx"]) for r in rows]), axis=0)
+    # arrive in nondeterministic order; float addition isn't
+    # associative).  Full-content key — first-element-only keys would
+    # leave tied rows in arrival order.  Content-bucketed tree reduce
+    # above the driver cap (the >10^5-block path).
+    from refimage_ray.functions.arrays import canonical_tree_sum
+
+    agg = canonical_tree_sum(
+        _emb(sf_dir).select_columns(["embedding"])
+        .map_batches(partials, batch_format="pyarrow"),
+        key_fn=lambda r: (r["n"], r["sum"], r["xtx"]),
+    )
+    n = agg["n"]
+    d = len(agg["sum"])
+    s = np.asarray(agg["sum"])
+    xtx = np.asarray(agg["xtx"])
     xtx = xtx.reshape(d, d)
     mean = s / n
     cov = (xtx - n * np.outer(mean, mean)) / (n - 1)

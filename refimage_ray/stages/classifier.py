@@ -126,14 +126,16 @@ def train_logreg(
                 "grad": pa.array([g.tolist()], pa.list_(pa.float64())),
             })
 
-        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
         # canonical reduce — grad in the key so identical (n, loss)
-        # blocks still order deterministically
-        rows.sort(key=lambda r: (r["n"], r["loss"], r["grad"]))
-        n = sum(r["n"] for r in rows)
-        loss = sum(r["loss"] for r in rows)
-        grad = np.sum(np.stack([np.asarray(r["grad"]) for r in rows]), axis=0)
-        return n, loss, grad
+        # blocks still order deterministically; content-bucketed tree
+        # reduce above the driver cap (bit-identical below it)
+        from refimage_ray.functions.arrays import canonical_tree_sum
+
+        agg = canonical_tree_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            key_fn=lambda r: (r["n"], r["loss"], r["grad"]),
+        )
+        return agg["n"], agg["loss"], np.asarray(agg["grad"])
 
     history: list[float] = []
     step = 1.0

@@ -102,14 +102,19 @@ def kmeans_fit(
                 "sse": pa.array([sse], pa.float64()),
             })
 
-        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        # canonical reduce order — key includes the sums so even blocks
-        # with identical (sse, counts) order deterministically
-        rows.sort(key=lambda r: (r["sse"], r["n"], r["sums"]))
-        counts = np.sum(np.stack([np.asarray(r["n"]) for r in rows]), axis=0)
-        sums = np.sum(np.stack([np.asarray(r["sums"]) for r in rows]), axis=0)
-        sums = sums.reshape(k, -1)
-        history.append(float(sum(r["sse"] for r in rows)))
+        # canonical reduce — key includes the sums so even blocks with
+        # identical (sse, counts) order deterministically; above the
+        # driver cap the same key drives a content-bucketed tree reduce
+        # (the >10^5-block path), bit-identical below it
+        from refimage_ray.functions.arrays import canonical_tree_sum
+
+        agg = canonical_tree_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            key_fn=lambda r: (r["sse"], r["n"], r["sums"]),
+        )
+        counts = np.asarray(agg["n"])
+        sums = np.asarray(agg["sums"]).reshape(k, -1)
+        history.append(float(agg["sse"]))
         new = cents.copy()
         nonempty = counts > 0
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
