@@ -338,6 +338,71 @@ scores AS (
 """
 
 
+def _rank_eval_sql(queries: "list[str]", k: int) -> str:
+    """Per-query retrieval metrics: disjunctive BM25 ranking (same
+    scores CTE as ``_bm25_sql``) judged against the conjunctive
+    membership set.  DCG discounts are ``ln(rn+1)/ln(2)`` — ln parity
+    with numpy is proven by the BM25 oracles, while log2 differs by an
+    ULP at some arguments."""
+    parts = []
+    for q in queries:
+        terms = sorted(set(q.split()))
+        terms_sql = ", ".join(f"('{t}')" for t in terms)
+        parts.append(f"""SELECT * FROM (
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES {terms_sql}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rn
+  FROM scores QUALIFY rn <= {k}
+),
+rel AS (
+  SELECT doc_id FROM tf WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id HAVING count(*) = {len(terms)}
+),
+hits AS (
+  SELECT r.rn, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM ranked r LEFT JOIN rel USING (doc_id)
+),
+m AS (
+  SELECT (SELECT count(*) FROM rel) AS n_rel,
+         COALESCE(sum(is_rel), 0) AS rel_at_k,
+         COALESCE(sum(is_rel / (ln(rn + 1.0) / ln(2.0))), 0.0) AS dcg
+  FROM hits
+),
+ideal AS (
+  -- generate_series needs constant bounds: emit 1..k, filter to the
+  -- ideal-ranking length least(n_rel, k)
+  SELECT COALESCE(sum(1.0 / (ln(i + 1.0) / ln(2.0))), 0.0) AS idcg
+  FROM generate_series(1, {k}) t(i), m
+  WHERE i <= least(m.n_rel, {k})
+)
+SELECT '{q}' AS query,
+       CAST(m.n_rel AS BIGINT) AS n_rel,
+       CAST(m.rel_at_k AS BIGINT) AS rel_at_k,
+       round(m.rel_at_k * 1.0 / {k}, 6) AS precision_at_k,
+       round(CASE WHEN m.n_rel = 0 THEN 0.0
+                  ELSE m.rel_at_k * 1.0 / m.n_rel END, 6) AS recall_at_k,
+       round(CASE WHEN ideal.idcg = 0 THEN 0.0
+                  ELSE m.dcg / ideal.idcg END, 6) AS ndcg_at_k
+FROM m, ideal)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _mlt_sql(doc_id: int, top_terms: int, k: int) -> str:
     """More-like-this oracle: the seed doc's ``top_terms`` highest
     tf·idf terms (ties → term asc, mirroring
@@ -628,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_doc_stats": corpus.jsonl_doc_stats,
         "index_term_stats": search.index_term_stats,
         "bm25_topk": search.bm25_topk,
+        "rank_eval": search.rank_eval,
         "bm25_topk_and": search.bm25_topk_and,
         "bm25_topk_docpart": search.bm25_topk_docpart,
         "bm25_topk_prefix": search.bm25_topk_prefix,
@@ -1084,6 +1150,11 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 8
 """,
         "bm25_topk": _bm25_sql(["spark", "join"], 10),
+        # retrieval-quality eval: BM25 ranking judged against the
+        # conjunctive-membership relevance set, per eval query
+        "rank_eval": _rank_eval_sql(
+            ["spark join", "data table scan", "vector index"], 10
+        ),
         "bm25_topk_and": _bm25_sql(["data", "table", "scan"], 10, conjunctive=True),
         # doc-partitioned layout is exact → same oracle as bm25_topk
         "bm25_topk_docpart": _bm25_sql(["spark", "join"], 10),

@@ -241,6 +241,61 @@ def bm25_topk_min_match(
     )
 
 
+#: fixed evaluation query set for rank_eval (relevance judgments are
+#: derived, so the set is arbitrary but must be stable)
+EVAL_QUERIES: tuple[str, ...] = ("spark join", "data table scan",
+                                 "vector index")
+
+
+def rank_eval(sf_dir: str, k: int = 10) -> pa.Table:
+    """Retrieval-quality evaluation (the ES ``_rank_eval`` analog — the
+    measurement step every relevance-tuning loop runs): for each eval
+    query, precision@k, recall@k and binary-relevance NDCG@k of the
+    disjunctive BM25 ranking against a DERIVED relevance set (docs
+    containing EVERY query term — conjunctive membership, so the
+    judgment list is deterministic and SQL-mirrored; a production run
+    would read human judgments instead).
+
+    DCG discounts use ``ln(rank+1)/ln(2)`` on BOTH the engine and SQL
+    sides — DuckDB's ``log2`` differs from ``np.log2`` by 1 ULP at some
+    arguments, while ``ln`` parity is proven by every BM25 value
+    oracle.  Scale shape: ranking and membership are searcher ops over
+    the resident index; nothing scans the corpus."""
+    import numpy as np
+
+    s = searcher_for(sf_dir)
+    ex = DSLExecutor(s)
+    ln2 = float(np.log(2.0))
+    out = {"query": [], "n_rel": [], "rel_at_k": [],
+           "precision_at_k": [], "recall_at_k": [], "ndcg_at_k": []}
+    for q in EVAL_QUERIES:
+        ranked = [d for d, _ in s.search(q, k=k, mode="or")]
+        rel = {d for d, _ in
+               ex.execute_query(" AND ".join(q.split()), limit=10**9)}
+        flags = np.array([d in rel for d in ranked], dtype=np.float64)
+        ranks = np.arange(1, len(ranked) + 1, dtype=np.float64)
+        dcg = float(np.sum(flags / (np.log(ranks + 1.0) / ln2)))
+        n_rel = len(rel)
+        ideal = np.arange(1, min(n_rel, k) + 1, dtype=np.float64)
+        idcg = float(np.sum(1.0 / (np.log(ideal + 1.0) / ln2)))
+        out["query"].append(q)
+        out["n_rel"].append(n_rel)
+        out["rel_at_k"].append(int(flags.sum()))
+        out["precision_at_k"].append(round(float(flags.sum()) / k, 6))
+        out["recall_at_k"].append(
+            round(float(flags.sum()) / n_rel, 6) if n_rel else 0.0
+        )
+        out["ndcg_at_k"].append(round(dcg / idcg, 6) if idcg > 0 else 0.0)
+    return pa.table({
+        "query": pa.array(out["query"], pa.string()),
+        "n_rel": pa.array(out["n_rel"], pa.int64()),
+        "rel_at_k": pa.array(out["rel_at_k"], pa.int64()),
+        "precision_at_k": pa.array(out["precision_at_k"], pa.float64()),
+        "recall_at_k": pa.array(out["recall_at_k"], pa.float64()),
+        "ndcg_at_k": pa.array(out["ndcg_at_k"], pa.float64()),
+    })
+
+
 def _membership(sf_dir: str, dsl_query: str) -> pa.Table:
     ex = DSLExecutor(searcher_for(sf_dir))
     hits = ex.execute_query(dsl_query, limit=10**9)
