@@ -30,6 +30,27 @@ _TF = (
     f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKS}) GROUP BY doc_id, term"
 )
 
+# S-stemmed token stream — mirrors functions.text.s_stem rule-for-rule
+# (each suffix branch is FINAL: exception -> unchanged; the len>1
+# guard keeps bare 's' tokens alive)
+_TOKS_STEM = f"""SELECT doc_id,
+  CASE
+    WHEN t LIKE '%ies' THEN
+      CASE WHEN t LIKE '%eies' OR t LIKE '%aies' THEN t
+           ELSE substr(t, 1, length(t) - 3) || 'y' END
+    WHEN t LIKE '%es' THEN
+      CASE WHEN t LIKE '%aes' OR t LIKE '%ees' OR t LIKE '%oes' THEN t
+           ELSE substr(t, 1, length(t) - 1) END
+    WHEN t LIKE '%s' THEN
+      CASE WHEN length(t) = 1 OR t LIKE '%us' OR t LIKE '%ss' THEN t
+           ELSE substr(t, 1, length(t) - 1) END
+    ELSE t
+  END AS term
+FROM (SELECT doc_id, t FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents))"""
+
 # 64-bit SimHash per doc, bit-for-bit the engine's simhash_batch: token
 # hash = first 16 md5 hex chars as UBIGINT (functions/hashing.
 # md5_u64_string_array), ±1 per bit over token OCCURRENCES, bit set iff
@@ -250,6 +271,7 @@ def _bm25_sql(
     order_by_sql: "str | None" = None, offset: int = 0,
     grouped_by: "str | None" = None, min_match: "int | None" = None,
     corpus_where: "str | None" = None, boost_sql: "str | None" = None,
+    toks_sql: "str | None" = None,
 ) -> str:
     """BM25 top-k oracle.  The query-term set ``q`` is either an
     explicit VALUES list (``terms``) or DERIVED from the corpus
@@ -311,8 +333,14 @@ def _bm25_sql(
     # live doc set after delete+compact) — unlike doc_where, it changes
     # the scoring basis (N, avgdl, df), exactly as compaction does
     cw = f" WHERE {corpus_where}" if corpus_where else ""
+    if toks_sql is None:
+        toks_sql = _TOKS
+    else:
+        # custom token streams (e.g. _TOKS_STEM) are nested selects —
+        # a trailing WHERE would bind to the wrong scope
+        assert corpus_where is None
     return f"""
-WITH toks AS ({_TOKS}{cw}),
+WITH toks AS ({toks_sql}{cw}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 -- avgdl divides by ALL docs (the engine's basis), not just docs with
@@ -693,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_doc_stats": corpus.jsonl_doc_stats,
         "index_term_stats": search.index_term_stats,
         "bm25_topk": search.bm25_topk,
+        "bm25_topk_stemmed": search.bm25_topk_stemmed,
         "rank_eval": search.rank_eval,
         "bm25_topk_and": search.bm25_topk_and,
         "bm25_topk_docpart": search.bm25_topk_docpart,
@@ -830,6 +859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from refimage_ray.functions.text import s_stem
+
     return {
         "corpus_stats": f"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1150,6 +1181,12 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 8
 """,
         "bm25_topk": _bm25_sql(["spark", "join"], 10),
+        # S-stemmed analysis chain: both the token stream AND the query
+        # terms go through functions.text.s_stem (SQL mirror above)
+        "bm25_topk_stemmed": _bm25_sql(
+            [s_stem(t) for t in ["sparks", "joins", "tables"]],
+            10, toks_sql=_TOKS_STEM,
+        ),
         # retrieval-quality eval: BM25 ranking judged against the
         # conjunctive-membership relevance set, per eval query
         "rank_eval": _rank_eval_sql(

@@ -25,8 +25,19 @@ class EngineConfig:
     # the stored and the queried side).
     token_pattern: str = "[a-z0-9]+"
     split_pattern: str = "[^a-z0-9]+"  # inverse, for pc.split_pattern_regex
+    # post-tokenize term transform (the Lucene analysis-chain analog):
+    # a name from functions.text.TERM_FILTERS, persisted in the
+    # manifest so query-side tokenization applies the SAME chain
+    term_filter: str = "none"
 
     def __post_init__(self) -> None:
+        from refimage_ray.functions.text import TERM_FILTERS
+
+        if self.term_filter not in TERM_FILTERS:
+            raise ValueError(
+                f"unknown term_filter {self.term_filter!r}; "
+                f"have {sorted(TERM_FILTERS)}"
+            )
         # token_pattern (extract) and split_pattern (its complement,
         # used by the vectorized split path) MUST agree, or doc_len /
         # postings / query tokens silently diverge.  When exactly one

@@ -834,6 +834,7 @@ def build_index(
                 "salt_buckets": cfg.salt_buckets,
                 "block_size": cfg.block_size,
                 "token_pattern": cfg.token_pattern,
+                "term_filter": cfg.term_filter,
                 "hot_df_fraction": cfg.hot_df_fraction,
             },
             stats={"n_docs": 0, "sum_dl": 0, "max_doc": 0, "avgdl": 1.0,
@@ -1227,6 +1228,7 @@ def build_index(
             "salt_buckets": S,
             "block_size": cfg.block_size,
             "token_pattern": cfg.token_pattern,
+            "term_filter": cfg.term_filter,
             "hot_df_fraction": cfg.hot_df_fraction,
         },
         stats=stats,

@@ -334,6 +334,7 @@ def build_doc_partitioned(
         "stats": {"n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
                   "k1": cfg.k1, "b": cfg.b},
         "config": {"token_pattern": cfg.token_pattern,
+                   "term_filter": cfg.term_filter,
                    "store_positions": bool(cfg.store_positions)},
         "build_sec": round(time.perf_counter() - t0, 3),
     }
@@ -397,6 +398,7 @@ def _load_shard_view(
     index_dir: str, fname: str, n_docs: int, avgdl: float, global_df: dict,
     token_pattern: "str | None" = None,
     dead: "np.ndarray | None" = None,
+    term_filter: str = "none",
 ):
     """One shard file → an in-process sub-searcher reusing the engine's
     scoring path (`_SearcherBase`) with GLOBAL df/N/avgdl.
@@ -414,6 +416,7 @@ def _load_shard_view(
             self.n_docs = n_docs
             self.avgdl = avgdl
             self.token_pattern = token_pattern
+            self.term_filter = term_filter
             # shard-LOCAL doc values: the values file is this shard's
             # doc universe (disjoint doc subsets → rank-aligned per
             # shard; facet counts merge additively across shards)
@@ -591,7 +594,9 @@ class DocPartSearcher:
             _load_shard_view(index_dir, f, self.n_docs, self.avgdl,
                              self._global_df,
                              man["config"].get("token_pattern"),
-                             dead=_load_tombstones(index_dir))
+                             dead=_load_tombstones(index_dir),
+                             term_filter=man["config"].get("term_filter",
+                                                           "none"))
             for f in files
         ]
 
@@ -911,11 +916,14 @@ class _DocShardActor:
     def __init__(self, index_dir: str, fnames: list[str], n_docs: int,
                  avgdl: float) -> None:
         with open(os.path.join(index_dir, "manifest.json")) as f:
-            tp = json.load(f)["config"].get("token_pattern")
+            _cfg = json.load(f)["config"]
+        tp = _cfg.get("token_pattern")
+        tfilt = _cfg.get("term_filter", "none")
         global_df = _load_global_df(index_dir)
         self._views = [
             _load_shard_view(index_dir, f, n_docs, avgdl, global_df, tp,
-                             dead=_load_tombstones(index_dir))
+                             dead=_load_tombstones(index_dir),
+                             term_filter=tfilt)
             for f in fnames
         ]
 

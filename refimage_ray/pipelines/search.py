@@ -71,6 +71,37 @@ def searcher_for(sf_dir: str) -> LocalSearcher:
     return _searchers[index_dir]
 
 
+def _stemmed_searcher(sf_dir: str) -> LocalSearcher:
+    """Index built with the S-stemmer analysis chain
+    (``EngineConfig(term_filter="s_stem")``) — separate artifact dir,
+    same lazy build/serve split as :func:`searcher_for`."""
+    index_dir = _index_dir_for(sf_dir) + "-sstem"
+    if load_manifest(index_dir) is None:
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        cfg = EngineConfig(num_shards=16, salt_buckets=4,
+                           hot_df_fraction=0.05, term_filter="s_stem")
+        build_index(docs, index_dir, cfg)
+    if index_dir not in _searchers:
+        _searchers[index_dir] = LocalSearcher(index_dir)
+    return _searchers[index_dir]
+
+
+def bm25_topk_stemmed(
+    sf_dir: str, query: str = "sparks joins tables", k: int = 10
+) -> pa.Table:
+    """BM25 top-k over an S-stemmed index (the Lucene analysis-chain
+    analog, ``functions.text.s_stem``): plural query terms reach
+    singular postings and vice versa because the SAME term filter runs
+    at build (manifest-persisted) and query time.  The eval query is
+    deliberately all-plural — on an unstemmed index it scores (almost)
+    nothing, so the oracle match proves the chain ran on both sides."""
+    return _hits_table(_stemmed_searcher(sf_dir).search(query, k=k,
+                                                        mode="or"))
+
+
 def _hits_table(hits: list[tuple[int, float]], round_to: int = 4) -> pa.Table:
     return pa.table(
         {

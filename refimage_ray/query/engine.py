@@ -378,9 +378,12 @@ class _SearcherBase:
     # tokenization must match what the BUILD tokenized with, or terms
     # indexed under a custom pattern become unreachable
     token_pattern: "str | None" = None
+    # the artifact's post-tokenize term transform (analysis chain) —
+    # same symmetry requirement as token_pattern
+    term_filter: str = "none"
 
     def _tokenize(self, text: str) -> list[str]:
-        return tokenize(text, self.token_pattern)
+        return tokenize(text, self.token_pattern, self.term_filter)
 
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         raise NotImplementedError
@@ -1429,6 +1432,7 @@ class LocalSearcher(_SearcherBase):
         self.n_docs = reader.n_docs
         self.avgdl = reader.avgdl
         self.token_pattern = reader.manifest["config"].get("token_pattern")
+        self.term_filter = reader.manifest["config"].get("term_filter", "none")
         self.index_dir = index_dir
         self._expand_cache: dict = {}
         if dense_ranks:
@@ -1507,6 +1511,7 @@ class DistributedSearcher(_SearcherBase):
         self.n_docs = reader.n_docs
         self.avgdl = reader.avgdl
         self.token_pattern = reader.manifest["config"].get("token_pattern")
+        self.term_filter = reader.manifest["config"].get("term_filter", "none")
         self.num_shards = reader.num_shards
         shards = reader.shards()
         num_actors = max(1, min(num_actors, max(1, len(shards))))
@@ -1696,7 +1701,8 @@ def more_like_this(
     if not rows:
         raise KeyError(f"doc_id {doc_id} not found")
     tf = Counter(tokenize(rows[0]["text"],
-                          getattr(searcher, "token_pattern", None)))
+                          getattr(searcher, "token_pattern", None),
+                          getattr(searcher, "term_filter", "none")))
     if not tf:
         return []
     tm = searcher._term_map(sorted(tf))
@@ -1859,7 +1865,8 @@ def doc_term_vector(index_dir: str, doc_id: int) -> list[dict]:
         raise KeyError(f"doc_id {doc_id} not found")
     man = load_manifest(os.path.join(index_dir)) or {}
     pattern = (man.get("config") or {}).get("token_pattern")
-    toks = tokenize(t["text"][0].as_py(), pattern)
+    tfilt = (man.get("config") or {}).get("term_filter", "none")
+    toks = tokenize(t["text"][0].as_py(), pattern, tfilt)
     acc: dict[str, list[int]] = {}
     for i, tok in enumerate(toks):
         acc.setdefault(tok, []).append(i)

@@ -97,11 +97,16 @@ class DeltaSearcher(_SearcherBase):
         self._k1 = float(stats.get("k1", 1.2))
         self._b = float(stats.get("b", 0.75))
         self.token_pattern = man["config"].get("token_pattern")
+        self.term_filter = man["config"].get("term_filter", "none")
         from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
 
         self._cfg = (
-            EngineConfig(token_pattern=self.token_pattern)
-            if self.token_pattern
+            EngineConfig(
+                **({"token_pattern": self.token_pattern}
+                   if self.token_pattern else {}),
+                term_filter=self.term_filter,
+            )
+            if self.token_pattern or self.term_filter != "none"
             else DEFAULT_CONFIG
         )
         # base universe for disjointness checks (narrow read; the dense

@@ -28,7 +28,7 @@ class BM25Oracle:
         self.dl: dict[int, int] = {}
         self.postings: dict[str, dict[int, int]] = {}
         for doc_id, text in docs:
-            toks = tokenize(text, cfg.token_pattern)
+            toks = tokenize(text, cfg.token_pattern, cfg.term_filter)
             self.dl[doc_id] = len(toks)
             for term, tf in Counter(toks).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
@@ -44,7 +44,8 @@ class BM25Oracle:
     def scores(self, query: str) -> dict[int, float]:
         """doc_id → score over all matching docs (disjunctive)."""
         acc: dict[int, float] = {}
-        for term in query_terms(tokenize(query, self.cfg.token_pattern)):
+        for term in query_terms(tokenize(query, self.cfg.token_pattern,
+                                         self.cfg.term_filter)):
             plist = self.postings.get(term)
             if not plist:
                 continue
@@ -62,7 +63,8 @@ class BM25Oracle:
         acc = self.scores(query)
         if mode == "and":
             terms = [t for t in query_terms(
-                tokenize(query, self.cfg.token_pattern))]
+                tokenize(query, self.cfg.token_pattern,
+                         self.cfg.term_filter))]
             acc = {
                 d: s
                 for d, s in acc.items()

@@ -51,6 +51,16 @@ def _flat_tokens(
     parent = pc.filter(parent, nonempty)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
+    if cfg.term_filter != "none":
+        # analysis chain (e.g. S-stemmer): O(unique terms) Python per
+        # batch via dictionary encode — token COUNT is invariant (a
+        # filter maps token -> non-empty token), so doc_len stays the
+        # cheap count_substring_regex pass
+        from refimage_ray.functions.text import apply_term_filter_array
+
+        flat = apply_term_filter_array(flat, cfg.term_filter)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
     return flat, parent.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
