@@ -772,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_runtime_filtered": search.bm25_topk_runtime_filtered,
         # --- dedup family ---
         "dedup_exact_docs": corpus.dedup_exact_docs,
+        "dedup_incremental_docs": corpus.dedup_incremental_docs,
         "minhash_near_dups": corpus.minhash_near_dups,
         "ngram_jaccard_near_dups": corpus.ngram_jaccard_near_dups,
         "minhash_dup_clusters": corpus.minhash_dup_clusters,
@@ -1528,6 +1529,21 @@ GROUP BY d.lang
         "dedup_exact_docs": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY text
+""",
+        # cross-crawl incremental dedup: odd-half delta survivors after
+        # (a) existing-corpus content wins (even half's hash set), then
+        # (b) first-doc_id-wins within the delta
+        "dedup_incremental_docs": """
+WITH old_h AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+keep AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT h FROM old_h)
+)
+SELECT doc_id FROM keep WHERE rn = 1
 """,
         "lang_counts": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang

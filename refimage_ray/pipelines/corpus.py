@@ -975,6 +975,52 @@ def lang_classifier_stats(sf_dir: str, dim: int = 4096) -> pa.Table:
                      for k in ("tp", "fp", "tn", "fn")})
 
 
+def dedup_incremental_docs(sf_dir: str) -> pa.Table:
+    """Cross-crawl incremental dedup (``stages.dedup.dedup_against_index``):
+    the even-doc_id half of the corpus plays the EXISTING crawl (built
+    into an index artifact whose docs/ stages the md5 halves), the odd
+    half plays the incoming delta.  Result = delta survivor doc_ids
+    after (a) dropping docs whose content the existing corpus already
+    holds — broadcast hash-set probe, no rescan of the old crawl — and
+    (b) exact dedup within the delta itself ("existing corpus wins",
+    then first-doc_id-wins)."""
+    import ray.data as _rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+    from refimage_ray.index.manifest import load_manifest
+    from refimage_ray.pipelines.search import _index_dir_for
+    from refimage_ray.stages.dedup import dedup_against_index
+
+    import pyarrow.compute as _pc
+
+    def _parity(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(
+                _pc.equal(_pc.bit_wise_and(b["doc_id"], 1), par)
+            )
+
+        return f
+
+    index_dir = _index_dir_for(sf_dir) + "-oldhalf"
+    if load_manifest(index_dir) is None:
+        old = (
+            _docs(sf_dir, columns=("doc_id", "text"))
+            .map_batches(_parity(0), batch_format="pyarrow")
+            .map_batches(add_content_hash, batch_format="pyarrow")
+        )
+        build_index(old, index_dir,
+                    EngineConfig(num_shards=8, salt_buckets=2),
+                    dedup_exact=True)  # stages the md5 halves in docs/
+    delta = _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        _parity(1), batch_format="pyarrow"
+    )
+    kept = dedup_against_index(delta, index_dir)
+    ids = sorted(r["doc_id"] for r in
+                 kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def minhash_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     """Near-dup clusters (connected components over verified MinHash
     pairs): (doc_id, cluster_id) — rows-only check."""

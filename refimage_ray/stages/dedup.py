@@ -18,6 +18,8 @@ SQL oracle shape (DuckDB)::
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -252,3 +254,107 @@ def dedup_and_assign_ids(
     return bucketed.groupby("dedup_bucket").map_groups(
         dedup_enumerate, batch_format="pandas"
     )
+
+
+def dedup_against_index(
+    new_docs_ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    method: str = "exact",
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    fp_rate: float = 1e-4,
+) -> "ray.data.Dataset":
+    """Cross-crawl exact dedup — the incremental-ingest companion of
+    ``lifecycle.add_documents``: drop delta docs whose content already
+    exists among the artifact's LIVE docs ("existing corpus wins"),
+    then exact-dedup within the delta itself.
+
+    The existing side never rescans text: ``docs/`` already stages the
+    md5 halves (``content_key``/``content_key2``), so only 16 B/doc of
+    numerics leave storage — the same narrow side-pass class as the
+    loser scan.  Dead ids (tombstones ∪ losers) are excluded from the
+    basis, but note dropping losers cannot lose hashes (each loser's
+    winner carries the same content).  The hash set broadcasts once
+    (``ray.put``); the delta filter is a vectorized double binary
+    search per batch against the (hi, lo)-lexsorted halves.
+
+    ``method="bloom"`` swaps the broadcast array for a Bloom filter
+    over the xor-combined halves (no false negatives — a true dup has
+    the same xor; false positives drop extra delta docs at
+    ``fp_rate``) — the >broadcast-budget path for multi-billion-doc
+    bases.
+    """
+    import pyarrow.parquet as _pq
+    import ray
+
+    from refimage_ray.functions.arrays import sorted_membership
+    from refimage_ray.index.lifecycle import _dead_ids
+
+    if method not in ("exact", "bloom"):
+        raise ValueError(f"method must be 'exact' or 'bloom', got {method!r}")
+    docs_dir = os.path.join(index_dir, "docs")
+    from refimage_ray.functions.hashing import hex_prefix_u64, hex_suffix_u64
+
+    staged = set(_pq.ParquetDataset(docs_dir).schema.names)
+    if {"content_key", "content_key2"} <= staged:
+        t = _pq.read_table(
+            docs_dir, columns=["doc_id", "content_key", "content_key2"]
+        )
+        hi = t["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = t["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    elif "content_hash" in staged:
+        t = _pq.read_table(docs_dir, columns=["doc_id", "content_hash"])
+        hi = hex_prefix_u64(t["content_hash"])
+        lo = hex_suffix_u64(t["content_hash"])
+    else:
+        # legacy artifact without staged hashes: one text read (build
+        # with dedup_exact=True to stage the 16 B/doc halves instead)
+        t = _pq.read_table(docs_dir, columns=["doc_id", text_col])
+        h = md5_string_array(t[text_col])
+        hi, lo = hex_prefix_u64(h), hex_suffix_u64(h)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dead = _dead_ids(index_dir)
+    if len(dead):
+        live = ~sorted_membership(dead, ids)
+        hi, lo = hi[live], lo[live]
+
+    if method == "bloom":
+        bloom = BloomFilter.from_array(
+            (hi ^ lo).view(np.int64), fp_rate=fp_rate
+        )
+        probe_ref = ray.put(bloom)
+
+        def cross_filter(b: pa.Table) -> pa.Table:
+            b = add_content_hash(b, text_col)
+            bh = b["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bl = b["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            seen = ray.get(probe_ref).contains_many((bh ^ bl).view(np.int64))
+            return b.filter(pa.array(~seen))
+    else:
+        order = np.lexsort((lo, hi))
+        ehi_ref = ray.put(hi[order])
+        elo_ref = ray.put(lo[order])
+
+        def cross_filter(b: pa.Table) -> pa.Table:
+            b = add_content_hash(b, text_col)
+            ehi, elo = ray.get(ehi_ref), ray.get(elo_ref)
+            bh = b["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bl = b["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            left = np.searchsorted(ehi, bh, side="left")
+            right = np.searchsorted(ehi, bh, side="right")
+            member = np.zeros(len(bh), dtype=bool)
+            width = right - left
+            one = width == 1
+            member[one] = elo[left[one]] == bl[one]
+            # hi-half collisions across distinct hashes are ~2^-64 —
+            # handle the multi-row ranges exactly anyway (lo is sorted
+            # within an equal-hi run)
+            for i in np.flatnonzero(width > 1):
+                j = np.searchsorted(elo[left[i]:right[i]], bl[i])
+                member[i] = (j < width[i]
+                             and elo[left[i] + j] == bl[i])
+            return b.filter(pa.array(~member))
+
+    survivors = new_docs_ds.map_batches(cross_filter, batch_format="pyarrow")
+    return exact_dedup(survivors, text_col=text_col, order_col=order_col)

@@ -174,3 +174,87 @@ def test_build_with_bloom_loser_set(ray_session, tmp_path, monkeypatch):
     # fp=1e-4 -> equality expected (and deterministic)
     assert res_b.metrics["n_docs"] == res_e.metrics["n_docs"]
     assert res_b.metrics["n_dup_losers"] == 30 + res_e.metrics["n_dup_losers"] - 30
+
+
+def test_dedup_against_index_matches_full_rebuild(ray_session, tmp_path):
+    """Cross-crawl dedup == the delta slice of a full-corpus dedup when
+    delta ids are larger (existing corpus wins, then first-id wins)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+    from refimage_ray.stages.dedup import add_content_hash, dedup_against_index
+
+    old_texts = [f"old doc {i % 7}" for i in range(20)]      # dups inside
+    delta_texts = (
+        ["old doc 3", "old doc 5"]                           # cross dups
+        + [f"new doc {i % 4}" for i in range(10)]            # delta dups
+    )
+    old = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(old_texts),
+    })
+    delta = pa.table({
+        "doc_id": pa.array(range(100, 100 + len(delta_texts)), pa.int64()),
+        "text": pa.array(delta_texts),
+    })
+    idx = str(tmp_path / "old_idx")
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+    build_index(
+        rd.from_arrow(add_content_hash(old)), idx, cfg, dedup_exact=True
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_index(rd.from_arrow(delta), idx)
+        .select_columns(["doc_id"]).take_all()
+    )
+    # brute force over the union, first-id-wins, then restrict to delta
+    seen: dict[str, int] = {}
+    for i, txt in list(enumerate(old_texts)) + [
+        (100 + j, t) for j, t in enumerate(delta_texts)
+    ]:
+        seen.setdefault(txt, i)
+    want = sorted(i for i in seen.values() if i >= 100)
+    assert got == want
+    # bloom mode: no false negatives (at this size, exact too)
+    got_bloom = sorted(
+        r["doc_id"]
+        for r in dedup_against_index(rd.from_arrow(delta), idx,
+                                     method="bloom")
+        .select_columns(["doc_id"]).take_all()
+    )
+    assert got_bloom == want
+
+
+def test_dedup_against_index_excludes_dead_docs(ray_session, tmp_path):
+    """Tombstoned content is re-ingestable: the live basis excludes
+    dead ids, so a deleted doc's text survives the delta filter."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.build import build_index
+    from refimage_ray.index.lifecycle import delete_docs
+    from refimage_ray.stages.dedup import add_content_hash, dedup_against_index
+
+    old = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([f"unique text {i}" for i in range(6)]),
+    })
+    idx = str(tmp_path / "idx")
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+    build_index(
+        rd.from_arrow(add_content_hash(old)), idx, cfg, dedup_exact=True
+    )
+    delete_docs(idx, [2])
+    delta = pa.table({
+        "doc_id": pa.array([200, 201], pa.int64()),
+        "text": pa.array(["unique text 2", "unique text 3"]),
+    })
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_index(rd.from_arrow(delta), idx)
+        .select_columns(["doc_id"]).take_all()
+    )
+    assert got == [200]  # deleted content re-ingestable; live content not
