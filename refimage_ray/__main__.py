@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--num-shards", type=int, default=32)
     b.add_argument("--salt-buckets", type=int, default=8)
+    b.add_argument("--term-filter", default="none",
+                   help="analysis chain: post-tokenize term transform "
+                        "(none | s_stem), persisted in the manifest")
     b.add_argument("--curate", action="store_true",
                    help="apply quality/lang gates in-flight before staging")
     b.add_argument("--curate-lang", default="en")
@@ -273,7 +276,8 @@ def main(argv: list[str] | None = None) -> int:
             from refimage_ray.config import EngineConfig
 
             cfg = EngineConfig(
-                num_shards=args.num_shards, salt_buckets=args.salt_buckets
+                num_shards=args.num_shards, salt_buckets=args.salt_buckets,
+                term_filter=args.term_filter
             )
             if args.pages or args.warc:
                 from refimage_ray.pipelines.flagship import build_from_pages
