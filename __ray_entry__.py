@@ -51,6 +51,17 @@ FROM (SELECT doc_id, t FROM (
          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
   FROM documents))"""
 
+# fixed 20-word window segmentation for line/segment dedup — mirrors
+# stages/lines._segment_arrays: split on single space, windows of 20,
+# last window ragged; '' splits to [''] (one empty segment)
+_SEGS_CTE = """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, t.g AS seg_idx,
+         array_to_string(ws[t.g*20+1 : t.g*20+20], ' ') AS seg
+  FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws)/20.0) AS INT)-1)) AS t(g)
+),
+segcnt AS (SELECT seg, count(*) AS n FROM segs GROUP BY seg)"""
+
 # 64-bit SimHash per doc, bit-for-bit the engine's simhash_batch: token
 # hash = first 16 md5 hex chars as UBIGINT (functions/hashing.
 # md5_u64_string_array), ±1 per bit over token OCCURRENCES, bit set iff
@@ -779,6 +790,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_values": corpus.simhash_values,
         "simhash_near_dups": corpus.simhash_near_dups,
         "curated_docs": curate.curated_docs,
+        "line_dup_stats": curate.line_dup_stats,
+        "line_dedup_docs": curate.line_dedup_docs,
+        "line_dedup_keep_first": curate.line_dedup_keep_first,
         # --- text analysis ---
         "contamination_stats": corpus.contamination_stats,
         "dup_span_stats": corpus.dup_span_stats,
@@ -1138,6 +1152,54 @@ ORDER BY doc_a, doc_b
         # on both sides (uint64 overflows a signed BIGINT dataframe)
         "langid_pred": _langid_sql(),
         "curated_docs": _curated_sql(),
+        # line/segment dedup: fixed 20-word windows mirror the engine's
+        # vectorized segmentation exactly (verified: identical
+        # total/distinct counts); grouping by the segment STRING in SQL
+        # == grouping by md5-128 halves in the engine
+        "line_dup_stats": f"""
+{_SEGS_CTE}
+SELECT CAST((SELECT count(*) FROM segs) AS BIGINT) AS total_segments,
+       CAST((SELECT count(*) FROM segcnt) AS BIGINT) AS distinct_segments,
+       CAST((SELECT COALESCE(sum(n), 0) FROM segcnt WHERE n >= 2) AS BIGINT)
+         AS dup_segments,
+       CAST((SELECT count(*) FROM segcnt WHERE n >= 2) AS BIGINT)
+         AS distinct_dup_segments
+""",
+        "line_dedup_docs": f"""
+{_SEGS_CTE}
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN c.n < 2 THEN length(s.seg) ELSE 0 END)
+            + GREATEST(count(*)
+                       - sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) - 1,
+                       0) AS BIGINT) AS kept_chars
+FROM segs s JOIN segcnt c USING (seg)
+GROUP BY s.doc_id
+""",
+        "line_dedup_keep_first": f"""
+{_SEGS_CTE},
+rk AS (
+  SELECT doc_id, seg_idx, seg,
+         count(*) OVER (PARTITION BY seg) AS n,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+           AS rnk
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(CASE WHEN n >= 2 AND rnk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN NOT (n >= 2 AND rnk > 1) THEN length(seg)
+                     ELSE 0 END)
+            + GREATEST(count(*)
+                       - sum(CASE WHEN n >= 2 AND rnk > 1 THEN 1 ELSE 0 END)
+                       - 1,
+                       0) AS BIGINT) AS kept_chars
+FROM rk
+GROUP BY doc_id
+""",
         # rolling polynomial fingerprint — Horner form over md5-u64
         # token hashes with HUGEINT mod-2^64 arithmetic (list_reduce);
         # decimal-string presented on both sides (uint64 range)

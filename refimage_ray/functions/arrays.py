@@ -18,6 +18,47 @@ def sorted_membership(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
     )
 
 
+def sorted_pair_membership(
+    sorted_hi: np.ndarray,
+    sorted_lo: np.ndarray,
+    hi: np.ndarray,
+    lo: np.ndarray,
+    return_index: bool = False,
+):
+    """Membership of 128-bit keys carried as (hi, lo) u64 halves against
+    a ``np.lexsort((lo, hi))``-ordered broadcast set — the single
+    definition of the double-binary-search probe used by the
+    cross-crawl dedup filter and the line-dedup rebuild pass.
+
+    Returns a boolean mask; with ``return_index=True`` also the
+    position of each member in the sorted arrays (undefined where the
+    mask is False) so callers can gather per-key side data (e.g. the
+    keep-first winner of a duplicated segment).
+    """
+    n = len(hi)
+    member = np.zeros(n, dtype=bool)
+    idx = np.zeros(n, dtype=np.int64)
+    if len(sorted_hi) and n:
+        left = np.searchsorted(sorted_hi, hi, side="left")
+        right = np.searchsorted(sorted_hi, hi, side="right")
+        width = right - left
+        one = width == 1
+        hit = np.zeros(n, dtype=bool)
+        hit[one] = sorted_lo[left[one]] == lo[one]
+        member[one] = hit[one]
+        idx[one] = left[one]
+        # hi-half collisions across distinct 128-bit keys are ~2^-64 —
+        # resolve multi-row runs exactly anyway (lo sorted within a run)
+        for i in np.flatnonzero(width > 1):
+            j = np.searchsorted(sorted_lo[left[i] : right[i]], lo[i])
+            if j < width[i] and sorted_lo[left[i] + j] == lo[i]:
+                member[i] = True
+                idx[i] = left[i] + j
+    if return_index:
+        return member, idx
+    return member
+
+
 def _sum_rows(rows: list[dict], key_fn) -> dict:
     """Sum a list of same-schema partial rows in canonical key order
     (float addition isn't associative — the order IS the contract).

@@ -140,3 +140,32 @@ def md5_u64_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if table.size == 0:
         return np.zeros(0, dtype=np.uint64)
     return table[codes]
+
+
+def md5_halves_string_array(
+    arr: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full 128-bit md5 of an Arrow string column as two uint64 halves
+    ``(hi, lo)`` — digest bytes [0:8] / [8:16] big-endian, matching
+    DuckDB's ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` and
+    ``('0x' || substr(md5(s), 17, 16))::UBIGINT``.  Dictionary-encode
+    amortized like :func:`md5_u64_string_array`; comparing BOTH halves
+    is exact full-hash equality (the same discipline as the loser
+    scan)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dct = pc.dictionary_encode(arr)
+    if isinstance(dct, pa.ChunkedArray):
+        dct = dct.combine_chunks()
+    uniq = dct.dictionary.to_pylist()
+    codes = dct.indices.to_numpy(zero_copy_only=False)
+    n = len(uniq)
+    hi = np.zeros(n, dtype=np.uint64)
+    lo = np.zeros(n, dtype=np.uint64)
+    for i, u in enumerate(uniq):
+        d = hashlib.md5((u if u is not None else "").encode("utf-8")).digest()
+        hi[i] = int.from_bytes(d[:8], "big")
+        lo[i] = int.from_bytes(d[8:16], "big")
+    if n == 0:
+        return hi, lo
+    return hi[codes], lo[codes]

@@ -115,3 +115,65 @@ def curated_docs(sf_dir: str) -> pa.Table:
     from refimage_ray.pipelines.corpus import _docs
 
     return curated_doc_ids(_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# line/segment-level dedup (CCNet boilerplate removal) — contract queries
+# ---------------------------------------------------------------------------
+
+def line_dup_stats(sf_dir: str) -> pa.Table:
+    """Global segment-duplication summary over fixed 20-word windows
+    (the deterministic pseudo-paragraphs the SQL oracle mirrors):
+    total/distinct segments and how many occurrences / distinct values
+    are globally duplicated (CCNet-style boilerplate candidates)."""
+    from ray.data.aggregate import Count, Sum
+
+    from refimage_ray.pipelines.corpus import _docs
+    from refimage_ray.stages.lines import duplicated_segments
+
+    seg_counts = duplicated_segments(_docs(sf_dir), seg_words=20, min_count=1)
+
+    def tag(b: pa.Table) -> pa.Table:
+        n = b["n"]
+        dup = pc.greater_equal(n, 2)
+        return pa.table(
+            {
+                "n": n,
+                "dup_n": pc.if_else(dup, n, pa.scalar(0, pa.int64())),
+                "is_dup": pc.cast(dup, pa.int64()),
+            }
+        )
+
+    agg = seg_counts.map_batches(tag, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="total_segments"),
+        Count(alias_name="distinct_segments"),
+        Sum("dup_n", alias_name="dup_segments"),
+        Sum("is_dup", alias_name="distinct_dup_segments"),
+    )
+    names = (
+        "total_segments distinct_segments dup_segments distinct_dup_segments"
+    ).split()
+    return pa.table({k: pa.array([int(agg[k])], pa.int64()) for k in names})
+
+
+def line_dedup_docs(sf_dir: str):
+    """Per-doc boilerplate-removal stats, drop_all mode: every
+    occurrence of a globally-duplicated 20-word window is stripped."""
+    from refimage_ray.pipelines.corpus import _docs
+    from refimage_ray.stages.lines import line_dedup
+
+    return line_dedup(
+        _docs(sf_dir), seg_words=20, min_count=2, mode="drop_all"
+    )
+
+
+def line_dedup_keep_first(sf_dir: str):
+    """Per-doc dedup stats, keep_first mode (MassiveText "all but
+    one"): the globally (doc_id, seg_idx)-smallest occurrence of each
+    duplicated window survives."""
+    from refimage_ray.pipelines.corpus import _docs
+    from refimage_ray.stages.lines import line_dedup
+
+    return line_dedup(
+        _docs(sf_dir), seg_words=20, min_count=2, mode="keep_first"
+    )

@@ -332,6 +332,8 @@ def dedup_against_index(
             seen = ray.get(probe_ref).contains_many((bh ^ bl).view(np.int64))
             return b.filter(pa.array(~seen))
     else:
+        from refimage_ray.functions.arrays import sorted_pair_membership
+
         order = np.lexsort((lo, hi))
         ehi_ref = ray.put(hi[order])
         elo_ref = ray.put(lo[order])
@@ -341,19 +343,7 @@ def dedup_against_index(
             ehi, elo = ray.get(ehi_ref), ray.get(elo_ref)
             bh = b["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
             bl = b["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            left = np.searchsorted(ehi, bh, side="left")
-            right = np.searchsorted(ehi, bh, side="right")
-            member = np.zeros(len(bh), dtype=bool)
-            width = right - left
-            one = width == 1
-            member[one] = elo[left[one]] == bl[one]
-            # hi-half collisions across distinct hashes are ~2^-64 —
-            # handle the multi-row ranges exactly anyway (lo is sorted
-            # within an equal-hi run)
-            for i in np.flatnonzero(width > 1):
-                j = np.searchsorted(elo[left[i]:right[i]], bl[i])
-                member[i] = (j < width[i]
-                             and elo[left[i] + j] == bl[i])
+            member = sorted_pair_membership(ehi, elo, bh, bl)
             return b.filter(pa.array(~member))
 
     survivors = new_docs_ds.map_batches(cross_filter, batch_format="pyarrow")

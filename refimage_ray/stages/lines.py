@@ -1,0 +1,303 @@
+"""Corpus-level line/segment deduplication (CCNet / MassiveText style).
+
+Web corpora are full of boilerplate repeated across millions of pages
+(nav bars, cookie banners, footers).  CCNet deduplicates at paragraph
+granularity by hash; MassiveText/RefinedWeb strip lines duplicated
+across documents.  Reference analog: exact whole-document dedup via
+the ``file_hash UNIQUE`` constraint
+(``/root/reference/src/refimage/storage.py:89``) — this module is the
+same idea at sub-document granularity.
+
+Distributed shape (three narrow stages, the corpus text never
+shuffles):
+
+1. **segment** — one vectorized pass per batch turns each doc into
+   ``(doc_id, seg_idx, segment)`` rows.  Segments are either
+   delimiter-split lines (``delimiter="\\n"`` for real web text) or
+   fixed ``seg_words``-word windows (deterministic pseudo-paragraphs
+   for corpora without line structure — also what the SQL oracle
+   mirrors).  The whole batch is segmented with Arrow list kernels
+   (``split_pattern`` → offset arithmetic → ``binary_join``): no
+   per-row Python.
+2. **count** — per-batch ``np.unique``-style combiner shrinks each
+   batch to (hash → count, lexicographic-min occurrence) partials,
+   then ONE groupby over the 128-bit segment hash (two u64 halves,
+   same full-hash discipline as the loser scan) sums counts and takes
+   the global keep-first winner.  Only ~32 B/segment-partial moves.
+3. **rebuild** — the duplicated-segment set (boilerplate is tiny
+   relative to the corpus) broadcasts once via ``ray.put``; a second
+   map over the docs re-segments, probes the sorted halves with a
+   double binary search, and emits per-doc stats (and optionally the
+   cleaned text).
+
+Modes:
+- ``drop_all``  — every occurrence of a globally-duplicated segment is
+  removed (CCNet boilerplate removal; order-free).
+- ``keep_first`` — the globally (doc_id, seg_idx)-smallest occurrence
+  survives (MassiveText "all but one" semantics).
+
+Scale note: the broadcast dup set is ~(boilerplate rate · corpus
+segments) entries.  If that outgrows a broadcast (pathologically
+duplicated corpora), swap stage 3's probe for a distributed semi-join
+of segment rows against the dup table (``stages/joins.hash_join`` —
+the shape ``dedup_against_index`` documents for its Bloom mode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from refimage_ray.functions.arrays import sorted_pair_membership
+from refimage_ray.functions.hashing import md5_halves_string_array
+
+
+def _segment_arrays(
+    text: pa.Array | pa.ChunkedArray,
+    seg_words: int,
+    delimiter: str | None,
+):
+    """Vectorized segmentation of a text column.
+
+    Returns ``(segs, parent, seg_idx, n_segs)``: the flat segment
+    strings, each segment's row index within the batch, its 0-based
+    index within its doc, and the per-row segment counts.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    parts = pc.split_pattern(text, delimiter if delimiter is not None else " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    lengths = lengths.astype(np.int64)
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_rows = len(lengths)
+    starts = np.cumsum(lengths) - lengths
+    if delimiter is not None:
+        # each delimiter-split element IS a segment
+        parent = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        seg_idx = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(
+            starts, lengths
+        )
+        return flat, parent, seg_idx, lengths
+    w = int(seg_words)
+    n_segs = (lengths + w - 1) // w  # lengths >= 1: '' splits to ['']
+    total = int(n_segs.sum())
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), n_segs)
+    seg_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_segs) - n_segs, n_segs
+    )
+    # each segment = words [i*w, min((i+1)*w, len)) of its doc; in the
+    # flattened word array that's one offsets list → a single
+    # binary_join call rebuilds every segment string at once
+    word_start = starts[parent] + seg_idx * w
+    offsets = np.append(word_start, int(lengths.sum()))
+    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    segs = pc.binary_join(lst, " ")
+    if isinstance(segs, pa.ChunkedArray):
+        segs = segs.combine_chunks()
+    return segs, parent, seg_idx, n_segs
+
+
+def segment_batch(
+    batch: pa.Table,
+    *,
+    seg_words: int = 20,
+    delimiter: str | None = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> pa.Table:
+    """``(doc_id, seg_idx, seg)`` rows for one batch (test surface /
+    building block)."""
+    segs, parent, seg_idx, _ = _segment_arrays(
+        batch[text_col], seg_words, delimiter
+    )
+    doc = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[parent], pa.int64()),
+            "seg_idx": pa.array(seg_idx, pa.int64()),
+            "seg": segs,
+        }
+    )
+
+
+def duplicated_segments(
+    docs_ds,
+    *,
+    seg_words: int = 20,
+    delimiter: str | None = None,
+    min_count: int = 2,
+    buckets: int = 64,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+):
+    """Global segment-frequency table: one row per distinct segment
+    with ``n >= min_count``, carrying the count and the keep-first
+    winner ``(win_doc, win_seg)`` = lexicographic-min occurrence.
+
+    Hash halves are int64 reinterprets of the md5 u64 halves (native
+    Arrow groupby keys, same trick as the curation stage).
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        segs, parent, seg_idx, _ = _segment_arrays(
+            batch[text_col], seg_words, delimiter
+        )
+        doc = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = doc[parent]
+        h1, h2 = md5_halves_string_array(segs)
+        order = np.lexsort((seg_idx, doc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        if len(h1s):
+            bound = np.flatnonzero(
+                np.concatenate(
+                    ([True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]))
+                )
+            )
+            counts = np.diff(np.append(bound, len(h1s)))
+        else:
+            bound = np.zeros(0, dtype=np.int64)
+            counts = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "seg_key": pa.array(h1s[bound].view(np.int64), pa.int64()),
+                "seg_key2": pa.array(h2s[bound].view(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "win_doc": pa.array(doc[order][bound], pa.int64()),
+                "win_seg": pa.array(seg_idx[order][bound], pa.int64()),
+                "seg_bucket": pa.array(
+                    (h1s[bound] % np.uint64(buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["seg_key", "seg_key2", "win_doc", "win_seg"], kind="mergesort"
+        )
+        out = (
+            g.groupby(["seg_key", "seg_key2"], sort=False)
+            .agg(
+                n=("n", "sum"),
+                win_doc=("win_doc", "first"),
+                win_seg=("win_seg", "first"),
+            )
+            .reset_index()
+        )
+        out = out[out["n"] >= min_count]
+        return out.astype(
+            {
+                "seg_key": "int64",
+                "seg_key2": "int64",
+                "n": "int64",
+                "win_doc": "int64",
+                "win_seg": "int64",
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("seg_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def line_dedup(
+    docs_ds,
+    *,
+    seg_words: int = 20,
+    delimiter: str | None = None,
+    min_count: int = 2,
+    mode: str = "drop_all",
+    return_text: bool = False,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+):
+    """Strip globally-duplicated segments from every doc; per-doc stats
+    dataset ``(doc_id, n_seg, n_removed, kept_chars[, text])``.
+
+    ``kept_chars`` = length of the cleaned text (kept segments joined
+    by the segment separator) — 0 when every segment was boilerplate.
+    """
+    import ray
+
+    if mode not in ("drop_all", "keep_first"):
+        raise ValueError(f"mode must be 'drop_all' or 'keep_first', got {mode!r}")
+    dup = duplicated_segments(
+        docs_ds,
+        seg_words=seg_words,
+        delimiter=delimiter,
+        min_count=min_count,
+        text_col=text_col,
+        doc_col=doc_col,
+    ).to_pandas()
+    if "seg_key" not in dup.columns:
+        # Ray quirk: to_pandas() of a fully-empty Dataset loses the
+        # schema (zero-column frame) — documented in pipelines/export
+        dup = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("seg_key", "seg_key2", "n", "win_doc", "win_seg")}
+        )
+    hi = dup["seg_key"].to_numpy().view(np.uint64)
+    lo = dup["seg_key2"].to_numpy().view(np.uint64)
+    order = np.lexsort((lo, hi))
+    shi_ref = ray.put(hi[order])
+    slo_ref = ray.put(lo[order])
+    wdoc_ref = ray.put(dup["win_doc"].to_numpy()[order])
+    wseg_ref = ray.put(dup["win_seg"].to_numpy()[order])
+    keep_first = mode == "keep_first"
+    sep = delimiter if delimiter is not None else " "
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        segs, parent, seg_idx, n_segs = _segment_arrays(
+            batch[text_col], seg_words, delimiter
+        )
+        doc = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = md5_halves_string_array(segs)
+        member, pos = sorted_pair_membership(
+            ray.get(shi_ref), ray.get(slo_ref), h1, h2, return_index=True
+        )
+        drop = member.copy()
+        if keep_first and member.any():
+            wdoc, wseg = ray.get(wdoc_ref), ray.get(wseg_ref)
+            m = np.flatnonzero(member)
+            is_winner = (doc[parent[m]] == wdoc[pos[m]]) & (
+                seg_idx[m] == wseg[pos[m]]
+            )
+            drop[m[is_winner]] = False
+        n_rows = len(doc)
+        n_removed = np.bincount(parent[drop], minlength=n_rows).astype(np.int64)
+        kept = ~drop
+        seg_lens = pc.utf8_length(segs).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        kept_counts = n_segs - n_removed
+        kept_chars = (
+            np.bincount(
+                parent[kept], weights=seg_lens[kept], minlength=n_rows
+            ).astype(np.int64)
+            # separators between kept segments
+            + np.maximum(kept_counts - 1, 0) * len(sep)
+        )
+        cols = {
+            "doc_id": pa.array(doc, pa.int64()),
+            "n_seg": pa.array(n_segs.astype(np.int64), pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "kept_chars": pa.array(kept_chars, pa.int64()),
+        }
+        if return_text:
+            kept_segs = segs.filter(pa.array(kept))
+            offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int32)
+            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           kept_segs)
+            cols["text"] = pc.binary_join(lst, sep)
+        return pa.table(cols)
+
+    return docs_ds.map_batches(rebuild, batch_format="pyarrow")
