@@ -538,6 +538,56 @@ ORDER BY s.sc DESC, s.doc_id LIMIT {k}
 """
 
 
+def _rescore_sql(ta: str, tb: str, k: int, window: int,
+                 qw: float = 1.0, rw: float = 1.0) -> str:
+    """Two-phase rescore oracle (engine ``search_rescore``): BM25 OR
+    top-``window`` (score desc, doc_id asc — the engine's window cut),
+    then ``qw·bm25 + rw·1/(1+g)`` where ``g`` = min |pos_a − pos_b|
+    over the two terms' occurrences; window docs lacking either term
+    keep prox = 0 (LEFT JOIN).  Final exact top-``k`` of the window by
+    the combined score."""
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES ('{ta}'), ('{tb}')),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+),
+win AS (SELECT doc_id, sc FROM scores ORDER BY sc DESC, doc_id LIMIT {window}),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM win)) toks_arr,
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) _
+),
+gaps AS (
+  SELECT a.doc_id, min(abs(a.i - b.i))::DOUBLE AS g
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = '{ta}' AND b.term = '{tb}'
+  GROUP BY a.doc_id
+)
+SELECT w.doc_id,
+       round({qw} * w.sc + {rw} * COALESCE(1.0 / (1.0 + g.g), 0.0), 4)
+         AS score
+FROM win w LEFT JOIN gaps g USING (doc_id)
+ORDER BY {qw} * w.sc + {rw} * COALESCE(1.0 / (1.0 + g.g), 0.0) DESC,
+         w.doc_id
+LIMIT {k}
+"""
+
+
 def _hybrid_rrf_sql(
     terms: list[str], qvec_id: int, k: int, n_each: int, rrf_k: int
 ) -> str:
@@ -765,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count": search.search_count,
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
+        "bm25_topk_rescored": search.bm25_topk_rescored,
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "suggest_terms": search.suggest_terms,
@@ -1425,6 +1476,7 @@ FROM pos GROUP BY term ORDER BY term
         # top k+offset and slices — page boundaries are deterministic)
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
         "phrase_topk": _phrase_sql(["table", "scan"], slop=0, k=10),
+        "bm25_topk_rescored": _rescore_sql("table", "scan", k=10, window=30),
         # percolator: boolean membership per stored rule — set algebra
         # mirrors the DSL exactly (OR binds loosest, so
         # 'data OR graph NOT sql' = has(data) ∪ (has(graph) ∖ has(sql)))

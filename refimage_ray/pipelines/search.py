@@ -632,6 +632,20 @@ def phrase_topk_slop(
     return _hits_table(searcher_for(sf_dir).search_phrase(phrase, k=k, slop=slop))
 
 
+def bm25_topk_rescored(
+    sf_dir: str, query: str = "table scan", k: int = 10, window: int = 30
+) -> pa.Table:
+    """Two-phase rescoring (ES rescore window): BM25 top-``window``
+    re-ranked by ``bm25 + 1/(1+min_gap)`` where min_gap is the closest
+    co-occurrence distance of the two query terms
+    (``engine.search_rescore``).  The oracle mirrors the window cut and
+    the pairwise-gap proximity in SQL (2-term query: the pairwise-min
+    generalization is pytest-pinned instead)."""
+    return _hits_table(
+        searcher_for(sf_dir).search_rescore(query, k=k, window=window)
+    )
+
+
 def search_count(sf_dir: str, query: str = "spark join stream") -> pa.Table:
     """Exact hit counts in every membership flavor (the ES ``_count``
     analog; see ``engine._SearcherBase.count``): disjunctive,

@@ -935,6 +935,70 @@ class _SearcherBase:
         ids, sc = topk_select(cand[keep], scores[keep], k + offset, threshold)
         return list(zip(ids.tolist(), sc.tolist()))[offset:]
 
+    def search_rescore(
+        self,
+        query: str,
+        k: int | None = None,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """Two-phase ranking (the ES ``rescore`` window): exact BM25
+        top-``window`` first, then the window is re-ranked by
+        ``query_weight·bm25 + rescore_weight·prox`` where the proximity
+        signal ``prox(d) = 1/(1+g)`` and ``g`` is the minimum
+        |pos_i − pos_j| over all unordered pairs of distinct query
+        terms both present in ``d`` (docs with <2 distinct query terms
+        get prox = 0).  The expensive positional pass touches only
+        ``window`` docs — the two-phase point.
+
+        ``k <= window`` is required: docs outside the window are never
+        rescored, so returning them would mix scoring domains (ES
+        leaves that merge ambiguous; we forbid it).
+
+        Positions come from the positional index when present
+        (vectorized tagged-array nearest-neighbor, no per-candidate
+        Python), else from re-tokenized candidate texts (bounded by
+        ``window``, the same fallback class as ``search_phrase``).
+        """
+        k = cfg.default_k if k is None else k
+        if k > window:
+            raise ValueError(f"k ({k}) must be <= window ({window})")
+        base = self.search(query, k=window, threshold=threshold, mode=mode,
+                           cfg=cfg)
+        if not base:
+            return []
+        cand = np.array([d for d, _ in base], dtype=np.int64)
+        base_sc = np.array([s for _, s in base], dtype=np.float64)
+        order = np.argsort(cand)  # gap helpers want sorted candidates
+        cand_s = cand[order]
+        terms = query_terms(self._tokenize(query))
+        if len(terms) >= 2:
+            term_map = self._term_map(terms)
+            positional = all(
+                term_map[t].positions is not None
+                for t in terms if t in term_map
+            )
+            if positional:
+                g = _min_pair_gaps_positions(term_map, terms, cand_s)
+            else:
+                g = _min_pair_gaps_texts(
+                    self.index_dir, terms, cand_s, self._tokenize
+                )
+        else:
+            g = np.full(len(cand_s), np.inf)
+        prox = np.zeros(len(cand_s))
+        finite = np.isfinite(g)
+        prox[finite] = 1.0 / (1.0 + g[finite])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        combined = query_weight * base_sc + rescore_weight * prox[inv]
+        ids, sc = topk_select(cand, combined, k, float("-inf"))
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
     def suggest(self, term: str, max_suggestions: int = 5) -> list[dict]:
         """Spell suggestion ("did you mean"): vocabulary terms within
         Levenshtein ≤ 1 of the input, ranked (exact first, then df
@@ -1346,6 +1410,96 @@ def _verify_phrase_positions(
     keep = np.zeros(nc, dtype=bool)
     keep[alive // shift] = True
     return keep
+
+
+def _min_pair_gaps_positions(
+    term_map: dict[str, TermPostings], terms: list[str], cand: np.ndarray,
+) -> np.ndarray:
+    """Per-candidate minimum |pos_i − pos_j| over unordered pairs of
+    distinct query terms (the rescore proximity basis), from the
+    positional index.  ``cand`` must be sorted ascending; candidates
+    need NOT contain every term (disjunctive windows).
+
+    Same tagged-int64 trick as ``_verify_phrase_positions``: positions
+    carry their candidate index in the high bits, so each pair costs
+    two searchsorted passes + one scatter-min — no per-candidate loop.
+    """
+    from refimage_ray.index.pack import ragged_take
+
+    nc = len(cand)
+    shift = np.int64(1) << np.int64(32)
+    seg: dict[str, np.ndarray] = {}
+    for t in query_terms(terms):
+        p = term_map.get(t)
+        if p is None or p.positions is None or p.df == 0:
+            continue
+        idx = np.searchsorted(p.doc_ids, cand)
+        idx_c = np.minimum(idx, len(p.doc_ids) - 1)
+        valid = p.doc_ids[idx_c] == cand
+        if not valid.any():
+            continue
+        lens = p.tfs.astype(np.int64)
+        sel = idx[valid]
+        labels = np.repeat(
+            np.flatnonzero(valid).astype(np.int64), lens[sel]
+        )
+        seg[t] = labels * shift + ragged_take(
+            p.positions, lens, sel
+        ).astype(np.int64)
+    g = np.full(nc, np.inf)
+    present = [t for t in sorted(seg) if len(seg[t])]
+    for i in range(len(present)):
+        for j in range(i + 1, len(present)):
+            a, b = seg[present[i]], seg[present[j]]
+            pos = np.searchsorted(b, a)
+            # right neighbor: first b >= a (distance b - a)
+            m = pos < len(b)
+            same = np.zeros(len(a), dtype=bool)
+            same[m] = (b[pos[m]] >> np.int64(32)) == (a[m] >> np.int64(32))
+            if same.any():
+                d = (b[pos[same]] - a[same]).astype(np.float64)
+                np.minimum.at(g, (a[same] >> np.int64(32)), d)
+            # left neighbor: last b < a (distance a - b)
+            m = pos > 0
+            same = np.zeros(len(a), dtype=bool)
+            same[m] = (b[pos[m] - 1] >> np.int64(32)) == (
+                a[m] >> np.int64(32)
+            )
+            if same.any():
+                d = (a[same] - b[pos[same] - 1]).astype(np.float64)
+                np.minimum.at(g, (a[same] >> np.int64(32)), d)
+    return g
+
+
+def _min_pair_gaps_texts(
+    index_dir: str, terms: list[str], cand: np.ndarray, tokenize,
+) -> np.ndarray:
+    """Text-fallback twin of ``_min_pair_gaps_positions``: fetch the
+    candidate texts (bounded by the rescore window) and compute each
+    doc's min pairwise gap from re-tokenized occurrence lists."""
+    import os
+
+    ds = pads.dataset(os.path.join(index_dir, "docs"))
+    t = ds.to_table(columns=["doc_id", "text"],
+                    filter=pc.field("doc_id").isin(cand.tolist()))
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    tset = set(query_terms(terms))
+    g = np.full(len(cand), np.inf)
+    for ci, d in enumerate(cand.tolist()):
+        toks = tokenize(texts.get(d, ""))
+        occ = {t_: [] for t_ in tset}
+        for i, tok in enumerate(toks):
+            if tok in tset:
+                occ[tok].append(i)
+        present = [o for o in occ.values() if o]
+        best = np.inf
+        for i in range(len(present)):
+            for j in range(i + 1, len(present)):
+                for pi in present[i]:
+                    for pj in present[j]:
+                        best = min(best, abs(pi - pj))
+        g[ci] = best
+    return g
 
 
 def _contains_phrase(tokens: list[str], phrase: list[str], slop: int = 0) -> bool:

@@ -366,6 +366,19 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                                        where=where,
                                                        order_by=order,
                                                        offset=offset)
+                    elif mode in ("or", "and") and q.get("rescore_window"):
+                        # two-phase rescore (ES rescore): proximity
+                        # re-rank of the BM25 top-window
+                        if where or order or offset:
+                            return self._json(
+                                {"error": "filter/order/offset not "
+                                          "supported with rescore_window"},
+                                422)
+                        hits = state["s"].search_rescore(
+                            q["q"], k=k, mode=mode,
+                            window=int(q["rescore_window"]),
+                            rescore_weight=float(q.get("rescore_weight", 1.0)),
+                        )
                     elif mode in ("or", "and"):
                         mm = int(q["min_match"]) if q.get("min_match") else None
                         after = None

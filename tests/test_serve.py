@@ -62,6 +62,26 @@ def test_search_matches_library(server):
     assert all("url" in r for r in body["results"])
 
 
+def test_search_rescore_route(server):
+    from refimage_ray.query.engine import LocalSearcher
+
+    base, d = server
+    s = LocalSearcher(d)
+    st, body = _get(base + "/search?q=table+scan&k=5&rescore_window=25"
+                    "&rescore_weight=2.0")
+    assert st == 200
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == s.search_rescore("table scan", k=5, window=25,
+                                   rescore_weight=2.0)
+    # rescore composes with neither filter nor order — explicit 422
+    try:
+        st, _ = _get(base + "/search?q=table+scan&k=5&rescore_window=25"
+                     "&filter=lang=en")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422
+
+
 def test_search_expansion_modes(server):
     from refimage_ray.query.engine import LocalSearcher
 
