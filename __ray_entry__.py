@@ -538,6 +538,58 @@ ORDER BY s.sc DESC, s.doc_id LIMIT {k}
 """
 
 
+def _url_canon_sql(final_select: str) -> str:
+    """URL-canonicalization oracle: the adversarial derivation
+    (``pipelines/corpus._messy_urls``) plus a GENERIC canonicalizer —
+    fragment strip, scheme://host lowercase, www./default-port strip,
+    trailing-slash strip, tracking-param drop + lexicographic param
+    sort — mirroring ``stages/urls.canonicalize_url_array`` rewrite
+    for rewrite."""
+    return r"""
+WITH messy AS (
+  SELECT doc_id,
+    'HTTPS://WWW.Site' || CAST((doc_id // 2) % 97 AS VARCHAR) || '.Example'
+    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+    || '/d/page-' || CAST(doc_id // 2 AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+    || CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+            WHEN 1 THEN '?a=1&utm_campaign=x&b=2'
+            ELSE '?b=2&a=1' END
+    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+nofrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM messy),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)', 1))
+           AS pre,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', '') AS rest
+  FROM nofrag
+),
+pre2 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(pre,
+      '^([a-z][a-z0-9+.\-]*://)www\.', '\1'),
+      '^(https://[^/?:]*):443$', '\1'),
+      '^(http://[^/?:]*):80$', '\1') AS pre,
+    regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') AS path,
+    regexp_replace(rest, '^[^?]*\??', '') AS q
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+    pre || path || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+      AS canonical_url
+  FROM (
+    SELECT doc_id, pre, path,
+      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT regexp_matches(
+          p, '^(utm_[a-z0-9]+|gclid|fbclid|ref)='))), '&') AS qc
+    FROM pre2)
+)
+""" + final_select
+
+
 def _rescore_sql(ta: str, tb: str, k: int, window: int,
                  qw: float = 1.0, rw: float = 1.0) -> str:
     """Two-phase rescore oracle (engine ``search_rescore``): BM25 OR
@@ -864,6 +916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_counts_cms": corpus.term_counts_cms,  # rows-only (sketch)
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
+        "url_canonical_docs": corpus.url_canonical_docs,
+        "url_canonical_dedup": corpus.url_canonical_dedup,
         "quality_stats": corpus.quality_stats,
         "doc_fingerprints": corpus.doc_fingerprints,
         "langid_pred": corpus.langid_pred,
@@ -1662,6 +1716,14 @@ SELECT doc_id FROM keep WHERE rn = 1
         "lang_counts": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
 """,
+        "url_canonical_docs": _url_canon_sql(
+            "SELECT doc_id, canonical_url FROM canon"
+        ),
+        "url_canonical_dedup": _url_canon_sql(
+            "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups, "
+            "min(doc_id) AS keeper FROM canon "
+            "GROUP BY canonical_url HAVING count(*) >= 2"
+        ),
         "domain_stats": """
 SELECT source || '.' || lang || '.example.org' AS host,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -1292,3 +1292,64 @@ def bigram_pmi(sf_dir: str, min_count: int = 5) -> "rd.Dataset":
     return bigram_counts(sf_dir, min_count).map_batches(
         pmi_batch, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / canonical-URL dedup (crawl prep)
+# ---------------------------------------------------------------------------
+
+def _messy_urls(b: pa.Table) -> pa.Table:
+    """Adversarial URL spellings derived deterministically from doc_id
+    (the driver corpus has no URL column and synthetic urls are already
+    canonical — casing, www., default ports, trailing slashes, tracking
+    params and fragments are injected here so the canonicalizer has
+    teeth; mirrored term-for-term in the SQL oracle).  Consecutive
+    doc_id pairs target the same canonical URL (doc_id // 2), so the
+    dedup query has real groups."""
+    d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = d // 2
+    s97 = pc.cast(pa.array(base % 97), pa.string())
+    sbase = pc.cast(pa.array(base), pa.string())
+    port = pc.if_else(pa.array(d % 5 == 0), ":443", "")
+    trail = pc.if_else(pa.array(d % 7 == 0), "/", "")
+    m3 = d % 3
+    q = pc.if_else(
+        pa.array(m3 == 0),
+        "?utm_source=feed&b=2&a=1",
+        pc.if_else(pa.array(m3 == 1), "?a=1&utm_campaign=x&b=2", "?b=2&a=1"),
+    )
+    frag = pc.if_else(pa.array(d % 5 == 0), "#frag", "")
+    url = pc.binary_join_element_wise(
+        "HTTPS://WWW.Site", s97, ".Example", port, "/d/page-", sbase,
+        trail, q, frag, "",
+    )
+    return pa.table({"doc_id": b["doc_id"], "url": url})
+
+
+def url_canonical_docs(sf_dir: str) -> "rd.Dataset":
+    """Per-doc canonical URL over the adversarial derivation (see
+    ``stages/urls.canonicalize_url_array`` for the canonical form)."""
+    from refimage_ray.stages.urls import add_canonical_url
+
+    return (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(_messy_urls, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_canonical_url(b).select(
+                ["doc_id", "canonical_url"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def url_canonical_dedup(sf_dir: str) -> "rd.Dataset":
+    """Canonical-URL dedup groups (n_dups >= 2): the URL-level
+    complement of content dedup — same narrow-shuffle shape as
+    ``dedup_exact_docs``."""
+    from refimage_ray.stages.urls import canonical_url_dup_groups
+
+    messy = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        _messy_urls, batch_format="pyarrow"
+    )
+    return canonical_url_dup_groups(messy)
