@@ -62,6 +62,25 @@ segs AS (
 ),
 segcnt AS (SELECT seg, count(*) AS n FROM segs GROUP BY seg)"""
 
+# crawl-snapshot pair derivation + diff — mirrors
+# pipelines/training._snapshot_pair and stages/crawl.crawl_delta
+_CRAWL_DELTA_CTE = """WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 9
+),
+m AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.doc_id IS NULL THEN 'added'
+              WHEN o.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)"""
+
 # 64-bit SimHash per doc, bit-for-bit the engine's simhash_batch: token
 # hash = first 16 md5 hex chars as UBIGINT (functions/hashing.
 # md5_u64_string_array), ±1 per bit over token OCCURRENCES, bit set iff
@@ -972,6 +991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_by_hash": training.split_by_hash,
         "url_latest_snapshot": training.url_latest_snapshot,
         "url_blocklist_stats": training.url_blocklist_stats,
+        "crawl_delta_docs": training.crawl_delta_docs,
+        "crawl_delta_summary": training.crawl_delta_summary,
         "pii_scrub_stats": training.pii_scrub_stats,
         "token_count_multi": training.token_count_multi,
         "global_shuffle_docs": training.global_shuffle_docs,
@@ -1715,6 +1736,21 @@ SELECT doc_id FROM keep WHERE rn = 1
 """,
         "lang_counts": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+""",
+        # crawl delta: FULL OUTER JOIN of the two derived snapshots;
+        # the engine compares full-128-bit content fingerprints, SQL
+        # compares the texts themselves — equal by md5 injectivity
+        "crawl_delta_docs": f"""
+{_CRAWL_DELTA_CTE}
+SELECT doc_id, status FROM m
+""",
+        "crawl_delta_summary": f"""
+{_CRAWL_DELTA_CTE}
+SELECT s.status, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (VALUES ('added'), ('changed'), ('removed'), ('unchanged'))
+     s(status)
+LEFT JOIN (SELECT status, count(*) AS n FROM m GROUP BY status) c
+  USING (status)
 """,
         "url_canonical_docs": _url_canon_sql(
             "SELECT doc_id, canonical_url FROM canon"

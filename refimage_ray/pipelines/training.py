@@ -624,3 +624,56 @@ def stratified_sample(sf_dir: str, n_per_stratum: int = 30) -> "rd.Dataset":
         .groupby("lang")
         .map_groups(finalize)
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-snapshot delta (incremental-crawl management)
+# ---------------------------------------------------------------------------
+
+def _snapshot_pair(sf_dir: str):
+    """Two deterministic crawl snapshots derived from the documents
+    table (it has no snapshot dimension): the OLD crawl drops
+    ``doc_id % 10 == 0`` rows, the NEW crawl drops ``% 10 == 9`` and
+    rewrites the text of ``% 10 == 5`` rows — so added / removed /
+    changed / unchanged all have real members.  Mirrored 1:1 in SQL."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def old_f(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(d % 10 != 0))
+
+    def new_f(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = b.filter(pa.array(d % 10 != 9))
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.if_else(
+            pa.array(d % 10 == 5),
+            pc.binary_join_element_wise(b["text"], " v2", ""),
+            b["text"],
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return (
+        docs.map_batches(old_f, batch_format="pyarrow"),
+        docs.map_batches(new_f, batch_format="pyarrow"),
+    )
+
+
+def crawl_delta_docs(sf_dir: str) -> "rd.Dataset":
+    """Per-key crawl diff (added/removed/changed/unchanged) — see
+    ``stages/crawl.crawl_delta``; only 16 B content fingerprints
+    shuffle, never page text."""
+    from refimage_ray.stages.crawl import crawl_delta
+
+    old, new = _snapshot_pair(sf_dir)
+    return crawl_delta(old, new, key_col="doc_id")
+
+
+def crawl_delta_summary(sf_dir: str) -> pa.Table:
+    """4-row status rollup of the crawl diff (zeros included)."""
+    from refimage_ray.stages.crawl import crawl_delta_stats
+
+    old, new = _snapshot_pair(sf_dir)
+    return crawl_delta_stats(old, new, key_col="doc_id")
