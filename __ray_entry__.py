@@ -557,6 +557,32 @@ ORDER BY s.sc DESC, s.doc_id LIMIT {k}
 """
 
 
+def _profile_sql() -> str:
+    """Per-column profile oracle (engine ``stages/profile``): one
+    UNION ALL arm per column; numeric stats NULL for non-numerics
+    (timestamps profile counts/distincts only, both sides)."""
+    numeric = ["l_orderkey", "l_quantity", "l_extendedprice"]
+    other = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    arms = [
+        f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS DOUBLE) AS min_num,
+  CAST(max({c}) AS DOUBLE) AS max_num,
+  round(avg({c}), 6) AS mean
+FROM lineitem"""
+        for c in numeric
+    ] + [
+        f"""SELECT '{c}', CAST(count(*) AS BIGINT),
+  CAST(count(*) - count({c}) AS BIGINT),
+  CAST(count(DISTINCT {c}) AS BIGINT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM lineitem"""
+        for c in other
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
 def _url_canon_sql(final_select: str) -> str:
     """URL-canonicalization oracle: the adversarial derivation
     (``pipelines/corpus._messy_urls``) plus a GENERIC canonicalizer —
@@ -980,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts_left": relational.customer_order_counts_left,
         "events_value_median": relational.events_value_median,
         "event_transition_pagerank": relational.event_transition_pagerank,  # rows-only (iterative)
+        "table_profile_lineitem": relational.table_profile_lineitem,
         # --- training-data preparation ---
         "pack_sequences": training.pack_sequences,
         "packed_sequences": training.packed_sequences,
@@ -1999,6 +2026,7 @@ FROM customer c
 LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
   ON o.o_custkey = c.c_custkey
 """,
+        "table_profile_lineitem": _profile_sql(),
         "events_value_median": """
 SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
 FROM events GROUP BY event_type ORDER BY event_type

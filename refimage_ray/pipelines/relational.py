@@ -1015,3 +1015,18 @@ def event_transition_pagerank(sf_dir: str) -> pa.Table:
         .map_groups(per_user, batch_format="pandas")
     )
     return pagerank(edges, damping=0.85, iters=20)
+
+
+def table_profile_lineitem(sf_dir: str) -> pa.Table:
+    """Deequ-style per-column profile of the widest driver table:
+    counts, nulls, exact distincts, numeric min/max/mean — see
+    ``stages/profile.profile_table`` for the two narrow passes."""
+    from refimage_ray.stages.profile import profile_table
+
+    cols = [
+        "l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=cols)
+    return profile_table(ds, cols)
