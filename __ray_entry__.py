@@ -635,6 +635,61 @@ canon AS (
 """ + final_select
 
 
+def _bm25f_sql(terms: list[str], k: int, tw: float) -> str:
+    """BM25F oracle (engine ``query/fields.bm25f_search``): body = the
+    full text, title = first 8 whitespace words; per-field
+    length-normalized tf (field avgdl over ALL docs), weighted
+    cross-field sum, ONE saturation, idf from the body field."""
+    terms_sql = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH btoks AS ({_TOKS}),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+bstats AS (SELECT count(*)::DOUBLE AS n,
+                  (SELECT sum(dl)::DOUBLE FROM bdl) / count(*) AS avgdl
+           FROM documents),
+bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+ttoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(
+           array_to_string((string_split(text, ' '))[1:8], ' ')),
+           '[a-z0-9]+')) AS term
+  FROM documents
+),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+tstats AS (SELECT (SELECT sum(dl)::DOUBLE FROM tdl)
+                    / (SELECT count(*) FROM documents) AS avgdl),
+q(term) AS (VALUES {terms_sql}),
+bpart AS (
+  SELECT tf.doc_id, tf.term,
+         1.0 * tf.tf / (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl) AS c
+  FROM btf tf JOIN bdl dl USING (doc_id) CROSS JOIN bstats s
+  WHERE tf.term IN (SELECT term FROM q)
+),
+tpart AS (
+  SELECT tf.doc_id, tf.term,
+         {tw} * tf.tf / (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl) AS c
+  FROM ttf tf JOIN tdl dl USING (doc_id) CROSS JOIN tstats s
+  WHERE tf.term IN (SELECT term FROM q)
+),
+wtf AS (
+  SELECT doc_id, term, sum(c) AS wtf
+  FROM (SELECT * FROM bpart UNION ALL SELECT * FROM tpart)
+  GROUP BY doc_id, term
+),
+scores AS (
+  SELECT w.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * w.wtf / (1.2 + w.wtf) ) AS sc
+  FROM wtf w JOIN bdf df USING (term) CROSS JOIN bstats s
+  GROUP BY w.doc_id
+)
+SELECT doc_id, round(sc, 4) AS score
+FROM scores ORDER BY sc DESC, doc_id LIMIT {k}
+"""
+
+
 def _rescore_sql(ta: str, tb: str, k: int, window: int,
                  qw: float = 1.0, rw: float = 1.0) -> str:
     """Two-phase rescore oracle (engine ``search_rescore``): BM25 OR
@@ -913,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
         "bm25_topk_rescored": search.bm25_topk_rescored,
+        "bm25f_topk": search.bm25f_topk,
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "suggest_terms": search.suggest_terms,
@@ -1579,6 +1635,7 @@ FROM pos GROUP BY term ORDER BY term
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
         "phrase_topk": _phrase_sql(["table", "scan"], slop=0, k=10),
         "bm25_topk_rescored": _rescore_sql("table", "scan", k=10, window=30),
+        "bm25f_topk": _bm25f_sql(["spark", "join"], k=10, tw=3.0),
         # percolator: boolean membership per stored rule — set algebra
         # mirrors the DSL exactly (OR binds loosest, so
         # 'data OR graph NOT sql' = has(data) ∪ (has(graph) ∖ has(sql)))

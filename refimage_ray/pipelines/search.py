@@ -632,6 +632,49 @@ def phrase_topk_slop(
     return _hits_table(searcher_for(sf_dir).search_phrase(phrase, k=k, slop=slop))
 
 
+def _title_searcher(sf_dir: str) -> LocalSearcher:
+    """Second-field artifact for BM25F: the 'title' of each doc = its
+    first 8 whitespace words (the corpus has no real title column; the
+    derivation is mirrored verbatim in the SQL oracle).  Separate
+    index dir, same lazy build/serve split as :func:`searcher_for` —
+    fields are independent artifacts, the Lucene per-field shape."""
+    import pyarrow.compute as pc
+
+    index_dir = _index_dir_for(sf_dir) + "-title"
+    if load_manifest(index_dir) is None:
+        def to_title(b: pa.Table) -> pa.Table:
+            words = pc.split_pattern(b["text"], " ")
+            title = pc.binary_join(pc.list_slice(words, 0, 8), " ")
+            return pa.table({"doc_id": b["doc_id"], "text": title})
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).map_batches(to_title, batch_format="pyarrow")
+        cfg = EngineConfig(num_shards=8, salt_buckets=2)
+        build_index(docs, index_dir, cfg)
+    if index_dir not in _searchers:
+        _searchers[index_dir] = LocalSearcher(index_dir)
+    return _searchers[index_dir]
+
+
+def bm25f_topk(
+    sf_dir: str, query: str = "spark join", k: int = 10,
+    title_weight: float = 3.0,
+) -> pa.Table:
+    """BM25F top-k over (body, title) field artifacts — per-field
+    length-normalized tf summed across fields, saturated once
+    (``query/fields.bm25f_search``); idf from the body field."""
+    from refimage_ray.query.fields import bm25f_search
+
+    hits = bm25f_search(
+        {"body": (searcher_for(sf_dir), 1.0),
+         "title": (_title_searcher(sf_dir), title_weight)},
+        query, k=k, idf_field="body",
+    )
+    return _hits_table(hits)
+
+
 def bm25_topk_rescored(
     sf_dir: str, query: str = "table scan", k: int = 10, window: int = 30
 ) -> pa.Table:
