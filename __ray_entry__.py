@@ -1075,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_latest_snapshot": training.url_latest_snapshot,
         "url_blocklist_stats": training.url_blocklist_stats,
         "crawl_delta_docs": training.crawl_delta_docs,
+        "weighted_sample_docs": training.weighted_sample_docs,
         "crawl_delta_summary": training.crawl_delta_summary,
         "pii_scrub_stats": training.pii_scrub_stats,
         "token_count_multi": training.token_count_multi,
@@ -1820,6 +1821,18 @@ SELECT doc_id FROM keep WHERE rn = 1
 """,
         "lang_counts": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+""",
+        # Efraimidis–Spirakis race keys: (h+0.5)/2^64 and -ln(u)/w are
+        # the same float64 ops on both sides → bit-identical keys
+        "weighted_sample_docs": """
+SELECT doc_id, n_chars,
+       -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                 ::UBIGINT AS DOUBLE) + 0.5) / 18446744073709551616.0)
+         / n_chars AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key, doc_id
+LIMIT 100
 """,
         # crawl delta: FULL OUTER JOIN of the two derived snapshots;
         # the engine compares full-128-bit content fingerprints, SQL

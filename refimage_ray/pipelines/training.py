@@ -677,3 +677,64 @@ def crawl_delta_summary(sf_dir: str) -> pa.Table:
 
     old, new = _snapshot_pair(sf_dir)
     return crawl_delta_stats(old, new, key_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis–Spirakis exponential race)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(
+    ds: "rd.Dataset",
+    n: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Weighted sampling WITHOUT replacement, deterministically:
+    Efraimidis & Spirakis (IPL 2006) — give each row the exponential
+    race key ``-ln(u)/w`` and keep the ``n`` smallest.  ``u`` is a
+    content-derived uniform (md5 of the id, never an RNG), so the
+    sample is independent of block layout / cluster size / resume —
+    the same no-RNG discipline as every other sampling gate here.
+
+    Distributed shape: per-batch bottom-``n`` partials (lexsort slice),
+    then one small sort+limit over ≤ n·blocks survivor rows — the
+    corpus itself never sorts.  Rows with weight <= 0 are excluded (an
+    infinite race time).
+    """
+    from refimage_ray.functions.hashing import md5_u64_string_array
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = md5_u64_string_array(pc.cast(b[id_col], pa.string()))
+        # (h + 0.5) / 2^64 ∈ (0, 1) exactly, and the SAME float ops as
+        # the SQL mirror — so keys are bit-identical on both sides
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        with np.errstate(divide="ignore"):
+            key = np.where(w > 0, -np.log(u) / w, np.inf)
+        keep = np.lexsort((ids, key))[: min(n, len(ids))]
+        keep = keep[np.isfinite(key[keep])]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                weight_col: pa.array(
+                    b[weight_col].take(pa.array(keep))
+                ),
+                "sample_key": pa.array(key[keep], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["sample_key", id_col])
+        .limit(n)
+    )
+
+
+def weighted_sample_docs(sf_dir: str, n: int = 100) -> "rd.Dataset":
+    """Length-weighted doc sample (quality/length-weighted mixture
+    draws are standard in training-data curation): weight = n_chars."""
+    return weighted_sample(
+        _docs(sf_dir, ("doc_id", "n_chars")), n, weight_col="n_chars"
+    )

@@ -656,3 +656,62 @@ def test_events_rollup_equals_plain_hourly(ray_session, tmp_path):
     time.sleep(0.05)
     assert events_hourly_rollup(sf).to_pylist() == want  # artifact reused
     assert os.path.getmtime(marker) == before
+
+
+# --- weighted sampling (Efraimidis–Spirakis) ---
+
+def _naive_weighted_sample(ids, weights, n):
+    import numpy as _np
+
+    from refimage_ray.functions.hashing import md5_u64_string_array as _m
+    import pyarrow as _pa
+
+    h = _m(_pa.array([str(i) for i in ids]))
+    u = (h.astype(_np.float64) + 0.5) / 18446744073709551616.0
+    w = _np.asarray(weights, dtype=_np.float64)
+    with _np.errstate(divide="ignore"):
+        key = _np.where(w > 0, -_np.log(u) / w, _np.inf)
+    order = _np.lexsort((_np.asarray(ids), key))
+    order = order[_np.isfinite(key[order])][:n]
+    return [int(i) for i in _np.asarray(ids)[order]]
+
+
+def test_weighted_sample_matches_naive_and_layout(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from refimage_ray.pipelines.training import weighted_sample
+
+    ids = list(range(1, 401))
+    w = [(i % 7) for i in ids]  # includes zero weights (i % 7 == 0)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "n_chars": pa.array(w, pa.int64())})
+    want = _naive_weighted_sample(ids, w, 50)
+    got1 = weighted_sample(
+        rd.from_arrow(tbl), 50, weight_col="n_chars"
+    ).to_pandas()
+    got2 = weighted_sample(
+        rd.from_arrow(tbl).repartition(8), 50, weight_col="n_chars"
+    ).to_pandas()
+    assert got1["doc_id"].tolist() == want
+    assert got2["doc_id"].tolist() == want  # block-layout invariant
+    # zero-weight rows can never be sampled
+    assert (got1["n_chars"] > 0).all()
+
+
+def test_weighted_sample_heavier_is_likelier(ray_session):
+    """Statistical sanity with deterministic keys: when one row's
+    weight dwarfs the rest, it must appear in a tiny sample."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from refimage_ray.pipelines.training import weighted_sample
+
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "n_chars": pa.array([1] * 199 + [10**9], pa.int64())})
+    got = weighted_sample(
+        rd.from_arrow(tbl), 5, weight_col="n_chars"
+    ).to_pandas()
+    assert 199 in set(got["doc_id"])
