@@ -969,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk_slop": search.phrase_topk_slop,
         "bm25_topk_rescored": search.bm25_topk_rescored,
         "bm25f_topk": search.bm25f_topk,
+        "composite_buckets_page2": search.composite_buckets_page2,
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "suggest_terms": search.suggest_terms,
@@ -1637,6 +1638,16 @@ FROM pos GROUP BY term ORDER BY term
         "phrase_topk": _phrase_sql(["table", "scan"], slop=0, k=10),
         "bm25_topk_rescored": _rescore_sql("table", "scan", k=10, window=30),
         "bm25f_topk": _bm25f_sql(["spark", "join"], k=10, tw=3.0),
+        # composite agg: after-key paging over key-ordered buckets is
+        # definitionally OFFSET paging of the same ordered bucket list
+        "composite_buckets_page2": f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'the')
+SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS doc_count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source
+LIMIT 10 OFFSET 10
+""",
         # percolator: boolean membership per stored rule — set algebra
         # mirrors the DSL exactly (OR binds loosest, so
         # 'data OR graph NOT sql' = has(data) ∪ (has(graph) ∖ has(sql)))

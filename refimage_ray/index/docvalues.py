@@ -370,6 +370,75 @@ class DocValues:
         return [(int(u), int(n)) for u, n in zip(uniq.tolist(), cnt.tolist())]
 
 
+    def composite_counts(
+        self,
+        cols: list[str],
+        ranks: np.ndarray,
+        size: int,
+        after: "tuple | None" = None,
+    ) -> tuple[list[dict], "tuple | None"]:
+        """ES ``composite`` aggregation: the distinct combinations of
+        the given categorical columns over the match set, ordered by
+        key tuple ASC, paged with an exclusive ``after`` cursor — the
+        bucket-pagination primitive that keeps aggregation responses
+        bounded no matter how many buckets exist.  Docs null in any
+        key column are skipped (the ES default for missing values).
+
+        Returns ``(buckets, after_key)`` where each bucket is
+        ``{"key": (v1, ...), "doc_count": n}`` and ``after_key`` is the
+        last key of the page (None when the page exhausts the
+        buckets).  One lexsort over the match rows — no materialized
+        full bucket list beyond the distinct combinations present.
+        """
+        if size <= 0:
+            raise ValueError(f"size must be > 0, got {size}")
+        codes, cats = [], []
+        for col in cols:
+            c = self.cols[col]
+            if not c.is_categorical:
+                raise ValueError(
+                    f"composite key column {col!r} must be categorical"
+                )
+            codes.append(c.values[ranks])
+            cats.append(c.categories)
+        valid = np.ones(len(ranks), dtype=bool)
+        for cd in codes:
+            valid &= cd >= 0
+        codes = [cd[valid] for cd in codes]
+        n = int(valid.sum())
+        if n == 0:
+            return [], None
+        # lexsort: last key is primary → reverse so cols[0] is primary
+        order = np.lexsort(tuple(reversed(codes)))
+        sorted_codes = [cd[order] for cd in codes]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for sc in sorted_codes:
+            change[1:] |= sc[1:] != sc[:-1]
+        bounds = np.flatnonzero(change)
+        counts = np.diff(np.append(bounds, n))
+        keys = [
+            tuple(str(cats[j][sorted_codes[j][b]]) for j in range(len(cols)))
+            for b in bounds
+        ]
+        start = 0
+        if after is not None:
+            import bisect
+
+            # first bucket with key > after (keys ascend by
+            # construction: codes index sorted category arrays)
+            start = bisect.bisect_right(keys, tuple(str(x) for x in after))
+        page = [
+            {"key": keys[i], "doc_count": int(counts[i])}
+            for i in range(start, min(start + size, len(keys)))
+        ]
+        after_key = (
+            page[-1]["key"]
+            if page and start + size < len(keys)
+            else None
+        )
+        return page, after_key
+
     def numeric_values(self, col: str, ranks: np.ndarray) -> np.ndarray:
         """Match-set values of a numeric column, nulls dropped — the
         gather primitive behind percentiles (local AND the docpart

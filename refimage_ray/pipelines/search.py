@@ -675,6 +675,39 @@ def bm25f_topk(
     return _hits_table(hits)
 
 
+def composite_buckets_page2(
+    sf_dir: str, query: str = "the", size: int = 10
+) -> pa.Table:
+    """Second page of an ES composite aggregation over (lang, source)
+    buckets of the query's match set — bucket pagination driven by the
+    page-1 after_key exactly as a client would (``engine.composite``).
+    After-key paging over key-ordered buckets ≡ OFFSET in SQL."""
+    s = searcher_for(sf_dir)
+    by = ["lang", "source"]
+    p1 = s.composite(query, by=by, size=size)
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "doc_count": pa.array([], pa.int64()),
+        }
+    )
+    if p1["after_key"] is None:
+        return empty
+    p2 = s.composite(query, by=by, size=size, after=p1["after_key"])
+    if not p2["buckets"]:
+        return empty
+    return pa.table(
+        {
+            "lang": pa.array([b["key"][0] for b in p2["buckets"]]),
+            "source": pa.array([b["key"][1] for b in p2["buckets"]]),
+            "doc_count": pa.array(
+                [b["doc_count"] for b in p2["buckets"]], pa.int64()
+            ),
+        }
+    )
+
+
 def bm25_topk_rescored(
     sf_dir: str, query: str = "table scan", k: int = 10, window: int = 30
 ) -> pa.Table:

@@ -1170,6 +1170,40 @@ class _SearcherBase:
         return facet_panel(self, ranks, by, histograms, sums, top, where,
                            date_histograms, percentiles)
 
+    def composite(
+        self,
+        query: str,
+        by: list[str],
+        size: int = 10,
+        after: "tuple | None" = None,
+        mode: str = "or",
+        where=None,
+    ) -> dict:
+        """ES ``composite`` aggregation over the match set: distinct
+        key-tuple buckets of the given categorical doc-value columns,
+        ordered by key ASC and paged with an exclusive ``after``
+        cursor — aggregation pagination that stays bounded regardless
+        of bucket cardinality (unlike ``facets(top=...)``, which ranks
+        by count and cannot page).  Returns ``{"buckets": [...],
+        "after_key": tuple | None}``.
+        """
+        from refimage_ray.index.docvalues import where_columns
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        terms = query_terms(self._tokenize(query))
+        term_map = self._term_map(terms)
+        ranks, _ = self._match_ranks_scores(term_map, terms, mode)
+        cols = sorted(
+            set(by) | (set(where_columns(where)) if where is not None
+                       else set())
+        )
+        dv = self.doc_values(cols)
+        if where is not None:
+            ranks = ranks[dv.mask(where)[ranks]]
+        buckets, after_key = dv.composite_counts(list(by), ranks, size, after)
+        return {"buckets": buckets, "after_key": after_key}
+
     def define_runtime_field(
         self, name: str, sources: "list[str]", fn
     ) -> None:

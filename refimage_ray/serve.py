@@ -488,6 +488,38 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     {"group": g, "doc_id": d, "score": s}
                     for g, d, s in rows
                 ]})
+            if u.path == "/composite":
+                # ES composite aggregation: bounded bucket pages over
+                # categorical doc values; after=v1|v2 continues a page
+                if not q.get("q", "").strip() or not q.get("by", "").strip():
+                    return self._json({"error": "q= and by= required"}, 422)
+                after = None
+                if q.get("after"):
+                    after = tuple(q["after"].split("|"))
+                try:
+                    out = state["s"].composite(
+                        q["q"],
+                        by=[c.strip() for c in q["by"].split(",")],
+                        size=int(q.get("size", 10)),
+                        after=after,
+                        mode=q.get("mode", "or"),
+                        where=parse_filter(q.get("filter", "")),
+                    )
+                except (ValueError, KeyError) as err:
+                    return self._json({"error": str(err)}, 422)
+                return self._json(
+                    {
+                        "buckets": [
+                            {"key": list(b["key"]),
+                             "doc_count": b["doc_count"]}
+                            for b in out["buckets"]
+                        ],
+                        "after_key": (
+                            list(out["after_key"])
+                            if out["after_key"] else None
+                        ),
+                    }
+                )
             if u.path == "/facets":
                 use_dsl = bool(q.get("dsl", "").strip())
                 if not use_dsl and not q.get("q", "").strip():

@@ -747,3 +747,53 @@ def test_runtime_field(searcher):
                                       lambda c: c["doc_len"][:3])
     with pytest.raises(ValueError, match="categorical"):
         searcher.define_runtime_field("bad2", ["lang"], lambda c: c["lang"])
+
+
+# --- ES composite aggregation (bucket pagination) ---
+
+def test_composite_pages_tile_full_list(searcher):
+    """Walking the after_key cursor must reproduce the full ordered
+    bucket list exactly once (no gaps, no dups)."""
+    meta = _doc_meta(searcher)
+    q = "the"
+    hits = {d for d, _ in searcher.search(q, k=10**6, threshold=float("-inf"))}
+    want = (
+        meta.loc[sorted(hits)]
+        .groupby("lang")
+        .size()
+        .sort_index()
+    )
+    got, after, pages = [], None, 0
+    while True:
+        out = searcher.composite(q, by=["lang"], size=2, after=after)
+        got.extend(out["buckets"])
+        pages += 1
+        if out["after_key"] is None:
+            break
+        after = out["after_key"]
+        assert pages < 100
+    assert [b["key"][0] for b in got] == list(want.index)
+    assert [b["doc_count"] for b in got] == [int(x) for x in want.values]
+    assert pages >= 2  # the cursor actually paged
+
+
+def test_composite_validation(searcher):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        searcher.composite("the", by=["doc_len"])  # numeric key col
+    with _pt.raises(ValueError):
+        searcher.composite("the", by=["lang"], size=0)
+    with _pt.raises(ValueError):
+        searcher.composite("the", by=["lang"], mode="nope")
+
+
+def test_composite_where_filter(searcher):
+    full = searcher.composite("the", by=["lang"], size=50)
+    filt = searcher.composite(
+        "the", by=["lang"], size=50, where=[("lang", "=", "en")]
+    )
+    keys = [b["key"] for b in filt["buckets"]]
+    assert keys == [("en",)]
+    en_full = {b["key"]: b["doc_count"] for b in full["buckets"]}[("en",)]
+    assert filt["buckets"][0]["doc_count"] == en_full

@@ -701,3 +701,23 @@ def test_terms_enum_route(server):
 
     lib = dict(LocalSearcher(d)._expand_pairs("prefix", "s"))
     assert all(lib[t["term"]] == t["df"] for t in body["terms"])
+
+
+def test_composite_route(server):
+    base, d = server
+    st, p1 = _get(base + "/composite?q=the&by=lang&size=2")
+    assert st == 200 and len(p1["buckets"]) == 2
+    assert p1["after_key"] is not None
+    st, p2 = _get(base + "/composite?q=the&by=lang&size=2&after="
+                  + "|".join(p1["after_key"]))
+    assert st == 200
+    # pages must not overlap and must continue in key order
+    k1 = [tuple(b["key"]) for b in p1["buckets"]]
+    k2 = [tuple(b["key"]) for b in p2["buckets"]]
+    assert not (set(k1) & set(k2))
+    assert k1 + k2 == sorted(k1 + k2)
+    try:
+        st, _ = _get(base + "/composite?q=the")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422
