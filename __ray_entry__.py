@@ -1040,6 +1040,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / dataflow breadth ---
         "tpch_q1": relational.tpch_q1,
         "tpch_q3": relational.tpch_q3,
+        "tpch_q6": relational.tpch_q6,
+        "orders_late_shipment_priority":
+            relational.orders_late_shipment_priority,
         "tpch_q5": relational.tpch_q5,
         "top_customers": relational.top_customers,
         "orders_by_status": relational.orders_by_status,
@@ -2108,6 +2111,25 @@ LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
   ON o.o_custkey = c.c_custkey
 """,
         "table_profile_lineitem": _profile_sql(),
+        "tpch_q6": """
+SELECT CAST(round(sum(l_extendedprice * l_discount)) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+        "orders_late_shipment_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
         "events_value_median": """
 SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
 FROM events GROUP BY event_type ORDER BY event_type

@@ -1030,3 +1030,112 @@ def table_profile_lineitem(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=cols)
     return profile_table(ds, cols)
+
+
+def tpch_q6(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 forecasting-revenue change: one vectorized filter +
+    sum — the no-shuffle aggregate shape (revenue rounded to the unit,
+    the Q1 float-determinism quantum)."""
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], lo),
+                pc.less(b["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(b["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(b["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        b = b.filter(m)
+        return pa.table(
+            {"rev": pc.multiply(b["l_extendedprice"], b["l_discount"])}
+        )
+
+    agg = (
+        _t(sf_dir, "lineitem",
+           ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    rev = agg["revenue"]  # None when the filter matches nothing
+    return pa.table(
+        {
+            "revenue": pa.array(
+                [float(round(float(rev))) if rev is not None else 0.0],
+                pa.float64(),
+            )
+        }
+    )
+
+
+def orders_late_shipment_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q4 (priority checking), adapted to the driver schema: the
+    stock Q4 tests l_commitdate < l_receiptdate, columns this lineitem
+    lacks — the EXISTS predicate here is "some line item shipped >= 30
+    days after the order date" (same join/semi-join shape).  Counted
+    per o_orderpriority for Q1-1996 orders (the driver corpus spans
+    1995-2001, not the stock 1992-1998).
+
+    Shape: large-large bucketed hash join (orders ⋈ lineitem on
+    orderkey), vectorized lateness filter, then the EXISTS collapse as
+    a (orderkey, priority) groupby — two narrow exchanges, no
+    driver-side row loops.
+    """
+    from refimage_ray.stages.joins import hash_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo),
+            pc.less(b["o_orderdate"], hi),
+        )
+        return b.filter(m)
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+    items = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = hash_join(
+        orders, items,
+        left_on="o_orderkey", right_on="l_orderkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        right_cols=["l_orderkey", "l_shipdate"],
+    )
+    late_us = 30 * 86_400_000_000  # 30 days in microseconds
+
+    def late(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.int64())
+        od = b["o_orderdate"].cast(pa.int64())
+        keep = pc.greater_equal(pc.subtract(ship, od), pa.scalar(late_us))
+        b = b.filter(keep)
+        return b.select(["o_orderkey", "o_orderpriority"])
+
+    per_order = (
+        joined.map_batches(late, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    counts = (
+        per_order.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .to_pandas()
+    )
+    if "o_orderpriority" not in counts.columns:  # empty-Dataset quirk
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "order_count": pa.array([], pa.int64()),
+            }
+        )
+    counts = counts.sort_values("o_orderpriority").reset_index(drop=True)
+    counts["order_count"] = counts["order_count"].astype("int64")
+    return pa.Table.from_pandas(counts, preserve_index=False)
