@@ -1080,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist_stats": training.url_blocklist_stats,
         "crawl_delta_docs": training.crawl_delta_docs,
         "weighted_sample_docs": training.weighted_sample_docs,
+        "doc_chunks": training.doc_chunks,
         "crawl_delta_summary": training.crawl_delta_summary,
         "pii_scrub_stats": training.pii_scrub_stats,
         "token_count_multi": training.token_count_multi,
@@ -1835,6 +1836,16 @@ SELECT doc_id FROM keep WHERE rn = 1
 """,
         "lang_counts": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+""",
+        # overlapping word-window chunks: start every 32 words while
+        # start < len; window = 64 words, ragged tail (chunk_batch rule)
+        "doc_chunks": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, t.g AS chunk_idx,
+       CAST(least(64, len(ws) - t.g*32) AS BIGINT) AS n_words,
+       array_to_string(ws[t.g*32+1 : t.g*32+64], ' ') AS chunk
+FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws)/32.0) AS INT)-1))
+     AS t(g)
 """,
         # Efraimidis–Spirakis race keys: (h+0.5)/2^64 and -ln(u)/w are
         # the same float64 ops on both sides → bit-identical keys

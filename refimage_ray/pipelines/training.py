@@ -738,3 +738,12 @@ def weighted_sample_docs(sf_dir: str, n: int = 100) -> "rd.Dataset":
     return weighted_sample(
         _docs(sf_dir, ("doc_id", "n_chars")), n, weight_col="n_chars"
     )
+
+
+def doc_chunks(sf_dir: str, size: int = 64, stride: int = 32) -> "rd.Dataset":
+    """RAG-style overlapping passage chunks (size-64 windows every 32
+    words) — see ``stages/lines.chunk_batch`` for the vectorized rule."""
+    from refimage_ray.stages.lines import chunk_docs
+
+    return chunk_docs(_docs(sf_dir, ("doc_id", "text")),
+                      size=size, stride=stride)

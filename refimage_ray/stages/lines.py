@@ -104,6 +104,78 @@ def _segment_arrays(
     return segs, parent, seg_idx, n_segs
 
 
+def chunk_batch(
+    batch: pa.Table,
+    *,
+    size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> pa.Table:
+    """Overlapping word-window chunking (RAG / retrieval-passage prep):
+    chunk ``i`` of a doc covers words ``[i·stride, i·stride + size)``;
+    starts advance by ``stride`` while ``start < len(words)`` (so the
+    rule matches the SQL oracle exactly; trailing chunks are ragged).
+
+    Unlike the disjoint segmenter, overlapping windows can't share one
+    offsets array — the chunk word indices are gathered with a
+    repeat/arange take, then ONE ``binary_join`` rebuilds every chunk
+    string.  Fully vectorized.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError(f"size/stride must be >= 1 (got {size}/{stride})")
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    words = pc.split_pattern(text, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lengths = lengths.astype(np.int64)
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_rows = len(lengths)
+    doc_starts = np.cumsum(lengths) - lengths
+    n_chunks = (lengths + stride - 1) // stride  # starts while start < L
+    total_chunks = int(n_chunks.sum())
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
+    chunk_idx = np.arange(total_chunks, dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    rel_start = chunk_idx * stride
+    chunk_lens = np.minimum(size, lengths[parent] - rel_start)
+    total_words = int(chunk_lens.sum())
+    out_off = np.cumsum(chunk_lens) - chunk_lens
+    flat_idx = (
+        np.repeat(doc_starts[parent] + rel_start, chunk_lens)
+        + np.arange(total_words, dtype=np.int64)
+        - np.repeat(out_off, chunk_lens)
+    )
+    taken = flat.take(pa.array(flat_idx, pa.int64()))
+    offsets = np.append(out_off, total_words).astype(np.int32)
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), taken), " "
+    )
+    doc = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[parent], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_words": pa.array(chunk_lens, pa.int64()),
+            "chunk": chunks,
+        }
+    )
+
+
+def chunk_docs(ds, **kwargs):
+    """Dataset-level chunker: one vectorized flat-map, streaming."""
+    return ds.map_batches(
+        lambda b: chunk_batch(b, **kwargs), batch_format="pyarrow"
+    )
+
+
 def segment_batch(
     batch: pa.Table,
     *,

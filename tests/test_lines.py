@@ -206,3 +206,50 @@ def test_min_count_three(ray_session):
 def test_bad_mode_raises(ray_session):
     with pytest.raises(ValueError):
         line_dedup(rd.from_arrow(_corpus()), mode="nope")
+
+
+# --- overlapping chunking (RAG passage prep) ---
+
+def test_chunk_batch_matches_naive(ray_session):
+    from refimage_ray.stages.lines import chunk_batch
+
+    texts = ["a b c d e f g", "x y", "", "one two three four five"]
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(texts)})
+    for size, stride in ((4, 2), (3, 3), (2, 5), (10, 1)):
+        got = chunk_batch(tbl, size=size, stride=stride).to_pydict()
+        k = 0
+        for doc, t in zip([1, 2, 3, 4], texts):
+            w = t.split(" ")
+            for ci, s in enumerate(range(0, len(w), stride)):
+                want = " ".join(w[s:s + size])
+                assert (
+                    got["doc_id"][k], got["chunk_idx"][k],
+                    got["n_words"][k], got["chunk"][k],
+                ) == (doc, ci, min(size, len(w) - s), want), (size, stride)
+                k += 1
+        assert k == len(got["chunk"])
+
+
+def test_chunk_docs_streaming(ray_session):
+    import ray.data as rd
+
+    from refimage_ray.stages.lines import chunk_docs
+
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                    "text": pa.array(["w " * 99 + "w"] * 50)})
+    out = chunk_docs(rd.from_arrow(tbl).repartition(5),
+                     size=64, stride=32).to_pandas()
+    assert len(out) == 50 * 4  # ceil(100/32) starts per doc
+    assert set(out.groupby("doc_id")["n_words"].apply(tuple)) == {
+        (64, 64, 36, 4)
+    }
+
+
+def test_chunk_validation(ray_session):
+    from refimage_ray.stages.lines import chunk_batch
+
+    with pytest.raises(ValueError):
+        chunk_batch(_corpus(), size=0)
+    with pytest.raises(ValueError):
+        chunk_batch(_corpus(), stride=0)
