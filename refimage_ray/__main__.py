@@ -256,7 +256,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": f"--domain needs NAME=TOKENS, "
                                            f"got {spec!r}"}))
                 return 1
-            domains[name] = float(tok)
+            try:
+                domains[name] = float(tok)
+            except ValueError:
+                print(json.dumps({"error": f"--domain TOKENS must be "
+                                           f"numeric, got {spec!r}"}))
+                return 1
         print(json.dumps(plan_mixture(
             args.budget, domains,
             max_epochs=args.max_epochs, alpha=args.alpha,

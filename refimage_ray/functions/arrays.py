@@ -112,6 +112,11 @@ def canonical_tree_sum(
 
     import pyarrow as pa
 
+    # Materialize once: partials are tiny (one sum-row per block), but
+    # the upstream map is the full corpus pass — count() + take_all()
+    # on the lazy Dataset would execute it twice per call (2x every GD
+    # / k-means iteration).  After this, count/take are free.
+    partials_ds = partials_ds.materialize()
     n = partials_ds.count()
     if n == 0:
         return None
@@ -144,7 +149,7 @@ def canonical_tree_sum(
             partials_ds.map_batches(bucket_of, batch_format="pyarrow")
             .groupby("__ctr_bucket")
             .map_groups(combine, batch_format="pyarrow")
-        )
+        ).materialize()
         n = partials_ds.count()
         rounds += 1
     rows = partials_ds.take_all()

@@ -440,15 +440,20 @@ class DocValues:
         return page, after_key
 
     def numeric_values(self, col: str, ranks: np.ndarray) -> np.ndarray:
-        """Match-set values of a numeric column, nulls dropped — the
-        gather primitive behind percentiles (local AND the docpart
-        capped-gather path)."""
+        """Match-set values of a numeric column, nulls AND NaN values
+        dropped (SQL valid-only rank basis, the same rule as
+        ``stages/selection.kth_smallest``) — the gather primitive
+        behind percentiles (local AND the docpart capped-gather path).
+        Dropping NaN here keeps the capped gather and the above-cap
+        histogram-bisection fallback on ONE rank basis."""
         c = self.cols[col]
         if c.is_categorical:
             raise ValueError(f"{col!r} is categorical — use facet_counts")
         v = c.values[ranks]
         if c.null is not None:
             v = v[~c.null[ranks]]
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
         return v
 
     def facet_percentiles(

@@ -743,7 +743,9 @@ def doc_lexical_stats(sf_dir: str) -> "rd.Dataset":
                 "doc_id": b["doc_id"],
                 "n_tokens": pa.array(np.zeros(n_rows, np.int64)),
                 "distinct_terms": pa.array(np.zeros(n_rows, np.int64)),
-                "ttr": pa.array(np.full(n_rows, np.nan), pa.float64()),
+                # null (not NaN values) — same encoding as the masked
+                # path below and the oracle's CASE WHEN n_tokens > 0
+                "ttr": pa.array([None] * n_rows, pa.float64()),
                 "hapax": pa.array(np.zeros(n_rows, np.int64)),
             })
         g = (

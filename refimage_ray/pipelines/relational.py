@@ -1065,10 +1065,11 @@ def tpch_q6(sf_dir: str) -> pa.Table:
         .aggregate(Sum("rev", alias_name="revenue"))
     )
     rev = agg["revenue"]  # None when the filter matches nothing
+    # empty SUM is NULL in SQL — mirror the oracle, don't invent 0.0
     return pa.table(
         {
             "revenue": pa.array(
-                [float(round(float(rev))) if rev is not None else 0.0],
+                [float(round(float(rev))) if rev is not None else None],
                 pa.float64(),
             )
         }

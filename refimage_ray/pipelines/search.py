@@ -71,22 +71,41 @@ def searcher_for(sf_dir: str) -> LocalSearcher:
     return _searchers[index_dir]
 
 
-def _stemmed_searcher(sf_dir: str) -> LocalSearcher:
-    """Index built with the S-stemmer analysis chain
-    (``EngineConfig(term_filter="s_stem")``) — separate artifact dir,
-    same lazy build/serve split as :func:`searcher_for`."""
-    index_dir = _index_dir_for(sf_dir) + "-sstem"
+def _variant_searcher(
+    sf_dir: str,
+    suffix: str,
+    cfg: EngineConfig,
+    columns: "list[str] | None" = None,
+    transform=None,
+) -> LocalSearcher:
+    """The ONE lazy build-if-no-manifest / cache-in-``_searchers``
+    protocol behind every LocalSearcher variant (stemmed, title-field,
+    …): read ``documents.parquet`` (optionally ``transform``-ed),
+    build into ``{index_dir}{suffix}``, memoize the searcher.  Changes
+    to the build/cache rule live here once."""
+    index_dir = _index_dir_for(sf_dir) + suffix
     if load_manifest(index_dir) is None:
         docs = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
+            columns=columns or ["doc_id", "text"],
         )
-        cfg = EngineConfig(num_shards=16, salt_buckets=4,
-                           hot_df_fraction=0.05, term_filter="s_stem")
+        if transform is not None:
+            docs = docs.map_batches(transform, batch_format="pyarrow")
         build_index(docs, index_dir, cfg)
     if index_dir not in _searchers:
         _searchers[index_dir] = LocalSearcher(index_dir)
     return _searchers[index_dir]
+
+
+def _stemmed_searcher(sf_dir: str) -> LocalSearcher:
+    """Index built with the S-stemmer analysis chain
+    (``EngineConfig(term_filter="s_stem")``) — separate artifact dir,
+    same lazy build/serve split as :func:`searcher_for`."""
+    return _variant_searcher(
+        sf_dir, "-sstem",
+        EngineConfig(num_shards=16, salt_buckets=4,
+                     hot_df_fraction=0.05, term_filter="s_stem"),
+    )
 
 
 def bm25_topk_stemmed(
@@ -640,22 +659,15 @@ def _title_searcher(sf_dir: str) -> LocalSearcher:
     fields are independent artifacts, the Lucene per-field shape."""
     import pyarrow.compute as pc
 
-    index_dir = _index_dir_for(sf_dir) + "-title"
-    if load_manifest(index_dir) is None:
-        def to_title(b: pa.Table) -> pa.Table:
-            words = pc.split_pattern(b["text"], " ")
-            title = pc.binary_join(pc.list_slice(words, 0, 8), " ")
-            return pa.table({"doc_id": b["doc_id"], "text": title})
+    def to_title(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        title = pc.binary_join(pc.list_slice(words, 0, 8), " ")
+        return pa.table({"doc_id": b["doc_id"], "text": title})
 
-        docs = rd.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-        ).map_batches(to_title, batch_format="pyarrow")
-        cfg = EngineConfig(num_shards=8, salt_buckets=2)
-        build_index(docs, index_dir, cfg)
-    if index_dir not in _searchers:
-        _searchers[index_dir] = LocalSearcher(index_dir)
-    return _searchers[index_dir]
+    return _variant_searcher(
+        sf_dir, "-title", EngineConfig(num_shards=8, salt_buckets=2),
+        transform=to_title,
+    )
 
 
 def bm25f_topk(

@@ -495,7 +495,30 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     return self._json({"error": "q= and by= required"}, 422)
                 after = None
                 if q.get("after"):
-                    after = tuple(q["after"].split("|"))
+                    raw = q["after"]
+                    if raw.lstrip().startswith("["):
+                        # JSON form — the safe encoding for key values
+                        # that contain '|' (or are empty strings)
+                        try:
+                            parsed = json.loads(raw)
+                        except json.JSONDecodeError:
+                            return self._json(
+                                {"error": "after= is not valid JSON"}, 422
+                            )
+                        if not isinstance(parsed, list):
+                            return self._json(
+                                {"error": "after= JSON must be a list"}, 422
+                            )
+                        after = tuple(str(v) for v in parsed)
+                    else:
+                        after = tuple(raw.split("|"))
+                    n_by = len([c for c in q["by"].split(",") if c.strip()])
+                    if len(after) != n_by:
+                        return self._json(
+                            {"error": f"after= has {len(after)} values for "
+                                      f"{n_by} by-columns (keys containing "
+                                      "'|' need the JSON-array form)"}, 422
+                        )
                 try:
                     out = state["s"].composite(
                         q["q"],

@@ -24,30 +24,42 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from refimage_ray.functions.hashing import md5_u64_string_array
+from refimage_ray.functions.hashing import md5_halves_string_array
 
 
-def _value_keys(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """64-bit equality keys of the non-null values of a column."""
+def _value_keys(
+    col: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit equality keys (hi, lo u64 halves) of the non-null values
+    of a column.  Numerics key by canonicalized value bits with lo=0
+    (-0.0 folds to 0.0 and every NaN payload to one NaN, matching SQL
+    DISTINCT); strings carry BOTH md5 halves — the repo-wide 128-bit
+    discipline, since a 64-bit key undercounts ~10^9-distinct string
+    columns via birthday collisions."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = col.drop_null()
+    zero = np.zeros(len(col), dtype=np.uint64)
     if len(col) == 0:
-        return np.zeros(0, dtype=np.uint64)
+        return zero, zero
     t = col.type
     if pa.types.is_integer(t):
-        return col.to_numpy(zero_copy_only=False).astype(np.int64).view(
+        hi = col.to_numpy(zero_copy_only=False).astype(np.int64).view(
             np.uint64
         )
+        return hi, zero
     if pa.types.is_floating(t):
-        return col.to_numpy(zero_copy_only=False).astype(np.float64).view(
-            np.uint64
-        )
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64).copy()
+        v[v == 0.0] = 0.0  # -0.0 == 0.0 → one canonical bit pattern
+        v[np.isnan(v)] = np.nan  # one canonical NaN payload
+        return v.view(np.uint64), zero
     if pa.types.is_timestamp(t):
-        return col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(
+        hi = col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(
             np.uint64
         )
-    return md5_u64_string_array(col.cast(pa.string()))
+        return hi, zero
+    h, l = md5_halves_string_array(col.cast(pa.string()))
+    return np.asarray(h, dtype=np.uint64), np.asarray(l, dtype=np.uint64)
 
 
 def profile_table(ds, columns: list[str]) -> pa.Table:
@@ -105,25 +117,29 @@ def profile_table(ds, columns: list[str]) -> pa.Table:
     )
 
     def uniq_partials(b: pa.Table) -> pa.Table:
-        ks, cs = [], []
+        ks_hi, ks_lo, cs = [], [], []
         for ci, c in enumerate(cols):
-            u = np.unique(_value_keys(b[c]))
-            ks.append(u)
-            cs.append(np.full(len(u), ci, dtype=np.int64))
-        k = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
+            hi, lo = _value_keys(b[c])
+            pairs = np.unique(np.stack([hi, lo], axis=1), axis=0)
+            ks_hi.append(pairs[:, 0])
+            ks_lo.append(pairs[:, 1])
+            cs.append(np.full(len(pairs), ci, dtype=np.int64))
+        hi = np.concatenate(ks_hi) if ks_hi else np.zeros(0, np.uint64)
+        lo = np.concatenate(ks_lo) if ks_lo else np.zeros(0, np.uint64)
         return pa.table(
             {
                 "col_id": pa.array(
                     np.concatenate(cs) if cs else np.zeros(0, np.int64),
                     pa.int64(),
                 ),
-                "vkey": pa.array(k.view(np.int64), pa.int64()),
+                "vkey_hi": pa.array(hi.view(np.int64), pa.int64()),
+                "vkey_lo": pa.array(lo.view(np.int64), pa.int64()),
             }
         )
 
     dcount = (
         ds.map_batches(uniq_partials, batch_format="pyarrow")
-        .groupby(["col_id", "vkey"])
+        .groupby(["col_id", "vkey_hi", "vkey_lo"])
         .aggregate(Count(alias_name="_k"))
         .groupby("col_id")
         .aggregate(Count(alias_name="n_distinct"))

@@ -721,3 +721,30 @@ def test_composite_route(server):
     except urllib.error.HTTPError as e:
         st = e.code
     assert st == 422
+
+
+def test_composite_after_cursor_arity_and_json_form(server):
+    import urllib.error
+    import urllib.parse
+
+    base, d = server
+    st, p1 = _get(base + "/composite?q=the&by=lang&size=2")
+    assert st == 200 and p1["after_key"] is not None
+    # JSON-array form round-trips to the same page as the pipe form
+    after_json = urllib.parse.quote(json.dumps(p1["after_key"]))
+    st, p2j = _get(base + f"/composite?q=the&by=lang&size=2&after={after_json}")
+    st2, p2p = _get(base + "/composite?q=the&by=lang&size=2&after="
+                    + "|".join(p1["after_key"]))
+    assert st == 200 and st2 == 200 and p2j == p2p
+    # wrong-arity cursor (a key value containing '|' mis-split) -> 422
+    try:
+        st, _ = _get(base + "/composite?q=the&by=lang&size=2&after=a%7Cb")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422
+    # malformed JSON form -> 422, not a traceback
+    try:
+        st, _ = _get(base + "/composite?q=the&by=lang&size=2&after=%5Bbad")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422
