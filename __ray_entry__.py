@@ -973,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "suggest_terms": search.suggest_terms,
+        "suggest_phrase": search.suggest_phrase,
         "facet_counts_query": search.facet_counts_query,
         "facet_counts_docpart": search.facet_counts_docpart,
         "facet_doclen_hist": search.facet_doclen_hist,
@@ -1001,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "contamination_stats": corpus.contamination_stats,
         "dup_span_stats": corpus.dup_span_stats,
+        "scrub_dup_spans_docs": corpus.scrub_dup_spans_docs,
         "doc_len_quantiles": corpus.doc_len_quantiles,
         "repetition_stats": corpus.repetition_stats,
         "heavy_hitters": corpus.heavy_hitters,
@@ -1727,6 +1729,51 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT term, CAST(df AS BIGINT) AS df
 FROM df WHERE levenshtein(term, 'sow') <= 1
 """,
+        # phrase-level did-you-mean: argmax over the per-term lev<=1
+        # candidate cross-product of ln p_uni(w1) + ln p(w2|w1) under
+        # the add-1 bigram LM (the engine's PhraseSuggester, mirrored
+        # float-for-float; candidate cap 8 by count desc, term asc)
+        "suggest_phrase": """
+WITH docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(t) AS w FROM docs) GROUP BY w
+),
+v AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v, CAST(sum(c) AS DOUBLE) AS tot
+  FROM uni
+),
+pos AS (
+  SELECT t[i - 1] AS prev, t[i] AS cur
+  FROM docs, LATERAL (SELECT unnest(generate_series(2, len(t))) AS i) _
+),
+big AS (
+  SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c FROM pos GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn
+    FROM uni WHERE levenshtein(w, 'tabl') <= 1
+  ) WHERE rn <= 8
+),
+c2 AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn
+    FROM uni WHERE levenshtein(w, 'scann') <= 1
+  ) WHERE rn <= 8
+)
+SELECT c1.w || ' ' || c2.w AS suggestion,
+       round(ln((c1.c + 1.0) / (v.tot + v.v))
+             + ln((coalesce(b.c, 0) + 1.0) / (c1.c + v.v)), 4) AS score
+FROM c1 CROSS JOIN c2 CROSS JOIN v
+LEFT JOIN big b ON b.prev = c1.w AND b.cur = c2.w
+ORDER BY ln((c1.c + 1.0) / (v.tot + v.v))
+         + ln((coalesce(b.c, 0) + 1.0) / (c1.c + v.v)) DESC,
+         suggestion
+LIMIT 1
+""",
         # query-time facet panel: value counts per facet column over
         # the disjunctive match set (resident doc values engine-side);
         # doc-partitioned facets are exact by additive merge → the SAME
@@ -1940,6 +1987,46 @@ gd AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
 FROM grams JOIN gd USING (g)
 GROUP BY doc_id
+""",
+        # ExactSubstr scrub (drop-all): every token position covered by
+        # a >=2-distinct-doc 3-gram is excised; cleaned token-space
+        # text rebuilt in position order
+        "scrub_dup_spans_docs": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+),
+gd AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+  ) WHERE nd >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, i + j AS p
+  FROM grams JOIN gd USING (g),
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS j) _
+),
+toklist AS (
+  SELECT doc_id, p, t[p] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) _
+),
+kept AS (
+  SELECT tl.doc_id, tl.p, tl.tok
+  FROM toklist tl LEFT JOIN cov ON tl.doc_id = cov.doc_id AND tl.p = cov.p
+  WHERE cov.p IS NULL
+),
+k AS (
+  SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY p) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(len(toks.t) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+       coalesce(k.txt, '') AS text
+FROM toks LEFT JOIN k USING (doc_id)
 """,
         # Gopher repetition signals: top-1 word / bigram share per doc
         "repetition_stats": """

@@ -313,6 +313,19 @@ def dup_span_stats(sf_dir: str, n: int = 3) -> "rd.Dataset":
     )
 
 
+def scrub_dup_spans_docs(sf_dir: str, n: int = 3) -> "rd.Dataset":
+    """Corpus rewritten with duplicated-span coverage removed (Lee et
+    al. 2022 ExactSubstr dedup, aggressive drop-all variant): every
+    token covered by an ``n``-gram that appears in ≥2 distinct docs is
+    excised; ``(doc_id, n_tokens, n_removed, text)`` with the cleaned
+    token-space text.  The *rewriting* counterpart of
+    :func:`dup_span_stats` (which only counts).  Default ``n=3``
+    matches the stats operator; production spans use n≈50."""
+    from refimage_ray.stages.spans import scrub_dup_spans
+
+    return scrub_dup_spans(_docs(sf_dir), n=n, mode="drop_all")
+
+
 def repetition_stats(sf_dir: str) -> "rd.Dataset":
     """Gopher-style per-doc repetition signals: the fraction of tokens
     taken by the single most frequent word / bigram (Rae et al. 2021

@@ -789,6 +789,36 @@ def suggest_terms(sf_dir: str, probe: str = "sow") -> pa.Table:
     )
 
 
+_phrase_suggesters: dict = {}
+
+
+def suggest_phrase(
+    sf_dir: str, probe: str = "tabl scann", round_to: int = 4
+) -> pa.Table:
+    """Phrase-level did-you-mean (ES phrase-suggester analog): the
+    per-term Levenshtein-≤1 candidate sequence maximizing the corpus
+    add-1 bigram LM — context picks the correction, not just term
+    frequency (``query/suggest.PhraseSuggester``).  Score =
+    ln p_uni(w1) + Σ ln p(wi|wi-1), mirrored float-for-float in the
+    SQL oracle."""
+    from refimage_ray.query.suggest import PhraseSuggester
+    from refimage_ray.stages.lm import train_bigram_lm
+
+    if sf_dir not in _phrase_suggesters:
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        _phrase_suggesters[sf_dir] = PhraseSuggester(train_bigram_lm(docs))
+    phrase, score = _phrase_suggesters[sf_dir].suggest(probe)
+    return pa.table(
+        {
+            "suggestion": pa.array([phrase], pa.string()),
+            "score": pa.array([round(score, round_to)], pa.float64()),
+        }
+    )
+
+
 def bm25_grouped_by_lang(
     sf_dir: str, query: str = "spark join", k_per_group: int = 3
 ) -> pa.Table:

@@ -464,6 +464,38 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
             if u.path == "/suggest":
                 if not q.get("q", "").strip():
                     return self._json({"error": "empty query"}, 422)
+                if q.get("mode", "term") == "phrase":
+                    # phrase-level did-you-mean: bigram-LM argmax over
+                    # the per-term lev-<=1 candidate space.  The LM
+                    # trains lazily ONCE from the artifact's live docs
+                    # (staged_docs excludes losers/tombstones) and
+                    # stays resident — /reload drops it with the rest
+                    # of the state swap.
+                    try:
+                        ps = state.get("phrase_suggester")
+                        if ps is None:
+                            from refimage_ray.index.reader import (
+                                staged_docs,
+                            )
+                            from refimage_ray.query.suggest import (
+                                PhraseSuggester,
+                            )
+                            from refimage_ray.stages.lm import (
+                                train_bigram_lm,
+                            )
+
+                            ps = PhraseSuggester(train_bigram_lm(
+                                staged_docs(
+                                    index_dir, columns=["doc_id", "text"]
+                                )
+                            ))
+                            state["phrase_suggester"] = ps
+                        phrase, score = ps.suggest(q["q"])
+                        return self._json(
+                            {"suggestion": phrase, "score": score}
+                        )
+                    except ValueError as err:
+                        return self._json({"error": str(err)}, 422)
                 try:
                     return self._json({"suggestions": state["s"].suggest(
                         q["q"], max_suggestions=int(q.get("k", 5))
@@ -688,6 +720,8 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 state["s"] = fresh
                 state["ex"] = DSLExecutor(state["s"])
                 state["meta_dirs"] = _group_dirs()  # new segments' docs/
+                # LM counts may have shifted with the corpus
+                state.pop("phrase_suggester", None)
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
             if urlparse(self.path).path == "/percolate":

@@ -748,3 +748,26 @@ def test_composite_after_cursor_arity_and_json_form(server):
     except urllib.error.HTTPError as e:
         st = e.code
     assert st == 422
+
+
+def test_suggest_phrase_route(server):
+    import urllib.error
+
+    base, d = server
+    # pick a real vocab term, misspell it by one deletion
+    st, terms = _get(base + "/terms?prefix=&max=5")
+    term = max((t["term"] for t in terms["terms"]), key=len)
+    probe = term[:-1] if len(term) > 2 else term
+    st, body = _get(base + f"/suggest?q={probe}&mode=phrase")
+    assert st == 200 and "suggestion" in body and "score" in body
+    # the corrected phrase tokenizes entirely into vocabulary terms OR
+    # passes the probe through (no-candidate fallback)
+    assert body["suggestion"]
+    # term-mode unchanged
+    st, body = _get(base + f"/suggest?q={probe}")
+    assert st == 200 and "suggestions" in body
+    try:
+        st, _ = _get(base + "/suggest?q=%20&mode=phrase")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422

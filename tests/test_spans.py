@@ -1,0 +1,126 @@
+"""Exact-substring span scrubbing (stages/spans.py) vs a brute-force
+Python oracle, both modes, block-layout invariance."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from refimage_ray.stages.spans import scrub_dup_spans
+
+
+def _brute(docs: list[tuple[int, str]], n: int, mode: str):
+    """Reference implementation: token lists, inter-doc duplicated
+    grams, position coverage, keep-first winner by (doc_id, pos)."""
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(len(t) - n + 1):
+            occ.setdefault(tuple(t[i:i + n]), []).append((d, i))
+    dup = {g: ps for g, ps in occ.items()
+           if len({d for d, _ in ps}) >= 2}
+    out = {}
+    for d, t in toks.items():
+        covered = [False] * len(t)
+        for g, ps in dup.items():
+            win = min(ps)  # (doc_id, pos) lexicographic
+            for (dd, i) in ps:
+                if dd != d:
+                    continue
+                if mode == "keep_first" and (dd, i) == win:
+                    continue
+                for j in range(n):
+                    covered[i + j] = True
+        kept = [w for w, c in zip(t, covered) if not c]
+        out[d] = {
+            "n_tokens": len(t),
+            "n_removed": len(t) - len(kept),
+            "text": " ".join(kept),
+        }
+    return out
+
+
+_DOCS = [
+    (1, "alpha beta gamma delta unique one two"),
+    (2, "other words alpha beta gamma delta tail"),
+    (3, "nothing shared here at all"),
+    (4, "alpha beta gamma delta"),
+    (5, "x y"),          # shorter than n
+    (6, ""),             # tokenless
+    (7, "one two three one two three one two three"),  # intra-doc only
+]
+
+
+def _tbl(docs) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })
+
+
+@pytest.mark.parametrize("mode", ["drop_all", "keep_first"])
+def test_scrub_matches_brute_force(ray_session, mode):
+    got = {
+        r["doc_id"]: r
+        for r in scrub_dup_spans(
+            rd.from_arrow(_tbl(_DOCS)).repartition(3), n=3, mode=mode
+        ).take_all()
+    }
+    want = _brute(_DOCS, 3, mode)
+    assert set(got) == set(want)
+    for d in want:
+        for k in ("n_tokens", "n_removed", "text"):
+            assert got[d][k] == want[d][k], (mode, d, k)
+    # intra-doc-only repetition (doc 7) is NOT inter-doc duplicated
+    assert got[7]["n_removed"] == 0
+
+
+def test_scrub_keep_first_keeps_exactly_one_copy(ray_session):
+    got = {
+        r["doc_id"]: r
+        for r in scrub_dup_spans(
+            rd.from_arrow(_tbl(_DOCS)), n=3, mode="keep_first"
+        ).take_all()
+    }
+    # doc 1 is the smallest doc_id holding 'alpha beta gamma delta'
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 4 and got[4]["n_removed"] == 4
+
+
+def test_scrub_block_layout_invariance(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 15)).tolist()))
+        for i in range(40)
+    ]
+    a = sorted(
+        scrub_dup_spans(rd.from_arrow(_tbl(docs)).repartition(1),
+                        n=3).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        scrub_dup_spans(rd.from_arrow(_tbl(docs)).repartition(7),
+                        n=3).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
+
+
+def test_scrub_rejects_unknown_mode(ray_session):
+    with pytest.raises(ValueError, match="mode"):
+        scrub_dup_spans(rd.from_arrow(_tbl(_DOCS)), n=3, mode="bogus")
+
+
+def test_scrub_stats_only(ray_session):
+    out = scrub_dup_spans(
+        rd.from_arrow(_tbl(_DOCS)), n=3, return_text=False
+    ).take_all()
+    assert "text" not in out[0]
+    assert {r["doc_id"] for r in out} == {d for d, _ in _DOCS}
