@@ -557,6 +557,64 @@ ORDER BY s.sc DESC, s.doc_id LIMIT {k}
 """
 
 
+def _near_sql(tokens: list[str], window: int, k: int) -> str:
+    """Unordered-proximity (NEAR/W) top-k oracle: the match predicate
+    is EXISTS one position per DISTINCT term with span ≤ ``window``
+    (``engine._verify_near_positions``' anchor identity, expressed as
+    greatest−least over a ±window-bounded position self-join); BM25
+    scoring identical to the phrase oracle."""
+    distinct = sorted(set(tokens))
+    assert len(distinct) >= 2
+    chain = []
+    for j in range(1, len(distinct)):
+        chain.append(
+            f"JOIN pos p{j} ON p{j}.doc_id = p0.doc_id "
+            f"AND p{j}.term = '{distinct[j]}' "
+            f"AND p{j}.i BETWEEN p0.i - {window} AND p0.i + {window}"
+        )
+    chain_sql = "\n  ".join(chain)
+    cols = ", ".join(f"p{j}.i" for j in range(len(distinct)))
+    terms_sql = ", ".join(f"('{t}')" for t in distinct)
+    return f"""
+WITH toks_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks_arr, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) _
+),
+pmatch AS (
+  SELECT DISTINCT p0.doc_id
+  FROM pos p0
+  {chain_sql}
+  WHERE p0.term = '{distinct[0]}'
+    AND greatest({cols}) - least({cols}) <= {window}
+),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES {terms_sql}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+  HAVING count(*) = {len(distinct)}
+)
+SELECT s.doc_id, round(s.sc, 4) AS score
+FROM scores s JOIN pmatch USING (doc_id)
+ORDER BY s.sc DESC, s.doc_id LIMIT {k}
+"""
+
+
 def _profile_sql() -> str:
     """Per-column profile oracle (engine ``stages/profile``): one
     UNION ALL arm per column; numeric stats NULL for non-numerics
@@ -967,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count": search.search_count,
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
+        "bm25_topk_near": search.bm25_topk_near,
         "bm25_topk_rescored": search.bm25_topk_rescored,
         "bm25f_topk": search.bm25f_topk,
         "composite_buckets_page2": search.composite_buckets_page2,
@@ -1700,6 +1759,8 @@ SELECT query_id, doc_id FROM (
 ) ORDER BY query_id, doc_id
 """,
         "phrase_topk_slop": _phrase_sql(["data", "join"], slop=2, k=10),
+        # unordered proximity (NEAR/3): span <= window, any order
+        "bm25_topk_near": _near_sql(["spark", "join"], window=3, k=10),
         # engine.count: match-set sizes, no scoring — m counts DISTINCT
         # matched query terms per doc (tf has one row per doc,term)
         "search_count": """

@@ -651,6 +651,17 @@ def phrase_topk_slop(
     return _hits_table(searcher_for(sf_dir).search_phrase(phrase, k=k, slop=slop))
 
 
+def bm25_topk_near(
+    sf_dir: str, query: str = "spark join", k: int = 10, window: int = 3
+) -> pa.Table:
+    """Unordered-proximity top-k (classic NEAR/W): all distinct query
+    terms within a ``window``-token span in ANY order — the order-free
+    complement of ``phrase_topk_slop`` (``engine.search_near``)."""
+    return _hits_table(
+        searcher_for(sf_dir).search_near(query, window=window, k=k)
+    )
+
+
 def _title_searcher(sf_dir: str) -> LocalSearcher:
     """Second-field artifact for BM25F: the 'title' of each doc = its
     first 8 whitespace words (the corpus has no real title column; the

@@ -935,6 +935,62 @@ class _SearcherBase:
         ids, sc = topk_select(cand[keep], scores[keep], k + offset, threshold)
         return list(zip(ids.tolist(), sc.tolist()))[offset:]
 
+    def search_near(
+        self,
+        query: str,
+        window: int,
+        k: int | None = None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        offset: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Unordered proximity top-k (classic boolean-IR ``NEAR/W``,
+        the order-free complement of :meth:`search_phrase`): candidate
+        matches iff SOME choice of one position per distinct query term
+        spans at most ``window`` (max − min ≤ window), in ANY order.
+        Scores are the terms' BM25 scores, like phrase search.
+
+        Verification is exact and vectorized via the anchor identity:
+        a qualifying window's minimum is some term's position ``p``, so
+        the doc matches iff for some position ``p`` every term has a
+        position in ``[p, p + window]`` — one searchsorted probe per
+        term over tagged position streams, never a per-candidate loop.
+        Text fallback (no positional index) re-tokenizes candidates,
+        same as phrase search.
+        """
+        if window < 0:
+            raise ValueError(f"window must be >= 0, got {window}")
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        terms = query_terms(self._tokenize(query))
+        if not terms:
+            return []
+        term_map = self._term_map(terms)
+        cand, scores = _score_conjunctive(term_map, terms, self.n_docs)
+        if len(cand) == 0:
+            return []
+        positional = all(
+            t in term_map and term_map[t].positions is not None for t in terms
+        )
+        if positional:
+            keep = _verify_near_positions(term_map, terms, cand, window)
+        else:
+            import os
+
+            ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+            t = ds.to_table(columns=["doc_id", "text"],
+                            filter=pc.field("doc_id").isin(cand.tolist()))
+            ok_ids = {
+                d for d, txt in zip(t["doc_id"].to_pylist(),
+                                    t["text"].to_pylist())
+                if _contains_near(self._tokenize(txt), terms, window)
+            }
+            keep = np.array([d in ok_ids for d in cand.tolist()], dtype=bool)
+        if offset:
+            _check_offset(offset)
+        ids, sc = topk_select(cand[keep], scores[keep], k + offset, threshold)
+        return list(zip(ids.tolist(), sc.tolist()))[offset:]
+
     def search_rescore(
         self,
         query: str,
@@ -1444,6 +1500,61 @@ def _verify_phrase_positions(
     keep = np.zeros(nc, dtype=bool)
     keep[alive // shift] = True
     return keep
+
+
+def _verify_near_positions(
+    term_map: dict[str, TermPostings], terms: list[str],
+    cand: np.ndarray, window: int,
+) -> np.ndarray:
+    """Unordered-window verification from the positional index: doc
+    matches iff some anchor position ``p`` (any term's occurrence) has
+    every term occurring in ``[p, p + window]``.
+
+    Tagged int64 streams like ``_verify_phrase_positions`` (candidate
+    index in the high bits; ``p + window`` stays inside the tag block
+    because positions and window are < 2^31 « the 2^32 shift).  Per
+    term: one ``searchsorted(left)`` of all anchors into the term's
+    sorted stream + an upper-bound check — O((Σtf)·m·log) vectorized,
+    no per-candidate Python."""
+    from refimage_ray.index.pack import ragged_take
+
+    nc = len(cand)
+    shift = np.int64(1) << np.int64(32)
+    seg: dict[str, np.ndarray] = {}
+    for t in set(terms):
+        p = term_map[t]
+        lens = p.tfs.astype(np.int64)
+        idx = np.searchsorted(p.doc_ids, cand)  # cand ⊆ doc_ids
+        labels = np.repeat(np.arange(nc, dtype=np.int64), lens[idx])
+        seg[t] = labels * shift + ragged_take(
+            p.positions, lens, idx
+        ).astype(np.int64)
+    anchors = np.unique(np.concatenate(list(seg.values())))
+    alive = np.ones(len(anchors), dtype=bool)
+    w = np.int64(window)
+    for t in set(terms):
+        s = seg[t]  # sorted: labels ascend, positions ascend within
+        j = np.searchsorted(s, anchors, side="left")
+        has = (j < len(s)) & (s[np.minimum(j, len(s) - 1)] <= anchors + w)
+        alive &= has
+    keep = np.zeros(nc, dtype=bool)
+    keep[(anchors[alive] // shift)] = True
+    return keep
+
+
+def _contains_near(tokens: list[str], terms: list[str], window: int) -> bool:
+    """Text-fallback twin of ``_verify_near_positions``."""
+    occ = {t: [i for i, tok in enumerate(tokens) if tok == t]
+           for t in set(terms)}
+    if any(not v for v in occ.values()):
+        return False
+    anchors = sorted({i for v in occ.values() for i in v})
+    for p in anchors:
+        if all(
+            any(p <= q <= p + window for q in v) for v in occ.values()
+        ):
+            return True
+    return False
 
 
 def _min_pair_gaps_positions(

@@ -9,8 +9,9 @@ Route map (reference analog → here):
 
 - ``GET /health``                      (``api.py`` health)          → index stats probe
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
-- ``GET /search?q=&k=&mode=``          (or/and/phrase/prefix/fuzzy/wildcard/regex)  → ``searcher.search`` / ``search_phrase`` / ``search_prefix`` / ``search_fuzzy`` / ``search_wildcard`` / ``search_regex`` + metadata join
+- ``GET /search?q=&k=&mode=``          (or/and/phrase/near/prefix/fuzzy/wildcard/regex)  → ``searcher.search`` / ``search_phrase`` / ``search_near`` / ``search_prefix`` / ``search_fuzzy`` / ``search_wildcard`` / ``search_regex`` + metadata join
   (``&slop=N`` with mode=phrase: ordered proximity, ≤N interleaved tokens per step;
+  ``&window=W`` with mode=near: unordered proximity, all terms within a W-token span;
   ``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
   ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``;
   ``&order=warc_ts:desc``: field ordering; ``&offset=N``: pagination;
@@ -346,6 +347,16 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         hits = state["s"].search_phrase(
                             q["q"], k=k, offset=offset,
                             slop=int(q.get("slop", 0)))
+                    elif mode == "near":
+                        # unordered proximity: all terms within a
+                        # `window`-token span, any order (NEAR/W)
+                        if where or order:
+                            return self._json(
+                                {"error": "filter/order not supported "
+                                          "with mode=near"}, 422)
+                        hits = state["s"].search_near(
+                            q["q"], window=int(q.get("window", 5)),
+                            k=k, offset=offset)
                     elif mode == "prefix":
                         hits = state["s"].search_prefix(q["q"], k=k,
                                                         where=where,

@@ -222,3 +222,75 @@ def test_docpart_phrase_matches_term_layout(ray_session, tiny_docs, tmp_path):
     splain = DocPartSearcher(dplain)
     with pytest.raises(ValueError, match="store_positions"):
         splain.search_phrase("a b")
+
+
+def _brute_near(texts, terms, window):
+    from refimage_ray.functions.text import tokenize
+
+    out = set()
+    for d, txt in enumerate(texts):
+        toks = tokenize(txt)
+        occ = {t: [i for i, w in enumerate(toks) if w == t]
+               for t in set(terms)}
+        if any(not v for v in occ.values()):
+            continue
+        import itertools
+        for combo in itertools.product(*occ.values()):
+            if max(combo) - min(combo) <= window:
+                out.add(d)
+                break
+    return out
+
+
+def test_near_matches_brute_force_and_text_fallback(pos_indexes, tiny_docs):
+    """search_near == an exhaustive position-combination oracle, on
+    BOTH verify paths (positional index and text fallback)."""
+    dp, dn = pos_indexes
+    sp, sn = LocalSearcher(dp), LocalSearcher(dn)
+    texts = tiny_docs["text"].to_pylist()
+    for q, w in [("the data", 3), ("data table scan", 5),
+                 ("spark join", 0), ("spark join", 8)]:
+        want = _brute_near(texts, q.split(), w)
+        got_pos = {d for d, _ in sp.search_near(q, window=w, k=10**6)}
+        got_txt = {d for d, _ in sn.search_near(q, window=w, k=10**6)}
+        assert got_pos == want, (q, w, "positional")
+        assert got_txt == want, (q, w, "text-fallback")
+
+
+def test_near_supersets_ordered_phrase(pos_indexes):
+    """Every ordered slop-s phrase match is a near match at window
+    covering the phrase extent (order-free is weaker)."""
+    dp, _ = pos_indexes
+    sp = LocalSearcher(dp)
+    phrase, slop = "data join", 2
+    m = len(phrase.split())
+    window = (m - 1) * (slop + 1)
+    ph = {d for d, _ in sp.search_phrase(phrase, k=10**6, slop=slop)}
+    nr = {d for d, _ in sp.search_near(phrase, window=window, k=10**6)}
+    assert ph <= nr
+
+
+def test_near_single_term_equals_conjunctive(pos_indexes):
+    dp, _ = pos_indexes
+    sp = LocalSearcher(dp)
+    assert sp.search_near("data", window=0, k=25) == sp.search(
+        "data", k=25, mode="and"
+    )
+
+
+def test_near_distributed_matches_local(pos_indexes):
+    from refimage_ray.query.engine import DistributedSearcher
+
+    dp, _ = pos_indexes
+    sp = LocalSearcher(dp)
+    d = DistributedSearcher(dp, num_actors=2)
+    d.wait_ready()
+    assert d.search_near("data table", window=4, k=20) == sp.search_near(
+        "data table", window=4, k=20
+    )
+
+
+def test_near_rejects_negative_window(pos_indexes):
+    dp, _ = pos_indexes
+    with pytest.raises(ValueError, match="window"):
+        LocalSearcher(dp).search_near("a b", window=-1)

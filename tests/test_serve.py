@@ -771,3 +771,13 @@ def test_suggest_phrase_route(server):
     except urllib.error.HTTPError as e:
         st = e.code
     assert st == 422
+
+
+def test_search_near_route(server):
+    base, d = server
+    st, body = _get(base + "/search?q=data+table&k=5&mode=near&window=6")
+    assert st == 200
+    from refimage_ray.query.engine import LocalSearcher
+
+    lib = LocalSearcher(d).search_near("data table", window=6, k=5)
+    assert [(r["doc_id"], r["score"]) for r in body["results"]] == lib
