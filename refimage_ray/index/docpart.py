@@ -678,6 +678,45 @@ class DocPartSearcher:
         )
         return list(zip(ids.tolist(), scores.tolist()))[offset:]
 
+    def search_near(
+        self,
+        query: str,
+        window: int,
+        k: int | None = None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        offset: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Unordered-proximity (NEAR/W) top-k across doc shards — each
+        shard verifies against its own positional postings
+        (``_SearcherBase.search_near``), merge is exact because doc
+        shards are disjoint.  Requires ``store_positions=True`` like
+        phrase search (doc shards store no text to fall back on)."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "near search on a doc-partitioned artifact requires "
+                "build_doc_partitioned with cfg.store_positions=True "
+                "(doc shards store no text to verify against)"
+            )
+        from refimage_ray.query.scorer import topk_select
+
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
+        ids_parts, score_parts = [], []
+        for sh in self.shards:
+            hits = sh.search_near(query, window, k=kk, threshold=threshold,
+                                  cfg=cfg)
+            if hits:
+                ids_parts.append(np.array([d for d, _ in hits], np.int64))
+                score_parts.append(np.array([s for _, s in hits], np.float64))
+        if not ids_parts:
+            return []
+        ids, scores = topk_select(
+            np.concatenate(ids_parts), np.concatenate(score_parts), kk, threshold
+        )
+        return list(zip(ids.tolist(), scores.tolist()))[offset:]
+
     def search_grouped(
         self,
         query: str,
@@ -963,6 +1002,14 @@ class _DocShardActor:
                                        slop=slop))
         return out
 
+    def search_near(self, query: str, window: int, k: int,
+                    threshold: float) -> list[tuple[int, float]]:
+        out: list[tuple[int, float]] = []
+        for v in self._views:
+            out.extend(v.search_near(query, window, k=k,
+                                     threshold=threshold))
+        return out
+
     def match_values(self, query: str, cols, mode: str = "or",
                      where=None, cap: int = 1_000_000) -> dict:
         """Concatenated match values across this actor's shard views
@@ -1121,6 +1168,33 @@ class DistributedDocPartSearcher:
         kk = k + offset
         parts = ray.get([
             a.search_phrase.remote(phrase, kk, threshold, slop)
+            for a in self.actors
+        ])
+        return self._merge(parts, kk, threshold)[offset:]
+
+    def search_near(
+        self,
+        query: str,
+        window: int,
+        k: int | None = None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        offset: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Scatter-gather unordered-proximity top-k (see
+        :meth:`DocPartSearcher.search_near`; requires
+        ``store_positions=True`` at build)."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "near search on a doc-partitioned artifact requires "
+                "build_doc_partitioned with cfg.store_positions=True "
+                "(doc shards store no text to verify against)"
+            )
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
+        parts = ray.get([
+            a.search_near.remote(query, window, kk, threshold)
             for a in self.actors
         ])
         return self._merge(parts, kk, threshold)[offset:]

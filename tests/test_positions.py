@@ -294,3 +294,36 @@ def test_near_rejects_negative_window(pos_indexes):
     dp, _ = pos_indexes
     with pytest.raises(ValueError, match="window"):
         LocalSearcher(dp).search_near("a b", window=-1)
+
+
+def test_docpart_near_matches_term_layout(ray_session, tiny_docs, tmp_path):
+    """Doc-partitioned NEAR/W ≡ the term-partitioned LocalSearcher on
+    both docpart transports; position-free artifacts refuse."""
+    from refimage_ray.index.docpart import (
+        DistributedDocPartSearcher,
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+
+    dt = str(tmp_path / "term")
+    dd = str(tmp_path / "doc")
+    dplain = str(tmp_path / "plain")
+    build_index(rd.from_arrow(tiny_docs), dt, POS_CFG)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dd, POS_CFG,
+                          num_doc_shards=4)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dplain, PLAIN_CFG,
+                          num_doc_shards=4)
+
+    st = LocalSearcher(dt)
+    sd = DocPartSearcher(dd)
+    sx = DistributedDocPartSearcher(dd, num_actors=2)
+    sx.wait_ready()
+
+    for q, w in [("data table", 4), ("the data scan", 6),
+                 ("spark join", 0), ("nonexistent sequence entirely", 3)]:
+        want = st.search_near(q, window=w, k=10000)
+        assert sd.search_near(q, window=w, k=10000) == want, (q, w)
+        assert sx.search_near(q, window=w, k=10000) == want, (q, w)
+
+    with pytest.raises(ValueError, match="store_positions"):
+        DocPartSearcher(dplain).search_near("a b", window=2)
