@@ -96,6 +96,24 @@ class PhraseQuery(QueryNode):
 
 
 @dataclass
+class NearQuery(QueryNode):
+    """Unordered-proximity leaf (``NEAR("a b", 4)`` in the function
+    grammar): all distinct terms within a ``window``-token span in any
+    order — the order-free complement of :class:`PhraseQuery`
+    (``engine.search_near``)."""
+
+    text: str
+    window: int = 5
+    weight: float = 1.0
+
+    def execute(self, ctx):
+        hits = ctx.searcher.search_near(
+            self.text, self.window, k=ctx.limit, threshold=ctx.min_score
+        )
+        return {d: s * self.weight for d, s in hits}
+
+
+@dataclass
 class PrefixQuery(QueryNode):
     """Prefix leaf (``netw*`` infix / ``PREFIX("netw")`` function) —
     beyond the reference's surface; expands against the index's term
@@ -218,7 +236,7 @@ class DSLParseError(ValueError):
 
 
 FUNC_RE = re.compile(
-    r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG|PHRASE|PREFIX|FUZZY"
+    r"^\s*(TEXT|AND|OR|NOT|EXCLUDE|WEIGHT|TAG|PHRASE|NEAR|PREFIX|FUZZY"
     r"|WILDCARD|REGEX)\s*\(", re.S
 )
 
@@ -317,6 +335,16 @@ class DSLParser:
                 )
             slop = int(args[1]) if len(args) == 2 else 0
             return PhraseQuery(args[0], slop=slop)
+        if name == "NEAR":
+            if (
+                not args or not isinstance(args[0], str) or len(args) > 2
+                or (len(args) == 2 and not isinstance(args[1], float))
+            ):
+                raise DSLParseError(
+                    "NEAR() takes one string and an optional numeric window"
+                )
+            window = int(args[1]) if len(args) == 2 else 5
+            return NearQuery(args[0], window=window)
         if name == "PREFIX":
             if len(args) != 1 or not isinstance(args[0], str):
                 raise DSLParseError("PREFIX() takes one string")

@@ -43,6 +43,7 @@ from refimage_ray.query.dsl import (
     FuzzyQuery,
     NotQuery,
     OrQuery,
+    NearQuery,
     PhraseQuery,
     PrefixQuery,
     QueryNode,
@@ -199,12 +200,58 @@ def _phrase_mask(node: PhraseQuery, ctx: _BatchContext) -> np.ndarray:
     return keep
 
 
+def _near_mask(node, ctx: _BatchContext) -> np.ndarray:
+    """Unordered-proximity containment per row — the anchor identity
+    of ``engine._verify_near_positions`` over the batch's tagged token
+    streams (some position ``p`` with every distinct term in
+    ``[p, p + window]``)."""
+    toks = tokenize(node.text, ctx.cfg.token_pattern)
+    if not toks:
+        return np.ones(ctx.n, dtype=bool)
+    uniq = sorted(set(toks))
+    tids: dict[str, int] = {}
+    for t in uniq:
+        ids = ctx.ids_of_terms([t])
+        if len(ids) == 0:
+            return np.zeros(ctx.n, dtype=bool)
+        tids[t] = int(ids[0])
+    cand = np.ones(ctx.n, dtype=bool)
+    for t in uniq:
+        cand &= ctx.mask_of_term_ids(np.array([tids[t]], dtype=np.int64))
+    rows = np.flatnonzero(cand)
+    if len(rows) == 0 or len(uniq) == 1:
+        return cand
+    codes, parent, _ = ctx.tokens()
+    pos = ctx.positions()
+    candpos = np.full(ctx.n, -1, dtype=np.int64)
+    candpos[rows] = np.arange(len(rows), dtype=np.int64)
+    in_cand = candpos[parent] >= 0
+    seg = {}
+    for t in uniq:
+        sel = (codes == tids[t]) & in_cand
+        seg[t] = np.sort(candpos[parent[sel]] * _SHIFT + pos[sel])
+    anchors = np.unique(np.concatenate(list(seg.values())))
+    alive = np.ones(len(anchors), dtype=bool)
+    w = np.int64(node.window)
+    for t in uniq:
+        s = seg[t]
+        j = np.searchsorted(s, anchors, side="left")
+        alive &= (j < len(s)) & (s[np.minimum(j, len(s) - 1)] <= anchors + w)
+    keep = np.zeros(ctx.n, dtype=bool)
+    hit = anchors[alive]
+    if len(hit):
+        keep[rows[np.unique(hit // _SHIFT)]] = True
+    return keep
+
+
 def _eval(node: QueryNode, ctx: _BatchContext) -> np.ndarray:
     """Boolean membership mask over the batch's rows.  Weights are
     irrelevant for percolation (boolean matching, like ES percolate)."""
     if isinstance(node, TextQuery):
         toks = tokenize(node.text, ctx.cfg.token_pattern)
         return ctx.mask_of_term_ids(ctx.ids_of_terms(toks))  # disjunctive
+    if isinstance(node, NearQuery):
+        return _near_mask(node, ctx)
     if isinstance(node, PhraseQuery):
         return _phrase_mask(node, ctx)
     if isinstance(node, PrefixQuery):

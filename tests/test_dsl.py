@@ -209,3 +209,21 @@ def test_operator_words_inside_quoted_phrase_are_literal():
     assert n.operands[1] == NotQuery(
         base=PhraseQuery("the OR gate"), exclude=TextQuery("stream")
     )
+
+
+def test_near_function_grammar(parser, built_index):
+    """NEAR("a b", W) executes via search_near; default window 5;
+    bad arity rejected."""
+    from refimage_ray.query.dsl import NearQuery
+
+    node = parser.parse('NEAR("data table", 4)')
+    assert isinstance(node, NearQuery) and node.window == 4
+    assert parser.parse('NEAR("data table")').window == 5
+    s = LocalSearcher(built_index[0])
+    got = DSLExecutor(s).execute_query('NEAR("data table", 4)', limit=10)
+    want = s.search_near("data table", window=4, k=10)
+    assert got == want and got  # non-empty on the fixture corpus
+    with pytest.raises(DSLParseError, match="NEAR"):
+        parser.parse('NEAR("a", "b")')
+    with pytest.raises(DSLParseError, match="NEAR"):
+        parser.parse("NEAR()")

@@ -142,3 +142,35 @@ def test_percolate_no_expansion_cap():
     )
     p = Percolator({"q": "net*"}, cfg)
     assert p(docs).num_rows == 8
+
+
+def test_near_mask_vs_text_fallback(tiny_docs):
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.query.dsl import NearQuery
+    from refimage_ray.query.engine import _contains_near
+    from refimage_ray.stages.percolate import _near_mask
+
+    batch = tiny_docs.slice(0, 120)
+    texts = batch["text"].to_pylist()
+    for q, w in [("merge sort", 3), ("table scan", 0), ("data join scan", 6)]:
+        ctx = _BatchContext(batch, CFG)
+        got = _near_mask(NearQuery(q, w), ctx)
+        want = np.array(
+            [_contains_near(tokenize(t), tokenize(q), w) for t in texts]
+        )
+        assert (got == want).all(), (q, w)
+
+
+def test_percolator_near_rule_matches_forward(ray_session, tiny_docs, searcher):
+    import ray.data as rd
+
+    from refimage_ray.stages.percolate import Percolator
+
+    rule = 'NEAR("data table", 4)'
+    out = rd.from_arrow(tiny_docs).map_batches(
+        Percolator({"r": rule}, CFG), batch_format="pyarrow"
+    ).take_all()
+    reverse = {r["doc_id"] for r in out if r["query_id"] == "r"}
+    forward = {d for d, _ in searcher.search_near("data table", window=4,
+                                                  k=10**6)}
+    assert reverse == forward
