@@ -133,6 +133,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("inputs", nargs="+")
 
+    tl = sub.add_parser("train-lm", help="train + persist the corpus "
+                        "bigram LM under {index}/lm (phrase suggester / "
+                        "perplexity serving loads it instead of retraining)")
+    tl.add_argument("--index", required=True)
+    tl.add_argument("--k", type=float, default=1.0,
+                    help="add-k smoothing mass")
+    tl.add_argument("--min-count", type=int, default=1,
+                    help="prune unigrams rarer than this from the vocab")
+
     fs = sub.add_parser("fsck", help="verify artifact vs manifest")
     fs.add_argument("--index", required=True)
     fs.add_argument("--deep", action="store_true",
@@ -414,6 +423,20 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 out = merge_indexes(args.inputs, args.out, cfg)
             print(json.dumps(out["stats"]))
+        elif args.cmd == "train-lm":
+            import os as _os
+
+            from refimage_ray.index.reader import staged_docs
+            from refimage_ray.stages.lm import save_bigram_lm, train_bigram_lm
+
+            lm = train_bigram_lm(
+                staged_docs(args.index, columns=["doc_id", "text"]),
+                k=args.k, min_count=args.min_count,
+            )
+            out = save_bigram_lm(lm, _os.path.join(args.index, "lm"))
+            print(json.dumps({"lm_dir": out, "n_vocab": lm.vocab_size,
+                              "n_bigrams": int(len(lm.bigram_keys))}))
+            return 0
         elif args.cmd == "fsck":
             from refimage_ray.index.fsck import verify_index
 

@@ -485,6 +485,8 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     try:
                         ps = state.get("phrase_suggester")
                         if ps is None:
+                            import os as _os
+
                             from refimage_ray.index.reader import (
                                 staged_docs,
                             )
@@ -492,14 +494,21 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                 PhraseSuggester,
                             )
                             from refimage_ray.stages.lm import (
-                                train_bigram_lm,
+                                load_bigram_lm, train_bigram_lm,
                             )
 
-                            ps = PhraseSuggester(train_bigram_lm(
-                                staged_docs(
+                            lm_dir = _os.path.join(index_dir, "lm")
+                            if _os.path.exists(
+                                _os.path.join(lm_dir, "lm.json")
+                            ):
+                                # persisted artifact (CLI train-lm) —
+                                # vocab-sized load, no corpus pass
+                                lm = load_bigram_lm(lm_dir)
+                            else:
+                                lm = train_bigram_lm(staged_docs(
                                     index_dir, columns=["doc_id", "text"]
-                                )
-                            ))
+                                ))
+                            ps = PhraseSuggester(lm)
                             state["phrase_suggester"] = ps
                         phrase, score = ps.suggest(q["q"])
                         return self._json(

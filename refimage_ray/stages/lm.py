@@ -192,6 +192,78 @@ def train_bigram_lm(
     return BigramLM(vocab, uni_counts, bigram_keys, bigram_counts, float(k))
 
 
+def save_bigram_lm(lm: BigramLM, out_dir: str) -> str:
+    """Persist a trained LM as a parquet artifact (atomic: tmp dir +
+    rename) so serving loads it instead of re-running the training
+    pass — at web scale training is a full-corpus pass, loading is
+    vocab-sized IO.  Layout: ``unigrams.parquet`` (term, n — vocab
+    order IS the file order), ``bigrams.parquet`` (key, n — sorted),
+    ``lm.json`` (k + row counts for fsck-style sanity)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.table({
+            "term": pa.array(lm.vocab.tolist(), pa.string()),
+            "n": pa.array(lm.unigram_counts, pa.int64()),
+        }),
+        os.path.join(tmp, "unigrams.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "key": pa.array(lm.bigram_keys, pa.int64()),
+            "n": pa.array(lm.bigram_counts, pa.int64()),
+        }),
+        os.path.join(tmp, "bigrams.parquet"),
+    )
+    with open(os.path.join(tmp, "lm.json"), "w") as f:
+        json.dump({"k": lm.k, "n_vocab": int(lm.vocab_size),
+                   "n_bigrams": int(len(lm.bigram_keys))}, f)
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def load_bigram_lm(lm_dir: str) -> BigramLM:
+    """Load a :func:`save_bigram_lm` artifact — scores are
+    bit-identical to the in-memory model that wrote it (frozen int
+    counts, same float arithmetic)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(lm_dir, "lm.json")) as f:
+        meta = json.load(f)
+    uni = pq.read_table(os.path.join(lm_dir, "unigrams.parquet"))
+    big = pq.read_table(os.path.join(lm_dir, "bigrams.parquet"))
+    vocab = np.asarray(uni["term"].to_pylist(), dtype=str)
+    lm = BigramLM(
+        vocab,
+        uni["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        big["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+        big["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        float(meta["k"]),
+    )
+    if lm.vocab_size != meta["n_vocab"] or len(lm.bigram_keys) != meta["n_bigrams"]:
+        raise ValueError(
+            f"LM artifact {lm_dir} row counts disagree with lm.json "
+            f"(truncated write?)"
+        )
+    return lm
+
+
 class PerplexityScore:
     """Actor-pool scoring stage: resolves the broadcast model once per
     actor in ``__init__``; each ``__call__`` is pure vectorized math."""

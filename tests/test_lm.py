@@ -97,3 +97,54 @@ def test_empty_vocab_lm_refuses_to_score(ray_session):
     assert lm3.vocab_size == 0
     with pytest.raises(ValueError, match="empty-vocabulary"):
         lm3.transition_logprobs(np.array(["a"]), np.array(["b"]))
+
+
+def test_lm_save_load_roundtrip(ray_session, tiny_docs, tmp_path):
+    """Persisted LM artifact loads bit-identical: same vocab, same
+    transition log-probs, same phrase suggestion + score."""
+    import numpy as np
+    import ray.data as rd
+
+    from refimage_ray.query.suggest import PhraseSuggester
+    from refimage_ray.stages.lm import (
+        load_bigram_lm, save_bigram_lm, train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(rd.from_arrow(tiny_docs))
+    d = str(tmp_path / "lm")
+    save_bigram_lm(lm, d)
+    lm2 = load_bigram_lm(d)
+    assert (lm2.vocab == lm.vocab).all() and lm2.k == lm.k
+    prev = np.array(["the", "data", "zzz"])
+    cur = np.array(["data", "table", "the"])
+    np.testing.assert_array_equal(
+        lm.transition_logprobs(prev, cur), lm2.transition_logprobs(prev, cur)
+    )
+    probe = lm.vocab[np.argmax(lm.unigram_counts)][:-1] + "z"
+    assert PhraseSuggester(lm).suggest(f"{probe} data") == \
+        PhraseSuggester(lm2).suggest(f"{probe} data")
+    # save is atomic-by-rename: re-save over the existing dir succeeds
+    save_bigram_lm(lm, d)
+    assert load_bigram_lm(d).vocab_size == lm.vocab_size
+
+
+def test_lm_load_rejects_truncated_artifact(ray_session, tiny_docs, tmp_path):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from refimage_ray.stages.lm import (
+        load_bigram_lm, save_bigram_lm, train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(rd.from_arrow(tiny_docs))
+    d = str(tmp_path / "lm")
+    save_bigram_lm(lm, d)
+    meta = json.load(open(os.path.join(d, "lm.json")))
+    meta["n_vocab"] += 1
+    json.dump(meta, open(os.path.join(d, "lm.json"), "w"))
+    import pytest
+
+    with pytest.raises(ValueError, match="row counts"):
+        load_bigram_lm(d)
