@@ -115,6 +115,9 @@ _WEIGHT_WORDS = [
 
 _PHRASE_SPAN_RE = re.compile(r'"([^"]+)"')
 _NEAR_RE = re.compile(r"\bwithin\s+(\d+)\s+words?\b", re.I)
+_ANY_ORDER_RE = re.compile(
+    r"\b(in\s+any\s+order|near\s+each\s+other|close\s+together)\b", re.I
+)
 _EXCLUDE_RE = re.compile(r"\b(without|except|but not)\b", re.I)
 _OR_RE = re.compile(r"\bor\b", re.I)
 _AND_RE = re.compile(r"\band\b", re.I)
@@ -154,6 +157,12 @@ class RuleBasedProvider(BaseProvider):
         pm = _PHRASE_SPAN_RE.search(nl)
         if pm:
             nm = _NEAR_RE.search(nl)
+            um = _ANY_ORDER_RE.search(nl)
+            if nm and um:
+                # "within N words in any order" → unordered proximity
+                return f"NEAR({_quote(pm.group(1))}, {int(nm.group(1))})"
+            if um:
+                return f"NEAR({_quote(pm.group(1))})"
             if nm:
                 return f"PHRASE({_quote(pm.group(1))}, {int(nm.group(1))})"
             return f"PHRASE({_quote(pm.group(1))})"

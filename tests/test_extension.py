@@ -219,3 +219,22 @@ def test_nl_rules_phrase_and_proximity(built_index):
     got = DSLExecutor(s).execute_query(dsl2, limit=10)
     want = s.search_phrase("data join", k=10, slop=2)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_nl_unordered_proximity_rules():
+    """Quoted span + an any-order marker converts to NEAR (unordered),
+    with "within N words" setting the window; without the marker the
+    ordered PHRASE conversion is unchanged."""
+    from refimage_ray.query.dsl import DSLParser, NearQuery, PhraseQuery
+    from refimage_ray.query.nl import text_to_dsl
+
+    conv = lambda t: text_to_dsl(t)  # noqa: E731
+    assert conv('"data table" within 4 words in any order') == \
+        'NEAR("data table", 4)'
+    assert conv('"data table" near each other') == 'NEAR("data table")'
+    assert conv('"data table" within 4 words') == 'PHRASE("data table", 4)'
+    node = DSLParser().parse(conv('"data table" close together'))
+    assert isinstance(node, NearQuery)
+    assert isinstance(
+        DSLParser().parse(conv('"data table"')), PhraseQuery
+    )
