@@ -426,11 +426,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "train-lm":
             import os as _os
 
+            from refimage_ray.config import engine_config_from_manifest
+            from refimage_ray.index.manifest import load_manifest
             from refimage_ray.index.reader import staged_docs
             from refimage_ray.stages.lm import save_bigram_lm, train_bigram_lm
 
+            man = load_manifest(args.index) or {}
             lm = train_bigram_lm(
                 staged_docs(args.index, columns=["doc_id", "text"]),
+                engine_config_from_manifest(man.get("config", {})),
                 k=args.k, min_count=args.min_count,
             )
             out = save_bigram_lm(lm, _os.path.join(args.index, "lm"))

@@ -12,6 +12,20 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 
 
+def engine_config_from_manifest(manifest_config: dict) -> "EngineConfig":
+    """Analyzer-relevant EngineConfig of an existing artifact: the
+    manifest's token_pattern/term_filter (split_pattern re-derived by
+    ``__post_init__``).  Anything that re-tokenizes an artifact's
+    corpus (LM training for the phrase suggester, re-index flows) MUST
+    build its config through this, or build/query tokenization
+    symmetry silently breaks on custom-analyzer indexes."""
+    kw: dict = {"term_filter": manifest_config.get("term_filter", "none")}
+    tp = manifest_config.get("token_pattern")
+    if tp:
+        kw["token_pattern"] = tp
+    return EngineConfig(**kw)
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     # --- BM25 scoring constants (fixed like the reference's index params) ---

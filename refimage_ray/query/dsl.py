@@ -334,6 +334,8 @@ class DSLParser:
                     "PHRASE() takes one string and an optional numeric slop"
                 )
             slop = int(args[1]) if len(args) == 2 else 0
+            if slop < 0:
+                raise DSLParseError("PHRASE() slop must be >= 0")
             return PhraseQuery(args[0], slop=slop)
         if name == "NEAR":
             if (
@@ -344,6 +346,8 @@ class DSLParser:
                     "NEAR() takes one string and an optional numeric window"
                 )
             window = int(args[1]) if len(args) == 2 else 5
+            if window < 0:
+                raise DSLParseError("NEAR() window must be >= 0")
             return NearQuery(args[0], window=window)
         if name == "PREFIX":
             if len(args) != 1 or not isinstance(args[0], str):

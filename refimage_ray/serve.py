@@ -145,8 +145,12 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
             searcher_factory = lambda: group_searcher(index_dir)  # noqa: E731
         else:
             searcher_factory = lambda: LocalSearcher(index_dir)  # noqa: E731
+    import threading as _threading
+
     state = {
-        "s": searcher if searcher is not None else searcher_factory()
+        "s": searcher if searcher is not None else searcher_factory(),
+        "lm_lock": _threading.Lock(),  # phrase-suggester lazy init
+        "lm_gen": 0,                   # bumped by /reload
     }
 
     def _group_dirs():
@@ -487,6 +491,9 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         if ps is None:
                             import os as _os
 
+                            from refimage_ray.config import (
+                                engine_config_from_manifest,
+                            )
                             from refimage_ray.index.reader import (
                                 staged_docs,
                             )
@@ -497,19 +504,40 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                 load_bigram_lm, train_bigram_lm,
                             )
 
-                            lm_dir = _os.path.join(index_dir, "lm")
-                            if _os.path.exists(
-                                _os.path.join(lm_dir, "lm.json")
-                            ):
-                                # persisted artifact (CLI train-lm) —
-                                # vocab-sized load, no corpus pass
-                                lm = load_bigram_lm(lm_dir)
-                            else:
-                                lm = train_bigram_lm(staged_docs(
-                                    index_dir, columns=["doc_id", "text"]
-                                ))
-                            ps = PhraseSuggester(lm)
-                            state["phrase_suggester"] = ps
+                            # ThreadingHTTPServer: one thread trains;
+                            # the generation guard discards a model
+                            # whose corpus was /reload-ed mid-train
+                            # (stale cache would otherwise persist)
+                            with state["lm_lock"]:
+                                ps = state.get("phrase_suggester")
+                                while ps is None:
+                                    gen = state["lm_gen"]
+                                    man = load_manifest(index_dir) or {}
+                                    lm_cfg = engine_config_from_manifest(
+                                        man.get("config", {})
+                                    )
+                                    lm_dir = _os.path.join(index_dir, "lm")
+                                    if _os.path.exists(
+                                        _os.path.join(lm_dir, "lm.json")
+                                    ):
+                                        # persisted artifact (train-lm
+                                        # CLI) — vocab-sized load, no
+                                        # corpus pass
+                                        lm = load_bigram_lm(lm_dir)
+                                    else:
+                                        lm = train_bigram_lm(
+                                            staged_docs(
+                                                index_dir,
+                                                columns=["doc_id",
+                                                         "text"],
+                                            ),
+                                            lm_cfg,
+                                        )
+                                    if state["lm_gen"] == gen:
+                                        ps = PhraseSuggester(
+                                            lm, cfg=lm_cfg
+                                        )
+                                        state["phrase_suggester"] = ps
                         phrase, score = ps.suggest(q["q"])
                         return self._json(
                             {"suggestion": phrase, "score": score}
@@ -548,21 +576,19 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 after = None
                 if q.get("after"):
                     raw = q["after"]
-                    if raw.lstrip().startswith("["):
-                        # JSON form — the safe encoding for key values
-                        # that contain '|' (or are empty strings)
-                        try:
-                            parsed = json.loads(raw)
-                        except json.JSONDecodeError:
-                            return self._json(
-                                {"error": "after= is not valid JSON"}, 422
-                            )
-                        if not isinstance(parsed, list):
-                            return self._json(
-                                {"error": "after= JSON must be a list"}, 422
-                            )
-                        after = tuple(str(v) for v in parsed)
-                    else:
+                    # JSON-array form is the safe encoding for key
+                    # values containing '|'; anything that does not
+                    # parse as a JSON list (including literal values
+                    # that merely START with '[') falls back to the
+                    # pipe form instead of erroring
+                    after = None
+                    try:
+                        parsed = json.loads(raw)
+                        if isinstance(parsed, list):
+                            after = tuple(str(v) for v in parsed)
+                    except json.JSONDecodeError:
+                        pass
+                    if after is None:
                         after = tuple(raw.split("|"))
                     n_by = len([c for c in q["by"].split(",") if c.strip()])
                     if len(after) != n_by:
@@ -661,7 +687,9 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         q.get("q", ""), limit=int(q.get("limit", 10)),
                         threshold=float(q.get("threshold", 0.0)),
                     )
-                except DSLParseError as err:
+                except (DSLParseError, ValueError) as err:
+                    # ValueError: executable-but-invalid leaf params
+                    # (e.g. a negative window reaching the engine)
                     return self._json({"error": str(err)}, 422)
                 return self._json({"results": self._hits_with_meta(hits)})
             m = _DOC_RE.match(u.path)
@@ -740,8 +768,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 state["s"] = fresh
                 state["ex"] = DSLExecutor(state["s"])
                 state["meta_dirs"] = _group_dirs()  # new segments' docs/
-                # LM counts may have shifted with the corpus
+                # LM counts may have shifted with the corpus; the gen
+                # bump also invalidates a training pass in flight
                 state.pop("phrase_suggester", None)
+                state["lm_gen"] += 1
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
             if urlparse(self.path).path == "/percolate":

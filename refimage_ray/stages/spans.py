@@ -49,7 +49,7 @@ import pyarrow.compute as pc
 
 from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
 from refimage_ray.functions.arrays import sorted_pair_membership
-from refimage_ray.functions.hashing import hash_string_array
+from refimage_ray.functions.hashing import md5_halves_string_array
 from refimage_ray.stages.tokenize import _flat_tokens
 
 _MIX_A = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
@@ -73,14 +73,19 @@ def _gram_hash_pairs(
         z = np.zeros(0, np.uint64)
         return z, z.copy(), np.zeros(0, np.int64), \
             np.zeros(0, np.int64), flat, parent
-    h = hash_string_array(flat).astype(np.uint64)
+    # the halves must come from INDEPENDENT per-token hashes: two
+    # polynomials over the same 64-bit token hash would both collapse
+    # on one token-hash collision, defeating the 128-bit discipline
+    h_a, h_b = md5_halves_string_array(flat)
+    h_a = np.asarray(h_a, dtype=np.uint64)
+    h_b = np.asarray(h_b, dtype=np.uint64)
     m = nf - n + 1
     acc_a = np.zeros(m, np.uint64)
     acc_b = np.zeros(m, np.uint64)
     with np.errstate(over="ignore"):
         for j in range(n):
-            acc_a = acc_a * _MIX_A + h[j: j + m]
-            acc_b = acc_b * _MIX_B + h[j: j + m]
+            acc_a = acc_a * _MIX_A + h_a[j: j + m]
+            acc_b = acc_b * _MIX_B + h_b[j: j + m]
     ok = parent[:m] == parent[n - 1:]
     starts = np.flatnonzero(ok).astype(np.int64)
     return acc_a[ok], acc_b[ok], parent[:m][ok], starts, flat, parent
@@ -107,11 +112,13 @@ def duplicated_grams(
             batch[text_col], n, cfg
         )
         if len(g_hi) == 0:
+            # schema must match the normal branch exactly (mixed block
+            # schemas break the downstream groupby — the tokenize.py
+            # empty-block rule)
             return pa.table({
                 "g_hi": pa.array([], pa.int64()),
                 "g_lo": pa.array([], pa.int64()),
                 "doc_id": pa.array([], pa.int64()),
-                "pos": pa.array([], pa.int64()),
             })
         ids = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # per-doc-unique gram rows (one text row per doc → per-batch

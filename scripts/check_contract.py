@@ -72,7 +72,9 @@ def main() -> int:
     qs, sqls = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if only and not any(tok in name for tok in only.split(",")):
+        if only and not any(
+            tok in name for tok in only.split(",") if tok
+        ):
             continue
         t0 = time.perf_counter()
         try:

@@ -227,3 +227,12 @@ def test_near_function_grammar(parser, built_index):
         parser.parse('NEAR("a", "b")')
     with pytest.raises(DSLParseError, match="NEAR"):
         parser.parse("NEAR()")
+
+
+def test_negative_proximity_params_rejected_at_parse(parser):
+    # the numeric-literal parser already refuses a leading '-'; the
+    # explicit range checks guard programmatic float args
+    with pytest.raises(DSLParseError):
+        parser.parse('NEAR("a b", -1)')
+    with pytest.raises(DSLParseError):
+        parser.parse('PHRASE("a b", -1)')

@@ -124,3 +124,40 @@ def test_scrub_stats_only(ray_session):
     ).take_all()
     assert "text" not in out[0]
     assert {r["doc_id"] for r in out} == {d for d, _ in _DOCS}
+
+
+def test_scrub_gram_free_block_schema_uniform(ray_session):
+    """A block whose docs ALL tokenize to fewer than n tokens must emit
+    the same partials schema as gram-bearing blocks (mixed schemas
+    break the groupby exchange)."""
+    docs = [
+        (1, "x y"), (2, "z"), (3, ""),             # block of short docs
+        (4, "alpha beta gamma delta"),
+        (5, "alpha beta gamma delta tail"),
+    ]
+    out = sorted(
+        scrub_dup_spans(
+            rd.from_arrow(_tbl(docs)).repartition(4), n=3
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[3]["n_removed"] == 4 and out[4]["n_removed"] == 4
+    assert out[0]["n_removed"] == 0 and out[0]["text"] == "x y"
+
+
+def test_gram_halves_use_independent_token_hashes(ray_session):
+    """acc_a and acc_b must come from independent per-token hashes —
+    md5 hi/lo halves differ, so the two accumulators differ even for
+    the same gram (a single shared 64-bit token hash would make one
+    collision collapse both halves)."""
+    import pyarrow as pa
+
+    from refimage_ray.stages.spans import _gram_hash_pairs
+    from refimage_ray.config import DEFAULT_CONFIG
+
+    g_hi, g_lo, _, _, _, _ = _gram_hash_pairs(
+        pa.array(["one two three four"]), 3, DEFAULT_CONFIG
+    )
+    assert len(g_hi) == 2
+    assert (g_hi != g_lo).all()

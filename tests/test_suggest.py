@@ -104,3 +104,24 @@ def test_candidate_cap_by_frequency(ray_session):
     )
     phrase, _ = s.suggest("caz toy")
     assert phrase == "cat toy"  # 'cat' count 2 beats 'car' count 1
+
+
+def test_suggester_honors_custom_analyzer(ray_session):
+    """LM + probe tokenization must share the artifact's analyzer
+    (term_filter chain): on an s_stem config the probe's plural
+    misspelling corrects into the STEMMED vocabulary."""
+    from refimage_ray.config import (
+        EngineConfig, engine_config_from_manifest,
+    )
+    from refimage_ray.stages.lm import train_bigram_lm
+
+    cfg = engine_config_from_manifest({"term_filter": "s_stem"})
+    assert cfg.term_filter == "s_stem"
+    assert isinstance(cfg, EngineConfig)
+    texts = ["tables join tables", "tables join queries"]
+    lm = train_bigram_lm(rd.from_arrow(_docs(texts)), cfg)
+    # vocabulary is stemmed: 'tables' -> 'table'
+    assert "table" in lm.vocab.tolist() and "tables" not in lm.vocab.tolist()
+    s = PhraseSuggester(lm, cfg=cfg)
+    phrase, _ = s.suggest("tabl joins")  # probe stems 'joins' -> 'join'
+    assert phrase == "table join"
