@@ -326,9 +326,44 @@ def verify_index(index_dir: str, deep: bool = False) -> dict:
         ).map_batches(check, batch_format="pyarrow", batch_size=4)
         problems.extend(r["problem"] for r in errs_ds.take_all())
 
+    problems.extend(_check_lm_artifact(index_dir))
+
     return {
         "ok": not problems,
         "checked_partitions": len(parts),
         "deep": bool(deep),
         "problems": problems,
     }
+
+
+def _check_lm_artifact(index_dir: str) -> list[str]:
+    """Optional ``lm/`` side artifact (CLI train-lm): when present its
+    parquet row counts must match lm.json — a torn save would otherwise
+    surface only as silently wrong suggester scores."""
+    lm_dir = os.path.join(index_dir, "lm")
+    meta_path = os.path.join(lm_dir, "lm.json")
+    if not os.path.exists(meta_path):
+        return []
+    import json
+
+    import pyarrow.parquet as pq
+
+    out = []
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        n_uni = pq.read_metadata(
+            os.path.join(lm_dir, "unigrams.parquet")
+        ).num_rows
+        n_big = pq.read_metadata(
+            os.path.join(lm_dir, "bigrams.parquet")
+        ).num_rows
+        if n_uni != int(meta["n_vocab"]):
+            out.append(f"lm/unigrams.parquet: {n_uni} rows != lm.json "
+                       f"n_vocab {meta['n_vocab']}")
+        if n_big != int(meta["n_bigrams"]):
+            out.append(f"lm/bigrams.parquet: {n_big} rows != lm.json "
+                       f"n_bigrams {meta['n_bigrams']}")
+    except Exception as exc:  # torn/unreadable artifact IS the finding
+        out.append(f"lm/ artifact unreadable: {exc}")
+    return out

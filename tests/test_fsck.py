@@ -260,3 +260,29 @@ def test_fsck_deep_verifies_positions(ray_session, tiny_docs, tmp_path):
     pq.write_table(bad, f)
     rep = verify_docpart_index(dd, deep=True)
     assert not rep["ok"] and any("positions" in p for p in rep["problems"])
+
+
+def test_fsck_checks_lm_artifact(ray_session, built_index, tiny_docs):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from refimage_ray.index.fsck import verify_index
+    from refimage_ray.stages.lm import save_bigram_lm, train_bigram_lm
+
+    index_dir, _, _ = built_index
+    lm_dir = os.path.join(index_dir, "lm")
+    try:
+        save_bigram_lm(train_bigram_lm(rd.from_arrow(tiny_docs)), lm_dir)
+        assert verify_index(index_dir)["ok"]
+        meta = json.load(open(os.path.join(lm_dir, "lm.json")))
+        meta["n_bigrams"] += 1
+        json.dump(meta, open(os.path.join(lm_dir, "lm.json"), "w"))
+        rep = verify_index(index_dir)
+        assert not rep["ok"]
+        assert any("lm/bigrams" in p for p in rep["problems"])
+    finally:
+        import shutil
+
+        shutil.rmtree(lm_dir, ignore_errors=True)

@@ -168,3 +168,69 @@ def test_plan_mixture_invariants(budget, domains, alpha, max_epochs):
         assert v["tokens"] >= 0
         if domains[d] == 0:
             assert v["tokens"] == 0
+
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+        min_size=2, max_size=12,
+    ),
+    st.sampled_from(["drop_all", "keep_first"]),
+)
+@settings(max_examples=30, deadline=None)
+def test_scrub_dup_spans_matches_brute(ray_session, doc_tokens, mode):
+    """Random tiny-vocab corpora: scrub == the exhaustive Python
+    oracle in both modes (overlaps, intra-doc repeats, short docs,
+    empty docs all arise naturally)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.stages.spans import scrub_dup_spans
+    from tests.test_spans import _brute
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(doc_tokens)]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })
+    got = {
+        r["doc_id"]: r
+        for r in scrub_dup_spans(rd.from_arrow(tbl), n=3,
+                                 mode=mode).take_all()
+    }
+    want = _brute(docs, 3, mode)
+    assert {d: (g["n_tokens"], g["n_removed"], g["text"])
+            for d, g in got.items()} == \
+        {d: (w["n_tokens"], w["n_removed"], w["text"])
+         for d, w in want.items()}
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=14),
+        min_size=1, max_size=10,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=30, deadline=None)
+def test_contains_near_matches_exhaustive(doc_tokens, window):
+    """_contains_near (the text-fallback twin the positional verify is
+    tested against) == exhaustive position-combination check."""
+    import itertools
+
+    from refimage_ray.query.engine import _contains_near
+
+    terms = ["aa", "bb"]
+    for toks in doc_tokens:
+        occ = {t: [i for i, w in enumerate(toks) if w == t] for t in terms}
+        if any(not v for v in occ.values()):
+            want = False
+        else:
+            want = any(
+                max(c) - min(c) <= window
+                for c in itertools.product(*occ.values())
+            )
+        assert _contains_near(toks, terms, window) == want, (toks, window)
