@@ -398,6 +398,21 @@ def run_bench() -> dict:
         timings["query_p95_phrase_docpart"] = round(
             float(np.percentile(np.array(plat), 95)), 5
         )
+
+        # unordered proximity (NEAR/W) on the same positional shards —
+        # the scale path (the term-layout artifact here stores no
+        # positions, so near there would time the text fallback)
+        dps.search_near("table scan", window=5, k=10)  # warm
+        nlat = []
+        for _ in range(2):
+            for q in ["table scan", "data join", "merge sort",
+                      "window stream", "key value", "fast data"]:
+                tq = time.perf_counter()
+                dps.search_near(q, window=5, k=10)
+                nlat.append(time.perf_counter() - tq)
+        timings["query_p95_near"] = round(
+            float(np.percentile(np.array(nlat), 95)), 5
+        )
         for a in dps.actors:
             ray.kill(a)
 
@@ -444,6 +459,28 @@ def run_bench() -> dict:
         n_scored = score_perplexity(_corp, _lm).count()
         ppl_sec = time.perf_counter() - tq
         timings["ppl_score_docs_per_sec"] = round(n_scored / ppl_sec, 1)
+
+        # phrase-suggester serving latency (LM already trained above —
+        # the persisted-artifact serving shape)
+        from refimage_ray.query.suggest import PhraseSuggester
+
+        _sug = PhraseSuggester(_lm)
+        _sug.suggest("tabl scann")  # warm (deletes index built in init)
+        tq = time.perf_counter()
+        for _ in range(20):
+            _sug.suggest("tabl scann")
+        timings["suggest_phrase_ms"] = round(
+            (time.perf_counter() - tq) / 20 * 1000, 2
+        )
+
+        # exact-substring span scrub throughput (Lee et al. rewrite):
+        # dup-gram discovery + coverage rebuild over the full corpus
+        from refimage_ray.stages.spans import scrub_dup_spans
+
+        tq = time.perf_counter()
+        n_scrubbed = scrub_dup_spans(_corp, n=8, return_text=True).count()
+        scrub_sec = time.perf_counter() - tq
+        timings["scrub_spans_docs_per_sec"] = round(n_scrubbed / scrub_sec, 1)
 
     for name, fn in [
         ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),
