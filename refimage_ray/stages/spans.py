@@ -19,10 +19,11 @@ Dataflow (the line-dedup broadcast shape):
    128-bit gram key keeps grams seen in ≥ ``min_docs`` docs and elects
    the globally first occurrence ``(min doc_id, its pos)`` as winner.
 2. **broadcast** — the dup-gram table (hashes + winners) is collected,
-   lexsorted, and ``ray.put`` once; at 100-TB scale with a
-   larger-than-broadcast dup set, swap the probe for the bucketed
-   ``stages/joins.hash_join`` of gram rows against the dup table (the
-   ``dup_span_stats`` shape) — semantics identical.
+   lexsorted, and ``ray.put`` once.  For a larger-than-broadcast dup
+   set, ``method="join"`` runs the fully-distributed variant instead
+   (bucketed ``hash_join`` of occurrence rows against the dup-gram
+   Dataset + a tag-union bucket groupby for the rebuild) — results
+   identical, asserted by test.
 3. **rebuild pass** — per batch: vectorized gram hashes with global
    flat start indices, double-binary-search membership probe
    (``sorted_pair_membership``), coverage mask widened by ``n``
@@ -150,6 +151,7 @@ def scrub_dup_spans(
     min_docs: int = 2,
     mode: str = "drop_all",
     return_text: bool = True,
+    method: str = "broadcast",
     cfg: EngineConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     doc_col: str = "doc_id",
@@ -160,12 +162,32 @@ def scrub_dup_spans(
     ``mode="drop_all"`` removes every occurrence (the aggressive
     ExactSubstr variant); ``mode="keep_first"`` keeps the globally
     first occurrence of each duplicated gram (smallest ``(doc_id,
-    pos)``) and removes the rest."""
+    pos)``) and removes the rest.
+
+    ``method="broadcast"`` (default) collects the dup-gram table to
+    the driver and probes it per batch — right whenever the dup set
+    fits a broadcast (production n≈50: the dup set is proportional to
+    actual duplication).  ``method="join"`` never materializes the dup
+    set: occurrence rows join the dup-gram Dataset with the bucketed
+    ``hash_join``, and the (doc, removed-position) rows meet the doc
+    texts in a tag-union bucket groupby (one vectorized call per
+    BUCKET, never per doc) — the exact >broadcast scale path, results
+    identical by construction (and by test)."""
     import ray
 
     if mode not in ("drop_all", "keep_first"):
         raise ValueError(
             f"mode must be 'drop_all' or 'keep_first', got {mode!r}"
+        )
+    if method not in ("broadcast", "join"):
+        raise ValueError(
+            f"method must be 'broadcast' or 'join', got {method!r}"
+        )
+    if method == "join":
+        return _scrub_via_join(
+            docs_ds, n=n, min_docs=min_docs,
+            keep_first=(mode == "keep_first"), return_text=return_text,
+            cfg=cfg, text_col=text_col, doc_col=doc_col,
         )
     dup = duplicated_grams(
         docs_ds, n=n, min_docs=min_docs, cfg=cfg,
@@ -240,3 +262,187 @@ def scrub_dup_spans(
         return pa.table(cols)
 
     return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _scrub_via_join(
+    docs_ds,
+    *,
+    n: int,
+    min_docs: int,
+    keep_first: bool,
+    return_text: bool,
+    cfg: EngineConfig,
+    text_col: str,
+    doc_col: str,
+    buckets: int = 64,
+):
+    """The >broadcast scrub path: no dup-set driver materialization.
+
+    1. occurrence rows ``(g_hi, g_lo, doc_id, pos, first)`` — ``first``
+       marks the doc's FIRST occurrence of the gram, decided locally
+       (a doc's text is one row), so the keep-first winner rule is
+       ``first AND doc_id == win_doc`` with no position shipping.
+    2. bucketed ``hash_join`` against the dup-gram Dataset (64-bit
+       ``g_hi`` bucket key, exact 128-bit equality re-checked on
+       ``g_lo`` after the join — a hi-half collision only costs a
+       discarded candidate row).
+    3. the removal rows ``(doc_id, pos)`` meet the doc texts in a
+       tag-union groupby on ``md5(doc_id) % buckets`` — ONE vectorized
+       rebuild per bucket (the ``stages/joins.py`` shape), never a
+       per-doc Python call.
+    """
+    import hashlib
+
+    from refimage_ray.stages.joins import hash_join
+
+    def occs(batch: pa.Table) -> pa.Table:
+        g_hi, g_lo, parent, starts, flat, tok_parent = _gram_hash_pairs(
+            batch[text_col], n, cfg
+        )
+        if len(g_hi) == 0:
+            return pa.table({
+                "g_hi": pa.array([], pa.int64()),
+                "g_lo": pa.array([], pa.int64()),
+                "odoc": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "first": pa.array([], pa.bool_()),
+            })
+        ids = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_first = np.searchsorted(
+            tok_parent, np.arange(batch.num_rows, dtype=np.int64),
+            side="left",
+        )
+        pos = starts - doc_first[parent]
+        # first occurrence per (gram, row): grams arrive in ascending
+        # flat order, so after a stable sort by (gram, row) the first
+        # of each run is the doc's first occurrence
+        o = np.lexsort((starts, parent, g_lo, g_hi))
+        fs = np.ones(len(o), dtype=bool)
+        fs[1:] = (
+            (g_hi[o][1:] != g_hi[o][:-1])
+            | (g_lo[o][1:] != g_lo[o][:-1])
+            | (parent[o][1:] != parent[o][:-1])
+        )
+        first = np.zeros(len(o), dtype=bool)
+        first[o] = fs
+        return pa.table({
+            "g_hi": pa.array(g_hi.view(np.int64), pa.int64()),
+            "g_lo": pa.array(g_lo.view(np.int64), pa.int64()),
+            "odoc": pa.array(ids[parent], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "first": pa.array(first, pa.bool_()),
+        })
+
+    dup_ds = duplicated_grams(
+        docs_ds, n=n, min_docs=min_docs, cfg=cfg,
+        text_col=text_col, doc_col=doc_col,
+    ).map_batches(
+        lambda t: pa.table({
+            "g_hi": t["g_hi"],
+            "g_lo2": t["g_lo"],
+            "win_doc": t["win_doc"],
+        }),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        docs_ds.map_batches(occs, batch_format="pyarrow"),
+        dup_ds,
+        left_on="g_hi", right_on="g_hi",
+        left_cols=["g_hi", "g_lo", "odoc", "pos", "first"],
+        right_cols=["g_hi", "g_lo2", "win_doc"],
+        buckets=buckets,
+    )
+
+    def to_removals(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["g_lo"], t["g_lo2"])  # exact 128-bit confirm
+        t = t.filter(m)
+        if keep_first:
+            survivor = pc.and_(
+                t["first"], pc.equal(t["odoc"], t["win_doc"])
+            )
+            t = t.filter(pc.invert(survivor))
+        return pa.table({"rdoc": t["odoc"], "pos": t["pos"]})
+
+    removals = joined.map_batches(to_removals, batch_format="pyarrow")
+
+    def _bucket_of(ids: np.ndarray) -> np.ndarray:
+        # content-keyed doc bucket (md5 of the id bytes) — independent
+        # of the gram-join bucketing and of block layout
+        out = np.empty(len(ids), dtype=np.int64)
+        for i, v in enumerate(ids.tolist()):
+            out[i] = int.from_bytes(
+                hashlib.md5(v.to_bytes(8, "big", signed=True)).digest()[:8],
+                "big",
+            ) % buckets
+        return out
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(_bucket_of(ids), pa.int64()),
+            "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pc.cast(b[text_col], pa.string()),
+            "pos": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+        })
+
+    def tag_removals(b: pa.Table) -> pa.Table:
+        ids = b["rdoc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(_bucket_of(ids), pa.int64()),
+            "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([None] * len(ids), pa.string()),
+            "pos": pc.cast(b["pos"], pa.int64()),
+        })
+
+    both = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        removals.map_batches(tag_removals, batch_format="pyarrow")
+    )
+
+    def rebuild_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(side == 0))
+        rem = g.filter(pa.array(side == 1))
+        order = pc.sort_indices(docs["doc_id"])
+        docs = docs.take(order)
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, tok_parent = _flat_tokens(docs["text"], cfg)
+        tok_parent = np.asarray(tok_parent, dtype=np.int64)
+        n_rows = docs.num_rows
+        n_tokens = np.bincount(tok_parent, minlength=n_rows).astype(np.int64)
+        covered = np.zeros(len(flat), dtype=bool)
+        if rem.num_rows:
+            rdoc = rem["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            rpos = rem["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+            row = np.searchsorted(ids, rdoc)
+            doc_first = np.searchsorted(
+                tok_parent, np.arange(n_rows, dtype=np.int64), side="left"
+            )
+            hit = doc_first[row] + rpos
+            for j in range(n):
+                covered[hit + j] = True
+        kept = ~covered
+        n_removed = n_tokens - np.bincount(
+            tok_parent[kept], minlength=n_rows
+        ).astype(np.int64)
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        }
+        if return_text:
+            kept_counts = n_tokens - n_removed
+            offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int32)
+            lst = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), flat.filter(pa.array(kept))
+            )
+            cols["text"] = pc.binary_join(lst, " ")
+        return pa.table(cols)
+
+    return (
+        both.groupby("__b")
+        .map_groups(rebuild_bucket, batch_format="pyarrow")
+    )

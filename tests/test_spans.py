@@ -161,3 +161,44 @@ def test_gram_halves_use_independent_token_hashes(ray_session):
     )
     assert len(g_hi) == 2
     assert (g_hi != g_lo).all()
+
+
+@pytest.mark.parametrize("mode", ["drop_all", "keep_first"])
+def test_scrub_join_method_matches_broadcast(ray_session, mode):
+    """method='join' (no dup-set driver materialization: bucketed
+    hash_join + tag-union bucket rebuild) == the broadcast path,
+    row for row, in both modes."""
+    a = sorted(
+        scrub_dup_spans(
+            rd.from_arrow(_tbl(_DOCS)).repartition(3), n=3, mode=mode
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        scrub_dup_spans(
+            rd.from_arrow(_tbl(_DOCS)).repartition(3), n=3, mode=mode,
+            method="join",
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
+
+
+def test_scrub_join_method_no_driver_collect(ray_session, monkeypatch):
+    """The join path must never call Dataset.to_pandas (the poisoned-
+    to_pandas guard used across the near-dup family)."""
+    import ray.data
+
+    def boom(self, *a, **k):  # pragma: no cover - fires only on a bug
+        raise AssertionError("driver materialization in join scrub path")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    out = scrub_dup_spans(
+        rd.from_arrow(_tbl(_DOCS)).repartition(3), n=3, method="join"
+    ).take_all()
+    assert len(out) == len(_DOCS)
+
+
+def test_scrub_rejects_unknown_method(ray_session):
+    with pytest.raises(ValueError, match="method"):
+        scrub_dup_spans(rd.from_arrow(_tbl(_DOCS)), n=3, method="bogus")
