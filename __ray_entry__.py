@@ -1026,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": search.phrase_topk,
         "phrase_topk_slop": search.phrase_topk_slop,
         "bm25_topk_near": search.bm25_topk_near,
+        "bm25_topk_phrase_prefix": search.bm25_topk_phrase_prefix,
         "bm25_topk_rescored": search.bm25_topk_rescored,
         "bm25f_topk": search.bm25f_topk,
         "composite_buckets_page2": search.composite_buckets_page2,
@@ -1761,6 +1762,46 @@ SELECT query_id, doc_id FROM (
         "phrase_topk_slop": _phrase_sql(["data", "join"], slop=2, k=10),
         # unordered proximity (NEAR/3): span <= window, any order
         "bm25_topk_near": _near_sql(["spark", "join"], window=3, k=10),
+        # search-as-you-type: last token prefix-completed against the
+        # vocabulary, adjacency-verified per completion, per-doc MAX
+        # over matching completions (engine.search_phrase_prefix)
+        "bm25_topk_phrase_prefix": f"""
+WITH toks_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks_arr, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) _
+),
+pmatch AS (
+  SELECT DISTINCT p0.doc_id, p1.term AS e
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+  WHERE p0.term = 'data' AND p1.term LIKE 'ta%'
+),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl)::DOUBLE FROM dl) / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT pm.doc_id, pm.e,
+         sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM pmatch pm
+  JOIN tf ON tf.doc_id = pm.doc_id AND tf.term IN ('data', pm.e)
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = pm.doc_id
+  CROSS JOIN stats s
+  GROUP BY pm.doc_id, pm.e
+),
+best AS (SELECT doc_id, max(sc) AS sc FROM scores GROUP BY doc_id)
+SELECT doc_id, round(sc, 4) AS score
+FROM best ORDER BY sc DESC, doc_id LIMIT 10
+""",
         # engine.count: match-set sizes, no scoring — m counts DISTINCT
         # matched query terms per doc (tf has one row per doc,term)
         "search_count": """

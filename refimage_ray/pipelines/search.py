@@ -651,6 +651,18 @@ def phrase_topk_slop(
     return _hits_table(searcher_for(sf_dir).search_phrase(phrase, k=k, slop=slop))
 
 
+def bm25_topk_phrase_prefix(
+    sf_dir: str, phrase: str = "data ta", k: int = 10
+) -> pa.Table:
+    """Search-as-you-type phrase top-k (ES ``match_phrase_prefix``):
+    the last token is a prefix completed against the term dictionary,
+    each completion verified as an exact phrase; docs score the max
+    over matching completions (``engine.search_phrase_prefix``)."""
+    return _hits_table(
+        searcher_for(sf_dir).search_phrase_prefix(phrase, k=k)
+    )
+
+
 def bm25_topk_near(
     sf_dir: str, query: str = "spark join", k: int = 10, window: int = 3
 ) -> pa.Table:

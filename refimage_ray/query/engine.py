@@ -935,6 +935,58 @@ class _SearcherBase:
         ids, sc = topk_select(cand[keep], scores[keep], k + offset, threshold)
         return list(zip(ids.tolist(), sc.tolist()))[offset:]
 
+    def search_phrase_prefix(
+        self,
+        phrase: str,
+        k: int | None = None,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        offset: int = 0,
+        slop: int = 0,
+        max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Search-as-you-type phrase top-k (the ES
+        ``match_phrase_prefix`` analog): the LAST token is a prefix,
+        expanded against the term dictionary (the deterministic
+        ``cap_expansion`` rule), and each expansion completes the
+        phrase; a doc scores the MAX over its matching completions.
+
+        Exact by composition: per-expansion ``search_phrase`` top-k
+        lists merge under max-score — a doc outside every expansion's
+        top-``k`` is beaten by ≥k docs globally (each expansion's cut
+        line dominates it), so the union contains the true top-k, ties
+        included (the per-expansion (score desc, doc_id asc) cut keeps
+        exactly the winners of the global tie-break too)."""
+        from refimage_ray.query.expand import cap_expansion
+
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        toks = self._tokenize(phrase)
+        if not toks:
+            return []
+        head, last = toks[:-1], toks[-1]
+        cap = cfg.max_expansions if max_expansions is None else max_expansions
+        expansions = cap_expansion(self._expand_pairs("prefix", last), cap)
+        if not expansions:
+            return []
+        if offset:
+            _check_offset(offset)
+        best: dict[int, float] = {}
+        for e in expansions:
+            hits = self.search_phrase(
+                " ".join([*head, e]), k=k + offset,
+                threshold=threshold, cfg=cfg, slop=slop,
+            )
+            for d, s in hits:
+                if d not in best or s > best[d]:
+                    best[d] = s
+        if not best:
+            return []
+        ids = np.fromiter(best.keys(), np.int64, len(best))
+        sc = np.fromiter(best.values(), np.float64, len(best))
+        out_ids, out_sc = topk_select(ids, sc, k + offset, threshold)
+        return list(zip(out_ids.tolist(), out_sc.tolist()))[offset:]
+
     def search_near(
         self,
         query: str,

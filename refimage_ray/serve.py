@@ -351,6 +351,15 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         hits = state["s"].search_phrase(
                             q["q"], k=k, offset=offset,
                             slop=int(q.get("slop", 0)))
+                    elif mode == "phrase_prefix":
+                        # search-as-you-type: last token is a prefix
+                        if where or order:
+                            return self._json(
+                                {"error": "filter/order not supported "
+                                          "with mode=phrase_prefix"}, 422)
+                        hits = state["s"].search_phrase_prefix(
+                            q["q"], k=k, offset=offset,
+                            slop=int(q.get("slop", 0)))
                     elif mode == "near":
                         # unordered proximity: all terms within a
                         # `window`-token span, any order (NEAR/W)

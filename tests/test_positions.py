@@ -327,3 +327,40 @@ def test_docpart_near_matches_term_layout(ray_session, tiny_docs, tmp_path):
 
     with pytest.raises(ValueError, match="store_positions"):
         DocPartSearcher(dplain).search_near("a b", window=2)
+
+
+def test_phrase_prefix_matches_manual_expansion(pos_indexes, tiny_docs):
+    """search_phrase_prefix == max-merge over per-expansion phrase
+    searches with the same deterministic cap — on both artifacts
+    (positional verify and text fallback)."""
+    from refimage_ray.query.expand import cap_expansion
+
+    for d in pos_indexes:
+        s = LocalSearcher(d)
+        probe, k = "data ta", 12
+        exps = cap_expansion(s._expand_pairs("prefix", "ta"), 128)
+        assert exps, "fixture corpus lost its ta* terms"
+        best = {}
+        for e in exps:
+            for doc, sc in s.search_phrase(f"data {e}", k=k):
+                if doc not in best or sc > best[doc]:
+                    best[doc] = sc
+        want = sorted(best.items(), key=lambda t: (-t[1], t[0]))[:k]
+        assert s.search_phrase_prefix(probe, k=k) == want
+
+
+def test_phrase_prefix_exact_term_is_subset(pos_indexes):
+    """Completing the prefix to one exact term can only lose matches:
+    phrase("data table") ⊆ phrase_prefix("data ta") membership."""
+    dp, _ = pos_indexes
+    s = LocalSearcher(dp)
+    exact = {d for d, _ in s.search_phrase("data table", k=10**6)}
+    pref = {d for d, _ in s.search_phrase_prefix("data ta", k=10**6)}
+    assert exact <= pref
+
+
+def test_phrase_prefix_empty_cases(pos_indexes):
+    dp, _ = pos_indexes
+    s = LocalSearcher(dp)
+    assert s.search_phrase_prefix("zzqq", k=5) == []  # no expansion
+    assert s.search_phrase_prefix("!!!", k=5) == []   # no tokens

@@ -779,3 +779,13 @@ def test_search_near_route(server):
 
     lib = LocalSearcher(d).search_near("data table", window=6, k=5)
     assert [(r["doc_id"], r["score"]) for r in body["results"]] == lib
+
+
+def test_search_phrase_prefix_route(server):
+    base, d = server
+    st, body = _get(base + "/search?q=data+ta&k=5&mode=phrase_prefix")
+    assert st == 200
+    from refimage_ray.query.engine import LocalSearcher
+
+    lib = LocalSearcher(d).search_phrase_prefix("data ta", k=5)
+    assert [(r["doc_id"], r["score"]) for r in body["results"]] == lib
