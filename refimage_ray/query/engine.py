@@ -951,12 +951,13 @@ class _SearcherBase:
         ``cap_expansion`` rule), and each expansion completes the
         phrase; a doc scores the MAX over its matching completions.
 
-        Exact by composition: per-expansion ``search_phrase`` top-k
-        lists merge under max-score — a doc outside every expansion's
-        top-``k`` is beaten by ≥k docs globally (each expansion's cut
-        line dominates it), so the union contains the true top-k, ties
-        included (the per-expansion (score desc, doc_id asc) cut keeps
-        exactly the winners of the global tie-break too)."""
+        Exact: postings for the head terms AND every completion are
+        resolved in ONE ``_term_map`` round (one scatter on the
+        distributed searchers); each completion's conjunctive
+        candidates verify against the shared positional postings (or,
+        on position-free artifacts, against candidate texts fetched
+        ONCE for the union across completions), and full match sets
+        merge under max-score before a single global top-k cut."""
         from refimage_ray.query.expand import cap_expansion
 
         k = cfg.default_k if k is None else k
@@ -971,13 +972,50 @@ class _SearcherBase:
             return []
         if offset:
             _check_offset(offset)
-        best: dict[int, float] = {}
+        # resolve ALL postings once (one scatter round on distributed
+        # searchers) instead of a full search_phrase per completion —
+        # this is the per-keystroke hot path
+        term_map = self._term_map(sorted({*head, *expansions}))
+        per_exp: list[tuple[str, np.ndarray, np.ndarray]] = []
         for e in expansions:
-            hits = self.search_phrase(
-                " ".join([*head, e]), k=k + offset,
-                threshold=threshold, cfg=cfg, slop=slop,
+            toks_e = [*head, e]
+            cand, scores = _score_conjunctive(
+                term_map, query_terms(toks_e), self.n_docs
             )
-            for d, s in hits:
+            if len(cand):
+                per_exp.append((e, cand, scores))
+        if not per_exp:
+            return []
+        texts_toks: "dict[int, list[str]] | None" = None
+        if not all(
+            term_map[t].positions is not None
+            for e, _, _ in per_exp for t in query_terms([*head, e])
+        ):
+            # text fallback: ONE docs fetch + tokenize for the union
+            # of candidates across completions
+            import os
+
+            union = np.unique(np.concatenate([c for _, c, _ in per_exp]))
+            ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+            t = ds.to_table(columns=["doc_id", "text"],
+                            filter=pc.field("doc_id").isin(union.tolist()))
+            texts_toks = {
+                d: self._tokenize(txt)
+                for d, txt in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist())
+            }
+        best: dict[int, float] = {}
+        for e, cand, scores in per_exp:
+            toks_e = [*head, e]
+            if texts_toks is None:
+                keep = _verify_phrase_positions(term_map, toks_e, cand, slop)
+            else:
+                keep = np.array(
+                    [_contains_phrase(texts_toks.get(d, []), toks_e, slop)
+                     for d in cand.tolist()],
+                    dtype=bool,
+                )
+            for d, s in zip(cand[keep].tolist(), scores[keep].tolist()):
                 if d not in best or s > best[d]:
                     best[d] = s
         if not best:

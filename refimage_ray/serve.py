@@ -586,17 +586,26 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 if q.get("after"):
                     raw = q["after"]
                     # JSON-array form is the safe encoding for key
-                    # values containing '|'; anything that does not
-                    # parse as a JSON list (including literal values
-                    # that merely START with '[') falls back to the
-                    # pipe form instead of erroring
+                    # values containing '|'; a literal value that
+                    # merely LOOKS bracketed (e.g. '[unknown]') falls
+                    # back to the pipe form — but a '['-prefixed value
+                    # with no closing ']' is almost certainly a
+                    # truncated JSON cursor, and silently paginating
+                    # from it would return a wrong page, so that one
+                    # errors
                     after = None
                     try:
                         parsed = json.loads(raw)
                         if isinstance(parsed, list):
                             after = tuple(str(v) for v in parsed)
                     except json.JSONDecodeError:
-                        pass
+                        stripped = raw.strip()
+                        if stripped.startswith("[") and not \
+                                stripped.endswith("]"):
+                            return self._json(
+                                {"error": "after= looks like a "
+                                          "truncated JSON cursor"}, 422
+                            )
                     if after is None:
                         after = tuple(raw.split("|"))
                     n_by = len([c for c in q["by"].split(",") if c.strip()])
@@ -778,9 +787,13 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 state["ex"] = DSLExecutor(state["s"])
                 state["meta_dirs"] = _group_dirs()  # new segments' docs/
                 # LM counts may have shifted with the corpus; the gen
-                # bump also invalidates a training pass in flight
-                state.pop("phrase_suggester", None)
-                state["lm_gen"] += 1
+                # bump also invalidates a training pass in flight.
+                # MUST hold lm_lock: an unlocked pop/bump could lose
+                # the race against a suggester init caching between
+                # its gen check and its store
+                with state["lm_lock"]:
+                    state.pop("phrase_suggester", None)
+                    state["lm_gen"] += 1
                 return self._json({"reloaded": True,
                                    "n_docs": state["s"].n_docs})
             if urlparse(self.path).path == "/percolate":

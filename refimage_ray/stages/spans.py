@@ -152,6 +152,7 @@ def scrub_dup_spans(
     mode: str = "drop_all",
     return_text: bool = True,
     method: str = "broadcast",
+    buckets: int = 64,
     cfg: EngineConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     doc_col: str = "doc_id",
@@ -187,7 +188,7 @@ def scrub_dup_spans(
         return _scrub_via_join(
             docs_ds, n=n, min_docs=min_docs,
             keep_first=(mode == "keep_first"), return_text=return_text,
-            cfg=cfg, text_col=text_col, doc_col=doc_col,
+            cfg=cfg, text_col=text_col, doc_col=doc_col, buckets=buckets,
         )
     dup = duplicated_grams(
         docs_ds, n=n, min_docs=min_docs, cfg=cfg,
@@ -291,8 +292,6 @@ def _scrub_via_join(
        rebuild per bucket (the ``stages/joins.py`` shape), never a
        per-doc Python call.
     """
-    import hashlib
-
     from refimage_ray.stages.joins import hash_join
 
     def occs(batch: pa.Table) -> pa.Table:
@@ -366,15 +365,16 @@ def _scrub_via_join(
     removals = joined.map_batches(to_removals, batch_format="pyarrow")
 
     def _bucket_of(ids: np.ndarray) -> np.ndarray:
-        # content-keyed doc bucket (md5 of the id bytes) — independent
-        # of the gram-join bucketing and of block layout
-        out = np.empty(len(ids), dtype=np.int64)
-        for i, v in enumerate(ids.tolist()):
-            out[i] = int.from_bytes(
-                hashlib.md5(v.to_bytes(8, "big", signed=True)).digest()[:8],
-                "big",
-            ) % buckets
-        return out
+        # content-keyed doc bucket: vectorized splitmix64-style mix of
+        # the id bits (NO per-row Python hashing — removal rows are
+        # token-scale on duplicated corpora), independent of the
+        # gram-join bucketing and of block layout
+        x = ids.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        return (x % np.uint64(buckets)).astype(np.int64)
 
     def tag_docs(b: pa.Table) -> pa.Table:
         ids = b[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -392,7 +392,7 @@ def _scrub_via_join(
             "__b": pa.array(_bucket_of(ids), pa.int64()),
             "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
             "doc_id": pa.array(ids, pa.int64()),
-            "text": pa.array([None] * len(ids), pa.string()),
+            "text": pa.nulls(len(ids), pa.string()),
             "pos": pc.cast(b["pos"], pa.int64()),
         })
 
@@ -435,11 +435,18 @@ def _scrub_via_join(
         }
         if return_text:
             kept_counts = n_tokens - n_removed
-            offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int32)
-            lst = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), flat.filter(pa.array(kept))
+            # int64 offsets: a bucket holds ~1/buckets of the corpus,
+            # so int32 list offsets would overflow at the very scale
+            # this path exists for
+            offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int64)
+            lst = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pc.cast(flat.filter(pa.array(kept)), pa.large_string()),
             )
-            cols["text"] = pc.binary_join(lst, " ")
+            cols["text"] = pc.cast(
+                pc.binary_join(lst, pa.scalar(" ", pa.large_string())),
+                pa.string(),
+            )
         return pa.table(cols)
 
     return (

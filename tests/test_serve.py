@@ -742,10 +742,17 @@ def test_composite_after_cursor_arity_and_json_form(server):
     except urllib.error.HTTPError as e:
         st = e.code
     assert st == 422
-    # a literal value that merely starts with '[' is NOT JSON — it
-    # falls back to the pipe form (arity 1 matches by=lang) -> 200
-    st, body = _get(base + "/composite?q=the&by=lang&size=2&after=%5Bbad")
+    # a BALANCED bracketed literal is not JSON — it falls back to the
+    # pipe form (arity 1 matches by=lang) -> 200
+    st, body = _get(base + "/composite?q=the&by=lang&size=2&after=%5Bx%5D")
     assert st == 200
+    # but a '['-prefixed value with no closing ']' is a truncated JSON
+    # cursor — silently paginating from it would return a wrong page
+    try:
+        st, _ = _get(base + "/composite?q=the&by=lang&size=2&after=%5Bbad")
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 422
 
 
 def test_suggest_phrase_route(server):
