@@ -497,6 +497,49 @@ def _load_shard_view(
     return _ShardView(tm, dv)
 
 
+def _phrase_prefix_composed(
+    searcher, expander, phrase: str, k, threshold,
+    cfg: EngineConfig, offset: int, slop: int,
+    max_expansions: "int | None",
+) -> list[tuple[int, float]]:
+    """match_phrase_prefix by composition over any searcher exposing
+    ``search_phrase``: complete the last token against the global
+    vocabulary, run one phrase query per completion, merge under
+    per-doc max score, one global top-k cut.  Exact: a doc outside
+    every completion's top-(k+offset) is dominated by ≥k+offset docs
+    globally (per-completion cut lines), ties resolved identically by
+    the shared (score desc, doc_id asc) rule."""
+    import numpy as np
+
+    from refimage_ray.functions.text import tokenize
+    from refimage_ray.query.scorer import topk_select
+
+    k = cfg.default_k if k is None else k
+    threshold = cfg.default_threshold if threshold is None else threshold
+    toks = tokenize(phrase, expander._token_pattern)
+    if not toks:
+        return []
+    head, last = toks[:-1], toks[-1]
+    cap = cfg.max_expansions if max_expansions is None else max_expansions
+    expansions = expander.expand("prefix", last, cap)
+    if not expansions:
+        return []
+    best: dict[int, float] = {}
+    for e in expansions:
+        for d, s in searcher.search_phrase(
+            " ".join([*head, e]), k=k + offset, threshold=threshold,
+            cfg=cfg, slop=slop,
+        ):
+            if d not in best or s > best[d]:
+                best[d] = s
+    if not best:
+        return []
+    ids = np.fromiter(best.keys(), np.int64, len(best))
+    sc = np.fromiter(best.values(), np.float64, len(best))
+    out_ids, out_sc = topk_select(ids, sc, k + offset, threshold)
+    return list(zip(out_ids.tolist(), out_sc.tolist()))[offset:]
+
+
 class _GlobalVocabExpander:
     """Prefix/fuzzy expansion for the doc-partitioned layout, probed
     against the artifact's GLOBAL ``terms/`` table (term → global df).
@@ -852,6 +895,21 @@ class DocPartSearcher:
         table, scoring via the exact scatter-gather path."""
         return self._search_expanded("prefix", prefix, k, threshold, cfg,
                                      max_expansions)
+
+    def search_phrase_prefix(self, phrase: str, k=None, threshold=None,
+                             cfg: EngineConfig = DEFAULT_CONFIG,
+                             offset: int = 0, slop: int = 0,
+                             max_expansions: "int | None" = None):
+        """Search-as-you-type over the doc-partitioned layout (see
+        ``engine.search_phrase_prefix``): last token completed against
+        the GLOBAL terms table (every shard sees the same completion
+        set), each completion a docpart phrase query, per-doc max-merge
+        — exact by the same per-completion cut-line dominance as the
+        term layout."""
+        return _phrase_prefix_composed(
+            self, self._expander, phrase, k, threshold, cfg, offset, slop,
+            max_expansions,
+        )
 
     def search_fuzzy(self, term: str, k=None, threshold=None,
                      cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1330,6 +1388,19 @@ class DistributedDocPartSearcher:
         table, then the ordinary scatter-gather)."""
         return self._search_expanded("prefix", prefix, k, threshold, cfg,
                                      max_expansions)
+
+    def search_phrase_prefix(self, phrase: str, k=None, threshold=None,
+                             cfg: EngineConfig = DEFAULT_CONFIG,
+                             offset: int = 0, slop: int = 0,
+                             max_expansions: "int | None" = None):
+        """Search-as-you-type (driver-side completion against the
+        global terms table, one scatter-gather phrase query per
+        completion, per-doc max-merge — see
+        :meth:`DocPartSearcher.search_phrase_prefix`)."""
+        return _phrase_prefix_composed(
+            self, self._ensure_expander(), phrase, k, threshold, cfg,
+            offset, slop, max_expansions,
+        )
 
     def search_fuzzy(self, term: str, k=None, threshold=None,
                      cfg: EngineConfig = DEFAULT_CONFIG,

@@ -364,3 +364,29 @@ def test_phrase_prefix_empty_cases(pos_indexes):
     s = LocalSearcher(dp)
     assert s.search_phrase_prefix("zzqq", k=5) == []  # no expansion
     assert s.search_phrase_prefix("!!!", k=5) == []   # no tokens
+
+
+def test_docpart_phrase_prefix_matches_term_layout(ray_session, tiny_docs,
+                                                   tmp_path):
+    """Doc-partitioned match_phrase_prefix ≡ the term-partitioned
+    LocalSearcher on both docpart transports (global-vocabulary
+    completion set, per-completion scatter-gather, max-merge)."""
+    from refimage_ray.index.docpart import (
+        DistributedDocPartSearcher,
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+
+    dt = str(tmp_path / "term")
+    dd = str(tmp_path / "doc")
+    build_index(rd.from_arrow(tiny_docs), dt, POS_CFG)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dd, POS_CFG,
+                          num_doc_shards=4)
+    st = LocalSearcher(dt)
+    sd = DocPartSearcher(dd)
+    sx = DistributedDocPartSearcher(dd, num_actors=2)
+    sx.wait_ready()
+    for probe in ["data ta", "the d", "zzqq"]:
+        want = st.search_phrase_prefix(probe, k=25)
+        assert sd.search_phrase_prefix(probe, k=25) == want, probe
+        assert sx.search_phrase_prefix(probe, k=25) == want, probe
