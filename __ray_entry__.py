@@ -970,7 +970,64 @@ def entry() -> Any:
     return flagship("/root/testdata/sf0.001")
 
 
+# Queries never yet certified by a driver CORRECTNESS_r*.json run (the
+# driver checks the first 50 entries in dict order).  Round 3 leads with
+# these so the external gate covers the dedup / analysis / training
+# families whose oracles so far only ran in the local harness; a
+# regression sample of previously-certified queries follows.  Rotate
+# this list each round as CORRECTNESS files accumulate.
+_DRIVER_WINDOW_PRIORITY = [
+    # dedup family (round-2 distributed rewrites — highest value)
+    "dedup_incremental_docs", "ngram_jaccard_near_dups",
+    "simhash_near_dups", "curated_docs", "line_dup_stats",
+    "line_dedup_docs", "line_dedup_keep_first",
+    # text analysis
+    "contamination_stats", "dup_span_stats", "scrub_dup_spans_docs",
+    "doc_len_quantiles", "repetition_stats", "heavy_hitters",
+    "bigram_pmi", "doc_lexical_stats", "dup_rate_by_source",
+    "zipf_fit", "doc_perplexity", "perplexity_filter_stats",
+    "bpe_merges", "lang_classifier_stats", "bpe_token_stats",
+    "distinct_counts", "distinct_terms_hll", "term_counts_cms",
+    "domain_stats", "url_canonical_docs", "url_canonical_dedup",
+    # vectors / embeddings
+    "knn_cosine_pq", "knn_cosine_filtered", "kmeans_cluster_sizes",
+    "semdedup_losers", "embedding_pca_stats", "lang_embedding_stats",
+    "embedding_near_dups_lsh", "hybrid_rrf_topk",
+    # relational / windows
+    "tpch_q3", "tpch_q6", "orders_late_shipment_priority", "tpch_q5",
+    "part_size_class", "events_hopping", "events_funnel",
+    "events_cohort_retention", "events_hourly_rollup",
+    "events_asof_last", "events_user_lag", "events_value_quantiles",
+    "customer_order_counts_left", "events_value_median",
+    "event_transition_pagerank", "table_profile_lineitem",
+    # training-data prep
+    "pack_sequences", "packed_sequences", "curated_packed_sequences",
+    "lm_gated_packed_sequences", "lang_mixture_sample",
+    "lang_temperature_sample", "stratified_sample", "split_by_hash",
+    "url_latest_snapshot", "url_blocklist_stats", "crawl_delta_docs",
+    "weighted_sample_docs", "doc_chunks", "crawl_delta_summary",
+    "pii_scrub_stats", "token_count_multi", "global_shuffle_docs",
+    # search-family entries added late in round 2 (also never checked)
+    "composite_buckets_page2", "bm25_topk_page2", "bm25_grouped_by_lang",
+    "suggest_terms", "suggest_phrase", "facet_counts_query",
+    "facet_counts_docpart", "facet_doclen_hist", "facet_lang_token_sums",
+    "percolate_matches", "search_facets", "facet_month_hist",
+    "facet_doclen_pct", "bm25_topk_runtime_filtered",
+    # regression sample from rounds 1-2 (already certified; keep a few
+    # near the window tail so a regression would still surface)
+    "corpus_stats", "bm25_topk", "term_stats", "tokenize_postings",
+    "minhash_near_dups", "dedup_exact_docs", "knn_cosine", "tpch_q1",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    cat = _queries_catalogue()
+    ordered = {k: cat[k] for k in _DRIVER_WINDOW_PRIORITY if k in cat}
+    ordered.update((k, v) for k, v in cat.items() if k not in ordered)
+    return ordered
+
+
+def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
     from refimage_ray.pipelines import (
         corpus, curate, relational, search, training, vectors,
     )

@@ -516,7 +516,7 @@ def _phrase_prefix_composed(
 
     k = cfg.default_k if k is None else k
     threshold = cfg.default_threshold if threshold is None else threshold
-    toks = tokenize(phrase, expander._token_pattern)
+    toks = tokenize(phrase, expander._token_pattern, expander._term_filter)
     if not toks:
         return []
     head, last = toks[:-1], toks[-1]
@@ -551,9 +551,14 @@ class _GlobalVocabExpander:
     ordinary scatter-gather path.  Probe structures build lazily, once.
     """
 
-    def __init__(self, global_df: dict, token_pattern: "str | None") -> None:
+    def __init__(self, global_df: dict, token_pattern: "str | None",
+                 term_filter: str = "none") -> None:
         self._df = global_df
         self._token_pattern = token_pattern
+        # manifest term_filter (e.g. s_stem) — probe normalization must
+        # match _SearcherBase._tokenize so layouts return the same
+        # completions for plural-form prefixes
+        self._term_filter = term_filter
         self._vocab: "list[str] | None" = None
         self._deletes: "dict[str, list[str]] | None" = None
 
@@ -570,7 +575,8 @@ class _GlobalVocabExpander:
         )
 
         probe = normalize_probe(
-            kind, arg, lambda s: tokenize(s, self._token_pattern)
+            kind, arg,
+            lambda s: tokenize(s, self._token_pattern, self._term_filter),
         )
         if kind == "fuzzy":
             if self._deletes is None:
@@ -627,7 +633,8 @@ class DocPartSearcher:
 
         self._global_df = _load_global_df(index_dir)
         self._expander = _GlobalVocabExpander(
-            self._global_df, man["config"].get("token_pattern")
+            self._global_df, man["config"].get("token_pattern"),
+            man["config"].get("term_filter", "none"),
         )
         files = sorted(
             f for f in os.listdir(index_dir)
@@ -1361,7 +1368,8 @@ class DistributedDocPartSearcher:
             # global terms table loaded on first expansion query only —
             # plain scatter-gather serving never pays for it
             self._expander = _GlobalVocabExpander(
-                _load_global_df(self.index_dir), self._token_pattern
+                _load_global_df(self.index_dir), self._token_pattern,
+                self.manifest["config"].get("term_filter", "none"),
             )
         return self._expander
 

@@ -348,6 +348,10 @@ class DSLParser:
             window = int(args[1]) if len(args) == 2 else 5
             if window < 0:
                 raise DSLParseError("NEAR() window must be >= 0")
+            if window > 2**31 - 1:
+                # engine tag-block invariant (positions + window < 2^31)
+                raise DSLParseError(
+                    f"NEAR() window must be <= {2**31 - 1}")
             return NearQuery(args[0], window=window)
         if name == "PREFIX":
             if len(args) != 1 or not isinstance(args[0], str):

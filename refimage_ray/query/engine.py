@@ -1050,6 +1050,13 @@ class _SearcherBase:
         """
         if window < 0:
             raise ValueError(f"window must be >= 0, got {window}")
+        if window > 2**31 - 1:
+            # positions and window must stay < 2^31 so `anchors + w`
+            # can't cross the 2^32 candidate-tag block (see
+            # _verify_near_positions); also keeps np.int64(window)
+            # from raising OverflowError past 2^63
+            raise ValueError(
+                f"window must be <= {2**31 - 1}, got {window}")
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         terms = query_terms(self._tokenize(query))

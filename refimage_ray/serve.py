@@ -9,8 +9,9 @@ Route map (reference analog → here):
 
 - ``GET /health``                      (``api.py`` health)          → index stats probe
 - ``GET /stats``                       (storage stats rollup)       → manifest stats
-- ``GET /search?q=&k=&mode=``          (or/and/phrase/near/prefix/fuzzy/wildcard/regex)  → ``searcher.search`` / ``search_phrase`` / ``search_near`` / ``search_prefix`` / ``search_fuzzy`` / ``search_wildcard`` / ``search_regex`` + metadata join
+- ``GET /search?q=&k=&mode=``          (or/and/phrase/phrase_prefix/near/prefix/fuzzy/wildcard/regex)  → ``searcher.search`` / ``search_phrase`` / ``search_phrase_prefix`` / ``search_near`` / ``search_prefix`` / ``search_fuzzy`` / ``search_wildcard`` / ``search_regex`` + metadata join
   (``&slop=N`` with mode=phrase: ordered proximity, ≤N interleaved tokens per step;
+  mode=phrase_prefix: last token treated as a prefix (search-as-you-type);
   ``&window=W`` with mode=near: unordered proximity, all terms within a W-token span;
   ``&snippets=1&width=N``: term-highlighted snippets instead of metadata;
   ``&filter=lang=en,doc_len>=100``: doc-value predicate — see ``parse_filter``;
@@ -513,40 +514,55 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                 load_bigram_lm, train_bigram_lm,
                             )
 
-                            # ThreadingHTTPServer: one thread trains;
-                            # the generation guard discards a model
-                            # whose corpus was /reload-ed mid-train
-                            # (stale cache would otherwise persist)
-                            with state["lm_lock"]:
-                                ps = state.get("phrase_suggester")
-                                while ps is None:
+                            # ThreadingHTTPServer: train OUTSIDE
+                            # lm_lock so /reload (which needs the
+                            # lock to bump lm_gen) and concurrent
+                            # /suggest requests stay responsive
+                            # during the corpus pass; the generation
+                            # re-check under the lock discards a
+                            # model whose corpus was /reload-ed
+                            # mid-train (stale cache would otherwise
+                            # persist).  Concurrent first-hitters may
+                            # train redundantly; same-gen results are
+                            # identical so last-store-wins is safe.
+                            while ps is None:
+                                with state["lm_lock"]:
+                                    ps = state.get("phrase_suggester")
+                                    if ps is not None:
+                                        break
                                     gen = state["lm_gen"]
-                                    man = load_manifest(index_dir) or {}
-                                    lm_cfg = engine_config_from_manifest(
-                                        man.get("config", {})
+                                man = load_manifest(index_dir) or {}
+                                lm_cfg = engine_config_from_manifest(
+                                    man.get("config", {})
+                                )
+                                lm_dir = _os.path.join(index_dir, "lm")
+                                if _os.path.exists(
+                                    _os.path.join(lm_dir, "lm.json")
+                                ):
+                                    # persisted artifact (train-lm
+                                    # CLI) — vocab-sized load, no
+                                    # corpus pass
+                                    lm = load_bigram_lm(lm_dir)
+                                else:
+                                    lm = train_bigram_lm(
+                                        staged_docs(
+                                            index_dir,
+                                            columns=["doc_id",
+                                                     "text"],
+                                        ),
+                                        lm_cfg,
                                     )
-                                    lm_dir = _os.path.join(index_dir, "lm")
-                                    if _os.path.exists(
-                                        _os.path.join(lm_dir, "lm.json")
-                                    ):
-                                        # persisted artifact (train-lm
-                                        # CLI) — vocab-sized load, no
-                                        # corpus pass
-                                        lm = load_bigram_lm(lm_dir)
-                                    else:
-                                        lm = train_bigram_lm(
-                                            staged_docs(
-                                                index_dir,
-                                                columns=["doc_id",
-                                                         "text"],
-                                            ),
-                                            lm_cfg,
-                                        )
+                                with state["lm_lock"]:
                                     if state["lm_gen"] == gen:
                                         ps = PhraseSuggester(
                                             lm, cfg=lm_cfg
                                         )
                                         state["phrase_suggester"] = ps
+                                    else:
+                                        # corpus swapped mid-train —
+                                        # drop this model and retry
+                                        ps = state.get(
+                                            "phrase_suggester")
                         phrase, score = ps.suggest(q["q"])
                         return self._json(
                             {"suggestion": phrase, "score": score}

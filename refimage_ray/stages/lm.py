@@ -227,11 +227,23 @@ def save_bigram_lm(lm: BigramLM, out_dir: str) -> str:
     with open(os.path.join(tmp, "lm.json"), "w") as f:
         json.dump({"k": lm.k, "n_vocab": int(lm.vocab_size),
                    "n_bigrams": int(len(lm.bigram_keys))}, f)
-    if os.path.exists(out_dir):
+    # Swap with the old artifact renamed ASIDE first (not rmtree'd in
+    # place): a crash between the two steps leaves either the old or
+    # the new dir present under out_dir-adjacent names, never a
+    # missing/partial artifact, and a concurrent loader of the old
+    # path sees a complete directory until the single rename lands.
+    old = out_dir + ".old"
+    if os.path.exists(old):
         import shutil
 
-        shutil.rmtree(out_dir)
+        shutil.rmtree(old)
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
     os.rename(tmp, out_dir)
+    if os.path.exists(old):
+        import shutil
+
+        shutil.rmtree(old)
     return out_dir
 
 

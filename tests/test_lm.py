@@ -148,3 +148,40 @@ def test_lm_load_rejects_truncated_artifact(ray_session, tiny_docs, tmp_path):
 
     with pytest.raises(ValueError, match="row counts"):
         load_bigram_lm(d)
+
+
+def test_lm_save_crash_window_keeps_an_artifact(ray_session, tiny_docs,
+                                                tmp_path, monkeypatch):
+    """The old→aside / tmp→live swap never leaves ZERO artifacts: a
+    crash after the old dir is renamed aside leaves a complete copy at
+    out_dir + '.old' (and re-save cleans residue)."""
+    import os
+
+    import ray.data as rd
+
+    from refimage_ray.stages.lm import (
+        load_bigram_lm, save_bigram_lm, train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(rd.from_arrow(tiny_docs))
+    d = str(tmp_path / "lm")
+    save_bigram_lm(lm, d)
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if src.endswith(".tmp"):
+            raise OSError("simulated crash before the live rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        save_bigram_lm(lm, d)
+    monkeypatch.undo()
+    # the pre-crash artifact survives, complete, at the aside name
+    assert load_bigram_lm(d + ".old").vocab_size == lm.vocab_size
+    # a successful re-save restores the live name and clears residue
+    save_bigram_lm(lm, d)
+    assert load_bigram_lm(d).vocab_size == lm.vocab_size
+    assert not os.path.exists(d + ".old")
+    assert not os.path.exists(d + ".tmp")

@@ -390,3 +390,60 @@ def test_docpart_phrase_prefix_matches_term_layout(ray_session, tiny_docs,
         want = st.search_phrase_prefix(probe, k=25)
         assert sd.search_phrase_prefix(probe, k=25) == want, probe
         assert sx.search_phrase_prefix(probe, k=25) == want, probe
+
+
+def test_docpart_phrase_prefix_stemmed_parity(ray_session, tmp_path):
+    """On an s_stem artifact the phrase-prefix probe must be stemmed
+    the same way in both layouts (term layout stems via
+    _SearcherBase._tokenize; docpart threads the manifest term_filter
+    into _GlobalVocabExpander) — a plural-form last token otherwise
+    returns different completions per layout."""
+    from refimage_ray.index.docpart import (
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            "scan the tables quickly",
+            "scan the tablet screen",
+            "join tables and tables again",
+            "unrelated words entirely",
+        ]),
+        "url": pa.array([f"u{i}" for i in range(4)]),
+        "lang": pa.array(["en"] * 4),
+    })
+    cfg = EngineConfig(num_shards=2, salt_buckets=1, store_positions=True,
+                       term_filter="s_stem")
+    dt, dd = str(tmp_path / "term"), str(tmp_path / "doc")
+    build_index(rd.from_arrow(docs), dt, cfg)
+    build_doc_partitioned(rd.from_arrow(docs), dd, cfg, num_doc_shards=2)
+    st, sd = LocalSearcher(dt), DocPartSearcher(dd)
+    # "tables" stems to "table" -> prefix-matches {table, tablet};
+    # an unstemmed probe would match only "tablet"-side vocab entries
+    for probe in ["scan the tables", "join tables"]:
+        want = st.search_phrase_prefix(probe, k=25)
+        assert want, probe  # non-vacuous: the stemmed probe matches
+        assert sd.search_phrase_prefix(probe, k=25) == want, probe
+    # single-term expansion probes (prefix/fuzzy) go through the same
+    # normalize path — check suggest-adjacent prefix search parity too
+    want = st.search_prefix("tables", k=25)
+    assert sd.search_prefix("tables", k=25) == want
+
+
+def test_near_window_clamped(pos_indexes):
+    """Oversized windows are rejected with ValueError (serve maps it
+    to 422) BEFORE any int64 tag arithmetic can overflow."""
+    from refimage_ray.query.dsl import DSLParseError, DSLParser
+
+    dp, _ = pos_indexes
+    s = LocalSearcher(dp)
+    with pytest.raises(ValueError, match="window must be <="):
+        s.search_near("data table", window=2**31)
+    with pytest.raises(ValueError):
+        s.search_near("data table", window=2**63)  # not OverflowError
+    # largest legal window still works
+    s.search_near("data table", window=2**31 - 1)
+    with pytest.raises(DSLParseError, match="window must be <="):
+        DSLParser().parse(f'NEAR("data table", {2**31})')
