@@ -996,11 +996,13 @@ def events_value_median(sf_dir: str) -> pa.Table:
 def event_transition_pagerank(sf_dir: str) -> pa.Table:
     """PageRank over the user-journey transition graph: within each
     user's time-ordered event stream, consecutive events contribute a
-    (type → type) edge; ``stages/graph.pagerank`` then ranks event
-    types by stationary visit probability (rows-only: no SQL
-    eigensolver; the operator is pytest-verified against numpy power
-    iteration)."""
-    from refimage_ray.stages.graph import pagerank
+    (type → type) edge; ``stages/graph.pagerank_distributed`` then
+    ranks event types by stationary visit probability (rows-only: no
+    SQL eigensolver; the operator is pytest-verified against numpy
+    power iteration and the broadcast variant).  Uses the
+    distributed-rank-state path — no driver-side node state — so the
+    external check certifies the web-scale variant."""
+    from refimage_ray.stages.graph import pagerank_distributed
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -1014,7 +1016,19 @@ def event_transition_pagerank(sf_dir: str) -> pa.Table:
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )
-    return pagerank(edges, damping=0.85, iters=20)
+    ranked = pagerank_distributed(edges, damping=0.85, iters=20,
+                                  buckets=8)
+    # event-type node set is tiny — driver-side sort of the REDUCED
+    # result only (rank desc, node asc: same order as the broadcast
+    # variant's stable argsort over name-sorted nodes)
+    from refimage_ray.stages.dedup_near import collect_small
+
+    t = collect_small(ranked, pa.schema([("node", pa.string()),
+                                         ("rank", pa.float64())]))
+    order = pc.sort_indices(
+        t, sort_keys=[("rank", "descending"), ("node", "ascending")]
+    )
+    return t.take(order)
 
 
 def table_profile_lineitem(sf_dir: str) -> pa.Table:

@@ -13,10 +13,17 @@ Semantics: the classic damped PageRank
 mass redistributed uniformly — the update is synchronous (power
 iteration), so the numpy reference in tests matches to float epsilon.
 
-Scale note: the rank vector is node-count floats held on the driver
-between iterations (8 B/node — 1e9 nodes = 8 GB: the documented limit
-of this variant; past that, ranks join the edges through a bucketed
-hash join instead of a broadcast).
+Two variants share the semantics:
+
+- :func:`pagerank` — ranks broadcast from the driver (8 B/node; the
+  documented bound is graphs whose NODE set fits driver memory, e.g.
+  the event-type transition graph).  Fastest at small node counts.
+- :func:`pagerank_distributed` — ranks live as a Dataset keyed by
+  node; each iteration joins contributions through the repo's bucketed
+  ``stages/joins.hash_join`` and the driver only ever holds per-
+  iteration SCALARS (N, dangling mass, rank delta).  This is the
+  web-scale link-graph path (10⁹+ nodes): no driver-side node state,
+  no ``take_all`` — asserted by a poisoned-collect test.
 
 Reference analog: none — the reference has no iterative operator; this
 fills SURVEY §2's "iterative algorithms" class.
@@ -134,3 +141,211 @@ def pagerank(
             "rank": pa.array(np.round(ranks[order], 9), pa.float64()),
         }
     )
+
+
+def pagerank_distributed(
+    edges_ds,
+    damping: float = 0.85,
+    iters: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    tol: float | None = None,
+    buckets: int = 32,
+):
+    """PageRank with DISTRIBUTED rank state → (node, rank) Dataset.
+
+    Bit-for-bit semantics of :func:`pagerank` (synchronous damped power
+    iteration, uniform dangling redistribution, parallel-edge
+    multiplicity) but ranks never leave the cluster: they are a
+    materialized Dataset of (node, outdeg, rank) rows, contributions
+    flow through ``hash_join(edges, share)`` + a ``groupby(node)``
+    sum, and the update is a left join back onto the rank table.  The
+    driver holds only scalars — node count, dangling mass, and (when
+    ``tol`` is set) the L1 rank delta used for early convergence.
+
+    Floats: distributed summation order differs from the numpy
+    reference, so ranks match to ~1e-12 relative, not bit-exactly —
+    same contract as :func:`pagerank`'s groupby sums.
+
+    Scale notes: each iteration re-buckets the (materialized) edge
+    list through the join's groupby exchange — one all-to-all of edge
+    rows per iteration, the inherent cost of join-based PR on an
+    engine without persistent partitioning; ranks-side state is
+    node-count rows.  ``tol`` adds one narrow aggregate per iteration.
+    """
+    from refimage_ray.stages.joins import hash_join
+
+    # one materialization: iterations re-read blocks, never re-run the
+    # upstream edge derivation (lazy Datasets re-execute per consume)
+    edges = edges_ds.materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "node": pa.concat_arrays([
+                pc.cast(b[src_col], pa.string()).combine_chunks(),
+                pc.cast(b[dst_col], pa.string()).combine_chunks(),
+            ])
+        })
+
+    nodes_ds = (
+        edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("node").count().drop_columns(["count()"])
+        .materialize()
+    )
+    n = nodes_ds.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64()),
+        }))
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = (
+            pa.table({"src": pc.cast(b[src_col], pa.string())})
+            .group_by("src").aggregate([([], "count_all")])
+        )
+        return pa.table({"src": g["src"],
+                         "deg": pc.cast(g["count_all"], pa.int64())})
+
+    deg_ds = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("src").aggregate(Sum("deg", alias_name="deg"))
+    )
+
+    r0 = 1.0 / n
+
+    def init_rank(df):
+        out = df[["node"]].copy()
+        out["outdeg"] = df["deg"].fillna(0).astype("int64")
+        out["rank"] = r0
+        return out
+
+    ranks = (
+        hash_join(nodes_ds, deg_ds, left_on="node", right_on="src",
+                  left_cols=["node"], right_cols=["src", "deg"],
+                  buckets=buckets, how="left")
+        .map_batches(init_rank, batch_format="pandas")
+        .materialize()
+    )
+
+    def share_map(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater(b["outdeg"], 0)
+        t = b.filter(m)
+        return pa.table({
+            "node": t["node"],
+            "share": pc.divide(
+                t["rank"], pc.cast(t["outdeg"], pa.float64())),
+        })
+
+    def dangling_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.sum(b.filter(pc.equal(b["outdeg"], 0))["rank"])
+        return pa.table({"d": pa.array(
+            [float(s.as_py() or 0.0)], pa.float64())})
+
+    # The per-iteration contribution sum and the rank update share the
+    # SAME key (node), so they fuse into ONE exchange: rank rows and
+    # per-batch pre-aggregated contribution rows union into a unified
+    # (node, outdeg, rank, c) stream bucketed by hash(node), and one
+    # map_groups both sums c and applies the update — two all-to-alls
+    # per iteration total (edge×share join, fused update), the minimum
+    # for join-based PR, instead of three.
+    def _node_bucket(arr: pa.Array) -> pa.Array:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            arr.to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+        return pa.array(np.abs(h % np.int64(buckets)), pa.int64())
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        nr = b.num_rows
+        return pa.table({
+            "node": b["node"], "outdeg": b["outdeg"], "rank": b["rank"],
+            "c": pa.nulls(nr, pa.float64()),
+            "upd_bucket": _node_bucket(b["node"]),
+        })
+
+    def contrib_rows(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"node": b[dst_col], "c": b["share"]})
+            .group_by("node").aggregate([("c", "sum")])
+        )
+        nr = g.num_rows
+        return pa.table({
+            "node": g["node"],
+            "outdeg": pa.nulls(nr, pa.int64()),
+            "rank": pa.nulls(nr, pa.float64()),
+            "c": g["c_sum"],
+            "upd_bucket": _node_bucket(g["node"]),
+        })
+
+    for _ in range(iters):
+        dangling = (
+            ranks.map_batches(dangling_partial, batch_format="pyarrow")
+            .sum("d")
+        ) or 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+        contribs = hash_join(
+            edges, ranks.map_batches(share_map, batch_format="pyarrow"),
+            left_on=src_col, right_on="node",
+            left_cols=[src_col, dst_col], right_cols=["node", "share"],
+            buckets=buckets, how="inner",
+        ).map_batches(contrib_rows, batch_format="pyarrow")
+
+        def apply_update(g, base=base):
+            import pandas as pd
+
+            rows = g[g["outdeg"].notna()]
+            csum = g.groupby("node", sort=False)["c"].sum()
+            new = base + damping * rows["node"].map(csum).fillna(0.0)
+            out = pd.DataFrame({
+                "node": rows["node"],
+                "outdeg": rows["outdeg"].astype("int64"),
+                "delta": (new - rows["rank"]).abs(),
+                "rank": new,
+            })
+            # Arrow block out: the per-iteration rebase below hands
+            # blocks over zero-copy via to_arrow_refs
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        ranks = (
+            ranks.map_batches(rank_rows, batch_format="pyarrow")
+            .union(contribs)
+            .groupby("upd_bucket")
+            .map_groups(apply_update, batch_format="pandas")
+            # the union's block lists would otherwise COMPOUND across
+            # iterations (≈2× per iteration — measured 1→191 blocks in
+            # 7 iterations); cap the rank table at `buckets` blocks so
+            # per-iteration cost stays flat
+            .repartition(buckets)
+            .materialize()
+        )
+        # rebase onto the materialized block refs (zero-copy): the
+        # Dataset stats/plan parent chain otherwise grows by one link
+        # per iteration and the recursive stats summary overflows the
+        # Python stack after ~50 iterations
+        import ray.data as rd
+
+        ranks = rd.from_arrow_refs(ranks.to_arrow_refs())
+        if tol is not None and (ranks.sum("delta") or 0.0) < tol:
+            break
+
+    def final(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "node": b["node"],
+            "rank": pc.round(b["rank"], ndigits=9),
+        })
+
+    return ranks.map_batches(final, batch_format="pyarrow")

@@ -41,8 +41,17 @@ def _with_bucket_and_side(
             else:
                 cols[field.name] = pa.nulls(n, field.type)
         out = pa.table(cols)
-        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = np.abs((k * np.int64(2654435761)) % np.int64(buckets))
+        arr = b[key]
+        if pa.types.is_integer(arr.type):
+            k = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = np.abs((k * np.int64(2654435761)) % np.int64(buckets))
+        else:
+            # string (or other non-int) keys: vectorized stable hash —
+            # both sides use the same function so co-bucketing holds
+            h = pd.util.hash_array(
+                arr.to_numpy(zero_copy_only=False)
+            ).view(np.int64)
+            bucket = np.abs(h % np.int64(buckets))
         return out.append_column(
             "join_bucket", pa.array(bucket, pa.int64())
         ).append_column("join_side", pa.array(np.full(n, side, np.int8)))

@@ -92,3 +92,88 @@ def test_event_transition_pagerank_vs_local(ray_session, tmp_path):
     want = _numpy_pagerank(edges)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_distributed — ranks as a Dataset, no driver-side node state
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_distributed_matches_local(ray_session):
+    from refimage_ray.stages.graph import pagerank_distributed
+
+    rng = np.random.default_rng(9)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [(nodes[rng.integers(40)], nodes[rng.integers(40)])
+             for _ in range(400)]
+    loc = {r["node"]: r["rank"]
+           for r in pagerank(_edges_ds(edges)).to_pylist()}
+    dist = {r["node"]: r["rank"]
+            for r in pagerank_distributed(
+                _edges_ds(edges), buckets=4).take_all()}
+    assert set(dist) == set(loc)
+    for k in loc:
+        assert dist[k] == pytest.approx(loc[k], abs=1e-12)
+    assert sum(dist.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_distributed_dangling_multiplicity_empty(ray_session):
+    from refimage_ray.stages.graph import pagerank_distributed
+
+    edges = [("a", "b"), ("a", "c"), ("a", "c"), ("c", "a")]
+    got = {r["node"]: r["rank"]
+           for r in pagerank_distributed(_edges_ds(edges),
+                                         buckets=4).take_all()}
+    want = _numpy_pagerank(edges)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert got["c"] > got["b"]
+    assert pagerank_distributed(_edges_ds([])).count() == 0
+
+
+def test_pagerank_distributed_tol_early_stop(ray_session):
+    """tol converges to ~the fixed point and stops early (fewer
+    materializations than iters)."""
+    from refimage_ray.stages.graph import pagerank_distributed
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]
+    want = _numpy_pagerank(edges, iters=60)
+    got = {r["node"]: r["rank"]
+           for r in pagerank_distributed(
+               _edges_ds(edges), iters=60, tol=1e-13,
+               buckets=4).take_all()}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_pagerank_distributed_no_driver_materialize(ray_session,
+                                                    monkeypatch):
+    """The iteration loop must never collect node-count state on the
+    driver: Dataset.take_all / to_pandas poisoned for the whole run."""
+    import ray.data
+
+    from refimage_ray.stages.graph import pagerank_distributed
+
+    def boom(self, *a, **k):
+        raise AssertionError(
+            "driver-side Dataset materialization in pagerank_distributed")
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", boom)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    edges = [("a", "b"), ("a", "c"), ("c", "a"), ("b", "c")]
+    out = pagerank_distributed(_edges_ds(edges), iters=3, buckets=4)
+    monkeypatch.undo()
+    got = {r["node"]: r["rank"] for r in out.take_all()}
+    want = _numpy_pagerank(edges, iters=3)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_pagerank_distributed_block_count_bounded(ray_session):
+    """Regression: the union-per-iteration must not compound block
+    lists (was ~2x per iteration before the repartition cap)."""
+    from refimage_ray.stages.graph import pagerank_distributed
+
+    edges = [("a", "b"), ("b", "a")]
+    out = pagerank_distributed(_edges_ds(edges), iters=6, buckets=4)
+    assert out.materialize().num_blocks() <= 8
