@@ -113,28 +113,59 @@ def pack_offsets(
     )
 
 
-def build_vocab(docs_ds: "rd.Dataset") -> list[str]:
-    """Distinct corpus terms, sorted — the id map for token-id
-    sequences (id = list index).  Per-batch distinct combiner →
-    one vocab-sized groupby; the result is broadcastable (real
-    tokenizer vocabs are ~10^5 entries)."""
+def build_vocab(
+    docs_ds: "rd.Dataset",
+    min_df: int | None = None,
+    max_terms: int | None = 131072,
+) -> list[str]:
+    """Corpus terms, sorted — the id map for token-id sequences
+    (id = list index).
+
+    The default is FREQUENCY-CAPPED: terms rank by document frequency
+    (ties term-asc) and only the top ``max_terms`` (2^17 — the scale
+    of a real tokenizer vocab) survive; ``min_df`` additionally drops
+    the Heaps-law singleton tail before the cut.  A raw *word* vocab
+    over noisy web text is otherwise unbounded (10^8+ distinct tokens
+    at 100 TB) and this function would ship it all to the driver.
+    Out-of-vocab tokens downstream map to id −1, same as the
+    external-BPE unknown path.  Pass ``max_terms=None`` (and leave
+    ``min_df`` unset) to opt into the uncapped distinct set.
+
+    Shape: per-batch per-doc-distinct combiner → one df groupby; the
+    capped path then takes the top slice via a distributed
+    sort+limit, so the driver never holds more than ``max_terms``
+    rows; the uncapped path collects the full distinct set (bounded
+    corpora only)."""
     import pyarrow.compute as pc
 
     from refimage_ray.config import DEFAULT_CONFIG
     from refimage_ray.stages.tokenize import _flat_tokens
 
-    def distinct(b: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(b["text"], DEFAULT_CONFIG)
-        return pa.table({"term": pc.unique(flat)})
+    def df_partial(b: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(b["text"], DEFAULT_CONFIG)
+        pairs = (
+            pa.table({"d": pa.array(parent, pa.int64()), "term": flat})
+            .group_by(["d", "term"]).aggregate([])
+        )
+        g = pairs.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
-    from ray.data.aggregate import Count
-
-    rows = (
-        docs_ds.map_batches(distinct, batch_format="pyarrow")
+    dfreq = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Count(alias_name="n"))
-        .take_all()
+        .aggregate(Sum("n", alias_name="n"))
     )
+    if min_df is not None:
+        dfreq = dfreq.filter(expr=f"n >= {int(min_df)}")
+    if max_terms is not None:
+        rows = (
+            dfreq.sort(["n", "term"], descending=[True, False])
+            .limit(int(max_terms))
+            .take_all()
+        )
+    else:
+        rows = dfreq.take_all()
     return sorted(r["term"] for r in rows)
 
 

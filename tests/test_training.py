@@ -715,3 +715,36 @@ def test_weighted_sample_heavier_is_likelier(ray_session):
         rd.from_arrow(tbl), 5, weight_col="n_chars"
     ).to_pandas()
     assert 199 in set(got["doc_id"])
+
+
+def test_build_vocab_cap_bounds_noise_corpus(ray_session):
+    """A high-cardinality noise corpus (every token unique) must stay
+    within the requested vocab bound; survivors are the top-df terms
+    (ties term-asc) and ids remain sorted-term order."""
+    import ray.data as rd
+
+    from refimage_ray.stages.packing import build_vocab
+
+    rng = np.random.default_rng(7)
+    # 40 docs x 30 unique noise tokens each + a few common words
+    texts = []
+    for i in range(40):
+        noise = [f"x{rng.integers(10**12):012d}" for _ in range(30)]
+        texts.append("common shared words " + " ".join(noise))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    capped = build_vocab(ds, max_terms=5)
+    assert len(capped) == 5
+    # top-df terms are the 3 words on every doc + 2 tie-broken noise
+    assert {"common", "shared", "words"} <= set(capped)
+    assert capped == sorted(capped)
+    # min_df alone kills the singleton tail
+    mdf = build_vocab(ds, min_df=2, max_terms=None)
+    assert mdf == ["common", "shared", "words"]
+    # uncapped opt-in still returns the full distinct set
+    full = build_vocab(ds, max_terms=None)
+    assert len(full) == 3 + 40 * 30
+    # the default cap (2^17) does not bind on bounded corpora
+    assert build_vocab(ds) == full
