@@ -151,8 +151,9 @@ def scrub_dup_spans(
     min_docs: int = 2,
     mode: str = "drop_all",
     return_text: bool = True,
-    method: str = "broadcast",
+    method: str = "auto",
     buckets: int = 64,
+    auto_broadcast_max_grams: int = 2_000_000,
     cfg: EngineConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     doc_col: str = "doc_id",
@@ -165,35 +166,56 @@ def scrub_dup_spans(
     first occurrence of each duplicated gram (smallest ``(doc_id,
     pos)``) and removes the rest.
 
-    ``method="broadcast"`` (default) collects the dup-gram table to
-    the driver and probes it per batch — right whenever the dup set
-    fits a broadcast (production n≈50: the dup set is proportional to
-    actual duplication).  ``method="join"`` never materializes the dup
-    set: occurrence rows join the dup-gram Dataset with the bucketed
+    ``method="broadcast"`` collects the dup-gram table to the driver
+    and probes it per batch — right whenever the dup set fits a
+    broadcast (production n≈50: the dup set is proportional to actual
+    duplication).  ``method="join"`` never materializes the dup set:
+    occurrence rows join the dup-gram Dataset with the bucketed
     ``hash_join``, and the (doc, removed-position) rows meet the doc
     texts in a tag-union bucket groupby (one vectorized call per
     BUCKET, never per doc) — the exact >broadcast scale path, results
-    identical by construction (and by test)."""
+    identical by construction (and by test).
+
+    ``method="auto"`` (default) counts the duplicated grams first (the
+    dup table is the CHEAP side — its size tracks actual duplication,
+    not corpus size) and picks broadcast when it is at most
+    ``auto_broadcast_max_grams`` rows (~100 MB of driver state at the
+    2M default), else the join path — removing the collect-a-huge-
+    dup-set-on-the-driver footgun without giving up the fast small
+    path.  The counted table is reused when broadcast wins; the join
+    path re-derives it (one extra narrow aggregate pass)."""
     import ray
 
     if mode not in ("drop_all", "keep_first"):
         raise ValueError(
             f"mode must be 'drop_all' or 'keep_first', got {mode!r}"
         )
-    if method not in ("broadcast", "join"):
+    if method not in ("auto", "broadcast", "join"):
         raise ValueError(
-            f"method must be 'broadcast' or 'join', got {method!r}"
+            f"method must be 'auto', 'broadcast' or 'join', got {method!r}"
         )
+    dup = None
+    if method == "auto":
+        dup_ds = duplicated_grams(
+            docs_ds, n=n, min_docs=min_docs, cfg=cfg,
+            text_col=text_col, doc_col=doc_col,
+        ).materialize()  # count + collect must not double-execute
+        if dup_ds.count() <= auto_broadcast_max_grams:
+            method = "broadcast"
+            dup = dup_ds.to_pandas()
+        else:
+            method = "join"
     if method == "join":
         return _scrub_via_join(
             docs_ds, n=n, min_docs=min_docs,
             keep_first=(mode == "keep_first"), return_text=return_text,
             cfg=cfg, text_col=text_col, doc_col=doc_col, buckets=buckets,
         )
-    dup = duplicated_grams(
-        docs_ds, n=n, min_docs=min_docs, cfg=cfg,
-        text_col=text_col, doc_col=doc_col,
-    ).to_pandas()
+    if dup is None:
+        dup = duplicated_grams(
+            docs_ds, n=n, min_docs=min_docs, cfg=cfg,
+            text_col=text_col, doc_col=doc_col,
+        ).to_pandas()
     if "g_hi" not in dup.columns:
         # Ray quirk: to_pandas() of a fully-empty Dataset loses the
         # schema (zero-column frame)

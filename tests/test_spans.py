@@ -202,3 +202,46 @@ def test_scrub_join_method_no_driver_collect(ray_session, monkeypatch):
 def test_scrub_rejects_unknown_method(ray_session):
     with pytest.raises(ValueError, match="method"):
         scrub_dup_spans(rd.from_arrow(_tbl(_DOCS)), n=3, method="bogus")
+
+
+@pytest.mark.parametrize("mode", ["drop_all", "keep_first"])
+def test_scrub_auto_switch_boundary_identity(ray_session, mode):
+    """method='auto' picks broadcast at/below the gram threshold and
+    join above it — identical rows either side of the boundary."""
+    ds = rd.from_arrow(_tbl(_DOCS)).repartition(3)
+    want = sorted(
+        scrub_dup_spans(ds, n=3, mode=mode,
+                        method="broadcast").take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    # threshold high: auto == broadcast
+    hi = sorted(
+        scrub_dup_spans(ds, n=3, mode=mode, method="auto",
+                        auto_broadcast_max_grams=10**6).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    # threshold 0: every dup gram exceeds it -> auto == join
+    lo = sorted(
+        scrub_dup_spans(ds, n=3, mode=mode, method="auto",
+                        auto_broadcast_max_grams=0).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert hi == want
+    assert lo == want
+
+
+def test_scrub_auto_above_threshold_no_driver_collect(ray_session,
+                                                      monkeypatch):
+    """When auto picks the join path, the dup set never reaches the
+    driver (to_pandas poisoned for the whole run)."""
+    import ray.data
+
+    def boom(self, *a, **k):  # pragma: no cover - fires only on a bug
+        raise AssertionError("driver materialization in auto-join scrub")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    out = scrub_dup_spans(
+        rd.from_arrow(_tbl(_DOCS)).repartition(3), n=3, method="auto",
+        auto_broadcast_max_grams=0,
+    ).take_all()
+    assert len(out) == len(_DOCS)
