@@ -216,6 +216,24 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--actors", type=int, default=0,
                     help="0 = in-process searcher; N = shard actor pool")
 
+    # env-settings layer (flag > env > default): REFIMAGE_RAY_* values
+    # become parser DEFAULTS on every (sub)parser that has the dest —
+    # an explicit flag still wins — and satisfy `required` flags the
+    # way the reference's Settings provide path defaults.
+    from refimage_ray.config import cli_env_defaults
+
+    env_defaults = cli_env_defaults()
+    if env_defaults:
+        for sp in (p, b, s, d, pl, pm, e, rm, c, ri, m, tl, fs, al, sn,
+                   rs, ro, pk, ej, qt, sv):
+            hit = {}
+            for a in sp._actions:
+                if a.dest in env_defaults:
+                    hit[a.dest] = env_defaults[a.dest]
+                    a.required = False
+            if hit:
+                sp.set_defaults(**hit)
+
     args = p.parse_args(argv)
 
     if args.cmd == "alias":  # pure file ops, no Ray needed
@@ -287,9 +305,11 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.cmd == "build":
-            from refimage_ray.config import EngineConfig
+            from refimage_ray.config import engine_config_from_env
 
-            cfg = EngineConfig(
+            # fresh build: env layer first (covers fields without a
+            # dedicated flag: k1/b/store_positions/...), flags on top
+            cfg = engine_config_from_env().with_(
                 num_shards=args.num_shards, salt_buckets=args.salt_buckets,
                 term_filter=args.term_filter
             )

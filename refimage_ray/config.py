@@ -110,3 +110,79 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+# ---------------------------------------------------------------------------
+# env-driven settings layer (reference analog: Settings built from env
+# vars, /root/reference/src/refimage/config.py:1-103).  Precedence is
+# flag > env > default: the CLI applies cli_env_defaults() as parser
+# DEFAULTS (an explicit flag still wins), and fresh builds start from
+# engine_config_from_env() so index parameters without a dedicated
+# flag (k1, b, store_positions, ...) are still reachable.
+# ---------------------------------------------------------------------------
+
+ENV_PREFIX = "REFIMAGE_RAY_"
+
+
+def _parse_env_value(raw: str, like) -> object:
+    if isinstance(like, bool):
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(like, int):
+        return int(raw)
+    if isinstance(like, float):
+        return float(raw)
+    return raw
+
+
+def engine_config_from_env(
+    base: "EngineConfig | None" = None,
+    environ: "dict | None" = None,
+) -> "EngineConfig":
+    """EngineConfig with every field overridable via
+    ``REFIMAGE_RAY_<FIELD>`` (upper-cased field name): e.g.
+    ``REFIMAGE_RAY_STORE_POSITIONS=1``, ``REFIMAGE_RAY_K1=0.9``.
+
+    Only for FRESH builds — anything operating on an existing artifact
+    must keep deriving its config from the manifest
+    (:func:`engine_config_from_manifest`), or build/query tokenization
+    symmetry breaks."""
+    import os
+    from dataclasses import fields
+
+    env = os.environ if environ is None else environ
+    base = DEFAULT_CONFIG if base is None else base
+    kw = {}
+    for f in fields(EngineConfig):
+        raw = env.get(ENV_PREFIX + f.name.upper())
+        if raw is not None:
+            kw[f.name] = _parse_env_value(raw, getattr(base, f.name))
+    return base.with_(**kw) if kw else base
+
+
+#: CLI/serve argument dests that honor a ``REFIMAGE_RAY_*`` env
+#: default (value = the parse type).  Path-ish settings mirror the
+#: reference Settings' data-dir/model fields.
+CLI_ENV_DESTS: dict[str, type] = {
+    "num_cpus": int,
+    "index": str,
+    "registry": str,
+    "alias": str,
+    "port": int,
+    "actors": int,
+    "num_shards": int,
+    "salt_buckets": int,
+    "term_filter": str,
+}
+
+
+def cli_env_defaults(environ: "dict | None" = None) -> dict:
+    """dest → value map from ``REFIMAGE_RAY_*`` for the CLI parser."""
+    import os
+
+    env = os.environ if environ is None else environ
+    out = {}
+    for dest, typ in CLI_ENV_DESTS.items():
+        raw = env.get(ENV_PREFIX + dest.upper())
+        if raw is not None:
+            out[dest] = typ(raw)
+    return out

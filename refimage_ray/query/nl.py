@@ -220,14 +220,122 @@ class EchoProvider(BaseProvider):
         return "echo"
 
 
+def _urllib_transport(url: str, headers: dict, payload: dict,
+                      timeout: float) -> dict:
+    """Default HTTP transport: one stdlib JSON POST (no third-party
+    HTTP client in this environment).  Injectable — tests swap in a
+    mock; a deployment can swap in a pooled client."""
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers=headers,
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        return json.loads(resp.read().decode())
+
+
+@register_provider
+class HTTPProvider(BaseProvider):
+    """Generic HTTP chat endpoint provider — the structural analog of
+    the reference's httpx providers (``llm.py:69-307``: OpenAI, Claude
+    and local/ollama clients share the shape POST json → pick content
+    out of the response) with the network boundary INJECTABLE.
+
+    config keys: ``base_url`` (required — absent means the provider is
+    simply unavailable, like a missing API key in the reference),
+    ``endpoint`` (default ``/chat/completions``), ``api_key`` (sent as
+    a Bearer token when present), ``model``, ``timeout_sec``, and
+    ``transport`` — a ``(url, headers, payload, timeout) -> dict``
+    callable defaulting to a stdlib ``urllib`` JSON POST.
+
+    Accepted response shapes: OpenAI-style
+    ``{"choices": [{"message": {"content": ...}}], "usage": {...}}``
+    and the reference LocalProvider/ollama style ``{"response": ...}``
+    (``llm.py:145-170``)."""
+
+    name = "http"
+
+    def __init__(self, config: dict | None = None) -> None:
+        super().__init__(config)
+        base = self.config.get("base_url")
+        if not base:
+            raise ProviderError("http provider requires base_url")
+        self.base_url = str(base).rstrip("/")
+        self.endpoint = self.config.get("endpoint", "/chat/completions")
+        self.api_key = self.config.get("api_key")
+        self.model = self.config.get("model", "default")
+        self.timeout = float(self.config.get("timeout_sec", 30.0))
+        self._transport = self.config.get("transport") or _urllib_transport
+
+    def generate(self, messages: list[Message], **kwargs) -> ProviderResponse:
+        start = time.time()
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        payload: dict = {
+            "model": self.model,
+            "messages": [
+                {"role": m.role, "content": m.content} for m in messages
+            ],
+            "temperature": float(kwargs.get("temperature", 0.0)),
+        }
+        if kwargs.get("max_tokens"):
+            payload["max_tokens"] = int(kwargs["max_tokens"])
+        try:
+            data = self._transport(
+                self.base_url + self.endpoint, headers, payload,
+                self.timeout,
+            )
+        except ProviderError:
+            raise
+        except Exception as e:
+            raise ProviderError(f"http provider request failed: {e}") from e
+        content = None
+        if isinstance(data, dict):
+            choices = data.get("choices")
+            if isinstance(choices, list) and choices:
+                content = (choices[0].get("message") or {}).get("content")
+            elif "response" in data:
+                content = data["response"]
+        if not isinstance(content, str) or not content.strip():
+            raise ProviderError(
+                "http provider returned no usable content")
+        usage = data.get("usage") or {}
+        return ProviderResponse(
+            content=content.strip(),
+            provider=self.name,
+            model=self.model,
+            processing_time_ms=int((time.time() - start) * 1000),
+            tokens_used=usage.get("total_tokens"),
+        )
+
+    def get_model_name(self) -> str:
+        return self.model
+
+
 class ProviderManager:
     """``LLMManager`` analog (``llm.py:310-395``): instantiates the
-    registered providers, tracks a current one, switches at runtime."""
+    registered providers, tracks a current one, switches at runtime.
+
+    Like the reference's ``_initialize_providers`` (``llm.py:320-362``)
+    a provider whose construction fails (e.g. :class:`HTTPProvider`
+    without a ``base_url``) is skipped, not fatal — it just doesn't
+    appear in ``get_available_providers``.  Per-provider config nests
+    under the provider name (``{"http": {"base_url": ...}}``); a flat
+    dict is passed through unchanged."""
 
     def __init__(self, default: str = "rules", config: dict | None = None) -> None:
         self.providers: dict[str, BaseProvider] = {}
         for name, cls in PROVIDERS.items():
-            self.providers[name] = cls(config)
+            sub = (config or {}).get(name)
+            try:
+                self.providers[name] = cls(
+                    sub if isinstance(sub, dict) else config
+                )
+            except Exception:
+                continue  # unavailable (missing config) — mirror llm.py
         if default not in self.providers:
             raise ProviderError(f"provider {default!r} not available")
         self.current_provider = default

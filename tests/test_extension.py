@@ -238,3 +238,74 @@ def test_nl_unordered_proximity_rules():
     assert isinstance(
         DSLParser().parse(conv('"data table"')), PhraseQuery
     )
+
+
+def test_http_provider_mock_transport_roundtrip():
+    """HTTPProvider with an injected transport: request carries the
+    model/messages/auth contract, both response shapes parse, and
+    text_to_dsl validates the converted output through the parser."""
+    from refimage_ray.query.nl import (
+        HTTPProvider, Message, ProviderError, ProviderManager, text_to_dsl,
+    )
+
+    seen = {}
+
+    def transport(url, headers, payload, timeout):
+        seen.update(url=url, headers=headers, payload=payload,
+                    timeout=timeout)
+        return {"choices": [{"message":
+                             {"content": ' AND(TEXT("a"), TEXT("b")) '}}],
+                "usage": {"total_tokens": 7}}
+
+    p = HTTPProvider({"base_url": "http://llm.example/v1/",
+                      "api_key": "k", "model": "m",
+                      "transport": transport, "timeout_sec": 5})
+    r = p.generate([Message("system", "s"), Message("user", "a and b")],
+                   max_tokens=32)
+    assert r.content == 'AND(TEXT("a"), TEXT("b"))'
+    assert r.tokens_used == 7 and r.model == "m"
+    assert seen["url"] == "http://llm.example/v1/chat/completions"
+    assert seen["headers"]["Authorization"] == "Bearer k"
+    assert seen["payload"]["model"] == "m"
+    assert seen["payload"]["messages"][1]["content"] == "a and b"
+    assert seen["payload"]["max_tokens"] == 32
+    assert seen["timeout"] == 5.0
+
+    # ollama/local response shape (reference llm.py:145-170)
+    p2 = HTTPProvider({"base_url": "http://llm.example",
+                       "endpoint": "/api/generate",
+                       "transport": lambda *a: {"response": 'TEXT("x")'}})
+    assert p2.generate([Message("user", "x")]).content == 'TEXT("x")'
+
+    # manager: http available only when configured; switching works;
+    # text_to_dsl round-trips the provider output through the parser
+    m = ProviderManager(config={"http": {
+        "base_url": "http://llm.example", "transport": transport}})
+    assert "http" in m.get_available_providers()
+    m.switch_provider("http")
+    assert text_to_dsl("anything", manager=m) == 'AND(TEXT("a"), TEXT("b"))'
+
+    # unconfigured -> skipped, not fatal (reference llm.py:320-362)
+    m2 = ProviderManager()
+    assert "http" not in m2.get_available_providers()
+    assert "rules" in m2.get_available_providers()
+
+    # bad output is rejected by the parser round-trip
+    m3 = ProviderManager(config={"http": {
+        "base_url": "http://llm.example",
+        "transport": lambda *a: {"response": "NOT-A-DSL(("}}})
+    m3.switch_provider("http")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        text_to_dsl("anything", manager=m3)
+
+    # transport errors surface as ProviderError
+    def boom(*a):
+        raise OSError("connection refused")
+
+    p3 = HTTPProvider({"base_url": "http://x", "transport": boom})
+    with _pytest.raises(ProviderError, match="request failed"):
+        p3.generate([Message("user", "q")])
+    with _pytest.raises(ProviderError, match="base_url"):
+        HTTPProvider({})
