@@ -121,12 +121,46 @@ class DeltaSearcher(_SearcherBase):
         self._buf: dict[str, tuple] = {}
         self._buf_ids = np.zeros(0, dtype=np.int64)
         self._buf_sum_dl = 0
-        # dense TAAT needs a rank universe over base ∪ buffer, which
-        # would re-rank every base posting per add — stay sparse
-        self.all_ids = None
+        # merged-postings memo: global stats (N, avgdl) only move on
+        # add()/flush(), so a term's merged+reweighted postings are
+        # immutable between buffer mutations — rebuild-per-query was
+        # the NRT p95 gap (concat + sort + full weight recompute over
+        # the BASE posting mass each query).  Bounded by the queried
+        # vocabulary; cleared on every buffer mutation.
+        self._tm_cache: dict[str, TermPostings] = {}
+        # dense-TAAT rank universe over base ∪ buffer: rebuilt once
+        # per buffer MUTATION (linear merge of two sorted disjoint id
+        # arrays), and per-term ranks attach lazily in the per-gen
+        # _term_map memo — so queries between adds run the same dense
+        # scoring path as the base searcher.
+        self._rebuild_universe()
         self._refresh_stats()
 
     # ------------------------------------------------------------------
+
+    def _rebuild_universe(self) -> None:
+        base = self.base.all_ids
+        if base is None:
+            self.all_ids = None
+            return
+        b = self._buf_ids
+        if not len(b):
+            self.all_ids = base
+            return
+        ia = np.arange(len(base), dtype=np.int64) + np.searchsorted(b, base)
+        ib = np.arange(len(b), dtype=np.int64) + np.searchsorted(base, b)
+        u = np.empty(len(base) + len(b), np.int64)
+        u[ia], u[ib] = base, b
+        self.all_ids = u
+
+    def doc_values(self, columns):
+        # the artifact's doc-value files are rank-aligned to the BASE
+        # universe; against the merged universe they would silently
+        # misalign — keep the pre-dense loud error
+        raise ValueError(
+            "doc-value filters/facets need a built artifact covering "
+            "the buffered docs; flush() first"
+        )
 
     def _refresh_stats(self) -> None:
         self.n_docs = self._base_n + len(self._buf_ids)
@@ -157,6 +191,8 @@ class DeltaSearcher(_SearcherBase):
         self._buf_tables.append(docs)
         self._buf_ids = np.sort(np.concatenate((self._buf_ids, ids)))
         self._buf_sum_dl += int(dl.sum())
+        self._tm_cache.clear()  # N/avgdl moved: every weight is stale
+        self._rebuild_universe()
         self._refresh_stats()
         return len(ids)
 
@@ -198,6 +234,8 @@ class DeltaSearcher(_SearcherBase):
         self._buf_tables, self._buf = [], {}
         self._buf_ids = np.zeros(0, dtype=np.int64)
         self._buf_sum_dl = 0
+        self._tm_cache.clear()
+        self._rebuild_universe()
         self._refresh_stats()
         return out_dir
 
@@ -206,6 +244,10 @@ class DeltaSearcher(_SearcherBase):
     def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
         out: dict[str, TermPostings] = {}
         for t in terms:
+            hit = self._tm_cache.get(t)
+            if hit is not None:
+                out[t] = hit
+                continue
             bp = self.base.terms.get(t)
             buf = self._buf.get(t)
             if bp is None and buf is None:
@@ -225,18 +267,30 @@ class DeltaSearcher(_SearcherBase):
                 parts_ids.append(buf[0])
                 parts_tfs.append(buf[1])
                 parts_dls.append(buf[2])
-            ids = np.concatenate(parts_ids)
-            tfs = np.concatenate(parts_tfs)
-            dls = np.concatenate(parts_dls)
             if len(parts_ids) > 1:
-                order = np.argsort(ids, kind="stable")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                # both sides arrive doc_id-sorted and disjoint: linear
+                # two-way merge via searchsorted ranks (no argsort of
+                # the full merged stream)
+                a, b = parts_ids
+                ia = np.arange(len(a), dtype=np.int64) + np.searchsorted(b, a)
+                ib = np.arange(len(b), dtype=np.int64) + np.searchsorted(a, b)
+                n = len(a) + len(b)
+                ids = np.empty(n, np.int64)
+                tfs = np.empty(n, parts_tfs[0].dtype)
+                dls = np.empty(n, parts_dls[0].dtype)
+                ids[ia], ids[ib] = a, b
+                tfs[ia], tfs[ib] = parts_tfs
+                dls[ia], dls[ib] = parts_dls
+            else:
+                ids = parts_ids[0]
+                tfs = parts_tfs[0]
+                dls = parts_dls[0]
             w = bm25_weight(
                 tfs.astype(np.float64), dls.astype(np.float64),
                 self.avgdl, self._k1, self._b,
             )
             mx = float(w.max()) if len(w) else 0.0
-            out[t] = TermPostings(
+            tp = TermPostings(
                 df=len(ids),
                 doc_ids=ids,
                 weights=w,
@@ -246,6 +300,13 @@ class DeltaSearcher(_SearcherBase):
                 block_max_weight=np.array([mx], np.float64),
                 dls=dls,
             )
+            if self.all_ids is not None:
+                r = np.searchsorted(self.all_ids, ids)
+                tp.ranks = r.astype(
+                    np.int32 if len(self.all_ids) < 2**31 else np.int64
+                )
+            self._tm_cache[t] = tp
+            out[t] = tp
         return out
 
     def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:

@@ -133,3 +133,33 @@ def test_nrt_empty_buffer_is_plain_base(nrt_setup):
     base = LocalSearcher(base_dir)
     for q in QUERIES:
         assert delta.search(q, k=10) == base.search(q, k=10)
+
+
+def test_nrt_cache_and_dense_invariants(nrt_setup):
+    """The per-generation term-map memo + merged rank universe must be
+    invisible semantically: repeat queries return identical results,
+    an add() invalidates the cache (fresh docs appear), the merged
+    universe is sorted and rank-attached, and doc-value filters still
+    refuse loudly (base-aligned values would misalign)."""
+    base_dir, full_dir, a, b = nrt_setup
+    d = DeltaSearcher(base_dir)
+    d.add(b)
+    full = LocalSearcher(full_dir)
+    q = "the data join"
+    first = d.search(q, k=25)
+    assert first == d.search(q, k=25) == full.search(q, k=25)
+    # universe: sorted superset of both sides, ranks attached + dense
+    assert d.all_ids is not None
+    assert np.all(np.diff(d.all_ids) > 0)
+    tm = d._term_map(["data"])
+    assert tm["data"].ranks is not None
+    assert np.array_equal(d.all_ids[tm["data"].ranks], tm["data"].doc_ids)
+    # add invalidates: a fresh doc with a cached term is found
+    extra = pa.table({
+        "doc_id": pa.array([10**12], pa.int64()),
+        "text": pa.array(["data data data data data data data data"]),
+    })
+    d.add(extra)
+    assert 10**12 in {i for i, _ in d.search("data", k=10**6)}
+    with pytest.raises(ValueError, match="flush"):
+        d.search("data", k=5, where=[("lang", "=", "en")])
