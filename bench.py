@@ -224,7 +224,8 @@ def run_bench() -> dict:
             "build_stages": {
                 k: round(res.metrics[k], 3)
                 for k in ("docs_write_sec", "dedup_sec", "stats_sec",
-                          "hot_sec", "shuffle_build_sec")
+                          "hot_sec", "shuffle_build_sec",
+                          "reducer_wall_sec")
                 if k in res.metrics
             },
             "shuffle_bytes": int(res.metrics.get("shuffle_bytes", 0)),
@@ -508,7 +509,7 @@ def run_bench() -> dict:
         "build_stages": {
             k: round(res.metrics[k], 3)
             for k in ("docs_write_sec", "dedup_sec", "stats_sec", "hot_sec",
-                      "shuffle_build_sec")
+                      "shuffle_build_sec", "reducer_wall_sec")
             if k in res.metrics
         },
         "shuffle_bytes": int(res.metrics.get("shuffle_bytes", 0)),

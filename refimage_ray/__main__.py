@@ -595,14 +595,26 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
 
             # a factory (not a bare instance) so POST /reload rebuilds
-            # the SAME deployment kind — distributed stays distributed
+            # the SAME deployment kind — distributed stays distributed.
+            # The actor-pool flavor routes by artifact layout, same as
+            # the in-process default in make_server.
             if args.actors:
-                from refimage_ray.query.engine import DistributedSearcher
+                if _is_docpart(args.index):
+                    from refimage_ray.index.docpart import (
+                        DistributedDocPartSearcher,
+                    )
 
-                def searcher_factory(_index=args.index, _n=args.actors):
-                    s = DistributedSearcher(_index, num_actors=_n)
-                    s.wait_ready()
-                    return s
+                    def searcher_factory(_index=args.index, _n=args.actors):
+                        s = DistributedDocPartSearcher(_index, num_actors=_n)
+                        s.wait_ready()
+                        return s
+                else:
+                    from refimage_ray.query.engine import DistributedSearcher
+
+                    def searcher_factory(_index=args.index, _n=args.actors):
+                        s = DistributedSearcher(_index, num_actors=_n)
+                        s.wait_ready()
+                        return s
             else:
                 searcher_factory = None
             srv = make_server(args.index, port=args.port,

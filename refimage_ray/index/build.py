@@ -1190,7 +1190,16 @@ def build_index(
                 os._exit(1)
             except FileExistsError:
                 pass
-        return builder(group)
+        _t = time.perf_counter()
+        out = builder(group)
+        # per-reducer wall time rides the manifest rows home so the
+        # driver can split shuffle_build_sec into "reducer compute"
+        # vs "exchange" (Amdahl evidence for the scaling analysis)
+        return out.append_column(
+            "reducer_sec",
+            pa.array([time.perf_counter() - _t] * out.num_rows,
+                     pa.float64()),
+        )
 
     manifest_ds = shuffled_in.groupby("gkey").map_groups(
         build_partition, batch_format="pyarrow"
@@ -1208,8 +1217,12 @@ def build_index(
         for p in prior.get("partitions", []):
             if (int(p["shard"]), int(p["salt"])) in done:
                 parts[(int(p["shard"]), int(p["salt"]))] = p
+    metrics["reducer_wall_sec"] = round(
+        sum(float(r.get("reducer_sec") or 0.0) for r in new_rows), 3
+    )
     for r in new_rows:
-        p = {k: (v if isinstance(v, str) else int(v)) for k, v in r.items()}
+        p = {k: (v if isinstance(v, str) else int(v))
+             for k, v in r.items() if k != "reducer_sec"}
         parts[(p["shard"], p["salt"])] = p
 
     stats = {

@@ -662,8 +662,16 @@ class DocPartSearcher:
         min_match: int | None = None,
         after: "tuple[float, int] | None" = None,
         boost=None,  # DecaySpec — per-doc factor, so shard-exact too
+        order_by=None,
     ) -> list[tuple[int, float]]:
         from refimage_ray.query.scorer import topk_select
+
+        if order_by is not None:
+            raise ValueError(
+                "order_by is not supported on doc-partitioned serving; "
+                "use the term-partitioned layout (shard-local value "
+                "order does not compose into a global page here yet)"
+            )
 
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
@@ -893,6 +901,11 @@ class DocPartSearcher:
         """Did-you-mean over the global terms table (see
         ``engine._SearcherBase.suggest``)."""
         return self._expander.suggest(term, max_suggestions)
+
+    def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
+        """(term, df) pairs from the global terms table (the engine
+        ABC's vocabulary-browse contract — serve /terms)."""
+        return self._expander.pairs(kind, arg)[1]
 
     def search_prefix(self, prefix: str, k=None, threshold=None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1181,7 +1194,15 @@ class DistributedDocPartSearcher:
         offset: int = 0,
         min_match: int | None = None,
         after: "tuple[float, int] | None" = None,
+        boost=None,
+        order_by=None,
     ) -> list[tuple[int, float]]:
+        if order_by is not None or boost is not None:
+            raise ValueError(
+                "order_by/boost are not supported on the distributed "
+                "doc-partitioned transport; use DocPartSearcher or the "
+                "term-partitioned layout"
+            )
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         kk = k + offset
@@ -1362,6 +1383,11 @@ class DistributedDocPartSearcher:
             np.concatenate(ids_parts), np.concatenate(score_parts), k, threshold
         )
         return list(zip(ids.tolist(), scores.tolist()))
+
+    def _expand_pairs(self, kind: str, arg: str) -> list[tuple[str, int]]:
+        """(term, df) pairs from the global terms table (the engine
+        ABC's vocabulary-browse contract — serve /terms)."""
+        return self._ensure_expander().pairs(kind, arg)[1]
 
     def _ensure_expander(self) -> "_GlobalVocabExpander":
         if self._expander is None:

@@ -796,3 +796,58 @@ def test_search_phrase_prefix_route(server):
 
     lib = LocalSearcher(d).search_phrase_prefix("data ta", k=5)
     assert [(r["doc_id"], r["score"]) for r in body["results"]] == lib
+
+
+def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
+                                            tmp_path):
+    """make_server auto-routes by manifest layout: a doc-partitioned
+    artifact gets DocPartSearcher (bench r2: ~1.75x the scatter QPS of
+    term-partitioned serving), served hits match the library, /terms
+    browses the global vocab, and unsupported surfaces (order_by,
+    facets) return structured 422s instead of 500s."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    import ray.data as _rd
+
+    from refimage_ray.config import EngineConfig
+    from refimage_ray.index.docpart import (
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+    from refimage_ray.serve import make_server
+
+    d = str(tmp_path / "dp")
+    build_doc_partitioned(_rd.from_arrow(tiny_docs), d,
+                          EngineConfig(num_shards=4, salt_buckets=2),
+                          num_doc_shards=4)
+    srv = make_server(d, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(p):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{p}"
+                ) as r:
+                    return r.status, _json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, _json.loads(e.read())
+
+        st, body = get("/search?q=data+table&k=5")
+        assert st == 200
+        lib = DocPartSearcher(d).search("data table", k=5)
+        assert [(r["doc_id"], r["score"]) for r in body["results"]] == lib
+        st, body = get("/terms?prefix=da&max=5")
+        assert st == 200 and any(
+            x["term"].startswith("da") for x in body["terms"])
+        assert get("/count?q=data")[0] == 200
+        assert get("/search?q=data&order=warc_ts:desc")[0] == 422
+        assert get("/facets?q=data&by=lang")[0] == 422
+        st, body = get("/dsl?q=data+OR+table&limit=3")
+        assert st == 200 and len(body["results"]) == 3
+    finally:
+        srv.shutdown()
+        srv.server_close()
