@@ -667,10 +667,9 @@ class DocPartSearcher:
         from refimage_ray.query.scorer import topk_select
 
         if order_by is not None:
-            raise ValueError(
-                "order_by is not supported on doc-partitioned serving; "
-                "use the term-partitioned layout (shard-local value "
-                "order does not compose into a global page here yet)"
+            return self._search_ordered(
+                query, k, threshold, mode, cfg, where, offset,
+                min_match, after, boost, order_by,
             )
 
         k = cfg.default_k if k is None else k
@@ -695,6 +694,76 @@ class DocPartSearcher:
             np.concatenate(ids_parts), np.concatenate(score_parts), kk, threshold
         )
         return list(zip(ids.tolist(), scores.tolist()))[offset:]
+
+    def _search_ordered(
+        self, query, k, threshold, mode, cfg, where, offset,
+        min_match, after, boost, order_by,
+    ) -> list[tuple[int, float]]:
+        """Field-ordered search across doc shards — exact: each shard
+        returns its top (k+offset) under the SAME total order (order
+        keys, doc_id asc), and disjoint doc subsets mean the global
+        page is contained in the union.  The merge re-sorts on the
+        DECODED order values: categorical codes are shard-local
+        dictionaries, so codes are decoded to strings per shard and
+        re-factorized globally (numeric/timestamp values compare
+        directly)."""
+        import pandas as pd
+
+        from refimage_ray.query.engine import _normalize_order_by
+
+        order_keys = _normalize_order_by(order_by)
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
+        cols = [c for c, _ in order_keys]
+        parts = []  # (ids, scores, [(kind, values, null_mask), ...])
+        for sh in self.shards:
+            hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
+                             cfg=cfg, where=where, min_match=min_match,
+                             after=after, boost=boost, order_by=order_by)
+            if not hits:
+                continue
+            ids = np.array([d for d, _ in hits], np.int64)
+            sc = np.array([s for _, s in hits], np.float64)
+            dv = sh.doc_values(cols)
+            ranks = np.searchsorted(dv.all_ids, ids)
+            keyvals = []
+            for col, _dir in order_keys:
+                c = dv.cols[col]
+                nm = c.null_mask()
+                nmr = (nm[ranks] if nm is not None
+                       else np.zeros(len(ranks), dtype=bool))
+                if c.is_categorical:
+                    codes = c.values[ranks]
+                    vals = c.categories[np.maximum(codes, 0)].astype(object)
+                    keyvals.append(("cat", vals, nmr | (codes < 0)))
+                else:
+                    keyvals.append(("num", c.values[ranks].copy(), nmr))
+            parts.append((ids, sc, keyvals))
+        if not parts:
+            return []
+        all_ids = np.concatenate([p[0] for p in parts])
+        all_sc = np.concatenate([p[1] for p in parts])
+        keys = []
+        for j, (_col, odir) in enumerate(order_keys):
+            kind = parts[0][2][j][0]
+            vals = np.concatenate([p[2][j][1] for p in parts])
+            nulls = np.concatenate([p[2][j][2] for p in parts])
+            if kind == "cat":
+                codes, _u = pd.factorize(vals, sort=True)
+                key = codes.astype(np.int64)
+            elif vals.dtype.kind in "iu":
+                key = vals.astype(np.int64)
+            else:
+                key = vals.astype(np.float64)
+            if odir == "desc":
+                key = -key
+            if nulls.any():  # nulls last in either direction
+                key[nulls] = (np.iinfo(np.int64).max
+                              if key.dtype.kind == "i" else np.inf)
+            keys.append(key)
+        sel = np.lexsort(tuple([all_ids] + keys[::-1]))[:kk]
+        return list(zip(all_ids[sel].tolist(), all_sc[sel].tolist()))[offset:]
 
     def search_phrase(
         self,

@@ -337,3 +337,43 @@ def test_count_identical_across_layouts(both_indexes):
     w = [("lang", "=", "en")]
     assert b.count("data join", where=w) == a.count("data join", where=w)
     assert c.count("data join", where=w) == a.count("data join", where=w)
+
+
+def test_docpart_order_by_matches_term_layout(ray_session, tiny_docs,
+                                              tmp_path):
+    """Field-ordered search composes across doc shards exactly:
+    DocPartSearcher.search(order_by=...) == LocalSearcher on the same
+    corpus — numeric and CATEGORICAL keys (shard-local dictionaries
+    re-factorized at the merge), both directions, multi-key,
+    where-composition, offset paging."""
+    from refimage_ray.index.build import build_index
+
+    # a numeric value column with repeats (exercises the doc_id
+    # tiebreak) present in BOTH layouts' inputs
+    n = tiny_docs.num_rows
+    docs = tiny_docs.append_column(
+        "prio", pa.array([(i * 7) % 5 for i in range(n)], pa.int64())
+    )
+    cfg = EngineConfig(num_shards=4, salt_buckets=2)
+    dt, dd = str(tmp_path / "term"), str(tmp_path / "doc")
+    build_index(rd.from_arrow(docs), dt, cfg)
+    build_doc_partitioned(rd.from_arrow(docs), dd, cfg,
+                          num_doc_shards=4,
+                          value_columns=["lang", "prio"])
+    st, sd = LocalSearcher(dt), DocPartSearcher(dd)
+    for order in [("prio", "asc"), ("prio", "desc"),
+                  ("lang", "asc"), ("lang", "desc"),
+                  [("lang", "asc"), ("prio", "desc")]]:
+        want = st.search("the data", k=15, order_by=order)
+        got = sd.search("the data", k=15, order_by=order)
+        assert got == want, order
+    # composes with where + offset
+    want = st.search("the data", k=5, order_by=("prio", "desc"),
+                     where=[("lang", "=", "en")], offset=3)
+    got = sd.search("the data", k=5, order_by=("prio", "desc"),
+                    where=[("lang", "=", "en")], offset=3)
+    assert got == want
+    # after= still rejects with order_by (engine contract, per shard)
+    with pytest.raises(ValueError, match="after"):
+        sd.search("the data", k=5, order_by=("prio", "asc"),
+                  after=(1.0, 3))
