@@ -955,7 +955,8 @@ class DocPartSearcher:
 
     def _search_expanded(
         self, kind: str, arg: str, k, threshold, cfg: EngineConfig,
-        max_expansions: "int | None",
+        max_expansions: "int | None", where=None, order_by=None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         cap = cfg.max_expansions if max_expansions is None else max_expansions
         terms = self._expander.expand(kind, arg, cap)
@@ -964,7 +965,8 @@ class DocPartSearcher:
         # expanded terms are tokens, so the joined string re-tokenizes
         # to exactly this set — identical to an OR query over it
         return self.search(" ".join(terms), k=k, threshold=threshold,
-                           mode="or", cfg=cfg)
+                           mode="or", cfg=cfg, where=where,
+                           order_by=order_by, offset=offset)
 
     def suggest(self, term: str, max_suggestions: int = 5) -> list[dict]:
         """Did-you-mean over the global terms table (see
@@ -978,12 +980,13 @@ class DocPartSearcher:
 
     def search_prefix(self, prefix: str, k=None, threshold=None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
-                      max_expansions: "int | None" = None):
+                      max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Prefix top-k over the doc-partitioned layout (see
         ``engine.search_prefix``) — expansion against the global terms
         table, scoring via the exact scatter-gather path."""
         return self._search_expanded("prefix", prefix, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
     def search_phrase_prefix(self, phrase: str, k=None, threshold=None,
                              cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1002,27 +1005,30 @@ class DocPartSearcher:
 
     def search_fuzzy(self, term: str, k=None, threshold=None,
                      cfg: EngineConfig = DEFAULT_CONFIG,
-                     max_expansions: "int | None" = None):
+                     max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Levenshtein-≤1 fuzzy top-k over the doc-partitioned layout
         (see ``engine.search_fuzzy``)."""
         return self._search_expanded("fuzzy", term, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
     def search_wildcard(self, pattern: str, k=None, threshold=None,
                         cfg: EngineConfig = DEFAULT_CONFIG,
-                        max_expansions: "int | None" = None):
+                        max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Glob wildcard top-k over the doc-partitioned layout (see
         ``engine.search_wildcard``)."""
         return self._search_expanded("wildcard", pattern, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
     def search_regex(self, pattern: str, k=None, threshold=None,
                      cfg: EngineConfig = DEFAULT_CONFIG,
-                     max_expansions: "int | None" = None):
+                     max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Anchored-regex top-k over the doc-partitioned layout (see
         ``engine.search_regex``)."""
         return self._search_expanded("regex", pattern, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
 
 def _selection_percentiles(
@@ -1474,7 +1480,8 @@ class DistributedDocPartSearcher:
 
     def _search_expanded(
         self, kind: str, arg: str, k, threshold, cfg: EngineConfig,
-        max_expansions: "int | None",
+        max_expansions: "int | None", where=None, order_by=None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         self._ensure_expander()
         cap = cfg.max_expansions if max_expansions is None else max_expansions
@@ -1482,15 +1489,17 @@ class DistributedDocPartSearcher:
         if not terms:
             return []
         return self.search(" ".join(terms), k=k, threshold=threshold,
-                           mode="or", cfg=cfg)
+                           mode="or", cfg=cfg, where=where,
+                           order_by=order_by, offset=offset)
 
     def search_prefix(self, prefix: str, k=None, threshold=None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
-                      max_expansions: "int | None" = None):
+                      max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Prefix top-k (driver-side expansion against the global terms
         table, then the ordinary scatter-gather)."""
         return self._search_expanded("prefix", prefix, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
     def search_phrase_prefix(self, phrase: str, k=None, threshold=None,
                              cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1507,24 +1516,27 @@ class DistributedDocPartSearcher:
 
     def search_fuzzy(self, term: str, k=None, threshold=None,
                      cfg: EngineConfig = DEFAULT_CONFIG,
-                     max_expansions: "int | None" = None):
+                     max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Levenshtein-≤1 fuzzy top-k (driver-side expansion)."""
         return self._search_expanded("fuzzy", term, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
     def search_wildcard(self, pattern: str, k=None, threshold=None,
                         cfg: EngineConfig = DEFAULT_CONFIG,
-                        max_expansions: "int | None" = None):
+                        max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Glob wildcard top-k (driver-side expansion)."""
         return self._search_expanded("wildcard", pattern, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
     def search_regex(self, pattern: str, k=None, threshold=None,
                      cfg: EngineConfig = DEFAULT_CONFIG,
-                     max_expansions: "int | None" = None):
+                     max_expansions: "int | None" = None,
+                      where=None, order_by=None, offset: int = 0):
         """Anchored-regex top-k (driver-side expansion)."""
         return self._search_expanded("regex", pattern, k, threshold, cfg,
-                                     max_expansions)
+                                     max_expansions, where, order_by, offset)
 
     def search_many(
         self,

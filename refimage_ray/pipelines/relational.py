@@ -1017,10 +1017,12 @@ def event_transition_pagerank(sf_dir: str) -> pa.Table:
         .map_groups(per_user, batch_format="pandas")
     )
     ranked = pagerank_distributed(edges, damping=0.85, iters=20,
-                                  buckets=8)
+                                  buckets=8, round_digits=None)
     # event-type node set is tiny — driver-side sort of the REDUCED
-    # result only (rank desc, node asc: same order as the broadcast
-    # variant's stable argsort over name-sorted nodes)
+    # result only, on UNROUNDED ranks (rank desc, node asc: same order
+    # as the broadcast variant's stable argsort over name-sorted
+    # nodes), rounding at the API boundary AFTER the sort so near-tie
+    # rows order identically across variants
     from refimage_ray.stages.dedup_near import collect_small
 
     t = collect_small(ranked, pa.schema([("node", pa.string()),
@@ -1028,7 +1030,11 @@ def event_transition_pagerank(sf_dir: str) -> pa.Table:
     order = pc.sort_indices(
         t, sort_keys=[("rank", "descending"), ("node", "ascending")]
     )
-    return t.take(order)
+    t = t.take(order)
+    return t.set_column(
+        t.schema.get_field_index("rank"), "rank",
+        pc.round(t["rank"], ndigits=9),
+    )
 
 
 def table_profile_lineitem(sf_dir: str) -> pa.Table:

@@ -293,16 +293,22 @@ class HTTPProvider(BaseProvider):
         except Exception as e:
             raise ProviderError(f"http provider request failed: {e}") from e
         content = None
-        if isinstance(data, dict):
-            choices = data.get("choices")
-            if isinstance(choices, list) and choices:
-                content = (choices[0].get("message") or {}).get("content")
-            elif "response" in data:
-                content = data["response"]
+        try:
+            if isinstance(data, dict):
+                choices = data.get("choices")
+                if isinstance(choices, list) and choices:
+                    msg = choices[0].get("message")
+                    content = msg.get("content") if isinstance(
+                        msg, dict) else None
+                elif "response" in data:
+                    content = data["response"]
+        except (AttributeError, TypeError, KeyError, IndexError):
+            content = None  # structurally unexpected → ProviderError
         if not isinstance(content, str) or not content.strip():
             raise ProviderError(
                 "http provider returned no usable content")
-        usage = data.get("usage") or {}
+        usage = data.get("usage") if isinstance(
+            data.get("usage"), dict) else {}
         return ProviderResponse(
             content=content.strip(),
             provider=self.name,

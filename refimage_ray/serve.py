@@ -416,6 +416,12 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                                 {"error": "filter/order/offset not "
                                           "supported with rescore_window"},
                                 422)
+                        if not hasattr(state["s"], "search_rescore"):
+                            return self._json(
+                                {"error": "rescore_window is not "
+                                          "supported by this searcher "
+                                          "(doc-partitioned serving)"},
+                                422)
                         hits = state["s"].search_rescore(
                             q["q"], k=k, mode=mode,
                             window=int(q["rescore_window"]),
@@ -454,10 +460,16 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 if q.get("snippets") == "1":
                     from refimage_ray.query.snippets import snippets_for_hits
 
-                    return self._json({"results": snippets_for_hits(
-                        index_dir, hits, q["q"],
-                        width=int(q.get("width", 160)),
-                    )})
+                    try:
+                        return self._json({"results": snippets_for_hits(
+                            index_dir, hits, q["q"],
+                            width=int(q.get("width", 160)),
+                        )})
+                    except FileNotFoundError:
+                        return self._json(
+                            {"error": "snippets need the docs/ text "
+                                      "store (not kept by this "
+                                      "artifact's layout)"}, 422)
                 return self._json({"results": self._hits_with_meta(hits)})
             if u.path == "/count":
                 if not q.get("q", "").strip():
@@ -745,7 +757,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 return self._json({"results": self._hits_with_meta(hits)})
             m = _DOC_RE.match(u.path)
             if m and m.group(2) is None:
-                rows = _lookup([int(m.group(1))]).to_pylist()
+                try:
+                    rows = _lookup([int(m.group(1))]).to_pylist()
+                except FileNotFoundError:
+                    rows = []  # layout keeps no docs/ metadata store
                 if not rows:
                     return self._json({"error": "not found"}, 404)
                 return self._json({k: str(v) for k, v in rows[0].items()})

@@ -151,6 +151,7 @@ def pagerank_distributed(
     dst_col: str = "dst",
     tol: float | None = None,
     buckets: int = 32,
+    round_digits: "int | None" = 9,
 ):
     """PageRank with DISTRIBUTED rank state → (node, rank) Dataset.
 
@@ -173,11 +174,24 @@ def pagerank_distributed(
     engine without persistent partitioning; ranks-side state is
     node-count rows.  ``tol`` adds one narrow aggregate per iteration.
     """
+    import pyarrow.compute as _pc
+
     from refimage_ray.stages.joins import hash_join
 
     # one materialization: iterations re-read blocks, never re-run the
-    # upstream edge derivation (lazy Datasets re-execute per consume)
-    edges = edges_ds.materialize()
+    # upstream edge derivation (lazy Datasets re-execute per consume).
+    # Node ids normalize to STRING here so every downstream join /
+    # union side agrees on key dtype (int64 edge columns would
+    # otherwise meet the string `node` column in hash_join).
+    def _norm_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            src_col: _pc.cast(b[src_col], pa.string()),
+            dst_col: _pc.cast(b[dst_col], pa.string()),
+        })
+
+    edges = edges_ds.map_batches(
+        _norm_edges, batch_format="pyarrow"
+    ).materialize()
 
     def ends(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -260,12 +274,9 @@ def pagerank_distributed(
     # per iteration total (edge×share join, fused update), the minimum
     # for join-based PR, instead of three.
     def _node_bucket(arr: pa.Array) -> pa.Array:
-        import pandas as pd
+        from refimage_ray.stages.joins import bucket_of
 
-        h = pd.util.hash_array(
-            arr.to_numpy(zero_copy_only=False)
-        ).view(np.int64)
-        return pa.array(np.abs(h % np.int64(buckets)), pa.int64())
+        return pa.array(bucket_of(arr, buckets), pa.int64())
 
     def rank_rows(b: pa.Table) -> pa.Table:
         nr = b.num_rows
@@ -343,9 +354,13 @@ def pagerank_distributed(
     def final(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return pa.table({
-            "node": b["node"],
-            "rank": pc.round(b["rank"], ndigits=9),
-        })
+        r = b["rank"]
+        if round_digits is not None:
+            # API-boundary rounding (parity with :func:`pagerank`);
+            # pass round_digits=None to keep full precision — e.g. to
+            # sort on UNROUNDED ranks exactly like the broadcast
+            # variant before rounding for display
+            r = pc.round(r, ndigits=round_digits)
+        return pa.table({"node": b["node"], "rank": r})
 
     return ranks.map_batches(final, batch_format="pyarrow")

@@ -24,6 +24,21 @@ import pyarrow as pa
 import ray.data
 
 
+def bucket_of(arr: "pa.Array | pa.ChunkedArray", buckets: int) -> np.ndarray:
+    """Deterministic bucket assignment for join/exchange keys — int64
+    multiplicative hash for integer keys, ``pd.util.hash_array`` for
+    string (or other) keys.  ONE function shared by every bucketed
+    exchange (hash_join sides, graph fused-update) so co-bucketing
+    always holds across call sites."""
+    if pa.types.is_integer(arr.type):
+        k = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.abs((k * np.int64(2654435761)) % np.int64(buckets))
+    h = pd.util.hash_array(
+        arr.to_numpy(zero_copy_only=False)
+    ).view(np.int64)
+    return np.abs(h % np.int64(buckets))
+
+
 def _with_bucket_and_side(
     ds: "ray.data.Dataset",
     key: str,
@@ -41,17 +56,7 @@ def _with_bucket_and_side(
             else:
                 cols[field.name] = pa.nulls(n, field.type)
         out = pa.table(cols)
-        arr = b[key]
-        if pa.types.is_integer(arr.type):
-            k = arr.to_numpy(zero_copy_only=False).astype(np.int64)
-            bucket = np.abs((k * np.int64(2654435761)) % np.int64(buckets))
-        else:
-            # string (or other non-int) keys: vectorized stable hash —
-            # both sides use the same function so co-bucketing holds
-            h = pd.util.hash_array(
-                arr.to_numpy(zero_copy_only=False)
-            ).view(np.int64)
-            bucket = np.abs(h % np.int64(buckets))
+        bucket = bucket_of(b[key], buckets)
         return out.append_column(
             "join_bucket", pa.array(bucket, pa.int64())
         ).append_column("join_side", pa.array(np.full(n, side, np.int8)))

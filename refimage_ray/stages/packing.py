@@ -312,8 +312,14 @@ def write_packed_sequences(
 def vocab_from_index(index_dir: str) -> list[str]:
     """Vocab straight from the index artifact — the postings already
     enumerate every (post-dedup) corpus term, so a column-pruned read
-    of the partition files replaces a full corpus re-tokenize
-    (identical to :func:`build_vocab` over the staged live docs)."""
+    of the partition files replaces a full corpus re-tokenize.
+
+    This is the UNCAPPED term set: identical to
+    ``build_vocab(docs, max_terms=None)`` over the staged live docs.
+    ``build_vocab``'s *default* frequency cap (top 2^17 by df) only
+    coincides when the corpus vocabulary fits the cap — on larger
+    corpora the two id maps diverge (tail terms here vs −1 unknowns
+    there), so pick ONE source per training corpus and reuse it."""
     import os
 
     import pyarrow.dataset as pads

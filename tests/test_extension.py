@@ -309,3 +309,26 @@ def test_http_provider_mock_transport_roundtrip():
         p3.generate([Message("user", "q")])
     with _pytest.raises(ProviderError, match="base_url"):
         HTTPProvider({})
+
+
+def test_http_provider_bad_response_shapes_raise_provider_error():
+    """Structurally unexpected endpoint responses surface as
+    ProviderError (the contract serve's /nl2dsl handler catches), not
+    AttributeError/TypeError."""
+    import pytest as _pytest
+
+    from refimage_ray.query.nl import HTTPProvider, Message, ProviderError
+
+    shapes = [
+        {"choices": ["text"]},                       # choice not a dict
+        {"choices": [{"message": "hi"}]},            # message a string
+        {"choices": [{}]},                           # no message
+        {"choices": []},                             # empty choices
+        ["not", "a", "dict"],                        # non-dict body
+        {"usage": "weird"},                          # no content at all
+    ]
+    for shape in shapes:
+        p = HTTPProvider({"base_url": "http://x",
+                          "transport": lambda *a, s=shape: s})
+        with _pytest.raises(ProviderError):
+            p.generate([Message("user", "q")])

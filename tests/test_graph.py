@@ -177,3 +177,22 @@ def test_pagerank_distributed_block_count_bounded(ray_session):
     edges = [("a", "b"), ("b", "a")]
     out = pagerank_distributed(_edges_ds(edges), iters=6, buckets=4)
     assert out.materialize().num_blocks() <= 8
+
+
+def test_pagerank_distributed_integer_node_ids(ray_session):
+    """int64 src/dst columns (the typical link-graph shape) must work:
+    ids normalize to string once at the edge materialize, so every
+    join/union side agrees on key dtype."""
+    from refimage_ray.stages.graph import pagerank_distributed
+
+    edges = [(1, 2), (1, 3), (3, 1), (2, 3)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    got = {r["node"]: r["rank"]
+           for r in pagerank_distributed(ds, iters=5, buckets=4).take_all()}
+    want = _numpy_pagerank([(str(a), str(b)) for a, b in edges], iters=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)

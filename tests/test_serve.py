@@ -848,6 +848,17 @@ def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
         assert get("/facets?q=data&by=lang")[0] == 422
         st, body = get("/dsl?q=data+OR+table&limit=3")
         assert st == 200 and len(body["results"]) == 3
+        # expansion modes take the serve kwargs (where/order/offset)
+        for mode in ("prefix", "fuzzy", "wildcard"):
+            qq = {"prefix": "da", "fuzzy": "data", "wildcard": "da*"}[mode]
+            st, body = get(f"/search?q={qq}&k=3&mode={mode}")
+            assert st == 200 and body["results"], mode
+        # unsupported surfaces answer structured errors, never a
+        # dropped connection: rescore (no search_rescore), snippets +
+        # /docs/{id} (no docs/ store on this layout)
+        assert get("/search?q=data&rescore_window=20")[0] == 422
+        assert get("/search?q=data&k=2&snippets=1")[0] == 422
+        assert get("/docs/5")[0] == 404
     finally:
         srv.shutdown()
         srv.server_close()
