@@ -296,6 +296,14 @@ def run_bench() -> dict:
     _delta.add(_nrt_tbl)
     _nrt_sec = time.perf_counter() - tq
     timings["nrt_add_docs_per_sec"] = round(_nrt_tbl.num_rows / _nrt_sec, 1)
+    # refresh pass (the Lucene NRT reader-warm analog): the first
+    # query per (term, buffer-generation) pays the base∪buffer merge
+    # once; its cost is the REFRESH metric, steady-state latency is
+    # the p95 — both reported
+    tq = time.perf_counter()
+    for q in BENCH_QUERIES:
+        _delta.search(q, k=10)
+    timings["nrt_refresh_sec"] = round(time.perf_counter() - tq, 5)
     nlat = []
     for _ in range(2):
         for q in BENCH_QUERIES:

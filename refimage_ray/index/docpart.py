@@ -1030,6 +1030,74 @@ class DocPartSearcher:
         return self._search_expanded("regex", pattern, k, threshold, cfg,
                                      max_expansions, where, order_by, offset)
 
+    def search_rescore(
+        self,
+        query: str,
+        k: int | None = None,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """Two-phase rescore on the doc-partitioned layout (see
+        ``engine.search_rescore`` for the semantics): the exact GLOBAL
+        BM25 top-``window`` comes from the scatter search; the
+        positional proximity pass then runs per shard over that
+        window's docs (each doc's positions live wholly in its one
+        shard, so the per-shard gap vectors combine by elementwise min
+        into exactly the term layout's gaps — same prox, same combined
+        scores).  Needs ``store_positions`` — this layout keeps no
+        text store to fall back to."""
+        from refimage_ray.functions.text import tokenize
+        from refimage_ray.query.engine import (
+            _min_pair_gaps_positions,
+            query_terms,
+        )
+        from refimage_ray.query.scorer import topk_select
+
+        k = cfg.default_k if k is None else k
+        if k > window:
+            raise ValueError(f"k ({k}) must be <= window ({window})")
+        base = self.search(query, k=window, threshold=threshold,
+                           mode=mode, cfg=cfg)
+        if not base:
+            return []
+        cand = np.array([d for d, _ in base], np.int64)
+        base_sc = np.array([s for _, s in base], np.float64)
+        order = np.argsort(cand)
+        cand_s = cand[order]
+        man_cfg = self.manifest["config"]
+        terms = query_terms(tokenize(
+            query, man_cfg.get("token_pattern"),
+            man_cfg.get("term_filter", "none"),
+        ))
+        g = np.full(len(cand_s), np.inf)
+        if len(terms) >= 2:
+            for sh in self.shards:
+                tm = sh._term_map(terms)
+                if not tm:
+                    continue
+                if any(p.positions is None for p in tm.values()):
+                    raise ValueError(
+                        "rescore_window needs a positional "
+                        "doc-partitioned artifact (store_positions): "
+                        "this layout keeps no text store to fall "
+                        "back to"
+                    )
+                g = np.minimum(
+                    g, _min_pair_gaps_positions(tm, terms, cand_s)
+                )
+        prox = np.zeros(len(cand_s))
+        finite = np.isfinite(g)
+        prox[finite] = 1.0 / (1.0 + g[finite])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        combined = query_weight * base_sc + rescore_weight * prox[inv]
+        ids, sc = topk_select(cand, combined, k, float("-inf"))
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
 
 def _selection_percentiles(
     shard_call,

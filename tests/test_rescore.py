@@ -117,3 +117,32 @@ def test_rescore_k_gt_window_raises(rescore_indexes):
     dp, _ = rescore_indexes
     with pytest.raises(ValueError):
         LocalSearcher(dp).search_rescore("table scan", k=20, window=10)
+
+
+def test_docpart_rescore_matches_term_layout(ray_session, tiny_docs,
+                                             tmp_path):
+    """DocPartSearcher.search_rescore == the term layout on the same
+    corpus: global window via the exact scatter, per-shard proximity
+    gaps combined by min.  Position-free artifacts refuse loudly."""
+    from refimage_ray.index.docpart import (
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+
+    dt = str(tmp_path / "term")
+    dd = str(tmp_path / "doc")
+    dplain = str(tmp_path / "plain")
+    build_index(rd.from_arrow(tiny_docs), dt, POS_CFG)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dd, POS_CFG,
+                          num_doc_shards=4)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), dplain, PLAIN_CFG,
+                          num_doc_shards=4)
+    st, sd = LocalSearcher(dt), DocPartSearcher(dd)
+    for q, w, rw in [("data table", 30, 1.0), ("the data scan", 25, 2.0),
+                     ("spark", 20, 1.0)]:
+        assert sd.search_rescore(q, k=10, window=w, rescore_weight=rw) == \
+            st.search_rescore(q, k=10, window=w, rescore_weight=rw), q
+    with pytest.raises(ValueError, match="store_positions"):
+        DocPartSearcher(dplain).search_rescore("data table", k=5, window=10)
+    with pytest.raises(ValueError, match="window"):
+        sd.search_rescore("data", k=30, window=10)

@@ -854,9 +854,11 @@ def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
             st, body = get(f"/search?q={qq}&k=3&mode={mode}")
             assert st == 200 and body["results"], mode
         # unsupported surfaces answer structured errors, never a
-        # dropped connection: rescore (no search_rescore), snippets +
-        # /docs/{id} (no docs/ store on this layout)
-        assert get("/search?q=data&rescore_window=20")[0] == 422
+        # dropped connection: multi-term rescore on a position-free
+        # artifact, snippets + /docs/{id} (no docs/ store on this
+        # layout); single-term rescore needs no positions and works
+        assert get("/search?q=data&rescore_window=20")[0] == 200
+        assert get("/search?q=data+table&rescore_window=20")[0] == 422
         assert get("/search?q=data&k=2&snippets=1")[0] == 422
         assert get("/docs/5")[0] == 404
     finally:
