@@ -707,8 +707,6 @@ class DocPartSearcher:
         dictionaries, so codes are decoded to strings per shard and
         re-factorized globally (numeric/timestamp values compare
         directly)."""
-        import pandas as pd
-
         from refimage_ray.query.engine import _normalize_order_by
 
         order_keys = _normalize_order_by(order_by)
@@ -721,49 +719,10 @@ class DocPartSearcher:
             hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
                              cfg=cfg, where=where, min_match=min_match,
                              after=after, boost=boost, order_by=order_by)
-            if not hits:
-                continue
-            ids = np.array([d for d, _ in hits], np.int64)
-            sc = np.array([s for _, s in hits], np.float64)
-            dv = sh.doc_values(cols)
-            ranks = np.searchsorted(dv.all_ids, ids)
-            keyvals = []
-            for col, _dir in order_keys:
-                c = dv.cols[col]
-                nm = c.null_mask()
-                nmr = (nm[ranks] if nm is not None
-                       else np.zeros(len(ranks), dtype=bool))
-                if c.is_categorical:
-                    codes = c.values[ranks]
-                    vals = c.categories[np.maximum(codes, 0)].astype(object)
-                    keyvals.append(("cat", vals, nmr | (codes < 0)))
-                else:
-                    keyvals.append(("num", c.values[ranks].copy(), nmr))
-            parts.append((ids, sc, keyvals))
-        if not parts:
-            return []
-        all_ids = np.concatenate([p[0] for p in parts])
-        all_sc = np.concatenate([p[1] for p in parts])
-        keys = []
-        for j, (_col, odir) in enumerate(order_keys):
-            kind = parts[0][2][j][0]
-            vals = np.concatenate([p[2][j][1] for p in parts])
-            nulls = np.concatenate([p[2][j][2] for p in parts])
-            if kind == "cat":
-                codes, _u = pd.factorize(vals, sort=True)
-                key = codes.astype(np.int64)
-            elif vals.dtype.kind in "iu":
-                key = vals.astype(np.int64)
-            else:
-                key = vals.astype(np.float64)
-            if odir == "desc":
-                key = -key
-            if nulls.any():  # nulls last in either direction
-                key[nulls] = (np.iinfo(np.int64).max
-                              if key.dtype.kind == "i" else np.inf)
-            keys.append(key)
-        sel = np.lexsort(tuple([all_ids] + keys[::-1]))[:kk]
-        return list(zip(all_ids[sel].tolist(), all_sc[sel].tolist()))[offset:]
+            part = _ordered_part(sh, hits, cols)
+            if part is not None:
+                parts.append(part)
+        return _merge_ordered(parts, order_keys, kk)[offset:]
 
     def search_phrase(
         self,
@@ -1099,6 +1058,64 @@ class DocPartSearcher:
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
 
+def _ordered_part(view, hits, cols):
+    """One shard's ordered page → (ids, scores, per-col (kind, DECODED
+    values, null_mask)) for the cross-shard order merge.  Categorical
+    codes decode to strings here because each shard's dictionary is
+    local."""
+    if not hits:
+        return None
+    ids = np.array([d for d, _ in hits], np.int64)
+    sc = np.array([s for _, s in hits], np.float64)
+    dv = view.doc_values(cols)
+    ranks = np.searchsorted(dv.all_ids, ids)
+    keyvals = []
+    for col in cols:
+        c = dv.cols[col]
+        nm = c.null_mask()
+        nmr = (nm[ranks] if nm is not None
+               else np.zeros(len(ranks), dtype=bool))
+        if c.is_categorical:
+            codes = c.values[ranks]
+            vals = c.categories[np.maximum(codes, 0)].astype(object)
+            keyvals.append(("cat", vals, nmr | (codes < 0)))
+        else:
+            keyvals.append(("num", c.values[ranks].copy(), nmr))
+    return ids, sc, keyvals
+
+
+def _merge_ordered(parts, order_keys, kk):
+    """Global (order keys, doc_id asc) top-kk over per-shard ordered
+    pages — exact because shards are disjoint and each page is its
+    shard's top-kk under the same total order."""
+    import pandas as pd
+
+    if not parts:
+        return []
+    all_ids = np.concatenate([p[0] for p in parts])
+    all_sc = np.concatenate([p[1] for p in parts])
+    keys = []
+    for j, (_col, odir) in enumerate(order_keys):
+        kind = parts[0][2][j][0]
+        vals = np.concatenate([p[2][j][1] for p in parts])
+        nulls = np.concatenate([p[2][j][2] for p in parts])
+        if kind == "cat":
+            codes, _u = pd.factorize(vals, sort=True)
+            key = codes.astype(np.int64)
+        elif vals.dtype.kind in "iu":
+            key = vals.astype(np.int64)
+        else:
+            key = vals.astype(np.float64)
+        if odir == "desc":
+            key = -key
+        if nulls.any():  # nulls last in either direction
+            key[nulls] = (np.iinfo(np.int64).max
+                          if key.dtype.kind == "i" else np.inf)
+        keys.append(key)
+    sel = np.lexsort(tuple([all_ids] + keys[::-1]))[:kk]
+    return list(zip(all_ids[sel].tolist(), all_sc[sel].tolist()))
+
+
 def _selection_percentiles(
     shard_call,
     percentiles: "dict[str, list[float]]",
@@ -1191,13 +1208,51 @@ class _DocShardActor:
         self, query: str, k: int, threshold: float, mode: str, where=None,
         min_match: "int | None" = None,
         after: "tuple[float, int] | None" = None,
+        boost=None,
     ) -> list[tuple[int, float]]:
         out: list[tuple[int, float]] = []
         for v in self._views:
             out.extend(v.search(query, k=k, threshold=threshold, mode=mode,
                                 where=where, min_match=min_match,
-                                after=after))
+                                after=after, boost=boost))
         return out
+
+    def search_ordered(
+        self, query: str, k: int, threshold: float, mode: str, where,
+        min_match, boost, order_by, cols: list,
+    ) -> list:
+        """Per-view ordered pages + DECODED order-key triplets (the
+        shard-local categorical dictionaries never leave as codes) —
+        merged by the driver's ``_merge_ordered``."""
+        parts = []
+        for v in self._views:
+            hits = v.search(query, k=k, threshold=threshold, mode=mode,
+                            where=where, min_match=min_match, boost=boost,
+                            order_by=order_by)
+            part = _ordered_part(v, hits, cols)
+            if part is not None:
+                parts.append(part)
+        return parts
+
+    def min_pair_gaps(self, terms: list, cand: np.ndarray) -> np.ndarray:
+        """Min pairwise term-position gap per candidate over this
+        actor's views (inf where the doc is elsewhere / <2 terms) —
+        the rescore proximity basis; needs store_positions."""
+        from refimage_ray.query.engine import _min_pair_gaps_positions
+
+        g = np.full(len(cand), np.inf)
+        for v in self._views:
+            tm = v._term_map(terms)
+            if not tm:
+                continue
+            if any(p.positions is None for p in tm.values()):
+                raise ValueError(
+                    "rescore_window needs a positional doc-partitioned "
+                    "artifact (store_positions): this layout keeps no "
+                    "text store to fall back to"
+                )
+            g = np.minimum(g, _min_pair_gaps_positions(tm, terms, cand))
+        return g
 
     def search_grouped(self, query: str, by: str, k_per_group: int,
                        mode: str, where, groups) -> list:
@@ -1340,21 +1395,75 @@ class DistributedDocPartSearcher:
         boost=None,
         order_by=None,
     ) -> list[tuple[int, float]]:
-        if order_by is not None or boost is not None:
-            raise ValueError(
-                "order_by/boost are not supported on the distributed "
-                "doc-partitioned transport; use DocPartSearcher or the "
-                "term-partitioned layout"
-            )
         k = cfg.default_k if k is None else k
         threshold = cfg.default_threshold if threshold is None else threshold
         kk = k + offset
+        if order_by is not None:
+            from refimage_ray.query.engine import _normalize_order_by
+
+            order_keys = _normalize_order_by(order_by)
+            cols = [c for c, _ in order_keys]
+            part_lists = ray.get([
+                a.search_ordered.remote(query, kk, threshold, mode, where,
+                                        min_match, boost, order_by, cols)
+                for a in self.actors
+            ])
+            parts = [p for pl in part_lists for p in pl]
+            return _merge_ordered(parts, order_keys, kk)[offset:]
         parts = ray.get(
             [a.search.remote(query, kk, threshold, mode, where, min_match,
-                             after)
+                             after, boost)
              for a in self.actors]
         )
         return self._merge(parts, kk, threshold)[offset:]
+
+    def search_rescore(
+        self,
+        query: str,
+        k: int | None = None,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        threshold: float | None = None,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """Two-phase rescore over the actor transport — same shape as
+        :meth:`DocPartSearcher.search_rescore`: exact global window
+        from the scatter, per-actor proximity gaps combined by min."""
+        from refimage_ray.functions.text import tokenize
+        from refimage_ray.query.engine import query_terms
+        from refimage_ray.query.scorer import topk_select
+
+        k = cfg.default_k if k is None else k
+        if k > window:
+            raise ValueError(f"k ({k}) must be <= window ({window})")
+        base = self.search(query, k=window, threshold=threshold,
+                           mode=mode, cfg=cfg)
+        if not base:
+            return []
+        cand = np.array([d for d, _ in base], np.int64)
+        base_sc = np.array([s for _, s in base], np.float64)
+        order = np.argsort(cand)
+        cand_s = cand[order]
+        man_cfg = self.manifest["config"]
+        terms = query_terms(tokenize(
+            query, man_cfg.get("token_pattern"),
+            man_cfg.get("term_filter", "none"),
+        ))
+        g = np.full(len(cand_s), np.inf)
+        if len(terms) >= 2:
+            for ga in ray.get([a.min_pair_gaps.remote(terms, cand_s)
+                               for a in self.actors]):
+                g = np.minimum(g, ga)
+        prox = np.zeros(len(cand_s))
+        finite = np.isfinite(g)
+        prox[finite] = 1.0 / (1.0 + g[finite])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        combined = query_weight * base_sc + rescore_weight * prox[inv]
+        ids, sc = topk_select(cand, combined, k, float("-inf"))
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
     def search_grouped(
         self,

@@ -377,3 +377,37 @@ def test_docpart_order_by_matches_term_layout(ray_session, tiny_docs,
     with pytest.raises(ValueError, match="after"):
         sd.search("the data", k=5, order_by=("prio", "asc"),
                   after=(1.0, 3))
+
+
+def test_distributed_docpart_order_boost_rescore_parity(ray_session,
+                                                        tiny_docs,
+                                                        tmp_path):
+    """The actor transport answers order_by / boost / rescore
+    identically to the in-process DocPartSearcher (per-actor ordered
+    pages with decoded key values; boost threaded to shard views;
+    rescore gaps fanned out and min-combined)."""
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+    from refimage_ray.query.boost import DecaySpec
+
+    n = tiny_docs.num_rows
+    docs = tiny_docs.append_column(
+        "prio", pa.array([(i * 7) % 5 for i in range(n)], pa.int64())
+    )
+    cfg = EngineConfig(num_shards=4, salt_buckets=2, store_positions=True)
+    dd = str(tmp_path / "doc")
+    build_doc_partitioned(rd.from_arrow(docs), dd, cfg, num_doc_shards=4,
+                          value_columns=["lang", "prio"])
+    sd = DocPartSearcher(dd)
+    sx = DistributedDocPartSearcher(dd, num_actors=2)
+    sx.wait_ready()
+    for order in [("prio", "desc"), ("lang", "asc"),
+                  [("lang", "desc"), ("prio", "asc")]]:
+        want = sd.search("the data", k=12, order_by=order)
+        assert sx.search("the data", k=12, order_by=order) == want, order
+    boost = DecaySpec("prio", 0.0, 4.0, 0.5, "exp")
+    want = sd.search("the data", k=10, boost=boost)
+    assert sx.search("the data", k=10, boost=boost) == want
+    for q in ["data table", "the data scan"]:
+        want = sd.search_rescore(q, k=10, window=25, rescore_weight=2.0)
+        assert sx.search_rescore(q, k=10, window=25,
+                                 rescore_weight=2.0) == want, q
