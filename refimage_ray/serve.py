@@ -30,6 +30,7 @@ Route map (reference analog → here):
 - ``GET /explain?q=``                  (text→vector / dsl→vector, ``api.py:160-229``) → ``extension.explain`` plan
 - ``GET /nl/providers``                (``GET /llm/providers``, ``api.py:350-395``) → ``ProviderManager`` registry
 - ``POST /nl/switch`` {"provider": ...} (``POST /llm/switch``, ``api.py:398-435``) → runtime provider switch
+- ``GET /docs?limit=&offset=&sort=&dir=`` (paginated listing, ``GET /metadata`` ``api.py:665-704``) → pruned docs-store scan + total_count
 - ``GET /docs/{id}``                   (metadata GET)                → ``lookup_docs`` (404 when missing)
 - ``GET /docs/{id}/termvectors``       (ES _termvectors analog)      → ``doc_term_vector`` (term/tf/positions, index tokenizer)
 - ``GET /docs/{id}/file``              (chunked file serving, ``api.py:944-954``) → ``stream_doc_bytes`` chunked response
@@ -262,6 +263,63 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         "num_shards": man.get("config", {}).get("num_shards"),
                     }
                 )
+            if u.path == "/docs":
+                # paginated metadata listing (reference GET /metadata,
+                # api.py:665-704: limit/offset/sort_by/sort_order +
+                # total_count).  Column-pruned local scan of the docs
+                # store (never the text column), whitelisted sort keys
+                # + doc_id tiebreak — ops-sized pages; deep pagination
+                # at corpus scale should use search_after instead.
+                import os.path as _os_path
+
+                import pyarrow.compute as _pc
+                import pyarrow.dataset as _pads
+
+                _SORT_COLS = ("doc_id", "doc_len", "n_chars",
+                              "warc_ts", "lang", "url")
+                sort_by = q.get("sort", "doc_id")
+                order_dir = q.get("dir", "asc")
+                if sort_by not in _SORT_COLS:
+                    return self._json(
+                        {"error": f"sort must be one of {_SORT_COLS}"},
+                        422)
+                if order_dir not in ("asc", "desc"):
+                    return self._json(
+                        {"error": "dir must be asc or desc"}, 422)
+                limit = min(int(q.get("limit", 50)), 1000)
+                off = int(q.get("offset", 0))
+                if limit < 0 or off < 0:
+                    return self._json(
+                        {"error": "limit/offset must be >= 0"}, 422)
+                try:
+                    dset = _pads.dataset(_os_path.join(index_dir, "docs"))
+                except FileNotFoundError:
+                    return self._json(
+                        {"error": "this artifact's layout keeps no "
+                                  "docs metadata store"}, 422)
+                avail = set(dset.schema.names)
+                if sort_by not in avail:
+                    return self._json(
+                        {"error": f"sort column {sort_by!r} not in "
+                                  "this artifact"}, 422)
+                cols = [c for c in ("doc_id", "url", "lang", "doc_len",
+                                    "n_chars", "warc_ts") if c in avail]
+                t = dset.to_table(columns=cols)
+                keys = [(sort_by, "descending" if order_dir == "desc"
+                         else "ascending")]
+                if sort_by != "doc_id":
+                    keys.append(("doc_id", "ascending"))
+                sel = _pc.sort_indices(t, sort_keys=keys)
+                page = t.take(sel[off:off + limit])
+                return self._json({
+                    "docs": [
+                        {k: str(v) for k, v in row.items()}
+                        for row in page.to_pylist()
+                    ],
+                    "total_count": t.num_rows,
+                    "limit": limit, "offset": off,
+                    "sort_by": sort_by, "sort_order": order_dir,
+                })
             if u.path == "/dsl-syntax":
                 # grammar reference (api.py:231-267 shape: operators +
                 # worked examples; ours documents both the infix and the

@@ -864,3 +864,37 @@ def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_docs_listing_route(server):
+    """GET /docs — the reference's paginated GET /metadata analog
+    (api.py:665-704): limit/offset/sort/dir + total_count; pages are
+    disjoint and ordered; bad params answer 422."""
+    base, d = server
+    st, body = _get(base + "/docs?limit=5&sort=n_chars&dir=desc")
+    assert st == 200
+    assert body["total_count"] > 5
+    assert len(body["docs"]) == 5
+    lens = [int(r["n_chars"]) for r in body["docs"]]
+    assert lens == sorted(lens, reverse=True)
+    # next page is disjoint and continues the order
+    st, body2 = _get(base + "/docs?limit=5&offset=5&sort=n_chars&dir=desc")
+    assert st == 200
+    ids1 = {r["doc_id"] for r in body["docs"]}
+    ids2 = {r["doc_id"] for r in body2["docs"]}
+    assert not ids1 & ids2
+    assert lens[-1] >= max(int(r["n_chars"]) for r in body2["docs"])
+    # default sort = doc_id asc
+    st, body3 = _get(base + "/docs?limit=3")
+    ids = [int(r["doc_id"]) for r in body3["docs"]]
+    assert ids == sorted(ids)
+    # validation
+    import urllib.error
+
+    for bad in ["/docs?sort=nope", "/docs?dir=sideways",
+                "/docs?limit=-1"]:
+        try:
+            st, _ = _get(base + bad)
+        except urllib.error.HTTPError as e:
+            st = e.code
+        assert st == 422, bad
