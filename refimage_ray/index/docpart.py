@@ -627,6 +627,7 @@ class DocPartSearcher:
             man = json.load(f)
         if man.get("layout") != "doc-partitioned":
             raise ValueError(f"{index_dir} is not a doc-partitioned index")
+        self.index_dir = index_dir
         self.manifest = man
         self.n_docs = int(man["stats"]["n_docs"])
         self.avgdl = float(man["stats"]["avgdl"])

@@ -840,6 +840,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     )
                 except KeyError:
                     return self._json({"error": "not found"}, 404)
+                except FileNotFoundError:
+                    return self._json(
+                        {"error": "this artifact's layout keeps no "
+                                  "docs text store"}, 422)
             if m and m.group(2) == "/similar":
                 from refimage_ray.query.engine import more_like_this
 
@@ -850,12 +854,18 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     )
                 except KeyError:
                     return self._json({"error": "not found"}, 404)
+                except (FileNotFoundError, ValueError) as err:
+                    return self._json({"error": str(err)}, 422)
                 return self._json({"results": self._hits_with_meta(hits)})
             if m and m.group(2) == "/file":
                 try:
                     chunks = list(stream_doc_bytes(index_dir, int(m.group(1))))
                 except KeyError:
                     return self._json({"error": "not found"}, 404)
+                except FileNotFoundError:
+                    return self._json(
+                        {"error": "this artifact's layout keeps no "
+                                  "docs text store"}, 422)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -1020,6 +1030,11 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     )
                 except KeyError:
                     return self._json({"error": "not found"}, 404)
+                except FileNotFoundError:
+                    return self._json(
+                        {"error": "this artifact's layout keeps no docs "
+                                  "metadata store (doc-partitioned: use "
+                                  "update_doc_values_docpart)"}, 422)
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)
                 return self._json({"updated": n})

@@ -861,6 +861,11 @@ def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
         assert get("/search?q=data+table&rescore_window=20")[0] == 422
         assert get("/search?q=data&k=2&snippets=1")[0] == 422
         assert get("/docs/5")[0] == 404
+        # every text-store-dependent route answers structurally
+        assert get("/docs?limit=5")[0] == 422
+        assert get("/docs/5/termvectors")[0] in (404, 422)
+        assert get("/docs/5/similar")[0] in (404, 422)
+        assert get("/docs/5/file")[0] in (404, 422)
     finally:
         srv.shutdown()
         srv.server_close()
