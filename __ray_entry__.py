@@ -1085,6 +1085,8 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_near": search.bm25_topk_near,
         "bm25_topk_phrase_prefix": search.bm25_topk_phrase_prefix,
         "bm25_topk_rescored": search.bm25_topk_rescored,
+        "bm25_topk_ordered_docpart": search.bm25_topk_ordered_docpart,
+        "bm25_topk_rescored_docpart": search.bm25_topk_rescored_docpart,
         "bm25f_topk": search.bm25f_topk,
         "composite_buckets_page2": search.composite_buckets_page2,
         "bm25_topk_page2": search.bm25_topk_page2,
@@ -1760,6 +1762,13 @@ FROM pos GROUP BY term ORDER BY term
         "bm25_topk_page2": _bm25_sql(["spark", "join"], 10, offset=10),
         "phrase_topk": _phrase_sql(["table", "scan"], slop=0, k=10),
         "bm25_topk_rescored": _rescore_sql("table", "scan", k=10, window=30),
+        # cross-layout twins: exact by construction, same oracles
+        "bm25_topk_ordered_docpart": _bm25_sql(
+            ["spark"], 10,
+            order_by_sql="length(d2.text) DESC, s.doc_id",
+        ),
+        "bm25_topk_rescored_docpart": _rescore_sql(
+            "table", "scan", k=10, window=30),
         "bm25f_topk": _bm25f_sql(["spark", "join"], k=10, tw=3.0),
         # composite agg: after-key paging over key-ordered buckets is
         # definitionally OFFSET paging of the same ordered bucket list

@@ -788,6 +788,57 @@ def bm25_topk_ordered(sf_dir: str, query: str = "spark", k: int = 10) -> pa.Tabl
     )
 
 
+def bm25_topk_ordered_docpart(
+    sf_dir: str, query: str = "spark", k: int = 10
+) -> pa.Table:
+    """Field-ordered results on the DOC-partitioned layout: each shard
+    returns its top page under the shared (n_chars desc, doc_id asc)
+    total order and the merge re-sorts on decoded values — exact
+    (disjoint shards), so it shares ``bm25_topk_ordered``'s oracle."""
+    return _hits_table(
+        _docpart_searcher(sf_dir).search(
+            query, k=k, mode="or", order_by=("n_chars", "desc")
+        )
+    )
+
+
+def _docpart_pos_searcher(sf_dir: str):
+    """Positional doc-partitioned artifact (rescore needs positions —
+    the layout keeps no text store to fall back to)."""
+    from refimage_ray.index.docpart import (
+        DocPartSearcher,
+        build_doc_partitioned,
+    )
+
+    doc_dir = _index_dir_for(sf_dir) + "-docpart-pos"
+    if not os.path.exists(os.path.join(doc_dir, "manifest.json")):
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        build_doc_partitioned(
+            docs, doc_dir, SEARCH_CFG.with_(store_positions=True),
+            num_doc_shards=8,
+        )
+    if doc_dir not in _searchers:
+        _searchers[doc_dir] = DocPartSearcher(doc_dir)
+    return _searchers[doc_dir]
+
+
+def bm25_topk_rescored_docpart(
+    sf_dir: str, query: str = "table scan", k: int = 10, window: int = 30
+) -> pa.Table:
+    """Two-phase rescore on the doc-partitioned layout: exact global
+    BM25 window via the scatter, per-shard positional min-gap combine —
+    identical semantics to ``bm25_topk_rescored``, so it shares its
+    SQL oracle."""
+    return _hits_table(
+        _docpart_pos_searcher(sf_dir).search_rescore(
+            query, k=k, window=window
+        )
+    )
+
+
 def bm25_topk_page2(
     sf_dir: str, query: str = "spark join", k: int = 10, offset: int = 10
 ) -> pa.Table:
