@@ -326,3 +326,303 @@ class DeltaSearcher(_SearcherBase):
             for t, df in _expand_resident(fake, {}, kind, arg):
                 base_pairs[t] = base_pairs.get(t, 0) + df
         return sorted(base_pairs.items())
+
+
+class _DeltaShardWrap(_SearcherBase):
+    """One doc shard under merged NRT stats: query-term postings are
+    the shard's stored (ids, tfs, dls) merged with the shard's slice
+    of the buffer, REWEIGHTED under the union's N/avgdl — the same
+    per-(term, generation) memo discipline as :class:`DeltaSearcher`.
+    Sparse scoring (no rank universe); doc values refuse like the term
+    NRT (the shard's values don't cover buffered docs)."""
+
+    def __init__(self, owner: "DocPartDeltaSearcher", inner, gkey: int):
+        self._owner = owner
+        self._inner = inner
+        self._gkey = gkey
+        self.token_pattern = inner.token_pattern
+        self.term_filter = inner.term_filter
+        self.all_ids = None
+        self._cache: dict[str, TermPostings] = {}
+
+    # merged stats live on the owner (one refresh per add/flush)
+    @property
+    def n_docs(self) -> int:
+        return self._owner.n_docs
+
+    @property
+    def avgdl(self) -> float:
+        return self._owner.avgdl
+
+    def doc_values(self, columns):
+        raise ValueError(
+            "doc-value filters/facets need a built artifact covering "
+            "the buffered docs; flush() first"
+        )
+
+    def _term_map(self, terms: list[str]) -> dict[str, TermPostings]:
+        out: dict[str, TermPostings] = {}
+        buf = self._owner._shard_buf[self._gkey]
+        for t in terms:
+            hit = self._cache.get(t)
+            if hit is not None:
+                out[t] = hit
+                continue
+            bp = self._inner._tm.get(t)
+            bb = buf.get(t)
+            if bp is None and bb is None:
+                continue
+            parts = []
+            if bp is not None and bp.df > 0:
+                parts.append((bp.doc_ids, bp.tfs, bp.dls))
+            if bb is not None:
+                parts.append(bb)
+            if len(parts) == 2:
+                (a, at, ad), (b, bt, bd) = parts
+                ia = np.arange(len(a), dtype=np.int64) + np.searchsorted(b, a)
+                ib = np.arange(len(b), dtype=np.int64) + np.searchsorted(a, b)
+                n = len(a) + len(b)
+                ids = np.empty(n, np.int64)
+                tfs = np.empty(n, at.dtype)
+                dls = np.empty(n, ad.dtype)
+                ids[ia], ids[ib] = a, b
+                tfs[ia], tfs[ib] = at, bt
+                dls[ia], dls[ib] = ad, bd
+            else:
+                ids, tfs, dls = parts[0]
+            w = bm25_weight(
+                tfs.astype(np.float64), dls.astype(np.float64),
+                self._owner.avgdl, self._owner._k1, self._owner._b,
+            )
+            mx = float(w.max()) if len(w) else 0.0
+            # idf basis: the UNION-GLOBAL df from the artifact's
+            # global terms table + the buffer — NOT bp.df: a buffered
+            # doc can land in a shard that holds no base postings for
+            # the term, yet the term exists in other base shards
+            gdf = self._owner._base_global_df.get(t, 0) + \
+                self._owner._buf_df.get(t, 0)
+            tp = TermPostings(
+                df=gdf, doc_ids=ids, weights=w,
+                tfs=tfs.astype(np.int64), max_weight=mx,
+                block_last_doc=ids[-1:].copy(),
+                block_max_weight=np.array([mx], np.float64),
+                dls=dls.astype(np.int64),
+            )
+            self._cache[t] = tp
+            out[t] = tp
+        return out
+
+
+class DocPartDeltaSearcher:
+    """NRT over the DOC-PARTITIONED layout (the serving-default
+    scatter): buffered (doc_id, text) rows route to their hash shard,
+    each shard evaluates base∪buffer under the MERGED global stats,
+    and the scatter merge stays exact (a doc's postings — stored or
+    buffered — live wholly in its one shard).  Results are
+    bit-identical to a full doc-partitioned rebuild over the union
+    AND to the term layout's :class:`DeltaSearcher` (asserted in
+    tests).  Same contract as DeltaSearcher: new doc_ids only;
+    filters/facets need a flush; ``flush`` persists through the
+    docpart incremental-add lifecycle."""
+
+    def __init__(self, index_dir: str, base=None) -> None:
+        from refimage_ray.index.docpart import DocPartSearcher
+
+        self.base = base if base is not None else DocPartSearcher(index_dir)
+        if self.base.index_dir != index_dir:
+            raise ValueError("base searcher was loaded from a different dir")
+        self.index_dir = index_dir
+        man = self.base.manifest
+        st = man["stats"]
+        self.manifest = man
+        self._base_n = int(st["n_docs"])
+        self._base_sum_dl = int(st["sum_dl"])
+        self._k1 = float(st.get("k1", 1.2))
+        self._b = float(st.get("b", 0.75))
+        self._num_doc_shards = int(man["num_doc_shards"])
+        cfgd = man.get("config", {})
+        from refimage_ray.config import engine_config_from_manifest
+
+        self._cfg = engine_config_from_manifest(cfgd)
+        # file order == DocPartSearcher.shards order; gkey parses from
+        # the filename (empty shards write no file)
+        self._shard_gkeys = [
+            int(f.split("-")[1].split(".")[0])
+            for f in man["docshard_files"]
+        ]
+        self._shard_buf: dict[int, dict[str, tuple]] = {
+            g: {} for g in range(self._num_doc_shards)
+        }
+        # per-term GLOBAL buffered df (idf basis): shard postings are
+        # slices, but TermPostings.df must be the UNION-global df —
+        # base global df (terms/ table) + buffered docs with the term
+        self._buf_df: dict[str, int] = {}
+        self._base_global_df: dict = self.base._global_df
+        self._buf_tables: list[pa.Table] = []
+        self._buf_ids = np.zeros(0, np.int64)
+        self._buf_sum_dl = 0
+        self.shards = [
+            _DeltaShardWrap(self, v, g)
+            for v, g in zip(self.base.shards, self._shard_gkeys)
+        ]
+        self._refresh_stats()
+
+    def _refresh_stats(self) -> None:
+        self.n_docs = self._base_n + len(self._buf_ids)
+        total = self._base_sum_dl + self._buf_sum_dl
+        self.avgdl = total / self.n_docs if self.n_docs else 1.0
+
+    @property
+    def buffered(self) -> int:
+        return len(self._buf_ids)
+
+    def add(self, docs: pa.Table) -> int:
+        """Buffer rows; searchable on return.  Doc ids must be new.
+
+        A buffered doc whose hash shard wrote NO base file would need a
+        fresh empty shard view; that only happens on pathological
+        many-shards-few-docs layouts, so it raises loudly instead."""
+        from refimage_ray.index.docpart import _doc_shard_of
+
+        if not {"doc_id", "text"} <= set(docs.column_names):
+            raise ValueError("add() needs doc_id and text columns")
+        postings, ids, dl = _buffer_postings(docs, self._cfg)
+        # disjointness vs buffer + every base shard's posting universe
+        if len(ids) and np.isin(ids, self._buf_ids).any():
+            raise ValueError("doc_ids already buffered")
+        gk = _doc_shard_of(ids, self._num_doc_shards)
+        missing = set(np.unique(gk).tolist()) - set(self._shard_gkeys)
+        if missing:
+            raise ValueError(
+                f"buffered docs hash to shards with no base file "
+                f"{sorted(missing)}; rebuild with fewer doc shards or "
+                "flush through the lifecycle instead"
+            )
+        for term, (p_ids, p_tfs, p_dls) in postings.items():
+            self._buf_df[term] = self._buf_df.get(term, 0) + len(p_ids)
+            pg = _doc_shard_of(p_ids, self._num_doc_shards)
+            for g in np.unique(pg):
+                m = pg == g
+                add_t = (p_ids[m], p_tfs[m], p_dls[m])
+                buf = self._shard_buf[int(g)]
+                have = buf.get(term)
+                if have is None:
+                    buf[term] = add_t
+                else:
+                    merged = tuple(
+                        np.concatenate((a, b))
+                        for a, b in zip(have, add_t)
+                    )
+                    o = np.argsort(merged[0], kind="stable")
+                    buf[term] = tuple(m_[o] for m_ in merged)
+        self._buf_tables.append(docs)
+        self._buf_ids = np.sort(np.concatenate((self._buf_ids, ids)))
+        self._buf_sum_dl += int(dl.sum())
+        for sh in self.shards:
+            sh._cache.clear()
+        self._refresh_stats()
+        return len(ids)
+
+    def lookup_buffered(self, ids: list[int]) -> list[dict]:
+        import pyarrow.compute as pc
+
+        want = sorted(set(int(i) for i in ids))
+        out: list[dict] = []
+        for t in self._buf_tables:
+            m = pc.is_in(t["doc_id"], value_set=pa.array(want, pa.int64()))
+            out.extend(t.filter(m).to_pylist())
+        return out
+
+    def flush(self, out_dir: str, cfg=None) -> str:
+        """Persist through the docpart incremental-add lifecycle and
+        clear the buffer."""
+        if not self._buf_tables:
+            raise ValueError("nothing buffered")
+        import ray.data as rd
+
+        from refimage_ray.index.docpart_lifecycle import (
+            add_documents_docpart,
+        )
+
+        add_documents_docpart(
+            self.index_dir,
+            rd.from_arrow(pa.concat_tables(
+                self._buf_tables, promote_options="default")),
+            out_dir,
+        )
+        self._buf_tables = []
+        self._buf_ids = np.zeros(0, np.int64)
+        self._buf_sum_dl = 0
+        self._buf_df = {}
+        self._shard_buf = {g: {} for g in range(self._num_doc_shards)}
+        for sh in self.shards:
+            sh._cache.clear()
+        self._refresh_stats()
+        return out_dir
+
+    # --- scatter surface (same merge discipline as DocPartSearcher) ---
+
+    def search(self, query, k=None, threshold=None, mode="or",
+               cfg=None, where=None, offset: int = 0,
+               min_match=None, after=None, boost=None, order_by=None):
+        from refimage_ray.config import DEFAULT_CONFIG
+        from refimage_ray.query.scorer import topk_select
+
+        cfg = DEFAULT_CONFIG if cfg is None else cfg
+        if order_by is not None:
+            raise ValueError(
+                "order_by needs doc values over the buffered docs; "
+                "flush() first"
+            )
+        k = cfg.default_k if k is None else k
+        threshold = cfg.default_threshold if threshold is None else threshold
+        kk = k + offset
+        ids_parts, score_parts = [], []
+        for sh in self.shards:
+            hits = sh.search(query, k=kk, threshold=threshold, mode=mode,
+                             cfg=cfg, where=where, min_match=min_match,
+                             after=after, boost=boost)
+            if hits:
+                ids_parts.append(np.array([d for d, _ in hits], np.int64))
+                score_parts.append(
+                    np.array([s for _, s in hits], np.float64))
+        if not ids_parts:
+            return []
+        ids, scores = topk_select(
+            np.concatenate(ids_parts), np.concatenate(score_parts),
+            kk, threshold,
+        )
+        return list(zip(ids.tolist(), scores.tolist()))[offset:]
+
+    def count(self, query, mode="or", where=None, min_match=None) -> int:
+        return sum(
+            sh.count(query, mode=mode, where=where, min_match=min_match)
+            for sh in self.shards
+        )
+
+    def _needs_flush(self, what: str):
+        raise ValueError(
+            f"{what} queries over the docpart NRT buffer need a "
+            "flush() first (positions/vocabulary structures are "
+            "artifact-side)"
+        )
+
+    # loud, structured refusals (not AttributeError 500s) for the
+    # search-family surfaces the buffer can't answer exactly yet
+    def search_phrase(self, *a, **k):
+        self._needs_flush("phrase")
+
+    def search_near(self, *a, **k):
+        self._needs_flush("NEAR")
+
+    def search_prefix(self, *a, **k):
+        self._needs_flush("prefix")
+
+    def search_fuzzy(self, *a, **k):
+        self._needs_flush("fuzzy")
+
+    def search_wildcard(self, *a, **k):
+        self._needs_flush("wildcard")
+
+    def search_regex(self, *a, **k):
+        self._needs_flush("regex")

@@ -949,15 +949,26 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     return self._json(
                         {"error": "body wants {'docs': [{doc_id, text}]}"},
                         422)
+                from refimage_ray.index.docpart import DocPartSearcher
+                from refimage_ray.query.nrt import DocPartDeltaSearcher
+
                 srch = state["s"]
-                if not isinstance(srch, DeltaSearcher):
-                    if not isinstance(srch, LocalSearcher):
+                if not isinstance(
+                    srch, (DeltaSearcher, DocPartDeltaSearcher)
+                ):
+                    if isinstance(srch, LocalSearcher):
+                        srch = DeltaSearcher(index_dir, base=srch)
+                    elif isinstance(srch, DocPartSearcher):
+                        # NRT on the serving-default layout: buffered
+                        # docs route to their hash shard, shard views
+                        # reweight under merged stats (query/nrt.py)
+                        srch = DocPartDeltaSearcher(index_dir, base=srch)
+                    else:
                         return self._json(
-                            {"error": "NRT add needs a local deployment "
-                                      "(distributed/docpart serving adds "
-                                      "go through the lifecycle + "
+                            {"error": "NRT add needs an in-process "
+                                      "deployment (distributed serving "
+                                      "adds go through the lifecycle + "
                                       "/reload)"}, 409)
-                    srch = DeltaSearcher(index_dir, base=srch)
                     state["s"] = srch
                     state["ex"] = DSLExecutor(srch)
                 try:

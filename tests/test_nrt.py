@@ -163,3 +163,131 @@ def test_nrt_cache_and_dense_invariants(nrt_setup):
     assert 10**12 in {i for i, _ in d.search("data", k=10**6)}
     with pytest.raises(ValueError, match="flush"):
         d.search("data", k=5, where=[("lang", "=", "en")])
+
+
+# ---------------------------------------------------------------------------
+# DocPartDeltaSearcher — NRT over the doc-partitioned serving layout
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docpart_nrt_setup(ray_session, tiny_docs, tmp_path_factory):
+    from refimage_ray.index.docpart import build_doc_partitioned
+
+    root = tmp_path_factory.mktemp("dpnrt")
+    a, b = _split(tiny_docs)
+    base_dir = str(root / "base")
+    full_dir = str(root / "full")
+    tbase_dir = str(root / "tbase")
+    build_doc_partitioned(rd.from_arrow(a), base_dir, CFG,
+                          num_doc_shards=4)
+    build_doc_partitioned(rd.from_arrow(tiny_docs), full_dir, CFG,
+                          num_doc_shards=4)
+    build_index(rd.from_arrow(a), tbase_dir, CFG)
+    return base_dir, full_dir, tbase_dir, a, b
+
+
+def test_docpart_nrt_bit_identical_to_rebuild_and_term_delta(
+    docpart_nrt_setup,
+):
+    """DocPartDeltaSearcher(base).add(B) == a full docpart rebuild over
+    A∪B == the TERM layout's DeltaSearcher on the same corpora — same
+    ids AND the same float64 scores."""
+    from refimage_ray.index.docpart import DocPartSearcher
+    from refimage_ray.query.nrt import DocPartDeltaSearcher
+
+    base_dir, full_dir, tbase_dir, a, b = docpart_nrt_setup
+    d = DocPartDeltaSearcher(base_dir)
+    assert d.add(b) == b.num_rows
+    full = DocPartSearcher(full_dir)
+    tdelta = DeltaSearcher(tbase_dir)
+    tdelta.add(b)
+    for q in QUERIES:
+        for mode in ("or", "and"):
+            want = full.search(q, k=50, mode=mode)
+            assert d.search(q, k=50, mode=mode) == want, (q, mode)
+            assert tdelta.search(q, k=50, mode=mode) == want, (q, mode)
+        assert d.count(q) == full.count(q), q
+    # repeat query == cached query (memo is semantically invisible)
+    q = QUERIES[0]
+    assert d.search(q, k=25) == d.search(q, k=25)
+    # buffered metadata lookup
+    some = b["doc_id"][0].as_py()
+    assert d.lookup_buffered([some])[0]["doc_id"] == some
+
+
+def test_docpart_nrt_guards(docpart_nrt_setup):
+    from refimage_ray.query.nrt import DocPartDeltaSearcher
+
+    base_dir, _, _, a, b = docpart_nrt_setup
+    d = DocPartDeltaSearcher(base_dir)
+    d.add(b)
+    with pytest.raises(ValueError, match="buffered"):
+        d.add(b)  # duplicate ids
+    with pytest.raises(ValueError, match="flush"):
+        d.search("data", k=5, order_by=("doc_len", "asc"))
+    with pytest.raises(ValueError, match="flush"):
+        d.search("data", k=5, where=[("lang", "=", "en")])
+
+
+def test_docpart_nrt_flush_then_reload_matches(docpart_nrt_setup,
+                                               tmp_path):
+    from refimage_ray.index.docpart import DocPartSearcher
+    from refimage_ray.query.nrt import DocPartDeltaSearcher
+
+    base_dir, full_dir, _, a, b = docpart_nrt_setup
+    d = DocPartDeltaSearcher(base_dir)
+    d.add(b)
+    out = str(tmp_path / "flushed")
+    pre = {q: d.search(q, k=30) for q in QUERIES}
+    d.flush(out)
+    assert d.buffered == 0
+    s2 = DocPartSearcher(out)
+    for q in QUERIES:
+        assert s2.search(q, k=30) == pre[q], q
+
+
+def test_docpart_nrt_rare_term_cross_shard_df(ray_session, tmp_path):
+    """idf basis regression: a buffered doc whose term has base
+    postings only in OTHER shards must still score with the
+    union-global df — checked bit-identical against a full docpart
+    rebuild on a corpus engineered so the rare term's base docs hash
+    away from the buffered doc's shard."""
+    from refimage_ray.index.docpart import (
+        DocPartSearcher,
+        _doc_shard_of,
+        build_doc_partitioned,
+    )
+    from refimage_ray.query.nrt import DocPartDeltaSearcher
+
+    # one base doc holds the rare term; pick a buffered doc_id that
+    # hashes to a DIFFERENT shard than the base doc
+    base_rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": ["rareword data table", "data table scan",
+                 "join merge stream", "query filter sort"],
+    }
+    base = pa.table({
+        "doc_id": pa.array(base_rows["doc_id"], pa.int64()),
+        "text": pa.array(base_rows["text"]),
+    })
+    base_shard = int(_doc_shard_of(np.array([0], np.int64), 4)[0])
+    buf_id = next(
+        i for i in range(100, 200)
+        if int(_doc_shard_of(np.array([i], np.int64), 4)[0]) != base_shard
+    )
+    buf = pa.table({
+        "doc_id": pa.array([buf_id], pa.int64()),
+        "text": pa.array(["rareword alone here"]),
+    })
+    d_base = str(tmp_path / "b")
+    d_full = str(tmp_path / "f")
+    build_doc_partitioned(rd.from_arrow(base), d_base, CFG,
+                          num_doc_shards=4)
+    build_doc_partitioned(
+        rd.from_arrow(pa.concat_tables([base, buf])), d_full, CFG,
+        num_doc_shards=4)
+    d = DocPartDeltaSearcher(d_base)
+    d.add(buf)
+    want = DocPartSearcher(d_full).search("rareword", k=10)
+    assert d.search("rareword", k=10) == want

@@ -866,6 +866,19 @@ def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
         assert get("/docs/5/termvectors")[0] in (404, 422)
         assert get("/docs/5/similar")[0] in (404, 422)
         assert get("/docs/5/file")[0] in (404, 422)
+        # NRT add works on the docpart deployment: the buffered doc is
+        # searchable immediately and joins the metadata via the buffer
+        st, body = _req(f"http://127.0.0.1:{port}/docs", "POST",
+                        {"docs": [{"doc_id": 10**12,
+                                   "text": "freshly buffered zebraword"}]})
+        assert st == 200 and body["added"] == 1
+        st, body = get("/search?q=zebraword&k=3")
+        assert st == 200
+        assert body["results"][0]["doc_id"] == 10**12
+        st, body = get("/count?q=zebraword")
+        assert st == 200 and body["count"] == 1
+        # expansion/phrase on the buffer refuses with a reason
+        assert get("/search?q=zebra&mode=prefix")[0] == 422
     finally:
         srv.shutdown()
         srv.server_close()
