@@ -1068,6 +1068,7 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": search.bm25_topk_filtered,
         "bm25_topk_filtered_or": search.bm25_topk_filtered_or,
         "nrt_delta_topk": search.nrt_delta_topk,
+        "nrt_docpart_delta_topk": search.nrt_docpart_delta_topk,
         "rollover_topk": search.rollover_topk,
         "federated_topk": search.federated_topk,
         "lifecycle_compact_topk": search.lifecycle_compact_topk,
@@ -1633,6 +1634,7 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 8
         # buffer — merged stats make it equal a full rebuild, so the
         # oracle is plain BM25 over the WHOLE documents table
         "nrt_delta_topk": _bm25_sql(["stream", "window", "state"], 10),
+        "nrt_docpart_delta_topk": _bm25_sql(["stream", "window", "state"], 10),
         # rollover group (3 tertile ingests, gen-1 sealed/merged):
         # federation == monolithic rebuild, so plain corpus BM25
         "rollover_topk": _bm25_sql(["stream", "window", "state"], 10),

@@ -1121,6 +1121,41 @@ def nrt_delta_topk(
     return _hits_table(delta.search(query, k=k))
 
 
+def nrt_docpart_delta_topk(
+    sf_dir: str, query: str = "stream window state", k: int = 10
+) -> pa.Table:
+    """NRT on the DOC-PARTITIONED serving layout: lower half of the
+    corpus is a built docpart artifact, the upper half goes through
+    ``query/nrt.DocPartDeltaSearcher`` (buffered postings routed to
+    their hash shard; shard views reweighted under merged stats) —
+    same full-corpus BM25 oracle as ``nrt_delta_topk`` because the
+    merge is bit-identical to a full rebuild."""
+    import pyarrow.compute as pc2
+    import pyarrow.parquet as pq2
+
+    from refimage_ray.index.docpart import build_doc_partitioned
+    from refimage_ray.query.nrt import DocPartDeltaSearcher
+
+    base_dir = _index_dir_for(sf_dir) + "-dpnrtbase"
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ids = np.sort(
+        pq2.read_table(docs_path, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    cut = int(ids[len(ids) // 2])
+    if not os.path.exists(os.path.join(base_dir, "manifest.json")):
+        lower = rd.read_parquet(
+            docs_path, columns=["doc_id", "text"]
+        ).filter(expr=f"doc_id < {cut}")
+        build_doc_partitioned(lower, base_dir, SEARCH_CFG,
+                              num_doc_shards=8)
+    delta = DocPartDeltaSearcher(base_dir)
+    upper = pq2.read_table(docs_path, columns=["doc_id", "text"])
+    delta.add(upper.filter(pc2.greater_equal(upper["doc_id"], cut)))
+    return _hits_table(delta.search(query, k=k))
+
+
 def rollover_topk(
     sf_dir: str, query: str = "stream window state", k: int = 10
 ) -> pa.Table:
