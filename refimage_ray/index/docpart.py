@@ -1013,9 +1013,9 @@ class DocPartSearcher:
         from refimage_ray.functions.text import tokenize
         from refimage_ray.query.engine import (
             _min_pair_gaps_positions,
+            _rescore_combine,
             query_terms,
         )
-        from refimage_ray.query.scorer import topk_select
 
         k = cfg.default_k if k is None else k
         if k > window:
@@ -1024,17 +1024,16 @@ class DocPartSearcher:
                            mode=mode, cfg=cfg)
         if not base:
             return []
-        cand = np.array([d for d, _ in base], np.int64)
-        base_sc = np.array([s for _, s in base], np.float64)
-        order = np.argsort(cand)
-        cand_s = cand[order]
         man_cfg = self.manifest["config"]
         terms = query_terms(tokenize(
             query, man_cfg.get("token_pattern"),
             man_cfg.get("term_filter", "none"),
         ))
-        g = np.full(len(cand_s), np.inf)
-        if len(terms) >= 2:
+
+        def gaps_of(cand_s: np.ndarray) -> np.ndarray:
+            g = np.full(len(cand_s), np.inf)
+            if len(terms) < 2:
+                return g
             for sh in self.shards:
                 tm = sh._term_map(terms)
                 if not tm:
@@ -1049,14 +1048,10 @@ class DocPartSearcher:
                 g = np.minimum(
                     g, _min_pair_gaps_positions(tm, terms, cand_s)
                 )
-        prox = np.zeros(len(cand_s))
-        finite = np.isfinite(g)
-        prox[finite] = 1.0 / (1.0 + g[finite])
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        combined = query_weight * base_sc + rescore_weight * prox[inv]
-        ids, sc = topk_select(cand, combined, k, float("-inf"))
-        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+            return g
+
+        return _rescore_combine(base, gaps_of, k, query_weight,
+                                rescore_weight)
 
 
 def _ordered_part(view, hits, cols):
@@ -1402,6 +1397,12 @@ class DistributedDocPartSearcher:
         if order_by is not None:
             from refimage_ray.query.engine import _normalize_order_by
 
+            if after is not None:
+                # same contract as the engine/in-process searcher
+                raise ValueError(
+                    "after= cursors the score order; it cannot combine "
+                    "with order_by"
+                )
             order_keys = _normalize_order_by(order_by)
             cols = [c for c, _ in order_keys]
             part_lists = ray.get([
@@ -1433,8 +1434,7 @@ class DistributedDocPartSearcher:
         :meth:`DocPartSearcher.search_rescore`: exact global window
         from the scatter, per-actor proximity gaps combined by min."""
         from refimage_ray.functions.text import tokenize
-        from refimage_ray.query.engine import query_terms
-        from refimage_ray.query.scorer import topk_select
+        from refimage_ray.query.engine import _rescore_combine, query_terms
 
         k = cfg.default_k if k is None else k
         if k > window:
@@ -1443,28 +1443,23 @@ class DistributedDocPartSearcher:
                            mode=mode, cfg=cfg)
         if not base:
             return []
-        cand = np.array([d for d, _ in base], np.int64)
-        base_sc = np.array([s for _, s in base], np.float64)
-        order = np.argsort(cand)
-        cand_s = cand[order]
         man_cfg = self.manifest["config"]
         terms = query_terms(tokenize(
             query, man_cfg.get("token_pattern"),
             man_cfg.get("term_filter", "none"),
         ))
-        g = np.full(len(cand_s), np.inf)
-        if len(terms) >= 2:
+
+        def gaps_of(cand_s: np.ndarray) -> np.ndarray:
+            g = np.full(len(cand_s), np.inf)
+            if len(terms) < 2:
+                return g
             for ga in ray.get([a.min_pair_gaps.remote(terms, cand_s)
                                for a in self.actors]):
                 g = np.minimum(g, ga)
-        prox = np.zeros(len(cand_s))
-        finite = np.isfinite(g)
-        prox[finite] = 1.0 / (1.0 + g[finite])
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        combined = query_weight * base_sc + rescore_weight * prox[inv]
-        ids, sc = topk_select(cand, combined, k, float("-inf"))
-        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+            return g
+
+        return _rescore_combine(base, gaps_of, k, query_weight,
+                                rescore_weight)
 
     def search_grouped(
         self,

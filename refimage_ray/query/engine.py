@@ -1124,33 +1124,24 @@ class _SearcherBase:
                            cfg=cfg)
         if not base:
             return []
-        cand = np.array([d for d, _ in base], dtype=np.int64)
-        base_sc = np.array([s for _, s in base], dtype=np.float64)
-        order = np.argsort(cand)  # gap helpers want sorted candidates
-        cand_s = cand[order]
         terms = query_terms(self._tokenize(query))
-        if len(terms) >= 2:
+
+        def gaps_of(cand_s: np.ndarray) -> np.ndarray:
+            if len(terms) < 2:
+                return np.full(len(cand_s), np.inf)
             term_map = self._term_map(terms)
             positional = all(
                 term_map[t].positions is not None
                 for t in terms if t in term_map
             )
             if positional:
-                g = _min_pair_gaps_positions(term_map, terms, cand_s)
-            else:
-                g = _min_pair_gaps_texts(
-                    self.index_dir, terms, cand_s, self._tokenize
-                )
-        else:
-            g = np.full(len(cand_s), np.inf)
-        prox = np.zeros(len(cand_s))
-        finite = np.isfinite(g)
-        prox[finite] = 1.0 / (1.0 + g[finite])
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        combined = query_weight * base_sc + rescore_weight * prox[inv]
-        ids, sc = topk_select(cand, combined, k, float("-inf"))
-        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+                return _min_pair_gaps_positions(term_map, terms, cand_s)
+            return _min_pair_gaps_texts(
+                self.index_dir, terms, cand_s, self._tokenize
+            )
+
+        return _rescore_combine(base, gaps_of, k, query_weight,
+                                rescore_weight)
 
     def suggest(self, term: str, max_suggestions: int = 5) -> list[dict]:
         """Spell suggestion ("did you mean"): vocabulary terms within
@@ -1652,6 +1643,31 @@ def _contains_near(tokens: list[str], terms: list[str], window: int) -> bool:
         ):
             return True
     return False
+
+
+def _rescore_combine(
+    base: list, gaps_of, k: int,
+    query_weight: float, rescore_weight: float,
+) -> list[tuple[int, float]]:
+    """Shared tail of every two-phase rescore (term layout, docpart
+    in-process, docpart distributed): ``base`` is the exact BM25
+    top-window, ``gaps_of(cand_sorted)`` returns each candidate's min
+    pairwise term-position gap (inf = no proximity signal), and the
+    combined ``query_weight·bm25 + rescore_weight·prox`` top-k comes
+    back under the standard (score desc, doc_id asc) order.  One copy
+    keeps the cross-layout bit-parity the tests certify."""
+    cand = np.array([d for d, _ in base], dtype=np.int64)
+    base_sc = np.array([s for _, s in base], dtype=np.float64)
+    order = np.argsort(cand)
+    g = gaps_of(cand[order])
+    prox = np.zeros(len(cand))
+    finite = np.isfinite(g)
+    prox[finite] = 1.0 / (1.0 + g[finite])
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    combined = query_weight * base_sc + rescore_weight * prox[inv]
+    ids, sc = topk_select(cand, combined, k, float("-inf"))
+    return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
 
 def _min_pair_gaps_positions(

@@ -82,6 +82,37 @@ def _buffer_postings(
     return out, ids, dl
 
 
+def _merge_sorted_disjoint(a_key, b_key, a_payloads, b_payloads):
+    """Linear merge of two SORTED, DISJOINT key arrays (+ aligned
+    payload arrays) via searchsorted ranks — the NRT merge primitive.
+    Disjointness is the CALLER's contract (both NRT searchers validate
+    ids on add); violating it would collide output slots."""
+    ia = np.arange(len(a_key), dtype=np.int64) + np.searchsorted(b_key, a_key)
+    ib = np.arange(len(b_key), dtype=np.int64) + np.searchsorted(a_key, b_key)
+    n = len(a_key) + len(b_key)
+    key = np.empty(n, np.int64)
+    key[ia], key[ib] = a_key, b_key
+    outs = []
+    for pa_, pb_ in zip(a_payloads, b_payloads):
+        o = np.empty(n, pa_.dtype)
+        o[ia], o[ib] = pa_, pb_
+        outs.append(o)
+    return key, outs
+
+
+def _lookup_buffered(buf_tables: list, ids: list) -> list[dict]:
+    """Metadata rows for buffered doc_ids (shared by both NRT
+    searchers — serving's metadata join falls back here)."""
+    import pyarrow.compute as pc
+
+    want = sorted(set(int(i) for i in ids))
+    out: list[dict] = []
+    for t in buf_tables:
+        m = pc.is_in(t["doc_id"], value_set=pa.array(want, pa.int64()))
+        out.extend(t.filter(m).to_pylist())
+    return out
+
+
 class DeltaSearcher(_SearcherBase):
     """Search base ∪ buffer with exact merged statistics."""
 
@@ -147,11 +178,7 @@ class DeltaSearcher(_SearcherBase):
         if not len(b):
             self.all_ids = base
             return
-        ia = np.arange(len(base), dtype=np.int64) + np.searchsorted(b, base)
-        ib = np.arange(len(b), dtype=np.int64) + np.searchsorted(base, b)
-        u = np.empty(len(base) + len(b), np.int64)
-        u[ia], u[ib] = base, b
-        self.all_ids = u
+        self.all_ids, _ = _merge_sorted_disjoint(base, b, (), ())
 
     def doc_values(self, columns):
         # the artifact's doc-value files are rank-aligned to the BASE
@@ -203,16 +230,7 @@ class DeltaSearcher(_SearcherBase):
     def lookup_buffered(self, ids: list[int]) -> list[dict]:
         """Metadata rows for buffered doc_ids (serving's metadata join
         falls back here for hits that aren't in the artifact yet)."""
-        import pyarrow.compute as pc
-
-        want = set(int(i) for i in ids)
-        out: list[dict] = []
-        for t in self._buf_tables:
-            m = pc.is_in(
-                t["doc_id"], value_set=pa.array(sorted(want), pa.int64())
-            )
-            out.extend(t.filter(m).to_pylist())
-        return out
+        return _lookup_buffered(self._buf_tables, ids)
 
     def flush(self, out_dir: str, cfg=None) -> str:
         """Persist the buffer through the incremental-add lifecycle
@@ -271,16 +289,11 @@ class DeltaSearcher(_SearcherBase):
                 # both sides arrive doc_id-sorted and disjoint: linear
                 # two-way merge via searchsorted ranks (no argsort of
                 # the full merged stream)
-                a, b = parts_ids
-                ia = np.arange(len(a), dtype=np.int64) + np.searchsorted(b, a)
-                ib = np.arange(len(b), dtype=np.int64) + np.searchsorted(a, b)
-                n = len(a) + len(b)
-                ids = np.empty(n, np.int64)
-                tfs = np.empty(n, parts_tfs[0].dtype)
-                dls = np.empty(n, parts_dls[0].dtype)
-                ids[ia], ids[ib] = a, b
-                tfs[ia], tfs[ib] = parts_tfs
-                dls[ia], dls[ib] = parts_dls
+                ids, (tfs, dls) = _merge_sorted_disjoint(
+                    parts_ids[0], parts_ids[1],
+                    (parts_tfs[0], parts_dls[0]),
+                    (parts_tfs[1], parts_dls[1]),
+                )
             else:
                 ids = parts_ids[0]
                 tfs = parts_tfs[0]
@@ -379,15 +392,8 @@ class _DeltaShardWrap(_SearcherBase):
                 parts.append(bb)
             if len(parts) == 2:
                 (a, at, ad), (b, bt, bd) = parts
-                ia = np.arange(len(a), dtype=np.int64) + np.searchsorted(b, a)
-                ib = np.arange(len(b), dtype=np.int64) + np.searchsorted(a, b)
-                n = len(a) + len(b)
-                ids = np.empty(n, np.int64)
-                tfs = np.empty(n, at.dtype)
-                dls = np.empty(n, ad.dtype)
-                ids[ia], ids[ib] = a, b
-                tfs[ia], tfs[ib] = at, bt
-                dls[ia], dls[ib] = ad, bd
+                ids, (tfs, dls) = _merge_sorted_disjoint(
+                    a, b, (at, ad), (bt, bd))
             else:
                 ids, tfs, dls = parts[0]
             w = bm25_weight(
@@ -458,6 +464,7 @@ class DocPartDeltaSearcher:
         # base global df (terms/ table) + buffered docs with the term
         self._buf_df: dict[str, int] = {}
         self._base_global_df: dict = self.base._global_df
+        self._base_ids: "np.ndarray | None" = None  # lazy universe
         self._buf_tables: list[pa.Table] = []
         self._buf_ids = np.zeros(0, np.int64)
         self._buf_sum_dl = 0
@@ -476,20 +483,48 @@ class DocPartDeltaSearcher:
     def buffered(self) -> int:
         return len(self._buf_ids)
 
-    def add(self, docs: pa.Table) -> int:
-        """Buffer rows; searchable on return.  Doc ids must be new.
+    def _base_universe(self) -> np.ndarray:
+        """Sorted base doc ids, built lazily ONCE: per shard the
+        docvalues universe when present, else the union of the shard's
+        posting doc_ids (membership basis = docs with ≥1 posting — a
+        fully-empty doc can't collide in scoring, only in metadata)."""
+        if self._base_ids is None:
+            parts = []
+            for v in self.base.shards:
+                if v.all_ids is not None:
+                    parts.append(v.all_ids)
+                elif v._tm:
+                    parts.append(np.unique(np.concatenate(
+                        [p.doc_ids for p in v._tm.values()])))
+            self._base_ids = (
+                np.unique(np.concatenate(parts)) if parts
+                else np.zeros(0, np.int64)
+            )
+        return self._base_ids
 
-        A buffered doc whose hash shard wrote NO base file would need a
-        fresh empty shard view; that only happens on pathological
+    def add(self, docs: pa.Table) -> int:
+        """Buffer rows; searchable on return.  Doc ids must be new —
+        checked against the buffer AND the base artifact's doc
+        universe (a duplicate id would collide the disjoint-merge's
+        output slots → duplicate hits with garbage scores).
+
+        A buffered doc whose hash shard wrote NO base file would need
+        a fresh empty shard view; that only happens on pathological
         many-shards-few-docs layouts, so it raises loudly instead."""
         from refimage_ray.index.docpart import _doc_shard_of
 
         if not {"doc_id", "text"} <= set(docs.column_names):
             raise ValueError("add() needs doc_id and text columns")
         postings, ids, dl = _buffer_postings(docs, self._cfg)
-        # disjointness vs buffer + every base shard's posting universe
-        if len(ids) and np.isin(ids, self._buf_ids).any():
-            raise ValueError("doc_ids already buffered")
+        clash = ids[
+            np.isin(ids, self._buf_ids)
+            | np.isin(ids, self._base_universe())
+        ]
+        if len(clash):
+            raise ValueError(
+                f"doc_ids already indexed or buffered: "
+                f"{clash[:5].tolist()}"
+            )
         gk = _doc_shard_of(ids, self._num_doc_shards)
         missing = set(np.unique(gk).tolist()) - set(self._shard_gkeys)
         if missing:
@@ -524,14 +559,7 @@ class DocPartDeltaSearcher:
         return len(ids)
 
     def lookup_buffered(self, ids: list[int]) -> list[dict]:
-        import pyarrow.compute as pc
-
-        want = sorted(set(int(i) for i in ids))
-        out: list[dict] = []
-        for t in self._buf_tables:
-            m = pc.is_in(t["doc_id"], value_set=pa.array(want, pa.int64()))
-            out.extend(t.filter(m).to_pylist())
-        return out
+        return _lookup_buffered(self._buf_tables, ids)
 
     def flush(self, out_dir: str, cfg=None) -> str:
         """Persist through the docpart incremental-add lifecycle and
@@ -626,3 +654,27 @@ class DocPartDeltaSearcher:
 
     def search_regex(self, *a, **k):
         self._needs_flush("regex")
+
+    def search_phrase_prefix(self, *a, **k):
+        self._needs_flush("phrase_prefix")
+
+    def search_rescore(self, *a, **k):
+        self._needs_flush("rescore")
+
+    def search_many(self, *a, **k):
+        self._needs_flush("batch (search_many)")
+
+    def suggest(self, *a, **k):
+        self._needs_flush("suggest")
+
+    def _expand_pairs(self, *a, **k):
+        self._needs_flush("vocabulary-browse (/terms)")
+
+    def facets(self, *a, **k):
+        self._needs_flush("facet")
+
+    def composite(self, *a, **k):
+        self._needs_flush("composite-paging")
+
+    def search_grouped(self, *a, **k):
+        self._needs_flush("grouped")

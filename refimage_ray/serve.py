@@ -291,20 +291,27 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 if limit < 0 or off < 0:
                     return self._json(
                         {"error": "limit/offset must be >= 0"}, 422)
-                try:
-                    dset = _pads.dataset(_os_path.join(index_dir, "docs"))
-                except FileNotFoundError:
-                    return self._json(
-                        {"error": "this artifact's layout keeps no "
-                                  "docs metadata store"}, 422)
-                avail = set(dset.schema.names)
-                if sort_by not in avail:
+                t = state.get("docs_list_tbl")
+                if t is None:
+                    # load-once like every other resident structure;
+                    # /reload drops the cache with the state swap
+                    try:
+                        dset = _pads.dataset(
+                            _os_path.join(index_dir, "docs"))
+                    except FileNotFoundError:
+                        return self._json(
+                            {"error": "this artifact's layout keeps no "
+                                      "docs metadata store"}, 422)
+                    avail = set(dset.schema.names)
+                    cols = [c for c in ("doc_id", "url", "lang",
+                                        "doc_len", "n_chars", "warc_ts")
+                            if c in avail]
+                    t = dset.to_table(columns=cols)
+                    state["docs_list_tbl"] = t
+                if sort_by not in t.column_names:
                     return self._json(
                         {"error": f"sort column {sort_by!r} not in "
                                   "this artifact"}, 422)
-                cols = [c for c in ("doc_id", "url", "lang", "doc_len",
-                                    "n_chars", "warc_ts") if c in avail]
-                t = dset.to_table(columns=cols)
                 keys = [(sort_by, "descending" if order_dir == "desc"
                          else "ascending")]
                 if sort_by != "doc_id":
@@ -902,6 +909,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 state["s"] = fresh
                 state["ex"] = DSLExecutor(state["s"])
                 state["meta_dirs"] = _group_dirs()  # new segments' docs/
+                state.pop("docs_list_tbl", None)  # /docs listing cache
                 # LM counts may have shifted with the corpus; the gen
                 # bump also invalidates a training pass in flight.
                 # MUST hold lm_lock: an unlocked pop/bump could lose
@@ -953,24 +961,24 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 from refimage_ray.query.nrt import DocPartDeltaSearcher
 
                 srch = state["s"]
+                fresh = None
                 if not isinstance(
                     srch, (DeltaSearcher, DocPartDeltaSearcher)
                 ):
                     if isinstance(srch, LocalSearcher):
-                        srch = DeltaSearcher(index_dir, base=srch)
+                        fresh = DeltaSearcher(index_dir, base=srch)
                     elif isinstance(srch, DocPartSearcher):
                         # NRT on the serving-default layout: buffered
                         # docs route to their hash shard, shard views
                         # reweight under merged stats (query/nrt.py)
-                        srch = DocPartDeltaSearcher(index_dir, base=srch)
+                        fresh = DocPartDeltaSearcher(index_dir, base=srch)
                     else:
                         return self._json(
                             {"error": "NRT add needs an in-process "
                                       "deployment (distributed serving "
                                       "adds go through the lifecycle + "
                                       "/reload)"}, 409)
-                    state["s"] = srch
-                    state["ex"] = DSLExecutor(srch)
+                    srch = fresh
                 try:
                     t = pa.table({
                         "doc_id": pa.array(
@@ -985,6 +993,11 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     n = srch.add(t)
                 except ValueError as err:
                     return self._json({"error": str(err)}, 422)
+                if fresh is not None:
+                    # swap ONLY after a successful first add — a failed
+                    # validation must not degrade the deployment
+                    state["s"] = fresh
+                    state["ex"] = DSLExecutor(fresh)
                 return self._json({"added": n, "buffered": srch.buffered,
                                    "n_docs": srch.n_docs})
             if urlparse(self.path).path == "/nl2dsl":

@@ -411,3 +411,23 @@ def test_distributed_docpart_order_boost_rescore_parity(ray_session,
         want = sd.search_rescore(q, k=10, window=25, rescore_weight=2.0)
         assert sx.search_rescore(q, k=10, window=25,
                                  rescore_weight=2.0) == want, q
+
+
+def test_distributed_order_by_rejects_after(ray_session, tiny_docs,
+                                            tmp_path):
+    """after= with order_by raises on BOTH docpart transports (the
+    distributed scatter previously dropped the cursor silently)."""
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    n = tiny_docs.num_rows
+    docs = tiny_docs.append_column(
+        "prio", pa.array([i % 3 for i in range(n)], pa.int64()))
+    dd = str(tmp_path / "doc")
+    build_doc_partitioned(rd.from_arrow(docs), dd,
+                          EngineConfig(num_shards=4, salt_buckets=2),
+                          num_doc_shards=4, value_columns=["prio"])
+    sx = DistributedDocPartSearcher(dd, num_actors=2)
+    sx.wait_ready()
+    with pytest.raises(ValueError, match="after"):
+        sx.search("the data", k=5, order_by=("prio", "asc"),
+                  after=(1.0, 3))

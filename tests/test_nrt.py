@@ -291,3 +291,19 @@ def test_docpart_nrt_rare_term_cross_shard_df(ray_session, tmp_path):
     d.add(buf)
     want = DocPartSearcher(d_full).search("rareword", k=10)
     assert d.search("rareword", k=10) == want
+
+
+def test_docpart_nrt_rejects_base_duplicate_ids(docpart_nrt_setup):
+    """A buffered doc_id already present in the BASE artifact must be
+    rejected (a duplicate would collide the disjoint-merge's output
+    slots → duplicate hits with garbage scores)."""
+    from refimage_ray.query.nrt import DocPartDeltaSearcher
+
+    base_dir, _, _, a, b = docpart_nrt_setup
+    d = DocPartDeltaSearcher(base_dir)
+    dup = a.slice(1, 1).select(["doc_id", "text"])
+    with pytest.raises(ValueError, match="already indexed"):
+        d.add(dup)
+    # nothing was buffered by the failed add
+    assert d.buffered == 0
+    assert d.n_docs == DocPartDeltaSearcher(base_dir).n_docs

@@ -879,6 +879,21 @@ def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
         assert st == 200 and body["count"] == 1
         # expansion/phrase on the buffer refuses with a reason
         assert get("/search?q=zebra&mode=prefix")[0] == 422
+        # every other GET surface answers structurally after the NRT
+        # swap (was: AttributeError dropped the connection)
+        for p in ["/facets?q=data&by=lang", "/grouped?q=data&by=lang",
+                  "/suggest?q=dat", "/terms?prefix=da",
+                  "/search?q=data+ta&mode=phrase_prefix",
+                  "/search?q=data+table&rescore_window=20"]:
+            st, _ = get(p)
+            assert st == 422, p
+        # a failed add (duplicate id) must NOT degrade the deployment:
+        # POST a duplicate to a FRESH docpart server and /facets still
+        # answers 422-for-values (not flush-first)
+        st, body = _req(f"http://127.0.0.1:{port}/docs", "POST",
+                        {"docs": [{"doc_id": 10**12,
+                                   "text": "zebraword again"}]})
+        assert st == 422 and "already" in body["error"]
     finally:
         srv.shutdown()
         srv.server_close()
