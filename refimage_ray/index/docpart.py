@@ -938,6 +938,15 @@ class DocPartSearcher:
         ABC's vocabulary-browse contract — serve /terms)."""
         return self._expander.pairs(kind, arg)[1]
 
+    def composite(self, *a, **k):
+        raise ValueError(
+            "composite after-key paging is not supported on the "
+            "doc-partitioned layout: a shard's size-bounded page "
+            "truncates other shards' counts for boundary keys (ES "
+            "shard_size problem) — use facets (exact, additive) or "
+            "the term-partitioned layout"
+        )
+
     def search_prefix(self, prefix: str, k=None, threshold=None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
                       max_expansions: "int | None" = None,
@@ -1636,6 +1645,12 @@ class DistributedDocPartSearcher:
         """(term, df) pairs from the global terms table (the engine
         ABC's vocabulary-browse contract — serve /terms)."""
         return self._ensure_expander().pairs(kind, arg)[1]
+
+    def composite(self, *a, **k):
+        raise ValueError(
+            "composite after-key paging is not supported on the "
+            "doc-partitioned layout (see DocPartSearcher.composite)"
+        )
 
     def _ensure_expander(self) -> "_GlobalVocabExpander":
         if self._expander is None:

@@ -884,7 +884,8 @@ def test_serve_docpart_artifact_auto_routes(ray_session, tiny_docs,
         for p in ["/facets?q=data&by=lang", "/grouped?q=data&by=lang",
                   "/suggest?q=dat", "/terms?prefix=da",
                   "/search?q=data+ta&mode=phrase_prefix",
-                  "/search?q=data+table&rescore_window=20"]:
+                  "/search?q=data+table&rescore_window=20",
+                  "/composite?q=data&by=lang"]:
             st, _ = get(p)
             assert st == 422, p
         # a failed add (duplicate id) must NOT degrade the deployment:
