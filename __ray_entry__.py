@@ -971,52 +971,47 @@ def entry() -> Any:
 
 
 # Queries never yet certified by a driver CORRECTNESS_r*.json run (the
-# driver checks the first 50 entries in dict order).  Round 3 leads with
-# these so the external gate covers the dedup / analysis / training
-# families whose oracles so far only ran in the local harness; a
-# regression sample of previously-certified queries follows.  Rotate
-# this list each round as CORRECTNESS files accumulate.
+# driver checks the first 50 entries in dict order).  Round 4 leads with
+# the 40 SQL-oracled entries that have never appeared inside a driver
+# window across rounds 1-3 (facets, suggesters, packing, sampling,
+# minhash, docpart ordered/rescored, crawl/url, profiling), then fills
+# the remaining 10 slots with a cross-family regression sample of
+# previously-certified queries.  Rows-only entries (no SQL oracle) are
+# deliberately excluded from the 50-slot window — a slot spent on one
+# returns only a weak rows-ran check.  Rotate each round as
+# CORRECTNESS files accumulate.
 _DRIVER_WINDOW_PRIORITY = [
-    # dedup family (round-2 distributed rewrites — highest value)
-    "dedup_incremental_docs", "ngram_jaccard_near_dups",
-    "simhash_near_dups", "curated_docs", "line_dup_stats",
-    "line_dedup_docs", "line_dedup_keep_first",
-    # text analysis
-    "contamination_stats", "dup_span_stats", "scrub_dup_spans_docs",
-    "doc_len_quantiles", "repetition_stats", "heavy_hitters",
-    "bigram_pmi", "doc_lexical_stats", "dup_rate_by_source",
-    "zipf_fit", "doc_perplexity", "perplexity_filter_stats",
-    "bpe_merges", "lang_classifier_stats", "bpe_token_stats",
-    "distinct_counts", "distinct_terms_hll", "term_counts_cms",
-    "domain_stats", "url_canonical_docs", "url_canonical_dedup",
-    # vectors / embeddings
-    "knn_cosine_pq", "knn_cosine_filtered", "kmeans_cluster_sizes",
-    "semdedup_losers", "embedding_pca_stats", "lang_embedding_stats",
-    "embedding_near_dups_lsh", "hybrid_rrf_topk",
-    # relational / windows
-    "tpch_q3", "tpch_q6", "orders_late_shipment_priority", "tpch_q5",
-    "part_size_class", "events_hopping", "events_funnel",
-    "events_cohort_retention", "events_hourly_rollup",
-    "events_asof_last", "events_user_lag", "events_value_quantiles",
-    "customer_order_counts_left", "events_value_median",
-    "event_transition_pagerank", "table_profile_lineitem",
-    # training-data prep
+    # --- the 40 never-certified value-oracled queries ---
+    # facets family
+    "facet_counts_query", "facet_counts_docpart", "facet_doclen_hist",
+    "facet_doclen_pct", "facet_lang_token_sums", "facet_month_hist",
+    "search_facets", "composite_buckets_page2",
+    # suggesters + percolate
+    "suggest_terms", "suggest_phrase", "percolate_matches",
+    # search variants / paging / docpart
+    "bm25_topk_page2", "bm25_grouped_by_lang",
+    "bm25_topk_runtime_filtered", "bm25_topk_ordered_docpart",
+    "bm25_topk_rescored_docpart", "nrt_docpart_delta_topk",
+    # packing family
     "pack_sequences", "packed_sequences", "curated_packed_sequences",
-    "lm_gated_packed_sequences", "lang_mixture_sample",
-    "lang_temperature_sample", "stratified_sample", "split_by_hash",
-    "url_latest_snapshot", "url_blocklist_stats", "crawl_delta_docs",
-    "weighted_sample_docs", "doc_chunks", "crawl_delta_summary",
-    "pii_scrub_stats", "token_count_multi", "global_shuffle_docs",
-    # search-family entries added late in round 2 (also never checked)
-    "composite_buckets_page2", "bm25_topk_page2", "bm25_grouped_by_lang",
-    "suggest_terms", "suggest_phrase", "facet_counts_query",
-    "facet_counts_docpart", "facet_doclen_hist", "facet_lang_token_sums",
-    "percolate_matches", "search_facets", "facet_month_hist",
-    "facet_doclen_pct", "bm25_topk_runtime_filtered",
-    # regression sample from rounds 1-2 (already certified; keep a few
-    # near the window tail so a regression would still surface)
+    "lm_gated_packed_sequences",
+    # sampling / splits
+    "lang_mixture_sample", "lang_temperature_sample",
+    "stratified_sample", "split_by_hash", "weighted_sample_docs",
+    "global_shuffle_docs",
+    # minhash / simhash values
+    "minhash_near_dups", "minhash_dup_clusters", "simhash_values",
+    # crawl / url lifecycle
+    "crawl_delta_docs", "crawl_delta_summary", "url_latest_snapshot",
+    "url_blocklist_stats",
+    # text analysis / profiling
+    "table_profile_lineitem", "doc_chunks", "pii_scrub_stats",
+    "token_count_multi", "langid_pred", "doc_fingerprints",
+    # --- regression sample (already certified r1-r3; fills the
+    #     window to exactly 50 so a regression still surfaces) ---
     "corpus_stats", "bm25_topk", "term_stats", "tokenize_postings",
-    "minhash_near_dups", "dedup_exact_docs", "knn_cosine", "tpch_q1",
+    "dedup_exact_docs", "knn_cosine", "tpch_q1", "events_sessionize",
+    "bm25_topk_ordered", "list_docs_page",
 ]
 
 

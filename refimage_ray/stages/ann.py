@@ -60,6 +60,69 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+_TOPK_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("score", pa.float64())]
+)
+
+
+def _combine_topk_fn(k: int):
+    """Per-block (query, score desc, vec_id asc) top-k combiner.
+
+    Always returns a TYPED Arrow table — an empty exchange partition
+    would otherwise yield a schema-less block, firing Ray's "RefBundle
+    with a different schema" drift warning and breaking schema
+    agreement across output blocks when a filter legitimately empties
+    a partition.
+    """
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _TOPK_SCHEMA.empty_table()
+        df = batch.to_pandas().sort_values(
+            ["query_id", "score", "vec_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(_TOPK_SCHEMA)
+
+    return combine
+
+
+def _reduce_topk(
+    partials: "ray.data.Dataset", k: int, *, fanin: int = 32
+) -> pa.Table:
+    """Tree-reduce per-batch top-k partials to global per-query top-k.
+
+    Deliberately NOT ``groupby("query_id").map_groups``: a sort-based
+    group exchange emits schema-less empty partitions at small scale
+    (Ray's ``_apply_udf_to_groups`` never calls the UDF on an empty
+    block) and costs a comparison sort of all partials at large scale.
+    The reduction here is k-bounded at every level instead:
+
+      partials (n_blocks · n_q · k rows, typed even when empty)
+        → repartition(fanin) coalesce, per-block per-query top-k
+        → collect ≤ fanin · n_q · k rows, final merge.
+
+    Every intermediate block carries the explicit ``_TOPK_SCHEMA``, so
+    the pipeline is warning-free and schema-stable end to end.
+    """
+    from refimage_ray.stages.dedup_near import collect_small
+
+    combine = _combine_topk_fn(k)
+    lvl1 = partials.repartition(fanin).map_batches(
+        combine, batch_size=None, batch_format="pyarrow"
+    )
+    tbl = collect_small(lvl1, _TOPK_SCHEMA)
+    if tbl.num_rows == 0:
+        return _TOPK_SCHEMA.empty_table()
+    df = tbl.to_pandas().sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    df = df.groupby("query_id", sort=False).head(k)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(_TOPK_SCHEMA)
+
+
 def brute_force_topk(
     emb_ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -103,18 +166,7 @@ def brute_force_topk(
         )
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
-        return g.head(k)
-
-    return (
-        partials.groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-        .pipe(pa.Table.from_pandas, preserve_index=False)
-    )
+    return _reduce_topk(partials, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -187,18 +239,7 @@ def lsh_bucketed_topk(
         return pa.concat_tables(out)
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
-        return g.head(k)
-
-    return (
-        partials.groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-        .pipe(pa.Table.from_pandas, preserve_index=False)
-    )
+    return _reduce_topk(partials, k)
 
 
 def _kmeans_lite(
@@ -284,20 +325,7 @@ def ivf_topk(
         )
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(k)
-
-    return (
-        partials.groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "score", "vec_id"],
-                     ascending=[True, False, True])
-        .pipe(pa.Table.from_pandas, preserve_index=False)
-    )
+    return _reduce_topk(partials, k)
 
 
 _NEAR_DUP_SCHEMA = pa.schema(
@@ -555,17 +583,4 @@ def pq_topk(
         )
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(k)
-
-    return (
-        partials.groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "score", "vec_id"],
-                     ascending=[True, False, True])
-        .pipe(pa.Table.from_pandas, preserve_index=False)
-    )
+    return _reduce_topk(partials, k)

@@ -213,3 +213,60 @@ def test_ann_empty_block_passthrough(ray_session):
     empty = rd.from_arrow(t.slice(0, 0))
     out = brute_force_topk(ds.union(empty), np.array([[1.0, 0.0]]), k=2)
     assert out["vec_id"].to_pylist() == [1, 2]
+
+
+def test_reduce_topk_schema_stable_on_empty_blocks(ray_session):
+    """The tree reduce must keep the typed (query_id, vec_id, score)
+    schema on every intermediate block — including when most exchange
+    partitions are empty — and return a typed empty table for an
+    all-empty input (the map_groups path lost schema here, firing
+    Ray's RefBundle schema-drift warning; see _reduce_topk)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.stages.ann import _TOPK_SCHEMA, _reduce_topk
+
+    def partial(i):
+        return pa.table(
+            {
+                "query_id": pa.array([0, 1], pa.int64()),
+                "vec_id": pa.array([i, 1000 + i], pa.int64()),
+                "score": pa.array([float(i % 7), float(i % 5)], pa.float64()),
+            }
+        )
+
+    tables = [partial(i) if i % 3 == 0 else _TOPK_SCHEMA.empty_table()
+              for i in range(30)]
+    partials = rd.from_arrow(tables)
+    out = _reduce_topk(partials, 3)
+    assert out.schema == _TOPK_SCHEMA
+    # query 0: scores are i % 7 for i in 0,3,...,27 → 6.0 at i=6,27
+    q0 = out.filter(pa.compute.equal(out["query_id"], 0))
+    assert q0["score"].to_pylist() == [6.0, 6.0, 5.0]
+    assert q0["vec_id"].to_pylist() == [6, 27, 12]  # ties → vec_id asc
+
+    # all-empty input: typed empty result, not a schema-less frame
+    empty = rd.from_arrow([_TOPK_SCHEMA.empty_table()] * 4)
+    out2 = _reduce_topk(empty, 3)
+    assert out2.num_rows == 0
+    assert out2.schema == _TOPK_SCHEMA
+
+
+def test_brute_force_topk_empty_dataset(ray_session):
+    """A fully-empty embeddings dataset returns a typed empty top-k."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refimage_ray.stages.ann import _TOPK_SCHEMA, brute_force_topk
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+    out = brute_force_topk(rd.from_arrow(t), np.array([[1.0, 0.0]]), k=2)
+    assert out.num_rows == 0
+    assert out.schema == _TOPK_SCHEMA
