@@ -32,6 +32,49 @@ from refimage_ray.index.reader import TermPostings
 from refimage_ray.query.engine import LocalSearcher, _SearcherBase
 from refimage_ray.query.scorer import bm25_weight
 
+#: Per-searcher (per-shard, for the doc-partitioned wrap) cap on the
+#: per-generation merged-postings memo.  Generous for any real query
+#: mix — the memo holds only QUERIED terms — but bounds an adversarial
+#: or long-tail query stream on a rarely-mutated index.
+_TERM_MEMO_CAP = 65536
+
+
+class _LRUTermMemo:
+    """Bounded LRU for per-(term, generation) merged postings.
+
+    A pure cache: eviction can only cost a rebuild on the next query
+    for that term, never change results (the NRT bit-identity tests
+    hold under a cap smaller than the query vocabulary).  Mutations
+    (add/flush) still ``clear()`` the whole memo — generation safety
+    is the caller's invariant, this class only bounds the size."""
+
+    __slots__ = ("_d", "_cap")
+
+    def __init__(self, cap: int = _TERM_MEMO_CAP):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[str, TermPostings]" = OrderedDict()
+        self._cap = cap
+
+    def get(self, key: str):
+        v = self._d.get(key)
+        if v is not None:
+            self._d.move_to_end(key)
+        return v
+
+    def __setitem__(self, key: str, value) -> None:
+        d = self._d
+        d[key] = value
+        d.move_to_end(key)
+        if len(d) > self._cap:
+            d.popitem(last=False)
+
+    def clear(self) -> None:
+        self._d.clear()
+
+    def __len__(self) -> int:
+        return len(self._d)
+
 
 def _buffer_postings(
     table: pa.Table, cfg
@@ -156,9 +199,10 @@ class DeltaSearcher(_SearcherBase):
         # add()/flush(), so a term's merged+reweighted postings are
         # immutable between buffer mutations — rebuild-per-query was
         # the NRT p95 gap (concat + sort + full weight recompute over
-        # the BASE posting mass each query).  Bounded by the queried
-        # vocabulary; cleared on every buffer mutation.
-        self._tm_cache: dict[str, TermPostings] = {}
+        # the BASE posting mass each query).  LRU-bounded (the queried
+        # vocabulary can be adversarially large between mutations);
+        # cleared on every buffer mutation.
+        self._tm_cache = _LRUTermMemo()
         # dense-TAAT rank universe over base ∪ buffer: rebuilt once
         # per buffer MUTATION (linear merge of two sorted disjoint id
         # arrays), and per-term ranks attach lazily in the per-gen
@@ -356,7 +400,7 @@ class _DeltaShardWrap(_SearcherBase):
         self.token_pattern = inner.token_pattern
         self.term_filter = inner.term_filter
         self.all_ids = None
-        self._cache: dict[str, TermPostings] = {}
+        self._cache = _LRUTermMemo()
 
     # merged stats live on the owner (one refresh per add/flush)
     @property

@@ -64,6 +64,12 @@ _COND_RE = re.compile(
     r"^\s*(\w+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$"
 )
 
+#: GET /docs keeps the (narrow) docs metadata resident for paging; at
+#: corpus scale that is unbounded serving-process memory, so past this
+#: many rows the endpoint refuses (422) and defers to the offline
+#: ``list_docs_page`` pipeline.
+_DOCS_LIST_CAP = 1_000_000
+
 
 def _typed(raw: str):
     """int → float → bare string (quotes optional for strings)."""
@@ -164,6 +170,11 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
         "s": searcher if searcher is not None else searcher_factory(),
         "lm_lock": _threading.Lock(),  # phrase-suggester lazy init
         "lm_gen": 0,                   # bumped by /reload
+        # serializes NRT construct+add+swap: two concurrent first adds
+        # would otherwise each build a fresh delta searcher from the
+        # same base, both return 200, and only the last swap survives
+        # (the other request's acknowledged docs vanish from serving)
+        "add_lock": _threading.Lock(),
     }
 
     def _group_dirs():
@@ -294,7 +305,11 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 t = state.get("docs_list_tbl")
                 if t is None:
                     # load-once like every other resident structure;
-                    # /reload drops the cache with the state swap
+                    # /reload drops the cache with the state swap.
+                    # BOUNDED: the listing cache is a serving-process
+                    # resident; past the cap the endpoint refuses and
+                    # points at the offline pipeline instead of
+                    # swallowing corpus-sized memory per process
                     try:
                         dset = _pads.dataset(
                             _os_path.join(index_dir, "docs"))
@@ -302,21 +317,38 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                         return self._json(
                             {"error": "this artifact's layout keeps no "
                                       "docs metadata store"}, 422)
+                    n_rows = dset.count_rows()
+                    if n_rows > _DOCS_LIST_CAP:
+                        return self._json(
+                            {"error": "docs listing is capped at "
+                                      f"{_DOCS_LIST_CAP} resident rows "
+                                      f"(artifact has {n_rows}); use the "
+                                      "offline list_docs_page pipeline "
+                                      "for corpus-scale listings",
+                             "code": "docs_listing_too_large"}, 422)
                     avail = set(dset.schema.names)
                     cols = [c for c in ("doc_id", "url", "lang",
                                         "doc_len", "n_chars", "warc_ts")
                             if c in avail]
                     t = dset.to_table(columns=cols)
                     state["docs_list_tbl"] = t
+                    state["docs_sort_idx"] = {}
                 if sort_by not in t.column_names:
                     return self._json(
                         {"error": f"sort column {sort_by!r} not in "
                                   "this artifact"}, 422)
-                keys = [(sort_by, "descending" if order_dir == "desc"
-                         else "ascending")]
-                if sort_by != "doc_id":
-                    keys.append(("doc_id", "ascending"))
-                sel = _pc.sort_indices(t, sort_keys=keys)
+                # one sorted index per (column, dir) — computed once,
+                # O(log n) pages afterwards; bounded by the whitelisted
+                # sort columns × 2 directions
+                sel = state["docs_sort_idx"].get((sort_by, order_dir))
+                if sel is None:
+                    keys = [(sort_by,
+                             "descending" if order_dir == "desc"
+                             else "ascending")]
+                    if sort_by != "doc_id":
+                        keys.append(("doc_id", "ascending"))
+                    sel = _pc.sort_indices(t, sort_keys=keys)
+                    state["docs_sort_idx"][(sort_by, order_dir)] = sel
                 page = t.take(sel[off:off + limit])
                 return self._json({
                     "docs": [
@@ -906,10 +938,16 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 fresh = searcher_factory()
                 if hasattr(fresh, "wait_ready"):
                     fresh.wait_ready()
-                state["s"] = fresh
-                state["ex"] = DSLExecutor(state["s"])
+                # add_lock: an in-flight NRT /add must not swap a delta
+                # built over the PRE-reload base back in after this
+                # snapshot lands (its buffered docs would shadow the
+                # reloaded artifact)
+                with state["add_lock"]:
+                    state["s"] = fresh
+                    state["ex"] = DSLExecutor(state["s"])
                 state["meta_dirs"] = _group_dirs()  # new segments' docs/
                 state.pop("docs_list_tbl", None)  # /docs listing cache
+                state.pop("docs_sort_idx", None)
                 # LM counts may have shifted with the corpus; the gen
                 # bump also invalidates a training pass in flight.
                 # MUST hold lm_lock: an unlocked pop/bump could lose
@@ -960,25 +998,6 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 from refimage_ray.index.docpart import DocPartSearcher
                 from refimage_ray.query.nrt import DocPartDeltaSearcher
 
-                srch = state["s"]
-                fresh = None
-                if not isinstance(
-                    srch, (DeltaSearcher, DocPartDeltaSearcher)
-                ):
-                    if isinstance(srch, LocalSearcher):
-                        fresh = DeltaSearcher(index_dir, base=srch)
-                    elif isinstance(srch, DocPartSearcher):
-                        # NRT on the serving-default layout: buffered
-                        # docs route to their hash shard, shard views
-                        # reweight under merged stats (query/nrt.py)
-                        fresh = DocPartDeltaSearcher(index_dir, base=srch)
-                    else:
-                        return self._json(
-                            {"error": "NRT add needs an in-process "
-                                      "deployment (distributed serving "
-                                      "adds go through the lifecycle + "
-                                      "/reload)"}, 409)
-                    srch = fresh
                 try:
                     t = pa.table({
                         "doc_id": pa.array(
@@ -989,17 +1008,43 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 except (KeyError, TypeError) as err:
                     return self._json(
                         {"error": f"bad docs payload: {err}"}, 422)
-                try:
-                    n = srch.add(t)
-                except ValueError as err:
-                    return self._json({"error": str(err)}, 422)
-                if fresh is not None:
-                    # swap ONLY after a successful first add — a failed
-                    # validation must not degrade the deployment
-                    state["s"] = fresh
-                    state["ex"] = DSLExecutor(fresh)
-                return self._json({"added": n, "buffered": srch.buffered,
-                                   "n_docs": srch.n_docs})
+                # construct+add+swap under one lock: on ThreadingHTTPServer
+                # two concurrent first adds could each build a fresh delta
+                # from the same base and the loser's docs would vanish
+                with state["add_lock"]:
+                    srch = state["s"]
+                    fresh = None
+                    if not isinstance(
+                        srch, (DeltaSearcher, DocPartDeltaSearcher)
+                    ):
+                        if isinstance(srch, LocalSearcher):
+                            fresh = DeltaSearcher(index_dir, base=srch)
+                        elif isinstance(srch, DocPartSearcher):
+                            # NRT on the serving-default layout: buffered
+                            # docs route to their hash shard, shard views
+                            # reweight under merged stats (query/nrt.py)
+                            fresh = DocPartDeltaSearcher(
+                                index_dir, base=srch)
+                        else:
+                            return self._json(
+                                {"error": "NRT add needs an in-process "
+                                          "deployment (distributed serving "
+                                          "adds go through the lifecycle + "
+                                          "/reload)"}, 409)
+                        srch = fresh
+                    try:
+                        n = srch.add(t)
+                    except ValueError as err:
+                        return self._json({"error": str(err)}, 422)
+                    if fresh is not None:
+                        # swap ONLY after a successful first add — a
+                        # failed validation must not degrade the
+                        # deployment
+                        state["s"] = fresh
+                        state["ex"] = DSLExecutor(fresh)
+                    return self._json(
+                        {"added": n, "buffered": srch.buffered,
+                         "n_docs": srch.n_docs})
             if urlparse(self.path).path == "/nl2dsl":
                 from refimage_ray.query.nl import ProviderError, text_to_dsl
 

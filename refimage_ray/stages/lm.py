@@ -228,10 +228,15 @@ def save_bigram_lm(lm: BigramLM, out_dir: str) -> str:
         json.dump({"k": lm.k, "n_vocab": int(lm.vocab_size),
                    "n_bigrams": int(len(lm.bigram_keys))}, f)
     # Swap with the old artifact renamed ASIDE first (not rmtree'd in
-    # place): a crash between the two steps leaves either the old or
+    # place): a crash between the two renames leaves either the old or
     # the new dir present under out_dir-adjacent names, never a
-    # missing/partial artifact, and a concurrent loader of the old
-    # path sees a complete directory until the single rename lands.
+    # PARTIAL artifact.  This is crash-safe but NOT atomically visible:
+    # between rename(out_dir, old) and rename(tmp, out_dir) a
+    # concurrent loader sees out_dir briefly missing —
+    # load_bigram_lm retries through that window.  (A truly
+    # single-rename cutover would need out_dir to be a symlink flipped
+    # via os.replace; kept a plain directory so existing artifacts and
+    # rmtree-based callers stay compatible.)
     old = out_dir + ".old"
     if os.path.exists(old):
         import shutil
@@ -247,33 +252,56 @@ def save_bigram_lm(lm: BigramLM, out_dir: str) -> str:
     return out_dir
 
 
-def load_bigram_lm(lm_dir: str) -> BigramLM:
+def load_bigram_lm(lm_dir: str, *, _retries: int = 20) -> BigramLM:
     """Load a :func:`save_bigram_lm` artifact — scores are
     bit-identical to the in-memory model that wrote it (frozen int
-    counts, same float arithmetic)."""
+    counts, same float arithmetic).
+
+    Retries the WHOLE load on a missing path or a meta/count mismatch:
+    a concurrent :func:`save_bigram_lm` swap has a short window between
+    its two renames where ``lm_dir`` does not exist, and a swap landing
+    mid-load can pair one generation's ``lm.json`` with the next
+    generation's parquet files (see the swap comment there); any
+    snapshot that loads consistently is always a complete artifact."""
     import json
     import os
+    import time
 
     import pyarrow.parquet as pq
 
-    with open(os.path.join(lm_dir, "lm.json")) as f:
-        meta = json.load(f)
-    uni = pq.read_table(os.path.join(lm_dir, "unigrams.parquet"))
-    big = pq.read_table(os.path.join(lm_dir, "bigrams.parquet"))
-    vocab = np.asarray(uni["term"].to_pylist(), dtype=str)
-    lm = BigramLM(
-        vocab,
-        uni["n"].to_numpy(zero_copy_only=False).astype(np.int64),
-        big["key"].to_numpy(zero_copy_only=False).astype(np.int64),
-        big["n"].to_numpy(zero_copy_only=False).astype(np.int64),
-        float(meta["k"]),
-    )
-    if lm.vocab_size != meta["n_vocab"] or len(lm.bigram_keys) != meta["n_bigrams"]:
-        raise ValueError(
-            f"LM artifact {lm_dir} row counts disagree with lm.json "
-            f"(truncated write?)"
-        )
-    return lm
+    last_err: Exception | None = None
+    for attempt in range(_retries):
+        try:
+            with open(os.path.join(lm_dir, "lm.json")) as f:
+                meta = json.load(f)
+            uni = pq.read_table(os.path.join(lm_dir, "unigrams.parquet"))
+            big = pq.read_table(os.path.join(lm_dir, "bigrams.parquet"))
+            vocab = np.asarray(uni["term"].to_pylist(), dtype=str)
+            lm = BigramLM(
+                vocab,
+                uni["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+                big["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+                big["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+                float(meta["k"]),
+            )
+            if (lm.vocab_size != meta["n_vocab"]
+                    or len(lm.bigram_keys) != meta["n_bigrams"]):
+                raise _TornLMRead(
+                    f"LM artifact {lm_dir} row counts disagree with "
+                    "lm.json (concurrent swap or truncated write)"
+                )
+            return lm
+        except (FileNotFoundError, _TornLMRead) as err:
+            last_err = err
+            time.sleep(0.05)
+    if isinstance(last_err, _TornLMRead):
+        raise ValueError(str(last_err))
+    raise last_err
+
+
+class _TornLMRead(Exception):
+    """Internal: a load observed files from two different swap
+    generations; retried inside :func:`load_bigram_lm`."""
 
 
 class PerplexityScore:

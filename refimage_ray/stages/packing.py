@@ -159,11 +159,27 @@ def build_vocab(
     if min_df is not None:
         dfreq = dfreq.filter(expr=f"n >= {int(min_df)}")
     if max_terms is not None:
+        # over-fetch one row so actual truncation is detected exactly
+        # (a silent cut changes the id map vs a pre-cap build — token
+        # artifacts built across the two would not be comparable)
         rows = (
             dfreq.sort(["n", "term"], descending=[True, False])
-            .limit(int(max_terms))
+            .limit(int(max_terms) + 1)
             .take_all()
         )
+        if len(rows) > int(max_terms):
+            import warnings
+
+            warnings.warn(
+                f"build_vocab: corpus has more than max_terms="
+                f"{int(max_terms)} distinct terms; the vocabulary is "
+                "frequency-truncated and out-of-vocab tokens will map "
+                "to id -1. Pass max_terms=None for the uncapped "
+                "distinct set (bounded corpora only) if you need id "
+                "maps compatible with a pre-cap artifact.",
+                stacklevel=2,
+            )
+            rows = rows[: int(max_terms)]
     else:
         rows = dfreq.take_all()
     return sorted(r["term"] for r in rows)

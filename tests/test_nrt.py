@@ -307,3 +307,39 @@ def test_docpart_nrt_rejects_base_duplicate_ids(docpart_nrt_setup):
     # nothing was buffered by the failed add
     assert d.buffered == 0
     assert d.n_docs == DocPartDeltaSearcher(base_dir).n_docs
+
+
+def test_nrt_term_memo_eviction_is_pure(nrt_setup):
+    """The per-generation term memo is LRU-bounded; with a cap smaller
+    than the query vocabulary, evicted terms rebuild on re-query and
+    results stay bit-identical to the unbounded searcher."""
+    from refimage_ray.query.nrt import _LRUTermMemo
+
+    base_dir, full_dir, a, b = nrt_setup
+    capped = DeltaSearcher(base_dir)
+    capped._tm_cache = _LRUTermMemo(cap=2)
+    capped.add(b)
+    free = DeltaSearcher(base_dir)
+    free.add(b)
+    full = LocalSearcher(full_dir)
+    # interleave queries so hot terms churn through the tiny memo
+    for _ in range(3):
+        for q in QUERIES:
+            got = capped.search(q, k=25)
+            assert got == free.search(q, k=25), q
+            assert got == full.search(q, k=25), q
+    assert len(capped._tm_cache) <= 2
+
+
+def test_lru_term_memo_semantics():
+    from refimage_ray.query.nrt import _LRUTermMemo
+
+    m = _LRUTermMemo(cap=2)
+    m["a"] = 1
+    m["b"] = 2
+    assert m.get("a") == 1       # touch → "a" becomes most-recent
+    m["c"] = 3                   # evicts "b" (least recent)
+    assert m.get("b") is None
+    assert m.get("a") == 1 and m.get("c") == 3
+    m.clear()
+    assert len(m) == 0 and m.get("a") is None

@@ -932,3 +932,51 @@ def test_docs_listing_route(server):
         except urllib.error.HTTPError as e:
             st = e.code
         assert st == 422, bad
+
+
+def test_post_docs_concurrent_first_add_loses_nothing(server):
+    """Race regression: N concurrent first POST /docs requests on the
+    ThreadingHTTPServer each used to construct a fresh delta searcher
+    from the same base — every add answered 200 but only the last
+    swap survived, silently dropping the other requests' docs.  The
+    construct+add+swap now serializes under add_lock, so every
+    acknowledged doc must be searchable."""
+    base, d = server
+    # make sure we start from a plain snapshot (no delta yet)
+    st, _ = _req(base + "/reload", "POST")
+    assert st == 200
+
+    results, errors = [], []
+
+    def add(i):
+        try:
+            st_i, body_i = _req(
+                base + "/docs", "POST",
+                {"docs": [{"doc_id": 10**12 + 100 + i,
+                           "text": f"xylophone concurrent {i}"}]})
+            results.append((st_i, body_i))
+        except Exception as err:  # noqa: BLE001 — record, assert below
+            errors.append(err)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert [st for st, _ in results] == [200] * 6
+    st, res = _get(base + "/search?q=xylophone&k=20")
+    got = {r["doc_id"] for r in res["results"]}
+    assert got == {10**12 + 100 + i for i in range(6)}
+    # restore the plain snapshot for later tests in this module
+    st, _ = _req(base + "/reload", "POST")
+    assert st == 200
+
+
+def test_docs_listing_repeat_uses_cached_sort(server):
+    """Paging the same sort twice is identical (the per-(column, dir)
+    sorted index is cached rather than re-sorted per request)."""
+    base, d = server
+    st1, b1 = _get(base + "/docs?limit=4&sort=doc_len&dir=desc")
+    st2, b2 = _get(base + "/docs?limit=4&sort=doc_len&dir=desc")
+    assert st1 == st2 == 200 and b1 == b2
