@@ -38,6 +38,28 @@ import ray
 from ray.data.aggregate import Sum
 
 
+@ray.remote(num_cpus=0)
+class _EdgeBucketRegistry:
+    """Owner + map of the staged per-bucket edge pieces.
+
+    Staging workers ``ray.put(piece, _owner=registry)`` — the bytes
+    stay in the CREATING worker's local object store (no data flows
+    through this actor), but ownership transfers here so pieces
+    survive worker churn for the whole power iteration.  The actor
+    itself only holds the {bucket: [refs]} map."""
+
+    def __init__(self) -> None:
+        self._refs: dict[int, list] = {}
+
+    def add(self, bucket: int, wrapped_refs: list) -> None:
+        # refs arrive WRAPPED in a list: a bare ObjectRef argument
+        # would be auto-dereferenced by Ray's arg resolution
+        self._refs.setdefault(int(bucket), []).extend(wrapped_refs)
+
+    def refs(self) -> dict:
+        return self._refs
+
+
 def pagerank(
     edges_ds,
     damping: float = 0.85,
@@ -168,11 +190,16 @@ def pagerank_distributed(
     reference, so ranks match to ~1e-12 relative, not bit-exactly —
     same contract as :func:`pagerank`'s groupby sums.
 
-    Scale notes: each iteration re-buckets the (materialized) edge
-    list through the join's groupby exchange — one all-to-all of edge
-    rows per iteration, the inherent cost of join-based PR on an
-    engine without persistent partitioning; ranks-side state is
-    node-count rows.  ``tol`` adds one narrow aggregate per iteration.
+    Scale notes: the edge list is staged ONCE into per-bucket
+    object-store pieces keyed by hash(src) (worker-local ``ray.put``
+    with ownership transferred to a registry actor); each iteration
+    exchanges only the node-count share table into those buckets and
+    joins per bucket against the resident pieces.  Per-iteration
+    shuffle volume is therefore O(nodes) — edge bytes move at most
+    once at staging and never again.  ``tol`` adds one narrow
+    aggregate per iteration.  Partitioning assumption: a bucket's
+    edge pieces plus its share slice fit one task's memory (tune
+    ``buckets`` to the graph).
     """
     import pyarrow.compute as _pc
 
@@ -248,6 +275,52 @@ def pagerank_distributed(
         .materialize()
     )
 
+    # ---- bucket-persistent edge staging --------------------------------
+    # The contribution join used to re-bucket the MATERIALIZED edge
+    # list through hash_join's groupby exchange every iteration — an
+    # all-to-all of edge rows per iteration.  The edge list is now
+    # staged ONCE into per-bucket object-store pieces keyed by
+    # hash(src): each staging task splits its block locally and
+    # ray.put's the pieces in place (ownership transferred to a
+    # zero-cpu registry actor so pieces outlive worker churn).  Each
+    # iteration then exchanges only the NARROW share table
+    # (node-count rows) into the same buckets and joins per bucket
+    # against the resident pieces — edge bytes never cross an
+    # exchange again, so the per-iteration shuffle is O(nodes), not
+    # O(edges).
+    registry = _EdgeBucketRegistry.remote()
+    # ray.put(_owner=...) needs a STARTED actor; block until the
+    # registry is alive before any staging task runs
+    ray.get(registry.refs.remote())
+
+    def stage_block(b: pa.Table) -> pa.Table:
+        from refimage_ray.stages.joins import bucket_of
+
+        eb = np.asarray(bucket_of(b[src_col], buckets))
+        acks = []
+        for v in np.unique(eb):
+            piece = (
+                b.filter(pa.array(eb == v))
+                .select([src_col, dst_col])
+                .combine_chunks()
+            )
+            ref = ray.put(piece, _owner=registry)
+            acks.append(registry.add.remote(int(v), [ref]))
+        if acks:
+            ray.get(acks)
+        return pa.table({"staged": pa.array([b.num_rows], pa.int64())})
+
+    edges.map_batches(stage_block, batch_format="pyarrow").sum("staged")
+    # broadcast the {bucket: [refs]} map once (one small handle per
+    # task instead of re-serializing the ref map into every closure)
+    pieces_handle = ray.put(ray.get(registry.refs.remote()))
+
+    _CONTRIB_SCHEMA = pa.schema([
+        ("node", pa.string()), ("outdeg", pa.int64()),
+        ("rank", pa.float64()), ("c", pa.float64()),
+        ("upd_bucket", pa.int64()),
+    ])
+
     def share_map(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -286,18 +359,32 @@ def pagerank_distributed(
             "upd_bucket": _node_bucket(b["node"]),
         })
 
-    def contrib_rows(b: pa.Table) -> pa.Table:
-        g = (
-            pa.table({"node": b[dst_col], "c": b["share"]})
-            .group_by("node").aggregate([("c", "sum")])
-        )
-        nr = g.num_rows
+    def add_share_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("sb", _node_bucket(b["node"]))
+
+    def contrib_bucket(g: pa.Table) -> pa.Table:
+        """One share bucket × its resident edge pieces → per-dst
+        contribution partials (unified update-stream rows)."""
+        if g.num_rows == 0:
+            return _CONTRIB_SCHEMA.empty_table()
+        sb = int(g["sb"][0].as_py())
+        piece_refs = ray.get(pieces_handle).get(sb)
+        if not piece_refs:
+            return _CONTRIB_SCHEMA.empty_table()
+        ed = pa.concat_tables(ray.get(piece_refs)).to_pandas()
+        sh = g.select(["node", "share"]).to_pandas()
+        m = ed.merge(sh, left_on=src_col, right_on="node", how="inner")
+        if not len(m):
+            return _CONTRIB_SCHEMA.empty_table()
+        cs = m.groupby(dst_col, sort=False)["share"].sum()
+        nodes_out = pa.array(cs.index.to_numpy(dtype=object), pa.string())
+        nr = len(cs)
         return pa.table({
-            "node": g["node"],
+            "node": nodes_out,
             "outdeg": pa.nulls(nr, pa.int64()),
             "rank": pa.nulls(nr, pa.float64()),
-            "c": g["c_sum"],
-            "upd_bucket": _node_bucket(g["node"]),
+            "c": pa.array(cs.to_numpy(np.float64), pa.float64()),
+            "upd_bucket": _node_bucket(nodes_out),
         })
 
     for _ in range(iters):
@@ -306,12 +393,12 @@ def pagerank_distributed(
             .sum("d")
         ) or 0.0
         base = (1.0 - damping) / n + damping * dangling / n
-        contribs = hash_join(
-            edges, ranks.map_batches(share_map, batch_format="pyarrow"),
-            left_on=src_col, right_on="node",
-            left_cols=[src_col, dst_col], right_cols=["node", "share"],
-            buckets=buckets, how="inner",
-        ).map_batches(contrib_rows, batch_format="pyarrow")
+        contribs = (
+            ranks.map_batches(share_map, batch_format="pyarrow")
+            .map_batches(add_share_bucket, batch_format="pyarrow")
+            .groupby("sb")
+            .map_groups(contrib_bucket, batch_format="pyarrow")
+        )
 
         def apply_update(g, base=base):
             import pandas as pd
@@ -350,6 +437,11 @@ def pagerank_distributed(
         ranks = rd.from_arrow_refs(ranks.to_arrow_refs())
         if tol is not None and (ranks.sum("delta") or 0.0) < tol:
             break
+
+    # the final result depends only on the materialized rank blocks
+    # (driver-owned); killing the registry releases every staged edge
+    # piece promptly instead of waiting for handle GC
+    ray.kill(registry)
 
     def final(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -196,3 +196,29 @@ def test_pagerank_distributed_integer_node_ids(ray_session):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_pagerank_distributed_edges_staged_once(ray_session, monkeypatch):
+    """Bucket-persistent join: the edge list is staged into per-bucket
+    object-store pieces ONCE — hash_join (the old per-iteration edge
+    exchange) now runs exactly once, for the initial out-degree join,
+    regardless of iteration count."""
+    import refimage_ray.stages.graph as graph_mod
+    from refimage_ray.stages import joins as joins_mod
+
+    calls = []
+    real = joins_mod.hash_join
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(joins_mod, "hash_join", counting)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    got = {r["node"]: r["rank"]
+           for r in graph_mod.pagerank_distributed(
+               _edges_ds(edges), iters=7, buckets=4).take_all()}
+    want = _numpy_pagerank(edges, iters=7)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert len(calls) == 1
