@@ -986,6 +986,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "facet_counts_query", "facet_counts_docpart", "facet_doclen_hist",
     "facet_doclen_pct", "facet_lang_token_sums", "facet_month_hist",
     "search_facets", "composite_buckets_page2",
+    "composite_buckets_page2_docpart",
     # suggesters + percolate
     "suggest_terms", "suggest_phrase", "percolate_matches",
     # search variants / paging / docpart
@@ -1011,7 +1012,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #     window to exactly 50 so a regression still surfaces) ---
     "corpus_stats", "bm25_topk", "term_stats", "tokenize_postings",
     "dedup_exact_docs", "knn_cosine", "tpch_q1", "events_sessionize",
-    "bm25_topk_ordered", "list_docs_page",
+    "bm25_topk_ordered",
 ]
 
 
@@ -1085,6 +1086,8 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_rescored_docpart": search.bm25_topk_rescored_docpart,
         "bm25f_topk": search.bm25f_topk,
         "composite_buckets_page2": search.composite_buckets_page2,
+        "composite_buckets_page2_docpart":
+            search.composite_buckets_page2_docpart,
         "bm25_topk_page2": search.bm25_topk_page2,
         "bm25_grouped_by_lang": search.bm25_grouped_by_lang,
         "suggest_terms": search.suggest_terms,
@@ -1770,6 +1773,16 @@ FROM pos GROUP BY term ORDER BY term
         # composite agg: after-key paging over key-ordered buckets is
         # definitionally OFFSET paging of the same ordered bucket list
         "composite_buckets_page2": f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'the')
+SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS doc_count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source
+LIMIT 10 OFFSET 10
+""",
+        # doc-partitioned exact composite (full per-shard bucket lists
+        # merged additively) answers bucket-for-bucket the same page
+        "composite_buckets_page2_docpart": f"""
 WITH m AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'the')
 SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d JOIN m USING (doc_id)

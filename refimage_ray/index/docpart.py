@@ -938,14 +938,40 @@ class DocPartSearcher:
         ABC's vocabulary-browse contract — serve /terms)."""
         return self._expander.pairs(kind, arg)[1]
 
-    def composite(self, *a, **k):
-        raise ValueError(
-            "composite after-key paging is not supported on the "
-            "doc-partitioned layout: a shard's size-bounded page "
-            "truncates other shards' counts for boundary keys (ES "
-            "shard_size problem) — use facets (exact, additive) or "
-            "the term-partitioned layout"
-        )
+    def composite(
+        self,
+        query: str,
+        by: "list[str]",
+        size: int = 10,
+        after: "tuple | None" = None,
+        mode: str = "or",
+        where=None,
+    ) -> dict:
+        """EXACT composite after-key paging on the doc-partitioned
+        layout (the batch/offline path).
+
+        The ES ``shard_size`` truncation problem — a shard's
+        size-bounded page dropping other shards' counts for boundary
+        keys — cannot occur here because each shard returns its FULL
+        bucket list past the cursor (``engine.composite_all``);
+        counts merge additively (doc shards are disjoint), keys sort
+        ascending, and the page cut happens only after the global
+        merge.  Cost per page: O(distinct key-tuples past the cursor)
+        per shard — the cardinality assumption facets already make —
+        independent of match-set size.  Results are identical to the
+        term-partitioned ``engine.composite`` (asserted in tests).
+        """
+        if size <= 0:
+            raise ValueError(f"size must be > 0, got {size}")
+        merged: "dict[tuple, int]" = {}
+        for sh in self.shards:
+            for b in sh.composite_all(query, by, mode=mode, after=after,
+                                      where=where):
+                merged[b["key"]] = merged.get(b["key"], 0) + b["doc_count"]
+        keys = sorted(merged)
+        page = [{"key": k2, "doc_count": merged[k2]} for k2 in keys[:size]]
+        after_key = page[-1]["key"] if page and len(keys) > size else None
+        return {"buckets": page, "after_key": after_key}
 
     def search_prefix(self, prefix: str, k=None, threshold=None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1318,6 +1344,18 @@ class _DocShardActor:
             for v in self._views
         ])
 
+    def composite_all(self, query, by, mode, where, after) -> list[dict]:
+        """FULL per-key bucket counts past the cursor over this
+        actor's doc shards — additive partials for the driver's exact
+        composite merge (no per-shard size bound: the ES shard_size
+        truncation cannot occur)."""
+        merged: "dict[tuple, int]" = {}
+        for v in self._views:
+            for b in v.composite_all(query, by, mode=mode, after=after,
+                                     where=where):
+                merged[b["key"]] = merged.get(b["key"], 0) + b["doc_count"]
+        return [{"key": k, "doc_count": n} for k, n in merged.items()]
+
     def match_value_stats(self, query, col, mode, where):
         parts = [v.match_value_stats(query, col, mode, where)
                  for v in self._views]
@@ -1646,11 +1684,34 @@ class DistributedDocPartSearcher:
         ABC's vocabulary-browse contract — serve /terms)."""
         return self._ensure_expander().pairs(kind, arg)[1]
 
-    def composite(self, *a, **k):
-        raise ValueError(
-            "composite after-key paging is not supported on the "
-            "doc-partitioned layout (see DocPartSearcher.composite)"
-        )
+    def composite(
+        self,
+        query: str,
+        by: "list[str]",
+        size: int = 10,
+        after: "tuple | None" = None,
+        mode: str = "or",
+        where=None,
+    ) -> dict:
+        """EXACT composite paging, scatter-gather: each actor returns
+        its FULL bucket list past the cursor (additive partials — see
+        ``DocPartSearcher.composite`` for why no per-shard size bound
+        is the whole point); the driver merges, sorts keys ascending
+        and cuts the page."""
+        if size <= 0:
+            raise ValueError(f"size must be > 0, got {size}")
+        parts = ray.get([
+            a.composite_all.remote(query, by, mode, where, after)
+            for a in self.actors
+        ])
+        merged: "dict[tuple, int]" = {}
+        for part in parts:
+            for b in part:
+                merged[b["key"]] = merged.get(b["key"], 0) + b["doc_count"]
+        keys = sorted(merged)
+        page = [{"key": k2, "doc_count": merged[k2]} for k2 in keys[:size]]
+        after_key = page[-1]["key"] if page and len(keys) > size else None
+        return {"buckets": page, "after_key": after_key}
 
     def _ensure_expander(self) -> "_GlobalVocabExpander":
         if self._expander is None:

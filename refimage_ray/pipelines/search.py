@@ -717,7 +717,21 @@ def composite_buckets_page2(
     buckets of the query's match set — bucket pagination driven by the
     page-1 after_key exactly as a client would (``engine.composite``).
     After-key paging over key-ordered buckets ≡ OFFSET in SQL."""
-    s = searcher_for(sf_dir)
+    return _composite_page2(searcher_for(sf_dir), query, size)
+
+
+def composite_buckets_page2_docpart(
+    sf_dir: str, query: str = "the", size: int = 10
+) -> pa.Table:
+    """The same second composite page on the DOC-partitioned layout —
+    the exact batch path (``index/docpart.DocPartSearcher.composite``:
+    every shard returns its full bucket list past the cursor, so the
+    ES shard_size truncation cannot occur) — and therefore shares the
+    term layout's OFFSET oracle bucket for bucket."""
+    return _composite_page2(_docpart_searcher(sf_dir), query, size)
+
+
+def _composite_page2(s, query: str, size: int) -> pa.Table:
     by = ["lang", "source"]
     p1 = s.composite(query, by=by, size=size)
     empty = pa.table(

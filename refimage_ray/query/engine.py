@@ -1348,6 +1348,44 @@ class _SearcherBase:
         buckets, after_key = dv.composite_counts(list(by), ranks, size, after)
         return {"buckets": buckets, "after_key": after_key}
 
+    def composite_all(
+        self,
+        query: str,
+        by: list[str],
+        mode: str = "or",
+        after: "tuple | None" = None,
+        where=None,
+    ) -> list[dict]:
+        """EVERY composite bucket past the cursor — no size bound.
+
+        The scatter primitive behind the doc-partitioned layout's
+        exact composite paging: a size-bounded per-shard page
+        truncates other shards' counts for boundary keys (the ES
+        ``shard_size`` problem), so each shard instead returns its
+        FULL ``(key, count)`` list after ``after`` and the caller
+        merges additively before cutting the page.  Bounded by the
+        distinct key-tuple count (the same cardinality assumption
+        facets make), not by the match size.
+        """
+        from refimage_ray.index.docvalues import where_columns
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        terms = query_terms(self._tokenize(query))
+        term_map = self._term_map(terms)
+        ranks, _ = self._match_ranks_scores(term_map, terms, mode)
+        cols = sorted(
+            set(by) | (set(where_columns(where)) if where is not None
+                       else set())
+        )
+        dv = self.doc_values(cols)
+        if where is not None:
+            ranks = ranks[dv.mask(where)[ranks]]
+        buckets, _ = dv.composite_counts(
+            list(by), ranks, size=2**62, after=after
+        )
+        return buckets
+
     def define_runtime_field(
         self, name: str, sources: "list[str]", fn
     ) -> None:

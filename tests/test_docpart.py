@@ -431,3 +431,52 @@ def test_distributed_order_by_rejects_after(ray_session, tiny_docs,
     with pytest.raises(ValueError, match="after"):
         sx.search("the data", k=5, order_by=("prio", "asc"),
                   after=(1.0, 3))
+
+
+def test_docpart_composite_matches_term_layout(both_indexes):
+    """Exact composite paging on the doc-partitioned layout: pages
+    tile identically to the term layout's composite (each shard
+    returns its FULL bucket list past the cursor, so ES shard_size
+    truncation cannot occur) — keys, counts and after_key all equal,
+    page for page."""
+    term_dir, doc_dir, _ = both_indexes
+    a = LocalSearcher(term_dir)
+    b = DocPartSearcher(doc_dir)
+    for q in ("the data join", "spark query"):
+        after_a = after_b = None
+        pages = 0
+        while True:
+            pa_ = a.composite(q, by=["lang"], size=2, after=after_a)
+            pb_ = b.composite(q, by=["lang"], size=2, after=after_b)
+            assert pb_ == pa_, (q, pages)
+            pages += 1
+            after_a, after_b = pa_["after_key"], pb_["after_key"]
+            if after_a is None:
+                break
+        assert pages >= 1
+    # where-filtered composite agrees too
+    w = [("lang", "in", ["en", "de"])]
+    assert b.composite("the data", by=["lang"], size=10, where=w) == \
+        a.composite("the data", by=["lang"], size=10, where=w)
+    # validation parity
+    with pytest.raises(ValueError):
+        b.composite("the", by=["lang"], size=0)
+    with pytest.raises(ValueError):
+        b.composite("the", by=["lang"], mode="nope")
+
+
+def test_distributed_docpart_composite_matches_local(both_indexes):
+    from refimage_ray.index.docpart import DistributedDocPartSearcher
+
+    term_dir, doc_dir, _ = both_indexes
+    b = DocPartSearcher(doc_dir)
+    d = DistributedDocPartSearcher(doc_dir, num_actors=2)
+    d.wait_ready()
+    p_local = b.composite("the data", by=["lang"], size=2)
+    p_dist = d.composite("the data", by=["lang"], size=2)
+    assert p_dist == p_local
+    if p_local["after_key"] is not None:
+        assert d.composite("the data", by=["lang"], size=2,
+                           after=p_local["after_key"]) == \
+            b.composite("the data", by=["lang"], size=2,
+                        after=p_local["after_key"])
