@@ -98,24 +98,93 @@ class MediaFeatureExtractor:
         )
 
 
-class ImageResize:
-    """Actor-pool stage shape for image resize — decode STUBBED.
+def _probe_pil():
+    """Optional-dependency probe: the real imaging backend when PIL is
+    importable (the reference's M1 decodes pixels and extracts
+    dimensions — ``/root/reference/src/refimage/storage.py:190-192``);
+    ``None`` in codec-less environments, where the stages below keep
+    their loud injection-hook contract."""
+    try:
+        from PIL import Image
 
-    Raises ``NotImplementedError`` unless a ``resize_fn(payload,
+        return Image
+    except ImportError:
+        return None
+
+
+def pil_resize_fn(payload: bytes, size: "tuple[int, int]") -> bytes:
+    """``resize_fn`` backed by PIL — auto-wired by :class:`ImageResize`
+    when PIL is importable.  Re-encodes in the source format (PNG when
+    the decoder reports none)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    fmt = img.format or "PNG"
+    buf = io.BytesIO()
+    img.resize(size).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+def pil_dims_fn(payload: bytes) -> "tuple[int, int]":
+    """``dims_fn`` backed by PIL: decode → (width, height), the
+    reference-M1 dimension extraction."""
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload)).size
+
+
+class ImageDimensions:
+    """Actor-pool stage: decode payload → ``width``/``height`` columns
+    (reference M1: PIL open + dimension extraction,
+    ``storage.py:190-192``).  PIL auto-wires when importable — zero
+    config in a real deployment; without it, a ``dims_fn(payload) ->
+    (w, h)`` must be injected or the stage raises loudly."""
+
+    def __init__(self, dims_fn=None) -> None:
+        if dims_fn is None and _probe_pil() is not None:
+            dims_fn = pil_dims_fn
+        self.dims_fn = dims_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.dims_fn is None:
+            raise NotImplementedError(
+                "image decode unavailable in this environment; "
+                "install PIL or pass dims_fn=... backed by a real "
+                "imaging library"
+            )
+        dims = [self.dims_fn(p) for p in batch["payload"].to_pylist()]
+        w = pa.array([int(d[0]) for d in dims], pa.int32())
+        h = pa.array([int(d[1]) for d in dims], pa.int32())
+        return batch.append_column("width", w).append_column("height", h)
+
+
+class ImageResize:
+    """Actor-pool stage for image resize.
+
+    PIL auto-wires when importable (:func:`pil_resize_fn`) — a real
+    deployment gets reference-M1 behavior with zero config.  Without
+    PIL, raises ``NotImplementedError`` unless a ``resize_fn(payload,
     (w, h)) -> bytes`` is supplied (no imaging library in this
     container).  The stage contract (binary in → binary out + new
-    width/height metadata) is the tested part.
+    width/height metadata) is the tested part either way.
     """
 
     def __init__(self, width: int, height: int, resize_fn=None) -> None:
         self.size = (width, height)
+        if resize_fn is None and _probe_pil() is not None:
+            resize_fn = pil_resize_fn
         self.resize_fn = resize_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.resize_fn is None:
             raise NotImplementedError(
                 "image decode unavailable in this environment; "
-                "pass resize_fn=... backed by a real imaging library"
+                "install PIL or pass resize_fn=... backed by a real "
+                "imaging library"
             )
         payloads = [self.resize_fn(p, self.size) for p in batch["payload"].to_pylist()]
         out = batch.drop_columns(["payload"]).append_column(
