@@ -971,14 +971,15 @@ def entry() -> Any:
 
 
 # Queries never yet certified by a driver CORRECTNESS_r*.json run (the
-# driver checks the first 50 entries in dict order).  Round 4 leads with
-# the 40 SQL-oracled entries that have never appeared inside a driver
-# window across rounds 1-3 (facets, suggesters, packing, sampling,
-# minhash, docpart ordered/rescored, crawl/url, profiling), then fills
-# the remaining 10 slots with a cross-family regression sample of
-# previously-certified queries.  Rows-only entries (no SQL oracle) are
-# deliberately excluded from the 50-slot window — a slot spent on one
-# returns only a weak rows-ran check.  Rotate each round as
+# driver checks the first 50 entries in dict order).  Round 4 leads
+# with the 41 SQL-oracled entries never certified by a driver run —
+# the 40 never inside a window across rounds 1-3 (facets, suggesters,
+# packing, sampling, minhash, docpart ordered/rescored, crawl/url,
+# profiling) plus the new composite_buckets_page2_docpart — then
+# fills the remaining 9 slots with a cross-family regression sample
+# of previously-certified queries.  Rows-only entries (no SQL oracle)
+# are deliberately excluded from the 50-slot window — a slot spent on
+# one returns only a weak rows-ran check.  Rotate each round as
 # CORRECTNESS files accumulate.
 _DRIVER_WINDOW_PRIORITY = [
     # --- the 40 never-certified value-oracled queries ---

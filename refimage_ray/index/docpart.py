@@ -63,6 +63,23 @@ from refimage_ray.stages.tokenize import doc_stats_batch, tokenize_batch
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _accumulate_composite(merged: "dict[tuple, int]", buckets) -> None:
+    """Fold one partial bucket list into the additive merge — the ONE
+    implementation every composite merge site shares, so the exactness
+    contract (docpart pages == term-layout pages) cannot drift."""
+    for b in buckets:
+        merged[b["key"]] = merged.get(b["key"], 0) + b["doc_count"]
+
+
+def _composite_page(merged: "dict[tuple, int]", size: int) -> dict:
+    """Key-ascending page cut over the globally merged bucket map —
+    shared by the in-process and scatter-gather composites."""
+    keys = sorted(merged)
+    page = [{"key": k, "doc_count": merged[k]} for k in keys[:size]]
+    after_key = page[-1]["key"] if page and len(keys) > size else None
+    return {"buckets": page, "after_key": after_key}
+
+
 def _doc_shard_of(doc_ids: np.ndarray, num_doc_shards: int) -> np.ndarray:
     """Deterministic balanced doc→shard map (multiplicative hash, so
     strided doc_id spaces spread evenly)."""
@@ -965,13 +982,12 @@ class DocPartSearcher:
             raise ValueError(f"size must be > 0, got {size}")
         merged: "dict[tuple, int]" = {}
         for sh in self.shards:
-            for b in sh.composite_all(query, by, mode=mode, after=after,
-                                      where=where):
-                merged[b["key"]] = merged.get(b["key"], 0) + b["doc_count"]
-        keys = sorted(merged)
-        page = [{"key": k2, "doc_count": merged[k2]} for k2 in keys[:size]]
-        after_key = page[-1]["key"] if page and len(keys) > size else None
-        return {"buckets": page, "after_key": after_key}
+            _accumulate_composite(
+                merged,
+                sh.composite_all(query, by, mode=mode, after=after,
+                                 where=where),
+            )
+        return _composite_page(merged, size)
 
     def search_prefix(self, prefix: str, k=None, threshold=None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1351,9 +1367,11 @@ class _DocShardActor:
         truncation cannot occur)."""
         merged: "dict[tuple, int]" = {}
         for v in self._views:
-            for b in v.composite_all(query, by, mode=mode, after=after,
-                                     where=where):
-                merged[b["key"]] = merged.get(b["key"], 0) + b["doc_count"]
+            _accumulate_composite(
+                merged,
+                v.composite_all(query, by, mode=mode, after=after,
+                                where=where),
+            )
         return [{"key": k, "doc_count": n} for k, n in merged.items()]
 
     def match_value_stats(self, query, col, mode, where):
@@ -1706,12 +1724,8 @@ class DistributedDocPartSearcher:
         ])
         merged: "dict[tuple, int]" = {}
         for part in parts:
-            for b in part:
-                merged[b["key"]] = merged.get(b["key"], 0) + b["doc_count"]
-        keys = sorted(merged)
-        page = [{"key": k2, "doc_count": merged[k2]} for k2 in keys[:size]]
-        after_key = page[-1]["key"] if page and len(keys) > size else None
-        return {"buckets": page, "after_key": after_key}
+            _accumulate_composite(merged, part)
+        return _composite_page(merged, size)
 
     def _ensure_expander(self) -> "_GlobalVocabExpander":
         if self._expander is None:

@@ -1367,24 +1367,9 @@ class _SearcherBase:
         distinct key-tuple count (the same cardinality assumption
         facets make), not by the match size.
         """
-        from refimage_ray.index.docvalues import where_columns
-
-        if mode not in ("or", "and"):
-            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-        terms = query_terms(self._tokenize(query))
-        term_map = self._term_map(terms)
-        ranks, _ = self._match_ranks_scores(term_map, terms, mode)
-        cols = sorted(
-            set(by) | (set(where_columns(where)) if where is not None
-                       else set())
-        )
-        dv = self.doc_values(cols)
-        if where is not None:
-            ranks = ranks[dv.mask(where)[ranks]]
-        buckets, _ = dv.composite_counts(
-            list(by), ranks, size=2**62, after=after
-        )
-        return buckets
+        return self.composite(
+            query, by, size=2**62, after=after, mode=mode, where=where
+        )["buckets"]
 
     def define_runtime_field(
         self, name: str, sources: "list[str]", fn

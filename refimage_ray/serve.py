@@ -302,8 +302,14 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 if limit < 0 or off < 0:
                     return self._json(
                         {"error": "limit/offset must be >= 0"}, 422)
-                t = state.get("docs_list_tbl")
-                if t is None:
+                # the table and its sorted indices travel as ONE cache
+                # object: a concurrent /reload pops the whole thing
+                # atomically, and a request that grabbed the old
+                # snapshot keeps using the old table WITH the old
+                # indices (pairing a stale index with a fresh table
+                # would take() out-of-range or return a wrong page)
+                cache = state.get("docs_list_cache")
+                if cache is None:
                     # load-once like every other resident structure;
                     # /reload drops the cache with the state swap.
                     # BOUNDED: the listing cache is a serving-process
@@ -330,9 +336,10 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     cols = [c for c in ("doc_id", "url", "lang",
                                         "doc_len", "n_chars", "warc_ts")
                             if c in avail]
-                    t = dset.to_table(columns=cols)
-                    state["docs_list_tbl"] = t
-                    state["docs_sort_idx"] = {}
+                    cache = {"tbl": dset.to_table(columns=cols),
+                             "idx": {}}
+                    state["docs_list_cache"] = cache
+                t = cache["tbl"]
                 if sort_by not in t.column_names:
                     return self._json(
                         {"error": f"sort column {sort_by!r} not in "
@@ -340,7 +347,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 # one sorted index per (column, dir) — computed once,
                 # O(log n) pages afterwards; bounded by the whitelisted
                 # sort columns × 2 directions
-                sel = state["docs_sort_idx"].get((sort_by, order_dir))
+                sel = cache["idx"].get((sort_by, order_dir))
                 if sel is None:
                     keys = [(sort_by,
                              "descending" if order_dir == "desc"
@@ -348,7 +355,7 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     if sort_by != "doc_id":
                         keys.append(("doc_id", "ascending"))
                     sel = _pc.sort_indices(t, sort_keys=keys)
-                    state["docs_sort_idx"][(sort_by, order_dir)] = sel
+                    cache["idx"][(sort_by, order_dir)] = sel
                 page = t.take(sel[off:off + limit])
                 return self._json({
                     "docs": [
@@ -946,8 +953,8 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     state["s"] = fresh
                     state["ex"] = DSLExecutor(state["s"])
                 state["meta_dirs"] = _group_dirs()  # new segments' docs/
-                state.pop("docs_list_tbl", None)  # /docs listing cache
-                state.pop("docs_sort_idx", None)
+                # one atomic pop: table + sorted indices leave together
+                state.pop("docs_list_cache", None)
                 # LM counts may have shifted with the corpus; the gen
                 # bump also invalidates a training pass in flight.
                 # MUST hold lm_lock: an unlocked pop/bump could lose

@@ -112,15 +112,9 @@ def _reduce_topk(
     lvl1 = partials.repartition(fanin).map_batches(
         combine, batch_size=None, batch_format="pyarrow"
     )
-    tbl = collect_small(lvl1, _TOPK_SCHEMA)
-    if tbl.num_rows == 0:
-        return _TOPK_SCHEMA.empty_table()
-    df = tbl.to_pandas().sort_values(
-        ["query_id", "score", "vec_id"],
-        ascending=[True, False, True], kind="mergesort",
-    )
-    df = df.groupby("query_id", sort=False).head(k)
-    return pa.Table.from_pandas(df, preserve_index=False).cast(_TOPK_SCHEMA)
+    # the final merge IS the same combiner, applied once to the
+    # collected level-1 output (≤ fanin · n_q · k rows)
+    return combine(collect_small(lvl1, _TOPK_SCHEMA))
 
 
 def brute_force_topk(

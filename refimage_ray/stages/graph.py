@@ -51,10 +51,13 @@ class _EdgeBucketRegistry:
     def __init__(self) -> None:
         self._refs: dict[int, list] = {}
 
-    def add(self, bucket: int, wrapped_refs: list) -> None:
+    def set(self, bucket: int, wrapped_refs: list) -> None:
         # refs arrive WRAPPED in a list: a bare ObjectRef argument
-        # would be auto-dereferenced by Ray's arg resolution
-        self._refs.setdefault(int(bucket), []).extend(wrapped_refs)
+        # would be auto-dereferenced by Ray's arg resolution.
+        # SET, not append: a staging task retry (worker death, lost
+        # block reconstruction) re-registers the same whole bucket and
+        # must overwrite, not double-count its edges
+        self._refs[int(bucket)] = list(wrapped_refs)
 
     def refs(self) -> dict:
         return self._refs
@@ -278,170 +281,181 @@ def pagerank_distributed(
     # ---- bucket-persistent edge staging --------------------------------
     # The contribution join used to re-bucket the MATERIALIZED edge
     # list through hash_join's groupby exchange every iteration — an
-    # all-to-all of edge rows per iteration.  The edge list is now
-    # staged ONCE into per-bucket object-store pieces keyed by
-    # hash(src): each staging task splits its block locally and
-    # ray.put's the pieces in place (ownership transferred to a
-    # zero-cpu registry actor so pieces outlive worker churn).  Each
-    # iteration then exchanges only the NARROW share table
-    # (node-count rows) into the same buckets and joins per bucket
-    # against the resident pieces — edge bytes never cross an
-    # exchange again, so the per-iteration shuffle is O(nodes), not
-    # O(edges).
+    # all-to-all of edge rows per iteration.  The edge list now
+    # crosses an exchange exactly ONCE, at staging: a groupby(bucket)
+    # co-locates each hash(src) bucket whole, and the per-bucket task
+    # ray.put's the bucket table in place (ownership transferred to a
+    # zero-cpu registry actor so pieces outlive worker churn) and
+    # REGISTERS IT WITH SET SEMANTICS — a Ray task retry re-stages the
+    # same whole bucket and overwrites, so edges cannot be
+    # double-counted (an append-based registry would).  Each iteration
+    # then exchanges only the NARROW share table (node-count rows)
+    # into the same buckets and joins per bucket against the resident
+    # pieces: per-iteration shuffle volume is O(nodes), not O(edges).
     registry = _EdgeBucketRegistry.remote()
     # ray.put(_owner=...) needs a STARTED actor; block until the
     # registry is alive before any staging task runs
     ray.get(registry.refs.remote())
 
-    def stage_block(b: pa.Table) -> pa.Table:
-        from refimage_ray.stages.joins import bucket_of
+    try:
+        def add_eb(b: pa.Table) -> pa.Table:
+            from refimage_ray.stages.joins import bucket_of
 
-        eb = np.asarray(bucket_of(b[src_col], buckets))
-        acks = []
-        for v in np.unique(eb):
-            piece = (
-                b.filter(pa.array(eb == v))
-                .select([src_col, dst_col])
-                .combine_chunks()
-            )
+            eb = np.asarray(bucket_of(b[src_col], buckets))
+            return b.append_column("eb", pa.array(eb, pa.int64()))
+
+        def stage_bucket(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"eb": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            v = int(g["eb"][0].as_py())
+            piece = g.select([src_col, dst_col]).combine_chunks()
             ref = ray.put(piece, _owner=registry)
-            acks.append(registry.add.remote(int(v), [ref]))
-        if acks:
-            ray.get(acks)
-        return pa.table({"staged": pa.array([b.num_rows], pa.int64())})
+            ray.get(registry.set.remote(v, [ref]))
+            return pa.table({"eb": pa.array([v], pa.int64()),
+                             "n": pa.array([g.num_rows], pa.int64())})
 
-    edges.map_batches(stage_block, batch_format="pyarrow").sum("staged")
-    # broadcast the {bucket: [refs]} map once (one small handle per
-    # task instead of re-serializing the ref map into every closure)
-    pieces_handle = ray.put(ray.get(registry.refs.remote()))
-
-    _CONTRIB_SCHEMA = pa.schema([
-        ("node", pa.string()), ("outdeg", pa.int64()),
-        ("rank", pa.float64()), ("c", pa.float64()),
-        ("upd_bucket", pa.int64()),
-    ])
-
-    def share_map(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.greater(b["outdeg"], 0)
-        t = b.filter(m)
-        return pa.table({
-            "node": t["node"],
-            "share": pc.divide(
-                t["rank"], pc.cast(t["outdeg"], pa.float64())),
-        })
-
-    def dangling_partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        s = pc.sum(b.filter(pc.equal(b["outdeg"], 0))["rank"])
-        return pa.table({"d": pa.array(
-            [float(s.as_py() or 0.0)], pa.float64())})
-
-    # The per-iteration contribution sum and the rank update share the
-    # SAME key (node), so they fuse into ONE exchange: rank rows and
-    # per-batch pre-aggregated contribution rows union into a unified
-    # (node, outdeg, rank, c) stream bucketed by hash(node), and one
-    # map_groups both sums c and applies the update — two all-to-alls
-    # per iteration total (edge×share join, fused update), the minimum
-    # for join-based PR, instead of three.
-    def _node_bucket(arr: pa.Array) -> pa.Array:
-        from refimage_ray.stages.joins import bucket_of
-
-        return pa.array(bucket_of(arr, buckets), pa.int64())
-
-    def rank_rows(b: pa.Table) -> pa.Table:
-        nr = b.num_rows
-        return pa.table({
-            "node": b["node"], "outdeg": b["outdeg"], "rank": b["rank"],
-            "c": pa.nulls(nr, pa.float64()),
-            "upd_bucket": _node_bucket(b["node"]),
-        })
-
-    def add_share_bucket(b: pa.Table) -> pa.Table:
-        return b.append_column("sb", _node_bucket(b["node"]))
-
-    def contrib_bucket(g: pa.Table) -> pa.Table:
-        """One share bucket × its resident edge pieces → per-dst
-        contribution partials (unified update-stream rows)."""
-        if g.num_rows == 0:
-            return _CONTRIB_SCHEMA.empty_table()
-        sb = int(g["sb"][0].as_py())
-        piece_refs = ray.get(pieces_handle).get(sb)
-        if not piece_refs:
-            return _CONTRIB_SCHEMA.empty_table()
-        ed = pa.concat_tables(ray.get(piece_refs)).to_pandas()
-        sh = g.select(["node", "share"]).to_pandas()
-        m = ed.merge(sh, left_on=src_col, right_on="node", how="inner")
-        if not len(m):
-            return _CONTRIB_SCHEMA.empty_table()
-        cs = m.groupby(dst_col, sort=False)["share"].sum()
-        nodes_out = pa.array(cs.index.to_numpy(dtype=object), pa.string())
-        nr = len(cs)
-        return pa.table({
-            "node": nodes_out,
-            "outdeg": pa.nulls(nr, pa.int64()),
-            "rank": pa.nulls(nr, pa.float64()),
-            "c": pa.array(cs.to_numpy(np.float64), pa.float64()),
-            "upd_bucket": _node_bucket(nodes_out),
-        })
-
-    for _ in range(iters):
-        dangling = (
-            ranks.map_batches(dangling_partial, batch_format="pyarrow")
-            .sum("d")
-        ) or 0.0
-        base = (1.0 - damping) / n + damping * dangling / n
-        contribs = (
-            ranks.map_batches(share_map, batch_format="pyarrow")
-            .map_batches(add_share_bucket, batch_format="pyarrow")
-            .groupby("sb")
-            .map_groups(contrib_bucket, batch_format="pyarrow")
+        (
+            edges.map_batches(add_eb, batch_format="pyarrow")
+            .groupby("eb")
+            .map_groups(stage_bucket, batch_format="pyarrow")
+            .sum("n")
         )
+        # broadcast the {bucket: [refs]} map once (one small handle per
+        # task instead of re-serializing the ref map into every closure)
+        pieces_handle = ray.put(ray.get(registry.refs.remote()))
 
-        def apply_update(g, base=base):
-            import pandas as pd
+        _CONTRIB_SCHEMA = pa.schema([
+            ("node", pa.string()), ("outdeg", pa.int64()),
+            ("rank", pa.float64()), ("c", pa.float64()),
+            ("upd_bucket", pa.int64()),
+        ])
 
-            rows = g[g["outdeg"].notna()]
-            csum = g.groupby("node", sort=False)["c"].sum()
-            new = base + damping * rows["node"].map(csum).fillna(0.0)
-            out = pd.DataFrame({
-                "node": rows["node"],
-                "outdeg": rows["outdeg"].astype("int64"),
-                "delta": (new - rows["rank"]).abs(),
-                "rank": new,
+        def share_map(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.greater(b["outdeg"], 0)
+            t = b.filter(m)
+            return pa.table({
+                "node": t["node"],
+                "share": pc.divide(
+                    t["rank"], pc.cast(t["outdeg"], pa.float64())),
             })
-            # Arrow block out: the per-iteration rebase below hands
-            # blocks over zero-copy via to_arrow_refs
-            return pa.Table.from_pandas(out, preserve_index=False)
 
-        ranks = (
-            ranks.map_batches(rank_rows, batch_format="pyarrow")
-            .union(contribs)
-            .groupby("upd_bucket")
-            .map_groups(apply_update, batch_format="pandas")
-            # the union's block lists would otherwise COMPOUND across
-            # iterations (≈2× per iteration — measured 1→191 blocks in
-            # 7 iterations); cap the rank table at `buckets` blocks so
-            # per-iteration cost stays flat
-            .repartition(buckets)
-            .materialize()
-        )
-        # rebase onto the materialized block refs (zero-copy): the
-        # Dataset stats/plan parent chain otherwise grows by one link
-        # per iteration and the recursive stats summary overflows the
-        # Python stack after ~50 iterations
-        import ray.data as rd
+        def dangling_partial(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        ranks = rd.from_arrow_refs(ranks.to_arrow_refs())
-        if tol is not None and (ranks.sum("delta") or 0.0) < tol:
-            break
+            s = pc.sum(b.filter(pc.equal(b["outdeg"], 0))["rank"])
+            return pa.table({"d": pa.array(
+                [float(s.as_py() or 0.0)], pa.float64())})
 
-    # the final result depends only on the materialized rank blocks
-    # (driver-owned); killing the registry releases every staged edge
-    # piece promptly instead of waiting for handle GC
-    ray.kill(registry)
+        # The per-iteration contribution sum and the rank update share the
+        # SAME key (node), so they fuse into ONE exchange: rank rows and
+        # per-batch pre-aggregated contribution rows union into a unified
+        # (node, outdeg, rank, c) stream bucketed by hash(node), and one
+        # map_groups both sums c and applies the update — two all-to-alls
+        # per iteration total (edge×share join, fused update), the minimum
+        # for join-based PR, instead of three.
+        def _node_bucket(arr: pa.Array) -> pa.Array:
+            from refimage_ray.stages.joins import bucket_of
+
+            return pa.array(bucket_of(arr, buckets), pa.int64())
+
+        def rank_rows(b: pa.Table) -> pa.Table:
+            nr = b.num_rows
+            return pa.table({
+                "node": b["node"], "outdeg": b["outdeg"], "rank": b["rank"],
+                "c": pa.nulls(nr, pa.float64()),
+                "upd_bucket": _node_bucket(b["node"]),
+            })
+
+        def add_share_bucket(b: pa.Table) -> pa.Table:
+            return b.append_column("sb", _node_bucket(b["node"]))
+
+        def contrib_bucket(g: pa.Table) -> pa.Table:
+            """One share bucket × its resident edge pieces → per-dst
+            contribution partials (unified update-stream rows)."""
+            if g.num_rows == 0:
+                return _CONTRIB_SCHEMA.empty_table()
+            sb = int(g["sb"][0].as_py())
+            piece_refs = ray.get(pieces_handle).get(sb)
+            if not piece_refs:
+                return _CONTRIB_SCHEMA.empty_table()
+            ed = pa.concat_tables(ray.get(piece_refs)).to_pandas()
+            sh = g.select(["node", "share"]).to_pandas()
+            m = ed.merge(sh, left_on=src_col, right_on="node", how="inner")
+            if not len(m):
+                return _CONTRIB_SCHEMA.empty_table()
+            cs = m.groupby(dst_col, sort=False)["share"].sum()
+            nodes_out = pa.array(cs.index.to_numpy(dtype=object), pa.string())
+            nr = len(cs)
+            return pa.table({
+                "node": nodes_out,
+                "outdeg": pa.nulls(nr, pa.int64()),
+                "rank": pa.nulls(nr, pa.float64()),
+                "c": pa.array(cs.to_numpy(np.float64), pa.float64()),
+                "upd_bucket": _node_bucket(nodes_out),
+            })
+
+        for _ in range(iters):
+            dangling = (
+                ranks.map_batches(dangling_partial, batch_format="pyarrow")
+                .sum("d")
+            ) or 0.0
+            base = (1.0 - damping) / n + damping * dangling / n
+            contribs = (
+                ranks.map_batches(share_map, batch_format="pyarrow")
+                .map_batches(add_share_bucket, batch_format="pyarrow")
+                .groupby("sb")
+                .map_groups(contrib_bucket, batch_format="pyarrow")
+            )
+
+            def apply_update(g, base=base):
+                import pandas as pd
+
+                rows = g[g["outdeg"].notna()]
+                csum = g.groupby("node", sort=False)["c"].sum()
+                new = base + damping * rows["node"].map(csum).fillna(0.0)
+                out = pd.DataFrame({
+                    "node": rows["node"],
+                    "outdeg": rows["outdeg"].astype("int64"),
+                    "delta": (new - rows["rank"]).abs(),
+                    "rank": new,
+                })
+                # Arrow block out: the per-iteration rebase below hands
+                # blocks over zero-copy via to_arrow_refs
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            ranks = (
+                ranks.map_batches(rank_rows, batch_format="pyarrow")
+                .union(contribs)
+                .groupby("upd_bucket")
+                .map_groups(apply_update, batch_format="pandas")
+                # the union's block lists would otherwise COMPOUND across
+                # iterations (≈2× per iteration — measured 1→191 blocks in
+                # 7 iterations); cap the rank table at `buckets` blocks so
+                # per-iteration cost stays flat
+                .repartition(buckets)
+                .materialize()
+            )
+            # rebase onto the materialized block refs (zero-copy): the
+            # Dataset stats/plan parent chain otherwise grows by one link
+            # per iteration and the recursive stats summary overflows the
+            # Python stack after ~50 iterations
+            import ray.data as rd
+
+            ranks = rd.from_arrow_refs(ranks.to_arrow_refs())
+            if tol is not None and (ranks.sum("delta") or 0.0) < tol:
+                break
+
+    finally:
+        # the final result depends only on the materialized rank
+        # blocks (driver-owned); killing the registry releases every
+        # staged edge piece whether the run completed or raised
+        # mid-iteration — without this, a failed run pins the full
+        # edge copy in the object store for the driver's lifetime
+        ray.kill(registry)
+
 
     def final(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -210,23 +210,31 @@ def save_bigram_lm(lm: BigramLM, out_dir: str) -> str:
 
         shutil.rmtree(tmp)
     os.makedirs(tmp)
+    # per-generation nonce, echoed in every file: a loader spanning a
+    # concurrent swap could otherwise pair lm.json from one generation
+    # with parquet files from the next undetected when row counts
+    # coincide (common with a capped vocab) — the nonce makes the
+    # torn-read check sound, not just count-based
+    gen = os.urandom(8).hex()
+    meta = {b"lm_gen": gen.encode()}
     pq.write_table(
         pa.table({
             "term": pa.array(lm.vocab.tolist(), pa.string()),
             "n": pa.array(lm.unigram_counts, pa.int64()),
-        }),
+        }).replace_schema_metadata(meta),
         os.path.join(tmp, "unigrams.parquet"),
     )
     pq.write_table(
         pa.table({
             "key": pa.array(lm.bigram_keys, pa.int64()),
             "n": pa.array(lm.bigram_counts, pa.int64()),
-        }),
+        }).replace_schema_metadata(meta),
         os.path.join(tmp, "bigrams.parquet"),
     )
     with open(os.path.join(tmp, "lm.json"), "w") as f:
         json.dump({"k": lm.k, "n_vocab": int(lm.vocab_size),
-                   "n_bigrams": int(len(lm.bigram_keys))}, f)
+                   "n_bigrams": int(len(lm.bigram_keys)),
+                   "gen": gen}, f)
     # Swap with the old artifact renamed ASIDE first (not rmtree'd in
     # place): a crash between the two renames leaves either the old or
     # the new dir present under out_dir-adjacent names, never a
@@ -276,6 +284,15 @@ def load_bigram_lm(lm_dir: str, *, _retries: int = 20) -> BigramLM:
                 meta = json.load(f)
             uni = pq.read_table(os.path.join(lm_dir, "unigrams.parquet"))
             big = pq.read_table(os.path.join(lm_dir, "bigrams.parquet"))
+            gen = meta.get("gen")
+            if gen is not None:  # pre-nonce artifacts skip the check
+                for t in (uni, big):
+                    md = t.schema.metadata or {}
+                    if md.get(b"lm_gen", b"").decode() != gen:
+                        raise _TornLMRead(
+                            f"LM artifact {lm_dir}: file generations "
+                            "disagree (concurrent swap mid-load)"
+                        )
             vocab = np.asarray(uni["term"].to_pylist(), dtype=str)
             lm = BigramLM(
                 vocab,

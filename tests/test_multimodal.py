@@ -50,7 +50,12 @@ def test_feature_extractor_stage(ray_session):
     assert a == b
 
 
-def test_resize_stub_raises_clearly():
+def test_resize_stub_raises_clearly(monkeypatch):
+    # force the no-imaging-library environment: in a deployment with
+    # Pillow installed the stage would auto-wire instead of raising
+    from refimage_ray.stages import multimodal
+
+    monkeypatch.setattr(multimodal, "_probe_pil", lambda: None)
     with pytest.raises(NotImplementedError, match="decode unavailable"):
         ImageResize(64, 64)(synthesize_media(2))
 
@@ -122,8 +127,10 @@ def test_pil_auto_wires_dimensions_and_resize(monkeypatch):
     assert all(p.startswith(b"IMG:8x8:") for p in rs["payload"].to_pylist())
 
 
-def test_dimensions_stub_raises_clearly_without_pil():
+def test_dimensions_stub_raises_clearly_without_pil(monkeypatch):
+    from refimage_ray.stages import multimodal
     from refimage_ray.stages.multimodal import ImageDimensions
 
+    monkeypatch.setattr(multimodal, "_probe_pil", lambda: None)
     with pytest.raises(NotImplementedError, match="decode unavailable"):
         ImageDimensions()(synthesize_media(2))
