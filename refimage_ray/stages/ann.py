@@ -89,7 +89,7 @@ def _combine_topk_fn(k: int):
 
 
 def _reduce_topk(
-    partials: "ray.data.Dataset", k: int, *, fanin: int = 32
+    partials: "ray.data.Dataset", k: int, *, combine_rows: int = 65536
 ) -> pa.Table:
     """Tree-reduce per-batch top-k partials to global per-query top-k.
 
@@ -97,24 +97,33 @@ def _reduce_topk(
     group exchange emits schema-less empty partitions at small scale
     (Ray's ``_apply_udf_to_groups`` never calls the UDF on an empty
     block) and costs a comparison sort of all partials at large scale.
-    The reduction here is k-bounded at every level instead:
+    And deliberately NO ``repartition`` either — an all-to-all barrier
+    whose fixed cost dominates on small inputs.  Two STREAMING
+    combine passes instead, each coalescing up to ``combine_rows``
+    partial rows per batch and keeping only per-query top-k:
 
       partials (n_blocks · n_q · k rows, typed even when empty)
-        → repartition(fanin) coalesce, per-block per-query top-k
-        → collect ≤ fanin · n_q · k rows, final merge.
+        → combine per ~combine_rows rows   (streams, no exchange)
+        → combine again                    (quadratic fan-in)
+        → collect, final combine on the driver.
 
-    Every intermediate block carries the explicit ``_TOPK_SCHEMA``, so
-    the pipeline is warning-free and schema-stable end to end.
+    The collect is bounded by (rows / combine_rows²) · n_q · k — at
+    10⁶ edge blocks and n_q·k = 10³ that is ~10³ rows.  Every
+    intermediate block carries the explicit ``_TOPK_SCHEMA``, so the
+    pipeline is warning-free and schema-stable end to end.
     """
     from refimage_ray.stages.dedup_near import collect_small
 
     combine = _combine_topk_fn(k)
-    lvl1 = partials.repartition(fanin).map_batches(
-        combine, batch_size=None, batch_format="pyarrow"
+    lvl1 = partials.map_batches(
+        combine, batch_size=combine_rows, batch_format="pyarrow"
+    )
+    lvl2 = lvl1.map_batches(
+        combine, batch_size=combine_rows, batch_format="pyarrow"
     )
     # the final merge IS the same combiner, applied once to the
-    # collected level-1 output (≤ fanin · n_q · k rows)
-    return combine(collect_small(lvl1, _TOPK_SCHEMA))
+    # collected level-2 output
+    return combine(collect_small(lvl2, _TOPK_SCHEMA))
 
 
 def brute_force_topk(
