@@ -119,28 +119,98 @@ def duplicated_grams(
             return pa.table({
                 "g_hi": pa.array([], pa.int64()),
                 "g_lo": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
+                "nd": pa.array([], pa.int64()),
+                "win_doc": pa.array([], pa.int64()),
             })
         ids = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # per-doc-unique gram rows (one text row per doc → per-batch
-        # unique == globally per-doc unique) shrink the exchange to
-        # distinct (gram, doc) pairs — the term-df pre-agg discipline
+        # unique == globally per-doc unique), then a WITHIN-BATCH
+        # combine to one row per distinct gram: partial distinct-doc
+        # count + partial min doc.  Each doc lives in exactly one
+        # batch, so Sum(partial counts) = global distinct-doc count
+        # and Min(partial mins) = global winner — and the exchange
+        # shrinks by the batch's duplication factor, which on
+        # boilerplate-heavy web text (the target corpus) is large.
         df = pd.DataFrame({
             "g_hi": g_hi.view(np.int64), "g_lo": g_lo.view(np.int64),
             "doc_id": ids[parent],
         }).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        gb = (
+            df.groupby(["g_hi", "g_lo"], sort=False)["doc_id"]
+            .agg(["count", "min"])
+            .reset_index()
+        )
+        return pa.table({
+            "g_hi": pa.array(gb["g_hi"].to_numpy(np.int64), pa.int64()),
+            "g_lo": pa.array(gb["g_lo"].to_numpy(np.int64), pa.int64()),
+            "nd": pa.array(gb["count"].to_numpy(np.int64), pa.int64()),
+            "win_doc": pa.array(gb["min"].to_numpy(np.int64), pa.int64()),
+        })
 
-    from ray.data.aggregate import Count, Min
+    # PACKED exchange (the index build's pack.py discipline): the
+    # naive groupby ships one row per (gram, batch) — tens of millions
+    # of 32-byte rows whose per-row sort cost dominates the stage.
+    # Instead each batch packs its per-bucket gram arrays into ONE
+    # binary row per bucket (raw little-endian int64 bytes), the
+    # exchange moves ~buckets rows per batch, and the per-bucket
+    # reducer aggregates with lexsort + reduceat — all numpy.
+    AGG_BUCKETS = 64
 
-    agg = (
-        docs_ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["g_hi", "g_lo"])
-        .aggregate(Count(alias_name="nd"), Min("doc_id", alias_name="win_doc"))
-    )
-    return agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["nd"], min_docs)),
-        batch_format="pyarrow",
+    def pack_partial(batch: pa.Table) -> pa.Table:
+        g = partials(batch)
+        hi = g["g_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = g["g_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = g["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        win = g["win_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = (hi.view(np.uint64) % np.uint64(AGG_BUCKETS)).astype(np.int64)
+        out_b, out_cols = [], {c: [] for c in ("hi", "lo", "nd", "win")}
+        for b in np.unique(bkt):
+            m = bkt == b
+            out_b.append(int(b))
+            out_cols["hi"].append(hi[m].tobytes())
+            out_cols["lo"].append(lo[m].tobytes())
+            out_cols["nd"].append(nd[m].tobytes())
+            out_cols["win"].append(win[m].tobytes())
+        return pa.table({
+            "bkt": pa.array(out_b, pa.int64()),
+            **{c: pa.array(v, pa.binary()) for c, v in out_cols.items()},
+        })
+
+    _GRAM_SCHEMA = pa.schema([
+        ("g_hi", pa.int64()), ("g_lo", pa.int64()),
+        ("nd", pa.int64()), ("win_doc", pa.int64()),
+    ])
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _GRAM_SCHEMA.empty_table()
+
+        def cat(col: str) -> np.ndarray:
+            return np.frombuffer(
+                b"".join(g[col].to_pylist()), dtype=np.int64
+            )
+
+        hi, lo = cat("hi"), cat("lo")
+        nd, win = cat("nd"), cat("win")
+        order = np.lexsort((lo, hi))
+        hi, lo, nd, win = hi[order], lo[order], nd[order], win[order]
+        change = np.ones(len(hi), dtype=bool)
+        change[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        bounds = np.flatnonzero(change)
+        nd_tot = np.add.reduceat(nd, bounds)
+        win_min = np.minimum.reduceat(win, bounds)
+        keep = nd_tot >= min_docs
+        return pa.table({
+            "g_hi": pa.array(hi[bounds][keep], pa.int64()),
+            "g_lo": pa.array(lo[bounds][keep], pa.int64()),
+            "nd": pa.array(nd_tot[keep], pa.int64()),
+            "win_doc": pa.array(win_min[keep], pa.int64()),
+        })
+
+    return (
+        docs_ds.map_batches(pack_partial, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
 
 
