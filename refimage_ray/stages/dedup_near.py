@@ -216,17 +216,43 @@ def lsh_candidate_pairs(
     key class explodes.
     """
 
-    def add_bucket(b: pa.Table) -> pa.Table:
+    # PACKED exchange (the pack.py / spans.py discipline): the band
+    # rows are docs × bands tiny rows; shipping them row-granular
+    # through the groupby makes the sort machinery the cost.  Each
+    # batch instead packs its per-coarse-bucket arrays into ONE binary
+    # row (raw little-endian bytes), so the exchange moves ~buckets
+    # rows per batch and the reducer decodes with np.frombuffer.
+    def pack_bands(b: pa.Table) -> pa.Table:
         bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         band = b["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mixed = (bh ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
         coarse = (mixed % np.uint64(coarse_buckets)).astype(np.int64)
-        return b.append_column("lsh_bucket", pa.array(coarse, pa.int64()))
+        out_b, out_ids, out_band, out_bh = [], [], [], []
+        for v in np.unique(coarse):
+            m = coarse == v
+            out_b.append(int(v))
+            out_ids.append(ids[m].tobytes())
+            out_band.append(band[m].tobytes())
+            out_bh.append(bh[m].tobytes())
+        return pa.table({
+            "lsh_bucket": pa.array(out_b, pa.int64()),
+            "ids": pa.array(out_ids, pa.binary()),
+            "band": pa.array(out_band, pa.binary()),
+            "bh": pa.array(out_bh, pa.binary()),
+        })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        band = g["band"].to_numpy().astype(np.int64)
-        bh = g["band_hash"].to_numpy().astype(np.uint64)
+    _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    _PACKED_PAIR_EMPTY = pa.schema([
+        ("pair_bucket", pa.int64()), ("a", pa.binary()), ("b", pa.binary()),
+    ]).empty_table()
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        ids = np.frombuffer(b"".join(g["ids"].to_pylist()), dtype=np.int64)
+        band = np.frombuffer(b"".join(g["band"].to_pylist()), dtype=np.int64)
+        bh = np.frombuffer(b"".join(g["bh"].to_pylist()), dtype=np.uint64)
         order = np.lexsort((ids, bh, band))
         ids, band, bh = ids[order], band[order], bh[order]
         new_run = np.zeros(len(ids), dtype=bool)
@@ -248,25 +274,57 @@ def lsh_candidate_pairs(
             out_a.append(ids[lo:hi][ia])
             out_b.append(ids[lo:hi][ib])
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": np.zeros(0, np.int64), "doc_b": np.zeros(0, np.int64)}
-            )
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-        )
+            return _PACKED_PAIR_EMPTY
+        a = np.concatenate(out_a)
+        b2 = np.concatenate(out_b)
+        # within-task dedup first (the same pair recurs across this
+        # bucket's runs), then pack per pair-hash bucket — a pair
+        # found by several bands lands in DIFFERENT lsh_buckets, so
+        # the global dedup still needs an exchange, but it now moves
+        # one binary row per (task, pair_bucket) instead of one row
+        # per (pair, band)
+        order = np.lexsort((b2, a))
+        a, b2 = a[order], b2[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        a, b2 = a[keep], b2[keep]
+        pb = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^
+            b2.view(np.uint64)
+        ) % np.uint64(coarse_buckets)
+        pb = pb.astype(np.int64)
+        out = {"pair_bucket": [], "a": [], "b": []}
+        for v in np.unique(pb):
+            m2 = pb == v
+            out["pair_bucket"].append(int(v))
+            out["a"].append(a[m2].tobytes())
+            out["b"].append(b2[m2].tobytes())
+        return pa.table({
+            "pair_bucket": pa.array(out["pair_bucket"], pa.int64()),
+            "a": pa.array(out["a"], pa.binary()),
+            "b": pa.array(out["b"], pa.binary()),
+        })
 
-    pairs = (
-        band_ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("lsh_bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-
-    from ray.data.aggregate import Count
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        a = np.frombuffer(b"".join(g["a"].to_pylist()), dtype=np.int64)
+        b2 = np.frombuffer(b"".join(g["b"].to_pylist()), dtype=np.int64)
+        order = np.lexsort((b2, a))
+        a, b2 = a[order], b2[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b2[keep], pa.int64()),
+        })
 
     return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nbands"))
-        .map_batches(lambda b: b.drop_columns(["_nbands"]), batch_format="pyarrow")
+        band_ds.map_batches(pack_bands, batch_format="pyarrow")
+        .groupby("lsh_bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
 
 
