@@ -1,0 +1,68 @@
+"""Packed-exchange helpers — the repo-wide remedy for row-granular
+groupby exchanges.
+
+A ``groupby(key)`` over millions of tiny fixed-width rows spends its
+wall time in the exchange's per-row sort machinery, not in compute
+(measured: 27× on the dup-gram pass, 45× on the MinHash LSH join).
+The discipline, first built for the index shuffle (``index/pack.py``):
+
+1. map side — each batch groups its rows by a coarse hash bucket and
+   emits ONE row per bucket, with every numeric column packed into a
+   raw little-endian byte string (``ndarray.tobytes()``);
+2. the exchange moves ~``buckets`` fat rows per batch instead of one
+   row per record;
+3. reduce side — the per-bucket group concatenates and decodes each
+   column with ``np.frombuffer`` (zero-copy) and aggregates with
+   numpy (lexsort + reduceat, boundary masks …).
+
+Used by ``stages/spans.py`` (dup-gram discovery), ``stages/
+dedup_near.py`` (LSH band join + pair dedup), ``stages/lines.py``
+(segment frequency).  Columns must be fixed-width numerics; callers
+pass the dtype per column (uint64 hash halves travel as their own
+bytes and come back bit-identical).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_by_bucket(
+    bucket: np.ndarray,
+    cols: "dict[str, np.ndarray]",
+    *,
+    bucket_col: str = "bucket",
+) -> pa.Table:
+    """Group fixed-width numeric columns by ``bucket`` and emit one
+    packed binary row per distinct bucket value present."""
+    out_b: list[int] = []
+    out_cols: "dict[str, list[bytes]]" = {c: [] for c in cols}
+    for v in np.unique(bucket):
+        m = bucket == v
+        out_b.append(int(v))
+        for c, arr in cols.items():
+            out_cols[c].append(arr[m].tobytes())
+    return pa.table({
+        bucket_col: pa.array(out_b, pa.int64()),
+        **{c: pa.array(vals, pa.binary()) for c, vals in out_cols.items()},
+    })
+
+
+def packed_empty(cols: "list[str]", *, bucket_col: str = "bucket") -> pa.Table:
+    """Typed empty table matching :func:`pack_by_bucket`'s layout —
+    the empty-batch branch every packed map fn must return (mixed
+    block schemas break the downstream groupby)."""
+    return pa.schema(
+        [(bucket_col, pa.int64())] + [(c, pa.binary()) for c in cols]
+    ).empty_table()
+
+
+def unpack_group(
+    g: pa.Table, dtypes: "dict[str, np.dtype | type]"
+) -> "dict[str, np.ndarray]":
+    """Concatenate and decode one reduce group's packed columns."""
+    return {
+        c: np.frombuffer(b"".join(g[c].to_pylist()), dtype=dt)
+        for c, dt in dtypes.items()
+    }

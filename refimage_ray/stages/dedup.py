@@ -129,40 +129,53 @@ def find_dup_losers(
         # prefix alone would silently merge distinct texts that collide
         # in the first 16 hex chars.  Reads the staged numeric halves
         # when present (24 B/row) instead of hex strings.
+        from refimage_ray.functions.packexchange import pack_by_bucket
+
         if has_keys:
             key = b["content_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
             key2 = b["content_key2"].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
             key = hex_prefix_u64(b["content_hash"])
             key2 = hex_suffix_u64(b["content_hash"])
-        return pa.table(
+        # packed exchange (functions/packexchange.py): one binary row
+        # per (batch, bucket) — the groupby otherwise sorts one tiny
+        # row per DOC, which dominates the narrow dedup pass at scale
+        return pack_by_bucket(
+            (key % np.uint64(buckets)).astype(np.int64),
             {
-                "doc_id": b["doc_id"],
-                "ckey": pa.array(key, pa.uint64()),
-                "ckey2": pa.array(key2, pa.uint64()),
-                "dedup_bucket": pa.array(
-                    (key % np.uint64(buckets)).astype(np.int64), pa.int64()
-                ),
-            }
+                "doc_id": b["doc_id"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "ckey": key,
+                "ckey2": key2,
+            },
+            bucket_col="dedup_bucket",
         )
 
     pairs = rd.read_parquet(docs_dir, columns=cols).map_batches(
         to_keys, batch_format="pyarrow"
     )
 
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        keys = g["ckey"].to_numpy().astype(np.uint64)
-        keys2 = g["ckey2"].to_numpy().astype(np.uint64)
+    def losers(g: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import unpack_group
+
+        if g.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        a = unpack_group(
+            g, {"doc_id": np.int64, "ckey": np.uint64, "ckey2": np.uint64}
+        )
+        ids, keys, keys2 = a["doc_id"], a["ckey"], a["ckey2"]
         order = np.lexsort((ids, keys2, keys))
         dup = np.zeros(len(ids), dtype=bool)
         dup[1:] = (keys[order][1:] == keys[order][:-1]) & (
             keys2[order][1:] == keys2[order][:-1]
         )
-        return pd.DataFrame({"doc_id": ids[order][dup]})
+        return pa.table({"doc_id": pa.array(ids[order][dup], pa.int64())})
 
-    out = pairs.groupby("dedup_bucket").map_groups(losers, batch_format="pandas")
-    ids = out.to_pandas()["doc_id"].to_numpy()
+    out = pairs.groupby("dedup_bucket").map_groups(losers, batch_format="pyarrow")
+    from refimage_ray.stages.dedup_near import collect_small
+
+    tbl = collect_small(out, pa.schema([("doc_id", pa.int64())]))
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     return np.sort(ids.astype(np.int64))
 
 

@@ -223,24 +223,17 @@ def lsh_candidate_pairs(
     # row (raw little-endian bytes), so the exchange moves ~buckets
     # rows per batch and the reducer decodes with np.frombuffer.
     def pack_bands(b: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import pack_by_bucket
+
         bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         band = b["band"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mixed = (bh ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
         coarse = (mixed % np.uint64(coarse_buckets)).astype(np.int64)
-        out_b, out_ids, out_band, out_bh = [], [], [], []
-        for v in np.unique(coarse):
-            m = coarse == v
-            out_b.append(int(v))
-            out_ids.append(ids[m].tobytes())
-            out_band.append(band[m].tobytes())
-            out_bh.append(bh[m].tobytes())
-        return pa.table({
-            "lsh_bucket": pa.array(out_b, pa.int64()),
-            "ids": pa.array(out_ids, pa.binary()),
-            "band": pa.array(out_band, pa.binary()),
-            "bh": pa.array(out_bh, pa.binary()),
-        })
+        return pack_by_bucket(
+            coarse, {"ids": ids, "band": band, "bh": bh},
+            bucket_col="lsh_bucket",
+        )
 
     _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     _PACKED_PAIR_EMPTY = pa.schema([
@@ -248,11 +241,16 @@ def lsh_candidate_pairs(
     ]).empty_table()
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import unpack_group
+
         if g.num_rows == 0:
-            return _PAIR_SCHEMA.empty_table()
-        ids = np.frombuffer(b"".join(g["ids"].to_pylist()), dtype=np.int64)
-        band = np.frombuffer(b"".join(g["band"].to_pylist()), dtype=np.int64)
-        bh = np.frombuffer(b"".join(g["bh"].to_pylist()), dtype=np.uint64)
+            # NB: this stage EMITS packed pair rows — the empty branch
+            # must match that schema, not the final (doc_a, doc_b) one
+            return _PACKED_PAIR_EMPTY
+        arrs = unpack_group(
+            g, {"ids": np.int64, "band": np.int64, "bh": np.uint64}
+        )
+        ids, band, bh = arrs["ids"], arrs["band"], arrs["bh"]
         order = np.lexsort((ids, bh, band))
         ids, band, bh = ids[order], band[order], bh[order]
         new_run = np.zeros(len(ids), dtype=bool)
@@ -293,23 +291,18 @@ def lsh_candidate_pairs(
             b2.view(np.uint64)
         ) % np.uint64(coarse_buckets)
         pb = pb.astype(np.int64)
-        out = {"pair_bucket": [], "a": [], "b": []}
-        for v in np.unique(pb):
-            m2 = pb == v
-            out["pair_bucket"].append(int(v))
-            out["a"].append(a[m2].tobytes())
-            out["b"].append(b2[m2].tobytes())
-        return pa.table({
-            "pair_bucket": pa.array(out["pair_bucket"], pa.int64()),
-            "a": pa.array(out["a"], pa.binary()),
-            "b": pa.array(out["b"], pa.binary()),
-        })
+        from refimage_ray.functions.packexchange import pack_by_bucket
+
+        return pack_by_bucket(pb, {"a": a, "b": b2},
+                              bucket_col="pair_bucket")
 
     def dedup_pairs(g: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import unpack_group
+
         if g.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
-        a = np.frombuffer(b"".join(g["a"].to_pylist()), dtype=np.int64)
-        b2 = np.frombuffer(b"".join(g["b"].to_pylist()), dtype=np.int64)
+        arrs = unpack_group(g, {"a": np.int64, "b": np.int64})
+        a, b2 = arrs["a"], arrs["b"]
         order = np.lexsort((b2, a))
         a, b2 = a[order], b2[order]
         keep = np.ones(len(a), dtype=bool)

@@ -236,48 +236,58 @@ def duplicated_segments(
         else:
             bound = np.zeros(0, dtype=np.int64)
             counts = np.zeros(0, dtype=np.int64)
-        return pa.table(
+        # packed exchange (functions/packexchange.py): one binary row
+        # per (batch, bucket) instead of one row per distinct segment
+        from refimage_ray.functions.packexchange import pack_by_bucket
+
+        return pack_by_bucket(
+            (h1s[bound] % np.uint64(buckets)).astype(np.int64),
             {
-                "seg_key": pa.array(h1s[bound].view(np.int64), pa.int64()),
-                "seg_key2": pa.array(h2s[bound].view(np.int64), pa.int64()),
-                "n": pa.array(counts.astype(np.int64), pa.int64()),
-                "win_doc": pa.array(doc[order][bound], pa.int64()),
-                "win_seg": pa.array(seg_idx[order][bound], pa.int64()),
-                "seg_bucket": pa.array(
-                    (h1s[bound] % np.uint64(buckets)).astype(np.int64),
-                    pa.int64(),
-                ),
-            }
+                "seg_key": h1s[bound].view(np.int64),
+                "seg_key2": h2s[bound].view(np.int64),
+                "n": counts.astype(np.int64),
+                "win_doc": doc[order][bound],
+                "win_seg": seg_idx[order][bound],
+            },
+            bucket_col="seg_bucket",
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["seg_key", "seg_key2", "win_doc", "win_seg"], kind="mergesort"
-        )
-        out = (
-            g.groupby(["seg_key", "seg_key2"], sort=False)
-            .agg(
-                n=("n", "sum"),
-                win_doc=("win_doc", "first"),
-                win_seg=("win_seg", "first"),
-            )
-            .reset_index()
-        )
-        out = out[out["n"] >= min_count]
-        return out.astype(
-            {
-                "seg_key": "int64",
-                "seg_key2": "int64",
-                "n": "int64",
-                "win_doc": "int64",
-                "win_seg": "int64",
-            }
-        )
+    _SEG_SCHEMA = pa.schema([
+        ("seg_key", pa.int64()), ("seg_key2", pa.int64()),
+        ("n", pa.int64()), ("win_doc", pa.int64()),
+        ("win_seg", pa.int64()),
+    ])
+
+    def merge(g: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import unpack_group
+
+        if g.num_rows == 0:
+            return _SEG_SCHEMA.empty_table()
+        a = unpack_group(g, {c: np.int64 for c in _SEG_SCHEMA.names})
+        k1, k2 = a["seg_key"], a["seg_key2"]
+        order = np.lexsort((a["win_seg"], a["win_doc"], k2, k1))
+        k1, k2 = k1[order], k2[order]
+        n = a["n"][order]
+        wd, ws = a["win_doc"][order], a["win_seg"][order]
+        change = np.ones(len(k1), dtype=bool)
+        change[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        bounds = np.flatnonzero(change)
+        n_tot = np.add.reduceat(n, bounds)
+        keep = n_tot >= min_count
+        return pa.table({
+            "seg_key": pa.array(k1[bounds][keep], pa.int64()),
+            "seg_key2": pa.array(k2[bounds][keep], pa.int64()),
+            "n": pa.array(n_tot[keep], pa.int64()),
+            # lexsort put each key's (win_doc, win_seg)-min occurrence
+            # first → "first" == global lexicographic-min winner
+            "win_doc": pa.array(wd[bounds][keep], pa.int64()),
+            "win_seg": pa.array(ws[bounds][keep], pa.int64()),
+        })
 
     return (
         docs_ds.map_batches(partials, batch_format="pyarrow")
         .groupby("seg_bucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 

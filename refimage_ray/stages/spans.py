@@ -157,24 +157,21 @@ def duplicated_grams(
     AGG_BUCKETS = 64
 
     def pack_partial(batch: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import pack_by_bucket
+
         g = partials(batch)
         hi = g["g_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lo = g["g_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nd = g["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
-        win = g["win_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bkt = (hi.view(np.uint64) % np.uint64(AGG_BUCKETS)).astype(np.int64)
-        out_b, out_cols = [], {c: [] for c in ("hi", "lo", "nd", "win")}
-        for b in np.unique(bkt):
-            m = bkt == b
-            out_b.append(int(b))
-            out_cols["hi"].append(hi[m].tobytes())
-            out_cols["lo"].append(lo[m].tobytes())
-            out_cols["nd"].append(nd[m].tobytes())
-            out_cols["win"].append(win[m].tobytes())
-        return pa.table({
-            "bkt": pa.array(out_b, pa.int64()),
-            **{c: pa.array(v, pa.binary()) for c, v in out_cols.items()},
-        })
+        return pack_by_bucket(
+            (hi.view(np.uint64) % np.uint64(AGG_BUCKETS)).astype(np.int64),
+            {
+                "hi": hi,
+                "lo": g["g_lo"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "nd": g["nd"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "win": g["win_doc"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+            },
+            bucket_col="bkt",
+        )
 
     _GRAM_SCHEMA = pa.schema([
         ("g_hi", pa.int64()), ("g_lo", pa.int64()),
@@ -182,16 +179,15 @@ def duplicated_grams(
     ])
 
     def reduce_bucket(g: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import unpack_group
+
         if g.num_rows == 0:
             return _GRAM_SCHEMA.empty_table()
-
-        def cat(col: str) -> np.ndarray:
-            return np.frombuffer(
-                b"".join(g[col].to_pylist()), dtype=np.int64
-            )
-
-        hi, lo = cat("hi"), cat("lo")
-        nd, win = cat("nd"), cat("win")
+        a = unpack_group(
+            g, {c: np.int64 for c in ("hi", "lo", "nd", "win")}
+        )
+        hi, lo = a["hi"], a["lo"]
+        nd, win = a["nd"], a["win"]
         order = np.lexsort((lo, hi))
         hi, lo, nd, win = hi[order], lo[order], nd[order], win[order]
         change = np.ones(len(hi), dtype=bool)
