@@ -491,6 +491,21 @@ def run_bench() -> dict:
         scrub_sec = time.perf_counter() - tq
         timings["scrub_spans_docs_per_sec"] = round(n_scrubbed / scrub_sec, 1)
 
+        # MinHash LSH near-dup candidate generation over the full
+        # REP'd corpus (every doc ~REP-way duplicated — the worst-case
+        # collision load); packed band + pair-dedup exchanges
+        from refimage_ray.stages.dedup_near import (
+            lsh_candidate_pairs,
+            minhash_band_rows,
+        )
+
+        tq = time.perf_counter()
+        _bands = _corp.map_batches(minhash_band_rows, batch_format="pyarrow")
+        n_cand = lsh_candidate_pairs(_bands, max_run=400).count()
+        mh_sec = time.perf_counter() - tq
+        timings["minhash_pairs_docs_per_sec"] = round(n_scrubbed / mh_sec, 1)
+        timings["minhash_candidate_pairs"] = int(n_cand)
+
     for name, fn in [
         ("term_stats", lambda: term_stats(SF_DIR).to_pandas()),
         ("tpch_q1", lambda: relational.tpch_q1(SF_DIR)),
