@@ -1,0 +1,114 @@
+"""Packed-exchange helpers (functions/packexchange.py): pack/unpack
+roundtrip fidelity, bucket partition completeness, and end-to-end
+equivalence of the packed LSH join against a naive row-granular
+reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from refimage_ray.functions.packexchange import (
+    pack_by_bucket,
+    packed_empty,
+    unpack_group,
+)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    buckets=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_pack_unpack_roundtrip_partitions_exactly(n, buckets, seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    hashes = rng.integers(0, 2**63, size=n, dtype=np.uint64) * np.uint64(2) \
+        + np.uint64(1)  # exercise the high bit via odd doubling
+    bucket = (hashes % np.uint64(buckets)).astype(np.int64)
+    packed = pack_by_bucket(bucket, {"v": vals, "h": hashes})
+    # one row per distinct bucket present
+    assert packed.num_rows == len(np.unique(bucket))
+    # reassemble every bucket: the union must be the exact multiset,
+    # and each bucket's slice must match the mask-selected original
+    got_v, got_h = [], []
+    for i in range(packed.num_rows):
+        b = packed["bucket"][i].as_py()
+        row = packed.slice(i, 1)
+        arrs = unpack_group(row, {"v": np.int64, "h": np.uint64})
+        m = bucket == b
+        assert np.array_equal(arrs["v"], vals[m])
+        assert np.array_equal(arrs["h"], hashes[m])
+        got_v.append(arrs["v"])
+        got_h.append(arrs["h"])
+    if n:
+        all_v = np.concatenate(got_v) if got_v else np.zeros(0, np.int64)
+        assert sorted(all_v.tolist()) == sorted(vals.tolist())
+
+
+def test_packed_empty_matches_pack_layout():
+    empty = packed_empty(["a", "b"], bucket_col="k")
+    nonempty = pack_by_bucket(
+        np.array([0], np.int64),
+        {"a": np.array([1], np.int64), "b": np.array([2], np.int64)},
+        bucket_col="k",
+    )
+    assert empty.schema == nonempty.schema
+    assert empty.num_rows == 0
+
+
+def test_unpack_concatenates_across_group_rows():
+    t1 = pack_by_bucket(np.array([3, 3], np.int64),
+                        {"x": np.array([10, 11], np.int64)})
+    t2 = pack_by_bucket(np.array([3], np.int64),
+                        {"x": np.array([12], np.int64)})
+    g = pa.concat_tables([t1, t2])
+    arrs = unpack_group(g, {"x": np.int64})
+    assert arrs["x"].tolist() == [10, 11, 12]
+
+
+def _naive_candidate_pairs(band_tbl: pa.Table, max_run=None) -> set:
+    """Row-granular reference for lsh_candidate_pairs: group equal
+    (band, band_hash), emit all unordered doc pairs, global dedup."""
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in band_tbl.to_pylist():
+        groups[(r["band"], r["band_hash"])].append(r["doc_id"])
+    out = set()
+    for docs in groups.values():
+        docs = sorted(set(docs))
+        if max_run is not None and len(docs) > max_run:
+            continue
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                out.add((docs[i], docs[j]))
+    return out
+
+
+@pytest.mark.parametrize("max_run", [None, 3])
+def test_packed_lsh_join_equals_naive(ray_session, max_run):
+    import ray.data as rd
+
+    from refimage_ray.stages.dedup_near import lsh_candidate_pairs
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64), pa.int64()),
+        "band": pa.array(rng.integers(0, 4, n).astype(np.int32), pa.int32()),
+        # few distinct hashes → many collisions, including mega-runs
+        "band_hash": pa.array(
+            rng.integers(0, 25, n, dtype=np.uint64), pa.uint64()),
+    })
+    want = _naive_candidate_pairs(t, max_run=max_run)
+    got_tbl = lsh_candidate_pairs(
+        rd.from_arrow(t).repartition(7),
+        **({"max_run": max_run} if max_run is not None else {}),
+    ).to_pandas()
+    got = set(zip(got_tbl["doc_a"], got_tbl["doc_b"]))
+    assert got == want
