@@ -503,7 +503,7 @@ def run_bench() -> dict:
         _bands = _corp.map_batches(minhash_band_rows, batch_format="pyarrow")
         n_cand = lsh_candidate_pairs(_bands, max_run=400).count()
         mh_sec = time.perf_counter() - tq
-        timings["minhash_pairs_docs_per_sec"] = round(n_scrubbed / mh_sec, 1)
+        timings["minhash_pairs_docs_per_sec"] = round(n_docs / mh_sec, 1)
         timings["minhash_candidate_pairs"] = int(n_cand)
 
     for name, fn in [

@@ -35,17 +35,30 @@ def pack_by_bucket(
     bucket_col: str = "bucket",
 ) -> pa.Table:
     """Group fixed-width numeric columns by ``bucket`` and emit one
-    packed binary row per distinct bucket value present."""
-    out_b: list[int] = []
-    out_cols: "dict[str, list[bytes]]" = {c: [] for c in cols}
-    for v in np.unique(bucket):
-        m = bucket == v
-        out_b.append(int(v))
-        for c, arr in cols.items():
-            out_cols[c].append(arr[m].tobytes())
+    packed binary row per distinct bucket value present.
+
+    One stable argsort + run-boundary split (O(n log n + n·cols)),
+    NOT a per-bucket boolean mask scan — this runs on the map-side
+    hot path of every packed exchange."""
+    order = np.argsort(bucket, kind="stable")
+    sb = bucket[order]
+    n = len(sb)
+    if n == 0:
+        return packed_empty(list(cols), bucket_col=bucket_col)
+    change = np.ones(n, dtype=bool)
+    change[1:] = sb[1:] != sb[:-1]
+    bounds = np.flatnonzero(change)
+    ends = np.append(bounds[1:], n)
+    gathered = {c: arr[order] for c, arr in cols.items()}
     return pa.table({
-        bucket_col: pa.array(out_b, pa.int64()),
-        **{c: pa.array(vals, pa.binary()) for c, vals in out_cols.items()},
+        bucket_col: pa.array([int(v) for v in sb[bounds]], pa.int64()),
+        **{
+            c: pa.array(
+                [g[lo:hi].tobytes() for lo, hi in zip(bounds, ends)],
+                pa.binary(),
+            )
+            for c, g in gathered.items()
+        },
     })
 
 

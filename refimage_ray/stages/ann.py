@@ -89,7 +89,7 @@ def _combine_topk_fn(k: int):
 
 
 def _reduce_topk(
-    partials: "ray.data.Dataset", k: int, *, combine_rows: int = 65536
+    partials: "ray.data.Dataset", k: int, n_q: int, *, fanin: int = 32
 ) -> pa.Table:
     """Tree-reduce per-batch top-k partials to global per-query top-k.
 
@@ -97,33 +97,37 @@ def _reduce_topk(
     group exchange emits schema-less empty partitions at small scale
     (Ray's ``_apply_udf_to_groups`` never calls the UDF on an empty
     block) and costs a comparison sort of all partials at large scale.
-    And deliberately NO ``repartition`` either — an all-to-all barrier
-    whose fixed cost dominates on small inputs.  Two STREAMING
-    combine passes instead, each coalescing up to ``combine_rows``
-    partial rows per batch and keeping only per-query top-k:
-
-      partials (n_blocks · n_q · k rows, typed even when empty)
-        → combine per ~combine_rows rows   (streams, no exchange)
-        → combine again                    (quadratic fan-in)
-        → collect, final combine on the driver.
-
-    The collect is bounded by (rows / combine_rows²) · n_q · k — at
-    10⁶ edge blocks and n_q·k = 10³ that is ~10³ rows.  Every
-    intermediate block carries the explicit ``_TOPK_SCHEMA``, so the
-    pipeline is warning-free and schema-stable end to end.
+    Two STREAMING combine passes (no exchange; each coalesces enough
+    partial rows that per-query top-k shrinks the batch ≥64×, so two
+    passes reduce ≥4096×), then — ONLY when the query set is large
+    enough that the streamed residue could still scale with block
+    count — one ``repartition(fanin)`` barrier pass that hard-bounds
+    the driver collect at ``fanin · n_q · k`` rows.  Small inputs
+    never pay the barrier's fixed cost (it regressed the bench 25%
+    when unconditional); large inputs keep a block-count-independent
+    driver bound.  Every intermediate block carries the explicit
+    ``_TOPK_SCHEMA``, so the pipeline is warning-free and
+    schema-stable end to end.
     """
     from refimage_ray.stages.dedup_near import collect_small
 
     combine = _combine_topk_fn(k)
-    lvl1 = partials.map_batches(
+    group = max(1, n_q * k)
+    combine_rows = max(65536, 64 * group)
+    lvl = partials.map_batches(
+        combine, batch_size=combine_rows, batch_format="pyarrow"
+    ).map_batches(
         combine, batch_size=combine_rows, batch_format="pyarrow"
     )
-    lvl2 = lvl1.map_batches(
-        combine, batch_size=combine_rows, batch_format="pyarrow"
-    )
+    if group >= 4096:
+        # n_q·k this large → the ≥4096× streamed reduction may leave
+        # O(n_blocks/4096 · n_q · k) rows; one barrier pass bounds it
+        lvl = lvl.repartition(fanin).map_batches(
+            combine, batch_size=None, batch_format="pyarrow"
+        )
     # the final merge IS the same combiner, applied once to the
-    # collected level-2 output
-    return combine(collect_small(lvl2, _TOPK_SCHEMA))
+    # collected output
+    return combine(collect_small(lvl, _TOPK_SCHEMA))
 
 
 def brute_force_topk(
@@ -169,7 +173,7 @@ def brute_force_topk(
         )
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-    return _reduce_topk(partials, k)
+    return _reduce_topk(partials, k, qm.shape[0])
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -242,7 +246,7 @@ def lsh_bucketed_topk(
         return pa.concat_tables(out)
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-    return _reduce_topk(partials, k)
+    return _reduce_topk(partials, k, qm.shape[0])
 
 
 def _kmeans_lite(
@@ -328,7 +332,7 @@ def ivf_topk(
         )
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-    return _reduce_topk(partials, k)
+    return _reduce_topk(partials, k, qm.shape[0])
 
 
 _NEAR_DUP_SCHEMA = pa.schema(
@@ -586,4 +590,4 @@ def pq_topk(
         )
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-    return _reduce_topk(partials, k)
+    return _reduce_topk(partials, k, qm.shape[0])

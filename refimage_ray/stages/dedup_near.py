@@ -210,8 +210,10 @@ def lsh_candidate_pairs(
     group, so the shuffle key is a COARSE hash bucket and each reducer
     resolves its sub-buckets vectorized (lexsort + run boundaries +
     triu per run — only runs of ≥2 rows, i.e. real collisions, cost
-    anything).  A native grouped aggregate dedups pairs found by
-    multiple bands.  Pathological buckets (many docs sharing a band
+    anything).  Pairs found by multiple bands are deduped by a second
+    PACKED exchange keyed by a pair-hash bucket (within-task distinct
+    first, then a per-bucket vectorized distinct — see ``dedup_pairs``
+    below).  Pathological buckets (many docs sharing a band
     hash) emit O(m²) pairs by the op's semantics; salt upstream if a
     key class explodes.
     """
@@ -235,10 +237,10 @@ def lsh_candidate_pairs(
             bucket_col="lsh_bucket",
         )
 
+    from refimage_ray.functions.packexchange import packed_empty
+
     _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    _PACKED_PAIR_EMPTY = pa.schema([
-        ("pair_bucket", pa.int64()), ("a", pa.binary()), ("b", pa.binary()),
-    ]).empty_table()
+    _PACKED_PAIR_EMPTY = packed_empty(["a", "b"], bucket_col="pair_bucket")
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         from refimage_ray.functions.packexchange import unpack_group

@@ -100,6 +100,7 @@ def duplicated_grams(
     cfg: EngineConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    agg_buckets: int = 64,
 ):
     """Dataset of grams appearing in ≥ ``min_docs`` distinct docs:
     ``(g_hi, g_lo, nd, win_doc)`` — ``win_doc`` = smallest doc_id
@@ -154,7 +155,10 @@ def duplicated_grams(
     # binary row per bucket (raw little-endian int64 bytes), the
     # exchange moves ~buckets rows per batch, and the per-bucket
     # reducer aggregates with lexsort + reduceat — all numpy.
-    AGG_BUCKETS = 64
+    # ``agg_buckets`` reducer groups; each must hold its share of the
+    # distinct-gram partials in one unpack — widen on large clusters
+    # (the knob every sibling packed exchange exposes)
+    AGG_BUCKETS = int(agg_buckets)
 
     def pack_partial(batch: pa.Table) -> pa.Table:
         from refimage_ray.functions.packexchange import pack_by_bucket
@@ -264,7 +268,7 @@ def scrub_dup_spans(
     if method == "auto":
         dup_ds = duplicated_grams(
             docs_ds, n=n, min_docs=min_docs, cfg=cfg,
-            text_col=text_col, doc_col=doc_col,
+            text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
         ).materialize()  # count + collect must not double-execute
         if dup_ds.count() <= auto_broadcast_max_grams:
             method = "broadcast"
@@ -280,7 +284,7 @@ def scrub_dup_spans(
     if dup is None:
         dup = duplicated_grams(
             docs_ds, n=n, min_docs=min_docs, cfg=cfg,
-            text_col=text_col, doc_col=doc_col,
+            text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
         ).to_pandas()
     if "g_hi" not in dup.columns:
         # Ray quirk: to_pandas() of a fully-empty Dataset loses the
@@ -422,7 +426,7 @@ def _scrub_via_join(
 
     dup_ds = duplicated_grams(
         docs_ds, n=n, min_docs=min_docs, cfg=cfg,
-        text_col=text_col, doc_col=doc_col,
+        text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
     ).map_batches(
         lambda t: pa.table({
             "g_hi": t["g_hi"],

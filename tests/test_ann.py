@@ -239,7 +239,7 @@ def test_reduce_topk_schema_stable_on_empty_blocks(ray_session):
     tables = [partial(i) if i % 3 == 0 else _TOPK_SCHEMA.empty_table()
               for i in range(30)]
     partials = rd.from_arrow(tables)
-    out = _reduce_topk(partials, 3)
+    out = _reduce_topk(partials, 3, 2)
     assert out.schema == _TOPK_SCHEMA
     # query 0: scores are i % 7 for i in 0,3,...,27 → 6.0 at i=6,27
     q0 = out.filter(pa.compute.equal(out["query_id"], 0))
@@ -248,7 +248,7 @@ def test_reduce_topk_schema_stable_on_empty_blocks(ray_session):
 
     # all-empty input: typed empty result, not a schema-less frame
     empty = rd.from_arrow([_TOPK_SCHEMA.empty_table()] * 4)
-    out2 = _reduce_topk(empty, 3)
+    out2 = _reduce_topk(empty, 3, 2)
     assert out2.num_rows == 0
     assert out2.schema == _TOPK_SCHEMA
 
