@@ -870,15 +870,44 @@ def simhash_near_dup_pairs(
     m·(m−1)/2 pairs by the op's own semantics — cap such classes
     upstream (drop empty docs) when m² is a problem.
     """
-    rows = docs_ds.map_batches(
-        lambda b: simhash_chunk_rows(b, cfg, coarse_buckets=coarse_buckets),
-        batch_format="pyarrow",
+    from refimage_ray.functions.packexchange import (
+        pack_by_bucket,
+        packed_empty,
+        unpack_group,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        ck = g["ckey"].to_numpy().astype(np.int64)
+    _PACKED_CHUNK_EMPTY = packed_empty(
+        ["doc_id", "simhash", "ckey"], bucket_col="coarse")
+    _PACKED_PAIR_H_EMPTY = packed_empty(
+        ["a", "b", "d"], bucket_col="pair_bucket")
+
+    # both exchanges packed (functions/packexchange.py): chunk rows are
+    # docs × 4 tiny rows, pair rows one per (pair, chunk) — row-granular
+    # sort cost dominated both before
+    def pack_chunks(b: pa.Table) -> pa.Table:
+        rows = simhash_chunk_rows(b, cfg, coarse_buckets=coarse_buckets)
+        if rows.num_rows == 0:
+            return _PACKED_CHUNK_EMPTY
+        return pack_by_bucket(
+            rows["coarse"].to_numpy(zero_copy_only=False).astype(np.int64),
+            {
+                "doc_id": rows["doc_id"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "simhash": rows["simhash"].to_numpy(
+                    zero_copy_only=False).astype(np.uint64),
+                "ckey": rows["ckey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+            },
+            bucket_col="coarse",
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PACKED_PAIR_H_EMPTY
+        arrs = unpack_group(
+            g, {"doc_id": np.int64, "simhash": np.uint64, "ckey": np.int64}
+        )
+        ids, sh, ck = arrs["doc_id"], arrs["simhash"], arrs["ckey"]
         order = np.lexsort((ids, ck))
         ids, sh, ck = ids[order], sh[order], ck[order]
         bounds = np.flatnonzero(np.diff(ck)) + 1
@@ -895,22 +924,48 @@ def simhash_near_dup_pairs(
             out_b.append(ids[lo:hi][ib[keep]])
             out_d.append(d[keep].astype(np.int64))
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": np.zeros(0, np.int64), "doc_b": np.zeros(0, np.int64),
-                 "hamming": np.zeros(0, np.int64)}
-            )
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
-             "hamming": np.concatenate(out_d)}
+            return _PACKED_PAIR_H_EMPTY
+        a = np.concatenate(out_a)
+        b2 = np.concatenate(out_b)
+        d = np.concatenate(out_d)
+        # within-task distinct (a pair recurs across this bucket's
+        # chunk runs; hamming is a pure function of the pair, so any
+        # occurrence carries THE value)
+        order = np.lexsort((b2, a))
+        a, b2, d = a[order], b2[order], d[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        a, b2, d = a[keep], b2[keep], d[keep]
+        pb = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^
+            b2.view(np.uint64)
+        ) % np.uint64(coarse_buckets)
+        return pack_by_bucket(
+            pb.astype(np.int64), {"a": a, "b": b2, "d": d},
+            bucket_col="pair_bucket",
         )
 
-    pairs = rows.groupby("coarse").map_groups(bucket_pairs, batch_format="pandas")
-    # hamming is a pure function of (doc_a, doc_b): Min == the value,
-    # and the native aggregate both dedups and carries it in one pass
-    from ray.data.aggregate import Min
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return PAIR_SCHEMA_H.empty_table()
+        arrs = unpack_group(g, {"a": np.int64, "b": np.int64, "d": np.int64})
+        a, b2, d = arrs["a"], arrs["b"], arrs["d"]
+        order = np.lexsort((b2, a))
+        a, b2, d = a[order], b2[order], d[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b2[keep], pa.int64()),
+            "hamming": pa.array(d[keep], pa.int64()),
+        })
 
-    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    distinct = (
+        docs_ds.map_batches(pack_chunks, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
     out = collect_small(distinct, PAIR_SCHEMA_H)
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
