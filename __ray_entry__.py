@@ -641,6 +641,64 @@ FROM lineitem"""
     return "\nUNION ALL\n".join(arms)
 
 
+def _pagerank_sql(iters: int = 20, d: float = 0.85) -> str:
+    """Event-transition PageRank oracle: the damped synchronous power
+    iteration UNROLLED as ``iters`` chained CTEs (standard SQL bars
+    aggregates over a recursive CTE's working table, so recursion
+    won't express the update — a fixed iteration count will).
+    Mirrors ``stages/graph.pagerank`` exactly: N = |src ∪ dst|,
+    out-degree with parallel-edge multiplicity, dangling mass
+    (out-degree 0) redistributed uniformly,
+    ``r' = (1-d)/N + d*(Σ_in r/outdeg + dangling/N)``; ranks rounded
+    to 9 digits only at the boundary."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {d})/(SELECT nn FROM cnt)
+         + {d} * (
+             COALESCE(inc.c, 0)
+             + (SELECT COALESCE(sum(p.rank), 0) FROM {prev} p
+                LEFT JOIN outdeg o ON o.src = p.node
+                WHERE o.src IS NULL) / (SELECT nn FROM cnt)
+           ) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / o.deg) AS c
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = n.node
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH ordered AS MATERIALIZED (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT event_type AS src, nxt AS dst FROM ordered WHERE nxt IS NOT NULL
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+outdeg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+),
+r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT nn FROM cnt) AS rank FROM nodes),
+{chain}
+SELECT node, round(rank, 9) AS rank FROM {prev}
+ORDER BY rank DESC, node
+"""
+
+
 def _url_canon_sql(final_select: str) -> str:
     """URL-canonicalization oracle: the adversarial derivation
     (``pipelines/corpus._messy_urls``) plus a GENERIC canonicalizer —
@@ -972,15 +1030,17 @@ def entry() -> Any:
 
 # Queries never yet certified by a driver CORRECTNESS_r*.json run (the
 # driver checks the first 50 entries in dict order).  Round 4 leads
-# with the 41 SQL-oracled entries never certified by a driver run —
-# the 40 never inside a window across rounds 1-3 (facets, suggesters,
-# packing, sampling, minhash, docpart ordered/rescored, crawl/url,
-# profiling) plus the new composite_buckets_page2_docpart — then
-# fills the remaining 9 slots with a cross-family regression sample
-# of previously-certified queries.  Rows-only entries (no SQL oracle)
-# are deliberately excluded from the 50-slot window — a slot spent on
-# one returns only a weak rows-ran check.  Rotate each round as
-# CORRECTNESS files accumulate.
+# with the 42 SQL-oracled entries never value-certified by a driver
+# run — the 40 never inside a window across rounds 1-3 (facets,
+# suggesters, packing, sampling, minhash, docpart ordered/rescored,
+# crawl/url, profiling) plus the new composite_buckets_page2_docpart
+# and event_transition_pagerank (value-oracled this round via an
+# unrolled-CTE power iteration) — then fills the remaining 8 slots
+# with a cross-family regression sample of previously-certified
+# queries.  Rows-only entries (no SQL oracle) are deliberately
+# excluded from the 50-slot window — a slot spent on one returns only
+# a weak rows-ran check.  Rotate each round as CORRECTNESS files
+# accumulate.
 _DRIVER_WINDOW_PRIORITY = [
     # --- the 40 never-certified value-oracled queries ---
     # facets family
@@ -1009,10 +1069,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # text analysis / profiling
     "table_profile_lineitem", "doc_chunks", "pii_scrub_stats",
     "token_count_multi", "langid_pred", "doc_fingerprints",
+    # newly value-oracled this round (unrolled-CTE power iteration)
+    "event_transition_pagerank",
     # --- regression sample (already certified r1-r3; fills the
     #     window to exactly 50 so a regression still surfaces) ---
     "corpus_stats", "bm25_topk", "term_stats", "tokenize_postings",
-    "dedup_exact_docs", "knn_cosine", "tpch_q1", "events_sessionize",
+    "dedup_exact_docs", "knn_cosine", "tpch_q1",
     "bm25_topk_ordered",
 ]
 
@@ -1186,7 +1248,7 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": relational.events_user_stats,
         "customer_order_counts_left": relational.customer_order_counts_left,
         "events_value_median": relational.events_value_median,
-        "event_transition_pagerank": relational.event_transition_pagerank,  # rows-only (iterative)
+        "event_transition_pagerank": relational.event_transition_pagerank,
         "table_profile_lineitem": relational.table_profile_lineitem,
         # --- training-data preparation ---
         "pack_sequences": training.pack_sequences,
@@ -2466,6 +2528,11 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour
 """,
+        # damped power iteration UNROLLED as 20 chained CTEs (standard
+        # SQL bars aggregating a recursive CTE's working table) — the
+        # previously rows-only iterative operator now has a full value
+        # oracle; float parity holds at the 9-digit boundary rounding
+        "event_transition_pagerank": _pagerank_sql(iters=20, d=0.85),
         "order_revenue_by_priority": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
        round(sum(l_extendedprice * (1 - l_discount)), 0) AS total_revenue

@@ -997,11 +997,13 @@ def event_transition_pagerank(sf_dir: str) -> pa.Table:
     """PageRank over the user-journey transition graph: within each
     user's time-ordered event stream, consecutive events contribute a
     (type → type) edge; ``stages/graph.pagerank_distributed`` then
-    ranks event types by stationary visit probability (rows-only: no
-    SQL eigensolver; the operator is pytest-verified against numpy
-    power iteration and the broadcast variant).  Uses the
-    distributed-rank-state path — no driver-side node state — so the
-    external check certifies the web-scale variant."""
+    ranks event types by stationary visit probability.  VALUE-oracled:
+    the 20-step damped power iteration is unrolled as chained
+    materialized CTEs in DuckDB (``__ray_entry__._pagerank_sql``) —
+    and pytest-verified against numpy power iteration and the
+    broadcast variant.  Uses the distributed-rank-state path — no
+    driver-side node state — so the external check certifies the
+    web-scale variant."""
     from refimage_ray.stages.graph import pagerank_distributed
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
