@@ -699,6 +699,106 @@ ORDER BY rank DESC, node
 """
 
 
+def _hll_sql(p: int = 12) -> str:
+    """HyperLogLog distinct-term oracle — the sketch itself is a
+    DETERMINISTIC function of the md5-u64 token hashes (no seeded
+    runtime hashing), so the full register file and the bias-corrected
+    estimate (with the linear-counting small-range switch) are
+    SQL-expressible.  Bit length is computed by exact integer
+    comparison against a powers-of-two table — ``floor(log2(w))`` on
+    a double can round up across an integer boundary, which is why
+    the engine, too, avoids it above 32 bits."""
+    m = 1 << p
+    wbits = 64 - p
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    return f"""
+WITH toks AS ({_TOKS}),
+terms AS (SELECT DISTINCT term FROM toks),
+h AS (
+  SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hash FROM terms
+),
+parts AS (
+  SELECT CAST(hash >> {wbits} AS BIGINT) AS idx,
+         hash & ((1::UBIGINT << {wbits}) - 1) AS w
+  FROM h
+),
+powers AS (
+  SELECT (1::UBIGINT << CAST(range AS INTEGER)) AS pw FROM range(0, {wbits})
+),
+ranked AS (
+  SELECT idx,
+         CASE WHEN w = 0 THEN {wbits + 1}
+              ELSE {wbits} + 1
+                   - (SELECT count(*) FROM powers WHERE pw <= parts.w)
+         END AS rank
+  FROM parts
+),
+regs AS (SELECT idx, max(rank) AS reg FROM ranked GROUP BY idx),
+agg AS (
+  SELECT (SELECT count(*) FROM regs) AS present,
+         (SELECT sum(pow(2.0, -reg)) FROM regs) AS s_present
+),
+est AS (
+  SELECT {alpha} * {m} * {m} / (s_present + ({m} - present)) AS raw,
+         {m} - present AS zeros
+  FROM agg
+)
+SELECT CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+            THEN round({m} * ln(CAST({m} AS DOUBLE) / zeros), 3)
+            ELSE round(raw, 3) END AS estimate,
+       CAST({p} AS BIGINT) AS p
+FROM est
+"""
+
+
+def _cms_sql(probes: tuple, width: int = 4096, depth: int = 4) -> str:
+    """Count-Min point-estimate oracle — the sketch is a pure function
+    of the md5-u64 token hashes and FIXED odd salts
+    (``stages/sketches._CMS_SALTS``), so the whole (depth × width)
+    table and the min-over-rows query are SQL-expressible.  The
+    wrapping u64 multiply decomposes through HUGEINT
+    (``(a·2³² + b)·s mod 2⁶⁴ = ((a·s mod 2³²)·2³² + b·s) mod 2⁶⁴`` —
+    a plain UBIGINT multiply would raise on overflow)."""
+    salts = [11400714819323198485, 14029467366897019727,
+             1609587929392839161, 2870177450012600261][:depth]
+    salt_rows = ", ".join(
+        f"({j}, {s}::HUGEINT)" for j, s in enumerate(salts)
+    )
+    probe_rows = ", ".join(f"('{p}')" for p in probes)
+    mix = """CAST((
+      (((CAST(hash AS HUGEINT) // 4294967296) * s) % 4294967296)
+        * 4294967296
+      + (CAST(hash AS HUGEINT) % 4294967296) * s
+    ) % 18446744073709551616 AS UBIGINT)"""
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term),
+salts(j, s) AS (VALUES {salt_rows}),
+th AS (
+  SELECT term, n, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hash
+  FROM tf
+),
+cells AS (
+  SELECT j, CAST(({mix} >> 33) % {width} AS BIGINT) AS b, n
+  FROM th CROSS JOIN salts
+),
+cms AS (SELECT j, b, sum(n) AS c FROM cells GROUP BY j, b),
+probes(term) AS (VALUES {probe_rows}),
+ph AS (
+  SELECT term, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hash
+  FROM probes
+),
+pcells AS (
+  SELECT term, j, CAST(({mix} >> 33) % {width} AS BIGINT) AS b
+  FROM ph CROSS JOIN salts
+)
+SELECT p.term, CAST(min(COALESCE(cms.c, 0)) AS BIGINT) AS est
+FROM pcells p LEFT JOIN cms ON cms.j = p.j AND cms.b = p.b
+GROUP BY p.term
+ORDER BY p.term
+"""
+
+
 def _url_canon_sql(final_select: str) -> str:
     """URL-canonicalization oracle: the adversarial derivation
     (``pipelines/corpus._messy_urls``) plus a GENERIC canonicalizer —
@@ -1069,13 +1169,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # text analysis / profiling
     "table_profile_lineitem", "doc_chunks", "pii_scrub_stats",
     "token_count_multi", "langid_pred", "doc_fingerprints",
-    # newly value-oracled this round (unrolled-CTE power iteration)
-    "event_transition_pagerank",
+    # newly value-oracled this round (unrolled-CTE power iteration;
+    # HLL registers + estimator; CMS table + min-query — all pure
+    # functions of md5-u64 hashes)
+    "event_transition_pagerank", "distinct_terms_hll", "term_counts_cms",
     # --- regression sample (already certified r1-r3; fills the
     #     window to exactly 50 so a regression still surfaces) ---
-    "corpus_stats", "bm25_topk", "term_stats", "tokenize_postings",
+    "corpus_stats", "bm25_topk", "term_stats",
     "dedup_exact_docs", "knn_cosine", "tpch_q1",
-    "bm25_topk_ordered",
 ]
 
 
@@ -1197,8 +1298,8 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "lang_classifier_stats": corpus.lang_classifier_stats,  # rows-only (iterative)
         "bpe_token_stats": corpus.bpe_token_stats_query,  # rows-only
         "distinct_counts": corpus.distinct_counts,
-        "distinct_terms_hll": corpus.distinct_terms_hll,  # rows-only (sketch)
-        "term_counts_cms": corpus.term_counts_cms,  # rows-only (sketch)
+        "distinct_terms_hll": corpus.distinct_terms_hll,
+        "term_counts_cms": corpus.term_counts_cms,
         "lang_counts": corpus.lang_counts,
         "domain_stats": corpus.domain_stats,
         "url_canonical_docs": corpus.url_canonical_docs,
@@ -1467,6 +1568,12 @@ SELECT CAST((SELECT count(DISTINCT term) FROM ({_TOKS})) AS BIGINT)
        CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT)
          AS distinct_langs
 """,
+        # the HLL and CMS SKETCHES are value-oracled too: registers /
+        # table cells + estimators are pure functions of the md5-u64
+        # token hashes (and CMS's fixed salts)
+        "distinct_terms_hll": _hll_sql(p=12),
+        "term_counts_cms": _cms_sql(
+            ("data", "spark", "query", "zzz_absent")),
         "top_terms": f"""
 SELECT term, CAST(count(*) AS BIGINT) AS df
 FROM (SELECT DISTINCT doc_id, term FROM ({_TOKS}))
