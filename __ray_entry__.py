@@ -799,6 +799,91 @@ ORDER BY p.term
 """
 
 
+def _plane_values(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """The engine's seeded LSH hyperplanes as SQL VALUES literals —
+    ``stages/ann._hyperplanes`` is deterministic, so the probe
+    geometry embeds verbatim into the oracle."""
+    import numpy as _np
+
+    planes = _np.random.default_rng(seed).standard_normal((n_planes, dim))
+    return ",\n  ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in planes[j])}]::DOUBLE[])"
+        for j in range(n_planes)
+    )
+
+
+def _lsh_buckets_cte(n_planes: int = 8, seed: int = 42,
+                     dim: int = 64) -> str:
+    """Shared CTE prefix: normalized-sign bucket per stored vector."""
+    return f"""planes(j, p) AS (VALUES
+  {_plane_values(n_planes, seed, dim)}
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e, p) > 0
+                       THEN 1 << j ELSE 0 END) AS BIGINT) AS b
+  FROM emb CROSS JOIN planes GROUP BY vec_id
+)"""
+
+
+def _lsh_neardup_sql(tau: float, n_planes: int = 8, seed: int = 42,
+                     dim: int = 64) -> str:
+    """LSH-blocked near-dup oracle: the ±1-bit multiprobe EMISSION
+    means two vectors share a bucket iff their sign codes differ in
+    ≤ 2 bits (pigeonhole on the probe sets) — so the candidate
+    predicate is ``bit_count(xor(b_a, b_b)) <= 2`` and the verify is
+    the exact cosine threshold."""
+    return f"""
+WITH {_lsh_buckets_cte(n_planes, seed, dim)}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM emb a
+JOIN emb b ON a.vec_id < b.vec_id
+JOIN buckets ba ON ba.vec_id = a.vec_id
+JOIN buckets bb ON bb.vec_id = b.vec_id
+WHERE bit_count(xor(ba.b, bb.b)) <= 2
+  AND list_cosine_similarity(a.e, b.e) >= {tau}
+ORDER BY vec_a, vec_b
+"""
+
+
+def _knn_lsh_sql(
+    query_ids: tuple = (0, 1), k: int = 10,
+    n_planes: int = 8, seed: int = 42, dim: int = 64,
+) -> str:
+    """LSH-bucketed ANN oracle — the "approximation" is a DETERMINISTIC
+    probe: hyperplanes come from a fixed seed, so they embed as SQL
+    literals and the candidate set (sign-bucket of each stored vector
+    ∈ the queries' buckets ± 1-bit flips) plus the exact cosine top-k
+    over it are fully SQL-expressible.  Mirrors
+    ``stages/ann.lsh_bucketed_topk``'s GLOBAL probe set (union over
+    queries) and the ``knn_cosine`` oracle's proven cosine arithmetic."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH {_lsh_buckets_cte(n_planes, seed, dim)},
+qb AS (SELECT b FROM buckets WHERE vec_id IN ({ids})),
+probe AS (
+  SELECT b FROM qb
+  UNION
+  SELECT xor(qb.b, CAST(1 << CAST(r.range AS INTEGER) AS BIGINT))
+  FROM qb, range({n_planes}) r
+),
+cand AS (
+  SELECT e.vec_id, e.e FROM emb e JOIN buckets bk USING (vec_id)
+  WHERE bk.b IN (SELECT b FROM probe)
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id IN ({ids}))
+SELECT q.query_id, c.vec_id,
+       round(list_cosine_similarity(c.e, q.qe), 4) AS score
+FROM cand c CROSS JOIN q
+QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+) <= {k}
+"""
+
+
 def _url_canon_sql(final_select: str) -> str:
     """URL-canonicalization oracle: the adversarial derivation
     (``pipelines/corpus._messy_urls``) plus a GENERIC canonicalizer —
@@ -1170,13 +1255,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "table_profile_lineitem", "doc_chunks", "pii_scrub_stats",
     "token_count_multi", "langid_pred", "doc_fingerprints",
     # newly value-oracled this round (unrolled-CTE power iteration;
-    # HLL registers + estimator; CMS table + min-query — all pure
-    # functions of md5-u64 hashes)
+    # HLL registers + estimator; CMS table + min-query; LSH probing
+    # with the seeded planes embedded as SQL literals)
     "event_transition_pagerank", "distinct_terms_hll", "term_counts_cms",
+    "knn_cosine_lsh", "embedding_near_dups_lsh",
     # --- regression sample (already certified r1-r3; fills the
     #     window to exactly 50 so a regression still surfaces) ---
-    "corpus_stats", "bm25_topk", "term_stats",
-    "dedup_exact_docs", "knn_cosine", "tpch_q1",
+    "corpus_stats", "bm25_topk", "dedup_exact_docs", "tpch_q1",
 ]
 
 
@@ -1309,7 +1394,7 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "langid_pred": corpus.langid_pred,
         # --- similarity search / embeddings ---
         "knn_cosine": vectors.knn_cosine,
-        "knn_cosine_lsh": vectors.knn_cosine_lsh,           # rows-only (approx)
+        "knn_cosine_lsh": vectors.knn_cosine_lsh,
         "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
         "knn_cosine_pq": vectors.knn_cosine_pq,             # rows-only (approx)
         "knn_cosine_filtered": vectors.knn_cosine_filtered,
@@ -1319,7 +1404,7 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
         "lang_embedding_stats": vectors.lang_embedding_stats,
         "embedding_near_dups": vectors.embedding_near_dups,
-        "embedding_near_dups_lsh": vectors.embedding_near_dups_lsh,  # rows-only (approx)
+        "embedding_near_dups_lsh": vectors.embedding_near_dups_lsh,
         "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
         # --- relational / dataflow breadth ---
         "tpch_q1": relational.tpch_q1,
@@ -2428,6 +2513,10 @@ QUALIFY row_number() OVER (
     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
 ) <= 10
 """,
+        # LSH probing is deterministic (seeded planes embed as SQL
+        # literals) — the approximate variants are value-oracled too
+        "knn_cosine_lsh": _knn_lsh_sql((0, 1), k=10),
+        "embedding_near_dups_lsh": _lsh_neardup_sql(tau=0.45),
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN (0, 1))

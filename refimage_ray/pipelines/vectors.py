@@ -85,8 +85,11 @@ def knn_cosine_filtered(
 
 
 def knn_cosine_lsh(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
-    """Approximate (LSH-bucketed) variant — rows-only check (recall is
-    probabilistic by design)."""
+    """Approximate (LSH-bucketed) variant.  VALUE-oracled: the probe
+    is deterministic (seeded hyperplanes embed as SQL literals in
+    ``__ray_entry__._knn_lsh_sql``), so "approximate vs exact knn"
+    does not mean unverifiable — the bucketed candidate set and the
+    cosine top-k over it hash-match DuckDB exactly."""
     q = _query_vectors(sf_dir, list(query_vec_ids))
     t = lsh_bucketed_topk(_emb(sf_dir), q, k=k, n_planes=8, multiprobe=1)
     qid = pa.array(
@@ -239,8 +242,12 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.45) -> pa.Table:
 
 
 def embedding_near_dups_lsh(sf_dir: str, tau: float = 0.45) -> pa.Table:
-    """Approximate LSH-bucketed variant (rows-only: recall < 1 by
-    design — the scale path when n² is off the table)."""
+    """Approximate LSH-bucketed variant (recall < 1 vs the exact
+    block method — the scale path when n² is off the table).
+    VALUE-oracled: the ±1-bit multiprobe emission pairs two vectors
+    iff their sign codes differ in ≤ 2 bits, which SQL expresses as
+    ``bit_count(xor(b_a, b_b)) <= 2`` over literal-plane buckets
+    (``__ray_entry__._lsh_neardup_sql``)."""
     pairs = embedding_near_dup_pairs(_emb(sf_dir), tau=tau, method="lsh")
     return pa.table(
         {
