@@ -736,7 +736,7 @@ ranked AS (
 regs AS (SELECT idx, max(rank) AS reg FROM ranked GROUP BY idx),
 agg AS (
   SELECT (SELECT count(*) FROM regs) AS present,
-         (SELECT sum(pow(2.0, -reg)) FROM regs) AS s_present
+         COALESCE((SELECT sum(pow(2.0, -reg)) FROM regs), 0) AS s_present
 ),
 est AS (
   SELECT {alpha} * {m} * {m} / (s_present + ({m} - present)) AS raw,
@@ -1215,17 +1215,17 @@ def entry() -> Any:
 
 # Queries never yet certified by a driver CORRECTNESS_r*.json run (the
 # driver checks the first 50 entries in dict order).  Round 4 leads
-# with the 42 SQL-oracled entries never value-certified by a driver
+# with the 46 SQL-oracled entries never value-certified by a driver
 # run — the 40 never inside a window across rounds 1-3 (facets,
 # suggesters, packing, sampling, minhash, docpart ordered/rescored,
-# crawl/url, profiling) plus the new composite_buckets_page2_docpart
-# and event_transition_pagerank (value-oracled this round via an
-# unrolled-CTE power iteration) — then fills the remaining 8 slots
-# with a cross-family regression sample of previously-certified
-# queries.  Rows-only entries (no SQL oracle) are deliberately
-# excluded from the 50-slot window — a slot spent on one returns only
-# a weak rows-ran check.  Rotate each round as CORRECTNESS files
-# accumulate.
+# crawl/url, profiling), the new composite_buckets_page2_docpart, and
+# the 5 entries value-oracled this round (PageRank via unrolled CTEs;
+# HLL + CMS sketches; both LSH paths via literal planes) — then fills
+# the remaining 4 slots with a cross-family regression sample of
+# previously-certified queries.  Rows-only entries (no SQL oracle)
+# are deliberately excluded from the 50-slot window — a slot spent on
+# one returns only a weak rows-ran check.  Rotate each round as
+# CORRECTNESS files accumulate.
 _DRIVER_WINDOW_PRIORITY = [
     # --- the 40 never-certified value-oracled queries ---
     # facets family

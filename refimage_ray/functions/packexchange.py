@@ -79,3 +79,52 @@ def unpack_group(
         c: np.frombuffer(b"".join(g[c].to_pylist()), dtype=dt)
         for c, dt in dtypes.items()
     }
+
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def pack_pairs_distinct(
+    a: np.ndarray,
+    b: np.ndarray,
+    extra: "dict[str, np.ndarray] | None" = None,
+    *,
+    buckets: int,
+) -> pa.Table:
+    """Within-task distinct (a, b) pairs → packed rows keyed by a
+    pair-hash bucket.
+
+    The shared tail of every packed candidate-pair stage (MinHash LSH,
+    SimHash): a pair recurs across a task's key runs, so dedup locally
+    first (keeping the FIRST occurrence's ``extra`` values — callers
+    pass only pure functions of the pair, e.g. hamming distance), then
+    pack per ``hash(a, b) % buckets`` so cross-task duplicates of the
+    same pair still co-locate in the next exchange."""
+    extra = extra or {}
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    extra = {c: v[order] for c, v in extra.items()}
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    a, b = a[keep], b[keep]
+    extra = {c: v[keep] for c, v in extra.items()}
+    pb = ((a.view(np.uint64) * _GOLD) ^ b.view(np.uint64)) % np.uint64(buckets)
+    return pack_by_bucket(
+        pb.astype(np.int64), {"a": a, "b": b, **extra},
+        bucket_col="pair_bucket",
+    )
+
+
+def unpack_pairs_distinct(
+    g: pa.Table, extra_dtypes: "dict | None" = None
+) -> "dict[str, np.ndarray]":
+    """Per-bucket reducer half of :func:`pack_pairs_distinct`: decode,
+    globally distinct on (a, b) keeping first occurrence."""
+    dtypes = {"a": np.int64, "b": np.int64, **(extra_dtypes or {})}
+    arrs = unpack_group(g, dtypes)
+    a, b = arrs["a"], arrs["b"]
+    order = np.lexsort((b, a))
+    keep = np.ones(len(a), dtype=bool)
+    sa, sb = a[order], b[order]
+    keep[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+    return {c: v[order][keep] for c, v in arrs.items()}

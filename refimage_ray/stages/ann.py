@@ -427,55 +427,91 @@ def embedding_near_dup_pairs(
         )
 
     if method == "lsh":
-        planes_ref = ray.put(_hyperplanes_lazy(emb_ds, emb_col, n_planes, seed))
+        from refimage_ray.functions.packexchange import (
+            pack_pairs_distinct,
+            packed_empty,
+            unpack_group,
+            unpack_pairs_distinct,
+        )
 
-        def to_bucket_rows(batch: pa.Table) -> pa.Table:
+        planes = _hyperplanes_lazy(emb_ds, emb_col, n_planes, seed)
+        dim = planes.shape[1]
+        planes_ref = ray.put(planes)
+        pair_buckets = 256
+        _EMPTY_VEC_PACK = packed_empty(["ids", "emb"], bucket_col="lshb")
+        _EMPTY_PAIR_PACK = packed_empty(["a", "b", "c"],
+                                        bucket_col="pair_bucket")
+
+        # PACKED exchanges (functions/packexchange.py): the bucket rows
+        # are vectors × (n_planes+1) multiprobe emissions and the pair
+        # rows one per (pair, shared bucket) — both row-granular before
+        def pack_bucket_rows(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "bucket": pa.array([], pa.int64()),
-                        id_col: pa.array([], pa.int64()),
-                        emb_col: batch[emb_col],
-                    }
-                )
+                return _EMPTY_VEC_PACK
             pl = ray.get(planes_ref)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = batch[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
             m = _normalize(_to_matrix(batch[emb_col]))
             base = _bucket_of(m, pl)
-            outs = []
-            # multiprobe emission: own bucket + every 1-bit flip, so two
-            # vectors collide iff their codes differ in <= 2 bits
-            for flip in [0] + [1 << b for b in range(pl.shape[0])]:
-                outs.append(
-                    pa.table(
-                        {
-                            "bucket": pa.array(base ^ flip, pa.int64()),
-                            id_col: pa.array(ids, pa.int64()),
-                            emb_col: batch[emb_col],
-                        }
-                    )
-                )
-            return pa.concat_tables(outs)
+            # multiprobe emission: own bucket + every 1-bit flip, so
+            # two vectors collide iff their codes differ in <= 2 bits
+            flips = np.array([0] + [1 << b for b in range(pl.shape[0])],
+                             dtype=np.int64)
+            bkt = (base[None, :] ^ flips[:, None]).ravel()
+            rep_ids = np.tile(ids, len(flips))
+            rep_rows = np.tile(np.arange(len(ids)), len(flips))
+            order = np.argsort(bkt, kind="stable")
+            sb = bkt[order]
+            change = np.ones(len(sb), dtype=bool)
+            change[1:] = sb[1:] != sb[:-1]
+            bounds = np.flatnonzero(change)
+            ends = np.append(bounds[1:], len(sb))
+            g_ids = rep_ids[order]
+            g_rows = rep_rows[order]
+            return pa.table({
+                "lshb": pa.array([int(sb[lo]) for lo in bounds], pa.int64()),
+                "ids": pa.array(
+                    [g_ids[lo:hi].tobytes() for lo, hi in zip(bounds, ends)],
+                    pa.binary()),
+                "emb": pa.array(
+                    [m[g_rows[lo:hi]].ravel().tobytes()
+                     for lo, hi in zip(bounds, ends)],
+                    pa.binary()),
+            })
 
-        def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            ids = g[id_col].to_numpy().astype(np.int64)
-            # a vector can reach one bucket via several probes: distinct
+        def within_bucket(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return _EMPTY_PAIR_PACK
+            arrs = unpack_group(g, {"ids": np.int64, "emb": np.float64})
+            ids = arrs["ids"]
+            m = arrs["emb"].reshape(-1, dim)
+            # defensive distinct (mirrors the pre-pack reducer), then
+            # the ascending-id order _pairs_within requires
             ids_u, first = np.unique(ids, return_index=True)
-            m = _normalize(np.stack(g[emb_col].to_numpy()[first]).astype(np.float64))
-            return pairs_df(*_pairs_within(ids_u, m, tau))
+            a, b2, cos = _pairs_within(ids_u, m[first], tau)
+            if not len(a):
+                return _EMPTY_PAIR_PACK
+            return pack_pairs_distinct(a, b2, {"c": cos},
+                                       buckets=pair_buckets)
 
-        cand = (
-            emb_ds.map_batches(to_bucket_rows, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(within_bucket, batch_format="pandas")
-        )
-        # dedup pairs found in several buckets (cosine identical)
-        from ray.data.aggregate import Min
+        def dedup_pairs(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return _NEAR_DUP_SCHEMA.empty_table()
+            arrs = unpack_pairs_distinct(g, {"c": np.float64})
+            # cosine is a pure function of the pair — first-kept ==
+            # the Min("cosine") the old native aggregate computed
+            return pa.table({
+                "vec_a": pa.array(arrs["a"], pa.int64()),
+                "vec_b": pa.array(arrs["b"], pa.int64()),
+                "cosine": pa.array(arrs["c"], pa.float64()),
+            })
 
         return finalize(
-            cand.groupby(["vec_a", "vec_b"]).aggregate(
-                Min("cosine", alias_name="cosine")
-            )
+            emb_ds.map_batches(pack_bucket_rows, batch_format="pyarrow")
+            .groupby("lshb")
+            .map_groups(within_bucket, batch_format="pyarrow")
+            .groupby("pair_bucket")
+            .map_groups(dedup_pairs, batch_format="pyarrow")
         )
 
     # method == "block": exact distributed block-pair comparison

@@ -275,43 +275,27 @@ def lsh_candidate_pairs(
             out_b.append(ids[lo:hi][ib])
         if not out_a:
             return _PACKED_PAIR_EMPTY
-        a = np.concatenate(out_a)
-        b2 = np.concatenate(out_b)
-        # within-task dedup first (the same pair recurs across this
-        # bucket's runs), then pack per pair-hash bucket — a pair
-        # found by several bands lands in DIFFERENT lsh_buckets, so
-        # the global dedup still needs an exchange, but it now moves
-        # one binary row per (task, pair_bucket) instead of one row
-        # per (pair, band)
-        order = np.lexsort((b2, a))
-        a, b2 = a[order], b2[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
-        a, b2 = a[keep], b2[keep]
-        pb = (
-            (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^
-            b2.view(np.uint64)
-        ) % np.uint64(coarse_buckets)
-        pb = pb.astype(np.int64)
-        from refimage_ray.functions.packexchange import pack_by_bucket
+        # within-task dedup + pack per pair-hash bucket (shared
+        # kernel): a pair found by several bands lands in DIFFERENT
+        # lsh_buckets, so the global dedup still needs an exchange,
+        # but it moves one binary row per (task, pair_bucket) instead
+        # of one row per (pair, band)
+        from refimage_ray.functions.packexchange import pack_pairs_distinct
 
-        return pack_by_bucket(pb, {"a": a, "b": b2},
-                              bucket_col="pair_bucket")
+        return pack_pairs_distinct(
+            np.concatenate(out_a), np.concatenate(out_b),
+            buckets=coarse_buckets,
+        )
 
     def dedup_pairs(g: pa.Table) -> pa.Table:
-        from refimage_ray.functions.packexchange import unpack_group
+        from refimage_ray.functions.packexchange import unpack_pairs_distinct
 
         if g.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
-        arrs = unpack_group(g, {"a": np.int64, "b": np.int64})
-        a, b2 = arrs["a"], arrs["b"]
-        order = np.lexsort((b2, a))
-        a, b2 = a[order], b2[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        arrs = unpack_pairs_distinct(g)
         return pa.table({
-            "doc_a": pa.array(a[keep], pa.int64()),
-            "doc_b": pa.array(b2[keep], pa.int64()),
+            "doc_a": pa.array(arrs["a"], pa.int64()),
+            "doc_b": pa.array(arrs["b"], pa.int64()),
         })
 
     return (
@@ -925,39 +909,26 @@ def simhash_near_dup_pairs(
             out_d.append(d[keep].astype(np.int64))
         if not out_a:
             return _PACKED_PAIR_H_EMPTY
-        a = np.concatenate(out_a)
-        b2 = np.concatenate(out_b)
-        d = np.concatenate(out_d)
-        # within-task distinct (a pair recurs across this bucket's
-        # chunk runs; hamming is a pure function of the pair, so any
-        # occurrence carries THE value)
-        order = np.lexsort((b2, a))
-        a, b2, d = a[order], b2[order], d[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
-        a, b2, d = a[keep], b2[keep], d[keep]
-        pb = (
-            (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^
-            b2.view(np.uint64)
-        ) % np.uint64(coarse_buckets)
-        return pack_by_bucket(
-            pb.astype(np.int64), {"a": a, "b": b2, "d": d},
-            bucket_col="pair_bucket",
+        # within-task distinct via the shared kernel (hamming is a
+        # pure function of the pair, so any occurrence carries THE
+        # value — first-kept is correct)
+        from refimage_ray.functions.packexchange import pack_pairs_distinct
+
+        return pack_pairs_distinct(
+            np.concatenate(out_a), np.concatenate(out_b),
+            {"d": np.concatenate(out_d)}, buckets=coarse_buckets,
         )
 
     def dedup_pairs(g: pa.Table) -> pa.Table:
+        from refimage_ray.functions.packexchange import unpack_pairs_distinct
+
         if g.num_rows == 0:
             return PAIR_SCHEMA_H.empty_table()
-        arrs = unpack_group(g, {"a": np.int64, "b": np.int64, "d": np.int64})
-        a, b2, d = arrs["a"], arrs["b"], arrs["d"]
-        order = np.lexsort((b2, a))
-        a, b2, d = a[order], b2[order], d[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        arrs = unpack_pairs_distinct(g, {"d": np.int64})
         return pa.table({
-            "doc_a": pa.array(a[keep], pa.int64()),
-            "doc_b": pa.array(b2[keep], pa.int64()),
-            "hamming": pa.array(d[keep], pa.int64()),
+            "doc_a": pa.array(arrs["a"], pa.int64()),
+            "doc_b": pa.array(arrs["b"], pa.int64()),
+            "hamming": pa.array(arrs["d"], pa.int64()),
         })
 
     distinct = (
