@@ -980,3 +980,49 @@ def test_docs_listing_repeat_uses_cached_sort(server):
     st1, b1 = _get(base + "/docs?limit=4&sort=doc_len&dir=desc")
     st2, b2 = _get(base + "/docs?limit=4&sort=doc_len&dir=desc")
     assert st1 == st2 == 200 and b1 == b2
+
+
+def test_reload_during_adds_never_resurrects_stale_delta(server):
+    """Interlock regression: /reload swaps under add_lock, so an
+    in-flight NRT /add can never swap a delta built over the
+    PRE-reload base back in after the fresh snapshot lands. Interleave
+    adds and reloads; every response must be structured (no 500s) and
+    the deployment must stay serveable throughout."""
+    base, d = server
+    st, _ = _req(base + "/reload", "POST")
+    assert st == 200
+
+    stop = threading.Event()
+    codes, errors = [], []
+
+    def adder():
+        i = 0
+        while not stop.is_set():
+            try:
+                st_i, _ = _req(
+                    base + "/docs", "POST",
+                    {"docs": [{"doc_id": 2 * 10**12 + i,
+                               "text": f"quokka interleaved {i}"}]})
+                # 200 (buffered) or 422 (id raced a reload replay) are
+                # both structured; anything else is a dropped handler
+                codes.append(st_i)
+            except Exception as err:  # noqa: BLE001
+                errors.append(err)
+            i += 1
+
+    t = threading.Thread(target=adder)
+    t.start()
+    try:
+        for _ in range(5):
+            st_r, _ = _req(base + "/reload", "POST")
+            assert st_r == 200
+            st_s, _ = _get(base + "/search?q=data&k=3")
+            assert st_s == 200
+    finally:
+        stop.set()
+        t.join()
+    assert not errors
+    assert codes and all(c in (200, 422) for c in codes)
+    # leave a clean snapshot for any later test
+    st, _ = _req(base + "/reload", "POST")
+    assert st == 200
