@@ -20,12 +20,31 @@ dedup_near.py`` (LSH band join + pair dedup), ``stages/lines.py``
 (segment frequency).  Columns must be fixed-width numerics; callers
 pass the dtype per column (uint64 hash halves travel as their own
 bytes and come back bit-identical).
+
+This module also hosts the repo's SMALL-RESULT collection helpers
+(:func:`collect_small` / :func:`collect_small_pandas`): this Ray
+version's ``Dataset.to_pandas()`` returns a ZERO-COLUMN frame for a
+fully-empty Dataset (it loses the schema), so every collector of a
+possibly-empty reduced result must rebuild the expected columns from a
+caller-supplied Arrow schema.  New call sites must use these helpers
+instead of hand-rolling the empty branch (a lint test enforces it).
 """
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pyarrow as pa
+
+# Packed rows ship raw ``ndarray.tobytes()`` across nodes and decode
+# with native-order ``np.frombuffer``; a mixed-endianness cluster would
+# silently corrupt every packed stage, so fail loudly at import.
+if sys.byteorder != "little":  # pragma: no cover - x86/arm64 are little
+    raise ImportError(
+        "packed exchanges assume little-endian hosts; this host is "
+        f"{sys.byteorder}-endian — packing/unpacking would corrupt data"
+    )
 
 
 def pack_by_bucket(
@@ -79,6 +98,40 @@ def unpack_group(
         c: np.frombuffer(b"".join(g[c].to_pylist()), dtype=dt)
         for c, dt in dtypes.items()
     }
+
+
+def collect_small(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL result Dataset into one Arrow table with
+    ``schema`` — including when the Dataset is fully empty (where
+    ``to_pandas()`` would lose the schema).
+
+    Deliberately avoids ``Dataset.to_pandas`` so pipelines can assert
+    (by poisoning ``to_pandas`` in tests) that no stage materializes a
+    LARGE dataset on the driver — only final, already-reduced results
+    pass through here."""
+    import pandas as pd
+    import ray as _ray
+
+    blocks = _ray.get(ds.to_arrow_refs())
+    tables = []
+    for t in blocks:
+        # to_arrow_refs hands back raw blocks: pandas-backed ones
+        # arrive as DataFrames
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(
+        [t.select(schema.names).cast(schema) for t in tables]
+    ).combine_chunks()
+
+
+def collect_small_pandas(ds, schema: pa.Schema):
+    """:func:`collect_small` as a typed pandas frame (columns present
+    and correctly dtyped even for a fully-empty result)."""
+    return collect_small(ds, schema).to_pandas()
 
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)

@@ -155,28 +155,26 @@ def matches_dataset(
 def matches_table(index_dir: str, query: str, **kwargs) -> pa.Table:
     """Small-result materialization of :func:`matches_dataset`.
 
-    Exists because this Ray version's ``Dataset.to_pandas()`` returns a
-    ZERO-COLUMN frame for any fully-empty dataset (even
+    Exists because this Ray version's ``Dataset.to_pandas()`` drops
+    the schema of any fully-empty dataset (even
     ``from_arrow(typed_empty)``), which breaks schema-dependent
-    consumers on no-match queries — so empties are reconstructed here
-    from the block refs' own Arrow schemas.  Big exports should keep
-    streaming (``matches_dataset(...).write_parquet(...)``) instead."""
+    consumers on no-match queries — the expected schema is derived
+    upfront (payload field types from the ``docs/`` parquet metadata)
+    and collection goes through the repo-wide ``collect_small``.  Big
+    exports should keep streaming
+    (``matches_dataset(...).write_parquet(...)``) instead."""
+    from refimage_ray.functions.packexchange import collect_small
+
     ds = matches_dataset(index_dir, query, **kwargs)
-    blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
-    if not blocks:
+    fields = [pa.field("doc_id", pa.int64()),
+              pa.field("n_terms", pa.int64())]
+    payload = [c for c in (kwargs.get("columns") or []) if c != "doc_id"]
+    if payload:
         import pyarrow.dataset as pads
 
-        fields = [pa.field("doc_id", pa.int64()),
-                  pa.field("n_terms", pa.int64())]
-        payload = [c for c in (kwargs.get("columns") or [])
-                   if c != "doc_id"]
-        if payload:
-            docs_schema = pads.dataset(
-                os.path.join(index_dir, "docs")
-            ).schema
-            fields += [docs_schema.field(c) for c in payload]
-        return pa.schema(fields).empty_table()
-    return pa.concat_tables(blocks, promote_options="default")
+        docs_schema = pads.dataset(os.path.join(index_dir, "docs")).schema
+        fields += [docs_schema.field(c) for c in payload]
+    return collect_small(ds, pa.schema(fields))
 
 
 def export_jsonl(

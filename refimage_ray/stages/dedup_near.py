@@ -39,35 +39,11 @@ import ray.data
 
 from refimage_ray.config import DEFAULT_CONFIG, EngineConfig
 from refimage_ray.functions.hashing import md5_u64_string_array
+from refimage_ray.functions.packexchange import collect_small  # noqa: F401
 from refimage_ray.functions.text import tokenize
 from refimage_ray.stages.tokenize import _flat_tokens
 
 _B = np.uint64(1099511628211)
-
-
-def collect_small(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
-    """Materialize a SMALL result Dataset into one Arrow table.
-
-    Deliberately avoids ``Dataset.to_pandas`` so pipelines can assert
-    (by poisoning ``to_pandas`` in tests) that no stage materializes a
-    LARGE dataset on the driver — only final, already-reduced results
-    pass through here."""
-    import ray as _ray
-
-    blocks = _ray.get(ds.to_arrow_refs())
-    tables = []
-    for t in blocks:
-        # to_arrow_refs hands back raw blocks: pandas-backed ones
-        # arrive as DataFrames
-        if isinstance(t, pd.DataFrame):
-            t = pa.Table.from_pandas(t, preserve_index=False)
-        if t.num_rows:
-            tables.append(t)
-    if not tables:
-        return schema.empty_table()
-    return pa.concat_tables(
-        [t.select(schema.names).cast(schema) for t in tables]
-    ).combine_chunks()
 
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:

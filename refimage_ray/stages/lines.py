@@ -37,16 +37,19 @@ Modes:
   survives (MassiveText "all but one" semantics).
 
 Scale note: the broadcast dup set is ~(boilerplate rate · corpus
-segments) entries.  If that outgrows a broadcast (pathologically
-duplicated corpora), swap stage 3's probe for a distributed semi-join
-of segment rows against the dup table (``stages/joins.hash_join`` —
-the shape ``dedup_against_index`` documents for its Bloom mode).
+segments) entries.  ``line_dedup(method="auto")`` counts it once and
+broadcasts only under ``auto_broadcast_max_segments``; past the cap it
+switches to the fully-distributed ``method="join"`` variant (bucketed
+``hash_join`` of segment-occurrence rows against the dup-segment
+Dataset + a tag-union bucket groupby for the rebuild — the
+``stages/spans.py`` scale path), so a pathologically-duplicated corpus
+can never OOM the driver here.  Results are identical on both paths
+(asserted by test).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -291,6 +294,13 @@ def duplicated_segments(
     )
 
 
+_DUP_SEG_SCHEMA = pa.schema([
+    ("seg_key", pa.int64()), ("seg_key2", pa.int64()),
+    ("n", pa.int64()), ("win_doc", pa.int64()),
+    ("win_seg", pa.int64()),
+])
+
+
 def line_dedup(
     docs_ds,
     *,
@@ -299,6 +309,9 @@ def line_dedup(
     min_count: int = 2,
     mode: str = "drop_all",
     return_text: bool = False,
+    method: str = "auto",
+    buckets: int = 64,
+    auto_broadcast_max_segments: int = 2_000_000,
     text_col: str = "text",
     doc_col: str = "doc_id",
 ):
@@ -307,25 +320,57 @@ def line_dedup(
 
     ``kept_chars`` = length of the cleaned text (kept segments joined
     by the segment separator) — 0 when every segment was boilerplate.
+
+    ``method="broadcast"`` collects the duplicated-segment table to the
+    driver and probes it per batch — right when boilerplate is a small
+    fraction of the corpus.  ``method="join"`` never materializes the
+    dup set: segment-occurrence rows join the dup-segment Dataset with
+    the bucketed ``hash_join`` and the removal rows meet the doc texts
+    in a tag-union bucket groupby (the ``stages/spans.py`` scale path —
+    results identical by construction and by test).  ``method="auto"``
+    (default) counts the dup table once (its size tracks actual
+    duplication, not corpus size) and picks broadcast only when it is
+    at most ``auto_broadcast_max_segments`` rows (~80 MB of driver
+    state at the 2M default), else the join path — a boilerplate-heavy
+    100-TB corpus can no longer OOM the driver here.
     """
     import ray
 
     if mode not in ("drop_all", "keep_first"):
         raise ValueError(f"mode must be 'drop_all' or 'keep_first', got {mode!r}")
-    dup = duplicated_segments(
-        docs_ds,
-        seg_words=seg_words,
-        delimiter=delimiter,
-        min_count=min_count,
-        text_col=text_col,
-        doc_col=doc_col,
-    ).to_pandas()
-    if "seg_key" not in dup.columns:
-        # Ray quirk: to_pandas() of a fully-empty Dataset loses the
-        # schema (zero-column frame) — documented in pipelines/export
-        dup = pd.DataFrame(
-            {c: pd.Series([], dtype="int64")
-             for c in ("seg_key", "seg_key2", "n", "win_doc", "win_seg")}
+    if method not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"method must be 'auto', 'broadcast' or 'join', got {method!r}"
+        )
+    from refimage_ray.functions.packexchange import collect_small_pandas
+
+    dup = None
+    if method == "auto":
+        dup_ds = duplicated_segments(
+            docs_ds, seg_words=seg_words, delimiter=delimiter,
+            min_count=min_count, buckets=buckets,
+            text_col=text_col, doc_col=doc_col,
+        ).materialize()  # count + collect must not double-execute
+        if dup_ds.count() <= auto_broadcast_max_segments:
+            method = "broadcast"
+            dup = collect_small_pandas(dup_ds, _DUP_SEG_SCHEMA)
+        else:
+            method = "join"
+    if method == "join":
+        return _line_dedup_via_join(
+            docs_ds, seg_words=seg_words, delimiter=delimiter,
+            min_count=min_count, keep_first=(mode == "keep_first"),
+            return_text=return_text, buckets=buckets,
+            text_col=text_col, doc_col=doc_col,
+        )
+    if dup is None:
+        dup = collect_small_pandas(
+            duplicated_segments(
+                docs_ds, seg_words=seg_words, delimiter=delimiter,
+                min_count=min_count, buckets=buckets,
+                text_col=text_col, doc_col=doc_col,
+            ),
+            _DUP_SEG_SCHEMA,
         )
     hi = dup["seg_key"].to_numpy().view(np.uint64)
     lo = dup["seg_key2"].to_numpy().view(np.uint64)
@@ -354,32 +399,209 @@ def line_dedup(
                 seg_idx[m] == wseg[pos[m]]
             )
             drop[m[is_winner]] = False
-        n_rows = len(doc)
-        n_removed = np.bincount(parent[drop], minlength=n_rows).astype(np.int64)
-        kept = ~drop
-        seg_lens = pc.utf8_length(segs).to_numpy(zero_copy_only=False).astype(
-            np.int64
+        return _doc_stats_table(
+            doc, segs, parent, n_segs, drop, sep, return_text
         )
-        kept_counts = n_segs - n_removed
-        kept_chars = (
-            np.bincount(
-                parent[kept], weights=seg_lens[kept], minlength=n_rows
-            ).astype(np.int64)
-            # separators between kept segments
-            + np.maximum(kept_counts - 1, 0) * len(sep)
-        )
-        cols = {
-            "doc_id": pa.array(doc, pa.int64()),
-            "n_seg": pa.array(n_segs.astype(np.int64), pa.int64()),
-            "n_removed": pa.array(n_removed, pa.int64()),
-            "kept_chars": pa.array(kept_chars, pa.int64()),
-        }
-        if return_text:
-            kept_segs = segs.filter(pa.array(kept))
-            offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int32)
-            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                           kept_segs)
-            cols["text"] = pc.binary_join(lst, sep)
-        return pa.table(cols)
 
     return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _doc_stats_table(
+    doc: np.ndarray,
+    segs: pa.Array,
+    parent: np.ndarray,
+    n_segs: np.ndarray,
+    drop: np.ndarray,
+    sep: str,
+    return_text: bool,
+) -> pa.Table:
+    """Per-doc ``(doc_id, n_seg, n_removed, kept_chars[, text])`` from a
+    segment-level ``drop`` mask — the shared tail of the broadcast and
+    join rebuild passes (one definition keeps the two paths identical
+    by construction)."""
+    n_rows = len(doc)
+    n_removed = np.bincount(parent[drop], minlength=n_rows).astype(np.int64)
+    kept = ~drop
+    seg_lens = pc.utf8_length(segs).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    kept_counts = n_segs - n_removed
+    kept_chars = (
+        np.bincount(
+            parent[kept], weights=seg_lens[kept], minlength=n_rows
+        ).astype(np.int64)
+        # separators between kept segments
+        + np.maximum(kept_counts - 1, 0) * len(sep)
+    )
+    cols = {
+        "doc_id": pa.array(doc, pa.int64()),
+        "n_seg": pa.array(n_segs.astype(np.int64), pa.int64()),
+        "n_removed": pa.array(n_removed, pa.int64()),
+        "kept_chars": pa.array(kept_chars, pa.int64()),
+    }
+    if return_text:
+        kept_segs = segs.filter(pa.array(kept))
+        # int64 offsets: the join path rebuilds ~1/buckets of the
+        # corpus per group, past int32 list-offset range at the very
+        # scale that path exists for
+        offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pc.cast(kept_segs, pa.large_string()),
+        )
+        cols["text"] = pc.cast(
+            pc.binary_join(lst, pa.scalar(sep, pa.large_string())),
+            pa.string(),
+        )
+    return pa.table(cols)
+
+
+def _doc_bucket(ids: np.ndarray, buckets: int) -> np.ndarray:
+    """Content-keyed doc bucket: vectorized splitmix64-style mix of the
+    id bits — independent of the segment-join bucketing and of block
+    layout (the ``stages/spans.py`` tag-union discipline)."""
+    x = ids.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(buckets)).astype(np.int64)
+
+
+def _line_dedup_via_join(
+    docs_ds,
+    *,
+    seg_words: int,
+    delimiter: str | None,
+    min_count: int,
+    keep_first: bool,
+    return_text: bool,
+    buckets: int,
+    text_col: str,
+    doc_col: str,
+):
+    """The >broadcast line-dedup path: no dup-set driver
+    materialization (the ``stages/spans.py`` shape).
+
+    1. segment-occurrence rows ``(seg_key, seg_key2, odoc, oseg)`` —
+       one per segment, keys the int64 views of the md5 u64 halves;
+    2. bucketed ``hash_join`` against the duplicated-segment Dataset
+       (64-bit ``seg_key`` bucket key, exact 128-bit equality
+       re-checked on ``seg_key2`` after the join); keep-first survivors
+       are filtered out HERE — the dup table already carries the global
+       ``(win_doc, win_seg)`` winner, so the rebuild only drops;
+    3. the removal rows ``(doc_id, seg_idx)`` meet the doc texts in a
+       tag-union groupby on a splitmix64 doc bucket — ONE vectorized
+       rebuild per bucket, never per doc.
+    """
+    import pyarrow.compute as _pc
+
+    from refimage_ray.stages.joins import hash_join
+
+    def occs(batch: pa.Table) -> pa.Table:
+        segs, parent, seg_idx, _ = _segment_arrays(
+            batch[text_col], seg_words, delimiter
+        )
+        doc = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = md5_halves_string_array(segs)
+        return pa.table({
+            "seg_key": pa.array(np.asarray(h1, np.uint64).view(np.int64),
+                                pa.int64()),
+            "sk2": pa.array(np.asarray(h2, np.uint64).view(np.int64),
+                            pa.int64()),
+            "odoc": pa.array(doc[parent], pa.int64()),
+            "oseg": pa.array(seg_idx, pa.int64()),
+        })
+
+    dup_ds = duplicated_segments(
+        docs_ds, seg_words=seg_words, delimiter=delimiter,
+        min_count=min_count, buckets=buckets,
+        text_col=text_col, doc_col=doc_col,
+    ).map_batches(
+        lambda t: pa.table({
+            "seg_key": t["seg_key"],
+            "seg_key2": t["seg_key2"],
+            "win_doc": t["win_doc"],
+            "win_seg": t["win_seg"],
+        }),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        docs_ds.map_batches(occs, batch_format="pyarrow"),
+        dup_ds,
+        left_on="seg_key", right_on="seg_key",
+        left_cols=["seg_key", "sk2", "odoc", "oseg"],
+        right_cols=["seg_key", "seg_key2", "win_doc", "win_seg"],
+        buckets=buckets,
+    )
+
+    def to_removals(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.equal(t["sk2"], t["seg_key2"]))  # 128-bit confirm
+        if keep_first:
+            survivor = _pc.and_(
+                _pc.equal(t["odoc"], t["win_doc"]),
+                _pc.equal(t["oseg"], t["win_seg"]),
+            )
+            t = t.filter(_pc.invert(survivor))
+        return pa.table({
+            "rdoc": _pc.cast(t["odoc"], pa.int64()),
+            "rseg": _pc.cast(t["oseg"], pa.int64()),
+        })
+
+    removals = joined.map_batches(to_removals, batch_format="pyarrow")
+    sep = delimiter if delimiter is not None else " "
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(_doc_bucket(ids, buckets), pa.int64()),
+            "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": _pc.cast(b[text_col], pa.string()),
+            "rseg": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+        })
+
+    def tag_removals(b: pa.Table) -> pa.Table:
+        ids = b["rdoc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(_doc_bucket(ids, buckets), pa.int64()),
+            "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.nulls(len(ids), pa.string()),
+            "rseg": _pc.cast(b["rseg"], pa.int64()),
+        })
+
+    both = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        removals.map_batches(tag_removals, batch_format="pyarrow")
+    )
+
+    def rebuild_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(side == 0))
+        rem = g.filter(pa.array(side == 1))
+        order = _pc.sort_indices(docs["doc_id"])
+        docs = docs.take(order)
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        segs, parent, seg_idx, n_segs = _segment_arrays(
+            docs["text"], seg_words, delimiter
+        )
+        if rem.num_rows:
+            rdoc = rem["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            rseg = rem["rseg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.lexsort((rseg, rdoc))
+            drop, _ = sorted_pair_membership(
+                rdoc[o].view(np.uint64), rseg[o].view(np.uint64),
+                ids[parent].view(np.uint64), seg_idx.view(np.uint64),
+                return_index=True,
+            )
+        else:
+            drop = np.zeros(len(parent), dtype=bool)
+        return _doc_stats_table(
+            ids, segs, parent, n_segs, drop, sep, return_text
+        )
+
+    return both.groupby("__b").map_groups(
+        rebuild_bucket, batch_format="pyarrow"
+    )

@@ -264,6 +264,12 @@ def scrub_dup_spans(
         raise ValueError(
             f"method must be 'auto', 'broadcast' or 'join', got {method!r}"
         )
+    from refimage_ray.functions.packexchange import collect_small_pandas
+
+    dup_schema = pa.schema([
+        ("g_hi", pa.int64()), ("g_lo", pa.int64()),
+        ("nd", pa.int64()), ("win_doc", pa.int64()),
+    ])
     dup = None
     if method == "auto":
         dup_ds = duplicated_grams(
@@ -272,7 +278,7 @@ def scrub_dup_spans(
         ).materialize()  # count + collect must not double-execute
         if dup_ds.count() <= auto_broadcast_max_grams:
             method = "broadcast"
-            dup = dup_ds.to_pandas()
+            dup = collect_small_pandas(dup_ds, dup_schema)
         else:
             method = "join"
     if method == "join":
@@ -282,17 +288,13 @@ def scrub_dup_spans(
             cfg=cfg, text_col=text_col, doc_col=doc_col, buckets=buckets,
         )
     if dup is None:
-        dup = duplicated_grams(
-            docs_ds, n=n, min_docs=min_docs, cfg=cfg,
-            text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
-        ).to_pandas()
-    if "g_hi" not in dup.columns:
-        # Ray quirk: to_pandas() of a fully-empty Dataset loses the
-        # schema (zero-column frame)
-        dup = pd.DataFrame({
-            c: pd.Series([], dtype="int64")
-            for c in ("g_hi", "g_lo", "nd", "win_doc")
-        })
+        dup = collect_small_pandas(
+            duplicated_grams(
+                docs_ds, n=n, min_docs=min_docs, cfg=cfg,
+                text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
+            ),
+            dup_schema,
+        )
     hi = dup["g_hi"].to_numpy().view(np.uint64)
     lo = dup["g_lo"].to_numpy().view(np.uint64)
     order = np.lexsort((lo, hi))

@@ -208,6 +208,90 @@ def test_bad_mode_raises(ray_session):
         line_dedup(rd.from_arrow(_corpus()), mode="nope")
 
 
+def test_bad_method_raises(ray_session):
+    with pytest.raises(ValueError, match="method"):
+        line_dedup(rd.from_arrow(_corpus()), method="bogus")
+
+
+def _sorted_rows(ds):
+    return sorted(ds.take_all(), key=lambda r: r["doc_id"])
+
+
+@pytest.mark.parametrize("mode", ["drop_all", "keep_first"])
+def test_line_dedup_join_matches_broadcast(ray_session, mode):
+    """method='join' (no dup-set driver materialization: bucketed
+    hash_join + tag-union bucket rebuild) == the broadcast path, row
+    for row, in both modes, with the cleaned text."""
+    ds = rd.from_arrow(_corpus()).repartition(3)
+    a = _sorted_rows(line_dedup(
+        ds, seg_words=3, min_count=2, mode=mode, return_text=True,
+        method="broadcast",
+    ))
+    b = _sorted_rows(line_dedup(
+        ds, seg_words=3, min_count=2, mode=mode, return_text=True,
+        method="join",
+    ))
+    assert a == b
+
+
+def test_line_dedup_join_delimiter_mode(ray_session):
+    """Join path parity in delimiter (real web line) mode too."""
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "nav bar\ncontent one\nfooter",
+            "nav bar\ncontent two\nfooter",
+            "content three",
+        ]),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    a = _sorted_rows(line_dedup(
+        ds, delimiter="\n", min_count=2, return_text=True,
+        method="broadcast",
+    ))
+    b = _sorted_rows(line_dedup(
+        ds, delimiter="\n", min_count=2, return_text=True, method="join",
+    ))
+    assert a == b
+
+
+@pytest.mark.parametrize("mode", ["drop_all", "keep_first"])
+def test_line_dedup_auto_boundary_identity(ray_session, mode):
+    """method='auto' picks broadcast at/below the segment threshold and
+    join above it — identical rows either side of the boundary."""
+    ds = rd.from_arrow(_corpus()).repartition(3)
+    want = _sorted_rows(line_dedup(
+        ds, seg_words=3, min_count=2, mode=mode, return_text=True,
+        method="broadcast",
+    ))
+    hi = _sorted_rows(line_dedup(
+        ds, seg_words=3, min_count=2, mode=mode, return_text=True,
+        method="auto", auto_broadcast_max_segments=10**6,
+    ))
+    lo = _sorted_rows(line_dedup(
+        ds, seg_words=3, min_count=2, mode=mode, return_text=True,
+        method="auto", auto_broadcast_max_segments=0,
+    ))
+    assert hi == want
+    assert lo == want
+
+
+def test_line_dedup_join_no_driver_collect(ray_session, monkeypatch):
+    """When auto picks the join path, the dup set never reaches the
+    driver (to_pandas poisoned for the whole run)."""
+    import ray.data
+
+    def boom(self, *a, **k):  # pragma: no cover - fires only on a bug
+        raise AssertionError("driver materialization in join line-dedup")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    out = line_dedup(
+        rd.from_arrow(_corpus()).repartition(3), seg_words=3, min_count=2,
+        method="auto", auto_broadcast_max_segments=0,
+    ).take_all()
+    assert len(out) == _corpus().num_rows
+
+
 # --- overlapping chunking (RAG passage prep) ---
 
 def test_chunk_batch_matches_naive(ray_session):
