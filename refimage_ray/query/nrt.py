@@ -46,31 +46,44 @@ class _LRUTermMemo:
     for that term, never change results (the NRT bit-identity tests
     hold under a cap smaller than the query vocabulary).  Mutations
     (add/flush) still ``clear()`` the whole memo — generation safety
-    is the caller's invariant, this class only bounds the size."""
+    is the caller's invariant, this class only bounds the size.
 
-    __slots__ = ("_d", "_cap")
+    THREAD-SAFE: searchers holding this memo are shared across
+    ThreadingHTTPServer request threads, so the get's ``get +
+    move_to_end`` pair (and setitem's ``popitem`` past the cap) must
+    not interleave with a concurrent eviction or an add/flush
+    ``clear()`` — unguarded, that interleaving raises ``KeyError`` and
+    turns a ``/search`` into a 500.  One tiny lock around the dict ops
+    (never around postings work) closes it."""
+
+    __slots__ = ("_d", "_cap", "_lock")
 
     def __init__(self, cap: int = _TERM_MEMO_CAP):
+        import threading
         from collections import OrderedDict
 
         self._d: "OrderedDict[str, TermPostings]" = OrderedDict()
         self._cap = cap
+        self._lock = threading.Lock()
 
     def get(self, key: str):
-        v = self._d.get(key)
-        if v is not None:
-            self._d.move_to_end(key)
-        return v
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+            return v
 
     def __setitem__(self, key: str, value) -> None:
-        d = self._d
-        d[key] = value
-        d.move_to_end(key)
-        if len(d) > self._cap:
-            d.popitem(last=False)
+        with self._lock:
+            d = self._d
+            d[key] = value
+            d.move_to_end(key)
+            if len(d) > self._cap:
+                d.popitem(last=False)
 
     def clear(self) -> None:
-        self._d.clear()
+        with self._lock:
+            self._d.clear()
 
     def __len__(self) -> int:
         return len(self._d)

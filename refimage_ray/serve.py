@@ -175,6 +175,13 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
         # same base, both return 200, and only the last swap survives
         # (the other request's acknowledged docs vanish from serving)
         "add_lock": _threading.Lock(),
+        # /docs listing-cache generation: a request thread that read the
+        # docs dataset BEFORE a /reload must not install its pre-reload
+        # snapshot AFTER the reload popped the cache (stale listings
+        # would then serve until the next /reload).  The lock covers
+        # only the gen-check + install / pop + bump pairs — never I/O.
+        "docs_lock": _threading.Lock(),
+        "docs_gen": 0,
     }
 
     def _group_dirs():
@@ -310,6 +317,12 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                 # would take() out-of-range or return a wrong page)
                 cache = state.get("docs_list_cache")
                 if cache is None:
+                    # snapshot the generation BEFORE reading the
+                    # dataset: if a /reload lands while this thread
+                    # reads, the stale snapshot must not be installed
+                    # after the reload's pop (docs_lock pairs the
+                    # check with the install)
+                    docs_gen = state["docs_gen"]
                     # load-once like every other resident structure;
                     # /reload drops the cache with the state swap.
                     # BOUNDED: the listing cache is a serving-process
@@ -338,7 +351,11 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                             if c in avail]
                     cache = {"tbl": dset.to_table(columns=cols),
                              "idx": {}}
-                    state["docs_list_cache"] = cache
+                    with state["docs_lock"]:
+                        if state["docs_gen"] == docs_gen:
+                            state["docs_list_cache"] = cache
+                    # on a lost race this request still serves its own
+                    # (consistent) snapshot; the next request reloads
                 t = cache["tbl"]
                 if sort_by not in t.column_names:
                     return self._json(
@@ -953,8 +970,12 @@ def make_server(index_dir: str, port: int = 0, searcher=None,
                     state["s"] = fresh
                     state["ex"] = DSLExecutor(state["s"])
                 state["meta_dirs"] = _group_dirs()  # new segments' docs/
-                # one atomic pop: table + sorted indices leave together
-                state.pop("docs_list_cache", None)
+                # one atomic pop: table + sorted indices leave together;
+                # the gen bump (same lock) invalidates any /docs read
+                # already in flight against the pre-reload dataset
+                with state["docs_lock"]:
+                    state.pop("docs_list_cache", None)
+                    state["docs_gen"] += 1
                 # LM counts may have shifted with the corpus; the gen
                 # bump also invalidates a training pass in flight.
                 # MUST hold lm_lock: an unlocked pop/bump could lose

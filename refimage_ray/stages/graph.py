@@ -315,15 +315,26 @@ def pagerank_distributed(
             return pa.table({"eb": pa.array([v], pa.int64()),
                              "n": pa.array([g.num_rows], pa.int64())})
 
-        (
-            edges.map_batches(add_eb, batch_format="pyarrow")
-            .groupby("eb")
-            .map_groups(stage_bucket, batch_format="pyarrow")
-            .sum("n")
-        )
-        # broadcast the {bucket: [refs]} map once (one small handle per
-        # task instead of re-serializing the ref map into every closure)
-        pieces_handle = ray.put(ray.get(registry.refs.remote()))
+        def stage_all():
+            """Run the staging pipeline over the materialized edges and
+            broadcast the fresh {bucket: [refs]} map once (one small
+            handle per task instead of re-serializing the ref map into
+            every closure).  Idempotent — the registry's set semantics
+            overwrite whole buckets — so it doubles as the recovery
+            path: staged pieces are ``ray.put`` objects and thus NOT
+            lineage-reconstructable (unlike Dataset blocks); if the
+            node holding a piece dies mid-power-iteration the consumer
+            raises ``ObjectLostError`` and the loop below re-stages
+            everything from ``edges`` exactly once before retrying."""
+            (
+                edges.map_batches(add_eb, batch_format="pyarrow")
+                .groupby("eb")
+                .map_groups(stage_bucket, batch_format="pyarrow")
+                .sum("n")
+            )
+            return ray.put(ray.get(registry.refs.remote()))
+
+        pieces_handle = stage_all()
 
         _CONTRIB_SCHEMA = pa.schema([
             ("node", pa.string()), ("outdeg", pa.int64()),
@@ -398,46 +409,67 @@ def pagerank_distributed(
             })
 
         for _ in range(iters):
-            dangling = (
-                ranks.map_batches(dangling_partial, batch_format="pyarrow")
-                .sum("d")
-            ) or 0.0
-            base = (1.0 - damping) / n + damping * dangling / n
-            contribs = (
-                ranks.map_batches(share_map, batch_format="pyarrow")
-                .map_batches(add_share_bucket, batch_format="pyarrow")
-                .groupby("sb")
-                .map_groups(contrib_bucket, batch_format="pyarrow")
-            )
+            for attempt in (0, 1):
+                try:
+                    dangling = (
+                        ranks.map_batches(dangling_partial,
+                                          batch_format="pyarrow")
+                        .sum("d")
+                    ) or 0.0
+                    base = (1.0 - damping) / n + damping * dangling / n
+                    contribs = (
+                        ranks.map_batches(share_map, batch_format="pyarrow")
+                        .map_batches(add_share_bucket,
+                                     batch_format="pyarrow")
+                        .groupby("sb")
+                        .map_groups(contrib_bucket, batch_format="pyarrow")
+                    )
 
-            def apply_update(g, base=base):
-                import pandas as pd
+                    def apply_update(g, base=base):
+                        import pandas as pd
 
-                rows = g[g["outdeg"].notna()]
-                csum = g.groupby("node", sort=False)["c"].sum()
-                new = base + damping * rows["node"].map(csum).fillna(0.0)
-                out = pd.DataFrame({
-                    "node": rows["node"],
-                    "outdeg": rows["outdeg"].astype("int64"),
-                    "delta": (new - rows["rank"]).abs(),
-                    "rank": new,
-                })
-                # Arrow block out: the per-iteration rebase below hands
-                # blocks over zero-copy via to_arrow_refs
-                return pa.Table.from_pandas(out, preserve_index=False)
+                        rows = g[g["outdeg"].notna()]
+                        csum = g.groupby("node", sort=False)["c"].sum()
+                        new = base + damping * rows["node"].map(
+                            csum).fillna(0.0)
+                        out = pd.DataFrame({
+                            "node": rows["node"],
+                            "outdeg": rows["outdeg"].astype("int64"),
+                            "delta": (new - rows["rank"]).abs(),
+                            "rank": new,
+                        })
+                        # Arrow block out: the per-iteration rebase below
+                        # hands blocks over zero-copy via to_arrow_refs
+                        return pa.Table.from_pandas(
+                            out, preserve_index=False)
 
-            ranks = (
-                ranks.map_batches(rank_rows, batch_format="pyarrow")
-                .union(contribs)
-                .groupby("upd_bucket")
-                .map_groups(apply_update, batch_format="pandas")
-                # the union's block lists would otherwise COMPOUND across
-                # iterations (≈2× per iteration — measured 1→191 blocks in
-                # 7 iterations); cap the rank table at `buckets` blocks so
-                # per-iteration cost stays flat
-                .repartition(buckets)
-                .materialize()
-            )
+                    new_ranks = (
+                        ranks.map_batches(rank_rows, batch_format="pyarrow")
+                        .union(contribs)
+                        .groupby("upd_bucket")
+                        .map_groups(apply_update, batch_format="pandas")
+                        # the union's block lists would otherwise COMPOUND
+                        # across iterations (≈2× per iteration — measured
+                        # 1→191 blocks in 7 iterations); cap the rank
+                        # table at `buckets` blocks so per-iteration cost
+                        # stays flat
+                        .repartition(buckets)
+                        .materialize()
+                    )
+                    break
+                except ray.exceptions.ObjectLostError:
+                    # a staged edge piece died with its node (ray.put
+                    # objects are not lineage-reconstructable, unlike
+                    # the old per-iteration hash_join's blocks).  ranks
+                    # was NOT clobbered, so re-stage every bucket from
+                    # the materialized edges dataset once and retry
+                    # this iteration; a second loss surfaces loudly.
+                    # (RayTaskError subclasses its cause, so this
+                    # catches the worker-side raise too.)
+                    if attempt:
+                        raise
+                    pieces_handle = stage_all()
+            ranks = new_ranks
             # rebase onto the materialized block refs (zero-copy): the
             # Dataset stats/plan parent chain otherwise grows by one link
             # per iteration and the recursive stats summary overflows the

@@ -310,6 +310,17 @@ def load_bigram_lm(lm_dir: str, *, _retries: int = 20) -> BigramLM:
             return lm
         except (FileNotFoundError, _TornLMRead) as err:
             last_err = err
+            if isinstance(err, FileNotFoundError) and not (
+                os.path.exists(lm_dir + ".old")
+                or os.path.exists(lm_dir + ".tmp")
+            ):
+                # no swap artifact in sight: this is a plain wrong/
+                # missing path, not the between-renames window — one
+                # confirming re-check (the .old dir itself is renamed
+                # away at the END of a swap), then surface immediately
+                # instead of burning ~1 s of retries on a misconfig
+                if attempt >= 1:
+                    break
             time.sleep(0.05)
     if isinstance(last_err, _TornLMRead):
         raise ValueError(str(last_err))

@@ -222,3 +222,32 @@ def test_pagerank_distributed_edges_staged_once(ray_session, monkeypatch):
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
     assert len(calls) == 1
+
+
+def test_staged_piece_loss_raises_object_lost_subclass(ray_session):
+    """The re-stage recovery path catches ray.exceptions.ObjectLostError;
+    every way a staged ``ray.put(_owner=registry)`` piece can die
+    (owner death, node loss, failed reconstruction) must surface as a
+    subclass of it — pin the hierarchy so a Ray upgrade that breaks
+    this assumption fails loudly here, not silently in production."""
+    import ray
+    import ray.exceptions
+
+    assert issubclass(ray.exceptions.OwnerDiedError,
+                      ray.exceptions.ObjectLostError)
+    assert issubclass(ray.exceptions.ObjectReconstructionFailedError,
+                      ray.exceptions.ObjectLostError)
+
+    import refimage_ray.stages.graph as graph_mod
+
+    registry = graph_mod._EdgeBucketRegistry.remote()
+    ray.get(registry.refs.remote())  # started (ray.put needs live owner)
+    ref = ray.put({"piece": 1}, _owner=registry)
+    assert ray.get(ref) == {"piece": 1}
+    ray.kill(registry)
+    import time
+
+    with pytest.raises(ray.exceptions.ObjectLostError):
+        for _ in range(100):  # owner-death propagation is async
+            ray.get(ref, timeout=2)
+            time.sleep(0.05)

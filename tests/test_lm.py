@@ -185,3 +185,34 @@ def test_lm_save_crash_window_keeps_an_artifact(ray_session, tiny_docs,
     assert load_bigram_lm(d).vocab_size == lm.vocab_size
     assert not os.path.exists(d + ".old")
     assert not os.path.exists(d + ".tmp")
+
+
+def test_load_missing_path_fails_fast(tmp_path, monkeypatch):
+    """A plain wrong lm_dir (no swap artifacts anywhere) must surface
+    FileNotFoundError after ONE confirming re-check, not burn the full
+    ~1 s retry budget reserved for the between-renames swap window."""
+    import time as _time
+
+    from refimage_ray.stages.lm import load_bigram_lm
+
+    sleeps = []
+    monkeypatch.setattr(_time, "sleep", lambda s: sleeps.append(s))
+    with pytest.raises(FileNotFoundError):
+        load_bigram_lm(str(tmp_path / "nope"))
+    assert len(sleeps) <= 2
+
+
+def test_load_retries_through_swap_window(tmp_path, monkeypatch):
+    """When the .old swap artifact exists (mid-swap window), the loader
+    keeps retrying the full budget — the window closes within it."""
+    import time as _time
+
+    from refimage_ray.stages.lm import load_bigram_lm
+
+    lm_dir = tmp_path / "lm"
+    (tmp_path / "lm.old").mkdir()  # a swap is plausibly in flight
+    sleeps = []
+    monkeypatch.setattr(_time, "sleep", lambda s: sleeps.append(s))
+    with pytest.raises(FileNotFoundError):
+        load_bigram_lm(str(lm_dir), _retries=5)
+    assert len(sleeps) == 5

@@ -343,3 +343,44 @@ def test_lru_term_memo_semantics():
     assert m.get("a") == 1 and m.get("c") == 3
     m.clear()
     assert len(m) == 0 and m.get("a") is None
+
+
+def test_lru_term_memo_thread_safety():
+    """Hammer the capped memo from several threads (get + insert +
+    clear): the unguarded get()'s get/move_to_end pair raced concurrent
+    evictions and clear()s into KeyError 500s on shared searchers —
+    the lock must make every interleaving safe."""
+    import threading
+
+    from refimage_ray.query.nrt import _LRUTermMemo
+
+    memo = _LRUTermMemo(cap=8)
+    errors = []
+    stop = threading.Event()
+
+    def worker(seed):
+        i = 0
+        while not stop.is_set():
+            k = f"t{(seed * 7 + i) % 24}"
+            try:
+                memo[k] = i
+                memo.get(k)
+                memo.get(f"t{i % 24}")
+                if i % 97 == 0:
+                    memo.clear()
+                len(memo)
+            except Exception as err:  # noqa: BLE001 — the bug under test
+                errors.append(err)
+                break
+            i += 1
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    import time
+
+    time.sleep(1.0)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors

@@ -1026,3 +1026,47 @@ def test_reload_during_adds_never_resurrects_stale_delta(server):
     # leave a clean snapshot for any later test
     st, _ = _req(base + "/reload", "POST")
     assert st == 200
+
+
+def test_docs_listing_during_reload_storm(server):
+    """GET /docs interleaved with /reload: the listing cache now
+    installs under a generation check (a pre-reload snapshot read must
+    not be installed after the reload's pop), so every response stays
+    200 with a consistent total_count, and the cache still works (and
+    repopulates) after the storm."""
+    base, d = server
+    st0, b0 = _get(base + "/docs?limit=3")
+    assert st0 == 200
+    total = b0["total_count"]
+
+    stop = threading.Event()
+    codes, errors = [], []
+
+    def lister():
+        while not stop.is_set():
+            try:
+                st_i, b_i = _get(base + "/docs?limit=3&sort=doc_len")
+                codes.append(st_i)
+                assert b_i["total_count"] == total
+            except Exception as err:  # noqa: BLE001 — record, assert below
+                errors.append(err)
+
+    def reloader():
+        for _ in range(4):
+            try:
+                codes.append(_req(base + "/reload", "POST")[0])
+            except Exception as err:  # noqa: BLE001
+                errors.append(err)
+
+    threads = [threading.Thread(target=lister) for _ in range(3)]
+    threads.append(threading.Thread(target=reloader))
+    for t in threads:
+        t.start()
+    threads[-1].join()
+    stop.set()
+    for t in threads[:-1]:
+        t.join()
+    assert not errors
+    assert set(codes) == {200}
+    st1, b1 = _get(base + "/docs?limit=3")
+    assert st1 == 200 and b1["total_count"] == total
