@@ -4,9 +4,13 @@
 ``queries()`` — one entry per implemented operator/pipeline
   (SURVEY.md §2 inventory + training-data extensions).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  query (same column names, same rounding); approx-by-design ops (LSH /
-  IVF probing, MinHash banding) and wraparound-u64 arithmetic (rolling
-  fingerprints) are rows-only by omission.
+  query (same column names, same rounding).  Deterministic "approx"
+  ops are value-oracled by embedding their seeded probe geometry as
+  SQL literals (LSH hyperplanes, IVF / k-means centroids, MinHash
+  parameters); only genuinely SQL-inexpressible ops (greedy BPE
+  recursion, iterative Lloyd/EM training, PQ codebooks, eigensolver,
+  u64-wraparound fingerprints inside SemDeDup) are rows-only by
+  omission.
 
 Ray is initialised by the driver BEFORE this module is imported; no
 ``ray.init``/``ray.shutdown`` here or in the library.
@@ -884,6 +888,97 @@ QUALIFY row_number() OVER (
 """
 
 
+def _centroid_values(k: int, dim: int, seed: int,
+                     with_norm2: bool = False,
+                     inv_sqrt_dim_scale: bool = False) -> str:
+    """Seeded Gaussian centroids as SQL VALUES literals — mirrors
+    ``pipelines.vectors.ivf_seeded_centroids`` /
+    ``kmeans_seeded_centroids`` (same rng call + scale, bit-identical
+    floats).  With ``with_norm2`` each row also carries ``|c|²``
+    computed by the SAME numpy reduction the engine uses, so the SQL
+    never recomputes it with different arithmetic."""
+    import numpy as _np
+
+    c = _np.random.default_rng(seed).standard_normal((k, dim))
+    if inv_sqrt_dim_scale:
+        c = c / _np.sqrt(dim)
+    n2 = (c * c).sum(axis=1)
+    return ",\n  ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in c[j])}]::DOUBLE[]"
+        + (f", {n2[j]!r}" if with_norm2 else "")
+        + ")"
+        for j in range(k)
+    )
+
+
+def _ivf_sql(query_ids: tuple = (0, 1), k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             dim: int = 64, seed: int = 7) -> str:
+    """IVF-probed ANN oracle — the coarse quantizer is the seeded
+    centroid literal set (``vectors.ivf_seeded_centroids``), so the
+    whole probe geometry is SQL: per-vector list assignment = argmax
+    cosine over literal centroids (ties to the lower centroid id,
+    matching numpy argmax / the engine's stable probe sort), each
+    query's ``nprobe`` probe lists the same way, and the exact cosine
+    top-k over probed candidates reuses the proven ``knn_cosine``
+    arithmetic."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH cents(j, c) AS (VALUES
+  {_centroid_values(n_centroids, dim, seed)}
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, j AS cl FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.e, c.c) DESC, c.j) AS rn
+    FROM emb e CROSS JOIN cents c) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id IN ({ids})),
+qc AS (
+  SELECT query_id, j FROM (
+    SELECT q.query_id, c.j,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.c) DESC, c.j) AS rn
+    FROM q CROSS JOIN cents c) t WHERE rn <= {nprobe}
+)
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(e.e, q.qe), 4) AS score
+FROM q
+JOIN qc ON qc.query_id = q.query_id
+JOIN assign a ON a.cl = qc.j
+JOIN emb e ON e.vec_id = a.vec_id
+QUALIFY row_number() OVER (PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(e.e, q.qe) DESC, e.vec_id) <= {k}
+"""
+
+
+def _kmeans_sizes_sql(k: int = 8, dim: int = 64, seed: int = 3) -> str:
+    """Cluster-size histogram oracle under the seeded literal
+    centroids (``vectors.kmeans_seeded_centroids`` — ``1/√dim``-scaled
+    so every cell is populated): per-vector argmin-L2 is argmax of
+    ``2·x·c − |c|²`` (``|x|²`` is constant per row), with ``|c|²``
+    embedded as a literal computed by the SAME numpy reduction as the
+    engine's ``kmeans_assign``."""
+    return f"""
+WITH cents(j, c, c2) AS (VALUES
+  {_centroid_values(k, dim, seed, with_norm2=True, inv_sqrt_dim_scale=True)}
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY 2.0 * list_dot_product(e.e, c.c) - c.c2 DESC,
+                      c.j) AS rn
+    FROM emb e CROSS JOIN cents c) t WHERE rn = 1
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n
+FROM assign GROUP BY cluster ORDER BY cluster
+"""
+
+
 def _url_canon_sql(final_select: str) -> str:
     """URL-canonicalization oracle: the adversarial derivation
     (``pipelines/corpus._messy_urls``) plus a GENERIC canonicalizer —
@@ -1213,55 +1308,43 @@ def entry() -> Any:
     return flagship("/root/testdata/sf0.001")
 
 
-# Queries never yet certified by a driver CORRECTNESS_r*.json run (the
-# driver checks the first 50 entries in dict order).  Round 4 leads
-# with the 46 SQL-oracled entries never value-certified by a driver
-# run — the 40 never inside a window across rounds 1-3 (facets,
-# suggesters, packing, sampling, minhash, docpart ordered/rescored,
-# crawl/url, profiling), the new composite_buckets_page2_docpart, and
-# the 5 entries value-oracled this round (PageRank via unrolled CTEs;
-# HLL + CMS sketches; both LSH paths via literal planes) — then fills
-# the remaining 4 slots with a cross-family regression sample of
-# previously-certified queries.  Rows-only entries (no SQL oracle)
-# are deliberately excluded from the 50-slot window — a slot spent on
-# one returns only a weak rows-ran check.  Rotate each round as
-# CORRECTNESS files accumulate.
+# Queries the driver certifies (first 50 entries in dict order).
+# After round 4 every SQL-oracled entry has been value-certified at
+# least once, so round 5 rotates to a REGRESSION window: the 2 entries
+# newly value-oracled this round (IVF probe + k-means assignment via
+# literal centroids — never driver-certified), the 5 queries whose
+# code paths changed this round (segment dedup gained the gated
+# broadcast/join; spans + export collection moved to collect_small;
+# PageRank gained loss-recovery staging), then the oldest-certified
+# queries first: all 20 whose last certification was round 1, and 23
+# round-2 entries stratified across families (corpus stats,
+# containers, search variants, phrase, NRT/rollover lifecycle,
+# export).  43 of the 50 slots re-certify r1/r2-era queries.
+# Rows-only entries (no SQL oracle) stay excluded — a slot spent on
+# one returns only a weak rows-ran check.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- the 40 never-certified value-oracled queries ---
-    # facets family
-    "facet_counts_query", "facet_counts_docpart", "facet_doclen_hist",
-    "facet_doclen_pct", "facet_lang_token_sums", "facet_month_hist",
-    "search_facets", "composite_buckets_page2",
-    "composite_buckets_page2_docpart",
-    # suggesters + percolate
-    "suggest_terms", "suggest_phrase", "percolate_matches",
-    # search variants / paging / docpart
-    "bm25_topk_page2", "bm25_grouped_by_lang",
-    "bm25_topk_runtime_filtered", "bm25_topk_ordered_docpart",
-    "bm25_topk_rescored_docpart", "nrt_docpart_delta_topk",
-    # packing family
-    "pack_sequences", "packed_sequences", "curated_packed_sequences",
-    "lm_gated_packed_sequences",
-    # sampling / splits
-    "lang_mixture_sample", "lang_temperature_sample",
-    "stratified_sample", "split_by_hash", "weighted_sample_docs",
-    "global_shuffle_docs",
-    # minhash / simhash values
-    "minhash_near_dups", "minhash_dup_clusters", "simhash_values",
-    # crawl / url lifecycle
-    "crawl_delta_docs", "crawl_delta_summary", "url_latest_snapshot",
-    "url_blocklist_stats",
-    # text analysis / profiling
-    "table_profile_lineitem", "doc_chunks", "pii_scrub_stats",
-    "token_count_multi", "langid_pred", "doc_fingerprints",
-    # newly value-oracled this round (unrolled-CTE power iteration;
-    # HLL registers + estimator; CMS table + min-query; LSH probing
-    # with the seeded planes embedded as SQL literals)
-    "event_transition_pagerank", "distinct_terms_hll", "term_counts_cms",
-    "knn_cosine_lsh", "embedding_near_dups_lsh",
-    # --- regression sample (already certified r1-r3; fills the
-    #     window to exactly 50 so a regression still surfaces) ---
-    "corpus_stats", "bm25_topk", "dedup_exact_docs", "tpch_q1",
+    # --- never driver-certified (value-oracled this round) ---
+    "knn_cosine_ivf", "kmeans_cluster_sizes",
+    # --- code paths changed this round ---
+    "line_dedup_docs", "line_dedup_keep_first", "line_dup_stats",
+    "scrub_dup_spans_docs", "event_transition_pagerank",
+    # --- last certified round 1 (oldest first) ---
+    "doc_sample", "embedding_near_dups", "embedding_norm_by_label",
+    "events_hourly", "events_rolling_avg", "events_sessionize",
+    "events_user_stats", "knn_cosine", "lang_counts",
+    "nation_region_join", "order_revenue_by_priority",
+    "orders_by_status", "orders_priority_filter", "part_brand_stats",
+    "quality_stats", "search_and_membership", "search_not_membership",
+    "search_or_membership", "search_tag_membership", "top_customers",
+    # --- last certified round 2, stratified across families ---
+    "export_matches", "export_matches_and",
+    "doc_stats", "term_stats", "term_df", "top_terms",
+    "top_terms_per_lang", "tokenize_postings", "bigram_counts",
+    "index_term_stats", "search_count", "significant_terms",
+    "list_docs_page", "warc_doc_stats", "jsonl_doc_stats",
+    "bm25_topk_and", "bm25_topk_stemmed", "bm25_topk_fuzzy",
+    "bm25_topk_regex", "bm25_topk_min_match", "phrase_topk",
+    "nrt_delta_topk", "rollover_topk",
 ]
 
 
@@ -1395,10 +1478,10 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / embeddings ---
         "knn_cosine": vectors.knn_cosine,
         "knn_cosine_lsh": vectors.knn_cosine_lsh,
-        "knn_cosine_ivf": vectors.knn_cosine_ivf,           # rows-only (approx)
+        "knn_cosine_ivf": vectors.knn_cosine_ivf,  # value-oracled (literal centroids)
         "knn_cosine_pq": vectors.knn_cosine_pq,             # rows-only (approx)
         "knn_cosine_filtered": vectors.knn_cosine_filtered,
-        "kmeans_cluster_sizes": vectors.kmeans_cluster_sizes,  # rows-only (iterative)
+        "kmeans_cluster_sizes": vectors.kmeans_cluster_sizes,  # value-oracled (literal centroids)
         "semdedup_losers": vectors.semdedup_losers,  # rows-only (clustered approx)
         "embedding_pca_stats": vectors.embedding_pca_stats,  # rows-only (no SQL eigensolver)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
@@ -2517,6 +2600,11 @@ QUALIFY row_number() OVER (
         # literals) — the approximate variants are value-oracled too
         "knn_cosine_lsh": _knn_lsh_sql((0, 1), k=10),
         "embedding_near_dups_lsh": _lsh_neardup_sql(tau=0.45),
+        # seeded-literal centroids (the hyperplane trick extended to
+        # argmax-over-literal-rows) value-oracle the IVF probe and the
+        # k-means assignment histogram too
+        "knn_cosine_ivf": _ivf_sql((0, 1), k=10),
+        "kmeans_cluster_sizes": _kmeans_sizes_sql(k=8),
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN (0, 1))

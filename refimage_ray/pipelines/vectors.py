@@ -104,10 +104,29 @@ def knn_cosine_lsh(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) 
     )
 
 
+def ivf_seeded_centroids(n_centroids: int = 16, dim: int = 64,
+                         seed: int = 7) -> np.ndarray:
+    """The fixed IVF coarse quantizer for the value-oracled catalogue
+    entry: seeded Gaussian centroids that embed verbatim as SQL VALUES
+    literals (``__ray_entry__._ivf_sql``), the same determinism trick
+    as the LSH hyperplanes."""
+    return np.random.default_rng(seed).standard_normal((n_centroids, dim))
+
+
 def knn_cosine_ivf(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
-    """IVF-style approximate variant — rows-only check (approx by design)."""
+    """IVF-style approximate variant.  VALUE-oracled: the coarse
+    quantizer is a seeded-literal centroid set
+    (:func:`ivf_seeded_centroids`), so assignment (argmax cosine over
+    literal centroids), each query's nprobe probe lists, and the exact
+    cosine top-k over the probed candidates are all SQL-expressible —
+    "approximate" never meant "unverifiable".  The sample-trained
+    quantizer path of ``stages/ann.ivf_topk`` stays recall-tested in
+    pytest."""
     q = _query_vectors(sf_dir, list(query_vec_ids))
-    t = ivf_topk(_emb(sf_dir), q, k=k, n_centroids=16, nprobe=4)
+    t = ivf_topk(
+        _emb(sf_dir), q, k=k, n_centroids=16, nprobe=4,
+        centroids=ivf_seeded_centroids(16, q.shape[1]),
+    )
     qid = pa.array(
         [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
     )
@@ -278,21 +297,41 @@ def knn_cosine_pq(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -
     )
 
 
-def kmeans_cluster_sizes(sf_dir: str, k: int = 8, n_iter: int = 6) -> pa.Table:
-    """Distributed Lloyd k-means over the embeddings table, then the
-    cluster-size histogram (``stages/kmeans.py`` — per-iteration
-    exchange is one sufficient-statistics row per block; assignment is
-    one broadcast + narrow map).  Rows-only: iterative, no SQL analog;
-    Lloyd laws (SSE monotone, blob recovery, numpy-argmin identity) are
-    pytest-verified."""
+def kmeans_seeded_centroids(k: int = 8, dim: int = 64,
+                            seed: int = 3) -> np.ndarray:
+    """Fixed centroids for the value-oracled assignment histogram —
+    seeded Gaussian rows scaled to ``1/√dim`` (the stored embeddings
+    are unit-norm, so unscaled Gaussian centroids would capture the
+    whole corpus in 1-2 cells and leave the oracle toothless; at this
+    scale every cell is populated at every sf) that embed as SQL
+    VALUES literals (``__ray_entry__._kmeans_sizes_sql``)."""
+    return (np.random.default_rng(seed).standard_normal((k, dim))
+            / np.sqrt(dim))
+
+
+def kmeans_cluster_sizes(sf_dir: str, k: int = 8) -> pa.Table:
+    """Cluster-size histogram of the distributed k-means ASSIGNMENT
+    step (``stages/kmeans.kmeans_assign``: one centroid broadcast +
+    one narrow map + a count groupby) under seeded-literal centroids.
+    VALUE-oracled: with fixed centroids, per-vector argmin-L2 is pure
+    SQL (argmax of ``2·x·c − |c|²`` over literal rows — ``|x|²`` is
+    constant per row), so DuckDB reproduces the exact histogram.
+    Lloyd TRAINING (``kmeans_fit``) stays pytest-verified (SSE
+    monotone, blob recovery, numpy-argmin identity) and is exercised
+    end-to-end by ``semdedup_losers``."""
     from ray.data.aggregate import Count
 
-    from refimage_ray.stages.kmeans import kmeans_assign, kmeans_fit
+    from refimage_ray.stages.kmeans import kmeans_assign
 
     emb = _emb(sf_dir)
-    cents, _ = kmeans_fit(emb, k, n_iter=n_iter)
+    # dim probe: ONE row, not the column (list<float> schemas don't
+    # carry a fixed size)
+    first = next(pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
     out = (
-        kmeans_assign(emb, cents)
+        kmeans_assign(emb, kmeans_seeded_centroids(k, dim))
         .groupby("cluster")
         .aggregate(Count(alias_name="n"))
         .to_pandas()

@@ -277,6 +277,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     sample_rows: int = 2048,
+    centroids: "np.ndarray | None" = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> pa.Table:
@@ -287,13 +288,27 @@ def ivf_topk(
     (``/root/reference/src/refimage/config.py:50-52``, commented-out
     IVF at ``search/__init__.py:88-90``) — here actually implemented.
     Approximate by design; recall grows with nprobe.
+
+    ``centroids`` overrides the sample-trained coarse quantizer with a
+    caller-fixed one (normalized here; assignment is by cosine, so
+    scale is irrelevant).  With SEEDED centroids the whole probe
+    geometry is a literal — that is what lets the driver value-oracle
+    ``knn_cosine_ivf`` in SQL (the hyperplane trick of
+    ``lsh_bucketed_topk``, extended to argmax-over-literal-centroids).
     """
     qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    # deterministic sample: first rows in stored order up to sample_rows
-    head = emb_ds.limit(sample_rows).to_pandas()
-    sm = _normalize(np.stack(head[emb_col].to_numpy()).astype(np.float64))
-    cents = _kmeans_lite(sm, n_centroids)
-    q_cent = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    if centroids is not None:
+        cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        # deterministic sample: first rows in stored order up to
+        # sample_rows
+        head = emb_ds.limit(sample_rows).to_pandas()
+        sm = _normalize(np.stack(head[emb_col].to_numpy()).astype(np.float64))
+        cents = _kmeans_lite(sm, n_centroids)
+    # stable sort: probe-list ties break toward the lower centroid id,
+    # matching the SQL oracle's (sim DESC, j ASC) row_number order
+    q_cent = np.argsort(-(qm @ cents.T), axis=1,
+                        kind="stable")[:, :nprobe]  # (nq, nprobe)
     probe_union = np.unique(q_cent)
     state = ray.put((qm, cents, q_cent, probe_union))
 
