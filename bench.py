@@ -129,6 +129,37 @@ def _host_canary_mt(threads: int = 16) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _median3(fn) -> tuple[float, float]:
+    """(median, spread=max−min) of three timed runs — sub-second
+    metrics moved ±8% on single runs two rounds straight, so rounds
+    compare medians with the per-run spread recorded next to them."""
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[1], ts[2] - ts[0]
+
+
+def _p95x3(queries, call, passes: int = 2) -> tuple[float, float]:
+    """Median of three independent p95 estimates (each over
+    ``passes`` full passes of the query set) + their spread."""
+    import numpy as np
+
+    p95s = []
+    for _ in range(3):
+        lat = []
+        for _ in range(passes):
+            for q in queries:
+                t0 = time.perf_counter()
+                call(q)
+                lat.append(time.perf_counter() - t0)
+        p95s.append(float(np.percentile(np.array(lat), 95)))
+    p95s.sort()
+    return p95s[1], p95s[2] - p95s[0]
+
+
 def run_bench() -> dict:
     import ray
 
@@ -199,13 +230,19 @@ def run_bench() -> dict:
     searcher = LocalSearcher(index_dir)
     for q in BENCH_QUERIES:
         searcher.search(q, k=10, mode="or")
-    lat = []
-    for _ in range(1 if lite else 4):
+    if lite:
+        # scaling legs: one cheap pass (comparable across legs/rounds)
+        lat = []
         for q in BENCH_QUERIES:
             tq = time.perf_counter()
             searcher.search(q, k=10, mode="or")
             lat.append(time.perf_counter() - tq)
-    p95 = float(np.percentile(np.array(lat), 95))
+        p95 = float(np.percentile(np.array(lat), 95))
+    else:
+        p95, spread = _p95x3(
+            BENCH_QUERIES, lambda q: searcher.search(q, k=10, mode="or")
+        )
+        timings["query_p95_spread"] = round(spread, 5)
     timings["query_p95"] = round(p95, 5)
 
     if lite:
@@ -243,19 +280,16 @@ def run_bench() -> dict:
     # doc-value column load; warmed before timing).
     _where = [("lang", "=", "en")]
     searcher.search(BENCH_QUERIES[0], k=10, where=_where)  # dv load + warm
-    flat = []
-    for _ in range(2):
-        for q in BENCH_QUERIES:
-            tq = time.perf_counter()
-            searcher.search(q, k=10, where=_where)
-            flat.append(time.perf_counter() - tq)
-    timings["query_p95_filtered"] = round(
-        float(np.percentile(np.array(flat), 95)), 5
+    med, spread = _p95x3(
+        BENCH_QUERIES, lambda q: searcher.search(q, k=10, where=_where)
     )
-    tq = time.perf_counter()
-    searcher.facets(BENCH_QUERIES[0], by=["lang"],
-                    histograms={"doc_len": 50}, sums={"lang": "doc_len"})
-    timings["facet_panel_sec"] = round(time.perf_counter() - tq, 5)
+    timings["query_p95_filtered"] = round(med, 5)
+    timings["query_p95_filtered_spread"] = round(spread, 5)
+    med, spread = _median3(lambda: searcher.facets(
+        BENCH_QUERIES[0], by=["lang"],
+        histograms={"doc_len": 50}, sums={"lang": "doc_len"}))
+    timings["facet_panel_sec"] = round(med, 5)
+    timings["facet_panel_sec_spread"] = round(spread, 5)
 
     # function-scored path (decay boost = exact evaluation + one
     # vectorized per-candidate factor multiply over rank-aligned
@@ -264,15 +298,11 @@ def run_bench() -> dict:
 
     _spec = DecaySpec("n_chars", 0.0, 2000.0, 0.5, "exp")
     searcher.search(BENCH_QUERIES[0], k=10, boost=_spec)  # warm
-    blat = []
-    for _ in range(2):
-        for q in BENCH_QUERIES:
-            tq = time.perf_counter()
-            searcher.search(q, k=10, boost=_spec)
-            blat.append(time.perf_counter() - tq)
-    timings["query_p95_decay"] = round(
-        float(np.percentile(np.array(blat), 95)), 5
+    med, spread = _p95x3(
+        BENCH_QUERIES, lambda q: searcher.search(q, k=10, boost=_spec)
     )
+    timings["query_p95_decay"] = round(med, 5)
+    timings["query_p95_decay_spread"] = round(spread, 5)
 
     # NRT ingestion: docs/s into the in-memory delta buffer (searchable
     # on return, merged-stats exact) + the buffered-query p95
@@ -304,28 +334,16 @@ def run_bench() -> dict:
     for q in BENCH_QUERIES:
         _delta.search(q, k=10)
     timings["nrt_refresh_sec"] = round(time.perf_counter() - tq, 5)
-    nlat = []
-    for _ in range(2):
-        for q in BENCH_QUERIES:
-            tq = time.perf_counter()
-            _delta.search(q, k=10)
-            nlat.append(time.perf_counter() - tq)
-    timings["query_p95_nrt"] = round(
-        float(np.percentile(np.array(nlat), 95)), 5
-    )
+    med, spread = _p95x3(BENCH_QUERIES, lambda q: _delta.search(q, k=10))
+    timings["query_p95_nrt"] = round(med, 5)
+    timings["query_p95_nrt_spread"] = round(spread, 5)
     del _delta
 
     # hit-count surface (exact membership, no scoring/top-k)
     searcher.count(BENCH_QUERIES[0])  # warm
-    clat = []
-    for _ in range(2):
-        for q in BENCH_QUERIES:
-            tq = time.perf_counter()
-            searcher.count(q)
-            clat.append(time.perf_counter() - tq)
-    timings["query_p95_count"] = round(
-        float(np.percentile(np.array(clat), 95)), 5
-    )
+    med, spread = _p95x3(BENCH_QUERIES, searcher.count)
+    timings["query_p95_count"] = round(med, 5)
+    timings["query_p95_count_spread"] = round(spread, 5)
 
     # actor-pool serving path (shard actors load postings once in
     # __init__; driver merges in canonical order)
@@ -334,15 +352,11 @@ def run_bench() -> dict:
     dsr = DistributedSearcher(index_dir, num_actors=min(8, max(2, NUM_CPUS // 4)))
     dsr.wait_ready()  # all actors postings-resident before the clock
     dsr.search("warmup query", k=10)
-    dlat = []
-    for _ in range(2):
-        for q in BENCH_QUERIES:
-            tq = time.perf_counter()
-            dsr.search(q, k=10, mode="or")
-            dlat.append(time.perf_counter() - tq)
-    timings["query_p95_actor_pool"] = round(
-        float(np.percentile(np.array(dlat), 95)), 5
+    med, spread = _p95x3(
+        BENCH_QUERIES, lambda q: dsr.search(q, k=10, mode="or")
     )
+    timings["query_p95_actor_pool"] = round(med, 5)
+    timings["query_p95_actor_pool_spread"] = round(spread, 5)
 
     # serving THROUGHPUT (doc-partitioned scatter-gather, pipelined):
     # build the docpart layout from the already-staged docs, then push
@@ -396,32 +410,24 @@ def run_bench() -> dict:
         timings["qps_docpart"] = round(len(qbatch) / qps_sec, 1)
 
         # phrase/proximity serving over the positional doc shards
+        _PHRASEQ = ["table scan", "data join", "merge sort",
+                    "window stream", "key value", "fast data"]
         dps.search_phrase("table scan", k=10)  # warm
-        plat = []
-        for _ in range(2):
-            for q in ["table scan", "data join", "merge sort",
-                      "window stream", "key value", "fast data"]:
-                tq = time.perf_counter()
-                dps.search_phrase(q, k=10, slop=1)
-                plat.append(time.perf_counter() - tq)
-        timings["query_p95_phrase_docpart"] = round(
-            float(np.percentile(np.array(plat), 95)), 5
+        med, spread = _p95x3(
+            _PHRASEQ, lambda q: dps.search_phrase(q, k=10, slop=1)
         )
+        timings["query_p95_phrase_docpart"] = round(med, 5)
+        timings["query_p95_phrase_docpart_spread"] = round(spread, 5)
 
         # unordered proximity (NEAR/W) on the same positional shards —
         # the scale path (the term-layout artifact here stores no
         # positions, so near there would time the text fallback)
         dps.search_near("table scan", window=5, k=10)  # warm
-        nlat = []
-        for _ in range(2):
-            for q in ["table scan", "data join", "merge sort",
-                      "window stream", "key value", "fast data"]:
-                tq = time.perf_counter()
-                dps.search_near(q, window=5, k=10)
-                nlat.append(time.perf_counter() - tq)
-        timings["query_p95_near"] = round(
-            float(np.percentile(np.array(nlat), 95)), 5
+        med, spread = _p95x3(
+            _PHRASEQ, lambda q: dps.search_near(q, window=5, k=10)
         )
+        timings["query_p95_near"] = round(med, 5)
+        timings["query_p95_near_spread"] = round(spread, 5)
         for a in dps.actors:
             ray.kill(a)
 
@@ -512,9 +518,9 @@ def run_bench() -> dict:
         ("events_hourly", lambda: relational.events_hourly(SF_DIR)),
         ("knn_cosine", lambda: vectors.knn_cosine(SF_DIR)),
     ]:
-        tq = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - tq, 3)
+        med, spread = _median3(fn)
+        timings[name] = round(med, 3)
+        timings[name + "_spread"] = round(spread, 3)
 
     out = {
         "metric": "index_build_sec",
