@@ -32,7 +32,6 @@ empty texts; route empty-doc dedup through those two.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -601,126 +600,168 @@ def dup_clusters_distributed(
     buckets: int = 64,
 ) -> pa.Table:
     """Distributed connected components over a near-dup pair set:
-    min-label propagation with pointer shortcutting, expressed as a
-    message-passing groupby (2 shuffles per round, no joins).
+    min-label propagation with pointer shortcutting, expressed as two
+    PACKED message-passing exchanges per round (no joins).
 
-    Round structure — one "mailbox" groupby per round:
+    Round structure:
 
-    1. union three row kinds keyed by the node whose label is needed:
-       label rows ``(key=v, val=label)``, edge rows ``(key=src,
-       val=dst)`` ("send me your label"), and shortcut queries
-       ``(key=label(v), val=v)`` ("what is label(label(v))?").
-       Groupby a coarse hash bucket of the key; inside each reducer
-       the per-key resolution is a vectorized searchsorted (no
-       per-group pandas calls — keys are many and tiny).
-    2. every resolved message ``(node, offered_label)`` plus the
-       current labels go through a native ``groupby(node).Min`` —
-       the new labels.
+    1. **mailbox** — three row kinds keyed by the node whose label is
+       needed: label rows ``(key=v, val=label)``, edge rows
+       ``(key=src, val=dst)`` ("send me your label"), and shortcut
+       queries ``(key=label(v), val=v)`` ("what is label(label(v))?").
+       Each map task packs its rows into ONE binary row per coarse
+       hash bucket of the key (``functions/packexchange.py`` — edge
+       rows are packed ONCE, outside the loop, and reused every
+       round); the per-bucket reducer decodes with ``np.frombuffer``
+       and resolves every query with a vectorized searchsorted.
+    2. **min-combine** — the reducer pre-combines its messages to one
+       ``(node, min offered)`` row per node, packs them by a node
+       bucket, and a second packed groupby takes the global per-node
+       min — the new labels, in at most ``buckets`` blocks.
+
+    The previous row-granular version (plain groupby over one 17-byte
+    row per message + a native groupby-Min) spent >20 s PER ROUND on a
+    127k-pair graph — the exchange sort machinery, not compute
+    (measured 2026-08-20; see BENCH/BASELINE.md).  Packing is the
+    repo-wide remedy (27× spans, 45× MinHash LSH).
 
     Shortcutting gives O(log diameter) rounds on chains.  Labels are
     per-node monotone non-increasing, so an unchanged ``Σ label`` is a
     sound fixpoint witness.  Per-round state is one small
-    ``(node, label)`` dataset — never the corpus.
+    ``(node, label)`` dataset — never the corpus — and its block count
+    is capped at ``buckets`` (the old version grew blocks per round).
     """
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
-    def to_edges(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "key": pa.array(np.concatenate([a, bb]), pa.int64()),
-                "tag": pa.array(np.ones(2 * len(a), np.int8), pa.int8()),
-                "val": pa.array(np.concatenate([bb, a]), pa.int64()),
-            }
+    from refimage_ray.functions.packexchange import (
+        pack_by_bucket,
+        packed_empty,
+        unpack_group,
+    )
+
+    _LABELS_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    _MSG_DTYPES = {"tag": np.int8, "key": np.int64, "val": np.int64}
+
+    def _bkt(k: np.ndarray) -> np.ndarray:
+        return (np.abs(k * np.int64(2654435761)) % np.int64(buckets)).astype(
+            np.int64
         )
 
-    edge_rows = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    def to_edges_packed(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, bb])
+        val = np.concatenate([bb, a])
+        return pack_by_bucket(
+            _bkt(key),
+            {"tag": np.ones(len(key), np.int8), "key": key, "val": val},
+            bucket_col="mbox",
+        )
+
+    edge_rows = pairs_ds.map_batches(
+        to_edges_packed, batch_format="pyarrow"
+    ).materialize()
     if edge_rows.count() == 0:
         return pa.schema(
             [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
         ).empty_table()
 
-    # init: label(v) = min(v, min neighbor) — one native aggregate
+    # init: label(v) = min(v, min neighbor) — one packed exchange
+    def init_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _LABELS_SCHEMA.empty_table()
+        a = unpack_group(g, _MSG_DTYPES)
+        k, v = a["key"], a["val"]
+        o = np.lexsort((v, k))
+        k, v = k[o], v[o]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        node = k[first]
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            # sorted (k, v): the first row of each key run carries the
+            # min neighbor
+            "label": pa.array(np.minimum(node, v[first]), pa.int64()),
+        })
+
     labels = (
-        edge_rows.groupby("key")
-        .aggregate(Min("val", alias_name="label"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b["key"],
-                    "label": pa.array(
-                        np.minimum(
-                            b["key"].to_numpy(zero_copy_only=False),
-                            b["label"].to_numpy(zero_copy_only=False),
-                        ),
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        edge_rows.groupby("mbox")
+        .map_groups(init_bucket, batch_format="pyarrow")
         .materialize()
     )
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
-    def label_and_query_rows(b: pa.Table) -> pa.Table:
+    def label_query_packed(b: pa.Table) -> pa.Table:
         node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         q = lab != node  # only non-root nodes need a shortcut answer
-        return pa.table(
-            {
-                "key": pa.array(np.concatenate([node, lab[q]]), pa.int64()),
-                "tag": pa.array(
-                    np.concatenate(
-                        [np.zeros(len(node), np.int8), np.full(q.sum(), 2, np.int8)]
-                    ),
-                    pa.int8(),
-                ),
-                "val": pa.array(np.concatenate([lab, node[q]]), pa.int64()),
-            }
+        key = np.concatenate([node, lab[q]])
+        tag = np.concatenate(
+            [np.zeros(len(node), np.int8), np.full(int(q.sum()), 2, np.int8)]
+        )
+        val = np.concatenate([lab, node[q]])
+        return pack_by_bucket(
+            _bkt(key), {"tag": tag, "key": key, "val": val},
+            bucket_col="mbox",
         )
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        k = b["key"].to_numpy(zero_copy_only=False)
-        bk = np.abs(k * np.int64(2654435761)) % np.int64(buckets)
-        return b.append_column("mbox", pa.array(bk, pa.int64()))
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].to_numpy().astype(np.int64)
-        tag = g["tag"].to_numpy().astype(np.int8)
-        val = g["val"].to_numpy().astype(np.int64)
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return packed_empty(["node", "label"], bucket_col="nbkt")
+        a = unpack_group(g, _MSG_DTYPES)
+        tag, key, val = a["tag"], a["key"], a["val"]
         is_lab = tag == 0
-        lkey = key[is_lab]
-        lval = val[is_lab]
+        lkey, lval = key[is_lab], val[is_lab]
         order = np.argsort(lkey, kind="stable")
         lkey, lval = lkey[order], lval[order]
         ask = ~is_lab
+        # every queried key has a label row by construction (labels
+        # are always node ids, and every node has a label row here)
         pos = np.searchsorted(lkey, key[ask])
-        # every queried key has a label row by construction
-        offered = lval[pos]
-        return pd.DataFrame(
-            {
-                "node": np.concatenate([val[ask], lkey]),
-                "label": np.concatenate([offered, lval]),
-            }
+        node = np.concatenate([val[ask], lkey])
+        offered = np.concatenate([lval[pos], lval])
+        # pre-combine: one (node, min offered) per node BEFORE the
+        # second exchange — the messages' duplication never ships
+        o2 = np.lexsort((offered, node))
+        node, offered = node[o2], offered[o2]
+        first = np.ones(len(node), dtype=bool)
+        first[1:] = node[1:] != node[:-1]
+        node, offered = node[first], offered[first]
+        return pack_by_bucket(
+            _bkt(node), {"node": node, "label": offered}, bucket_col="nbkt"
         )
+
+    def min_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _LABELS_SCHEMA.empty_table()
+        a = unpack_group(g, {"node": np.int64, "label": np.int64})
+        n, lab = a["node"], a["label"]
+        o = np.lexsort((lab, n))
+        n, lab = n[o], lab[o]
+        first = np.ones(len(n), dtype=bool)
+        first[1:] = n[1:] != n[:-1]
+        return pa.table({
+            "node": pa.array(n[first], pa.int64()),
+            "label": pa.array(lab[first], pa.int64()),
+        })
 
     for _ in range(max_rounds):
         mailbox = labels.map_batches(
-            label_and_query_rows, batch_format="pyarrow"
+            label_query_packed, batch_format="pyarrow"
         ).union(edge_rows)
-        msgs = (
-            mailbox.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("mbox")
-            .map_groups(resolve, batch_format="pandas")
-        )
         labels = (
-            msgs.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            mailbox.groupby("mbox")
+            .map_groups(resolve_bucket, batch_format="pyarrow")
+            .groupby("nbkt")
+            .map_groups(min_bucket, batch_format="pyarrow")
             .materialize()
         )
+        # rebase onto the materialized block refs: the per-round
+        # union/groupby lineage otherwise grows one link per round and
+        # the recursive stats summary overflows the stack near the
+        # max_rounds horizon (the pagerank loop's discipline)
+        labels = rd.from_arrow_refs(labels.to_arrow_refs())
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break
