@@ -905,7 +905,9 @@ def _centroid_values(k: int, dim: int, seed: int,
     n2 = (c * c).sum(axis=1)
     return ",\n  ".join(
         f"({j}, [{', '.join(repr(float(v)) for v in c[j])}]::DOUBLE[]"
-        + (f", {n2[j]!r}" if with_norm2 else "")
+        # float() first: repr of a raw numpy scalar renders as
+        # 'np.float64(...)' under numpy >= 2 — invalid SQL
+        + (f", {float(n2[j])!r}" if with_norm2 else "")
         + ")"
         for j in range(k)
     )

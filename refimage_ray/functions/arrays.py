@@ -154,3 +154,48 @@ def canonical_tree_sum(
         rounds += 1
     rows = partials_ds.take_all()
     return _sum_rows(rows, key_fn) if rows else None
+
+def splitmix64_bucket(ids: np.ndarray, buckets: int) -> np.ndarray:
+    """Content-keyed bucket of int64 ids: vectorized splitmix64-style
+    finalizer over the id bits — ONE definition shared by the
+    tag-union join paths (``stages/spans.py``, ``stages/lines.py``)
+    so co-bucketing stays consistent and independent of block layout."""
+    x = np.asarray(ids, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(buckets)).astype(np.int64)
+
+
+def cast_large_string_chunked(arr, max_chunk_bytes: int = 1 << 29):
+    """``large_string`` array → ``string`` CHUNKED array, slicing at
+    row boundaries so no single chunk's value buffer exceeds the int32
+    offset range (a plain ``pc.cast(large -> string)`` raises on >2 GiB
+    total bytes — exactly the regime the large_string intermediates in
+    the join-path text rebuilds exist for)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.chunked_array([], pa.string())
+    # value byte offset per row (large_string offsets are int64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=n + 1, offset=arr.offset * 8)
+    chunks = []
+    start = 0
+    while start < n:
+        # furthest end whose byte span stays under the cap (always
+        # advance at least one row; a single >cap row still fits int32
+        # offsets as the sole row of its chunk iff < 2 GiB — enforced
+        # by Arrow itself, which is the correct loud failure there)
+        end = int(np.searchsorted(
+            offsets, offsets[start] + max_chunk_bytes, side="right"
+        )) - 1
+        end = max(end, start + 1)
+        chunks.append(pc.cast(arr.slice(start, end - start), pa.string()))
+        start = end
+    return pa.chunked_array(chunks)

@@ -311,17 +311,21 @@ def kmeans_seeded_centroids(k: int = 8, dim: int = 64,
 
 def kmeans_cluster_sizes(sf_dir: str, k: int = 8) -> pa.Table:
     """Cluster-size histogram of the distributed k-means ASSIGNMENT
-    step (``stages/kmeans.kmeans_assign``: one centroid broadcast +
-    one narrow map + a count groupby) under seeded-literal centroids.
-    VALUE-oracled: with fixed centroids, per-vector argmin-L2 is pure
-    SQL (argmax of ``2·x·c − |c|²`` over literal rows — ``|x|²`` is
-    constant per row), so DuckDB reproduces the exact histogram.
-    Lloyd TRAINING (``kmeans_fit``) stays pytest-verified (SSE
-    monotone, blob recovery, numpy-argmin identity) and is exercised
-    end-to-end by ``semdedup_losers``."""
+    step (one centroid broadcast + one narrow map + a count groupby)
+    under seeded-literal centroids.  VALUE-oracled: with fixed
+    centroids, per-vector argmin-L2 reduces to argmax of
+    ``2·x·c − |c|²`` (``|x|²`` is constant per row) — computed HERE in
+    exactly that form, with ``|c|²`` from the same numpy reduction the
+    oracle embeds as literals, so the engine and DuckDB compare the
+    SAME floats (the ``|x|² − 2x·c + |c|²`` expansion would add a
+    per-row term the SQL lacks and could flip near-tie vectors).
+    Lloyd TRAINING (``kmeans_fit``/``kmeans_assign``) stays
+    pytest-verified (SSE monotone, blob recovery, numpy-argmin
+    identity) and is exercised end-to-end by ``semdedup_losers``."""
+    import ray
     from ray.data.aggregate import Count
 
-    from refimage_ray.stages.kmeans import kmeans_assign
+    from refimage_ray.stages.ann import _to_matrix
 
     emb = _emb(sf_dir)
     # dim probe: ONE row, not the column (list<float> schemas don't
@@ -330,8 +334,23 @@ def kmeans_cluster_sizes(sf_dir: str, k: int = 8) -> pa.Table:
         os.path.join(sf_dir, "embeddings.parquet")
     ).iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first["embedding"][0])
+    cents = kmeans_seeded_centroids(k, dim)
+    c2 = (cents * cents).sum(axis=1)  # the oracle's literal, same op
+    cref = ray.put((cents, c2))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c, n2 = ray.get(cref)
+        mat = _to_matrix(b["embedding"]).astype(np.float64)
+        if mat.shape[0] == 0:
+            return pa.table({"cluster": pa.array([], pa.int64())})
+        score = 2.0 * (mat @ c.T) - n2[None, :]
+        return pa.table({
+            "cluster": pa.array(score.argmax(axis=1).astype(np.int64)),
+        })
+
     out = (
-        kmeans_assign(emb, kmeans_seeded_centroids(k, dim))
+        emb.select_columns(["embedding"])
+        .map_batches(assign, batch_format="pyarrow")
         .groupby("cluster")
         .aggregate(Count(alias_name="n"))
         .to_pandas()

@@ -53,7 +53,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from refimage_ray.functions.arrays import sorted_pair_membership
+from refimage_ray.functions.arrays import (
+    sorted_pair_membership,
+    splitmix64_bucket,
+)
 from refimage_ray.functions.hashing import md5_halves_string_array
 
 
@@ -345,15 +348,16 @@ def line_dedup(
     from refimage_ray.functions.packexchange import collect_small_pandas
 
     dup = None
+    dup_ds_counted = None
     if method == "auto":
-        dup_ds = duplicated_segments(
+        dup_ds_counted = duplicated_segments(
             docs_ds, seg_words=seg_words, delimiter=delimiter,
             min_count=min_count, buckets=buckets,
             text_col=text_col, doc_col=doc_col,
         ).materialize()  # count + collect must not double-execute
-        if dup_ds.count() <= auto_broadcast_max_segments:
+        if dup_ds_counted.count() <= auto_broadcast_max_segments:
             method = "broadcast"
-            dup = collect_small_pandas(dup_ds, _DUP_SEG_SCHEMA)
+            dup = collect_small_pandas(dup_ds_counted, _DUP_SEG_SCHEMA)
         else:
             method = "join"
     if method == "join":
@@ -362,6 +366,10 @@ def line_dedup(
             min_count=min_count, keep_first=(mode == "keep_first"),
             return_text=return_text, buckets=buckets,
             text_col=text_col, doc_col=doc_col,
+            # auto already materialized the dup table for the count —
+            # reuse it instead of re-running the segment-frequency
+            # exchange over the whole corpus
+            dup_ds=dup_ds_counted,
         )
     if dup is None:
         dup = collect_small_pandas(
@@ -440,32 +448,23 @@ def _doc_stats_table(
         "kept_chars": pa.array(kept_chars, pa.int64()),
     }
     if return_text:
+        from refimage_ray.functions.arrays import cast_large_string_chunked
+
         kept_segs = segs.filter(pa.array(kept))
         # int64 offsets: the join path rebuilds ~1/buckets of the
         # corpus per group, past int32 list-offset range at the very
-        # scale that path exists for
+        # scale that path exists for; the final string column casts
+        # back in row-boundary chunks so no chunk re-hits the int32
+        # ceiling
         offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int64)
         lst = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()),
             pc.cast(kept_segs, pa.large_string()),
         )
-        cols["text"] = pc.cast(
-            pc.binary_join(lst, pa.scalar(sep, pa.large_string())),
-            pa.string(),
+        cols["text"] = cast_large_string_chunked(
+            pc.binary_join(lst, pa.scalar(sep, pa.large_string()))
         )
     return pa.table(cols)
-
-
-def _doc_bucket(ids: np.ndarray, buckets: int) -> np.ndarray:
-    """Content-keyed doc bucket: vectorized splitmix64-style mix of the
-    id bits — independent of the segment-join bucketing and of block
-    layout (the ``stages/spans.py`` tag-union discipline)."""
-    x = ids.astype(np.int64).view(np.uint64)
-    with np.errstate(over="ignore"):
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x = x ^ (x >> np.uint64(31))
-    return (x % np.uint64(buckets)).astype(np.int64)
 
 
 def _line_dedup_via_join(
@@ -479,6 +478,7 @@ def _line_dedup_via_join(
     buckets: int,
     text_col: str,
     doc_col: str,
+    dup_ds=None,
 ):
     """The >broadcast line-dedup path: no dup-set driver
     materialization (the ``stages/spans.py`` shape).
@@ -513,11 +513,13 @@ def _line_dedup_via_join(
             "oseg": pa.array(seg_idx, pa.int64()),
         })
 
-    dup_ds = duplicated_segments(
-        docs_ds, seg_words=seg_words, delimiter=delimiter,
-        min_count=min_count, buckets=buckets,
-        text_col=text_col, doc_col=doc_col,
-    ).map_batches(
+    if dup_ds is None:
+        dup_ds = duplicated_segments(
+            docs_ds, seg_words=seg_words, delimiter=delimiter,
+            min_count=min_count, buckets=buckets,
+            text_col=text_col, doc_col=doc_col,
+        )
+    dup_ds = dup_ds.map_batches(
         lambda t: pa.table({
             "seg_key": t["seg_key"],
             "seg_key2": t["seg_key2"],
@@ -554,7 +556,7 @@ def _line_dedup_via_join(
     def tag_docs(b: pa.Table) -> pa.Table:
         ids = b[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "__b": pa.array(_doc_bucket(ids, buckets), pa.int64()),
+            "__b": pa.array(splitmix64_bucket(ids, buckets), pa.int64()),
             "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
             "doc_id": pa.array(ids, pa.int64()),
             "text": _pc.cast(b[text_col], pa.string()),
@@ -564,7 +566,7 @@ def _line_dedup_via_join(
     def tag_removals(b: pa.Table) -> pa.Table:
         ids = b["rdoc"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "__b": pa.array(_doc_bucket(ids, buckets), pa.int64()),
+            "__b": pa.array(splitmix64_bucket(ids, buckets), pa.int64()),
             "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
             "doc_id": pa.array(ids, pa.int64()),
             "text": pa.nulls(len(ids), pa.string()),
@@ -590,9 +592,15 @@ def _line_dedup_via_join(
                 np.int64
             )
             rseg = rem["rseg"].to_numpy(zero_copy_only=False).astype(np.int64)
-            o = np.lexsort((rseg, rdoc))
+            # sort in UINT64 view space — the probe's binary search runs
+            # over uint64 views, and an int64 sort would misorder
+            # negative doc ids (broadcast/join parity would then depend
+            # on the sign of the ids)
+            rd_u = rdoc.view(np.uint64)
+            rs_u = rseg.view(np.uint64)
+            o = np.lexsort((rs_u, rd_u))
             drop, _ = sorted_pair_membership(
-                rdoc[o].view(np.uint64), rseg[o].view(np.uint64),
+                rd_u[o], rs_u[o],
                 ids[parent].view(np.uint64), seg_idx.view(np.uint64),
                 return_index=True,
             )

@@ -313,11 +313,14 @@ def load_bigram_lm(lm_dir: str, *, _retries: int = 20) -> BigramLM:
             if isinstance(err, FileNotFoundError) and not (
                 os.path.exists(lm_dir + ".old")
                 or os.path.exists(lm_dir + ".tmp")
+                # a swap can finish (final rename + .old cleanup)
+                # between our failed open and these probes — if lm_dir
+                # itself now exists, keep retrying, don't fail fast
+                or os.path.exists(lm_dir)
             ):
                 # no swap artifact in sight: this is a plain wrong/
                 # missing path, not the between-renames window — one
-                # confirming re-check (the .old dir itself is renamed
-                # away at the END of a swap), then surface immediately
+                # confirming re-check, then surface immediately
                 # instead of burning ~1 s of retries on a misconfig
                 if attempt >= 1:
                     break

@@ -271,14 +271,15 @@ def scrub_dup_spans(
         ("nd", pa.int64()), ("win_doc", pa.int64()),
     ])
     dup = None
+    dup_ds_counted = None
     if method == "auto":
-        dup_ds = duplicated_grams(
+        dup_ds_counted = duplicated_grams(
             docs_ds, n=n, min_docs=min_docs, cfg=cfg,
             text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
         ).materialize()  # count + collect must not double-execute
-        if dup_ds.count() <= auto_broadcast_max_grams:
+        if dup_ds_counted.count() <= auto_broadcast_max_grams:
             method = "broadcast"
-            dup = collect_small_pandas(dup_ds, dup_schema)
+            dup = collect_small_pandas(dup_ds_counted, dup_schema)
         else:
             method = "join"
     if method == "join":
@@ -286,6 +287,10 @@ def scrub_dup_spans(
             docs_ds, n=n, min_docs=min_docs,
             keep_first=(mode == "keep_first"), return_text=return_text,
             cfg=cfg, text_col=text_col, doc_col=doc_col, buckets=buckets,
+            # auto already materialized the dup-gram table for the
+            # count — reuse it instead of re-running the dup-gram
+            # discovery exchange over the whole corpus
+            dup_ds=dup_ds_counted,
         )
     if dup is None:
         dup = collect_small_pandas(
@@ -370,6 +375,7 @@ def _scrub_via_join(
     text_col: str,
     doc_col: str,
     buckets: int = 64,
+    dup_ds=None,
 ):
     """The >broadcast scrub path: no dup-set driver materialization.
 
@@ -426,10 +432,12 @@ def _scrub_via_join(
             "first": pa.array(first, pa.bool_()),
         })
 
-    dup_ds = duplicated_grams(
-        docs_ds, n=n, min_docs=min_docs, cfg=cfg,
-        text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
-    ).map_batches(
+    if dup_ds is None:
+        dup_ds = duplicated_grams(
+            docs_ds, n=n, min_docs=min_docs, cfg=cfg,
+            text_col=text_col, doc_col=doc_col, agg_buckets=buckets,
+        )
+    dup_ds = dup_ds.map_batches(
         lambda t: pa.table({
             "g_hi": t["g_hi"],
             "g_lo2": t["g_lo"],
@@ -459,16 +467,13 @@ def _scrub_via_join(
     removals = joined.map_batches(to_removals, batch_format="pyarrow")
 
     def _bucket_of(ids: np.ndarray) -> np.ndarray:
-        # content-keyed doc bucket: vectorized splitmix64-style mix of
-        # the id bits (NO per-row Python hashing — removal rows are
-        # token-scale on duplicated corpora), independent of the
-        # gram-join bucketing and of block layout
-        x = ids.astype(np.int64).view(np.uint64)
-        with np.errstate(over="ignore"):
-            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            x = x ^ (x >> np.uint64(31))
-        return (x % np.uint64(buckets)).astype(np.int64)
+        # content-keyed doc bucket (shared splitmix64 helper — ONE
+        # definition with stages/lines.py's tag-union path), NO per-row
+        # Python hashing, independent of the gram-join bucketing and of
+        # block layout
+        from refimage_ray.functions.arrays import splitmix64_bucket
+
+        return splitmix64_bucket(ids, buckets)
 
     def tag_docs(b: pa.Table) -> pa.Table:
         ids = b[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -528,18 +533,22 @@ def _scrub_via_join(
             "n_removed": pa.array(n_removed, pa.int64()),
         }
         if return_text:
+            from refimage_ray.functions.arrays import (
+                cast_large_string_chunked,
+            )
+
             kept_counts = n_tokens - n_removed
             # int64 offsets: a bucket holds ~1/buckets of the corpus,
             # so int32 list offsets would overflow at the very scale
-            # this path exists for
+            # this path exists for; the final string column casts back
+            # in row-boundary chunks for the same reason
             offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int64)
             lst = pa.LargeListArray.from_arrays(
                 pa.array(offsets, pa.int64()),
                 pc.cast(flat.filter(pa.array(kept)), pa.large_string()),
             )
-            cols["text"] = pc.cast(
-                pc.binary_join(lst, pa.scalar(" ", pa.large_string())),
-                pa.string(),
+            cols["text"] = cast_large_string_chunked(
+                pc.binary_join(lst, pa.scalar(" ", pa.large_string()))
             )
         return pa.table(cols)
 

@@ -337,3 +337,40 @@ def test_chunk_validation(ray_session):
         chunk_batch(_corpus(), size=0)
     with pytest.raises(ValueError):
         chunk_batch(_corpus(), stride=0)
+
+
+def test_line_dedup_join_negative_doc_ids(ray_session):
+    """Negative doc ids: the join-path removal sort must order in
+    uint64-view space (the probe's binary-search space) or removals
+    for negative ids are silently lost — broadcast/join parity is the
+    oracle."""
+    tbl = pa.table({
+        "doc_id": pa.array([-5, -2, 3], pa.int64()),
+        "text": pa.array(["dup seg one x", "dup seg one y",
+                          "dup seg one z"]),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    for mode in ("drop_all", "keep_first"):
+        a = _sorted_rows(line_dedup(
+            ds, seg_words=3, min_count=2, mode=mode, return_text=True,
+            method="broadcast",
+        ))
+        b = _sorted_rows(line_dedup(
+            ds, seg_words=3, min_count=2, mode=mode, return_text=True,
+            method="join",
+        ))
+        assert a == b, mode
+        assert sum(r["n_removed"] for r in a) > 0  # the probe has teeth
+
+
+def test_cast_large_string_chunked_roundtrip():
+    from refimage_ray.functions.arrays import cast_large_string_chunked
+
+    vals = ["", "ab", "c" * 1000, "d", "e" * 10]
+    arr = pa.array(vals, pa.large_string())
+    out = cast_large_string_chunked(arr, max_chunk_bytes=64)
+    assert out.type == pa.string()
+    assert out.to_pylist() == vals
+    assert out.num_chunks > 1  # the cap actually split
+    empty = cast_large_string_chunked(pa.array([], pa.large_string()))
+    assert empty.type == pa.string() and len(empty) == 0
