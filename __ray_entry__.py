@@ -6,10 +6,10 @@
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
   query (same column names, same rounding).  Deterministic "approx"
   ops are value-oracled by embedding their seeded probe geometry as
-  SQL literals (LSH hyperplanes, IVF / k-means centroids, MinHash
-  parameters); only genuinely SQL-inexpressible ops (greedy BPE
-  recursion, iterative Lloyd/EM training, PQ codebooks, eigensolver,
-  u64-wraparound fingerprints inside SemDeDup) are rows-only by
+  SQL literals (LSH hyperplanes, IVF / k-means centroids, PQ
+  codebooks, MinHash parameters); only genuinely SQL-inexpressible
+  ops (greedy BPE recursion, iterative Lloyd/EM training,
+  eigensolver, SemDeDup's trained clustering) are rows-only by
   omission.
 
 Ray is initialised by the driver BEFORE this module is imported; no
@@ -956,6 +956,92 @@ QUALIFY row_number() OVER (PARTITION BY q.query_id
 """
 
 
+def _pq_sql(query_ids: tuple = (0, 1), k: int = 10,
+            m: int = 8, n_codes: int = 16, dsub: int = 8,
+            pool_factor: int = 4, seed: int = 5) -> str:
+    """Product-quantized ANN oracle — codebooks are the seeded literal
+    set (``stages.pq.pq_seeded_codebooks``, same rng + scale), so the
+    whole probe is SQL: per-(vector, subspace) code = argmax of
+    ``x_j·c − |c|²/2`` over literal centroid rows (ties to the lower
+    code id — numpy argmax), per-query ADC tables the same way, ADC
+    per vector as the EXPLICIT left-associated 8-term sum (numpy's
+    ``out += table[code_j]`` loop order — an unordered SUM() could
+    differ in the last ulp and flip pool-boundary ties), the global
+    ``pool_factor·k`` candidate pool by (adc DESC, vec_id), and the
+    exact-cosine top-k over the pool.  Subvectors slice the normalized
+    embedding with DuckDB's 1-based inclusive list slicing."""
+    import numpy as _np
+
+    books = (_np.random.default_rng(seed).standard_normal((m, n_codes, dsub))
+             / _np.sqrt(m * dsub))
+    rows = []
+    for j in range(m):
+        for cid in range(n_codes):
+            c = books[j, cid]
+            chalf = 0.5 * float((c * c).sum())
+            rows.append(
+                f"({j}, {cid}, "
+                f"[{', '.join(repr(float(v)) for v in c)}]::DOUBLE[], "
+                f"{chalf!r})"
+            )
+    cb_rows = ",\n  ".join(rows)
+    adc_sum = "max(CASE WHEN c.j=0 THEN qt.tv END)"
+    for j in range(1, m):
+        adc_sum = f"({adc_sum} + max(CASE WHEN c.j={j} THEN qt.tv END))"
+    ids = ", ".join(str(i) for i in query_ids)
+    pool = pool_factor * k
+    return f"""
+WITH cb(j, cid, c, chalf) AS (VALUES
+  {cb_rows}
+),
+emb AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])))) AS xn
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT e.vec_id, cb.j, cb.cid,
+           row_number() OVER (PARTITION BY e.vec_id, cb.j
+             ORDER BY list_dot_product(
+                 e.xn[cb.j*{dsub}+1 : cb.j*{dsub}+{dsub}], cb.c)
+               - cb.chalf DESC,
+                      cb.cid) AS rn
+    FROM emb e CROSS JOIN cb) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, xn AS qn FROM emb WHERE vec_id IN ({ids})),
+qt AS (
+  SELECT q.query_id, cb.j, cb.cid,
+         list_dot_product(q.qn[cb.j*{dsub}+1 : cb.j*{dsub}+{dsub}], cb.c)
+           AS tv
+  FROM q CROSS JOIN cb
+),
+adc AS (
+  SELECT qt.query_id, c.vec_id, {adc_sum} AS adc
+  FROM codes c
+  JOIN qt ON qt.j = c.j AND qt.cid = c.cid
+  GROUP BY qt.query_id, c.vec_id
+),
+pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc DESC, vec_id) AS rn
+    FROM adc) t WHERE rn <= {pool}
+)
+SELECT p.query_id, p.vec_id,
+       round(list_dot_product(e.xn, q.qn), 4) AS score
+FROM pool p
+JOIN emb e ON e.vec_id = p.vec_id
+JOIN q ON q.query_id = p.query_id
+QUALIFY row_number() OVER (PARTITION BY p.query_id
+    ORDER BY list_dot_product(e.xn, q.qn) DESC, p.vec_id) <= {k}
+"""
+
+
 def _kmeans_sizes_sql(k: int = 8, dim: int = 64, seed: int = 3) -> str:
     """Cluster-size histogram oracle under the seeded literal
     centroids (``vectors.kmeans_seeded_centroids`` — ``1/√dim``-scaled
@@ -1312,21 +1398,21 @@ def entry() -> Any:
 
 # Queries the driver certifies (first 50 entries in dict order).
 # After round 4 every SQL-oracled entry has been value-certified at
-# least once, so round 5 rotates to a REGRESSION window: the 2 entries
+# least once, so round 5 rotates to a REGRESSION window: the 3 entries
 # newly value-oracled this round (IVF probe + k-means assignment via
-# literal centroids — never driver-certified), the 5 queries whose
-# code paths changed this round (segment dedup gained the gated
-# broadcast/join; spans + export collection moved to collect_small;
-# PageRank gained loss-recovery staging), then the oldest-certified
-# queries first: all 20 whose last certification was round 1, and 23
-# round-2 entries stratified across families (corpus stats,
-# containers, search variants, phrase, NRT/rollover lifecycle,
-# export).  43 of the 50 slots re-certify r1/r2-era queries.
-# Rows-only entries (no SQL oracle) stay excluded — a slot spent on
-# one returns only a weak rows-ran check.
+# literal centroids, PQ via literal codebooks — never
+# driver-certified), the 5 queries whose code paths changed this round
+# (segment dedup gained the gated broadcast/join; spans + export
+# collection moved to collect_small; PageRank gained loss-recovery
+# staging), then the oldest-certified queries first: all 20 whose last
+# certification was round 1, and 22 round-2 entries stratified across
+# families (corpus stats, containers, search variants, phrase,
+# NRT/rollover lifecycle, export).  42 of the 50 slots re-certify
+# r1/r2-era queries.  Rows-only entries (no SQL oracle) stay excluded
+# — a slot spent on one returns only a weak rows-ran check.
 _DRIVER_WINDOW_PRIORITY = [
     # --- never driver-certified (value-oracled this round) ---
-    "knn_cosine_ivf", "kmeans_cluster_sizes",
+    "knn_cosine_ivf", "kmeans_cluster_sizes", "knn_cosine_pq",
     # --- code paths changed this round ---
     "line_dedup_docs", "line_dedup_keep_first", "line_dup_stats",
     "scrub_dup_spans_docs", "event_transition_pagerank",
@@ -1344,7 +1430,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "top_terms_per_lang", "tokenize_postings", "bigram_counts",
     "index_term_stats", "search_count", "significant_terms",
     "list_docs_page", "warc_doc_stats", "jsonl_doc_stats",
-    "bm25_topk_and", "bm25_topk_stemmed", "bm25_topk_fuzzy",
+    "bm25_topk_stemmed", "bm25_topk_fuzzy",
     "bm25_topk_regex", "bm25_topk_min_match", "phrase_topk",
     "nrt_delta_topk", "rollover_topk",
 ]
@@ -1481,7 +1567,7 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": vectors.knn_cosine,
         "knn_cosine_lsh": vectors.knn_cosine_lsh,
         "knn_cosine_ivf": vectors.knn_cosine_ivf,  # value-oracled (literal centroids)
-        "knn_cosine_pq": vectors.knn_cosine_pq,             # rows-only (approx)
+        "knn_cosine_pq": vectors.knn_cosine_pq,    # value-oracled (literal codebooks)
         "knn_cosine_filtered": vectors.knn_cosine_filtered,
         "kmeans_cluster_sizes": vectors.kmeans_cluster_sizes,  # value-oracled (literal centroids)
         "semdedup_losers": vectors.semdedup_losers,  # rows-only (clustered approx)
@@ -2607,6 +2693,7 @@ QUALIFY row_number() OVER (
         # k-means assignment histogram too
         "knn_cosine_ivf": _ivf_sql((0, 1), k=10),
         "kmeans_cluster_sizes": _kmeans_sizes_sql(k=8),
+        "knn_cosine_pq": _pq_sql((0, 1), k=10),
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN (0, 1))

@@ -278,13 +278,23 @@ def embedding_near_dups_lsh(sf_dir: str, tau: float = 0.45) -> pa.Table:
 
 
 def knn_cosine_pq(sf_dir: str, query_vec_ids: list[int] = (0, 1), k: int = 10) -> pa.Table:
-    """Product-quantized ANN (8×16 codebooks + exact pool re-rank,
-    ``stages/pq.py``) — rows-only check (membership is approximate by
-    design; returned scores are exact cosines of the selected pool)."""
+    """Product-quantized ANN (8×16 codebooks, ADC candidate pool +
+    exact re-rank, ``stages/pq.py``).  VALUE-oracled: the codebooks are
+    seeded literals (``pq_seeded_codebooks``), so per-subspace
+    assignment, the ADC tables, the global ``pool_factor × k``
+    candidate pool and the exact-cosine re-rank are all SQL-expressible
+    (``__ray_entry__._pq_sql`` — the literal-geometry trick, third
+    instance after LSH planes and IVF/k-means centroids).  The
+    sample-TRAINED quantizer path stays recall-tested in pytest."""
     from refimage_ray.stages.ann import pq_topk
+    from refimage_ray.stages.pq import pq_seeded_codebooks
 
     q = _query_vectors(sf_dir, list(query_vec_ids))
-    t = pq_topk(_emb(sf_dir), q, k=k)
+    m = 8
+    t = pq_topk(
+        _emb(sf_dir), q, k=k, m=m,
+        codebooks=pq_seeded_codebooks(m=m, k=16, dsub=q.shape[1] // m),
+    )
     qid = pa.array(
         [int(query_vec_ids[i]) for i in t["query_id"].to_pylist()], pa.int64()
     )

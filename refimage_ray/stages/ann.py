@@ -584,6 +584,12 @@ def _hyperplanes_lazy(
     return _hyperplanes(dim, n_planes, seed)
 
 
+_PQ_POOL_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("vec_id", pa.int64()),
+    ("adc", pa.float64()), ("score", pa.float64()),
+])
+
+
 def pq_topk(
     emb_ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -593,52 +599,91 @@ def pq_topk(
     n_codes: int = 16,
     pool_factor: int = 4,
     sample_rows: int = 2048,
+    codebooks: "np.ndarray | None" = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> pa.Table:
     """Product-quantized approximate top-k with exact re-ranking
     (``stages/pq.py``): codebooks train on the same deterministic
-    sample contract as :func:`ivf_topk`; per batch, ADC lookup scores
-    select a ``pool_factor × k`` candidate pool which is re-ranked
-    with the batch's exact vectors — returned scores are true cosines,
-    only membership is approximate.  Approximate by design (rows-only
-    contract); recall grows with ``n_codes`` / ``pool_factor``.
+    sample contract as :func:`ivf_topk` (or are caller-fixed via
+    ``codebooks=`` — seeded literals make the whole probe SQL-
+    expressible, the ``knn_cosine_pq`` value-oracle path).
+
+    LAYOUT-INDEPENDENT pool: each batch emits its ADC tie-superset of
+    the GLOBAL ``pool_factor × k`` candidate pool (with the exact
+    cosine already attached — candidates are few, the matmul is tiny);
+    the streaming reduce keeps the global top-pool by
+    ``(adc DESC, vec_id ASC)`` and only then re-ranks by the exact
+    score.  The result is a pure function of the data — block
+    boundaries cannot change membership (the repo's block-layout
+    invariance discipline; the previous per-batch-pool formulation
+    violated it).  Returned scores are true cosines; only membership
+    is approximate.  Recall grows with ``n_codes`` / ``pool_factor``.
     """
     from refimage_ray.stages.pq import adc_scores, pq_encode, pq_train
 
     qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    head = emb_ds.limit(sample_rows).to_pandas()
-    sm = _normalize(np.stack(head[emb_col].to_numpy()).astype(np.float64))
-    books = pq_train(sm, m=m, k=n_codes)
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+    else:
+        head = emb_ds.limit(sample_rows).to_pandas()
+        sm = _normalize(np.stack(head[emb_col].to_numpy()).astype(np.float64))
+        books = pq_train(sm, m=m, k=n_codes)
+    pool = pool_factor * k
     state = ray.put((qm, books))
 
     def partial(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"query_id": pa.array([], pa.int64()),
-                          "vec_id": pa.array([], pa.int64()),
-                          "score": pa.array([], pa.float64())})
         if batch.num_rows == 0:
-            return empty
+            return _PQ_POOL_SCHEMA.empty_table()
         q, bks = ray.get(state)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize(_to_matrix(batch[emb_col]))
         codes = pq_encode(mat, bks)
-        pool = min(pool_factor * k, len(ids))
-        out_q, out_id, out_s = [], [], []
+        out_q, out_id, out_a, out_s = [], [], [], []
         for qi in range(q.shape[0]):
             approx = adc_scores(q[qi], bks, codes)
-            cand = _topk_candidates(approx, pool)
-            exact = mat[cand] @ q[qi]          # re-rank pool exactly
-            sel = cand[_topk_candidates(exact, min(k, len(cand)))]
-            out_q.append(np.full(len(sel), qi, dtype=np.int64))
-            out_id.append(ids[sel])
-            out_s.append(mat[sel] @ q[qi])
+            cand = _topk_candidates(approx, min(pool, len(ids)))
+            out_q.append(np.full(len(cand), qi, dtype=np.int64))
+            out_id.append(ids[cand])
+            out_a.append(approx[cand])
+            out_s.append(mat[cand] @ q[qi])    # exact cosine, attached
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "adc": pa.array(np.concatenate(out_a), pa.float64()),
                 "score": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
-    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-    return _reduce_topk(partials, k, qm.shape[0])
+    def combine_pool(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PQ_POOL_SCHEMA.empty_table()
+        df = batch.to_pandas().sort_values(
+            ["query_id", "adc", "vec_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df = df.groupby("query_id", sort=False).head(pool)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).cast(_PQ_POOL_SCHEMA)
+
+    from refimage_ray.functions.packexchange import collect_small
+
+    n_q = qm.shape[0]
+    combine_rows = max(65536, 64 * n_q * pool)
+    lvl = emb_ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        combine_pool, batch_size=combine_rows, batch_format="pyarrow"
+    ).map_batches(
+        combine_pool, batch_size=combine_rows, batch_format="pyarrow"
+    )
+    pooled = combine_pool(collect_small(lvl, _PQ_POOL_SCHEMA)).to_pandas()
+    final = pooled.sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True], kind="mergesort",
+    ).groupby("query_id", sort=False).head(k)
+    return pa.table({
+        "query_id": pa.array(final["query_id"].to_numpy(np.int64), pa.int64()),
+        "vec_id": pa.array(final["vec_id"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(final["score"].to_numpy(np.float64), pa.float64()),
+    })

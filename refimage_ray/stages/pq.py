@@ -85,3 +85,18 @@ def adc_scores(q: np.ndarray, books: np.ndarray, codes: np.ndarray) -> np.ndarra
     for j in range(m):  # m is small (8); lookups are vectorized over n
         out += tables[j][codes[:, j]]
     return out
+
+def pq_seeded_codebooks(
+    m: int = 8, k: int = 16, dsub: int = 8, seed: int = 5
+) -> np.ndarray:
+    """Fixed (data-independent) codebooks: seeded Gaussian rows scaled
+    to ``1/√(m·dsub)`` so entries sit at the typical subvector scale of
+    unit-norm embeddings.  Deterministic by construction, so the whole
+    PQ probe geometry (per-subspace assignment, ADC tables, candidate
+    pool) embeds verbatim as SQL literals — what lets the driver
+    value-oracle ``knn_cosine_pq`` (``__ray_entry__._pq_sql``), the
+    same trick as the LSH hyperplanes and IVF centroids.  Recall is
+    below a sample-trained quantizer's but the exact re-rank keeps the
+    returned scores true cosines either way."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, k, dsub)) / np.sqrt(m * dsub)
