@@ -956,6 +956,52 @@ QUALIFY row_number() OVER (PARTITION BY q.query_id
 """
 
 
+def _semdedup_fixed_sql(k: int = 8, dim: int = 64, seed: int = 3,
+                        tau: float = 0.45) -> str:
+    """SemDeDup oracle under the seeded literal centroids
+    (``vectors.kmeans_seeded_centroids`` — same literals as the
+    k-means histogram oracle): per-vector assignment by argmax of
+    ``2·x·c − |c|²``, within-cluster exact-cosine pairs (the proven
+    ``embedding_near_dups`` arithmetic), connected components via the
+    recursive reachability CTE (the ``minhash_dup_clusters`` shape),
+    losers = non-min members of each component."""
+    return f"""
+WITH RECURSIVE cents(j, c, c2) AS (VALUES
+  {_centroid_values(k, dim, seed, with_norm2=True, inv_sqrt_dim_scale=True)}
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY 2.0 * list_dot_product(e.e, c.c) - c.c2 DESC,
+                      c.j) AS rn
+    FROM emb e CROSS JOIN cents c) t WHERE rn = 1
+),
+pairsq AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM emb a
+  JOIN emb b ON a.vec_id < b.vec_id
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.vec_id = b.vec_id
+  WHERE aa.cluster = ab.cluster
+    AND list_cosine_similarity(a.e, b.e) >= {tau}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairsq
+  UNION SELECT doc_b, doc_a FROM pairsq
+),
+reach(node, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(lbl AS BIGINT) AS keep_id
+FROM comp WHERE node != lbl
+"""
+
+
 def _pq_sql(query_ids: tuple = (0, 1), k: int = 10,
             m: int = 8, n_codes: int = 16, dsub: int = 8,
             pool_factor: int = 4, seed: int = 5) -> str:
@@ -1413,6 +1459,7 @@ def entry() -> Any:
 _DRIVER_WINDOW_PRIORITY = [
     # --- never driver-certified (value-oracled this round) ---
     "knn_cosine_ivf", "kmeans_cluster_sizes", "knn_cosine_pq",
+    "semdedup_losers_fixed",
     # --- code paths changed this round ---
     "line_dedup_docs", "line_dedup_keep_first", "line_dup_stats",
     "scrub_dup_spans_docs", "event_transition_pagerank",
@@ -1430,7 +1477,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "top_terms_per_lang", "tokenize_postings", "bigram_counts",
     "index_term_stats", "search_count", "significant_terms",
     "list_docs_page", "warc_doc_stats", "jsonl_doc_stats",
-    "bm25_topk_stemmed", "bm25_topk_fuzzy",
+    "bm25_topk_stemmed",
     "bm25_topk_regex", "bm25_topk_min_match", "phrase_topk",
     "nrt_delta_topk", "rollover_topk",
 ]
@@ -1570,7 +1617,8 @@ def _queries_catalogue() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_pq": vectors.knn_cosine_pq,    # value-oracled (literal codebooks)
         "knn_cosine_filtered": vectors.knn_cosine_filtered,
         "kmeans_cluster_sizes": vectors.kmeans_cluster_sizes,  # value-oracled (literal centroids)
-        "semdedup_losers": vectors.semdedup_losers,  # rows-only (clustered approx)
+        "semdedup_losers": vectors.semdedup_losers,  # rows-only (Lloyd-trained blocking)
+        "semdedup_losers_fixed": vectors.semdedup_losers_fixed,  # value-oracled (literal centroids)
         "embedding_pca_stats": vectors.embedding_pca_stats,  # rows-only (no SQL eigensolver)
         "embedding_norm_by_label": vectors.embedding_norm_by_label,
         "lang_embedding_stats": vectors.lang_embedding_stats,
@@ -2694,6 +2742,7 @@ QUALIFY row_number() OVER (
         "knn_cosine_ivf": _ivf_sql((0, 1), k=10),
         "kmeans_cluster_sizes": _kmeans_sizes_sql(k=8),
         "knn_cosine_pq": _pq_sql((0, 1), k=10),
+        "semdedup_losers_fixed": _semdedup_fixed_sql(k=8),
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN (0, 1))

@@ -426,6 +426,60 @@ def semdedup_losers(
     })
 
 
+def semdedup_losers_fixed(sf_dir: str, k: int = 8, tau: float = 0.45) -> pa.Table:
+    """SemDeDup over SEEDED LITERAL centroids — the value-oracle
+    variant of :func:`semdedup_losers`: the same blocking → within-
+    cluster exact cosine pairs → connected-components composition,
+    with the trained quantizer swapped for
+    :func:`kmeans_seeded_centroids` (assignment computed as
+    ``argmax(2·x·c − |c|²)``, the exact form the SQL compares), so
+    every step is SQL-expressible (``__ray_entry__._semdedup_fixed_sql``
+    — literal centroids + join-blocked pairs + a recursive
+    reachability CTE).  ``semdedup_losers`` (Lloyd-TRAINED blocking)
+    stays rows-only and keeps exercising ``kmeans_fit`` end-to-end.
+
+    Note the two variants legitimately differ in OUTPUT (different
+    quantizers miss different cross-cluster pairs); both implement the
+    published SemDeDup recipe, which accepts the quantizer-dependent
+    miss."""
+    import ray
+
+    from refimage_ray.stages.ann import _to_matrix, embedding_near_dup_pairs
+    from refimage_ray.stages.dedup_near import dup_clusters
+
+    emb = _emb(sf_dir)
+    first = next(pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    cents = kmeans_seeded_centroids(k, dim)
+    c2 = (cents * cents).sum(axis=1)
+    cref = ray.put((cents, c2))
+
+    def add_cluster(b: pa.Table) -> pa.Table:
+        c, n2 = ray.get(cref)
+        mat = _to_matrix(b["embedding"]).astype(np.float64)
+        if mat.shape[0] == 0:
+            return b.append_column("cluster", pa.array([], pa.int64()))
+        score = 2.0 * (mat @ c.T) - n2[None, :]
+        return b.append_column(
+            "cluster", pa.array(score.argmax(axis=1).astype(np.int64))
+        )
+
+    clustered = emb.map_batches(add_cluster, batch_format="pyarrow")
+    pairs = embedding_near_dup_pairs(clustered, tau=tau, group_col="cluster")
+    comp = dup_clusters(pa.table({
+        "doc_a": pairs["vec_a"], "doc_b": pairs["vec_b"],
+    }))
+    losers = comp.filter(
+        pc.not_equal(comp["doc_id"], comp["cluster_id"])
+    )
+    return pa.table({
+        "vec_id": losers["doc_id"],
+        "keep_id": losers["cluster_id"],
+    })
+
+
 def embedding_pca_stats(sf_dir: str, top: int = 8) -> pa.Table:
     """Distributed PCA spectrum: per-batch (n, Σx, XᵀX) partials — one
     (1 + d + d²)-float row per block regardless of batch size — are

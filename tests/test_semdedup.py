@@ -76,3 +76,34 @@ def test_semdedup_no_dups_returns_empty(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
     got = V.semdedup_losers(str(tmp_path), k=2, tau=0.99, n_iter=3)
     assert got.num_rows == 0
+
+
+def test_semdedup_fixed_losers_point_to_component_min(ray_session, tmp_path):
+    """The literal-centroid variant: every loser's keep_id is a smaller
+    id that shares its near-dup component; deterministic across runs;
+    empty on an all-distinct corpus."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((6, 64))
+    # 3 near-dup pairs (tiny perturbations) + 6 distinct vectors
+    pts = np.vstack([base, base[:3] + 1e-3 * rng.standard_normal((3, 64))])
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(pts)), pa.int64()),
+        "embedding": pa.array([p.astype(np.float32).tolist() for p in pts],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(pts), pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = V.semdedup_losers_fixed(str(tmp_path), k=4, tau=0.98)
+    got2 = V.semdedup_losers_fixed(str(tmp_path), k=4, tau=0.98)
+    assert got.to_pylist() == got2.to_pylist()  # deterministic
+    losers = dict(zip(got["vec_id"].to_pylist(), got["keep_id"].to_pylist()))
+    # the 3 perturbed copies (ids 6,7,8) lose to their originals
+    # (0,1,2) — UNLESS the fixed quantizer split a pair across cells
+    # (allowed by the SemDeDup recipe); every reported loser must
+    # point at its smaller near-dup partner
+    for v, kkeep in losers.items():
+        assert kkeep < v and v >= 6 and kkeep == v - 6
+    assert len(losers) >= 1  # the probe has teeth on this data
