@@ -1444,16 +1444,16 @@ def entry() -> Any:
 
 # Queries the driver certifies (first 50 entries in dict order).
 # After round 4 every SQL-oracled entry has been value-certified at
-# least once, so round 5 rotates to a REGRESSION window: the 3 entries
-# newly value-oracled this round (IVF probe + k-means assignment via
-# literal centroids, PQ via literal codebooks — never
+# least once, so round 5 rotates to a REGRESSION window: the 4 entries
+# newly value-oracled this round (IVF probe + k-means assignment +
+# SemDeDup via literal centroids, PQ via literal codebooks — never
 # driver-certified), the 5 queries whose code paths changed this round
 # (segment dedup gained the gated broadcast/join; spans + export
 # collection moved to collect_small; PageRank gained loss-recovery
 # staging), then the oldest-certified queries first: all 20 whose last
-# certification was round 1, and 22 round-2 entries stratified across
+# certification was round 1, and 21 round-2 entries stratified across
 # families (corpus stats, containers, search variants, phrase,
-# NRT/rollover lifecycle, export).  42 of the 50 slots re-certify
+# NRT/rollover lifecycle, export).  41 of the 50 slots re-certify
 # r1/r2-era queries.  Rows-only entries (no SQL oracle) stay excluded
 # — a slot spent on one returns only a weak rows-ran check.
 _DRIVER_WINDOW_PRIORITY = [

@@ -319,6 +319,33 @@ def kmeans_seeded_centroids(k: int = 8, dim: int = 64,
             / np.sqrt(dim))
 
 
+def _seeded_assign_fn(sf_dir: str, k: int):
+    """ONE engine-side definition of assignment under the seeded
+    literal centroids: argmax of ``2·x·c − |c|²`` with ``|c|²`` from
+    the same numpy reduction ``__ray_entry__._centroid_values`` embeds
+    as SQL literals.  Shared by :func:`kmeans_cluster_sizes` and
+    :func:`semdedup_losers_fixed` so the oracle-critical float form
+    cannot silently diverge between the two queries.  Returns a
+    ``(n, d) float64 matrix → (n,) int64 cluster ids`` callable (safe
+    to close over in ``map_batches`` — state rides one ``ray.put``)."""
+    import ray
+
+    first = next(pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])  # one-row dim probe
+    cents = kmeans_seeded_centroids(k, dim)
+    c2 = (cents * cents).sum(axis=1)  # the oracle's literal, same op
+    cref = ray.put((cents, c2))
+
+    def assign(mat: np.ndarray) -> np.ndarray:
+        c, n2 = ray.get(cref)
+        score = 2.0 * (mat @ c.T) - n2[None, :]
+        return score.argmax(axis=1).astype(np.int64)
+
+    return assign
+
+
 def kmeans_cluster_sizes(sf_dir: str, k: int = 8) -> pa.Table:
     """Cluster-size histogram of the distributed k-means ASSIGNMENT
     step (one centroid broadcast + one narrow map + a count groupby)
@@ -332,31 +359,18 @@ def kmeans_cluster_sizes(sf_dir: str, k: int = 8) -> pa.Table:
     Lloyd TRAINING (``kmeans_fit``/``kmeans_assign``) stays
     pytest-verified (SSE monotone, blob recovery, numpy-argmin
     identity) and is exercised end-to-end by ``semdedup_losers``."""
-    import ray
     from ray.data.aggregate import Count
 
     from refimage_ray.stages.ann import _to_matrix
 
     emb = _emb(sf_dir)
-    # dim probe: ONE row, not the column (list<float> schemas don't
-    # carry a fixed size)
-    first = next(pq.ParquetFile(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).iter_batches(batch_size=1, columns=["embedding"]))
-    dim = len(first["embedding"][0])
-    cents = kmeans_seeded_centroids(k, dim)
-    c2 = (cents * cents).sum(axis=1)  # the oracle's literal, same op
-    cref = ray.put((cents, c2))
+    assign_ids = _seeded_assign_fn(sf_dir, k)
 
     def assign(b: pa.Table) -> pa.Table:
-        c, n2 = ray.get(cref)
         mat = _to_matrix(b["embedding"]).astype(np.float64)
         if mat.shape[0] == 0:
             return pa.table({"cluster": pa.array([], pa.int64())})
-        score = 2.0 * (mat @ c.T) - n2[None, :]
-        return pa.table({
-            "cluster": pa.array(score.argmax(axis=1).astype(np.int64)),
-        })
+        return pa.table({"cluster": pa.array(assign_ids(mat))})
 
     out = (
         emb.select_columns(["embedding"])
@@ -442,29 +456,17 @@ def semdedup_losers_fixed(sf_dir: str, k: int = 8, tau: float = 0.45) -> pa.Tabl
     quantizers miss different cross-cluster pairs); both implement the
     published SemDeDup recipe, which accepts the quantizer-dependent
     miss."""
-    import ray
-
     from refimage_ray.stages.ann import _to_matrix, embedding_near_dup_pairs
     from refimage_ray.stages.dedup_near import dup_clusters
 
     emb = _emb(sf_dir)
-    first = next(pq.ParquetFile(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).iter_batches(batch_size=1, columns=["embedding"]))
-    dim = len(first["embedding"][0])
-    cents = kmeans_seeded_centroids(k, dim)
-    c2 = (cents * cents).sum(axis=1)
-    cref = ray.put((cents, c2))
+    assign_ids = _seeded_assign_fn(sf_dir, k)
 
     def add_cluster(b: pa.Table) -> pa.Table:
-        c, n2 = ray.get(cref)
         mat = _to_matrix(b["embedding"]).astype(np.float64)
         if mat.shape[0] == 0:
             return b.append_column("cluster", pa.array([], pa.int64()))
-        score = 2.0 * (mat @ c.T) - n2[None, :]
-        return b.append_column(
-            "cluster", pa.array(score.argmax(axis=1).astype(np.int64))
-        )
+        return b.append_column("cluster", pa.array(assign_ids(mat)))
 
     clustered = emb.map_batches(add_cluster, batch_format="pyarrow")
     pairs = embedding_near_dup_pairs(clustered, tau=tau, group_col="cluster")

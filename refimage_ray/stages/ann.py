@@ -65,8 +65,9 @@ _TOPK_SCHEMA = pa.schema(
 )
 
 
-def _combine_topk_fn(k: int):
-    """Per-block (query, score desc, vec_id asc) top-k combiner.
+def _combine_topk_fn(k: int, *, schema: pa.Schema = _TOPK_SCHEMA,
+                     rank_col: str = "score"):
+    """Per-block (query, ``rank_col`` desc, vec_id asc) top-k combiner.
 
     Always returns a TYPED Arrow table — an empty exchange partition
     would otherwise yield a schema-less block, firing Ray's "RefBundle
@@ -77,19 +78,20 @@ def _combine_topk_fn(k: int):
 
     def combine(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _TOPK_SCHEMA.empty_table()
+            return schema.empty_table()
         df = batch.to_pandas().sort_values(
-            ["query_id", "score", "vec_id"],
+            ["query_id", rank_col, "vec_id"],
             ascending=[True, False, True], kind="mergesort",
         )
         df = df.groupby("query_id", sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(_TOPK_SCHEMA)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
 
     return combine
 
 
 def _reduce_topk(
-    partials: "ray.data.Dataset", k: int, n_q: int, *, fanin: int = 32
+    partials: "ray.data.Dataset", k: int, n_q: int, *, fanin: int = 32,
+    schema: pa.Schema = _TOPK_SCHEMA, rank_col: str = "score",
 ) -> pa.Table:
     """Tree-reduce per-batch top-k partials to global per-query top-k.
 
@@ -111,7 +113,7 @@ def _reduce_topk(
     """
     from refimage_ray.stages.dedup_near import collect_small
 
-    combine = _combine_topk_fn(k)
+    combine = _combine_topk_fn(k, schema=schema, rank_col=rank_col)
     group = max(1, n_q * k)
     combine_rows = max(65536, 64 * group)
     lvl = partials.map_batches(
@@ -127,7 +129,7 @@ def _reduce_topk(
         )
     # the final merge IS the same combiner, applied once to the
     # collected output
-    return combine(collect_small(lvl, _TOPK_SCHEMA))
+    return combine(collect_small(lvl, schema))
 
 
 def brute_force_topk(
@@ -656,28 +658,15 @@ def pq_topk(
             }
         )
 
-    def combine_pool(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _PQ_POOL_SCHEMA.empty_table()
-        df = batch.to_pandas().sort_values(
-            ["query_id", "adc", "vec_id"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        df = df.groupby("query_id", sort=False).head(pool)
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).cast(_PQ_POOL_SCHEMA)
-
-    from refimage_ray.functions.packexchange import collect_small
-
-    n_q = qm.shape[0]
-    combine_rows = max(65536, 64 * n_q * pool)
-    lvl = emb_ds.map_batches(partial, batch_format="pyarrow").map_batches(
-        combine_pool, batch_size=combine_rows, batch_format="pyarrow"
-    ).map_batches(
-        combine_pool, batch_size=combine_rows, batch_format="pyarrow"
-    )
-    pooled = combine_pool(collect_small(lvl, _PQ_POOL_SCHEMA)).to_pandas()
+    # the global pool reduce IS the proven _reduce_topk shape (two
+    # streaming combine passes + the large-query repartition barrier
+    # that bounds the driver collect block-count-independently),
+    # parameterized to rank by adc and keep pool rows per query
+    pooled = _reduce_topk(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        pool, qm.shape[0],
+        schema=_PQ_POOL_SCHEMA, rank_col="adc",
+    ).to_pandas()
     final = pooled.sort_values(
         ["query_id", "score", "vec_id"],
         ascending=[True, False, True], kind="mergesort",

@@ -466,19 +466,15 @@ def _scrub_via_join(
 
     removals = joined.map_batches(to_removals, batch_format="pyarrow")
 
-    def _bucket_of(ids: np.ndarray) -> np.ndarray:
-        # content-keyed doc bucket (shared splitmix64 helper — ONE
-        # definition with stages/lines.py's tag-union path), NO per-row
-        # Python hashing, independent of the gram-join bucketing and of
-        # block layout
-        from refimage_ray.functions.arrays import splitmix64_bucket
-
-        return splitmix64_bucket(ids, buckets)
+    # content-keyed doc bucket: the shared splitmix64 helper (ONE
+    # definition with stages/lines.py's tag-union path), independent
+    # of the gram-join bucketing and of block layout
+    from refimage_ray.functions.arrays import splitmix64_bucket
 
     def tag_docs(b: pa.Table) -> pa.Table:
         ids = b[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "__b": pa.array(_bucket_of(ids), pa.int64()),
+            "__b": pa.array(splitmix64_bucket(ids, buckets), pa.int64()),
             "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
             "doc_id": pa.array(ids, pa.int64()),
             "text": pc.cast(b[text_col], pa.string()),
@@ -488,7 +484,7 @@ def _scrub_via_join(
     def tag_removals(b: pa.Table) -> pa.Table:
         ids = b["rdoc"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "__b": pa.array(_bucket_of(ids), pa.int64()),
+            "__b": pa.array(splitmix64_bucket(ids, buckets), pa.int64()),
             "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
             "doc_id": pa.array(ids, pa.int64()),
             "text": pa.nulls(len(ids), pa.string()),

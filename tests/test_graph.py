@@ -249,15 +249,23 @@ def test_staged_piece_loss_raises_object_lost_subclass(ray_session):
 
     # owner-death propagation is async AND environment-dependent (the
     # object can stay readable from the local store for a while); poll
-    # tolerantly — a GetTimeoutError is "not yet", not a failure.  The
-    # hierarchy assertions above are the load-bearing check; if loss
-    # does surface here it must arrive as an ObjectLostError subclass.
-    deadline = time.time() + 30
+    # tolerantly — a GetTimeoutError is "not yet", not a failure.  If
+    # loss surfaces it must arrive as an ObjectLostError subclass (the
+    # production catch); if it never surfaces, SKIP loudly rather than
+    # pass vacuously — the hierarchy assertions above already ran.
+    deadline = time.time() + 10
+    surfaced = False
     while time.time() < deadline:
         try:
             ray.get(ref, timeout=2)
         except ray.exceptions.GetTimeoutError:
             continue
         except ray.exceptions.ObjectLostError:
-            break  # the production catch would fire — done
+            surfaced = True  # the production catch would fire — done
+            break
         time.sleep(0.05)
+    if not surfaced:
+        pytest.skip(
+            "owner-death loss did not propagate within 10 s in this "
+            "environment (object stayed readable from the local store)"
+        )
